@@ -1,0 +1,240 @@
+"""Analyzer registry: named, vectorizable tokenizer functions.
+
+Re-expresses the reference's pluggable sub-analyzer surface
+(reference: ComboAnalyzerWrapper.java:78-85 resolves sub-analyzers by name
+from ES's AnalysisService; ComboAnalyzer.java:222-232 runs each one over a
+clone of the input reader). Here an "analyzer" is a pure function
+``text -> [Token]`` — reader cloning (ReaderCloneFactory.java:49-319) is a
+no-op because every analyzer reads the same immutable string.
+
+Token model (reference: PositionedTokenStream.java:33-46):
+  (term, start_offset, end_offset, pos, type) with **absolute** position,
+  accumulated from Lucene-style position increments starting at 0 — the
+  first token of a standard stream (posInc 1) sits at absolute position 1
+  (reference: PositionedTokenStream.java:61-68, TestIntegration.java:50-52).
+Stopword removal leaves position gaps (posInc 2), which survive the combo
+merge (reference: TestComboAnalyzer.java:62-65).
+
+These functions are called from pandas/Arrow UDFs: batching happens at the
+Arrow boundary, regex work is C-level, and per-token stemming is memoized
+per vocabulary term.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, NamedTuple
+
+from elasticsearch_analysis_combo_spark.analysis.porter import porter_stem
+
+
+class Token(NamedTuple):
+    term: str
+    start: int
+    end: int
+    pos: int
+    type: str
+
+
+TokenizerFn = Callable[[str], list[Token]]
+
+# Lucene's default English stop set (StandardAnalyzer/EnglishAnalyzer
+# STOP_WORDS_SET) — the reference's StandardAnalyzer drops "a" in
+# TestComboAnalyzer.java:62-65 (only whitespace's "a" survives the merge).
+ENGLISH_STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_NON_SPACE_RE = re.compile(r"\S+")
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_NUM_RE = re.compile(r"^\d+$")
+_IDENT_RUN_RE = re.compile(r"[A-Za-z0-9_]+")
+# camelCase / ACRONYMCase / digit boundaries inside an identifier run
+_IDENT_PART_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
+
+
+def _token_type(term: str) -> str:
+    return "<NUM>" if _NUM_RE.match(term) else "<ALPHANUM>"
+
+
+def whitespace_tokenizer(text: str) -> list[Token]:
+    """Lucene WhitespaceAnalyzer: split on whitespace, no lowercasing
+    (reference golden vector: TestComboAnalyzer.java:42-51)."""
+    return [
+        Token(m.group(), m.start(), m.end(), i + 1, "word")
+        for i, m in enumerate(_NON_SPACE_RE.finditer(text))
+    ]
+
+
+def keyword_tokenizer(text: str) -> list[Token]:
+    """Lucene KeywordAnalyzer: whole input as a single token at position 1
+    (reference golden vector: TestComboAnalyzer.java:53-66 expects the full
+    string with offsets 0..len)."""
+    if not text:
+        return []
+    return [Token(text, 0, len(text), 1, "word")]
+
+
+def standard_tokenizer(text: str) -> list[Token]:
+    """Word-boundary tokenizer + lowercase + English stop removal — the
+    observable behavior of the reference's StandardAnalyzer golden vectors
+    (TestComboAnalyzer.java:53-66: "a" removed, position gap preserved).
+    Stopword removal keeps the original absolute positions (gaps)."""
+    out = []
+    for i, m in enumerate(_WORD_RE.finditer(text)):
+        term = m.group().lower()
+        if term in ENGLISH_STOPWORDS:
+            continue
+        out.append(Token(term, m.start(), m.end(), i + 1, _token_type(term)))
+    return out
+
+
+def simple_tokenizer(text: str) -> list[Token]:
+    """Lucene SimpleAnalyzer: letter runs, lowercased."""
+    return [
+        Token(m.group().lower(), m.start(), m.end(), i + 1, "word")
+        for i, m in enumerate(_LETTER_RE.finditer(text))
+    ]
+
+
+def stop_tokenizer(text: str) -> list[Token]:
+    """Lucene StopAnalyzer: letter runs, lowercased, English stops removed."""
+    return [t for t in simple_tokenizer(text) if t.term not in ENGLISH_STOPWORDS]
+
+
+def english_tokenizer(text: str) -> list[Token]:
+    """Lucene EnglishAnalyzer behavior the reference exercises end-to-end
+    (TestIntegration.java:82-87: [whitespace, english, keyword] over
+    "just a little test" -> english contributes just@1, littl@3, test@4):
+    standard tokenize, lowercase, possessive strip, stop removal, Porter."""
+    out = []
+    for i, m in enumerate(_WORD_RE.finditer(text)):
+        term = m.group().lower()
+        if term.endswith("'s"):
+            term = term[:-2]
+        if term in ENGLISH_STOPWORDS:
+            continue
+        term = porter_stem(term)
+        if term:
+            out.append(Token(term, m.start(), m.end(), i + 1, _token_type(term)))
+    return out
+
+
+def identifier_tokenizer(text: str) -> list[Token]:
+    """Code-aware identifier splitter (engine extension per the north star:
+    camelCase + snake_case splitting for source-code content; no reference
+    vector — spec pinned by FIXTURES.md §3 case 10).
+
+    ``getFooBar snake_case_id`` -> get/foo/bar/snake/case/id, each subtoken
+    at its own consecutive position with exact sub-offsets."""
+    out = []
+    pos = 0
+    for run in _IDENT_RUN_RE.finditer(text):
+        base = run.start()
+        for part in _IDENT_PART_RE.finditer(run.group()):
+            pos += 1
+            term = part.group().lower()
+            out.append(
+                Token(term, base + part.start(), base + part.end(), pos,
+                      _token_type(term))
+            )
+    return out
+
+
+_FOLD_EXTRA = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+    "þ": "th", "ł": "l",
+}
+
+
+def fold_text(s: str) -> str:
+    """ASCII folding: NFKD-decompose, strip combining marks, map special
+    Latin letters (ö->o, ß->ss ...)."""
+    out = []
+    for ch in s:
+        if ch in _FOLD_EXTRA:
+            out.append(_FOLD_EXTRA[ch])
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(kept)
+    return "".join(out)
+
+
+def asciifold_tokenizer(text: str) -> list[Token]:
+    """Standard tokenize + lowercase + ASCII fold, stopwords kept — the
+    "german" side of the README's combo example (reference README.md:97-154:
+    original + folded forms merged per position)."""
+    return [
+        Token(fold_text(m.group().lower()), m.start(), m.end(), i + 1,
+              _token_type(m.group()))
+        for i, m in enumerate(_WORD_RE.finditer(text))
+    ]
+
+
+def lowercase_tokenizer(text: str) -> list[Token]:
+    """Whitespace split + lowercase (keeps stopwords; useful as the exact
+    analyzer for the driver's space-separated ``documents.text`` corpus)."""
+    return [
+        Token(m.group().lower(), m.start(), m.end(), i + 1, "word")
+        for i, m in enumerate(_NON_SPACE_RE.finditer(text))
+    ]
+
+
+# language -> analyzer name used by the `lang` dispatch analyzer
+# (north_star: "language-aware per the lang column"). Code languages get the
+# identifier splitter; natural language gets english/standard.
+LANG_DISPATCH = {
+    "java": "identifier",
+    "python": "identifier",
+    "go": "identifier",
+    "js": "identifier",
+    "en": "english",
+    "text": "english",
+}
+LANG_DEFAULT = "standard"
+
+
+ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
+    "whitespace": whitespace_tokenizer,
+    "keyword": keyword_tokenizer,
+    "standard": standard_tokenizer,
+    "simple": simple_tokenizer,
+    "stop": stop_tokenizer,
+    "english": english_tokenizer,
+    "identifier": identifier_tokenizer,
+    "asciifold": asciifold_tokenizer,
+    "german_fold": asciifold_tokenizer,
+    "lowercase": lowercase_tokenizer,
+}
+
+
+def register_analyzer(name: str, fn: TokenizerFn) -> None:
+    """Extension point mirroring the reference's by-name analyzer resolution
+    (ComboAnalyzerWrapper.java:78-85)."""
+    ANALYZER_REGISTRY[name] = fn
+
+
+def make_replay_tokenizer(
+    terms: list[str],
+    starts: list[int],
+    ends: list[int],
+    pos_incs: list[int],
+) -> TokenizerFn:
+    """Scripted token stream, the analogue of the reference test fixture
+    ReplayTokenStream (TestComboTokenStream.java:36-87): emits a fixed token
+    list regardless of input, with absolute positions accumulated from the
+    scripted position increments."""
+    toks = []
+    pos = 0
+    for term, st, en, inc in zip(terms, starts, ends, pos_incs):
+        pos += inc
+        toks.append(Token(term, st, en, pos, "word"))
+
+    def replay(_text: str) -> list[Token]:
+        return list(toks)
+
+    return replay

@@ -1,0 +1,145 @@
+"""Spark-facing analysis API: vectorized pandas/Arrow UDFs over the combo
+functional core (no per-row Python UDFs — everything crosses the JVM<->Python
+boundary as Arrow batches).
+
+Two surfaces:
+
+* :func:`analyze` — the ``_analyze`` API equivalent (reference:
+  TestIntegration.java:28-54, README.md:97-154): a token-struct array column
+  with terms, offsets, absolute positions, and re-derived position
+  increments. Debug/golden surface; small-scale.
+* :func:`build_term_stats` — the index hot path (reference lifecycle EP1,
+  ComboAnalyzer.java:207-271 feeding Lucene's IndexWriter): goes straight
+  from content to per-(doc, term) aggregated rows via ``mapInPandas`` so the
+  posting build ships ONE pre-aggregated shuffle instead of raw tokens
+  (map-side combine done inside the Arrow batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_analysis_combo_spark.analysis.combo import (
+    ComboConfig,
+    analyze_batch,
+    term_stats,
+    to_pos_increments,
+)
+
+TOKEN_STRUCT = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("pos_inc", T.IntegerType()),
+        T.StructField("type", T.StringType()),
+    ]
+)
+
+TERM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+def analyze_tokens_udf(config: ComboConfig, with_lang: bool = False):
+    """pandas UDF: content [, lang] -> array<token struct> (absolute pos +
+    re-derived pos_inc per ComboTokenStream.java:108)."""
+
+    def _rows(texts: pd.Series, langs: pd.Series | None) -> pd.Series:
+        lang_vals = langs.tolist() if langs is not None else None
+        docs = analyze_batch(texts.tolist(), config, lang_vals)
+        out = []
+        for toks in docs:
+            incs = to_pos_increments(toks)
+            out.append(
+                [
+                    {"term": t.term, "start": t.start, "end": t.end,
+                     "pos": t.pos, "pos_inc": inc, "type": t.type}
+                    for t, inc in zip(toks, incs)
+                ]
+            )
+        return pd.Series(out)
+
+    if with_lang:
+        @F.pandas_udf(T.ArrayType(TOKEN_STRUCT))
+        def udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+            return _rows(content, lang)
+        return udf
+
+    @F.pandas_udf(T.ArrayType(TOKEN_STRUCT))
+    def udf(content: pd.Series) -> pd.Series:
+        return _rows(content, None)
+    return udf
+
+
+def analyze(
+    df: DataFrame,
+    config: ComboConfig,
+    content_col: str = "content",
+    lang_col: str | None = None,
+    output_col: str = "tokens",
+) -> DataFrame:
+    """Append a merged-token-array column (the `_analyze` view)."""
+    udf = analyze_tokens_udf(config, with_lang=lang_col is not None)
+    args = (F.col(content_col),) + (
+        (F.col(lang_col),) if lang_col is not None else ()
+    )
+    return df.withColumn(output_col, udf(*args))
+
+
+def build_term_stats(
+    df: DataFrame,
+    config: ComboConfig,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """content -> (doc_id, term, tf, positions, dl), one row per (doc, term).
+
+    This replaces explode+groupBy(term, doc): the per-document aggregation is
+    computed inside the Arrow batch (term_stats in combo.py), so no shuffle
+    is needed to obtain tf/positions — the downstream posting build shuffles
+    already-aggregated rows only (SURVEY.md §2 B2, "one shuffle saved")."""
+    cols = [doc_id_col, content_col] + ([lang_col] if lang_col else [])
+    src = df.select(*cols)
+
+    has_lang = lang_col is not None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[content_col].tolist()
+            langs = pdf[lang_col].tolist() if has_lang else None
+            docs = analyze_batch(texts, config, langs)
+            ids = pdf[doc_id_col].tolist()
+            out_id, out_term, out_tf, out_pos, out_dl = [], [], [], [], []
+            for doc_id, toks in zip(ids, docs):
+                stats, dl = term_stats(toks)
+                for term, (tf, positions) in stats.items():
+                    out_id.append(doc_id)
+                    out_term.append(term)
+                    out_tf.append(tf)
+                    out_pos.append(positions)
+                    out_dl.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(out_id, dtype="int64"),
+                 "term": pd.Series(out_term, dtype=object),
+                 "tf": pd.Series(out_tf, dtype="int32"),
+                 # object dtype keeps Arrow's list<int> conversion working
+                 # even for empty batches
+                 "positions": pd.Series(out_pos, dtype=object),
+                 "dl": pd.Series(out_dl, dtype="int32")}
+            )
+
+    return src.mapInPandas(gen, schema=TERM_STATS_SCHEMA)
