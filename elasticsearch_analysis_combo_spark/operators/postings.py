@@ -1,0 +1,256 @@
+"""Distributed posting-list build (SURVEY.md §2 B2-B5).
+
+The reference feeds its merged token stream to Lucene's IndexWriter
+(AnalysisComboPlugin.java:37-42); this module builds the equivalent inverted
+index Spark-first:
+
+  corpus --mapInPandas(analysis+per-doc agg)--> (doc_id, term, tf, positions, dl)
+         --salted repartition on (term, salt)--> per-shard sorted segments
+         (delta+varint blocks + block-max metadata)
+         --repartition(term) streamed k-way merge--> compacted posting table
+
+Skew (north_rule: "salted repartition on term hash to defuse stop-token
+skew"): code corpora have Zipf stop-tokens (``the``, ``if``, ``return``);
+a plain hash-partition on term puts a whole stop-term's postings on one
+task. Hot terms — identified from the term_df stage, a tiny broadcast — are
+salted with hash(doc_id) % S so no task sees more than ~df/S postings of
+any term; cold terms keep salt 0, so vocabulary-sized overhead stays at one
+shard per term. The merge stage then combines each term's sorted shard runs
+(the log-structured compaction the reference's host performs across Lucene
+segments); single-shard terms pass through without re-encoding.
+
+Group processing uses grouped_map_sorted (streamed mapInPandas over sorted
+partitions) rather than groupBy().applyInPandas — per-group dispatch cost
+does not survive a vocabulary-sized group count (see operators/grouped.py).
+
+All heavy lifting is numpy inside Arrow batches; rows crossing shuffles are
+pre-aggregated (one row per (doc, term)), never raw tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_analysis_combo_spark.operators.codec import (
+    bm25_impact,
+    decode_block,
+    decode_positions,
+    encode_block,
+)
+from elasticsearch_analysis_combo_spark.operators.grouped import grouped_map_sorted
+
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("last_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("pos_data", T.BinaryType()),
+    ]
+)
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+    ]
+)
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+    ]
+)
+
+MIN_DOC = -(1 << 63)
+
+
+def _encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list | None,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> list[dict]:
+    """Chunk sorted postings into independent compressed blocks."""
+    blocks = []
+    for off in range(0, doc_ids.size, block_size):
+        end = min(off + block_size, doc_ids.size)
+        d, t, l = doc_ids[off:end], tfs[off:end], dls[off:end]
+        p = positions[off:end] if positions is not None else None
+        # independent blocks: first gap relative to MIN_DOC sentinel so any
+        # block decodes without its predecessor (WAND skips blocks)
+        data, pos_data = encode_block(d, t, l, p, MIN_DOC)
+        blocks.append(
+            {
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "n": int(end - off),
+                "max_impact": float(bm25_impact(t, l, avgdl, k1, b).max()),
+                "data": data,
+                "pos_data": pos_data,
+            }
+        )
+    return blocks
+
+
+def salt_term_stats(
+    term_stats: DataFrame,
+    hot_terms: DataFrame | None,
+    salt_shards: int,
+) -> DataFrame:
+    """B3: add the salt column. ``hot_terms`` (term) is broadcast — it holds
+    only skew-heavy terms (stop tokens), typically a few hundred rows even
+    at full scale. None => salt every term (safe default for unknown
+    distributions)."""
+    if salt_shards <= 1:
+        return term_stats.withColumn("salt", F.lit(0).cast("int"))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_shards)).cast("int")
+    if hot_terms is None:
+        return term_stats.withColumn("salt", salt)
+    hot = hot_terms.select("term").withColumn("_hot", F.lit(True))
+    return (
+        term_stats.join(F.broadcast(hot), "term", "left")
+        .withColumn("salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0)).cast("int"))
+        .drop("_hot")
+    )
+
+
+def build_segments(
+    term_stats: DataFrame,
+    avgdl: float,
+    hot_terms: DataFrame | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B3+B4: salted repartition + per-shard sorted compressed segments.
+
+    Input: (doc_id, term, tf, positions, dl) from build_term_stats.
+    Output: one row per (term, salt) shard with sorted posting blocks.
+    """
+    salted = salt_term_stats(term_stats, hot_terms, salt_shards)
+
+    def encode_shard(cols: dict, s: int, e: int) -> tuple:
+        # rows arrive sorted by doc_id (grouped_map_sorted sort key)
+        doc_ids = cols["doc_id"][s:e]
+        tfs = cols["tf"][s:e]
+        dls = cols["dl"][s:e]
+        positions = None
+        if with_positions:
+            positions = [np.asarray(p, dtype=np.int64) for p in cols["positions"][s:e]]
+        blocks = _encode_blocks(doc_ids, tfs, dls, positions, avgdl, k1, b, block_size)
+        return (
+            cols["term"][s],
+            int(cols["salt"][s]),
+            e - s,
+            int(tfs.sum()),
+            max(bl["max_impact"] for bl in blocks),
+            blocks,
+        )
+
+    return grouped_map_sorted(
+        salted,
+        group_keys=["term", "salt"],
+        sort_keys=["doc_id"],
+        fn=encode_shard,
+        schema=SEGMENT_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
+def decode_segment_blocks(blocks, with_positions: bool = False):
+    """Decode a row's block list -> (doc_ids, tfs, dls[, positions])."""
+    ds, ts, ls, ps = [], [], [], []
+    for bl in blocks:
+        d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
+        ds.append(d)
+        ts.append(t)
+        ls.append(l)
+        if with_positions:
+            ps.extend(decode_positions(bytes(bl["pos_data"]), t))
+    doc_ids = np.concatenate(ds) if ds else np.zeros(0, dtype=np.int64)
+    tfs = np.concatenate(ts) if ts else np.zeros(0, dtype=np.int64)
+    dls = np.concatenate(ls) if ls else np.zeros(0, dtype=np.int64)
+    if with_positions:
+        return doc_ids, tfs, dls, ps
+    return doc_ids, tfs, dls
+
+
+def merge_segments(
+    segments: DataFrame,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B5: log-structured merge — combine each term's sorted shard runs into
+    one compacted posting row. Single-shard terms (the vocabulary tail)
+    pass their already-sorted blocks through untouched; multi-shard (hot)
+    terms decode, k-way merge (concatenate + argsort over sorted runs), and
+    re-block."""
+
+    def merge_term(cols: dict, s: int, e: int) -> tuple:
+        if e - s == 1:
+            # fast path: one shard == final posting list (blocks reused)
+            return (
+                cols["term"][s],
+                int(cols["df"][s]),
+                int(cols["cf"][s]),
+                float(cols["max_impact"][s]),
+                list(cols["blocks"][s]),
+            )
+        all_d, all_t, all_l, all_p = [], [], [], []
+        for blocks in cols["blocks"][s:e]:
+            if with_positions:
+                d, t, l, p = decode_segment_blocks(blocks, True)
+                all_p.extend(p)
+            else:
+                d, t, l = decode_segment_blocks(blocks, False)
+            all_d.append(d)
+            all_t.append(t)
+            all_l.append(l)
+        doc_ids = np.concatenate(all_d)
+        tfs = np.concatenate(all_t)
+        dls = np.concatenate(all_l)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        positions = [all_p[i] for i in order] if with_positions else None
+        blocks = _encode_blocks(doc_ids, tfs, dls, positions, avgdl, k1, b, block_size)
+        return (
+            cols["term"][s],
+            int(doc_ids.size),
+            int(tfs.sum()),
+            max(bl["max_impact"] for bl in blocks),
+            blocks,
+        )
+
+    return grouped_map_sorted(
+        segments,
+        group_keys=["term"],
+        sort_keys=["salt"],
+        fn=merge_term,
+        schema=POSTING_SCHEMA,
+        num_partitions=num_partitions,
+    )

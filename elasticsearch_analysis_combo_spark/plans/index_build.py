@@ -1,0 +1,183 @@
+"""End-to-end index build plan (reference lifecycle EP1, SURVEY.md §3).
+
+corpus -> combo analysis + per-doc aggregation (one mapInPandas pass)
+       -> doc-stats + corpus stats (N, avgdl)
+       -> salted compressed segments -> merged posting table
+all stages checkpointed with lineage (B6), resumable mid-pipeline.
+
+Physical-plan shape (local[N] or a real cluster — identical):
+  * 1 Arrow-batched analysis pass over the corpus scan (no shuffle)
+  * 1 shuffle to (term, salt) for segment encode — skew-bounded by salt
+  * 1 shuffle to (term) for the log-structured merge (S rows per term max)
+  * docstats/termdf are partial-aggregated map-side by Catalyst
+The posting table is written sorted by term (repartitionByRange +
+sortWithinPartitions) so query-time term lookups prune row groups via
+parquet min/max statistics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.checkpoint import (
+    CheckpointManager,
+    fingerprint,
+)
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    block_size: int
+    salt_shards: int
+    config: dict
+    with_positions: bool
+
+    @staticmethod
+    def load(index_dir: str) -> "IndexMeta":
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            return IndexMeta(**json.load(f))
+
+
+def _config_dict(config: ComboConfig) -> dict:
+    def enc(sub):
+        if isinstance(sub, ComboConfig):
+            return _config_dict(sub)
+        return str(sub)
+
+    return {
+        "sub_analyzers": [enc(s) for s in config.sub_analyzers],
+        "deduplication": config.deduplication,
+        "name": config.name,
+    }
+
+
+class InvertedIndex:
+    """Handle over a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = IndexMeta.load(index_dir)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+
+    def term_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_df"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    config: ComboConfig,
+    index_dir: str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    lang_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    with_positions: bool = True,
+    hot_df_threshold: int | None = None,
+    input_fingerprint: str = "",
+) -> InvertedIndex:
+    """Build (or resume) the full index at ``index_dir``."""
+    os.makedirs(index_dir, exist_ok=True)
+    ckpt = CheckpointManager(spark, index_dir)
+    cfg = _config_dict(config)
+    base_fp = fingerprint(cfg, input_fingerprint, k1, b, block_size,
+                          salt_shards, with_positions)
+
+    stats = ckpt.run(
+        "term_stats",
+        fingerprint(base_fp, "term_stats"),
+        lambda: build_term_stats(
+            corpus, config, doc_id_col=doc_id_col,
+            content_col=content_col, lang_col=lang_col,
+        ),
+        checksum_cols=["doc_id", "term", "tf"],
+    )
+
+    docstats = ckpt.run(
+        "doc_stats",
+        fingerprint(base_fp, "doc_stats"),
+        lambda: stats.groupBy("doc_id").agg(F.first("dl").alias("dl")),
+        checksum_cols=["doc_id", "dl"],
+    )
+
+    g = docstats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+
+    meta = IndexMeta(
+        n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+        salt_shards=salt_shards, config=cfg, with_positions=with_positions,
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(asdict(meta), f, indent=1)
+
+    term_df = ckpt.run(
+        "term_df",
+        fingerprint(base_fp, "term_df"),
+        # (term, doc) unique after per-doc aggregation -> df = row count;
+        # Catalyst does partial (map-side) aggregation automatically
+        lambda: stats.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        ),
+        checksum_cols=["term", "df"],
+    )
+
+    # skew defusal (B3): only terms whose posting list is long enough to
+    # hurt a single task get salted; the hot list is a tiny broadcast
+    if hot_df_threshold is None:
+        hot_df_threshold = max(4 * block_size, n_docs // 10)
+    hot_terms = term_df.filter(F.col("df") >= hot_df_threshold).select("term")
+
+    segments = ckpt.run(
+        "segments",
+        fingerprint(base_fp, "segments"),
+        lambda: build_segments(
+            stats, avgdl=avgdl, hot_terms=hot_terms, k1=k1, b=b,
+            block_size=block_size, salt_shards=salt_shards,
+            with_positions=with_positions,
+        ),
+    )
+
+    ckpt.run(
+        "postings",
+        fingerprint(base_fp, "postings"),
+        lambda: merge_segments(
+            segments, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+            with_positions=with_positions,
+        )
+        # term-sorted layout => parquet row-group min/max stats prune
+        # query-time term lookups
+        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "term")
+        .sortWithinPartitions("term"),
+        checksum_cols=["term", "df", "cf"],
+    )
+
+    return InvertedIndex(spark, index_dir)

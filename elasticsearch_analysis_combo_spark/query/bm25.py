@@ -1,0 +1,92 @@
+"""BM25 scoring (SURVEY.md §2 B7, B9).
+
+The reference delegates scoring to its Lucene 4.6 host; parameters are fixed
+by BASELINE.json: k1=1.2, b=0.75, Lucene-style
+``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+``score(q,d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+Query analysis (B9) reuses the *same* combo analysis as indexing
+(reference README.md:63 recommends identical index/search analyzers); the
+query's analyzed terms are deduplicated (each distinct term contributes
+once).
+
+The exhaustive scorer is the rank-identity oracle for WAND and is itself
+pure DataFrame algebra: query terms are a tiny broadcast dimension; the fact
+table is the pre-aggregated (doc, term) stats; Catalyst does partial
+aggregation on the score sum, and the top-k is a per-query window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import (
+    ComboConfig,
+    analyze_text,
+)
+
+
+def analyze_queries(
+    queries: list[tuple[int, str]], config: ComboConfig
+) -> list[tuple[int, str]]:
+    """(query_id, text) -> distinct (query_id, term) rows, analyzed with the
+    index's combo config (driver-side: query sets are tiny)."""
+    out = []
+    for qid, text in queries:
+        terms = {t.term for t in analyze_text(text, config)}
+        out.extend((qid, term) for term in sorted(terms))
+    return out
+
+
+def idf_expr(n_docs: int, df_col="df"):
+    """Lucene BM25 idf, natural log (constant-folded by Catalyst where
+    possible)."""
+    return F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5)
+    )
+
+
+def bm25_exhaustive_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact top-k by full evaluation: the WAND-equivalence oracle (B8
+    invariant) and the small-index fast path.
+
+    Plan: broadcast(query terms) |><| stats  -> per-(query,doc) score sum
+    -> per-query window top-k. The only shuffle is the groupBy on
+    (query_id, doc_id); filters on term reach the parquet scan.
+    """
+    qterms = spark.createDataFrame(
+        analyze_queries(queries, config), "query_id int, term string"
+    )
+    tdf = term_df.join(F.broadcast(qterms.select("term").distinct()), "term")
+    scored = (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.select("term", "df")), "term")
+        .withColumn(
+            "score",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

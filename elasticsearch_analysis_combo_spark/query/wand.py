@@ -1,0 +1,248 @@
+"""Block-max WAND top-k over compressed postings (SURVEY.md §2 B8).
+
+Standard published algorithm (Broder et al. 2003 WAND; Ding & Suel 2011
+block-max refinement) implemented from scratch in numpy over this engine's
+posting blocks. The reference's host (Lucene/ES) performs the equivalent
+role for the plugin's merged token streams.
+
+Exactness invariant (north_rule: rank-identical docIDs and scores): the
+result must equal exhaustive evaluation. Three properties guarantee it:
+
+* pruning compares upper bounds against the current k-th best with
+  ``<=`` only when skipping docs whose *total* score is bounded — the deep
+  pointer is capped at ``next_cursor.cur - 1`` so no doc with contributions
+  outside the pivot prefix is ever skipped (the classic unsound-skip bug);
+* candidates enter a heap ordered by (score, -doc_id), so ties resolve as
+  (score desc, doc_id asc), identical to the exhaustive path's window sort;
+* per-doc scores sum cursor contributions in ascending term order, fixed
+  and reproducible (the pure-Python oracle sums the same way; the Spark
+  exhaustive path is compared at 1e-9).
+
+Distribution: one task per query (groupBy(query_id).applyInPandas). The
+postings shipped to a task are only the query's terms' — compressed blocks,
+so even stop-token-heavy WAND-stress queries move bytes, not raw rows.
+Queries scale out across executors; per-query work is WAND-pruned.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.operators.codec import (
+    bm25_impact,
+    decode_block,
+)
+from elasticsearch_analysis_combo_spark.operators.postings import MIN_DOC
+from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+MAX_DOC = (1 << 63) - 1
+
+
+class _PostingCursor:
+    """Lazy block-decoding cursor over one term's posting blocks."""
+
+    __slots__ = ("term", "idf", "blocks", "ub", "avgdl", "k1", "b",
+                 "bi", "i", "docs", "impacts", "cur")
+
+    def __init__(self, term: str, idf: float, blocks: list,
+                 avgdl: float, k1: float, b: float):
+        self.term = term
+        self.idf = idf
+        self.blocks = blocks
+        self.avgdl, self.k1, self.b = avgdl, k1, b
+        self.ub = idf * max(bl["max_impact"] for bl in blocks)
+        self.bi = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= len(self.blocks):
+            self.docs = None
+            self.cur = MAX_DOC
+            return
+        bl = self.blocks[bi]
+        d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
+        self.bi = bi
+        self.i = 0
+        self.docs = d
+        self.impacts = self.idf * bm25_impact(t, l, self.avgdl, self.k1, self.b)
+        self.cur = int(d[0])
+
+    def block_max(self) -> float:
+        return self.idf * self.blocks[self.bi]["max_impact"]
+
+    def block_last(self) -> int:
+        return int(self.blocks[self.bi]["last_doc"])
+
+    def score(self) -> float:
+        return float(self.impacts[self.i])
+
+    def advance(self) -> None:
+        self.i += 1
+        if self.i >= self.docs.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.cur = int(self.docs[self.i])
+
+    def seek(self, target: int) -> None:
+        """First posting with doc >= target (block skip + in-block bisect);
+        skipped blocks are never decoded."""
+        if self.cur >= target:
+            return
+        bi = self.bi
+        while bi < len(self.blocks) and int(self.blocks[bi]["last_doc"]) < target:
+            bi += 1
+        if bi >= len(self.blocks):
+            self.docs = None
+            self.cur = MAX_DOC
+            return
+        if bi != self.bi:
+            self._load_block(bi)
+        self.i = int(np.searchsorted(self.docs, target, side="left"))
+        self.cur = int(self.docs[self.i])
+
+
+def wand_topk_single(
+    postings_by_term: dict[str, tuple[float, list]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> list[tuple[int, float]]:
+    """Block-max WAND for one query.
+
+    postings_by_term: term -> (idf, blocks). Returns [(doc_id, score)]
+    sorted by (score desc, doc_id asc), length <= k.
+    """
+    cursors = [
+        _PostingCursor(term, idf, blocks, avgdl, k1, b)
+        for term, (idf, blocks) in sorted(postings_by_term.items())
+        if blocks
+    ]
+    # heap of (score, -doc_id): heap[0] is the current k-th best; a candidate
+    # wins on higher score, or equal score and smaller doc_id
+    heap: list[tuple[float, int]] = []
+
+    while True:
+        cursors = [c for c in cursors if c.cur != MAX_DOC]
+        if not cursors:
+            break
+        # stable sort on (cur, term): deterministic tie order => per-doc
+        # scores always sum in ascending-term order
+        cursors.sort(key=lambda c: (c.cur, c.term))
+        th = heap[0][0] if len(heap) >= k else float("-inf")
+        # pivot: smallest prefix whose global-UB sum can beat the threshold
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc > th:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[pivot].cur
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].cur == pivot_doc:
+            pivot += 1
+        prefix = cursors[: pivot + 1]
+        # block-max refinement over the prefix's current blocks
+        bm = sum(c.block_max() for c in prefix)
+        if len(heap) >= k and bm <= th:
+            # No doc in the covered range can beat the threshold. Deep
+            # pointer: smallest current-block end among the prefix, capped
+            # at next cursor's doc - 1 (docs beyond that may score via
+            # suffix cursors and must not be skipped), floored at pivot_doc
+            # (the bound covers the pivot itself).
+            boundary = min(c.block_last() for c in prefix)
+            if pivot + 1 < len(cursors):
+                boundary = min(boundary, cursors[pivot + 1].cur - 1)
+            target = max(boundary, pivot_doc) + 1
+            for c in prefix:
+                c.seek(target)
+            continue
+        if cursors[0].cur == pivot_doc:
+            # fully aligned: exact-score pivot_doc (ascending-term order)
+            score = 0.0
+            for c in prefix:
+                score += c.score()
+            for c in prefix:
+                c.advance()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            # align: advance pre-pivot cursors up to the pivot doc
+            for c in cursors[:pivot]:
+                if c.cur < pivot_doc:
+                    c.seek(pivot_doc)
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]
+
+
+def config_from_meta(meta_config: dict) -> ComboConfig:
+    subs = [
+        config_from_meta(s) if isinstance(s, dict) else s
+        for s in meta_config["sub_analyzers"]
+    ]
+    return ComboConfig(
+        subs,
+        deduplication=meta_config["deduplication"],
+        name=meta_config.get("name", "combo"),
+    )
+
+
+def wand_topk(
+    spark: SparkSession,
+    index,
+    queries: list[tuple[int, str]],
+    config: ComboConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Distributed block-max WAND: one task per query over the compressed
+    posting table. The term filter is pushed into the parquet scan and the
+    posting table is term-sorted, so row-group min/max stats prune I/O."""
+    meta = index.meta
+    if config is None:
+        config = config_from_meta(meta.config)
+    qrows = analyze_queries(queries, config)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    n_docs, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
+
+    all_terms = sorted({t for _, t in qrows})
+    plists = index.postings().filter(F.col("term").isin(all_terms))
+    joined = plists.join(F.broadcast(qterms), "term")
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        by_term = {}
+        for term, df_t, blocks in zip(pdf["term"], pdf["df"], pdf["blocks"]):
+            idf = float(np.log(1.0 + (n_docs - float(df_t) + 0.5) / (float(df_t) + 0.5)))
+            by_term[term] = (idf, list(blocks))
+        top = wand_topk_single(by_term, k, avgdl, k1, b)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(top), qid, dtype="int32"),
+                "rank": np.arange(1, len(top) + 1, dtype="int32"),
+                "doc_id": np.array([d for d, _ in top], dtype="int64"),
+                "score": np.array([s for _, s in top], dtype="float64"),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
