@@ -1,0 +1,160 @@
+"""Benchmark harness: headline pipeline timings at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<step>: sec, ...}, "sf": ...,
+   "index_files_per_sec": ..., "wand_p50_sec": ..., "n_docs": ...}
+
+Steps:
+  index_build      — combo analysis -> term stats -> salted segments ->
+                     log-structured merge -> posting parquet (full pipeline)
+  wand_topk        — block-max WAND BM25 top-10, batch of 10 queries
+  exhaustive_topk  — same queries, exhaustive scorer (WAND baseline)
+  minhash_lsh      — near-dup candidates over documents
+  ann_cosine       — brute-force cosine top-10, 10 query vectors
+  quality_lang     — quality + language-ID scan
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig  # noqa: E402
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats  # noqa: E402
+from elasticsearch_analysis_combo_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_candidates,
+)
+from elasticsearch_analysis_combo_spark.operators.postings import (  # noqa: E402
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.operators.similarity import (  # noqa: E402
+    brute_force_cosine_topk,
+)
+from elasticsearch_analysis_combo_spark.operators.text_quality import (  # noqa: E402
+    lang_id,
+    quality_score,
+)
+from elasticsearch_analysis_combo_spark.query.bm25 import (  # noqa: E402
+    bm25_exhaustive_topk,
+)
+from elasticsearch_analysis_combo_spark.query.wand import (  # noqa: E402
+    wand_topk_from_postings,
+)
+from elasticsearch_analysis_combo_spark.session import get_spark  # noqa: E402
+from elasticsearch_analysis_combo_spark.sources.corpus import (  # noqa: E402
+    documents_as_corpus,
+)
+
+QUERIES = [
+    (0, "spark query engine"),
+    (1, "window merge batch"),
+    (2, "the a value table"),
+    (3, "customer order line"),
+    (4, "hash join stream"),
+    (5, "fast slow scan"),
+    (6, "key column group"),
+    (7, "sort filter part"),
+    (8, "big small data"),
+    (9, "agg row vector"),
+]
+
+CFG = ComboConfig(["whitespace"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = corpus.count()
+
+    # --- index build (full pipeline, posting table written) ---
+    out_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    stats = build_term_stats(corpus, CFG, content_col="content")
+    stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+    stats = spark.read.parquet(f"{out_dir}/term_stats")
+    g = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    n_idx, avgdl = int(g["n"]), float(g["a"])
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hot = term_df.filter(F.col("df") >= max(512, n_idx // 10)).select("term")
+    segs = build_segments(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
+                          with_positions=True)
+    postings = merge_segments(segs, avgdl=avgdl, with_positions=True)
+    (
+        postings.repartitionByRange(cpus, "term").sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(f"{out_dir}/postings")
+    )
+    timings["index_build"] = time.time() - t0
+    postings = spark.read.parquet(f"{out_dir}/postings")
+
+    # --- WAND batch + per-batch repeats for a stable p50 ---
+    wand_times = []
+    for _ in range(3):
+        t0 = time.time()
+        wand_topk_from_postings(
+            spark, postings, QUERIES, CFG, n_docs=n_idx, avgdl=avgdl, k=10
+        ).collect()
+        wand_times.append(time.time() - t0)
+    timings["wand_topk"] = statistics.median(wand_times)
+
+    t0 = time.time()
+    bm25_exhaustive_topk(
+        spark, stats, term_df, QUERIES, CFG, n_idx, avgdl, k=10
+    ).collect()
+    timings["exhaustive_topk"] = time.time() - t0
+
+    # --- training-data ops ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_candidates(docs, k=3, num_hashes=32, bands=8).count()
+    timings["minhash_lsh"] = time.time() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.limit(10).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    t0 = time.time()
+    brute_force_cosine_topk(emb, queries, k=10).collect()
+    timings["ann_cosine"] = time.time() - t0
+
+    t0 = time.time()
+    quality_score(docs).count()
+    lang_id(docs).count()
+    timings["quality_lang"] = time.time() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "pipeline_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "index_files_per_sec": round(n_docs / timings["index_build"], 2),
+        "wand_p50_sec": round(statistics.median(wand_times), 3),
+        "wand_per_query_sec": round(statistics.median(wand_times) / len(QUERIES), 4),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,19 +120,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_expr(i: int, portable: bool):
+    if portable:
+        # md5-derived 63-bit int: bit-identical in DuckDB SQL
+        # (('0x'||substr(md5(shingle||'#i'),1,15))::bigint)
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    return F.xxhash64(F.col("shingle"), F.lit(i))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy; the H mins are H
-    parallel agg expressions (JVM-side, partial-aggregated map-side)."""
+    hash(shingle, i). One explode + one groupBy; the H mins are H parallel
+    agg expressions (JVM-side, partial-aggregated map-side). ``portable``
+    switches xxhash64 (fastest) to an md5-derived hash reproducible in
+    other engines (used by the DuckDB oracle gate)."""
     sh = shingles(df, text_col, id_col, k)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_minhash_expr(i, portable)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)

@@ -215,18 +215,36 @@ def wand_topk(
     config: ComboConfig | None = None,
     k: int = 10,
 ) -> DataFrame:
-    """Distributed block-max WAND: one task per query over the compressed
-    posting table. The term filter is pushed into the parquet scan and the
-    posting table is term-sorted, so row-group min/max stats prune I/O."""
+    """Distributed block-max WAND over a built index directory. The term
+    filter is pushed into the parquet scan and the posting table is
+    term-sorted, so row-group min/max stats prune I/O."""
     meta = index.meta
     if config is None:
         config = config_from_meta(meta.config)
+    return wand_topk_from_postings(
+        spark, index.postings(), queries, config,
+        n_docs=meta.n_docs, avgdl=meta.avgdl, k1=meta.k1, b=meta.b, k=k,
+    )
+
+
+def wand_topk_from_postings(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Block-max WAND over any posting DataFrame (materialized table or
+    freshly-built pipeline output): one task per query."""
     qrows = analyze_queries(queries, config)
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
-    n_docs, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
 
     all_terms = sorted({t for _, t in qrows})
-    plists = index.postings().filter(F.col("term").isin(all_terms))
+    plists = postings.filter(F.col("term").isin(all_terms))
     joined = plists.join(F.broadcast(qterms), "term")
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:

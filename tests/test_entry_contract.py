@@ -1,0 +1,60 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema, and a
+representative subset of queries() matches oracle_sql() via DuckDB at
+sf0.001 (the full gate runs in tools/check_entry.py at sf0.01)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_entry import TABLES, rowset
+
+SF = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "term_stats",
+    "bm25_topk",
+    "bm25_topk_wand",
+    "combo_analyze",
+    "lang_id",
+    "token_counts",
+    "sessionize_events",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_queries_have_oracles_or_are_declared():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is one of the known non-SQL-expressible ops
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "minhash_lsh_candidates", "simhash_candidates", "lsh_cosine_candidates",
+    }
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert rowset(sdf.columns, srows) == rowset(ocols, orows)
