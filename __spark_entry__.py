@@ -294,6 +294,63 @@ def q_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fp_hash", F.col("first_pos").cast("long").alias("first_pos"))
 
 
+PHRASES = [(0, "value table"), (1, "fast merge batch"), (2, "zzz qqq")]
+
+
+def q_phrase_match(spark, sf_dir):
+    """Positional phrase matching over the compressed posting pipeline
+    (positions payload end-to-end: analysis -> blocks -> decode)."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = 0, 50.0  # impact metadata irrelevant for phrase matching
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=4, block_size=128,
+                          with_positions=True)
+    postings = merge_segments(segs, avgdl=avgdl, block_size=128,
+                              with_positions=True)
+    out = phrase_match(spark, postings, PHRASES, _ws_config())
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        "n_matches",
+    )
+
+
+def _phrase_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    for qid, text in PHRASES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        joins = []
+        for i, term in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.p = t0.p + {i} AND t{i}.t = '{term}'"
+            )
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches
+FROM toks t0 {' '.join(joins)}
+WHERE t0.t = '{terms[0]}'
+GROUP BY t0.doc_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+)
+{body}
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational building blocks + streaming
 
@@ -407,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "combo_analyze": q_combo_analyze,
+        "phrase_match": q_phrase_match,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
@@ -503,6 +561,7 @@ GROUP BY 1
 
     sqls["bm25_topk"] = _bm25_oracle_sql()
     sqls["bm25_topk_wand"] = _bm25_oracle_sql()
+    sqls["phrase_match"] = _phrase_oracle_sql()
 
     sqls["combo_analyze"] = """
 WITH toks AS (

@@ -35,8 +35,7 @@ from elasticsearch_analysis_combo_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_candidates,
 )
 from elasticsearch_analysis_combo_spark.operators.postings import (  # noqa: E402
-    build_segments,
-    merge_segments,
+    build_postings,
 )
 from elasticsearch_analysis_combo_spark.operators.similarity import (  # noqa: E402
     brute_force_cosine_topk,
@@ -69,18 +68,48 @@ QUERIES = [
     (9, "agg row vector"),
 ]
 
+# for SPARK_GRAFT_CORPUS=synthetic:* — terms drawn from the generated code
+# corpus vocabulary (stop-token-heavy q2 is the WAND stress case)
+QUERIES_SYNTH = [
+    (0, "merge index segment"),
+    (1, "token stream cache"),
+    (2, "the if return"),
+    (3, "parse_buffer getShard"),
+    (4, "query score doc"),
+    (5, "reader writer combo"),
+    (6, "position offset"),
+    (7, "build cache shard"),
+    (8, "import class def"),
+    (9, "analyzer term post"),
+]
+
 CFG = ComboConfig(["whitespace"])
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_CORPUS=synthetic:<n> benchmarks the generated code corpus
+    # (FIXTURES.md bench scale) instead of the sf documents table
+    corpus_spec = os.environ.get("SPARK_GRAFT_CORPUS", "sf")
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    corpus = documents_as_corpus(spark, sf_dir)
+    if corpus_spec.startswith("synthetic"):
+        from elasticsearch_analysis_combo_spark.sources.corpus import (
+            generate_corpus,
+            ingest,
+        )
+
+        n = int(corpus_spec.split(":")[1]) if ":" in corpus_spec else 100_000
+        gen_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+        generate_corpus(spark, n).write.mode("overwrite").parquet(gen_dir)
+        corpus = ingest(spark.read.parquet(gen_dir))
+    else:
+        corpus = documents_as_corpus(spark, sf_dir)
     n_docs = corpus.count()
+    queries = QUERIES_SYNTH if corpus_spec.startswith("synthetic") else QUERIES
 
     # --- index build (full pipeline, posting table written) ---
     out_dir = tempfile.mkdtemp(prefix="bench_idx_")
@@ -95,9 +124,8 @@ def main() -> None:
     n_idx, avgdl = int(g["n"]), float(g["a"])
     term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
     hot = term_df.filter(F.col("df") >= max(512, n_idx // 10)).select("term")
-    segs = build_segments(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
-                          with_positions=True)
-    postings = merge_segments(segs, avgdl=avgdl, with_positions=True)
+    postings = build_postings(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
+                              with_positions=True)
     (
         postings.repartitionByRange(cpus, "term").sortWithinPartitions("term")
         .write.mode("overwrite").parquet(f"{out_dir}/postings")
@@ -110,14 +138,14 @@ def main() -> None:
     for _ in range(3):
         t0 = time.time()
         wand_topk_from_postings(
-            spark, postings, QUERIES, CFG, n_docs=n_idx, avgdl=avgdl, k=10
+            spark, postings, queries, CFG, n_docs=n_idx, avgdl=avgdl, k=10
         ).collect()
         wand_times.append(time.time() - t0)
     timings["wand_topk"] = statistics.median(wand_times)
 
     t0 = time.time()
     bm25_exhaustive_topk(
-        spark, stats, term_df, QUERIES, CFG, n_idx, avgdl, k=10
+        spark, stats, term_df, queries, CFG, n_idx, avgdl, k=10
     ).collect()
     timings["exhaustive_topk"] = time.time() - t0
 
@@ -129,9 +157,9 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = emb.limit(10).collect()
-    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    ann_queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
     t0 = time.time()
-    brute_force_cosine_topk(emb, queries, k=10).collect()
+    brute_force_cosine_topk(emb, ann_queries, k=10).collect()
     timings["ann_cosine"] = time.time() - t0
 
     t0 = time.time()
@@ -148,9 +176,10 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,
+        "corpus": corpus_spec,
         "index_files_per_sec": round(n_docs / timings["index_build"], 2),
         "wand_p50_sec": round(statistics.median(wand_times), 3),
-        "wand_per_query_sec": round(statistics.median(wand_times) / len(QUERIES), 4),
+        "wand_per_query_sec": round(statistics.median(wand_times) / len(queries), 4),
     }
     print(json.dumps(result))
     spark.stop()

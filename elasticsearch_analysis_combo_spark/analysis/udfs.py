@@ -114,6 +114,11 @@ def build_term_stats(
     already-aggregated rows only (SURVEY.md §2 B2, "one shuffle saved")."""
     cols = [doc_id_col, content_col] + ([lang_col] if lang_col else [])
     src = df.select(*cols)
+    # small-file inputs arrive as 1-2 partitions; spread the analysis
+    # (CPU-bound Python) across the executor cores
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
 
     has_lang = lang_col is not None
 

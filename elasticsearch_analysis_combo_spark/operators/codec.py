@@ -71,18 +71,62 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def delta_encode_segmented(flat: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode a doc-major flattened position array: within-segment
+    deltas, absolute value at each segment start. Fully vectorized."""
+    flat = flat.astype(np.uint64, copy=False)
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[seg_starts] = flat[seg_starts]
+    return deltas
+
+
+def delta_decode_segmented(deltas: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode_segmented: segmented cumulative sum with
+    resets at segment boundaries, no per-segment Python loop."""
+    if deltas.size == 0:
+        return deltas.astype(np.int64)
+    raw = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(lengths, dtype=np.int64) - lengths  # first idx per seg
+    starts = starts[lengths > 0]
+    # correction per segment = running total before the segment started
+    corr = np.zeros(starts.size, dtype=np.uint64)
+    corr[1:] = raw[starts[1:] - 1]
+    lens_nz = lengths[lengths > 0]
+    return (raw - np.repeat(corr, lens_nz)).astype(np.int64)
+
+
+def gather_segments(
+    flat: np.ndarray, lengths: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder a segmented flat array by segment permutation ``order``
+    without a Python loop: builds gather indices from offsets."""
+    lengths = lengths.astype(np.int64, copy=False)
+    offsets = np.cumsum(lengths) - lengths
+    new_lens = lengths[order]
+    total = int(new_lens.sum())
+    if total == 0:
+        return flat[:0], new_lens
+    new_offsets = np.cumsum(new_lens) - new_lens
+    # index i of output = old_offset[seg(i)] + (i - new_offset[seg(i)])
+    seg_of = np.repeat(np.arange(order.size), new_lens)
+    idx = np.arange(total) - new_offsets[seg_of] + offsets[order][seg_of]
+    return flat[idx], new_lens
+
+
 def encode_block(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    positions: list[np.ndarray] | None,
+    pos_flat: np.ndarray | None,
     prev_last_doc: int,
 ) -> tuple[bytes, bytes]:
     """Encode one block of postings (sorted by doc_id ascending).
 
     doc_ids may be negative (xxhash64 docIDs are signed); they are biased to
-    unsigned space by the caller-invariant mapping doc_id - INT64_MIN, which
-    preserves order. Returns (data, pos_data)."""
+    unsigned space order-preservingly (XOR sign bit). ``pos_flat`` is the
+    block's positions flattened doc-major (lengths = tfs). Returns
+    (data, pos_data)."""
     gaps = np.empty(doc_ids.size, dtype=np.uint64)
     u = doc_ids.astype(np.int64).astype(np.uint64) ^ np.uint64(1 << 63)
     prev = np.uint64(np.int64(prev_last_doc)) ^ np.uint64(1 << 63)
@@ -94,17 +138,11 @@ def encode_block(
     triples[2::3] = dls.astype(np.uint64)
     data = varint_encode(triples)
     pos_data = b""
-    if positions is not None:
-        deltas = []
-        for p in positions:
-            p = np.asarray(p, dtype=np.uint64)
-            d = np.empty_like(p)
-            if p.size:
-                d[0] = p[0]
-                d[1:] = p[1:] - p[:-1]
-            deltas.append(d)
-        if deltas:
-            pos_data = varint_encode(np.concatenate(deltas))
+    if pos_flat is not None and pos_flat.size:
+        tfs64 = tfs.astype(np.int64, copy=False)
+        starts = np.cumsum(tfs64) - tfs64
+        starts = starts[tfs64 > 0]
+        pos_data = varint_encode(delta_encode_segmented(pos_flat, starts))
     return data, pos_data
 
 
@@ -123,14 +161,20 @@ def decode_block(
     return doc_ids, tfs, dls
 
 
+def decode_positions_flat(pos_data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """De-delta the block's position stream -> flat absolute positions
+    (doc-major; per-doc lengths are the decoded tfs). Vectorized."""
+    deltas = varint_decode(pos_data)
+    return delta_decode_segmented(deltas, tfs.astype(np.int64, copy=False))
+
+
 def decode_positions(pos_data: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Split + de-delta the block's position stream using decoded tfs."""
-    flat = varint_decode(pos_data)
+    """Convenience per-doc list view of decode_positions_flat (tests/API)."""
+    flat = decode_positions_flat(pos_data, tfs)
     out = []
     off = 0
     for tf in tfs:
-        d = flat[off:off + int(tf)]
-        out.append(np.cumsum(d).astype(np.int64))
+        out.append(flat[off:off + int(tf)])
         off += int(tf)
     return out
 

@@ -39,7 +39,9 @@ from elasticsearch_analysis_combo_spark.operators.codec import (
     bm25_impact,
     decode_block,
     decode_positions,
+    decode_positions_flat,
     encode_block,
+    gather_segments,
 )
 from elasticsearch_analysis_combo_spark.operators.grouped import grouped_map_sorted
 
@@ -82,18 +84,26 @@ def _encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    positions: list | None,
+    pos_flat: np.ndarray | None,
     avgdl: float,
     k1: float,
     b: float,
     block_size: int,
 ) -> list[dict]:
-    """Chunk sorted postings into independent compressed blocks."""
+    """Chunk sorted postings into independent compressed blocks.
+    ``pos_flat``: positions flattened doc-major over the whole run
+    (lengths = tfs), sliced per block via cumulative tf offsets."""
     blocks = []
+    pos_off = None
+    if pos_flat is not None:
+        tfs64 = tfs.astype(np.int64, copy=False)
+        pos_off = np.concatenate([[0], np.cumsum(tfs64)])
     for off in range(0, doc_ids.size, block_size):
         end = min(off + block_size, doc_ids.size)
         d, t, l = doc_ids[off:end], tfs[off:end], dls[off:end]
-        p = positions[off:end] if positions is not None else None
+        p = None
+        if pos_flat is not None:
+            p = pos_flat[pos_off[off]:pos_off[end]]
         # independent blocks: first gap relative to MIN_DOC sentinel so any
         # block decodes without its predecessor (WAND skips blocks)
         data, pos_data = encode_block(d, t, l, p, MIN_DOC)
@@ -121,7 +131,9 @@ def salt_term_stats(
     distributions)."""
     if salt_shards <= 1:
         return term_stats.withColumn("salt", F.lit(0).cast("int"))
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_shards)).cast("int")
+    # hot shards live in 1..S so salt==0 identifies the cold (single-shard)
+    # path unambiguously
+    salt = (F.pmod(F.xxhash64("doc_id"), F.lit(salt_shards)) + 1).cast("int")
     if hot_terms is None:
         return term_stats.withColumn("salt", salt)
     hot = hot_terms.select("term").withColumn("_hot", F.lit(True))
@@ -155,10 +167,10 @@ def build_segments(
         doc_ids = cols["doc_id"][s:e]
         tfs = cols["tf"][s:e]
         dls = cols["dl"][s:e]
-        positions = None
+        pos_flat = None
         if with_positions:
-            positions = [np.asarray(p, dtype=np.int64) for p in cols["positions"][s:e]]
-        blocks = _encode_blocks(doc_ids, tfs, dls, positions, avgdl, k1, b, block_size)
+            pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
+        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
         return (
             cols["term"][s],
             int(cols["salt"][s]),
@@ -178,8 +190,78 @@ def build_segments(
     )
 
 
-def decode_segment_blocks(blocks, with_positions: bool = False):
-    """Decode a row's block list -> (doc_ids, tfs, dls[, positions])."""
+def build_postings(
+    term_stats: DataFrame,
+    avgdl: float,
+    hot_terms: DataFrame | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    with_positions: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """B3-B5 in the minimal number of shuffles.
+
+    Cold terms (the overwhelming majority of the vocabulary) are encoded
+    straight to final posting rows in ONE shuffle; only skew-hot terms take
+    the two-phase salted-segment + merge path. At 10^12-doc scale this
+    removes a full shuffle + decode/re-encode of nearly the entire posting
+    table compared to routing everything through the merge."""
+    salted = salt_term_stats(term_stats, hot_terms, salt_shards)
+    if hot_terms is None and salt_shards > 1:
+        # everything salted: no cold path
+        segs = build_segments(
+            term_stats, avgdl, hot_terms=None, k1=k1, b=b,
+            block_size=block_size, salt_shards=salt_shards,
+            with_positions=with_positions, num_partitions=num_partitions,
+        )
+        return merge_segments(
+            segs, avgdl, k1=k1, b=b, block_size=block_size,
+            with_positions=with_positions, num_partitions=num_partitions,
+        )
+
+    cold = salted.filter(F.col("salt") == 0)
+    hot = salted.filter(F.col("salt") > 0)
+
+    def encode_term(cols: dict, s: int, e: int) -> tuple:
+        doc_ids = cols["doc_id"][s:e]
+        tfs = cols["tf"][s:e]
+        dls = cols["dl"][s:e]
+        pos_flat = None
+        if with_positions:
+            pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
+        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
+        return (
+            cols["term"][s],
+            e - s,
+            int(tfs.sum()),
+            max(bl["max_impact"] for bl in blocks),
+            blocks,
+        )
+
+    cold_postings = grouped_map_sorted(
+        cold,
+        group_keys=["term"],
+        sort_keys=["doc_id"],
+        fn=encode_term,
+        schema=POSTING_SCHEMA,
+        num_partitions=num_partitions,
+    )
+    hot_segments = build_segments(
+        hot.drop("salt"), avgdl, hot_terms=None, k1=k1, b=b,
+        block_size=block_size, salt_shards=salt_shards,
+        with_positions=with_positions, num_partitions=num_partitions,
+    )
+    hot_postings = merge_segments(
+        hot_segments, avgdl, k1=k1, b=b, block_size=block_size,
+        with_positions=with_positions, num_partitions=num_partitions,
+    )
+    return cold_postings.unionByName(hot_postings)
+
+
+def decode_segment_blocks_flat(blocks, with_positions: bool = False):
+    """Decode a row's block list -> (doc_ids, tfs, dls[, pos_flat])."""
     ds, ts, ls, ps = [], [], [], []
     for bl in blocks:
         d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
@@ -187,13 +269,27 @@ def decode_segment_blocks(blocks, with_positions: bool = False):
         ts.append(t)
         ls.append(l)
         if with_positions:
-            ps.extend(decode_positions(bytes(bl["pos_data"]), t))
+            ps.append(decode_positions_flat(bytes(bl["pos_data"]), t))
     doc_ids = np.concatenate(ds) if ds else np.zeros(0, dtype=np.int64)
     tfs = np.concatenate(ts) if ts else np.zeros(0, dtype=np.int64)
     dls = np.concatenate(ls) if ls else np.zeros(0, dtype=np.int64)
     if with_positions:
-        return doc_ids, tfs, dls, ps
+        pos_flat = np.concatenate(ps) if ps else np.zeros(0, dtype=np.int64)
+        return doc_ids, tfs, dls, pos_flat
     return doc_ids, tfs, dls
+
+
+def decode_segment_blocks(blocks, with_positions: bool = False):
+    """Per-doc list view of decode_segment_blocks_flat (tests/API)."""
+    if not with_positions:
+        return decode_segment_blocks_flat(blocks, False)
+    doc_ids, tfs, dls, pos_flat = decode_segment_blocks_flat(blocks, True)
+    ps = []
+    off = 0
+    for tf in tfs:
+        ps.append(pos_flat[off:off + int(tf)])
+        off += int(tf)
+    return doc_ids, tfs, dls, ps
 
 
 def merge_segments(
@@ -224,10 +320,10 @@ def merge_segments(
         all_d, all_t, all_l, all_p = [], [], [], []
         for blocks in cols["blocks"][s:e]:
             if with_positions:
-                d, t, l, p = decode_segment_blocks(blocks, True)
-                all_p.extend(p)
+                d, t, l, p = decode_segment_blocks_flat(blocks, True)
+                all_p.append(p)
             else:
-                d, t, l = decode_segment_blocks(blocks, False)
+                d, t, l = decode_segment_blocks_flat(blocks, False)
             all_d.append(d)
             all_t.append(t)
             all_l.append(l)
@@ -235,9 +331,14 @@ def merge_segments(
         tfs = np.concatenate(all_t)
         dls = np.concatenate(all_l)
         order = np.argsort(doc_ids, kind="stable")
+        pos_flat = None
+        if with_positions:
+            pos_flat, _ = gather_segments(
+                np.concatenate(all_p), tfs, order
+            )
+            pos_flat = pos_flat.astype(np.uint64, copy=False)
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        positions = [all_p[i] for i in order] if with_positions else None
-        blocks = _encode_blocks(doc_ids, tfs, dls, positions, avgdl, k1, b, block_size)
+        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
         return (
             cols["term"][s],
             int(doc_ids.size),

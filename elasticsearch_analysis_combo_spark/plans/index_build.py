@@ -30,10 +30,7 @@ from elasticsearch_analysis_combo_spark.operators.checkpoint import (
     CheckpointManager,
     fingerprint,
 )
-from elasticsearch_analysis_combo_spark.operators.postings import (
-    build_segments,
-    merge_segments,
-)
+from elasticsearch_analysis_combo_spark.operators.postings import build_postings
 
 
 @dataclass
@@ -156,21 +153,12 @@ def build_index(
         hot_df_threshold = max(4 * block_size, n_docs // 10)
     hot_terms = term_df.filter(F.col("df") >= hot_df_threshold).select("term")
 
-    segments = ckpt.run(
-        "segments",
-        fingerprint(base_fp, "segments"),
-        lambda: build_segments(
-            stats, avgdl=avgdl, hot_terms=hot_terms, k1=k1, b=b,
-            block_size=block_size, salt_shards=salt_shards,
-            with_positions=with_positions,
-        ),
-    )
-
     ckpt.run(
         "postings",
         fingerprint(base_fp, "postings"),
-        lambda: merge_segments(
-            segments, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+        lambda: build_postings(
+            stats, avgdl=avgdl, hot_terms=hot_terms, k1=k1, b=b,
+            block_size=block_size, salt_shards=salt_shards,
             with_positions=with_positions,
         )
         # term-sorted layout => parquet row-group min/max stats prune

@@ -32,7 +32,10 @@ def get_spark(
         # large `content` strings: cap Arrow batch rows so a batch stays
         # comfortably in worker memory even at 100TB-scale file sizes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # local mode: driver memory is the ONLY execution-memory pool and is
+        # split across all concurrent tasks — undersizing it makes wide
+        # (local[32]) runs spill in sort stages and anti-scale
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,109 @@
+"""Structured-Streaming resumable corpus ingest + incremental indexing.
+
+The reference has no streaming operators (ES indexing is request/response,
+SURVEY.md §1.4); this module is the engine's optional resumable-ingest
+convenience (SURVEY.md §7): new corpus files landing in a directory are
+analyzed exactly once (Spark's file-source checkpoint keeps the offset log),
+each micro-batch appends a *generation* of per-doc term stats, and a
+compaction job folds all generations into the same compressed posting
+layout the batch pipeline produces — the log-structured-merge story (B5)
+applied across time instead of across salt shards.
+
+Exactly-once: the term-stats append and the offset commit are tied by
+foreachBatch's epoch id (re-delivered batches overwrite their own epoch
+partition rather than double-appending).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+
+
+def stream_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-source stream over a corpus drop directory."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(input_dir)
+
+
+def start_incremental_ingest(
+    stream: DataFrame,
+    config: ComboConfig,
+    index_dir: str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    lang_col: str | None = None,
+    available_now: bool = True,
+):
+    """Start the ingest query: per micro-batch combo analysis -> per-doc
+    term stats appended as generation ``gen=<epoch>``. Returns the
+    StreamingQuery (caller awaits/stops)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = build_term_stats(
+            batch_df, config, doc_id_col=doc_id_col,
+            content_col=content_col, lang_col=lang_col,
+        ).withColumn("gen", F.lit(int(epoch_id)))
+        # idempotent per epoch: replayed batches replace their partition
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(f"{index_dir}/gen_stats")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{index_dir}/_stream_ckpt")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_generations(
+    spark: SparkSession,
+    index_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    with_positions: bool = True,
+    hot_df_threshold: int | None = None,
+):
+    """Fold every ingested generation into one compressed posting table
+    (same layout/semantics as the batch build). Returns
+    (postings_df, n_docs, avgdl)."""
+    stats = spark.read.parquet(f"{index_dir}/gen_stats")
+    docstats = stats.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    g = docstats.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["a"] or 0.0)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    thresh = hot_df_threshold if hot_df_threshold is not None else max(
+        4 * block_size, n_docs // 10
+    )
+    hot = term_df.filter(F.col("df") >= thresh).select("term")
+    segs = build_segments(
+        stats.drop("gen"), avgdl=avgdl, hot_terms=hot, k1=k1, b=b,
+        block_size=block_size, salt_shards=salt_shards,
+        with_positions=with_positions,
+    )
+    postings = merge_segments(
+        segs, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+        with_positions=with_positions,
+    )
+    return postings, n_docs, avgdl

@@ -51,7 +51,8 @@ def test_block_roundtrip_property(doc_ids, data):
     tfs = np.array(data.draw(st.lists(st.integers(1, 40), min_size=n, max_size=n)), dtype=np.int64)
     dls = np.array(data.draw(st.lists(st.integers(1, 3000), min_size=n, max_size=n)), dtype=np.int64)
     positions = [np.arange(1, t + 1, dtype=np.int64) * 2 for t in tfs]
-    blob, pos_blob = encode_block(doc_ids, tfs, dls, positions, MIN_DOC)
+    pos_flat = np.concatenate(positions).astype(np.uint64)
+    blob, pos_blob = encode_block(doc_ids, tfs, dls, pos_flat, MIN_DOC)
     d, t, l = decode_block(blob, MIN_DOC, n)
     assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
     back = decode_positions(pos_blob, t)

@@ -19,6 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CORPUS=os.environ.get("SPARK_GRAFT_CORPUS", "synthetic:50000"),
                PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
