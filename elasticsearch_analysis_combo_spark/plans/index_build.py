@@ -156,15 +156,15 @@ def build_index(
     ckpt.run(
         "postings",
         fingerprint(base_fp, "postings"),
+        # build_postings output is already term-hash-partitioned and sorted
+        # by term within partitions (grouped_map_sorted), so written files
+        # are term-clustered and parquet row-group min/max stats prune
+        # query-time term lookups — no extra shuffle needed
         lambda: build_postings(
             stats, avgdl=avgdl, hot_terms=hot_terms, k1=k1, b=b,
             block_size=block_size, salt_shards=salt_shards,
             with_positions=with_positions,
-        )
-        # term-sorted layout => parquet row-group min/max stats prune
-        # query-time term lookups
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "term")
-        .sortWithinPartitions("term"),
+        ),
         checksum_cols=["term", "df", "cf"],
     )
 

@@ -31,7 +31,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large `content` strings: cap Arrow batch rows so a batch stays
         # comfortably in worker memory even at 100TB-scale file sizes
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
         # local mode: driver memory is the ONLY execution-memory pool and is
         # split across all concurrent tasks — undersizing it makes wide
         # (local[32]) runs spill in sort stages and anti-scale

@@ -1,0 +1,88 @@
+"""Physical-plan audit: print .explain(formatted) for the engine's key
+plans and grep-assert the properties that matter at scale:
+
+  * posting term lookup: term filter PUSHED into the parquet scan
+  * BM25 scoring: query-term dimension joins are BROADCAST
+  * term stats aggregation: partial (map-side) aggregation present
+  * posting scan: only the needed columns read (ReadSchema pruned)
+
+Usage: python tools/explain_audit.py [index_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig  # noqa: E402
+from elasticsearch_analysis_combo_spark.plans.index_build import build_index  # noqa: E402
+from elasticsearch_analysis_combo_spark.query.bm25 import bm25_exhaustive_topk  # noqa: E402
+from elasticsearch_analysis_combo_spark.session import get_spark  # noqa: E402
+from elasticsearch_analysis_combo_spark.sources.corpus import (  # noqa: E402
+    documents_as_corpus,
+)
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, needle: str, forbid: str | None = None) -> bool:
+    ok = needle in plan
+    bad = forbid is not None and forbid in plan
+    status = "OK " if (ok and not bad) else "FAIL"
+    print(f"{status} {name}: expect '{needle}'" + (f", forbid '{forbid}'" if forbid else ""))
+    return ok and not bad
+
+
+def main() -> None:
+    spark = get_spark("explain_audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001")
+    cfg = ComboConfig(["whitespace", "standard"], deduplication=True)
+    idx_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+    idx = build_index(spark, corpus, cfg, idx_dir, salt_shards=4)
+
+    failures = 0
+
+    # 1. term-filtered posting scan: pushdown + column pruning
+    lookup = idx.postings().filter(F.col("term").isin(["spark", "query"])).select(
+        "term", "df", "max_impact"
+    )
+    p = plan_text(lookup)
+    failures += not check("posting term filter pushdown", p, "PushedFilters: [In(term")
+    failures += not check(
+        "posting scan column pruning", p, "ReadSchema: struct<term:string,df:bigint,max_impact:double>"
+    )
+
+    # 2. BM25 exhaustive: broadcast of query terms
+    topk = bm25_exhaustive_topk(
+        spark, idx.term_stats(), idx.term_df(), [(0, "spark query")], cfg,
+        idx.meta.n_docs, idx.meta.avgdl, k=10,
+    )
+    p = plan_text(topk)
+    failures += not check("BM25 broadcast query-term join", p, "BroadcastHashJoin")
+    failures += not check("BM25 partial aggregation", p, "HashAggregate")
+
+    # 3. term stats: scan reads only needed corpus columns
+    from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+
+    stats = build_term_stats(corpus, cfg, content_col="content")
+    p = plan_text(stats)
+    failures += not check("analysis input pruning", p, "doc_id", forbid="content_sha256")
+
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
