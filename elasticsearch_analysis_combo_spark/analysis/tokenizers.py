@@ -175,6 +175,69 @@ def asciifold_tokenizer(text: str) -> list[Token]:
     ]
 
 
+def make_ngram_tokenizer(min_gram: int = 2, max_gram: int = 3) -> TokenizerFn:
+    """Lucene NGramTokenizer semantics: all char n-grams of each length in
+    [min_gram, max_gram] over the whole input, offsets = gram span. Grams
+    are emitted at consecutive positions in (start, length) order."""
+
+    def ngram(text: str) -> list[Token]:
+        out = []
+        pos = 0
+        n = len(text)
+        for start in range(n):
+            for glen in range(min_gram, max_gram + 1):
+                if start + glen > n:
+                    break
+                pos += 1
+                out.append(
+                    Token(text[start:start + glen], start, start + glen, pos, "gram")
+                )
+        return out
+
+    return ngram
+
+
+def make_edge_ngram_tokenizer(min_gram: int = 1, max_gram: int = 8) -> TokenizerFn:
+    """Edge n-grams of each whitespace token (prefix grams), lowercased —
+    the autocomplete analyzer. Grams of one source token share its
+    position (posInc 0 within the group, like Lucene's EdgeNGramTokenFilter
+    with default settings keeps them stacked)."""
+
+    def edge(text: str) -> list[Token]:
+        out = []
+        for i, m in enumerate(_NON_SPACE_RE.finditer(text)):
+            term = m.group().lower()
+            for glen in range(min_gram, min(max_gram, len(term)) + 1):
+                out.append(
+                    Token(term[:glen], m.start(), m.start() + glen, i + 1, "edge_gram")
+                )
+        return out
+
+    return edge
+
+
+def make_shingle_tokenizer(size: int = 2, sep: str = " ") -> TokenizerFn:
+    """Lucene ShingleFilter-style word n-grams over whitespace tokens,
+    lowercased; a shingle sits at its first word's position and spans to
+    its last word's end offset."""
+
+    def shingle(text: str) -> list[Token]:
+        toks = [
+            (m.group().lower(), m.start(), m.end())
+            for m in _NON_SPACE_RE.finditer(text)
+        ]
+        out = []
+        for i in range(len(toks) - size + 1):
+            words = toks[i:i + size]
+            out.append(
+                Token(sep.join(w for w, _, _ in words), words[0][1],
+                      words[-1][2], i + 1, "shingle")
+            )
+        return out
+
+    return shingle
+
+
 def lowercase_tokenizer(text: str) -> list[Token]:
     """Whitespace split + lowercase (keeps stopwords; useful as the exact
     analyzer for the driver's space-separated ``documents.text`` corpus)."""
@@ -209,6 +272,9 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "asciifold": asciifold_tokenizer,
     "german_fold": asciifold_tokenizer,
     "lowercase": lowercase_tokenizer,
+    "ngram": make_ngram_tokenizer(2, 3),
+    "edge_ngram": make_edge_ngram_tokenizer(1, 8),
+    "shingle": make_shingle_tokenizer(2),
 }
 
 

@@ -1,0 +1,92 @@
+"""User-facing facade: the "switch from the reference" surface.
+
+A user of the reference configures a combo analyzer, indexes documents
+through ES, and runs queries/_analyze. This class is the engine's
+equivalent one-stop API:
+
+    engine = ComboSearchEngine(spark, ComboConfig([...], deduplication=True),
+                               index_dir="/indexes/main")
+    engine.index(corpus_df)                  # build/resume (B1-B6)
+    engine.search("getFooBar merge", k=10)   # BM25 block-max WAND (B7-B8)
+    engine.phrase("token stream")            # positional phrase match
+    engine.analyze_df(df)                    # the _analyze view (EP2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elasticsearch_analysis_combo_spark.analysis.combo import (
+    ComboConfig,
+    analyze_text,
+)
+from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+from elasticsearch_analysis_combo_spark.plans.index_build import (
+    InvertedIndex,
+    build_index,
+)
+from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
+from elasticsearch_analysis_combo_spark.query.wand import wand_topk
+
+
+class ComboSearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: ComboConfig,
+        index_dir: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        **build_opts,
+    ):
+        self.spark = spark
+        self.config = config
+        self.index_dir = index_dir
+        self.k1, self.b = k1, b
+        self.build_opts = build_opts
+        self._index: InvertedIndex | None = None
+
+    # -- indexing ----------------------------------------------------------
+    def index(
+        self,
+        corpus: DataFrame,
+        doc_id_col: str = "doc_id",
+        content_col: str = "content",
+        lang_col: str | None = None,
+    ) -> InvertedIndex:
+        self._index = build_index(
+            self.spark, corpus, self.config, self.index_dir,
+            doc_id_col=doc_id_col, content_col=content_col, lang_col=lang_col,
+            k1=self.k1, b=self.b, **self.build_opts,
+        )
+        return self._index
+
+    def open(self) -> InvertedIndex:
+        """Attach to an already-built index directory."""
+        self._index = InvertedIndex(self.spark, self.index_dir)
+        return self._index
+
+    @property
+    def idx(self) -> InvertedIndex:
+        if self._index is None:
+            self.open()
+        return self._index
+
+    # -- querying ----------------------------------------------------------
+    def search(self, query: str | list[tuple[int, str]], k: int = 10) -> DataFrame:
+        queries = [(0, query)] if isinstance(query, str) else query
+        return wand_topk(self.spark, self.idx, queries, self.config, k=k)
+
+    def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:
+        queries = [(0, query)] if isinstance(query, str) else query
+        return phrase_match(self.spark, self.idx.postings(), queries, self.config)
+
+    # -- analysis (the _analyze API, EP2) -----------------------------------
+    def analyze_text(self, text: str, lang: str | None = None):
+        return analyze_text(text, self.config, lang)
+
+    def analyze_df(
+        self, df: DataFrame, content_col: str = "content",
+        lang_col: str | None = None,
+    ) -> DataFrame:
+        return analyze(df, self.config, content_col=content_col, lang_col=lang_col)

@@ -1,0 +1,58 @@
+"""Facade API + ngram/edge-ngram/shingle analyzers."""
+
+import pytest
+
+from elasticsearch_analysis_combo_spark.analysis.combo import (
+    ComboConfig,
+    analyze_text,
+)
+from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine
+from elasticsearch_analysis_combo_spark.sources.corpus import generate_corpus, ingest
+
+
+def test_ngram_analyzer():
+    toks = analyze_text("abcd", ComboConfig(["ngram"]))
+    assert [(t.term, t.start, t.end) for t in toks] == [
+        ("ab", 0, 2), ("abc", 0, 3), ("bc", 1, 3), ("bcd", 1, 4), ("cd", 2, 4)
+    ]
+
+
+def test_edge_ngram_analyzer():
+    toks = analyze_text("Foo ba", ComboConfig(["edge_ngram"]))
+    assert [(t.term, t.pos) for t in toks] == [
+        ("f", 1), ("fo", 1), ("foo", 1), ("b", 2), ("ba", 2)
+    ]
+
+
+def test_shingle_analyzer():
+    toks = analyze_text("a quick brown fox", ComboConfig(["shingle"]))
+    assert [t.term for t in toks] == ["a quick", "quick brown", "brown fox"]
+    assert [(t.start, t.end) for t in toks] == [(0, 7), (2, 13), (8, 17)]
+
+
+def test_combo_with_edge_ngram_dedup():
+    # autocomplete combo: original words + their prefixes, same-position
+    # dedup removes the full-word double
+    cfg = ComboConfig(["lowercase", "edge_ngram"], deduplication=True)
+    toks = analyze_text("Foo", cfg)
+    assert [(t.term, t.pos) for t in toks] == [("f", 1), ("fo", 1), ("foo", 1)]
+
+
+def test_engine_facade(spark, tmp_path):
+    corpus = ingest(generate_corpus(spark, 80))
+    cfg = ComboConfig(["whitespace", "identifier"], deduplication=True)
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idx"), salt_shards=2)
+    eng.index(corpus)
+    hits = eng.search("merge index", k=5).collect()
+    assert 0 < len(hits) <= 5
+    assert hits[0]["rank"] == 1
+    # reopen from disk (fresh facade) and get identical results
+    eng2 = ComboSearchEngine(spark, cfg, str(tmp_path / "idx"))
+    hits2 = eng2.search("merge index", k=5).collect()
+    assert {(r["doc_id"], round(r["score"], 9)) for r in hits} == {
+        (r["doc_id"], round(r["score"], 9)) for r in hits2
+    }
+    ph = eng2.phrase("the if").collect()
+    assert isinstance(ph, list)  # runs end-to-end (phrase may or may not occur)
+    toks = eng2.analyze_text("getFooBar test")
+    assert ("foo" in [t.term for t in toks])
