@@ -174,6 +174,92 @@ def to_pos_increments(tokens: list[Token]) -> list[int]:
     return out
 
 
+def resolve_fast_config(config: ComboConfig):
+    """Build the fast (term, pos)-only evaluator for this config, or None
+    if any sub-analyzer lacks a fast variant (then the full Token path is
+    used). See FAST_TERM_POS_REGISTRY in tokenizers.py — posting builds
+    never need offsets/types/emission order."""
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        FAST_TERM_POS_REGISTRY,
+    )
+
+    evals = []
+    for sub in config.sub_analyzers:
+        if isinstance(sub, ComboConfig):
+            nested = resolve_fast_config(sub)
+            if nested is None:
+                return None
+            evals.append(nested)
+        elif isinstance(sub, str):
+            if sub == "lang":
+                def eval_lang(text, lang):
+                    name = LANG_DISPATCH.get(lang or "", LANG_DEFAULT)
+                    fn = FAST_TERM_POS_REGISTRY.get(name)
+                    if fn is None:  # dispatch target without fast variant
+                        toks = ANALYZER_REGISTRY[name](text)
+                        return [(t.term, t.pos) for t in toks]
+                    terms, poses = fn(text)
+                    if poses is None:
+                        return list(zip(terms, range(1, len(terms) + 1)))
+                    return list(zip(terms, poses))
+                evals.append(eval_lang)
+            else:
+                fn = FAST_TERM_POS_REGISTRY.get(sub)
+                if fn is None:
+                    if sub in ANALYZER_REGISTRY:
+                        logger.warning(
+                            "no fast variant for analyzer %r; term_stats "
+                            "falls back to the full token path", sub
+                        )
+                    return None
+
+                def eval_leaf(text, lang, _fn=fn):
+                    terms, poses = _fn(text)
+                    if poses is None:
+                        return list(zip(terms, range(1, len(terms) + 1)))
+                    return list(zip(terms, poses))
+                evals.append(eval_leaf)
+        else:
+            return None  # raw callable: no fast contract
+
+    dedup = config.deduplication
+
+    def eval_combo(text: str, lang: str | None) -> list[tuple[str, int]]:
+        pairs: list[tuple[str, int]] = []
+        for ev in evals:
+            pairs.extend(ev(text, lang))
+        if dedup:
+            seen: set[tuple[str, int]] = set()
+            kept = []
+            for p in pairs:
+                if p in seen:
+                    continue
+                seen.add(p)
+                kept.append(p)
+            pairs = kept
+        return pairs
+
+    eval_combo._n_subs = len(evals)  # single-analyzer => positions pre-sorted
+    return eval_combo
+
+
+def term_stats_from_pairs(
+    pairs: list[tuple[str, int]], presorted: bool
+) -> tuple[dict[str, tuple[int, list[int]]], int]:
+    """(term, pos) pairs -> term -> (tf, sorted positions), doc length."""
+    by_term: dict[str, list[int]] = {}
+    for term, pos in pairs:
+        lst = by_term.get(term)
+        if lst is None:
+            by_term[term] = [pos]
+        else:
+            lst.append(pos)
+    if not presorted:
+        for lst in by_term.values():
+            lst.sort()
+    return {t: (len(p), p) for t, p in by_term.items()}, len(pairs)
+
+
 def term_stats(tokens: list[Token]) -> tuple[dict[str, tuple[int, list[int]]], int]:
     """Aggregate one doc's merged tokens to ``term -> (tf, positions)`` plus
     doc length (token count) — the per-document half of the posting build

@@ -284,6 +284,97 @@ def register_analyzer(name: str, fn: TokenizerFn) -> None:
     ANALYZER_REGISTRY[name] = fn
 
 
+# ---------------------------------------------------------------------------
+# Fast term/position variants for the index hot path.
+#
+# Posting construction (B2) needs only (term, absolute position) — never
+# offsets, token types, or the merged emission *order* (tf and the sorted
+# position list are order-independent; same-position dedup is a set test on
+# (pos, term)). These variants skip regex span tracking and Token object
+# construction; term_stats falls back to the full analyzer automatically
+# when a config uses an analyzer without a fast variant.
+# Each returns (terms: list[str], positions: list[int] | None); None means
+# consecutive 1..n.
+
+def _fast_whitespace(text):
+    return text.split(), None
+
+
+def _fast_lowercase(text):
+    return text.lower().split(), None
+
+
+def _fast_keyword(text):
+    return ([text], None) if text else ([], None)
+
+
+def _fast_standard(text):
+    terms, poses = [], []
+    for i, w in enumerate(_WORD_RE.findall(text)):
+        w = w.lower()
+        if w in ENGLISH_STOPWORDS:
+            continue
+        terms.append(w)
+        poses.append(i + 1)
+    return terms, poses
+
+
+def _fast_english(text):
+    terms, poses = [], []
+    for i, w in enumerate(_WORD_RE.findall(text)):
+        w = w.lower()
+        if w.endswith("'s"):
+            w = w[:-2]
+        if w in ENGLISH_STOPWORDS:
+            continue
+        w = porter_stem(w)
+        if w:
+            terms.append(w)
+            poses.append(i + 1)
+    return terms, poses
+
+
+def _fast_simple(text):
+    return [w.lower() for w in _LETTER_RE.findall(text)], None
+
+
+def _fast_stop(text):
+    terms, poses = [], []
+    for i, w in enumerate(_LETTER_RE.findall(text)):
+        w = w.lower()
+        if w in ENGLISH_STOPWORDS:
+            continue
+        terms.append(w)
+        poses.append(i + 1)
+    return terms, poses
+
+
+def _fast_identifier(text):
+    terms = []
+    for run in _IDENT_RUN_RE.findall(text):
+        for part in _IDENT_PART_RE.findall(run):
+            terms.append(part.lower())
+    return terms, None
+
+
+def _fast_asciifold(text):
+    return [fold_text(w.lower()) for w in _WORD_RE.findall(text)], None
+
+
+FAST_TERM_POS_REGISTRY = {
+    "whitespace": _fast_whitespace,
+    "lowercase": _fast_lowercase,
+    "keyword": _fast_keyword,
+    "standard": _fast_standard,
+    "english": _fast_english,
+    "simple": _fast_simple,
+    "stop": _fast_stop,
+    "identifier": _fast_identifier,
+    "asciifold": _fast_asciifold,
+    "german_fold": _fast_asciifold,
+}
+
+
 def make_replay_tokenizer(
     terms: list[str],
     starts: list[int],

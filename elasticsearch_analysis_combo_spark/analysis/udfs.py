@@ -123,14 +123,31 @@ def build_term_stats(
     has_lang = lang_col is not None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elasticsearch_analysis_combo_spark.analysis.combo import (
+            resolve_fast_config,
+            term_stats_from_pairs,
+        )
+
+        fast = resolve_fast_config(config)
+        presorted = fast is not None and fast._n_subs == 1 and not config.deduplication
+
+        def doc_stats_iter(texts, langs):
+            if fast is not None:
+                lang_vals = langs if langs is not None else [None] * len(texts)
+                for text, lg in zip(texts, lang_vals):
+                    yield term_stats_from_pairs(
+                        fast(text or "", lg), presorted
+                    )
+            else:
+                for toks in analyze_batch(texts, config, langs):
+                    yield term_stats(toks)
+
         for pdf in batches:
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if has_lang else None
-            docs = analyze_batch(texts, config, langs)
             ids = pdf[doc_id_col].tolist()
             out_id, out_term, out_tf, out_pos, out_dl = [], [], [], [], []
-            for doc_id, toks in zip(ids, docs):
-                stats, dl = term_stats(toks)
+            for doc_id, (stats, dl) in zip(ids, doc_stats_iter(texts, langs)):
                 for term, (tf, positions) in stats.items():
                     out_id.append(doc_id)
                     out_term.append(term)
