@@ -75,8 +75,18 @@ def main() -> None:
     n_small, n_big = 8, 32
     t0 = time.time()
     ceiling = machine_ceiling(n_small, n_big)
-    small = run_bench(n_small, sf_dir)
-    big = run_bench(n_big, sf_dir)
+    # interleave widths (A/B/A/B) and keep each width's best run: the
+    # shared host has multi-minute contention windows that would otherwise
+    # poison whichever width ran inside one
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+    small = big = None
+    for _ in range(rounds):
+        s = run_bench(n_small, sf_dir)
+        b = run_bench(n_big, sf_dir)
+        if small is None or s["index_files_per_sec"] > small["index_files_per_sec"]:
+            small = s
+        if big is None or b["index_files_per_sec"] > big["index_files_per_sec"]:
+            big = b
     tput_s = small["index_files_per_sec"]
     tput_b = big["index_files_per_sec"]
     eff = tput_b / (n_big / n_small * tput_s)
