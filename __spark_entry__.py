@@ -413,6 +413,10 @@ def q_streaming_windowed_counts(spark, sf_dir):
     """Structured Streaming: tumbling 1-hour windowed counts per event type
     over the events table, driven to completion with a memory sink. The
     oracle is the same aggregation in batch SQL."""
+    # the NTZ->TIMESTAMP cast below interprets wall time in the session TZ;
+    # pin UTC so epoch values match the DuckDB oracle regardless of the
+    # driver's session configuration
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources need a directory; pathGlobFilter selects the
     # events table out of the shared sf dir
