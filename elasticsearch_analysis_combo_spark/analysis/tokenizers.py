@@ -216,6 +216,35 @@ def make_edge_ngram_tokenizer(min_gram: int = 1, max_gram: int = 8) -> Tokenizer
     return edge
 
 
+def make_pattern_tokenizer(
+    pattern: str = r"\W+", lowercase: bool = True, stopwords: frozenset | None = None
+) -> TokenizerFn:
+    """ES ``pattern`` analyzer semantics: the regex matches token
+    *separators*; text between matches becomes tokens; lowercase by
+    default; optional stop set. Positions count all tokens (stop removal
+    leaves gaps)."""
+    sep_re = re.compile(pattern)
+
+    def pattern_tok(text: str) -> list[Token]:
+        out = []
+        prev = 0
+        pos = 0
+        spans = [(m.start(), m.end()) for m in sep_re.finditer(text)]
+        spans.append((len(text), len(text)))
+        for s, e in spans:
+            if s > prev:
+                pos += 1
+                term = text[prev:s]
+                if lowercase:
+                    term = term.lower()
+                if stopwords is None or term not in stopwords:
+                    out.append(Token(term, prev, s, pos, "word"))
+            prev = e
+        return out
+
+    return pattern_tok
+
+
 def make_shingle_tokenizer(size: int = 2, sep: str = " ") -> TokenizerFn:
     """Lucene ShingleFilter-style word n-grams over whitespace tokens,
     lowercased; a shingle sits at its first word's position and spans to
@@ -238,6 +267,38 @@ def make_shingle_tokenizer(size: int = 2, sep: str = " ") -> TokenizerFn:
     return shingle
 
 
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_CJK_RUN_RE = re.compile(
+    r"[一-鿿぀-ヿ가-힯]+|\w+", re.UNICODE
+)
+
+
+def cjk_tokenizer(text: str) -> list[Token]:
+    """Lucene CJKAnalyzer-style bigrams: CJK runs emit overlapping character
+    bigrams (single char if run length 1); non-CJK word runs pass through
+    lowercased. Each emitted token takes the next position."""
+    out = []
+    pos = 0
+    for m in _CJK_RUN_RE.finditer(text):
+        run = m.group()
+        if _CJK_RE.match(run):
+            if len(run) == 1:
+                pos += 1
+                out.append(Token(run, m.start(), m.end(), pos, "<SINGLE>"))
+            else:
+                for i in range(len(run) - 1):
+                    pos += 1
+                    out.append(
+                        Token(run[i:i + 2], m.start() + i, m.start() + i + 2,
+                              pos, "<DOUBLE>")
+                    )
+        else:
+            pos += 1
+            out.append(Token(run.lower(), m.start(), m.end(), pos,
+                             _token_type(run)))
+    return out
+
+
 def lowercase_tokenizer(text: str) -> list[Token]:
     """Whitespace split + lowercase (keeps stopwords; useful as the exact
     analyzer for the driver's space-separated ``documents.text`` corpus)."""
@@ -257,6 +318,9 @@ LANG_DISPATCH = {
     "js": "identifier",
     "en": "english",
     "text": "english",
+    "zh": "cjk",
+    "ja": "cjk",
+    "ko": "cjk",
 }
 LANG_DEFAULT = "standard"
 
@@ -272,6 +336,8 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "asciifold": asciifold_tokenizer,
     "german_fold": asciifold_tokenizer,
     "lowercase": lowercase_tokenizer,
+    "cjk": cjk_tokenizer,
+    "pattern": make_pattern_tokenizer(),
     "ngram": make_ngram_tokenizer(2, 3),
     "edge_ngram": make_edge_ngram_tokenizer(1, 8),
     "shingle": make_shingle_tokenizer(2),

@@ -56,3 +56,32 @@ def test_engine_facade(spark, tmp_path):
     assert isinstance(ph, list)  # runs end-to-end (phrase may or may not occur)
     toks = eng2.analyze_text("getFooBar test")
     assert ("foo" in [t.term for t in toks])
+
+
+def test_pattern_analyzer():
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_pattern_tokenizer,
+        register_analyzer,
+    )
+
+    toks = analyze_text("foo-BAR_baz  42", ComboConfig(["pattern"]))
+    assert [(t.term, t.start, t.end, t.pos) for t in toks] == [
+        ("foo", 0, 3, 1), ("bar_baz", 4, 11, 2), ("42", 13, 15, 3)
+    ]
+    # custom pattern + stopwords registered by name, used in a combo
+    register_analyzer(
+        "csv", make_pattern_tokenizer(r",\s*", stopwords=frozenset({"na"}))
+    )
+    toks = analyze_text("a, NA, b", ComboConfig(["csv"]))
+    assert [(t.term, t.pos) for t in toks] == [("a", 1), ("b", 3)]  # gap at 2
+
+
+def test_cjk_analyzer():
+    toks = analyze_text("中文分词 test", ComboConfig(["cjk"]))
+    assert [(t.term, t.pos) for t in toks] == [
+        ("中文", 1), ("文分", 2), ("分词", 3), ("test", 4)
+    ]
+    assert [(t.start, t.end) for t in toks[:3]] == [(0, 2), (1, 3), (2, 4)]
+    # lang dispatch routes zh through cjk
+    toks = analyze_text("中文 abc", ComboConfig(["lang"]), lang="zh")
+    assert toks[0].term == "中文"
