@@ -99,6 +99,28 @@ def analyze(
     return df.withColumn(output_col, udf(*args))
 
 
+def analyze_response(
+    df: DataFrame,
+    config: ComboConfig,
+    content_col: str = "content",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The `_analyze` API response shape (reference EP2,
+    TestIntegration.java:38-54 / README.md:97-154): one row per token with
+    ES field names — token, start_offset, end_offset, type, position
+    (absolute, starting at 1)."""
+    t = analyze(df, config, content_col=content_col, lang_col=lang_col)
+    keep = [c for c in df.columns]
+    return t.select(*keep, F.explode("tokens").alias("_tok")).select(
+        *keep,
+        F.col("_tok.term").alias("token"),
+        F.col("_tok.start").alias("start_offset"),
+        F.col("_tok.end").alias("end_offset"),
+        F.col("_tok.type").alias("type"),
+        F.col("_tok.pos").alias("position"),
+    )
+
+
 def build_term_stats(
     df: DataFrame,
     config: ComboConfig,
