@@ -89,6 +89,21 @@ class _PostingCursor:
     def block_last(self) -> int:
         return int(self.blocks[self.bi]["last_doc"])
 
+    def block_bound(self, target: int) -> tuple[float, int]:
+        """(idf-scaled max impact, last_doc) of the first block whose range
+        reaches ``target`` — header scan only, no decode. The bound is valid
+        for every doc in [target, last_doc] of this list (docs before the
+        block's first_doc contribute 0 <= max). Returns (0, MAX_DOC) when
+        the list has no docs >= target."""
+        bi = self.bi
+        blocks = self.blocks
+        while bi < len(blocks) and int(blocks[bi]["last_doc"]) < target:
+            bi += 1
+        if bi >= len(blocks):
+            return 0.0, MAX_DOC
+        bl = blocks[bi]
+        return self.idf * bl["max_impact"], int(bl["last_doc"])
+
     def score(self) -> float:
         return float(self.impacts[self.i])
 
@@ -160,15 +175,23 @@ def wand_topk_single(
         while pivot + 1 < len(cursors) and cursors[pivot + 1].cur == pivot_doc:
             pivot += 1
         prefix = cursors[: pivot + 1]
-        # block-max refinement over the prefix's current blocks
-        bm = sum(c.block_max() for c in prefix)
+        # block-max refinement over the blocks ALIGNED to the pivot: each
+        # cursor's bound comes from its first block reaching pivot_doc
+        # (a cursor's *current* block may end before the pivot, and a later
+        # block with a higher max could contain it — using current blocks
+        # here would skip the pivot unsoundly)
+        bm = 0.0
+        boundary = MAX_DOC
+        for c in prefix:
+            mi, bl = c.block_bound(pivot_doc)
+            bm += mi
+            if bl < boundary:
+                boundary = bl
         if len(heap) >= k and bm <= th:
-            # No doc in the covered range can beat the threshold. Deep
-            # pointer: smallest current-block end among the prefix, capped
-            # at next cursor's doc - 1 (docs beyond that may score via
-            # suffix cursors and must not be skipped), floored at pivot_doc
-            # (the bound covers the pivot itself).
-            boundary = min(c.block_last() for c in prefix)
+            # No doc in [pivot_doc, boundary] can beat the threshold
+            # (boundary >= pivot_doc by alignment). Cap the deep pointer at
+            # next cursor's doc - 1: docs beyond that may score via suffix
+            # cursors and must not be skipped.
             if pivot + 1 < len(cursors):
                 boundary = min(boundary, cursors[pivot + 1].cur - 1)
             target = max(boundary, pivot_doc) + 1
