@@ -54,6 +54,27 @@ def _term_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # IR engine queries
 
+
+def _rerank_rounded(out):
+    """Deterministic cross-engine ranking: near-tied raw float scores can
+    order differently between Spark and DuckDB; ranking on the rounded
+    score with doc_id tie-break is stable in both."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id", "score",
+        )
+    )
+
 def q_tokenize_explode(spark, sf_dir):
     from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
 
@@ -114,12 +135,7 @@ def q_bm25_topk(spark, sf_dir):
         spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
         k=TOPK, k1=K1, b=B,
     )
-    return out.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "doc_id",
-        F.round("score", 6).alias("score"),
-    )
+    return _rerank_rounded(out)
 
 
 def q_bm25_topk_wand(spark, sf_dir):
@@ -141,12 +157,7 @@ def q_bm25_topk_wand(spark, sf_dir):
         spark, postings, BM25_QUERIES, _ws_config(),
         n_docs=n_docs, avgdl=avgdl, k1=K1, b=B, k=TOPK,
     )
-    return out.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("rank").cast("long").alias("rank"),
-        "doc_id",
-        F.round("score", 6).alias("score"),
-    )
+    return _rerank_rounded(out)
 
 
 def q_combo_analyze(spark, sf_dir):
@@ -292,6 +303,114 @@ def q_fingerprint(spark, sf_dir):
 
     out = fingerprint_winnow(_docs(spark, sf_dir), k=FP_K, window=FP_W)
     return out.select("doc_id", "fp_hash", F.col("first_pos").cast("long").alias("first_pos"))
+
+
+CONJ_QUERIES = [(0, "spark query"), (1, "window merge batch"), (2, "value zzz_nope")]
+PREFIXES = [(0, "s"), (1, "qu"), (2, "zzz")]
+
+
+def q_bm25_conjunctive(spark, sf_dir):
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_conjunctive_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_conjunctive_topk(
+        spark, stats, term_df, CONJ_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_bm25_prefix(spark, sf_dir):
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_prefix_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_prefix_topk(
+        spark, stats, term_df, PREFIXES, n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _conjunctive_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qterms = analyze_queries(CONJ_QUERIES, _ws_config())
+    n_terms: dict[int, int] = {}
+    for qid, _ in qterms:
+        n_terms[qid] = n_terms.get(qid, 0) + 1
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    counts = ", ".join(f"({qid}, {n})" for qid, n in n_terms.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+qc(query_id, n_terms) AS (VALUES {counts}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score,
+         count(*) AS n_matched
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qc ON s.query_id = qc.query_id
+  WHERE s.n_matched = qc.n_terms
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _prefix_oracle_sql() -> str:
+    cases = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfx WHERE term LIKE '{p}%'"
+        for qid, p in PREFIXES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS ({cases}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - q.df + 0.5) / (q.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 PHRASES = [(0, "value table"), (1, "fast merge batch"), (2, "zzz qqq")]
@@ -469,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_prefix": q_bm25_prefix,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
@@ -519,7 +640,7 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
          doc_id, round(score, 6) AS score
   FROM scored
 )
@@ -566,6 +687,8 @@ GROUP BY 1
     sqls["bm25_topk"] = _bm25_oracle_sql()
     sqls["bm25_topk_wand"] = _bm25_oracle_sql()
     sqls["phrase_match"] = _phrase_oracle_sql()
+    sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
+    sqls["bm25_prefix"] = _prefix_oracle_sql()
 
     sqls["combo_analyze"] = """
 WITH toks AS (

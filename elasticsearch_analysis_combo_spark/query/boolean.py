@@ -1,0 +1,109 @@
+"""Boolean / expansion query operators over the same index tables.
+
+* conjunctive (AND) BM25 top-k — every analyzed query term must match
+  (ES bool.must semantics); scoring stays BM25-summed. Pure DataFrame
+  algebra: broadcast query terms |><| stats, per-(query,doc) agg keeps
+  docs whose distinct matched-term count equals the query's term count.
+* prefix-expansion search (ES prefix/match_phrase_prefix building block):
+  a prefix expands to every vocabulary term starting with it; docs score
+  as the BM25 sum over expanded terms. The term dictionary filter pushes
+  into the scan — the posting/stats tables are term-clustered so row-group
+  min/max stats prune non-matching files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_conjunctive_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """AND-semantics top-k: docs containing ALL the query's analyzed terms,
+    ranked by the usual BM25 sum."""
+    qrows = analyze_queries(queries, config)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    n_terms = {qid: 0 for qid, _ in queries}
+    for qid, _ in qrows:
+        n_terms[qid] += 1
+    qcounts = spark.createDataFrame(
+        [(qid, n) for qid, n in n_terms.items()], "query_id int, n_terms int"
+    )
+    scored = (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(term_df.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).select("term", "df")), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tscore").alias("score"),
+            F.count("*").alias("n_matched"),  # (term, doc) rows are unique
+        )
+        .join(F.broadcast(qcounts), "query_id")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    return _rank_topk(scored, k)
+
+
+def bm25_prefix_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    prefixes: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Prefix-expansion top-k: each (query_id, prefix) expands to all
+    vocabulary terms with that prefix; docs rank by the BM25 sum over the
+    expansion. The startswith filter reaches the scan (StringStartsWith
+    pushdown) and the term-clustered layout prunes row groups."""
+    expansions = None
+    for qid, prefix in prefixes:
+        part = (
+            term_df.filter(F.col("term").startswith(prefix))
+            .select(F.lit(qid).alias("query_id"), "term", "df")
+        )
+        expansions = part if expansions is None else expansions.unionByName(part)
+    scored = (
+        term_stats.join(F.broadcast(expansions), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+    return _rank_topk(scored, k)
