@@ -202,6 +202,56 @@ def minhash_lsh_candidates(
     )
 
 
+def near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The standard two-stage near-dup pipeline: MinHash-LSH candidate
+    generation, then EXACT n-gram Jaccard verification restricted to the
+    candidate pairs: (doc_a, doc_b, jaccard >= threshold).
+
+    Scale shape: the only joins are the banded bucket join (no quadratic
+    blowup) and a semi-join of shingles onto candidate docs — the full
+    pairwise Jaccard never materializes."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
+    ).select("doc_a", "doc_b")
+    sh = shingles(df, text_col, id_col, k)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_c.alias("a")
+    bq = sh_c.alias("b")
+    inter = (
+        a.join(bq, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")  # candidates only
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
