@@ -228,6 +228,16 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     ).select("doc_a", "doc_b", F.col("n_bands_matched").cast("long").alias("n_bands_matched"))
 
 
+def q_near_duplicates(spark, sf_dir):
+    """Two-stage LSH -> exact-Jaccard verification (rows-only: candidate
+    generation depends on Spark's xxhash64, not reproducible in DuckDB; the
+    exact-verification semantics are oracle-checked via ngram_jaccard)."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import near_duplicates
+
+    out = near_duplicates(_docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_TH)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_simhash_candidates(spark, sf_dir):
     from elasticsearch_analysis_combo_spark.operators.dedup import (
         simhash_near_dup_candidates,
@@ -594,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "near_duplicates": q_near_duplicates,
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_candidates": q_lsh_cosine_candidates,

@@ -44,6 +44,7 @@ def test_queries_have_oracles_or_are_declared():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "minhash_lsh_candidates", "simhash_candidates", "lsh_cosine_candidates",
+        "near_duplicates",
     }
 
 
