@@ -73,9 +73,29 @@ class ComboSearchEngine:
         return self._index
 
     # -- querying ----------------------------------------------------------
-    def search(self, query: str | list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def search(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        fetch_from: DataFrame | None = None,
+        fetch_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """BM25 WAND top-k. ``fetch_from`` joins the hits back to a stored
+        corpus DataFrame (by doc_id) to return source fields alongside rank
+        and score — the hit list is tiny, so the join broadcasts it and the
+        corpus scan prunes to the selected columns."""
         queries = [(0, query)] if isinstance(query, str) else query
-        return wand_topk(self.spark, self.idx, queries, self.config, k=k)
+        hits = wand_topk(self.spark, self.idx, queries, self.config, k=k)
+        if fetch_from is None:
+            return hits
+        from pyspark.sql import functions as F
+
+        cols = fetch_cols or [c for c in fetch_from.columns if c != "doc_id"]
+        src = fetch_from.select("doc_id", *cols)
+        return (
+            src.join(F.broadcast(hits), "doc_id")
+            .select("query_id", "rank", "doc_id", "score", *cols)
+        )
 
     def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:
         queries = [(0, query)] if isinstance(query, str) else query

@@ -85,3 +85,15 @@ def test_cjk_analyzer():
     # lang dispatch routes zh through cjk
     toks = analyze_text("中文 abc", ComboConfig(["lang"]), lang="zh")
     assert toks[0].term == "中文"
+
+
+def test_search_fetch(spark, tmp_path):
+    corpus = ingest(generate_corpus(spark, 60))
+    cfg = ComboConfig(["whitespace"])
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idx2"), salt_shards=2)
+    eng.index(corpus)
+    hits = eng.search("merge the", k=3, fetch_from=corpus,
+                      fetch_cols=["repo", "path"]).collect()
+    assert 0 < len(hits) <= 3
+    assert {"query_id", "rank", "doc_id", "score", "repo", "path"} == set(hits[0].asDict())
+    assert all(r["repo"].startswith("org") for r in hits)
