@@ -122,13 +122,32 @@ def main() -> None:
         stats = build_term_stats(corpus, CFG, content_col="content")
         stats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
         stats = spark.read.parquet(f"{out_dir}/term_stats")
-        g = (
-            stats.select("doc_id", "dl").distinct()
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
-        )
-        n_idx, avgdl = int(g["n"]), float(g["a"])
-        term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
-        hot = term_df.filter(F.col("df") >= max(512, n_idx // 10)).select("term")
+        # doc stats (exact — BM25 constants) and hot-term detection (sampled
+        # — skew detection needs magnitude, not exactness) run as concurrent
+        # Spark jobs to overlap their scheduling barriers
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _docstats():
+            g = (
+                stats.select("doc_id", "dl").distinct()
+                .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+            )
+            return int(g["n"]), float(g["a"])
+
+        def _hot():
+            frac = 0.05
+            return [
+                r["term"]
+                for r in stats.sample(frac, seed=42)
+                .groupBy("term").agg(F.count("*").alias("df"))
+                .filter(F.col("df") >= max(8, int(512 * frac)))
+                .collect()
+            ]
+
+        with ThreadPoolExecutor(2) as ex:
+            f1, f2 = ex.submit(_docstats), ex.submit(_hot)
+            (n_idx, avgdl), hot_list = f1.result(), f2.result()
+        hot = spark.createDataFrame([(t,) for t in hot_list] or [("",)], "term string")
         postings = build_postings(stats, avgdl=avgdl, hot_terms=hot, salt_shards=8,
                                   with_positions=True)
         # already term-clustered+sorted per partition (grouped_map_sorted)
@@ -147,6 +166,7 @@ def main() -> None:
         wand_times.append(time.time() - t0)
     timings["wand_topk"] = statistics.median(wand_times)
 
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
     t0 = time.time()
     bm25_exhaustive_topk(
         spark, stats, term_df, queries, CFG, n_idx, avgdl, k=10
