@@ -29,7 +29,7 @@ observable semantics, the reference's priority-queue merge:
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Sequence, Union
 
 from elasticsearch_analysis_combo_spark.analysis.tokenizers import (

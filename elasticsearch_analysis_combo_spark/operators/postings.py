@@ -30,7 +30,6 @@ pre-aggregated (one row per (doc, term)), never raw tokens.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,7 +37,6 @@ from pyspark.sql import types as T
 from elasticsearch_analysis_combo_spark.operators.codec import (
     bm25_impact,
     decode_block,
-    decode_positions,
     decode_positions_flat,
     encode_block,
     gather_segments,
