@@ -187,18 +187,21 @@ def q_combo_analyze(spark, sf_dir):
 # training-data pipeline queries
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact-dup groups keyed on the first 5 tokens (the full texts are
-    unique in the fixture; the prefix key exercises the hash-group path)."""
+    """Exact-dup membership keyed on the first 5 tokens (the full texts are
+    unique in the fixture; the prefix key exercises the hash-group path).
+    Scalar rows (content_hash, n_docs, doc_id) — one per duplicate doc — so
+    the result is canonicalizable and bounded per row at any duplicate
+    multiplicity."""
     d = _docs(spark, sf_dir).withColumn(
         "text5", F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
     )
     from elasticsearch_analysis_combo_spark.operators.dedup import (
-        exact_duplicate_groups,
+        exact_duplicate_members,
     )
 
-    g = exact_duplicate_groups(d, text_col="text5")
+    g = exact_duplicate_members(d, text_col="text5")
     return g.select("content_hash", F.col("n_docs").cast("long").alias("n_docs"),
-                    "doc_ids")
+                    "doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -742,9 +745,10 @@ WITH keyed AS (
   SELECT doc_id,
          sha256(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS content_hash
   FROM documents
-)
-SELECT content_hash, count(*) AS n_docs, list_sort(list(doc_id)) AS doc_ids
-FROM keyed GROUP BY 1 HAVING count(*) > 1
+),
+c AS (SELECT content_hash, count(*) AS n_docs FROM keyed GROUP BY 1)
+SELECT k.content_hash, c.n_docs, k.doc_id
+FROM keyed k JOIN c USING (content_hash) WHERE c.n_docs > 1
 """
 
     sqls["ngram_jaccard"] = f"""

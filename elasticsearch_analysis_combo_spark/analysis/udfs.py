@@ -136,10 +136,16 @@ def build_term_stats(
     already-aggregated rows only (SURVEY.md §2 B2, "one shuffle saved")."""
     cols = [doc_id_col, content_col] + ([lang_col] if lang_col else [])
     src = df.select(*cols)
-    # small-file inputs arrive as 1-2 partitions; spread the analysis
-    # (CPU-bound Python) across the executor cores
+    # small-FILE inputs arrive as 1-2 scan partitions; spread the analysis
+    # (CPU-bound Python) across the executor cores. Metadata-only check —
+    # no .rdd conversion (which forces plan materialization) and no
+    # repartition for real multi-file corpora, which already scan wide.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < parallelism:
         src = src.repartition(parallelism)
 
     has_lang = lang_col is not None

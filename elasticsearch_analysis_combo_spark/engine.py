@@ -73,6 +73,28 @@ class ComboSearchEngine:
         return self._index
 
     # -- querying ----------------------------------------------------------
+    def _query_config(self) -> ComboConfig:
+        """Analyzer config for query analysis: the INDEX's recorded config,
+        not the engine's — an engine attached via open() to an index built
+        with a different analyzer must analyze queries the way the index was
+        built (index/search analysis mismatch silently breaks recall)."""
+        from elasticsearch_analysis_combo_spark.plans.index_build import (
+            _config_dict,
+        )
+        from elasticsearch_analysis_combo_spark.query.wand import config_from_meta
+
+        meta_cfg = self.idx.meta.config
+        if _config_dict(self.config) != meta_cfg:
+            import warnings
+
+            warnings.warn(
+                "engine config differs from the index's analyzer config; "
+                "queries are analyzed with the index's config "
+                f"({meta_cfg.get('name', 'combo')})",
+                stacklevel=3,
+            )
+        return config_from_meta(meta_cfg)
+
     def search(
         self,
         query: str | list[tuple[int, str]],
@@ -85,7 +107,7 @@ class ComboSearchEngine:
         and score — the hit list is tiny, so the join broadcasts it and the
         corpus scan prunes to the selected columns."""
         queries = [(0, query)] if isinstance(query, str) else query
-        hits = wand_topk(self.spark, self.idx, queries, self.config, k=k)
+        hits = wand_topk(self.spark, self.idx, queries, self._query_config(), k=k)
         if fetch_from is None:
             return hits
         from pyspark.sql import functions as F
@@ -99,7 +121,9 @@ class ComboSearchEngine:
 
     def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:
         queries = [(0, query)] if isinstance(query, str) else query
-        return phrase_match(self.spark, self.idx.postings(), queries, self.config)
+        return phrase_match(
+            self.spark, self.idx.postings(), queries, self._query_config()
+        )
 
     # -- analysis (the _analyze API, EP2) -----------------------------------
     def analyze_text(self, text: str, lang: str | None = None):

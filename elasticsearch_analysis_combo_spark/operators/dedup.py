@@ -32,18 +32,45 @@ from pyspark.sql import types as T
 
 
 def exact_duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 1000,
 ) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_docs, doc_ids).
-    Only hashes cross the shuffle; group sizes are bounded by true duplicate
-    multiplicity."""
+    Only hashes cross the shuffle. ``doc_ids`` is capped at ``max_ids``
+    (smallest ids kept) so a 10^8-times-duplicated boilerplate file cannot
+    become one unbounded row; ``n_docs`` stays exact. For the full
+    membership use :func:`exact_duplicate_members` (scalar rows, unbounded
+    multiplicity safe) or :func:`dedup_exact_keep_first`."""
     return (
         df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_ids
+            ).alias("doc_ids"),
         )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicate_members(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate membership as scalar rows: (content_hash, n_docs,
+    doc_id), one row per duplicated document. A window count over the hash —
+    one shuffle, no per-group arrays, so row width is constant at any
+    duplicate multiplicity (the 100 TB-safe shape of
+    :func:`exact_duplicate_groups`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"),
+                  F.col(id_col).alias("doc_id"))
+        .withColumn("n_docs", F.count("*").over(w))
         .filter(F.col("n_docs") > 1)
     )
 
@@ -264,8 +291,11 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per doc (Charikar 2002): sign of the tf-weighted sum
-    of term-hash bit vectors. numpy-vectorized per Arrow batch: one
-    (vocab_in_batch x 64) unpackbits, one matmul-style accumulate per doc."""
+    of term-hash bit vectors. Fully batch-vectorized: one factorize over the
+    batch's tokens, one md5 per batch-vocabulary term (memoized across
+    batches), one (vocab x 64) unpackbits, one np.add.at scatter into the
+    (docs x 64) accumulator, one packbits back — no per-doc or per-bit
+    Python loops."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -273,39 +303,48 @@ def simhash(
 
         memo: dict[str, int] = {}
 
-        def term_hash(term: str) -> int:
-            h = memo.get(term)
-            if h is None:
-                h = int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "little")
-                memo[term] = h
-            return h
+        def hash_vocab(uniq) -> np.ndarray:
+            out = np.empty(len(uniq), dtype=np.uint64)
+            for i, t in enumerate(uniq):
+                h = memo.get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "little"
+                    )
+                    memo[t] = h
+                out[i] = h
+            return out
 
         for pdf in batches:
-            out_ids, out_hash = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
-                terms = (text or "").split()
-                if not terms:
-                    out_ids.append(doc_id)
-                    out_hash.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(terms, dtype=object), return_counts=True)
-                hs = np.fromiter(
-                    (term_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            ids = pdf["doc_id"].to_numpy()
+            tok_lists = [(t or "").split() for t in pdf["_text"]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            fps = np.zeros(len(ids), dtype=np.int64)
+            if lens.sum() > 0:
+                flat = np.array(
+                    [tok for toks in tok_lists for tok in toks], dtype=object
                 )
-                bits = (
-                    np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-                    .astype(np.int64)
+                doc_idx = np.repeat(np.arange(len(ids)), lens)
+                codes, uniq = pd.factorize(flat)
+                hs = hash_vocab(uniq)
+                # (vocab x 64) sign matrix: bit -> +1 / -1
+                signs = (
+                    np.unpackbits(
+                        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                    ).astype(np.int64) * 2 - 1
                 )
-                acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-                fp = np.uint64(0)
-                for i in range(64):
-                    if acc[i] > 0:
-                        fp |= np.uint64(1) << np.uint64(i)
-                out_ids.append(doc_id)
-                out_hash.append(int(fp.astype(np.int64)))
+                acc = np.zeros((len(ids), 64), dtype=np.int64)
+                # per-occurrence accumulate == tf-weighted sum of term signs
+                np.add.at(acc, doc_idx, signs[codes])
+                fps = (
+                    np.packbits(acc > 0, axis=1, bitorder="little")
+                    .copy().view(np.int64).ravel()
+                )
             yield pd.DataFrame(
-                {"doc_id": pd.Series(out_ids, dtype="int64"),
-                 "simhash": pd.Series(out_hash, dtype="int64")}
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "simhash": pd.Series(fps, dtype="int64")}
             )
 
     return src.mapInPandas(gen, schema=SIMHASH_SCHEMA)

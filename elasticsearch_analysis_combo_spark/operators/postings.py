@@ -58,8 +58,9 @@ SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("salt", T.IntegerType()),
-        T.StructField("df", T.LongType()),
-        T.StructField("cf", T.LongType()),
+        T.StructField("run_idx", T.IntegerType()),
+        T.StructField("df", T.LongType()),     # run-local doc count
+        T.StructField("cf", T.LongType()),     # run-local sum(tf)
         T.StructField("max_impact", T.DoubleType()),
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
     ]
@@ -68,14 +69,36 @@ SEGMENT_SCHEMA = T.StructType(
 POSTING_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
-        T.StructField("df", T.LongType()),
-        T.StructField("cf", T.LongType()),
-        T.StructField("max_impact", T.DoubleType()),
+        T.StructField("run_idx", T.IntegerType()),
+        T.StructField("df", T.LongType()),     # TERM totals, repeated per run
+        T.StructField("cf", T.LongType()),     # TERM totals, repeated per run
+        T.StructField("max_impact", T.DoubleType()),  # run-local max
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
     ]
 )
 
 MIN_DOC = -(1 << 63)
+
+# Rows are bounded: a term's posting list is emitted as ceil(n_blocks /
+# max_blocks_per_row) rows keyed (term, run_idx), runs ascending in doc_id.
+# At block_size=128 the default caps a row at ~512k docs (a few MB
+# compressed) — a df=10^11 stop term becomes ~200k bounded rows instead of
+# one multi-GB row that breaks the 2 GB Arrow limit and re-concentrates the
+# skew the salting defused. Consumers concatenate a term's runs in run_idx
+# order (runs partition the sorted doc space, so the result stays sorted).
+DEFAULT_MAX_BLOCKS_PER_ROW = 4096
+
+
+def term_blocks_from_rows(run_idxs, blocks_col) -> list:
+    """Concatenate one term's posting runs (any row order) into the full
+    sorted block list. Used by query tasks that receive multi-row terms."""
+    order = sorted(range(len(run_idxs)), key=lambda i: run_idxs[i])
+    out: list = []
+    for i in order:
+        out.extend(blocks_col[i])
+    return out
+
+
 
 
 def _encode_blocks(
@@ -152,31 +175,46 @@ def build_segments(
     salt_shards: int = 8,
     with_positions: bool = True,
     num_partitions: int | None = None,
+    max_blocks_per_row: int = DEFAULT_MAX_BLOCKS_PER_ROW,
 ) -> DataFrame:
     """B3+B4: salted repartition + per-shard sorted compressed segments.
 
     Input: (doc_id, term, tf, positions, dl) from build_term_stats.
-    Output: one row per (term, salt) shard with sorted posting blocks.
+    Output: bounded rows per (term, salt, run_idx) with sorted posting
+    blocks; df/cf on segment rows are run-local counts.
     """
     salted = salt_term_stats(term_stats, hot_terms, salt_shards)
 
-    def encode_shard(cols: dict, s: int, e: int) -> tuple:
+    def encode_shard(cols: dict, s: int, e: int) -> list[tuple]:
         # rows arrive sorted by doc_id (grouped_map_sorted sort key)
         doc_ids = cols["doc_id"][s:e]
         tfs = cols["tf"][s:e]
         dls = cols["dl"][s:e]
         pos_flat = None
+        pos_off = None
         if with_positions:
             pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
-        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
-        return (
-            cols["term"][s],
-            int(cols["salt"][s]),
-            e - s,
-            int(tfs.sum()),
-            max(bl["max_impact"] for bl in blocks),
-            blocks,
-        )
+        term, salt = cols["term"][s], int(cols["salt"][s])
+        out = []
+        # chunk at the doc level so each run encodes independently
+        docs_per_row = max_blocks_per_row * block_size
+        if with_positions:
+            tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        for ri, off in enumerate(range(0, doc_ids.size, docs_per_row)):
+            end = min(off + docs_per_row, doc_ids.size)
+            p = pos_flat[tf_cum[off]:tf_cum[end]] if with_positions else None
+            blocks = _encode_blocks(
+                doc_ids[off:end], tfs[off:end], dls[off:end], p,
+                avgdl, k1, b, block_size,
+            )
+            out.append((
+                term, salt, ri,
+                end - off,
+                int(tfs[off:end].sum()),
+                max(bl["max_impact"] for bl in blocks),
+                blocks,
+            ))
+        return out
 
     return grouped_map_sorted(
         salted,
@@ -198,6 +236,7 @@ def build_postings(
     salt_shards: int = 8,
     with_positions: bool = True,
     num_partitions: int | None = None,
+    max_blocks_per_row: int = DEFAULT_MAX_BLOCKS_PER_ROW,
 ) -> DataFrame:
     """B3-B5 in the minimal number of shuffles.
 
@@ -205,7 +244,8 @@ def build_postings(
     straight to final posting rows in ONE shuffle; only skew-hot terms take
     the two-phase salted-segment + merge path. At 10^12-doc scale this
     removes a full shuffle + decode/re-encode of nearly the entire posting
-    table compared to routing everything through the merge."""
+    table compared to routing everything through the merge. Long lists emit
+    multiple bounded (term, run_idx) rows — see DEFAULT_MAX_BLOCKS_PER_ROW."""
     salted = salt_term_stats(term_stats, hot_terms, salt_shards)
     if hot_terms is None and salt_shards > 1:
         # everything salted: no cold path
@@ -213,30 +253,42 @@ def build_postings(
             term_stats, avgdl, hot_terms=None, k1=k1, b=b,
             block_size=block_size, salt_shards=salt_shards,
             with_positions=with_positions, num_partitions=num_partitions,
+            max_blocks_per_row=max_blocks_per_row,
         )
         return merge_segments(
             segs, avgdl, k1=k1, b=b, block_size=block_size,
             with_positions=with_positions, num_partitions=num_partitions,
+            max_blocks_per_row=max_blocks_per_row,
         )
 
     cold = salted.filter(F.col("salt") == 0)
     hot = salted.filter(F.col("salt") > 0)
 
-    def encode_term(cols: dict, s: int, e: int) -> tuple:
+    def encode_term(cols: dict, s: int, e: int) -> list[tuple]:
         doc_ids = cols["doc_id"][s:e]
         tfs = cols["tf"][s:e]
         dls = cols["dl"][s:e]
         pos_flat = None
         if with_positions:
             pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
-        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
-        return (
-            cols["term"][s],
-            e - s,
-            int(tfs.sum()),
-            max(bl["max_impact"] for bl in blocks),
-            blocks,
-        )
+            tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        term = cols["term"][s]
+        df_total, cf_total = e - s, int(tfs.sum())
+        out = []
+        docs_per_row = max_blocks_per_row * block_size
+        for ri, off in enumerate(range(0, doc_ids.size, docs_per_row)):
+            end = min(off + docs_per_row, doc_ids.size)
+            p = pos_flat[tf_cum[off]:tf_cum[end]] if with_positions else None
+            blocks = _encode_blocks(
+                doc_ids[off:end], tfs[off:end], dls[off:end], p,
+                avgdl, k1, b, block_size,
+            )
+            out.append((
+                term, ri, df_total, cf_total,
+                max(bl["max_impact"] for bl in blocks),
+                blocks,
+            ))
+        return out
 
     cold_postings = grouped_map_sorted(
         cold,
@@ -250,10 +302,12 @@ def build_postings(
         hot.drop("salt"), avgdl, hot_terms=None, k1=k1, b=b,
         block_size=block_size, salt_shards=salt_shards,
         with_positions=with_positions, num_partitions=num_partitions,
+        max_blocks_per_row=max_blocks_per_row,
     )
     hot_postings = merge_segments(
         hot_segments, avgdl, k1=k1, b=b, block_size=block_size,
         with_positions=with_positions, num_partitions=num_partitions,
+        max_blocks_per_row=max_blocks_per_row,
     )
     return cold_postings.unionByName(hot_postings)
 
@@ -298,23 +352,32 @@ def merge_segments(
     block_size: int = 128,
     with_positions: bool = True,
     num_partitions: int | None = None,
+    max_blocks_per_row: int = DEFAULT_MAX_BLOCKS_PER_ROW,
 ) -> DataFrame:
     """B5: log-structured merge — combine each term's sorted shard runs into
-    one compacted posting row. Single-shard terms (the vocabulary tail)
-    pass their already-sorted blocks through untouched; multi-shard (hot)
-    terms decode, k-way merge (concatenate + argsort over sorted runs), and
-    re-block."""
+    compacted posting rows bounded at ``max_blocks_per_row`` blocks each.
+    Single-shard terms (the vocabulary tail) pass their already-sorted
+    blocks through untouched; multi-shard (hot) terms decode, k-way merge
+    (concatenate + argsort over sorted runs), and re-block. Posting rows
+    carry the TERM-total df/cf repeated on every run row."""
 
-    def merge_term(cols: dict, s: int, e: int) -> tuple:
-        if e - s == 1:
-            # fast path: one shard == final posting list (blocks reused)
-            return (
-                cols["term"][s],
-                int(cols["df"][s]),
-                int(cols["cf"][s]),
-                float(cols["max_impact"][s]),
-                list(cols["blocks"][s]),
-            )
+    def merge_term(cols: dict, s: int, e: int) -> list[tuple]:
+        term = cols["term"][s]
+        salts = cols["salt"][s:e]
+        if salts[0] == salts[-1]:
+            # fast path: one shard == final posting list. Rows arrive sorted
+            # by run_idx (runs ascend in doc space within a shard), so the
+            # block lists pass through; only df/cf become term totals.
+            df_total = int(cols["df"][s:e].sum())
+            cf_total = int(cols["cf"][s:e].sum())
+            return [
+                (
+                    term, ri, df_total, cf_total,
+                    float(cols["max_impact"][s + ri]),
+                    list(cols["blocks"][s + ri]),
+                )
+                for ri in range(e - s)
+            ]
         all_d, all_t, all_l, all_p = [], [], [], []
         for blocks in cols["blocks"][s:e]:
             if with_positions:
@@ -336,19 +399,29 @@ def merge_segments(
             )
             pos_flat = pos_flat.astype(np.uint64, copy=False)
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        blocks = _encode_blocks(doc_ids, tfs, dls, pos_flat, avgdl, k1, b, block_size)
-        return (
-            cols["term"][s],
-            int(doc_ids.size),
-            int(tfs.sum()),
-            max(bl["max_impact"] for bl in blocks),
-            blocks,
-        )
+        df_total, cf_total = int(doc_ids.size), int(tfs.sum())
+        out = []
+        docs_per_row = max_blocks_per_row * block_size
+        if with_positions:
+            tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        for ri, off in enumerate(range(0, doc_ids.size, docs_per_row)):
+            end = min(off + docs_per_row, doc_ids.size)
+            p = pos_flat[tf_cum[off]:tf_cum[end]] if with_positions else None
+            blocks = _encode_blocks(
+                doc_ids[off:end], tfs[off:end], dls[off:end], p,
+                avgdl, k1, b, block_size,
+            )
+            out.append((
+                term, ri, df_total, cf_total,
+                max(bl["max_impact"] for bl in blocks),
+                blocks,
+            ))
+        return out
 
     return grouped_map_sorted(
         segments,
         group_keys=["term"],
-        sort_keys=["salt"],
+        sort_keys=["salt", "run_idx"],
         fn=merge_term,
         schema=POSTING_SCHEMA,
         num_partitions=num_partitions,

@@ -93,24 +93,11 @@ def cosine_expr(vec_a, vec_b):
     return dot / (na * nb)
 
 
-def lsh_cosine_candidates(
-    emb: DataFrame,
-    n_planes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _plane_signatures(
+    emb: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Random-hyperplane LSH: (vec_a, vec_b) candidate pairs whose sign
-    signatures collide in >=1 of `bands` bands (signature width
-    n_planes/bands per band). Deterministic planes from the seed. The
-    join shuffles on (band, bucket) only — the ANN scale path; rerank
-    candidates exactly with cosine_expr or the GEMM scorer."""
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
-
+    """(vec_id, sig): sign signature of each embedding against the planes."""
+    n_planes = planes.shape[0]
     sig_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -127,11 +114,12 @@ def lsh_cosine_candidates(
             bits = (mat @ planes.T) > 0  # (batch x planes)
             weights = (1 << np.arange(n_planes, dtype=np.int64))
             sig = (bits.astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "sig": sig}
-            )
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "sig": sig})
 
-    sigs = src.mapInPandas(gen, schema=sig_schema)
+    return src.mapInPandas(gen, schema=sig_schema)
+
+
+def _band_buckets(sigs: DataFrame, n_planes: int, bands: int) -> DataFrame:
     width = n_planes // bands
     mask = (1 << width) - 1
     band_arr = F.array(
@@ -145,9 +133,123 @@ def lsh_cosine_candidates(
             for bi in range(bands)
         ]
     )
-    buckets = sigs.select("vec_id", F.explode(band_arr).alias("bb")).select(
+    return sigs.select("vec_id", F.explode(band_arr).alias("bb")).select(
         "vec_id", "bb.band", "bb.bucket"
     )
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_planes: int = 64,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: LSH bucket probe + exact rerank.
+
+    The query signatures (computed driver-side — Q is small) broadcast-join
+    the corpus band buckets, so only vectors colliding with a query in >=1
+    band are scored; scoring is the exact GEMM cosine restricted to those
+    candidates. Per-query recall depends on bands/width like
+    lsh_cosine_candidates; increase ``bands`` for higher recall. The 100 TB
+    shape: one corpus scan for signatures, a broadcast semi-join, exact
+    scoring only on the candidate subset."""
+    rng = np.random.RandomState(seed)
+    dim = len(queries[0][1])
+    planes = rng.standard_normal((n_planes, dim))
+    spark = emb.sparkSession
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    qbits = (qmat @ planes.T) > 0
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    qsig = (qbits.astype(np.int64) * weights).sum(axis=1)
+
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    qbucket_rows = [
+        (int(qid), bi, int((int(s) >> (bi * width)) & mask))
+        for qid, s in zip(qids, qsig)
+        for bi in range(bands)
+    ]
+    qbuckets = spark.createDataFrame(
+        qbucket_rows, "query_id long, band int, bucket long"
+    )
+
+    corpus_buckets = _band_buckets(
+        _plane_signatures(emb, planes, id_col, vec_col), n_planes, bands
+    )
+    cand = (
+        corpus_buckets.join(F.broadcast(qbuckets), ["band", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    cand_emb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+    ).join(cand, "vec_id")
+
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            qi = np.array([qpos[int(q)] for q in pdf["query_id"]], dtype=np.int64)
+            cos = ((mat / norms) * qnorm[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand_emb.mapInPandas(score, schema=SIM_SCHEMA)
+    return _topk_window(scored, k)
+
+
+def lsh_cosine_candidates(
+    emb: DataFrame,
+    n_planes: int = 64,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: (vec_a, vec_b) candidate pairs whose sign
+    signatures collide in >=1 of `bands` bands (signature width
+    n_planes/bands per band). Deterministic planes from the seed. The
+    join shuffles on (band, bucket) only — the ANN scale path; rerank
+    candidates exactly with cosine_expr or the GEMM scorer.
+
+    Selectivity: defaults give 16-bit buckets (65,536 per band) — wide
+    enough that unrelated vectors essentially never collide; narrower
+    widths degrade toward the all-pairs join. ``max_bucket_size`` drops
+    band buckets holding more than that many vectors (degenerate buckets —
+    e.g. all-zero embeddings — would contribute size² pairs each; dropping
+    them bounds the join output while true near-neighbors still collide in
+    their other, non-degenerate bands)."""
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    buckets = _band_buckets(
+        _plane_signatures(emb, planes, id_col, vec_col), n_planes, bands
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = buckets.alias("a")
     bq = buckets.alias("b")
     return (

@@ -87,7 +87,15 @@ def bm25_prefix_topk(
     """Prefix-expansion top-k: each (query_id, prefix) expands to all
     vocabulary terms with that prefix; docs rank by the BM25 sum over the
     expansion. The startswith filter reaches the scan (StringStartsWith
-    pushdown) and the term-clustered layout prunes row groups."""
+    pushdown) and the term-clustered layout prunes row groups.
+
+    No broadcast hint on the expansion: a short prefix over a large
+    vocabulary can expand past broadcast limits, so the join strategy is
+    left to AQE (which broadcasts it when the runtime size allows)."""
+    if not prefixes:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
     expansions = None
     for qid, prefix in prefixes:
         part = (
@@ -96,7 +104,7 @@ def bm25_prefix_topk(
         )
         expansions = part if expansions is None else expansions.unionByName(part)
     scored = (
-        term_stats.join(F.broadcast(expansions), "term")
+        term_stats.join(expansions, "term")
         .withColumn(
             "tscore",
             idf_expr(n_docs)

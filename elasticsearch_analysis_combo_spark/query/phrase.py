@@ -69,17 +69,18 @@ def phrase_match(
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        # runs of one term stay doc-sorted when concatenated in run_idx
+        # order; repeated query terms join the same posting rows once
+        rows_by_term: dict[str, dict[int, list]] = {}
+        for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
+            rows_by_term.setdefault(term, {})[int(ri)] = blocks
         decoded: dict[str, tuple] = {}
-        for term, blocks in zip(pdf["term"], pdf["blocks"]):
-            if term not in decoded:
-                d, t, _l, pos_flat = decode_segment_blocks_flat(list(blocks), True)
-                offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
-                decoded[term] = (d, offs, pos_flat)
+        for term, runs in rows_by_term.items():
+            blocks = [bl for ri in sorted(runs) for bl in runs[ri]]
+            d, t, _l, pos_flat = decode_segment_blocks_flat(blocks, True)
+            offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
+            decoded[term] = (d, offs, pos_flat)
         slots = sorted(slots_by_q[qid])
-        if len(slots) != len(pdf["term"].unique()) and any(
-            term not in decoded for _, term in slots
-        ):
-            return pd.DataFrame({"query_id": [], "doc_id": [], "n_matches": []})
         out_docs, out_n = [], []
         # docs present in every slot's posting list
         doc_sets = []

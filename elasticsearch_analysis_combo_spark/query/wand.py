@@ -272,10 +272,20 @@ def wand_topk_from_postings(
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        # a term's posting list may span multiple bounded (term, run_idx)
+        # rows; concatenate runs in run_idx order (stays doc-sorted)
+        by_term_rows: dict[str, list] = {}
+        for term, df_t, ri, blocks in zip(
+            pdf["term"], pdf["df"], pdf["run_idx"], pdf["blocks"]
+        ):
+            by_term_rows.setdefault(term, []).append((int(ri), float(df_t), blocks))
         by_term = {}
-        for term, df_t, blocks in zip(pdf["term"], pdf["df"], pdf["blocks"]):
-            idf = float(np.log(1.0 + (n_docs - float(df_t) + 0.5) / (float(df_t) + 0.5)))
-            by_term[term] = (idf, list(blocks))
+        for term, rows in by_term_rows.items():
+            rows.sort(key=lambda r: r[0])
+            df_t = rows[0][1]  # term total, repeated on every run row
+            blocks = [bl for _, _, bls in rows for bl in bls]
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            by_term[term] = (idf, blocks)
         top = wand_topk_single(by_term, k, avgdl, k1, b)
         return pd.DataFrame(
             {

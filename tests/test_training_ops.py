@@ -109,6 +109,72 @@ def test_lsh_cosine_candidates(spark):
     assert hits >= 18  # sign signatures identical up to perturbation
 
 
+def test_lsh_cosine_selectivity_and_recall(spark):
+    """Default 16-bit band width: planted near-dup pairs (cosine ~0.999)
+    are recalled >=0.9 while the candidate set stays far below all-pairs
+    (random vectors essentially never share a 16-bit bucket)."""
+    rng = np.random.RandomState(3)
+    n, d = 200, 32
+    base = rng.standard_normal((n, d))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    planted = 40
+    rows += [(1000 + i, (base[i] + 0.03 * rng.standard_normal(d)).tolist())
+             for i in range(planted)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = {(r["vec_a"], r["vec_b"])
+             for r in similarity.lsh_cosine_candidates(emb).collect()}
+    recall = sum((i, 1000 + i) in cands for i in range(planted)) / planted
+    assert recall >= 0.9
+    total = len(rows)
+    all_pairs = total * (total - 1) // 2
+    assert len(cands) < 0.05 * all_pairs
+
+
+def test_lsh_cosine_bucket_cap_drops_degenerate(spark):
+    """Zero vectors all hash to the same bucket in every band; the cap
+    drops those buckets so they don't contribute size^2 pairs, while real
+    planted neighbors keep colliding."""
+    rng = np.random.RandomState(5)
+    d = 16
+    base = rng.standard_normal((30, d))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [(100 + i, (base[i] + 1e-3 * rng.standard_normal(d)).tolist())
+             for i in range(30)]
+    rows += [(500 + i, [0.0] * d) for i in range(40)]  # degenerate bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = {(r["vec_a"], r["vec_b"])
+             for r in similarity.lsh_cosine_candidates(
+                 emb, max_bucket_size=35).collect()}
+    assert not any(a >= 500 and b >= 500 for a, b in cands)
+    hits = sum((i, 100 + i) in cands for i in range(30))
+    assert hits >= 27
+
+
+def test_lsh_cosine_topk_matches_brute_force_on_neighbors(spark):
+    """LSH probe + exact rerank: for queries with planted near-duplicates,
+    the top hit agrees with brute force and cosines are exact."""
+    rng = np.random.RandomState(9)
+    n, d = 150, 24
+    base = rng.standard_normal((n, d))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(0, (base[7] + 0.02 * rng.standard_normal(d)).tolist()),
+               (1, (base[42] + 0.02 * rng.standard_normal(d)).tolist())]
+    got = similarity.lsh_cosine_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for qid, qv in queries:
+        q = np.asarray(qv) / np.linalg.norm(qv)
+        sims = normed @ q
+        top = by_q[qid][0] if by_q.get(qid) else None
+        assert top is not None
+        rank, vec_id, cos = sorted(by_q[qid])[0]
+        assert vec_id == int(np.argmax(sims))  # planted neighbor found
+        assert abs(cos - sims[vec_id]) < 1e-12  # rerank is exact
+
+
 def test_lang_id(docs_df):
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
     assert got[0] == "en"
