@@ -32,6 +32,8 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 LSH_K, LSH_H = 3, 8
 JACCARD_K, JACCARD_TH = 2, 0.25
 FP_K, FP_W = 5, 4
+LSH_COS_PLANES, LSH_COS_BANDS, LSH_COS_SEED = 64, 4, 42
+EMB_DIM = 64  # driver testdata embeddings dim (all SFs)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,26 +224,33 @@ def q_minhash_sig(spark, sf_dir):
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
+    """Banded MinHash-LSH candidates in portable-hash mode: the minhash AND
+    the band bucket hash are md5-derived, so the full banding pipeline is
+    bit-reproduced by the DuckDB oracle."""
     from elasticsearch_analysis_combo_spark.operators.dedup import (
         minhash_lsh_candidates,
     )
 
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), k=LSH_K, num_hashes=32, bands=8
+        _docs(spark, sf_dir), k=LSH_K, num_hashes=32, bands=8, portable=True
     ).select("doc_a", "doc_b", F.col("n_bands_matched").cast("long").alias("n_bands_matched"))
 
 
 def q_near_duplicates(spark, sf_dir):
-    """Two-stage LSH -> exact-Jaccard verification (rows-only: candidate
-    generation depends on Spark's xxhash64, not reproducible in DuckDB; the
-    exact-verification semantics are oracle-checked via ngram_jaccard)."""
+    """Two-stage LSH -> exact-Jaccard verification, portable-hash mode so
+    candidate generation + verification are both oracle-reproduced."""
     from elasticsearch_analysis_combo_spark.operators.dedup import near_duplicates
 
-    out = near_duplicates(_docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_TH)
+    out = near_duplicates(
+        _docs(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_TH, portable=True
+    )
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_candidates(spark, sf_dir):
+    """SimHash banded Hamming candidates. The term hash is md5-little-endian
+    (portable by construction), so the whole fingerprint + banding is
+    reproduced bit-exactly in the DuckDB oracle."""
     from elasticsearch_analysis_combo_spark.operators.dedup import (
         simhash_near_dup_candidates,
     )
@@ -271,12 +280,17 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_cosine_candidates(spark, sf_dir):
+    """Random-hyperplane LSH candidates at the production defaults (64
+    planes, 4 bands => 16-bit buckets). The seeded plane matrix is embedded
+    as literals in the DuckDB oracle, which replays the same sign/banding
+    logic."""
     from elasticsearch_analysis_combo_spark.operators.similarity import (
         lsh_cosine_candidates,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_cosine_candidates(emb, n_planes=16, bands=4)
+    return lsh_cosine_candidates(emb, n_planes=LSH_COS_PLANES, bands=LSH_COS_BANDS,
+                                 seed=LSH_COS_SEED)
 
 
 def q_lang_id(spark, sf_dir):
@@ -320,6 +334,14 @@ def q_fingerprint(spark, sf_dir):
 
 CONJ_QUERIES = [(0, "spark query"), (1, "window merge batch"), (2, "value zzz_nope")]
 PREFIXES = [(0, "s"), (1, "qu"), (2, "zzz")]
+# (query_id, must, should, must_not)
+BOOL_QUERIES = [
+    (0, "spark query", "fast value", ""),       # must + should boost
+    (1, "window", "", "merge"),                 # must + exclusion
+    (2, "", "customer value table", "the"),     # pure should + exclusion
+    (3, "spark", "spark value", ""),            # should overlaps must
+    (4, "zzz_nope", "value", ""),               # unmatched must -> empty
+]
 
 
 def q_bm25_conjunctive(spark, sf_dir):
@@ -332,6 +354,20 @@ def q_bm25_conjunctive(spark, sf_dir):
     term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
     out = bm25_conjunctive_topk(
         spark, stats, term_df, CONJ_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_bm25_boolean(spark, sf_dir):
+    """ES bool (must/should/must_not) composition over the same stats."""
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_boolean_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_boolean_topk(
+        spark, stats, term_df, BOOL_QUERIES, _ws_config(), n_docs, avgdl,
         k=TOPK, k1=K1, b=B,
     )
     return _rerank_rounded(out)
@@ -382,6 +418,61 @@ kept AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scored s JOIN qc ON s.query_id = qc.query_id
   WHERE s.n_matched = qc.n_terms
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _boolean_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    must_rows = analyze_queries([(q[0], q[1]) for q in BOOL_QUERIES], _ws_config())
+    should_rows = analyze_queries([(q[0], q[2]) for q in BOOL_QUERIES], _ws_config())
+    not_rows = analyze_queries([(q[0], q[3]) for q in BOOL_QUERIES], _ws_config())
+    must_set = set(must_rows)
+    score_rows = [(qid, t, "must") for qid, t in must_rows] + [
+        (qid, t, "should") for qid, t in should_rows if (qid, t) not in must_set
+    ]
+    n_must = {q[0]: 0 for q in BOOL_QUERIES}
+    for qid, _ in must_rows:
+        n_must[qid] += 1
+    values = ", ".join(f"({qid}, '{t}', '{r}')" for qid, t, r in score_rows)
+    counts = ", ".join(f"({qid}, {n})" for qid, n in n_must.items())
+    not_values = ", ".join(f"({qid}, '{t}')" for qid, t in not_rows) or "(-1, '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, role) AS (VALUES {values}),
+qc(query_id, n_must) AS (VALUES {counts}),
+nq(query_id, term) AS (VALUES {not_values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score,
+         sum(CASE WHEN q.role = 'must' THEN 1 ELSE 0 END) AS n_must_matched
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+excl AS (SELECT DISTINCT nq.query_id, tf.doc_id FROM nq JOIN tf USING (term)),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qc ON s.query_id = qc.query_id
+  WHERE s.n_must_matched = qc.n_must
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)
 ),
 ranked AS (
   SELECT query_id,
@@ -602,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_boolean": q_bm25_boolean,
         "bm25_prefix": q_bm25_prefix,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -624,6 +716,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _shingle_cte(k: int) -> str:
+    """Distinct k-token shingles per doc (mirrors dedup.shingles)."""
+    return f"""sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' ')) - {k} + 1, 1)),
+             (x, i) -> array_to_string(list_slice(string_split(text,' '), i, i + {k} - 1), ' '))) AS gram
+    FROM documents
+  ) WHERE length(gram) > 0
+)"""
+
+
+def _minhash_buckets_cte(k: int, num_hashes: int, bands: int) -> str:
+    """sig + band-bucket CTEs in the portable md5 hash (mirrors
+    minhash_signatures(portable=True) + minhash_lsh_candidates banding)."""
+    rows = num_hashes // bands
+    mins = ",\n       ".join(
+        f"min(('0x' || substr(md5(gram || '#{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    parts = []
+    for bi in range(bands):
+        joined = " || ',' || ".join(
+            f"h{bi * rows + ri}::VARCHAR" for ri in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {bi} AS band, "
+            f"('0x'||substr(md5({joined}),1,15))::BIGINT AS bucket FROM sig"
+        )
+    buckets = "\nUNION ALL\n".join(parts)
+    return f"""{_shingle_cte(k)},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+{buckets}
+)"""
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_buckets_cte(LSH_K, 32, 8)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands_matched
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _near_duplicates_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_buckets_cte(JACCARD_K, 32, 8)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_TH}
+"""
+
+
+def _simhash_oracle_sql(bands: int = 4) -> str:
+    """Replays dedup.simhash bit-exactly: term hash = md5 digest bytes 0..7
+    little-endian; acc_i = sum(tf * (2*bit_i - 1)); fingerprint bit i set
+    iff acc_i > 0; band buckets are 16-bit slices (built from the acc signs
+    directly so no signed-shift ambiguity exists in SQL)."""
+    width = 64 // bands
+    byte_cols = ", ".join(
+        f"('0x'||substr(md5(t),{2 * j + 1},2))::BIGINT AS b{j}" for j in range(8)
+    )
+    accs = ",\n    ".join(
+        f"sum(tf * (2 * ((b{i // 8} >> {i % 8}) & 1) - 1)) AS a{i}"
+        for i in range(64)
+    )
+    parts = []
+    for bi in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN a{bi * width + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        parts.append(
+            f"SELECT doc_id, {bi} AS band, ({bits})::BIGINT AS bucket FROM acc"
+        )
+    buckets = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tfx AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+hx AS (SELECT doc_id, tf, {byte_cols} FROM tfx),
+acc AS (SELECT doc_id, {accs} FROM hx GROUP BY doc_id),
+buckets AS (
+{buckets}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _lsh_cosine_oracle_sql() -> str:
+    """Replays similarity.lsh_cosine_candidates: the seeded plane matrix is
+    embedded as DOUBLE[] literals (np.random.RandomState(seed) is the
+    documented, stable generator); sign bits -> per-band bucket ints ->
+    band self-join."""
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_COS_SEED)
+    planes = rng.standard_normal((LSH_COS_PLANES, EMB_DIM))
+    width = LSH_COS_PLANES // LSH_COS_BANDS
+    band_cols = []
+    for bi in range(LSH_COS_BANDS):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in planes[bi * width + r])
+            + f"]::DOUBLE[]) > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        band_cols.append(f"({bits})::BIGINT AS k{bi}")
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {bi} AS band, k{bi} AS bucket FROM sigs"
+        for bi in range(LSH_COS_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {', '.join(band_cols)} FROM embeddings
+),
+buckets AS (
+{buckets}
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
 
 
 def _bm25_oracle_sql() -> str:
@@ -702,7 +939,12 @@ GROUP BY 1
     sqls["bm25_topk_wand"] = _bm25_oracle_sql()
     sqls["phrase_match"] = _phrase_oracle_sql()
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
+    sqls["bm25_boolean"] = _boolean_oracle_sql()
     sqls["bm25_prefix"] = _prefix_oracle_sql()
+    sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
+    sqls["near_duplicates"] = _near_duplicates_oracle_sql()
+    sqls["simhash_candidates"] = _simhash_oracle_sql()
+    sqls["lsh_cosine_candidates"] = _lsh_cosine_oracle_sql()
 
     sqls["combo_analyze"] = """
 WITH toks AS (

@@ -189,6 +189,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH:
     (doc_a, doc_b, n_bands_matched).
@@ -196,22 +197,30 @@ def minhash_lsh_candidates(
     Sig of H hashes split into `bands` bands of H/bands rows; docs sharing
     any band bucket become candidates. The band join shuffles on
     (band_idx, bucket_hash) — no quadratic blowup unless true near-dups are
-    quadratic. Verify candidates with ngram_jaccard_pairs semantics."""
+    quadratic. Verify candidates with ngram_jaccard_pairs semantics.
+    ``portable`` makes BOTH the minhash and the band bucket hash md5-derived
+    and bit-reproducible in other engines (DuckDB oracle); default xxhash64
+    is the fast production path."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, portable)
+
+    def bucket_expr(bi: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col("sig").getItem(bi * rows + ri).cast("string")
+                for ri in range(rows)
+            ],
+        )
+        if portable:
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(joined)
+
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig").getItem(bi * rows + ri).cast("string")
-                            for ri in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
+                bucket_expr(bi).alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -237,6 +246,7 @@ def near_duplicates(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """The standard two-stage near-dup pipeline: MinHash-LSH candidate
     generation, then EXACT n-gram Jaccard verification restricted to the
@@ -246,7 +256,8 @@ def near_duplicates(
     blowup) and a semi-join of shingles onto candidate docs — the full
     pairwise Jaccard never materializes."""
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands,
+        portable=portable,
     ).select("doc_a", "doc_b")
     sh = shingles(df, text_col, id_col, k)
     cand_docs = (

@@ -100,10 +100,26 @@ def build_index(
     hot_df_threshold: int | None = None,
     input_fingerprint: str = "",
 ) -> InvertedIndex:
-    """Build (or resume) the full index at ``index_dir``."""
+    """Build (or resume) the full index at ``index_dir``.
+
+    ``input_fingerprint`` ties checkpoint resume to the CORPUS, not just the
+    config: left empty, a content fingerprint (row count + bit_xor of
+    xxhash64(doc_id, content)) is derived with one extra corpus scan, so
+    rebuilding into an existing index_dir with changed data re-runs the
+    stages instead of silently resuming a stale index. Callers with a cheap
+    external identity (snapshot id, table version) should pass it to skip
+    the scan."""
     os.makedirs(index_dir, exist_ok=True)
     ckpt = CheckpointManager(spark, index_dir)
     cfg = _config_dict(config)
+    if not input_fingerprint:
+        r = corpus.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                f"bit_xor(xxhash64(`{doc_id_col}`, `{content_col}`))"
+            ).alias("x"),
+        ).collect()[0]
+        input_fingerprint = f"auto:{r['n']}:{r['x']}"
     base_fp = fingerprint(cfg, input_fingerprint, k1, b, block_size,
                           salt_shards, with_positions)
 

@@ -73,6 +73,91 @@ def bm25_conjunctive_topk(
     return _rank_topk(scored, k)
 
 
+def bm25_boolean_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str, str, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``bool`` query composition: (query_id, must, should, must_not)
+    texts, any clause may be "".
+
+    Semantics (the ES user's first non-trivial query):
+      * a doc must contain ALL analyzed ``must`` terms;
+      * it must contain NONE of the ``must_not`` terms;
+      * with an empty ``must``, at least one ``should`` term must match;
+      * score = BM25 sum over matched must+should terms (each distinct
+        term contributes once; should-terms duplicating must-terms are
+        dropped rather than double-counted).
+    Pure-negative queries (only must_not) return no rows.
+
+    Plan shape: query terms are a tiny broadcast dimension against the
+    pre-aggregated (doc, term) stats; the exclusion is a left_anti join on
+    (query_id, doc_id) of the must_not matches — no full-corpus pass beyond
+    the term-filtered scans."""
+    must_rows = analyze_queries([(q[0], q[1]) for q in queries], config)
+    should_rows = analyze_queries([(q[0], q[2]) for q in queries], config)
+    not_rows = analyze_queries([(q[0], q[3]) for q in queries], config)
+    must_set = set(must_rows)
+    score_rows = [(qid, t, "must") for qid, t in must_rows] + [
+        (qid, t, "should")
+        for qid, t in should_rows
+        if (qid, t) not in must_set
+    ]
+    n_must: dict[int, int] = {q[0]: 0 for q in queries}
+    for qid, _ in must_rows:
+        n_must[qid] += 1
+
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
+    if not score_rows:
+        return empty
+    score_terms = spark.createDataFrame(
+        score_rows, "query_id int, term string, role string"
+    )
+    qcounts = spark.createDataFrame(
+        list(n_must.items()), "query_id int, n_must int"
+    )
+    tdf = term_df.join(
+        F.broadcast(score_terms.select("term").distinct()), "term"
+    ).select("term", "df")
+    scored = (
+        term_stats.join(F.broadcast(score_terms), "term")
+        .join(F.broadcast(tdf), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tscore").alias("score"),
+            F.sum(
+                F.when(F.col("role") == "must", 1).otherwise(0)
+            ).alias("n_must_matched"),
+        )
+        .join(F.broadcast(qcounts), "query_id")
+        .filter(F.col("n_must_matched") == F.col("n_must"))
+    )
+    if not_rows:
+        not_terms = spark.createDataFrame(not_rows, "query_id int, term string")
+        excl = (
+            term_stats.join(F.broadcast(not_terms), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
+    return _rank_topk(scored, k)
+
+
 def bm25_prefix_topk(
     spark: SparkSession,
     term_stats: DataFrame,

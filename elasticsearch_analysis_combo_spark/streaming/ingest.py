@@ -87,8 +87,22 @@ def compact_generations(
 ):
     """Fold every ingested generation into one compressed posting table
     (same layout/semantics as the batch build). Returns
-    (postings_df, n_docs, avgdl)."""
+    (postings_df, n_docs, avgdl).
+
+    Last-writer-wins across generations: a doc re-ingested in a later gen
+    (an updated file) REPLACES all of its earlier term rows — only the
+    max-gen rows per doc_id survive, so df/cf are never inflated by
+    superseded versions. (foreachBatch's epoch overwrite already guards
+    same-epoch replays; this guards cross-epoch updates.)"""
+    from pyspark.sql import Window
+
     stats = spark.read.parquet(f"{index_dir}/gen_stats")
+    w = Window.partitionBy("doc_id")
+    stats = (
+        stats.withColumn("_max_gen", F.max("gen").over(w))
+        .filter(F.col("gen") == F.col("_max_gen"))
+        .drop("_max_gen")
+    )
     docstats = stats.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     g = docstats.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["a"] or 0.0)
@@ -107,3 +121,58 @@ def compact_generations(
         with_positions=with_positions,
     )
     return postings, n_docs, avgdl
+
+
+def publish_compacted(
+    spark: SparkSession,
+    config: ComboConfig,
+    index_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    with_positions: bool = True,
+    hot_df_threshold: int | None = None,
+):
+    """Compact all generations and ATOMICALLY publish the result as a
+    servable index at ``index_dir`` (the same layout build_index produces:
+    postings/ + meta.json). The posting table is written to a temp dir and
+    swapped in with a rename, then meta.json is replaced — readers holding
+    the old InvertedIndex keep a consistent view, and a new
+    InvertedIndex(index_dir) serves the compacted data. Returns the fresh
+    InvertedIndex handle."""
+    import os
+    import shutil
+    import uuid
+
+    from elasticsearch_analysis_combo_spark.plans.index_build import (
+        IndexMeta,
+        InvertedIndex,
+        _config_dict,
+    )
+
+    postings, n_docs, avgdl = compact_generations(
+        spark, index_dir, k1=k1, b=b, block_size=block_size,
+        salt_shards=salt_shards, with_positions=with_positions,
+        hot_df_threshold=hot_df_threshold,
+    )
+    data_dir = os.path.join(index_dir, "postings")
+    tmp_dir = data_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+    postings.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.exists(data_dir):
+        shutil.rmtree(data_dir)
+    os.rename(tmp_dir, data_dir)
+
+    import dataclasses
+    import json
+
+    meta = IndexMeta(
+        n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+        salt_shards=salt_shards, config=_config_dict(config),
+        with_positions=with_positions,
+    )
+    meta_tmp = os.path.join(index_dir, f"meta.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(meta_tmp, "w") as f:
+        json.dump(dataclasses.asdict(meta), f, indent=1)
+    os.replace(meta_tmp, os.path.join(index_dir, "meta.json"))
+    return InvertedIndex(spark, index_dir)

@@ -1,0 +1,84 @@
+"""Boolean (must/should/must_not) and prefix query semantics against a
+hand-checkable micro-corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.query.boolean import (
+    bm25_boolean_topk,
+    bm25_prefix_topk,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+DOCS = [
+    (1, "spark query engine"),
+    (2, "spark merge engine"),
+    (3, "query window table"),
+    (4, "spark query window"),
+    (5, "unrelated content here"),
+]
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, content string")
+    s = build_term_stats(df, CFG).cache()
+    s.count()
+    return s
+
+
+def _run_bool(spark, stats, queries, k=10):
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    out = bm25_boolean_topk(
+        spark, stats, term_df, queries, CFG,
+        int(row["n"]), float(row["a"]), k=k,
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    return by_q
+
+
+def test_must_not_excludes(spark, stats):
+    by_q = _run_bool(spark, stats, [(0, "spark", "", "merge")])
+    # docs with spark: 1,2,4; doc 2 has merge -> excluded
+    assert sorted(by_q[0]) == [1, 4]
+
+
+def test_pure_should_needs_one_match(spark, stats):
+    by_q = _run_bool(spark, stats, [(0, "", "window table", "")])
+    assert sorted(by_q[0]) == [3, 4]
+
+
+def test_should_boosts_rank_not_filter(spark, stats):
+    by_q = _run_bool(spark, stats, [(0, "spark", "query", "")])
+    # all spark docs stay; those with query score higher
+    assert set(by_q[0]) == {1, 2, 4}
+    assert by_q[0][0] != 2 if by_q[0] else True
+
+
+def test_must_and_must_not_same_term_is_empty(spark, stats):
+    by_q = _run_bool(spark, stats, [(0, "spark", "", "spark")])
+    assert by_q.get(0, []) == []
+
+
+def test_pure_negative_returns_empty(spark, stats):
+    by_q = _run_bool(spark, stats, [(0, "", "", "spark")])
+    assert by_q.get(0, []) == []
+
+
+def test_prefix_empty_and_missing(spark, stats):
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_prefix_topk(spark, stats, term_df, [], 5, 3.0)
+    assert out.count() == 0
+    out2 = bm25_prefix_topk(spark, stats, term_df, [(0, "zzz")], 5, 3.0)
+    assert out2.count() == 0
+    out3 = bm25_prefix_topk(spark, stats, term_df, [(0, "sp")], 5, 3.0)
+    assert sorted(r["doc_id"] for r in out3.collect()) == [1, 2, 4]

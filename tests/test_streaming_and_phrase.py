@@ -60,6 +60,88 @@ def test_incremental_ingest_equals_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_reingested_doc_last_writer_wins(spark, tmp_path):
+    """A doc re-ingested with new content in a later generation must fully
+    replace its earlier postings (no duplicate postings, no inflated df)."""
+    drop_dir = str(tmp_path / "drop")
+    idx_dir = str(tmp_path / "idx")
+    full = ingest(generate_corpus(spark, 60)).cache()
+    schema = full.schema
+
+    full.write.mode("overwrite").parquet(f"{drop_dir}/batch1")
+    q = start_incremental_ingest(stream_corpus(spark, f"{drop_dir}/*", schema), CFG, idx_dir)
+    q.awaitTermination(120)
+
+    # update half the docs: new content, same doc_ids
+    from pyspark.sql import functions as F
+    updated = full.filter("pmod(doc_id, 2) = 0").withColumn(
+        "content", F.concat(F.lit("updated rewrite "), F.col("content"))
+    )
+    updated.write.mode("overwrite").parquet(f"{drop_dir}/batch2")
+    q2 = start_incremental_ingest(stream_corpus(spark, f"{drop_dir}/*", schema), CFG, idx_dir)
+    q2.awaitTermination(120)
+
+    postings, n_docs, avgdl = compact_generations(spark, idx_dir, salt_shards=4)
+    final = full.filter("pmod(doc_id, 2) = 1").unionByName(updated)
+    docs = [(r["doc_id"], r["content"], r["lang"])
+            for r in final.select("doc_id", "content", "lang").collect()]
+    exp_postings, _, exp_n, exp_avgdl = build_oracle_index(docs, CFG)
+    assert n_docs == exp_n                      # no doc counted twice
+    assert abs(avgdl - exp_avgdl) < 1e-9
+    got = {(r["term"], r["df"], r["cf"]) for r in postings.collect()}
+    exp = {(t, len(pl), sum(tf for tf, _ in pl.values()))
+           for t, pl in exp_postings.items()}
+    assert got == exp
+
+
+def test_publish_compacted_serves_wand(spark, tmp_path):
+    """publish_compacted atomically installs a servable index: WAND over it
+    equals WAND over a batch-built index of the same docs."""
+    from elasticsearch_analysis_combo_spark.plans.index_build import build_index
+    from elasticsearch_analysis_combo_spark.query.wand import wand_topk
+    from elasticsearch_analysis_combo_spark.streaming.ingest import publish_compacted
+
+    drop_dir = str(tmp_path / "drop")
+    inc_dir = str(tmp_path / "inc_idx")
+    batch_dir = str(tmp_path / "batch_idx")
+    corpus = ingest(generate_corpus(spark, 80)).cache()
+
+    corpus.write.mode("overwrite").parquet(f"{drop_dir}/b1")
+    q = start_incremental_ingest(
+        stream_corpus(spark, f"{drop_dir}/*", corpus.schema), CFG, inc_dir
+    )
+    q.awaitTermination(120)
+    inc_idx = publish_compacted(spark, CFG, inc_dir, salt_shards=4)
+
+    batch_idx = build_index(spark, corpus, CFG, batch_dir, salt_shards=4)
+    queries = [(0, "merge segment"), (1, "the if return"), (2, "getFooBar")]
+    a = wand_topk(spark, inc_idx, queries, CFG, k=10).collect()
+    bq = wand_topk(spark, batch_idx, queries, CFG, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, bq))
+    for ra, rb in zip(sorted(a, key=key), sorted(bq, key=key)):
+        assert abs(ra["score"] - rb["score"]) < 1e-9
+
+
+def test_changed_corpus_rebuilds_not_resumes(spark, tmp_path):
+    """build_index into an existing index_dir with DIFFERENT data must
+    rebuild (auto input fingerprint), not silently resume the stale index."""
+    from elasticsearch_analysis_combo_spark.plans.index_build import build_index
+
+    idx_dir = str(tmp_path / "idx")
+    c1 = ingest(generate_corpus(spark, 40, seed=1)).cache()
+    c2 = ingest(generate_corpus(spark, 55, seed=2)).cache()
+    i1 = build_index(spark, c1, CFG, idx_dir, salt_shards=2)
+    assert i1.meta.n_docs == 40
+    i2 = build_index(spark, c2, CFG, idx_dir, salt_shards=2)
+    assert i2.meta.n_docs == 55
+    terms2 = {r["term"] for r in i2.term_df().collect()}
+    from tests.oracle import build_oracle_index as boi
+    docs2 = [(r["doc_id"], r["content"], r["lang"])
+             for r in c2.select("doc_id", "content", "lang").collect()]
+    assert terms2 == set(boi(docs2, CFG)[0].keys())
+
+
 def test_phrase_match(spark, tmp_path):
     rows = [
         (0, "merge the segment then merge the segment again"),
