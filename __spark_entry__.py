@@ -162,6 +162,29 @@ def q_bm25_topk_wand(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+def q_bm25_topk_wand_partitioned(spark, sf_dir):
+    """Range-partitioned WAND (one task per (query, doc-hash-range), exact
+    per-range top-k merged globally) — the 100 TB path for stop-word-heavy
+    queries. Oracle: plain BM25; must be rank-identical."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.wand import wand_topk_partitioned
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    segs = build_segments(stats, avgdl=avgdl, k1=K1, b=B, block_size=128,
+                          salt_shards=4, with_positions=False)
+    postings = merge_segments(segs, avgdl=avgdl, k1=K1, b=B, block_size=128,
+                              with_positions=False)
+    out = wand_topk_partitioned(
+        spark, postings, BM25_QUERIES, _ws_config(),
+        n_docs=n_docs, avgdl=avgdl, k1=K1, b=B, k=TOPK, range_bits=3,
+    )
+    return _rerank_rounded(out)
+
+
 def q_combo_analyze(spark, sf_dir):
     """Combo [lowercase, keyword] merge with same-position dedup — the
     reference's core semantics (position merge, offset order, posInc
@@ -690,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
         "bm25_conjunctive": q_bm25_conjunctive,
@@ -937,6 +961,7 @@ GROUP BY 1
 
     sqls["bm25_topk"] = _bm25_oracle_sql()
     sqls["bm25_topk_wand"] = _bm25_oracle_sql()
+    sqls["bm25_topk_wand_partitioned"] = _bm25_oracle_sql()
     sqls["phrase_match"] = _phrase_oracle_sql()
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
     sqls["bm25_boolean"] = _boolean_oracle_sql()

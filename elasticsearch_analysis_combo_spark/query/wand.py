@@ -55,33 +55,53 @@ MAX_DOC = (1 << 63) - 1
 
 
 class _PostingCursor:
-    """Lazy block-decoding cursor over one term's posting blocks."""
+    """Lazy block-decoding cursor over one term's posting blocks.
+
+    ``doc_range=(lo, hi_incl)`` restricts the cursor to docs inside the
+    closed interval — used by the range-partitioned evaluator, where a
+    boundary block is shipped to both adjacent ranges and each task must
+    emit its own range's docs exactly once. Trimming happens at decode
+    time; block headers stay untouched, so header-based bounds remain
+    (sound) over-estimates."""
 
     __slots__ = ("term", "idf", "blocks", "ub", "avgdl", "k1", "b",
-                 "bi", "i", "docs", "impacts", "cur")
+                 "bi", "i", "docs", "impacts", "cur", "lo", "hi")
 
     def __init__(self, term: str, idf: float, blocks: list,
-                 avgdl: float, k1: float, b: float):
+                 avgdl: float, k1: float, b: float,
+                 doc_range: tuple[int, int] | None = None):
         self.term = term
         self.idf = idf
         self.blocks = blocks
         self.avgdl, self.k1, self.b = avgdl, k1, b
+        self.lo, self.hi = doc_range if doc_range else (MIN_DOC, MAX_DOC)
         self.ub = idf * max(bl["max_impact"] for bl in blocks)
         self.bi = -1
         self._load_block(0)
 
     def _load_block(self, bi: int) -> None:
-        if bi >= len(self.blocks):
-            self.docs = None
-            self.cur = MAX_DOC
-            return
-        bl = self.blocks[bi]
-        d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
-        self.bi = bi
-        self.i = 0
-        self.docs = d
-        self.impacts = self.idf * bm25_impact(t, l, self.avgdl, self.k1, self.b)
-        self.cur = int(d[0])
+        # skips blocks left empty by range trimming (at most the first and
+        # last block of a range's list overlap the boundary)
+        while bi < len(self.blocks):
+            bl = self.blocks[bi]
+            d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
+            if self.lo > int(d[0]) or self.hi < int(d[-1]):
+                s = int(np.searchsorted(d, self.lo, side="left"))
+                e = int(np.searchsorted(d, self.hi, side="right"))
+                d, t, l = d[s:e], t[s:e], l[s:e]
+            if d.size:
+                self.bi = bi
+                self.i = 0
+                self.docs = d
+                self.impacts = self.idf * bm25_impact(
+                    t, l, self.avgdl, self.k1, self.b
+                )
+                self.cur = int(d[0])
+                return
+            bi += 1
+        self.bi = len(self.blocks)
+        self.docs = None
+        self.cur = MAX_DOC
 
     def block_max(self) -> float:
         return self.idf * self.blocks[self.bi]["max_impact"]
@@ -116,20 +136,19 @@ class _PostingCursor:
 
     def seek(self, target: int) -> None:
         """First posting with doc >= target (block skip + in-block bisect);
-        skipped blocks are never decoded."""
-        if self.cur >= target:
-            return
-        bi = self.bi
-        while bi < len(self.blocks) and int(self.blocks[bi]["last_doc"]) < target:
-            bi += 1
-        if bi >= len(self.blocks):
-            self.docs = None
-            self.cur = MAX_DOC
-            return
-        if bi != self.bi:
+        skipped blocks are never decoded. Loops because a range-trimmed
+        block's decoded docs can end before its header's last_doc."""
+        while self.cur < target:
+            if self.docs is not None and int(self.docs[-1]) >= target:
+                self.i = int(np.searchsorted(self.docs, target, side="left"))
+                self.cur = int(self.docs[self.i])
+                return
+            bi = self.bi + 1
+            while bi < len(self.blocks) and int(self.blocks[bi]["last_doc"]) < target:
+                bi += 1
             self._load_block(bi)
-        self.i = int(np.searchsorted(self.docs, target, side="left"))
-        self.cur = int(self.docs[self.i])
+            if self.docs is None:
+                return
 
 
 def wand_topk_single(
@@ -138,14 +157,17 @@ def wand_topk_single(
     avgdl: float,
     k1: float,
     b: float,
+    doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND for one query.
 
     postings_by_term: term -> (idf, blocks). Returns [(doc_id, score)]
-    sorted by (score desc, doc_id asc), length <= k.
-    """
+    sorted by (score desc, doc_id asc), length <= k. ``doc_range``
+    restricts evaluation to docs in the closed interval (range-partitioned
+    evaluation: per-range results are exact, so the global top-k is the
+    top-k of the per-range unions)."""
     cursors = [
-        _PostingCursor(term, idf, blocks, avgdl, k1, b)
+        _PostingCursor(term, idf, blocks, avgdl, k1, b, doc_range)
         for term, (idf, blocks) in sorted(postings_by_term.items())
         if blocks
     ]
@@ -297,3 +319,91 @@ def wand_topk_from_postings(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
+
+
+def wand_topk_partitioned(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    range_bits: int = 4,
+) -> DataFrame:
+    """Range-partitioned block-max WAND: one task per (query, doc-range).
+
+    The single-task-per-query evaluator concentrates a stop-word query's
+    whole posting volume in one Python worker; here the doc-id space (docIDs
+    are xxhash64 — uniform over int64) is split into 2^range_bits equal
+    ranges, each task runs exact WAND restricted to its range, and the
+    global top-k is a window over the per-range top-ks (exact: every global
+    winner is a local winner in its own range).
+
+    Shipping is block-granular: each compressed block goes to exactly the
+    ranges its [first_doc, last_doc] span overlaps — hot terms' blocks are
+    narrow (~1 range each, so the volume splits ~evenly), while a rare
+    term's single wide block replicates to all ranges (tiny, bounded cost).
+    Boundary blocks are decoded in both neighbors and trimmed by the
+    cursor's doc_range, so each doc is scored exactly once."""
+    n_ranges = 1 << range_bits
+    shift = 64 - range_bits
+    qrows = analyze_queries(queries, config)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qrows})
+    plists = postings.filter(F.col("term").isin(all_terms))
+
+    def rid(col: str):
+        # signed doc -> unsigned order via sign-bit flip, top bits = range
+        return F.shiftrightunsigned(
+            F.col(col).bitwiseXOR(F.lit(MIN_DOC)), shift
+        ).cast("int")
+
+    bx = (
+        plists.select("term", "df", F.explode("blocks").alias("block"))
+        .withColumn("rs", rid("block.first_doc"))
+        .withColumn("re", rid("block.last_doc"))
+        .select(
+            "term", "df", "block",
+            F.explode(F.sequence("rs", "re")).alias("range_id"),
+        )
+    )
+    joined = bx.join(F.broadcast(qterms), "term")
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        range_id = int(pdf["range_id"].iloc[0])
+        lo = (range_id << shift) - (1 << 63)
+        hi_incl = lo + (1 << shift) - 1
+        by_term_rows: dict[str, list] = {}
+        for term, df_t, block in zip(pdf["term"], pdf["df"], pdf["block"]):
+            by_term_rows.setdefault(term, []).append((float(df_t), block))
+        by_term = {}
+        for term, rows in by_term_rows.items():
+            df_t = rows[0][0]
+            blocks = sorted((bl for _, bl in rows), key=lambda b_: b_["first_doc"])
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            by_term[term] = (idf, blocks)
+        top = wand_topk_single(by_term, k, avgdl, k1, b, doc_range=(lo, hi_incl))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(top), qid, dtype="int32"),
+                "rank": np.arange(1, len(top) + 1, dtype="int32"),
+                "doc_id": np.array([d for d, _ in top], dtype="int64"),
+                "score": np.array([s for _, s in top], dtype="float64"),
+            }
+        )
+
+    local = joined.groupBy("query_id", "range_id").applyInPandas(
+        run_range, TOPK_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -111,6 +111,49 @@ def test_wand_over_chunked_rows_matches_exhaustive(spark, seed):
             assert abs(s1 - s2) < 1e-9
 
 
+@pytest.mark.parametrize("seed,range_bits", [(0, 2), (1, 3), (2, 1)])
+def test_partitioned_wand_matches_exhaustive(spark, seed, range_bits):
+    """Range-partitioned WAND (one task per (query, doc-range), boundary
+    blocks trimmed by the cursor) is rank- and score-identical to the
+    exhaustive oracle, including over chunked posting rows."""
+    from elasticsearch_analysis_combo_spark.query.wand import wand_topk_partitioned
+
+    rng = random.Random(100 + seed)
+    docs = _make_docs(rng, 100)
+    stats = _stats(spark, docs).cache()
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+    postings = build_postings(
+        stats, avgdl=avgdl, hot_terms=None, k1=K1, b=B,
+        block_size=4, salt_shards=2, with_positions=False,
+        max_blocks_per_row=2,
+    )
+    queries = [
+        (0, "the if return"),
+        (1, "merge rare1"),
+        (2, "the merge index token cache"),
+        (3, "zzz_missing the"),
+        (4, "rare2 rare3"),
+    ]
+    got = wand_topk_partitioned(
+        spark, postings, queries, CFG, n_docs=n_docs, avgdl=avgdl,
+        k1=K1, b=B, k=10, range_bits=range_bits,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    docs3 = [(d, t, None) for d, t in docs]
+    for qid, qtext in queries:
+        exp = oracle_topk(docs3, CFG, qtext, k=10)
+        have = sorted(by_q.get(qid, []))
+        assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in exp], qtext
+        for (_, _, s1), (_, _, s2) in zip(have, exp):
+            assert abs(s1 - s2) < 1e-9
+
+
 def test_phrase_over_chunked_rows_matches_unchunked(spark):
     rng = random.Random(7)
     docs = _make_docs(rng, 80)
