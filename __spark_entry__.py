@@ -316,6 +316,56 @@ def q_lsh_cosine_candidates(spark, sf_dir):
                                  seed=LSH_COS_SEED)
 
 
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate nearest neighbors: LSH bucket probe + exact cosine
+    rerank. The oracle replays the same plane signatures, candidate
+    restriction, and rerank in SQL, so the approximation itself is
+    value-checked, not just row-counted."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = lsh_cosine_topk(emb, queries, k=TOPK, n_planes=LSH_COS_PLANES,
+                          bands=LSH_COS_BANDS, seed=LSH_COS_SEED)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+MEDIA_N = 300
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic synthetic media table
+    (binary payloads + typed metadata), kind filter pushes down before any
+    work, video frame sampling emits one bounded row per sampled timestamp.
+    Frame bytes are returned as lowercase hex so the DuckDB oracle can
+    replay the byte-slice arithmetic on hex strings."""
+    from elasticsearch_analysis_combo_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, MEDIA_N)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from elasticsearch_analysis_combo_spark.operators.text_quality import lang_id
 
@@ -727,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_candidates": q_lsh_cosine_candidates,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_frames": q_multimodal_frames,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -887,6 +939,82 @@ FROM buckets a JOIN buckets b
 """
 
 
+def _lsh_ann_topk_oracle_sql() -> str:
+    """lsh_cosine_topk replay: same plane signatures (literal matrix), same
+    band-bucket candidate restriction, exact cosine rerank."""
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_COS_SEED)
+    planes = rng.standard_normal((LSH_COS_PLANES, EMB_DIM))
+    width = LSH_COS_PLANES // LSH_COS_BANDS
+    band_cols = []
+    for bi in range(LSH_COS_BANDS):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in planes[bi * width + r])
+            + f"]::DOUBLE[]) > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        band_cols.append(f"({bits})::BIGINT AS k{bi}")
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {bi} AS band, k{bi} AS bucket FROM sigs"
+        for bi in range(LSH_COS_BANDS)
+    )
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {', '.join(band_cols)} FROM embeddings
+),
+buckets AS (
+{buckets}
+),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM buckets
+       WHERE vec_id IN ({ann_ids})),
+cand AS (
+  SELECT DISTINCT qb.query_id, b.vec_id
+  FROM qb JOIN buckets b ON qb.band = b.band AND qb.bucket = b.bucket
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id IN ({ann_ids})),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qv.v, e.embedding::DOUBLE[]) AS cosine
+  FROM cand c JOIN qv ON qv.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _multimodal_frames_oracle_sql() -> str:
+    """sample_frames replay on hex strings: payload = sha256('42/i') x 8
+    (256 bytes => 512 hex chars); video rows are kinds[i%3]==2 with
+    duration 1000+(i%30)*500; frame offset (ms*7) % (256-16)."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         1000 + (i % 30) * 500 AS duration_ms,
+         repeat(sha256('42/' || i), 8) AS ph
+  FROM (SELECT unnest(range(0, {MEDIA_N})) AS i)
+  WHERE i % 3 = 2
+),
+fr AS (
+  SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ms, ph FROM m
+)
+SELECT media_id,
+       (frame_ms // 1000)::BIGINT AS frame_idx,
+       frame_ms::BIGINT AS frame_ms,
+       substring(ph, 2 * ((frame_ms * 7) % 240) + 1, 32) AS frame_hex
+FROM fr
+"""
+
+
 def _bm25_oracle_sql() -> str:
     from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
 
@@ -970,6 +1098,8 @@ GROUP BY 1
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()
     sqls["simhash_candidates"] = _simhash_oracle_sql()
     sqls["lsh_cosine_candidates"] = _lsh_cosine_oracle_sql()
+    sqls["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()
+    sqls["multimodal_frames"] = _multimodal_frames_oracle_sql()
 
     sqls["combo_analyze"] = """
 WITH toks AS (

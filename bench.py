@@ -166,6 +166,19 @@ def main() -> None:
         wand_times.append(time.time() - t0)
     timings["wand_topk"] = statistics.median(wand_times)
 
+    # range-partitioned WAND (the hot-term fan-out path)
+    from elasticsearch_analysis_combo_spark.query.wand import wand_topk_partitioned
+
+    part_times = []
+    for _ in range(3):
+        t0 = time.time()
+        wand_topk_partitioned(
+            spark, postings, queries, CFG, n_docs=n_idx, avgdl=avgdl, k=10,
+            range_bits=3,
+        ).collect()
+        part_times.append(time.time() - t0)
+    timings["wand_partitioned"] = statistics.median(part_times)
+
     term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
     t0 = time.time()
     bm25_exhaustive_topk(
