@@ -342,6 +342,33 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+IVF_CELLS, IVF_PROBE = 32, 8
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-style ANN: hash-sampled centroids (md5 order — replayed by the
+    oracle), nearest-cell assignment, n_probe cell probing, exact rerank."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = ivf_cosine_topk(emb, queries, k=TOPK, n_cells=IVF_CELLS,
+                          n_probe=IVF_PROBE, seed=LSH_COS_SEED)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 MEDIA_N = 300
 
 
@@ -778,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_candidates": q_lsh_cosine_candidates,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_frames": q_multimodal_frames,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -992,6 +1020,55 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _ivf_ann_topk_oracle_sql() -> str:
+    """ivf_cosine_topk replay: same md5-ordered centroid set, nearest-cell
+    assignment (ties -> lowest cell, matching np.argmax), same probe list
+    (stable argsort == cosine DESC, cell ASC), exact rerank."""
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH ranked_c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (
+           ORDER BY ('0x'||substr(md5(vec_id::VARCHAR || '#{LSH_COS_SEED}'),1,15))::BIGINT,
+                    vec_id) AS rn
+  FROM embeddings
+),
+cent AS (SELECT rn - 1 AS cell, v FROM ranked_c WHERE rn <= {IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.v) DESC, c.cell) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id IN ({ann_ids})),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.cell) AS r
+    FROM qv q CROSS JOIN cent c
+  ) WHERE r <= {IVF_PROBE}
+),
+cand AS (SELECT p.query_id, a.vec_id FROM probe p JOIN assign a USING (cell)),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qv.v, e.embedding::DOUBLE[]) AS cosine
+  FROM cand c JOIN qv USING (query_id)
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _multimodal_frames_oracle_sql() -> str:
     """sample_frames replay on hex strings: payload = sha256('42/i') x 8
     (256 bytes => 512 hex chars); video rows are kinds[i%3]==2 with
@@ -1099,6 +1176,7 @@ GROUP BY 1
     sqls["simhash_candidates"] = _simhash_oracle_sql()
     sqls["lsh_cosine_candidates"] = _lsh_cosine_oracle_sql()
     sqls["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()
+    sqls["ivf_ann_topk"] = _ivf_ann_topk_oracle_sql()
     sqls["multimodal_frames"] = _multimodal_frames_oracle_sql()
 
     sqls["combo_analyze"] = """

@@ -101,13 +101,31 @@ class ComboSearchEngine:
         k: int = 10,
         fetch_from: DataFrame | None = None,
         fetch_cols: list[str] | None = None,
+        partitioned: bool = False,
+        range_bits: int = 4,
     ) -> DataFrame:
         """BM25 WAND top-k. ``fetch_from`` joins the hits back to a stored
         corpus DataFrame (by doc_id) to return source fields alongside rank
         and score — the hit list is tiny, so the join broadcasts it and the
-        corpus scan prunes to the selected columns."""
+        corpus scan prunes to the selected columns. ``partitioned=True``
+        uses the range-partitioned evaluator (one task per (query,
+        doc-range)) — same exact results, the right shape for stop-word
+        queries over very large indexes."""
         queries = [(0, query)] if isinstance(query, str) else query
-        hits = wand_topk(self.spark, self.idx, queries, self._query_config(), k=k)
+        cfg = self._query_config()
+        if partitioned:
+            from elasticsearch_analysis_combo_spark.query.wand import (
+                wand_topk_partitioned,
+            )
+
+            meta = self.idx.meta
+            hits = wand_topk_partitioned(
+                self.spark, self.idx.postings(), queries, cfg,
+                n_docs=meta.n_docs, avgdl=meta.avgdl, k1=meta.k1, b=meta.b,
+                k=k, range_bits=range_bits,
+            )
+        else:
+            hits = wand_topk(self.spark, self.idx, queries, cfg, k=k)
         if fetch_from is None:
             return hits
         from pyspark.sql import functions as F
@@ -117,6 +135,27 @@ class ComboSearchEngine:
         return (
             src.join(F.broadcast(hits), "doc_id")
             .select("query_id", "rank", "doc_id", "score", *cols)
+        )
+
+    def search_boolean(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``bool`` query over the built index: must filters, should
+        boosts, must_not excludes (see query/boolean.py for semantics)."""
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_boolean_topk,
+        )
+
+        idx = self.idx
+        return bm25_boolean_topk(
+            self.spark, idx.term_stats(), idx.term_df(),
+            [(0, must, should, must_not)], self._query_config(),
+            idx.meta.n_docs, idx.meta.avgdl, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
         )
 
     def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:

@@ -191,7 +191,12 @@ def lsh_cosine_topk(
     cand_emb = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
     ).join(cand, "vec_id")
+    return _topk_window(_exact_rerank(cand_emb, qids, qnorm), k)
 
+
+def _exact_rerank(cand_emb: DataFrame, qids: np.ndarray, qnorm: np.ndarray) -> DataFrame:
+    """Exact cosine over candidate rows (query_id, vec_id, _vec): one
+    vectorized pass, each row scored against its own query's unit vector."""
     qpos = {int(q): i for i, q in enumerate(qids)}
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,8 +215,90 @@ def lsh_cosine_topk(
                 }
             )
 
-    scored = cand_emb.mapInPandas(score, schema=SIM_SCHEMA)
-    return _topk_window(scored, k)
+    return cand_emb.mapInPandas(score, schema=SIM_SCHEMA)
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate cosine top-k (the inverted-file ANN scale
+    path, complementing the LSH one):
+
+      1. centroids = n_cells corpus vectors picked by deterministic hash
+         order (cheap, seedable; a k-means refinement can slot in without
+         changing the plan shape);
+      2. one corpus pass assigns every vector to its nearest-centroid cell
+         (GEMM against the broadcast centroid matrix);
+      3. each query probes its ``n_probe`` nearest cells; only vectors in
+         probed cells are scored — exactly, via the shared reranker.
+
+    At 10^9+ vectors the assignment is the only full pass; queries touch
+    ~n_probe/n_cells of the corpus. Recall rises with n_probe (n_probe =
+    n_cells degrades gracefully to brute force)."""
+    # md5-derived hash order: deterministic, seedable, and replayable in
+    # other engines (the DuckDB oracle re-derives the same centroid set);
+    # orderBy+limit compiles to TakeOrderedAndProject (no full sort)
+    cent_key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("vec_id").cast("string"), F.lit(str(seed)))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    cents = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .orderBy(cent_key, F.col("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in cents])
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = np.argmax((mat / norms) @ cnorm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells}
+            )
+
+    cells = src.mapInPandas(assign, schema=assign_schema)
+    # driver-side probe list: Q x n_probe (tiny)
+    qsims = qnorm @ cnorm.T
+    probe_rows = [
+        (int(qid), int(c))
+        for qi, qid in enumerate(qids)
+        for c in np.argsort(-qsims[qi], kind="stable")[:n_probe]
+    ]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id")
+    )
+    cand_emb = src.join(cand, "vec_id")
+    return _topk_window(_exact_rerank(cand_emb, qids, qnorm), k)
 
 
 def lsh_cosine_candidates(

@@ -40,12 +40,10 @@ def test_queries_have_oracles_or_are_declared():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-less query is one of the known non-SQL-expressible ops
+    # round 2: every gate query is value-oracled (portable md5 hashing /
+    # literal plane matrices made the LSH/simhash pipelines SQL-replayable)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "minhash_lsh_candidates", "simhash_candidates", "lsh_cosine_candidates",
-        "near_duplicates",
-    }
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

@@ -175,6 +175,37 @@ def test_lsh_cosine_topk_matches_brute_force_on_neighbors(spark):
         assert abs(cos - sims[vec_id]) < 1e-12  # rerank is exact
 
 
+def test_ivf_cosine_topk_recall_and_exactness(spark):
+    """IVF probe: planted near-duplicates land in their base's cell, so the
+    top hit matches brute force; reranked cosines are exact; probing all
+    cells degrades to brute force exactly."""
+    rng = np.random.RandomState(21)
+    n, d = 200, 24
+    base = rng.standard_normal((n, d))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(0, (base[11] + 0.01 * rng.standard_normal(d)).tolist()),
+               (1, (base[77] + 0.01 * rng.standard_normal(d)).tolist())]
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+
+    got = similarity.ivf_cosine_topk(emb, queries, k=3, n_cells=16, n_probe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qv in queries:
+        q = np.asarray(qv) / np.linalg.norm(qv)
+        sims = normed @ q
+        rank, vec_id, cos = sorted(by_q[qid])[0]
+        assert vec_id == int(np.argmax(sims))
+        assert abs(cos - sims[vec_id]) < 1e-12
+
+    # n_probe == n_cells -> exactly brute force
+    full = similarity.ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=8)
+    bf = similarity.brute_force_cosine_topk(emb, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, bf.collect()))
+
+
 def test_lang_id(docs_df):
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
     assert got[0] == "en"
