@@ -434,6 +434,9 @@ def q_fingerprint(spark, sf_dir):
 
 CONJ_QUERIES = [(0, "spark query"), (1, "window merge batch"), (2, "value zzz_nope")]
 PREFIXES = [(0, "s"), (1, "qu"), (2, "zzz")]
+WILDCARDS = [(0, "val*"), (1, "*ue"), (2, "qu?ry"), (3, "*zzz*")]
+FUZZY = [(0, "valud"), (1, "spork"), (2, "zzzzzzz")]
+
 # (query_id, must, should, must_not)
 BOOL_QUERIES = [
     (0, "spark query", "fast value", ""),       # must + should boost
@@ -483,6 +486,95 @@ def q_bm25_prefix(spark, sf_dir):
         spark, stats, term_df, PREFIXES, n_docs, avgdl, k=TOPK, k1=K1, b=B,
     )
     return _rerank_rounded(out)
+
+
+def q_bm25_wildcard(spark, sf_dir):
+    """Wildcard (*/?) expansion over the term dictionary."""
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_wildcard_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_wildcard_topk(
+        spark, stats, term_df, WILDCARDS, n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """Fuzzy (Levenshtein <= 1) expansion over the term dictionary."""
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_fuzzy_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_fuzzy_topk(
+        spark, stats, term_df, FUZZY, n_docs, avgdl, max_edits=1,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _expansion_oracle_sql(case_sql: str) -> str:
+    """Shared BM25-over-expansion oracle; ``case_sql`` yields
+    (query_id, term, df) rows from the dfx CTE."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS ({case_sql}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - q.df + 0.5) / (q.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _wildcard_oracle_sql() -> str:
+    import re as _re
+
+    def to_regex(p: str) -> str:
+        out = []
+        for ch in p:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(_re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+    cases = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfx "
+        f"WHERE regexp_matches(term, '{to_regex(p)}')"
+        for qid, p in WILDCARDS
+    )
+    return _expansion_oracle_sql(cases)
+
+
+def _fuzzy_oracle_sql() -> str:
+    cases = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfx "
+        f"WHERE levenshtein(term, '{t}') <= 1"
+        for qid, t in FUZZY
+    )
+    return _expansion_oracle_sql(cases)
 
 
 def _conjunctive_oracle_sql() -> str:
@@ -796,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
         "bm25_prefix": q_bm25_prefix,
+        "bm25_wildcard": q_bm25_wildcard,
+        "bm25_fuzzy": q_bm25_fuzzy,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
@@ -1171,6 +1265,8 @@ GROUP BY 1
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
     sqls["bm25_boolean"] = _boolean_oracle_sql()
     sqls["bm25_prefix"] = _prefix_oracle_sql()
+    sqls["bm25_wildcard"] = _wildcard_oracle_sql()
+    sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()
     sqls["simhash_candidates"] = _simhash_oracle_sql()

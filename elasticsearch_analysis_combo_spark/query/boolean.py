@@ -188,6 +188,13 @@ def bm25_prefix_topk(
             .select(F.lit(qid).alias("query_id"), "term", "df")
         )
         expansions = part if expansions is None else expansions.unionByName(part)
+    return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
+
+
+def _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b):
+    """Score docs as the BM25 sum over an expansion table
+    (query_id, term, df). Expansion size is vocabulary-bounded; the join
+    strategy is left to AQE (broadcast when small)."""
     scored = (
         term_stats.join(expansions, "term")
         .withColumn(
@@ -200,3 +207,87 @@ def bm25_prefix_topk(
         .agg(F.sum("tscore").alias("score"))
     )
     return _rank_topk(scored, k)
+
+
+def bm25_wildcard_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    patterns: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES wildcard query: ``*`` matches any run of characters, ``?`` one
+    character; each pattern expands to the matching vocabulary terms and
+    docs rank by the BM25 sum over the expansion.
+
+    The expansion is a filter over the term DICTIONARY (one row per term) —
+    tiny next to the posting data even at 10^9-term vocabularies; leading
+    wildcards scan the dictionary column (as every search engine's do)
+    while anchored patterns keep parquet min/max pruning."""
+    import re as _re
+
+    if not patterns:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+
+    def to_regex(p: str) -> str:
+        out = []
+        for ch in p:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(_re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+    expansions = None
+    for qid, pat in patterns:
+        part = (
+            term_df.filter(F.col("term").rlike(to_regex(pat)))
+            .select(F.lit(qid).alias("query_id"), "term", "df")
+        )
+        expansions = part if expansions is None else expansions.unionByName(part)
+    return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
+
+
+def bm25_fuzzy_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    max_edits: int = 1,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES fuzzy query: a term expands to every vocabulary term within
+    ``max_edits`` Levenshtein edits (JVM-side levenshtein over the term
+    dictionary; production engines use FST automata — the dictionary scan
+    is the Spark-native equivalent and is vocabulary-, not posting-,
+    sized). Docs rank by the BM25 sum over the expansion."""
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    expansions = None
+    for qid, term in queries:
+        part = (
+            term_df
+            # cheap pre-filter: edit distance >= length difference
+            .filter(
+                (F.length("term") >= len(term) - max_edits)
+                & (F.length("term") <= len(term) + max_edits)
+            )
+            .filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+            .select(F.lit(qid).alias("query_id"), "term", "df")
+        )
+        expansions = part if expansions is None else expansions.unionByName(part)
+    return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
