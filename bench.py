@@ -135,12 +135,18 @@ def main() -> None:
             return int(g["n"]), float(g["a"])
 
         def _hot():
+            # mirror build_index's default salting threshold (df >=
+            # n_docs/10): salting exists for terms whose posting list
+            # overwhelms ONE task — a lower cutoff routes ordinary terms
+            # through the two-phase encode+merge (decode + re-encode) for
+            # no benefit (measured: most of the build wall at 50k docs)
             frac = 0.05
+            thresh = max(4 * 128, n_docs // 10)
             return [
                 r["term"]
                 for r in stats.sample(frac, seed=42)
                 .groupBy("term").agg(F.count("*").alias("df"))
-                .filter(F.col("df") >= max(8, int(512 * frac)))
+                .filter(F.col("df") >= max(4, int(thresh * frac)))
                 .collect()
             ]
 

@@ -28,11 +28,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """Encode a uint64 array as a concatenated LEB128-style varint stream."""
+def varint_encode_with_sizes(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array as a LEB128-style varint stream; also returns
+    the per-value byte counts so callers can slice the stream into
+    independently-decodable ranges (the batched whole-vocabulary encoder
+    relies on this)."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(vals.shape, dtype=np.int64)
     tmp = vals.copy()
@@ -51,7 +54,12 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = (vals[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
         more = nbytes[mask] > (i + 1)
         out[offsets[mask] + i] = byte.astype(np.uint8) | (more.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Encode a uint64 array as a concatenated LEB128-style varint stream."""
+    return varint_encode_with_sizes(vals)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -53,13 +53,20 @@ def grouped_map_sorted(
     schema: T.StructType,
     num_partitions: int | None = None,
     out_batch_rows: int = 1024,
+    batched: bool = False,
 ) -> DataFrame:
     """Apply ``fn(column_arrays, start, end) -> row tuple(s)`` to every
     (group_keys) group, rows inside each group sorted by sort_keys.
 
     Semantically groupBy(group_keys).applyInPandas with per-group sorted
     input, but one shuffle + one streaming pass instead of per-group UDF
-    dispatch."""
+    dispatch.
+
+    ``batched=True`` switches the contract to
+    ``fn(column_arrays, starts, ends) -> list of rows`` called ONCE per
+    chunk with ALL group boundaries — for encoders that vectorize across
+    groups (per-group Python dispatch at vocabulary scale costs ~1ms/group
+    even with numpy bodies; a whole-chunk encoder amortizes it away)."""
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartition(npart, *group_keys).sortWithinPartitions(
         *(group_keys + sort_keys)
@@ -82,6 +89,13 @@ def grouped_map_sorted(
             cols = {c: chunk[c].to_numpy() for c in chunk.columns}
             starts = _bounds(cols, group_keys, n)
             ends = np.append(starts[1:], n)
+            if batched:
+                r = fn(cols, starts, ends)
+                if r:
+                    rows.extend(r)
+                if len(rows) >= out_batch_rows:
+                    yield from flush()
+                return
             for s, e in zip(starts, ends):
                 r = fn(cols, int(s), int(e))
                 if r is None:

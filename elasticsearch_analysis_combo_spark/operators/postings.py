@@ -38,8 +38,10 @@ from elasticsearch_analysis_combo_spark.operators.codec import (
     bm25_impact,
     decode_block,
     decode_positions_flat,
+    delta_encode_segmented,
     encode_block,
     gather_segments,
+    varint_encode_with_sizes,
 )
 from elasticsearch_analysis_combo_spark.operators.grouped import grouped_map_sorted
 
@@ -141,6 +143,110 @@ def _encode_blocks(
     return blocks
 
 
+def encode_posting_rows_batched(
+    cols: dict,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    max_blocks_per_row: int,
+    with_positions: bool,
+) -> list[tuple]:
+    """Encode ALL of a chunk's term groups in one vectorized pass —
+    bit-identical to the per-term `_encode_blocks` path, but the delta,
+    impact, and varint work runs over the whole chunk at once and per-value
+    byte counts slice the single output buffer into per-block ranges.
+
+    Per-term Python dispatch costs ~1ms/group even with numpy bodies (the
+    dominant cost of the cold posting build at vocabulary scale, measured);
+    this amortizes it to a few dict constructions per block."""
+    n = int(cols["doc_id"].size)
+    if n == 0:
+        return []
+    doc_ids = cols["doc_id"].astype(np.int64, copy=False)
+    tfs = cols["tf"].astype(np.int64, copy=False)
+    dls = cols["dl"].astype(np.int64, copy=False)
+    G = int(starts.size)
+    group_lens = ends - starts
+    gid = np.repeat(np.arange(G), group_lens)
+    idx_in_group = np.arange(n) - starts[gid]
+    # block boundaries: every block_size-th row within a group (group starts
+    # always begin a block, so blocks never span groups)
+    block_start_mask = (idx_in_group % block_size) == 0
+    block_start_rows = np.nonzero(block_start_mask)[0]
+    block_end_rows = np.append(block_start_rows[1:], n)
+    block_lens_arr = block_end_rows - block_start_rows
+
+    # doc-gap deltas with per-block reset; the MIN_DOC sentinel biases to 0,
+    # so a block-start gap is just the biased docID (same as encode_block)
+    u = doc_ids.astype(np.uint64) ^ np.uint64(1 << 63)
+    gaps = u.copy()
+    gaps[1:] -= u[:-1]
+    gaps[block_start_rows] = u[block_start_rows]
+    triples = np.empty(3 * n, dtype=np.uint64)
+    triples[0::3] = gaps
+    triples[1::3] = tfs.astype(np.uint64)
+    triples[2::3] = dls.astype(np.uint64)
+    buf, nbytes = varint_encode_with_sizes(triples)
+    byte_off = np.concatenate([[0], np.cumsum(nbytes)])
+    data_starts = byte_off[3 * block_start_rows].tolist()
+    data_ends = byte_off[3 * block_end_rows].tolist()
+
+    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    blk_max = np.maximum.reduceat(impacts, block_start_rows).tolist()
+    first_docs = doc_ids[block_start_rows].tolist()
+    last_docs = doc_ids[block_end_rows - 1].tolist()
+    block_lens = block_lens_arr.tolist()
+
+    if with_positions:
+        pos_flat = np.concatenate(list(cols["positions"])).astype(np.uint64)
+        tf_cum = np.concatenate([[0], np.cumsum(tfs)])
+        # every posting row is a delta segment (absolute at each doc start)
+        deltas = delta_encode_segmented(pos_flat, tf_cum[:-1])
+        pbuf, pnbytes = varint_encode_with_sizes(deltas)
+        pbyte_off = np.concatenate([[0], np.cumsum(pnbytes)])
+        pos_starts = pbyte_off[tf_cum[block_start_rows]].tolist()
+        pos_ends = pbyte_off[tf_cum[block_end_rows]].tolist()
+
+    # group -> contiguous block id range
+    block_gid = gid[block_start_rows]
+    gb_start = np.searchsorted(block_gid, np.arange(G), side="left").tolist()
+    gb_end = np.searchsorted(block_gid, np.arange(G), side="right").tolist()
+    cf = np.add.reduceat(tfs, starts).tolist()
+    df = group_lens.tolist()
+    terms = cols["term"]
+    starts_l = starts.tolist()
+
+    out: list[tuple] = []
+    for g in range(G):
+        blocks_all = []
+        for bi in range(gb_start[g], gb_end[g]):
+            blocks_all.append(
+                {
+                    "first_doc": first_docs[bi],
+                    "last_doc": last_docs[bi],
+                    "n": block_lens[bi],
+                    "max_impact": blk_max[bi],
+                    "data": buf[data_starts[bi]:data_ends[bi]],
+                    "pos_data": (
+                        pbuf[pos_starts[bi]:pos_ends[bi]]
+                        if with_positions else b""
+                    ),
+                }
+            )
+        term = terms[starts_l[g]]
+        df_t, cf_t = df[g], cf[g]
+        for ri, off in enumerate(range(0, len(blocks_all), max_blocks_per_row)):
+            chunk = blocks_all[off:off + max_blocks_per_row]
+            out.append(
+                (term, ri, df_t, cf_t,
+                 max(bl["max_impact"] for bl in chunk), chunk)
+            )
+    return out
+
+
 def salt_term_stats(
     term_stats: DataFrame,
     hot_terms: DataFrame | None,
@@ -184,6 +290,24 @@ def build_segments(
     blocks; df/cf on segment rows are run-local counts.
     """
     salted = salt_term_stats(term_stats, hot_terms, salt_shards)
+    return _encode_segments(
+        salted, avgdl, k1=k1, b=b, block_size=block_size,
+        with_positions=with_positions, num_partitions=num_partitions,
+        max_blocks_per_row=max_blocks_per_row,
+    )
+
+
+def _encode_segments(
+    salted: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    with_positions: bool,
+    num_partitions: int | None,
+    max_blocks_per_row: int,
+) -> DataFrame:
+    """Encode pre-salted stats into per-(term, salt) sorted segment rows."""
 
     def encode_shard(cols: dict, s: int, e: int) -> list[tuple]:
         # rows arrive sorted by doc_id (grouped_map_sorted sort key)
@@ -245,10 +369,18 @@ def build_postings(
     the two-phase salted-segment + merge path. At 10^12-doc scale this
     removes a full shuffle + decode/re-encode of nearly the entire posting
     table compared to routing everything through the merge. Long lists emit
-    multiple bounded (term, run_idx) rows — see DEFAULT_MAX_BLOCKS_PER_ROW."""
-    salted = salt_term_stats(term_stats, hot_terms, salt_shards)
+    multiple bounded (term, run_idx) rows — see DEFAULT_MAX_BLOCKS_PER_ROW.
+
+    Hot terms are RANGE-salted: the salt is the doc-id range (docIDs are
+    xxhash64, uniform over int64, so ranges are balanced), which means a
+    term's shard runs are already in global doc order — the final posting
+    rows are the shard runs with run_idx renumbered across shards and the
+    term totals joined on (a broadcast of the hot vocabulary). No decode,
+    no re-encode, and NO single task ever gathers a whole hot term: the
+    log-structured merge degenerates to metadata."""
     if hot_terms is None and salt_shards > 1:
-        # everything salted: no cold path
+        # everything hash-salted: the classic two-phase path (kept for
+        # segment/merge API users and as the merge test surface)
         segs = build_segments(
             term_stats, avgdl, hot_terms=None, k1=k1, b=b,
             block_size=block_size, salt_shards=salt_shards,
@@ -261,53 +393,76 @@ def build_postings(
             max_blocks_per_row=max_blocks_per_row,
         )
 
+    # range salt: top bits of the sign-flipped doc id, 1..2^k (0 = cold)
+    range_bits = max(1, (salt_shards - 1).bit_length())
+    rid = (
+        F.shiftrightunsigned(
+            F.col("doc_id").bitwiseXOR(F.lit(MIN_DOC)), 64 - range_bits
+        ) + 1
+    ).cast("int")
+    if hot_terms is None:
+        salted = term_stats.withColumn("salt", F.lit(0).cast("int"))
+    else:
+        hotb = hot_terms.select("term").withColumn("_hot", F.lit(True))
+        salted = (
+            term_stats.join(F.broadcast(hotb), "term", "left")
+            .withColumn(
+                "salt", F.when(F.col("_hot"), rid).otherwise(F.lit(0)).cast("int")
+            )
+            .drop("_hot")
+        )
     cold = salted.filter(F.col("salt") == 0)
     hot = salted.filter(F.col("salt") > 0)
 
-    def encode_term(cols: dict, s: int, e: int) -> list[tuple]:
-        doc_ids = cols["doc_id"][s:e]
-        tfs = cols["tf"][s:e]
-        dls = cols["dl"][s:e]
-        pos_flat = None
-        if with_positions:
-            pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
-            tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
-        term = cols["term"][s]
-        df_total, cf_total = e - s, int(tfs.sum())
-        out = []
-        docs_per_row = max_blocks_per_row * block_size
-        for ri, off in enumerate(range(0, doc_ids.size, docs_per_row)):
-            end = min(off + docs_per_row, doc_ids.size)
-            p = pos_flat[tf_cum[off]:tf_cum[end]] if with_positions else None
-            blocks = _encode_blocks(
-                doc_ids[off:end], tfs[off:end], dls[off:end], p,
-                avgdl, k1, b, block_size,
-            )
-            out.append((
-                term, ri, df_total, cf_total,
-                max(bl["max_impact"] for bl in blocks),
-                blocks,
-            ))
-        return out
+    def encode_terms_batch(cols: dict, starts, ends) -> list[tuple]:
+        # whole-chunk vectorized encode: the cold path touches the ENTIRE
+        # vocabulary, so per-group dispatch cost (not numpy work) would
+        # dominate — see encode_posting_rows_batched
+        return encode_posting_rows_batched(
+            cols, starts, ends, avgdl, k1, b, block_size,
+            max_blocks_per_row, with_positions,
+        )
 
     cold_postings = grouped_map_sorted(
         cold,
         group_keys=["term"],
         sort_keys=["doc_id"],
-        fn=encode_term,
+        fn=encode_terms_batch,
         schema=POSTING_SCHEMA,
         num_partitions=num_partitions,
+        batched=True,
     )
-    hot_segments = build_segments(
-        hot.drop("salt"), avgdl, hot_terms=None, k1=k1, b=b,
-        block_size=block_size, salt_shards=salt_shards,
+    if hot_terms is None:
+        return cold_postings
+
+    hot_segments = _encode_segments(
+        hot, avgdl, k1=k1, b=b, block_size=block_size,
         with_positions=with_positions, num_partitions=num_partitions,
         max_blocks_per_row=max_blocks_per_row,
     )
-    hot_postings = merge_segments(
-        hot_segments, avgdl, k1=k1, b=b, block_size=block_size,
-        with_positions=with_positions, num_partitions=num_partitions,
-        max_blocks_per_row=max_blocks_per_row,
+    # term totals: map-side-combined aggregation over the (already
+    # pre-aggregated) hot stats — scalars only; hot vocabulary is small,
+    # so the join back is a broadcast
+    totals = hot.groupBy("term").agg(
+        F.count("*").alias("_df"), F.sum("tf").cast("long").alias("_cf")
+    )
+    # run_idx renumbering across shards: ranges ascend with doc id, so
+    # (salt, local run) order IS doc order; consumers only need monotone
+    # run_idx, so a strided rewrite avoids any per-term gather.
+    # int32 bound: salt_shards * RUN_STRIDE must fit — with the default
+    # stride each shard may hold 2^20 runs (2^29 docs at defaults).
+    RUN_STRIDE = 1 << 20
+    hot_postings = (
+        hot_segments.join(F.broadcast(totals), "term")
+        .select(
+            "term",
+            ((F.col("salt").cast("long") - 1) * RUN_STRIDE + F.col("run_idx"))
+            .cast("int").alias("run_idx"),
+            F.col("_df").alias("df"),
+            F.col("_cf").alias("cf"),
+            "max_impact",
+            "blocks",
+        )
     )
     return cold_postings.unionByName(hot_postings)
 

@@ -21,10 +21,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
-from elasticsearch_analysis_combo_spark.operators.postings import (
-    build_segments,
-    merge_segments,
-)
+from elasticsearch_analysis_combo_spark.operators.postings import build_postings
 
 
 def stream_corpus(
@@ -111,13 +108,9 @@ def compact_generations(
         4 * block_size, n_docs // 10
     )
     hot = term_df.filter(F.col("df") >= thresh).select("term")
-    segs = build_segments(
+    postings = build_postings(
         stats.drop("gen"), avgdl=avgdl, hot_terms=hot, k1=k1, b=b,
         block_size=block_size, salt_shards=salt_shards,
-        with_positions=with_positions,
-    )
-    postings = merge_segments(
-        segs, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
         with_positions=with_positions,
     )
     return postings, n_docs, avgdl

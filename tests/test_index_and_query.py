@@ -15,6 +15,7 @@ import pytest
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.operators.postings import (
     decode_segment_blocks,
+    term_blocks_from_rows,
 )
 from elasticsearch_analysis_combo_spark.plans.index_build import build_index
 from elasticsearch_analysis_combo_spark.query.bm25 import bm25_exhaustive_topk
@@ -58,11 +59,18 @@ def test_postings_match_oracle(built):
     assert abs(index.meta.avgdl - avgdl) < 1e-9
 
     rows = index.postings().collect()
-    assert len(rows) == len(postings)
+    # hot terms may span multiple bounded (term, run_idx) rows
+    by_term: dict[str, list] = {}
     for row in rows:
-        exp = postings[row["term"]]
-        assert row["df"] == len(exp)
-        doc_ids, tfs, dls, pos = decode_segment_blocks(row["blocks"], True)
+        by_term.setdefault(row["term"], []).append(row)
+    assert len(by_term) == len(postings)
+    for term, trows in by_term.items():
+        exp = postings[term]
+        assert all(r["df"] == len(exp) for r in trows)  # term totals per run
+        blocks = term_blocks_from_rows(
+            [r["run_idx"] for r in trows], [r["blocks"] for r in trows]
+        )
+        doc_ids, tfs, dls, pos = decode_segment_blocks(blocks, True)
         # sorted ascending, unique (comparison, not np.diff — int64 gaps
         # between hash docIDs overflow subtraction)
         assert (doc_ids[1:] > doc_ids[:-1]).all()
@@ -131,6 +139,6 @@ def test_partial_resume_rebuilds_missing_stage(built, spark):
     import os
     os.remove(f"{idx_dir}/postings.manifest.json")
     index3 = build_index(spark, corpus, CFG, idx_dir, salt_shards=4, block_size=64)
-    assert index3.postings().count() == len(
+    assert index3.postings().select("term").distinct().count() == len(
         build_oracle_index(docs, CFG)[0]
     )

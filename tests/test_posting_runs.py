@@ -15,6 +15,7 @@ randomized corpus so nearly every term spans multiple rows, then checks:
 
 import random
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -111,6 +112,72 @@ def test_wand_over_chunked_rows_matches_exhaustive(spark, seed):
             assert abs(s1 - s2) < 1e-9
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("with_positions", [True, False])
+def test_batched_encoder_bit_identical_to_per_term(seed, with_positions):
+    """The whole-chunk vectorized encoder must produce byte-identical rows
+    to the per-term _encode_blocks path (headers, varint streams, df/cf,
+    run chunking) on randomized sorted stats."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        _encode_blocks,
+        encode_posting_rows_batched,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, vocab = 5000, 300
+    codes = np.sort(rng.integers(0, vocab, n))
+    doc_ids = rng.integers(-(2**62), 2**62, n)
+    order = np.lexsort((doc_ids, codes))
+    codes, doc_ids = codes[order], doc_ids[order]
+    # dedupe (term, doc) collisions: bump doc until strictly increasing
+    for i in range(1, n):
+        if codes[i] == codes[i - 1] and doc_ids[i] <= doc_ids[i - 1]:
+            doc_ids[i] = doc_ids[i - 1] + 1
+    tfs = rng.integers(1, 5, n).astype(np.int64)
+    dls = rng.integers(5, 400, n).astype(np.int64)
+    positions = np.empty(n, dtype=object)
+    for i in range(n):
+        positions[i] = np.sort(rng.integers(1, 500, int(tfs[i]))).astype(np.int64)
+    terms = np.array([f"t{c:04d}" for c in codes], dtype=object)
+    cols = {"term": terms, "doc_id": doc_ids, "tf": tfs, "dl": dls,
+            "positions": positions}
+    starts = np.nonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))[0]
+    ends = np.append(starts[1:], n)
+
+    block_size, cap = 7, 3
+    avgdl, k1, b = 120.0, 1.2, 0.75
+    got = encode_posting_rows_batched(
+        cols, starts, ends, avgdl, k1, b, block_size, cap, with_positions
+    )
+
+    exp = []
+    tf_cum = np.concatenate([[0], np.cumsum(tfs)])
+    for s, e in zip(starts, ends):
+        d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
+        p = None
+        if with_positions:
+            p = np.concatenate(list(positions[s:e])).astype(np.uint64)
+        blocks = _encode_blocks(d, t, l, p, avgdl, k1, b, block_size)
+        df_t, cf_t = e - s, int(t.sum())
+        for ri, off in enumerate(range(0, len(blocks), cap)):
+            chunk = blocks[off:off + cap]
+            exp.append((terms[s], ri, df_t, cf_t,
+                        max(bl["max_impact"] for bl in chunk), chunk))
+
+    assert len(got) == len(exp)
+    for g, x in zip(got, exp):
+        assert g[0] == x[0] and g[1] == x[1] and g[2] == x[2] and g[3] == x[3]
+        assert abs(g[4] - x[4]) < 1e-12
+        assert len(g[5]) == len(x[5])
+        for gb, xb in zip(g[5], x[5]):
+            assert gb["first_doc"] == xb["first_doc"]
+            assert gb["last_doc"] == xb["last_doc"]
+            assert gb["n"] == xb["n"]
+            assert abs(gb["max_impact"] - xb["max_impact"]) < 1e-12
+            assert gb["data"] == xb["data"]
+            assert gb["pos_data"] == xb["pos_data"]
+
+
 @pytest.mark.parametrize("seed,range_bits", [(0, 2), (1, 3), (2, 1)])
 def test_partitioned_wand_matches_exhaustive(spark, seed, range_bits):
     """Range-partitioned WAND (one task per (query, doc-range), boundary
@@ -152,6 +219,61 @@ def test_partitioned_wand_matches_exhaustive(spark, seed, range_bits):
         assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in exp], qtext
         for (_, _, s1), (_, _, s2) in zip(have, exp):
             assert abs(s1 - s2) < 1e-9
+
+
+def test_range_salted_hot_path_equals_merge(spark):
+    """build_postings with hot terms (range-salted, merge-free finalize)
+    must contain exactly the same postings content as the all-salted
+    segment+merge path: same terms, term totals, and decoded
+    (doc, tf, dl, positions) sequences in global doc order."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        term_blocks_from_rows,
+    )
+
+    rng = random.Random(11)
+    docs = _make_docs(rng, 120)
+    stats = _stats(spark, docs).cache()
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    avgdl = float(row["a"])
+    # hot = the stop tokens (df threshold low so the hot path is exercised)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hot = term_df.filter(F.col("df") >= 30).select("term")
+    assert hot.count() >= 3
+
+    fast = build_postings(
+        stats, avgdl=avgdl, hot_terms=hot, block_size=8, salt_shards=4,
+        with_positions=True, max_blocks_per_row=2,
+    ).collect()
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=4, block_size=8,
+                          with_positions=True, max_blocks_per_row=2)
+    merged = merge_segments(segs, avgdl=avgdl, block_size=8,
+                            with_positions=True, max_blocks_per_row=2).collect()
+
+    def decode_all(rows):
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        out = {}
+        for term, trows in by_term.items():
+            blocks = term_blocks_from_rows(
+                [r["run_idx"] for r in trows], [r["blocks"] for r in trows]
+            )
+            d, t, l, p = decode_segment_blocks(blocks, True)
+            assert (d[1:] > d[:-1]).all(), term  # global doc order
+            out[term] = (
+                trows[0]["df"], trows[0]["cf"],
+                d.tolist(), t.tolist(), l.tolist(),
+                [list(map(int, x)) for x in p],
+            )
+        return out
+
+    a, bb = decode_all(fast), decode_all(merged)
+    assert a.keys() == bb.keys()
+    for term in a:
+        assert a[term] == bb[term], term
 
 
 def test_phrase_over_chunked_rows_matches_unchunked(spark):
