@@ -158,6 +158,31 @@ class ComboSearchEngine:
             k1=idx.meta.k1, b=idx.meta.b,
         )
 
+    def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+        """ES wildcard query (`*`/`?`) over the built index's vocabulary."""
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_wildcard_topk,
+        )
+
+        idx = self.idx
+        return bm25_wildcard_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, pattern)],
+            idx.meta.n_docs, idx.meta.avgdl, k=k, k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def search_fuzzy(self, term: str, max_edits: int = 1, k: int = 10) -> DataFrame:
+        """ES fuzzy query (Levenshtein <= max_edits) over the vocabulary."""
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_fuzzy_topk,
+        )
+
+        idx = self.idx
+        return bm25_fuzzy_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, term)],
+            idx.meta.n_docs, idx.meta.avgdl, max_edits=max_edits, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
     def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:
         queries = [(0, query)] if isinstance(query, str) else query
         return phrase_match(
