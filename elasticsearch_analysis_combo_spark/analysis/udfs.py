@@ -150,11 +150,84 @@ def build_term_stats(
 
     has_lang = lang_col is not None
 
+    # fully-vectorized batch aggregation for the single-analyzer, no-dedup,
+    # no-lang case (the posting hot path): tokenization stays per-doc (string
+    # ops), but the per-(doc, term) tf/positions aggregation and row assembly
+    # become one stable sort + boundary scan over the whole Arrow batch —
+    # no per-token dict work, no per-row appends
+    fast_leaf = None
+    if (
+        not has_lang
+        and not config.deduplication
+        and len(config.sub_analyzers) == 1
+        and isinstance(config.sub_analyzers[0], str)
+        and config.sub_analyzers[0] != "lang"
+    ):
+        from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+            FAST_TERM_POS_REGISTRY,
+        )
+
+        fast_leaf = FAST_TERM_POS_REGISTRY.get(config.sub_analyzers[0])
+
+    def _vectorized_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[doc_id_col].to_numpy()
+        toks = [fast_leaf(t or "") for t in pdf[content_col]]
+        lens = np.fromiter((len(t[0]) for t in toks), np.int64, len(toks))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype="int32"),
+                 "positions": pd.Series([], dtype=object),
+                 "dl": pd.Series([], dtype="int32")}
+            )
+        flat = np.empty(total, dtype=object)
+        pos = np.empty(total, dtype=np.int32)  # schema target is array<int>
+        off = 0
+        for (terms, poses), length in zip(toks, lens):
+            length = int(length)
+            flat[off:off + length] = terms
+            if poses is None:
+                pos[off:off + length] = np.arange(1, length + 1)
+            else:
+                pos[off:off + length] = poses
+            off += length
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        codes, uniq = pd.factorize(flat)
+        key = doc_idx * len(uniq) + codes
+        order = np.argsort(key, kind="stable")  # stable: positions stay sorted
+        k_sorted = key[order]
+        starts = np.nonzero(
+            np.concatenate([[True], k_sorted[1:] != k_sorted[:-1]])
+        )[0]
+        ends = np.append(starts[1:], total)
+        row_first = order[starts]
+        pos_sorted = pos[order]
+        out_pos = np.empty(starts.size, dtype=object)
+        for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            out_pos[i] = pos_sorted[s:e]
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids[doc_idx[row_first]], dtype="int64"),
+             "term": pd.Series(flat[row_first], dtype=object),
+             "tf": pd.Series((ends - starts).astype(np.int32), dtype="int32"),
+             "positions": pd.Series(out_pos, dtype=object),
+             "dl": pd.Series(lens[doc_idx[row_first]].astype(np.int32),
+                             dtype="int32")}
+        )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from elasticsearch_analysis_combo_spark.analysis.combo import (
             resolve_fast_config,
             term_stats_from_pairs,
         )
+
+        if fast_leaf is not None:
+            for pdf in batches:
+                yield _vectorized_batch(pdf)
+            return
 
         fast = resolve_fast_config(config)
         presorted = fast is not None and fast._n_subs == 1 and not config.deduplication

@@ -112,6 +112,37 @@ def test_wand_over_chunked_rows_matches_exhaustive(spark, seed):
             assert abs(s1 - s2) < 1e-9
 
 
+@pytest.mark.parametrize("analyzer", ["whitespace", "standard", "identifier", "english"])
+def test_vectorized_term_stats_equals_token_path(spark, analyzer):
+    """The batch-vectorized single-analyzer term_stats path must equal the
+    full token path (forced via a dedup'd double-analyzer config, which is
+    semantically identical for analyzers emitting unique positions),
+    including null/empty docs."""
+    import random as _random
+
+    VOCAB = ["the", "if", "Return", "merge", "getFoo", "a_b", "x9", "schön"]
+    rng = _random.Random(3)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    rows += [(998, None), (999, "")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+
+    def canon(out):
+        return sorted(
+            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]), r["dl"])
+            for r in out.collect()
+        )
+
+    fast = canon(build_term_stats(df, ComboConfig([analyzer])))
+    slow = canon(
+        build_term_stats(df, ComboConfig([analyzer, analyzer], deduplication=True))
+    )
+    assert fast == slow
+    assert len(fast) > 0
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("with_positions", [True, False])
 def test_batched_encoder_bit_identical_to_per_term(seed, with_positions):
