@@ -488,6 +488,32 @@ def q_bm25_prefix(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+def q_highlight_offsets(spark, sf_dir):
+    """ES highlight core: per (query, hit doc), the character offsets of
+    every analyzed-query-term occurrence. Hits = exhaustive BM25 top-10 for
+    BM25_QUERIES; only hit docs are re-analyzed (semi-join pruned)."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_exhaustive_topk
+    from elasticsearch_analysis_combo_spark.query.highlight import highlight_offsets
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hits = _rerank_rounded(bm25_exhaustive_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )).select("query_id", "doc_id")
+    d = _docs(spark, sf_dir)
+    out = highlight_offsets(
+        spark, d, hits, BM25_QUERIES, _ws_config(), content_col="text"
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "term",
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("end_off").cast("long").alias("end_off"),
+    )
+
+
 def q_bm25_wildcard(spark, sf_dir):
     """Wildcard (*/?) expansion over the term dictionary."""
     from elasticsearch_analysis_combo_spark.query.boolean import bm25_wildcard_topk
@@ -543,6 +569,57 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _highlight_oracle_sql() -> str:
+    """Recompute the BM25 top-10 hits (same CTE as the bm25 oracle), then
+    join every tokenized-with-offsets occurrence of the hit query's terms."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qterms = analyze_queries(BM25_QUERIES, _ws_config())
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+           doc_id
+    FROM scored
+  ) WHERE rank <= {TOPK}
+),
+offs AS (
+  SELECT doc_id, u.t AS term, u.s AS start_off, u.s + length(u.t) AS end_off
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x,
+                                        s := CASE WHEN i = 1 THEN 0
+                                             ELSE length(array_to_string(list_slice(string_split(text,' '), 1, i-1), ' ')) + 1 END))) AS u
+    FROM documents
+  )
+)
+SELECT h.query_id, h.doc_id, o.term, o.start_off, o.end_off
+FROM hits h
+JOIN q ON q.query_id = h.query_id
+JOIN offs o ON o.doc_id = h.doc_id AND o.term = q.term
 """
 
 
@@ -890,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": q_bm25_prefix,
         "bm25_wildcard": q_bm25_wildcard,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
@@ -1267,6 +1345,7 @@ GROUP BY 1
     sqls["bm25_prefix"] = _prefix_oracle_sql()
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
+    sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()
     sqls["simhash_candidates"] = _simhash_oracle_sql()
