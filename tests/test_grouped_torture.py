@@ -52,6 +52,53 @@ def test_grouped_map_tiny_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_grouped_map_batched_mode_tiny_arrow_batches(spark):
+    """batched=True gets fn(cols, starts, ends) once per chunk; group
+    results must still equal a plain groupBy under constant batch-boundary
+    straddling."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        rng = random.Random(9)
+        rows = []
+        for g in range(300):
+            for _ in range(rng.randint(1, 9)):
+                rows.append((f"g{g:04d}", rng.randint(-5, 5)))
+        df = spark.createDataFrame(rows, "key string, v long")
+
+        schema = T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.LongType()),
+            T.StructField("vfirst", T.LongType()),
+        ])
+
+        def fn(cols, starts, ends):
+            out = []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                v = cols["v"][s:e]
+                out.append((cols["key"][s], int(e - s), int(v.sum()), int(v[0])))
+            return out
+
+        got = {
+            r["key"]: (r["n"], r["vsum"], r["vfirst"])
+            for r in grouped_map_sorted(
+                df, ["key"], ["v"], fn, schema, num_partitions=5,
+                batched=True, out_batch_rows=3,
+            ).collect()
+        }
+        exp = {
+            r["key"]: (r["n"], r["vsum"], r["vmin"])
+            for r in df.groupBy("key").agg(
+                F.count("*").alias("n"), F.sum("v").alias("vsum"),
+                F.min("v").alias("vmin"),
+            ).collect()
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_near_duplicates_pipeline(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog tonight again"),
