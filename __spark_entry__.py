@@ -270,6 +270,41 @@ def q_near_duplicates(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Near-dup clusters: portable MinHash-LSH candidate pairs -> exact
+    connected components (min-label propagation); component_id = smallest
+    doc in the cluster. Oracle replays the banding plus a recursive-CTE
+    reachability closure."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs(spark, sf_dir), k=JACCARD_K, num_hashes=32, bands=8, portable=True
+    )
+    return connected_components(pairs).select("doc_id", "component_id")
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-level near-dup dedup keeping the LONGEST doc per component
+    (ties -> smallest id); docs in no cluster pass through. Returns the
+    kept doc_id set."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        dedup_near_keep_best,
+        minhash_lsh_candidates,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    pairs = minhash_lsh_candidates(
+        d, k=JACCARD_K, num_hashes=32, bands=8, portable=True
+    )
+    kept = dedup_near_keep_best(d, pairs, "n_tokens")
+    return kept.select("doc_id")
+
+
 def q_simhash_candidates(spark, sf_dir):
     """SimHash banded Hamming candidates. The term hash is md5-little-endian
     (portable by construction), so the whole fingerprint + banding is
@@ -973,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_duplicates": q_near_duplicates,
+        "near_dup_components": q_near_dup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_candidates": q_lsh_cosine_candidates,
@@ -1063,6 +1100,50 @@ JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_TH}
+"""
+
+
+def _components_core_sql() -> str:
+    """Shared CTE chain: portable banding -> symmetric edges -> recursive
+    reachability closure -> (doc_id, component_id=min reachable)."""
+    return f"""{_minhash_buckets_cte(JACCARD_K, 32, 8)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (SELECT u, v FROM cand UNION SELECT v AS u, u AS v FROM cand),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src)"""
+
+
+def _near_dup_components_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_components_core_sql()}
+SELECT doc_id, component_id FROM comp
+"""
+
+
+def _dedup_keep_best_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_components_core_sql()},
+scores AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+best AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY s.n DESC, c.doc_id) AS r
+    FROM comp c JOIN scores s USING (doc_id)
+  ) WHERE r = 1
+)
+SELECT doc_id FROM best
+UNION ALL
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id)
 """
 
 
@@ -1348,6 +1429,8 @@ GROUP BY 1
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()
+    sqls["near_dup_components"] = _near_dup_components_oracle_sql()
+    sqls["dedup_keep_best"] = _dedup_keep_best_oracle_sql()
     sqls["simhash_candidates"] = _simhash_oracle_sql()
     sqls["lsh_cosine_candidates"] = _lsh_cosine_oracle_sql()
     sqls["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()

@@ -290,6 +290,90 @@ def near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate pairs: (doc_id, component_id)
+    where component_id is the smallest doc_id reachable — the clustering
+    step between near-dup pair generation and per-cluster dedup.
+
+    Min-label propagation: every vertex repeatedly takes the min of its own
+    and its neighbors' labels until a fixpoint — exact components in
+    O(cluster diameter) rounds (near-dup clusters are shallow; a 25-round
+    cap covers diameter-25 chains and warns if hit). Each round is one join
+    + one aggregation on the (symmetrized) edge list; lineage is cut per
+    round with localCheckpoint so plans don't grow with iterations."""
+    import warnings
+
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("nl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before converging"
+        )
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
+def dedup_near_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-level near-dup dedup: group docs into connected components of
+    the candidate pairs, keep the highest-``score_col`` doc per component
+    (ties -> smallest id), and pass through every doc not in any pair.
+    The standard 'keep the best representative' policy for training-data
+    corpora (vs keep-first, which is content-blind)."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, max_iter=max_iter)
+    in_comp = df.join(
+        comps.withColumnRenamed("doc_id", id_col), id_col
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    best = (
+        in_comp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component_id")
+    )
+    rest = df.join(comps.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+    return best.unionByName(rest)
+
+
 SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

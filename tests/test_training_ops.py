@@ -175,6 +175,35 @@ def test_lsh_cosine_topk_matches_brute_force_on_neighbors(spark):
         assert abs(cos - sims[vec_id]) < 1e-12  # rerank is exact
 
 
+def test_connected_components_chains_and_keep_best(spark):
+    """Min-label propagation finds exact components on multi-hop chains
+    (label must travel the full diameter), and keep-best retains the
+    highest-score doc per component plus all unpaired docs."""
+    # chain 1-2-3-4-5, triangle 10-11-12, pair (20,21), isolated 30
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
+    assert 30 not in comp  # only paired docs get components
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30]],
+        "doc_id long, score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_near_keep_best(docs, pairs, "score").collect()
+    )
+    # chain: max score is doc 5 (5%7=5); triangle: doc 12 (12%7=5);
+    # pair: doc 21 (21%7=0) vs 20 (20%7=6) -> 20; isolated 30 passes through
+    assert kept == [5, 12, 20, 30]
+
+
 def test_ivf_cosine_topk_recall_and_exactness(spark):
     """IVF probe: planted near-duplicates land in their base's cell, so the
     top hit matches brute force; reranked cosines are exact; probing all
