@@ -936,6 +936,44 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen dedup keyed on the first-5-token hash (same key as
+    dedup_exact so true duplicates exist). The last emission per hash is
+    the global min doc_id — deterministic, so the oracle is plain batch
+    SQL min(doc_id) per hash."""
+    from elasticsearch_analysis_combo_spark.streaming.stateful import (
+        stateful_first_seen,
+    )
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(doc_schema).format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir)
+    )
+    keyed = stream.select(
+        F.sha2(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)), 256
+        ).alias("content_hash"),
+        F.col("doc_id"),
+    )
+    out = stateful_first_seen(keyed)
+    qname = "stateful_dedup_tmp"
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table(qname)
+    # emissions per hash are strictly improving; the min == final state
+    return emitted.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+
+
 def q_streaming_windowed_counts(spark, sf_dir):
     """Structured Streaming: tumbling 1-hour windowed counts per event type
     over the events table, driven to completion with a memory sink. The
@@ -1024,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customer_revenue": q_topk_customer_revenue,
         "sessionize_events": q_sessionize_events,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_dedup_state": q_streaming_dedup_state,
     }
 
 
@@ -1680,6 +1719,12 @@ FROM g GROUP BY 1
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+    sqls["streaming_dedup_state"] = """
+SELECT sha256(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS content_hash,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY 1
 """
 
     return sqls

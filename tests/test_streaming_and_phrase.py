@@ -142,6 +142,51 @@ def test_changed_corpus_rebuilds_not_resumes(spark, tmp_path):
     assert terms2 == set(boi(docs2, CFG)[0].keys())
 
 
+def test_stateful_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: state persists across micro-batches —
+    a later batch with a smaller doc_id for a known hash re-emits, a larger
+    one doesn't; final min per hash equals batch SQL."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_analysis_combo_spark.streaming.stateful import (
+        stateful_first_seen,
+    )
+
+    drop = str(tmp_path / "drop")
+    rows1 = [(50, "alpha beta"), (60, "gamma delta"), (70, "alpha beta")]
+    rows2 = [(10, "alpha beta"), (90, "gamma delta"), (40, "epsilon zeta")]
+    spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(f"{drop}/b1")
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(f"{drop}/b2")
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).format("parquet").load(f"{drop}/*")
+    keyed = stream.select(
+        F.sha2(F.col("text"), 256).alias("content_hash"), F.col("doc_id")
+    )
+    q = (
+        stateful_first_seen(keyed)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("sf_seen_tmp")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.table("sf_seen_tmp")
+        .groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    import hashlib
+
+    def h(t):
+        return hashlib.sha256(t.encode()).hexdigest()
+
+    assert got[h("alpha beta")] == 10
+    assert got[h("gamma delta")] == 60
+    assert got[h("epsilon zeta")] == 40
+
+
 def test_phrase_match(spark, tmp_path):
     rows = [
         (0, "merge the segment then merge the segment again"),
