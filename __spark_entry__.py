@@ -511,6 +511,31 @@ def q_bm25_boolean(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+# minimum_should_match=2 + per-clause boosts (must 2.0 / should 0.5)
+BOOL_MSM_QUERIES = [
+    (0, "", "spark query value", ""),           # pure should, >=2 of 3
+    (1, "value", "customer table window", ""),  # must AND >=2 should
+    (2, "", "value fast", "the"),               # msm + exclusion
+    (3, "spark", "", ""),                       # no should: msm is a no-op
+]
+MSM_N, MUST_BOOST, SHOULD_BOOST = 2, 2.0, 0.5
+
+
+def q_bm25_bool_msm(spark, sf_dir):
+    """ES bool with minimum_should_match and per-clause boosts."""
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_boolean_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_boolean_topk(
+        spark, stats, term_df, BOOL_MSM_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B, minimum_should_match=MSM_N,
+        must_boost=MUST_BOOST, should_boost=SHOULD_BOOST,
+    )
+    return _rerank_rounded(out)
+
+
 def q_bm25_prefix(spark, sf_dir):
     from elasticsearch_analysis_combo_spark.query.boolean import bm25_prefix_topk
 
@@ -788,6 +813,75 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _bool_msm_oracle_sql() -> str:
+    """bm25_boolean_topk with minimum_should_match + clause boosts: same
+    CTE skeleton as _boolean_oracle_sql plus per-role weights and the
+    per-query effective-msm filter (0 when the query has no should terms,
+    mirroring query/boolean.py)."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    must_rows = analyze_queries([(q[0], q[1]) for q in BOOL_MSM_QUERIES], _ws_config())
+    should_rows = analyze_queries([(q[0], q[2]) for q in BOOL_MSM_QUERIES], _ws_config())
+    not_rows = analyze_queries([(q[0], q[3]) for q in BOOL_MSM_QUERIES], _ws_config())
+    must_set = set(must_rows)
+    score_rows = [(qid, t, "must") for qid, t in must_rows] + [
+        (qid, t, "should") for qid, t in should_rows if (qid, t) not in must_set
+    ]
+    n_must = {q[0]: 0 for q in BOOL_MSM_QUERIES}
+    for qid, _ in must_rows:
+        n_must[qid] += 1
+    n_should = {q[0]: 0 for q in BOOL_MSM_QUERIES}
+    for qid, _t, role in score_rows:
+        if role == "should":
+            n_should[qid] += 1
+    msm = {qid: (MSM_N if n_should[qid] > 0 else 0) for qid in n_must}
+    values = ", ".join(f"({qid}, '{t}', '{r}')" for qid, t, r in score_rows)
+    counts = ", ".join(
+        f"({qid}, {n}, {msm[qid]})" for qid, n in n_must.items()
+    )
+    not_values = ", ".join(f"({qid}, '{t}')" for qid, t in not_rows) or "(-1, '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, role) AS (VALUES {values}),
+qc(query_id, n_must, msm) AS (VALUES {counts}),
+nq(query_id, term) AS (VALUES {not_values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( (CASE WHEN q.role = 'must' THEN {MUST_BOOST} ELSE {SHOULD_BOOST} END)
+              * ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score,
+         sum(CASE WHEN q.role = 'must' THEN 1 ELSE 0 END) AS n_must_matched,
+         sum(CASE WHEN q.role = 'should' THEN 1 ELSE 0 END) AS n_should_matched
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+excl AS (SELECT DISTINCT nq.query_id, tf.doc_id FROM nq JOIN tf USING (term)),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qc ON s.query_id = qc.query_id
+  WHERE s.n_must_matched = qc.n_must
+    AND s.n_should_matched >= qc.msm
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _prefix_oracle_sql() -> str:
     cases = " UNION ALL ".join(
         f"SELECT {qid} AS query_id, term, df FROM dfx WHERE term LIKE '{p}%'"
@@ -864,6 +958,96 @@ SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches
 FROM toks t0 {' '.join(joins)}
 WHERE t0.t = '{terms[0]}'
 GROUP BY t0.doc_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+)
+{body}
+"""
+
+
+def _phrase_postings(spark, sf_dir):
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    segs = build_segments(stats, avgdl=50.0, salt_shards=4, block_size=128,
+                          with_positions=True)
+    return merge_segments(segs, avgdl=50.0, block_size=128,
+                          with_positions=True)
+
+
+def q_phrase_partitioned(spark, sf_dir):
+    """Range-partitioned phrase evaluation (one task per (query,
+    doc-range); block-granular shipping) — row-identical to phrase_match."""
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_match_partitioned,
+    )
+
+    out = phrase_match_partitioned(
+        spark, _phrase_postings(spark, sf_dir), PHRASES, _ws_config(),
+        range_bits=3,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+PHRASE_SLOP = 1
+PHRASES_SLOP = [(0, "value table"), (1, "the value"), (2, "spark fast")]
+
+
+def q_phrase_slop(spark, sf_dir):
+    """Sloppy phrase (Lucene matchLength <= slop semantics), slop=1."""
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
+
+    out = phrase_match(
+        spark, _phrase_postings(spark, sf_dir), PHRASES_SLOP, _ws_config(),
+        slop=PHRASE_SLOP,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def _phrase_slop_oracle_sql() -> str:
+    """Window replay of the slop semantics: an anchor (first-slot
+    occurrence p0) matches when some window offset m in [-slop, 0] has
+    every slot's term at a phrase-position within [p0+m, p0+m+slop];
+    n_matches counts distinct matching anchors per doc."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    s = PHRASE_SLOP
+    parts = []
+    for qid, text in PHRASES_SLOP:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        exists = []
+        for i, term in enumerate(terms[1:], start=1):
+            exists.append(
+                f"EXISTS (SELECT 1 FROM toks t{i} WHERE t{i}.doc_id = a.doc_id "
+                f"AND t{i}.t = '{term}' "
+                f"AND t{i}.p - {i} BETWEEN a.p0 + g.m AND a.p0 + g.m + {s})"
+            )
+        cond = " AND ".join(exists) if exists else "TRUE"
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(*)::BIGINT AS n_matches
+FROM (
+  SELECT DISTINCT a.doc_id, a.p0
+  FROM (SELECT doc_id, p AS p0 FROM toks WHERE t = '{terms[0]}') a
+  CROSS JOIN (SELECT unnest(range(-{s}, 1)) AS m) g
+  WHERE {cond}
+)
+GROUP BY doc_id""")
     body = "\nUNION ALL\n".join(parts)
     return f"""
 WITH toks AS (
@@ -1035,8 +1219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
+        "phrase_match_partitioned": q_phrase_partitioned,
+        "phrase_slop": q_phrase_slop,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
+        "bm25_bool_msm": q_bm25_bool_msm,
         "bm25_prefix": q_bm25_prefix,
         "bm25_wildcard": q_bm25_wildcard,
         "bm25_fuzzy": q_bm25_fuzzy,
@@ -1460,8 +1647,11 @@ GROUP BY 1
     sqls["bm25_topk_wand"] = _bm25_oracle_sql()
     sqls["bm25_topk_wand_partitioned"] = _bm25_oracle_sql()
     sqls["phrase_match"] = _phrase_oracle_sql()
+    sqls["phrase_match_partitioned"] = _phrase_oracle_sql()
+    sqls["phrase_slop"] = _phrase_slop_oracle_sql()
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
     sqls["bm25_boolean"] = _boolean_oracle_sql()
+    sqls["bm25_bool_msm"] = _bool_msm_oracle_sql()
     sqls["bm25_prefix"] = _prefix_oracle_sql()
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()

@@ -147,6 +147,18 @@ def build_term_stats(
         n_files = 0
     if 0 < n_files < parallelism:
         src = src.repartition(parallelism)
+    elif n_files == 0:
+        # non-file source (createDataFrame / in-memory view): inputFiles()
+        # is empty, so fall back to the actual partition count — a 1-2
+        # partition local relation would otherwise run the CPU-bound
+        # analysis on 1-2 cores. The .rdd probe is accepted here only on
+        # this path (file sources above stay metadata-only).
+        try:
+            n_parts = src.rdd.getNumPartitions()
+        except Exception:
+            n_parts = parallelism
+        if n_parts < parallelism:
+            src = src.repartition(parallelism)
 
     has_lang = lang_col is not None
 

@@ -95,13 +95,19 @@ class ComboSearchEngine:
             )
         return config_from_meta(meta_cfg)
 
+    #: above this many indexed docs, search() defaults to the
+    #: range-partitioned WAND evaluator (one task per (query, doc-range))
+    #: instead of one task per query — a hot-term query over a large index
+    #: must not concentrate its whole posting volume in a single worker.
+    PARTITIONED_THRESHOLD = 1_000_000
+
     def search(
         self,
         query: str | list[tuple[int, str]],
         k: int = 10,
         fetch_from: DataFrame | None = None,
         fetch_cols: list[str] | None = None,
-        partitioned: bool = False,
+        partitioned: bool | None = None,
         range_bits: int = 4,
     ) -> DataFrame:
         """BM25 WAND top-k. ``fetch_from`` joins the hits back to a stored
@@ -110,9 +116,14 @@ class ComboSearchEngine:
         corpus scan prunes to the selected columns. ``partitioned=True``
         uses the range-partitioned evaluator (one task per (query,
         doc-range)) — same exact results, the right shape for stop-word
-        queries over very large indexes."""
+        queries over very large indexes. Default (None) routes
+        automatically: partitioned once the index holds more than
+        ``PARTITIONED_THRESHOLD`` docs, single-task below (fat-query
+        throughput wins while per-query posting volume is small)."""
         queries = [(0, query)] if isinstance(query, str) else query
         cfg = self._query_config()
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
         if partitioned:
             from elasticsearch_analysis_combo_spark.query.wand import (
                 wand_topk_partitioned,
@@ -143,9 +154,13 @@ class ComboSearchEngine:
         should: str = "",
         must_not: str = "",
         k: int = 10,
+        minimum_should_match: int = 0,
+        must_boost: float = 1.0,
+        should_boost: float = 1.0,
     ) -> DataFrame:
         """ES ``bool`` query over the built index: must filters, should
-        boosts, must_not excludes (see query/boolean.py for semantics)."""
+        boosts, must_not excludes, with ``minimum_should_match`` and
+        per-clause boosts (see query/boolean.py for semantics)."""
         from elasticsearch_analysis_combo_spark.query.boolean import (
             bm25_boolean_topk,
         )
@@ -156,6 +171,8 @@ class ComboSearchEngine:
             [(0, must, should, must_not)], self._query_config(),
             idx.meta.n_docs, idx.meta.avgdl, k=k,
             k1=idx.meta.k1, b=idx.meta.b,
+            minimum_should_match=minimum_should_match,
+            must_boost=must_boost, should_boost=should_boost,
         )
 
     def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
@@ -183,10 +200,31 @@ class ComboSearchEngine:
             k1=idx.meta.k1, b=idx.meta.b,
         )
 
-    def phrase(self, query: str | list[tuple[int, str]]) -> DataFrame:
+    def phrase(
+        self,
+        query: str | list[tuple[int, str]],
+        slop: int = 0,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Phrase matching (``slop`` = Lucene matchLength tolerance; 0 =
+        exact adjacency). Routes to the range-partitioned evaluator past
+        ``PARTITIONED_THRESHOLD`` docs, same as :meth:`search`."""
         queries = [(0, query)] if isinstance(query, str) else query
+        cfg = self._query_config()
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        if partitioned:
+            from elasticsearch_analysis_combo_spark.query.phrase import (
+                phrase_match_partitioned,
+            )
+
+            return phrase_match_partitioned(
+                self.spark, self.idx.postings(), queries, cfg,
+                slop=slop, range_bits=range_bits,
+            )
         return phrase_match(
-            self.spark, self.idx.postings(), queries, self._query_config()
+            self.spark, self.idx.postings(), queries, cfg, slop=slop
         )
 
     # -- analysis (the _analyze API, EP2) -----------------------------------

@@ -39,20 +39,30 @@ def exact_duplicate_groups(
 ) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_docs, doc_ids).
     Only hashes cross the shuffle. ``doc_ids`` is capped at ``max_ids``
-    (smallest ids kept) so a 10^8-times-duplicated boilerplate file cannot
-    become one unbounded row; ``n_docs`` stays exact. For the full
-    membership use :func:`exact_duplicate_members` (scalar rows, unbounded
-    multiplicity safe) or :func:`dedup_exact_keep_first`."""
-    return (
+    (smallest ids kept) BEFORE aggregation — ids beyond the cap are
+    filtered by a window rank, so neither the output row nor the
+    collect_list aggregation buffer grows with duplicate multiplicity (a
+    10^8-times-duplicated boilerplate file buffers ``max_ids`` ids, not
+    10^8); ``n_docs`` stays exact. The window and the groupBy share the
+    content_hash partitioning, so Catalyst reuses one exchange. For the
+    full membership use :func:`exact_duplicate_members` (scalar rows) or
+    :func:`dedup_exact_keep_first`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    ranked = (
         df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col(id_col))))
+        .filter(F.col("_n") > 1)
+    )
+    return (
+        ranked.filter(F.col("_rn") <= max_ids)
         .groupBy("content_hash")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, max_ids
-            ).alias("doc_ids"),
+            F.first("_n").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
-        .filter(F.col("n_docs") > 1)
     )
 
 
@@ -295,6 +305,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Connected components over candidate pairs: (doc_id, component_id)
     where component_id is the smallest doc_id reachable — the clustering
@@ -305,13 +316,27 @@ def connected_components(
     O(cluster diameter) rounds (near-dup clusters are shallow; a 25-round
     cap covers diameter-25 chains and warns if hit). Each round is one join
     + one aggregation on the (symmetrized) edge list; lineage is cut per
-    round with localCheckpoint so plans don't grow with iterations."""
+    round so plans don't grow with iterations. Rounds are serial by nature
+    (each needs the previous labels); the per-round driver ``count()`` is
+    the convergence check on an already-materialized result.
+
+    ``checkpoint``: ``"local"`` truncates lineage with localCheckpoint
+    (fast, but executor loss during a long run loses blocks and fails the
+    job); ``"reliable"`` uses reliable ``DataFrame.checkpoint()`` — the
+    100 TB setting — and requires ``spark.sparkContext.setCheckpointDir``
+    to point at fault-tolerant storage."""
     import warnings
 
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable': {checkpoint}")
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint == "reliable" else df.localCheckpoint()
+
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = edges.union(
+    edges = cut(edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
+    ).distinct())
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         nbr_min = (
@@ -322,7 +347,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = cut(
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
@@ -331,7 +356,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_chg"),
             )
-        ).localCheckpoint()
+        )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

@@ -450,13 +450,29 @@ def build_postings(
     # (salt, local run) order IS doc order; consumers only need monotone
     # run_idx, so a strided rewrite avoids any per-term gather.
     # int32 bound: salt_shards * RUN_STRIDE must fit — with the default
-    # stride each shard may hold 2^20 runs (2^29 docs at defaults).
+    # stride each shard may hold 2^20 runs (2^29 docs at defaults). Both
+    # bounds are guarded loudly: the shard count here, the per-shard run
+    # count per-row below (a shard overflowing its stride would otherwise
+    # silently collide with the next shard's runs and corrupt doc order).
     RUN_STRIDE = 1 << 20
+    if (1 << range_bits) * RUN_STRIDE >= (1 << 31):
+        raise ValueError(
+            f"salt_shards={salt_shards} needs {1 << range_bits} ranges; "
+            f"run_idx renumbering overflows int32 at stride {RUN_STRIDE}"
+        )
+    guarded_run = F.when(
+        F.col("run_idx") < RUN_STRIDE, F.col("run_idx")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("posting shard run_idx overflows stride: term="),
+            F.col("term"), F.lit(" run_idx="), F.col("run_idx").cast("string"),
+        ))
+    )
     hot_postings = (
         hot_segments.join(F.broadcast(totals), "term")
         .select(
             "term",
-            ((F.col("salt").cast("long") - 1) * RUN_STRIDE + F.col("run_idx"))
+            ((F.col("salt").cast("long") - 1) * RUN_STRIDE + guarded_run)
             .cast("int").alias("run_idx"),
             F.col("_df").alias("df"),
             F.col("_cf").alias("cf"),

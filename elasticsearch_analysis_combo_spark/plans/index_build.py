@@ -43,11 +43,78 @@ class IndexMeta:
     salt_shards: int
     config: dict
     with_positions: bool
+    #: logical table name -> subdirectory under index_dir. None (legacy /
+    #: fresh batch build) means each table lives in its bare-named dir.
+    #: Versioned publishers (streaming compaction, delete compaction) point
+    #: entries at generation dirs like "postings-3f9a12e0" so a publish is
+    #: a pure meta.json swap — readers holding the old meta keep valid
+    #: paths for their whole lifetime.
+    tables: dict | None = None
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "meta.json")) as f:
             return IndexMeta(**json.load(f))
+
+    def table_dir(self, index_dir: str, name: str) -> str:
+        sub = (self.tables or {}).get(name, name)
+        return os.path.join(index_dir, sub)
+
+
+def publish_tables(
+    spark: SparkSession,
+    index_dir: str,
+    tables: dict[str, DataFrame],
+    meta: IndexMeta,
+    keep_previous: int = 1,
+) -> "InvertedIndex":
+    """Atomically publish a new index generation.
+
+    Each DataFrame writes to a fresh ``<name>-<token>`` dir; the new
+    meta.json (pointing at the new dirs) replaces the old one with a single
+    ``os.replace`` — the only mutation existing paths ever see. Readers
+    that loaded the previous meta keep reading their generation's dirs
+    (still on disk); generations older than ``keep_previous`` metas back
+    are deleted. On a real deployment index_dir is shared storage and the
+    same swap applies (object stores: write new prefixes + swap a pointer
+    object)."""
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    new_tables = dict(meta.tables or {})
+    old_meta = None
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            old_meta = IndexMeta.load(index_dir)
+        except Exception:
+            old_meta = None
+    for name, df in tables.items():
+        sub = f"{name}-{token}"
+        df.write.mode("overwrite").parquet(os.path.join(index_dir, sub))
+        new_tables[name] = sub
+    meta.tables = new_tables
+    meta_tmp = meta_path + f".tmp-{token}"
+    with open(meta_tmp, "w") as f:
+        json.dump(asdict(meta), f, indent=1)
+    os.replace(meta_tmp, meta_path)
+    # GC: drop generation dirs that neither the new nor the immediately
+    # previous meta references (in-flight readers of the previous meta
+    # finish undisturbed; two-generations-old readers are assumed gone)
+    live = set(new_tables.values()) | set(tables.keys())
+    if old_meta is not None and keep_previous > 0:
+        live |= {(old_meta.tables or {}).get(n, n) for n in tables}
+    for entry in os.listdir(index_dir):
+        base = entry.rsplit("-", 1)[0]
+        if (
+            base in tables
+            and entry not in live
+            and "-" in entry
+            and os.path.isdir(os.path.join(index_dir, entry))
+        ):
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+    return InvertedIndex(spark, index_dir)
 
 
 def _config_dict(config: ComboConfig) -> dict:
@@ -72,16 +139,16 @@ class InvertedIndex:
         self.meta = IndexMeta.load(index_dir)
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self.spark.read.parquet(self.meta.table_dir(self.index_dir, "postings"))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self.spark.read.parquet(self.meta.table_dir(self.index_dir, "term_stats"))
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+        return self.spark.read.parquet(self.meta.table_dir(self.index_dir, "doc_stats"))
 
     def term_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_df"))
+        return self.spark.read.parquet(self.meta.table_dir(self.index_dir, "term_df"))
 
 
 def build_index(

@@ -84,6 +84,9 @@ def bm25_boolean_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    minimum_should_match: int = 0,
+    must_boost: float = 1.0,
+    should_boost: float = 1.0,
 ) -> DataFrame:
     """ES ``bool`` query composition: (query_id, must, should, must_not)
     texts, any clause may be "".
@@ -91,10 +94,15 @@ def bm25_boolean_topk(
     Semantics (the ES user's first non-trivial query):
       * a doc must contain ALL analyzed ``must`` terms;
       * it must contain NONE of the ``must_not`` terms;
-      * with an empty ``must``, at least one ``should`` term must match;
-      * score = BM25 sum over matched must+should terms (each distinct
-        term contributes once; should-terms duplicating must-terms are
-        dropped rather than double-counted).
+      * with ``minimum_should_match`` > 0, at least that many distinct
+        ``should`` terms must match (applied only to queries that have
+        should terms, as ES does); with the default 0 and an empty
+        ``must``, at least one ``should`` term must match;
+      * score = BM25 sum over matched must+should terms, each weighted by
+        its clause boost (ES per-clause ``boost``); each distinct term
+        contributes once — should-terms duplicating must-terms fold into
+        the must clause (scored with ``must_boost``, not counted toward
+        ``minimum_should_match``).
     Pure-negative queries (only must_not) return no rows.
 
     Plan shape: query terms are a tiny broadcast dimension against the
@@ -113,6 +121,20 @@ def bm25_boolean_topk(
     n_must: dict[int, int] = {q[0]: 0 for q in queries}
     for qid, _ in must_rows:
         n_must[qid] += 1
+    n_should: dict[int, int] = {q[0]: 0 for q in queries}
+    for qid, t, role in score_rows:
+        if role == "should":
+            n_should[qid] += 1
+    # per-query effective minimum_should_match (0 when the query has no
+    # should terms — a bool of pure musts is not failed by a global msm)
+    msm: dict[int, int] = {}
+    for qid in n_must:
+        if n_should[qid] == 0:
+            msm[qid] = 0
+        elif minimum_should_match > 0:
+            msm[qid] = minimum_should_match
+        else:
+            msm[qid] = 1 if n_must[qid] == 0 else 0
 
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double"
@@ -123,7 +145,8 @@ def bm25_boolean_topk(
         score_rows, "query_id int, term string, role string"
     )
     qcounts = spark.createDataFrame(
-        list(n_must.items()), "query_id int, n_must int"
+        [(qid, n, msm[qid]) for qid, n in n_must.items()],
+        "query_id int, n_must int, msm int",
     )
     tdf = term_df.join(
         F.broadcast(score_terms.select("term").distinct()), "term"
@@ -133,7 +156,8 @@ def bm25_boolean_topk(
         .join(F.broadcast(tdf), "term")
         .withColumn(
             "tscore",
-            idf_expr(n_docs)
+            F.when(F.col("role") == "must", must_boost).otherwise(should_boost)
+            * idf_expr(n_docs)
             * F.col("tf") * (k1 + 1.0)
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
         )
@@ -143,9 +167,15 @@ def bm25_boolean_topk(
             F.sum(
                 F.when(F.col("role") == "must", 1).otherwise(0)
             ).alias("n_must_matched"),
+            F.sum(
+                F.when(F.col("role") == "should", 1).otherwise(0)
+            ).alias("n_should_matched"),
         )
         .join(F.broadcast(qcounts), "query_id")
-        .filter(F.col("n_must_matched") == F.col("n_must"))
+        .filter(
+            (F.col("n_must_matched") == F.col("n_must"))
+            & (F.col("n_should_matched") >= F.col("msm"))
+        )
     )
     if not_rows:
         not_terms = spark.createDataFrame(not_rows, "query_id int, term string")

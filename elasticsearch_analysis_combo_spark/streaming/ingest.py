@@ -128,20 +128,21 @@ def publish_compacted(
     hot_df_threshold: int | None = None,
 ):
     """Compact all generations and ATOMICALLY publish the result as a
-    servable index at ``index_dir`` (the same layout build_index produces:
-    postings/ + meta.json). The posting table is written to a temp dir and
-    swapped in with a rename, then meta.json is replaced — readers holding
-    the old InvertedIndex keep a consistent view, and a new
-    InvertedIndex(index_dir) serves the compacted data. Returns the fresh
+    servable index at ``index_dir`` (the same layout build_index produces,
+    queried through the same InvertedIndex handle). The posting table is
+    written to a fresh versioned dir (``postings-<token>``) and the publish
+    is a single meta.json swap — readers holding the old InvertedIndex
+    keep reading their own generation's still-present dir for their whole
+    lifetime (no window where the posting path is missing), and a new
+    InvertedIndex(index_dir) serves the compacted data. The
+    two-generations-old dir is garbage-collected. Returns the fresh
     InvertedIndex handle."""
     import os
-    import shutil
-    import uuid
 
     from elasticsearch_analysis_combo_spark.plans.index_build import (
         IndexMeta,
-        InvertedIndex,
         _config_dict,
+        publish_tables,
     )
 
     postings, n_docs, avgdl = compact_generations(
@@ -149,23 +150,12 @@ def publish_compacted(
         salt_shards=salt_shards, with_positions=with_positions,
         hot_df_threshold=hot_df_threshold,
     )
-    data_dir = os.path.join(index_dir, "postings")
-    tmp_dir = data_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-    postings.write.mode("overwrite").parquet(tmp_dir)
-    if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
-    os.rename(tmp_dir, data_dir)
-
-    import dataclasses
-    import json
-
+    old_tables = None
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        old_tables = IndexMeta.load(index_dir).tables
     meta = IndexMeta(
         n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, block_size=block_size,
         salt_shards=salt_shards, config=_config_dict(config),
-        with_positions=with_positions,
+        with_positions=with_positions, tables=old_tables,
     )
-    meta_tmp = os.path.join(index_dir, f"meta.json.tmp-{uuid.uuid4().hex[:8]}")
-    with open(meta_tmp, "w") as f:
-        json.dump(dataclasses.asdict(meta), f, indent=1)
-    os.replace(meta_tmp, os.path.join(index_dir, "meta.json"))
-    return InvertedIndex(spark, index_dir)
+    return publish_tables(spark, index_dir, {"postings": postings}, meta)

@@ -82,3 +82,61 @@ def test_prefix_empty_and_missing(spark, stats):
     assert out2.count() == 0
     out3 = bm25_prefix_topk(spark, stats, term_df, [(0, "sp")], 5, 3.0)
     assert sorted(r["doc_id"] for r in out3.collect()) == [1, 2, 4]
+
+
+def _run_bool_opts(spark, stats, queries, **kw):
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    out = bm25_boolean_topk(
+        spark, stats, term_df, queries, CFG,
+        int(row["n"]), float(row["a"]), k=10, **kw,
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return by_q
+
+
+def test_minimum_should_match_filters(spark, stats):
+    # should = "query window table": doc3 matches 3, doc4 matches 2,
+    # doc1 matches 1 (query), doc2 none
+    q = [(0, "", "query window table", "")]
+    ids = lambda by: sorted(d for d, _ in by.get(0, []))
+    assert ids(_run_bool_opts(spark, stats, q, minimum_should_match=1)) == [1, 3, 4]
+    assert ids(_run_bool_opts(spark, stats, q, minimum_should_match=2)) == [3, 4]
+    assert ids(_run_bool_opts(spark, stats, q, minimum_should_match=3)) == [3]
+    # impossible msm -> empty
+    assert ids(_run_bool_opts(spark, stats, q, minimum_should_match=4)) == []
+
+
+def test_msm_with_must_clause(spark, stats):
+    # must spark (docs 1,2,4) AND >=2 of should "query window table"
+    q = [(0, "spark", "query window table", "")]
+    got = _run_bool_opts(spark, stats, q, minimum_should_match=2)
+    assert sorted(d for d, _ in got[0]) == [4]
+    # msm on a query with NO should terms does not filter pure musts
+    q2 = [(1, "spark", "", "")]
+    got2 = _run_bool_opts(spark, stats, q2, minimum_should_match=2)
+    assert sorted(d for d, _ in got2[1]) == [1, 2, 4]
+
+
+def test_clause_boosts_scale_scores(spark, stats):
+    q = [(0, "spark", "query", "")]
+    base = _run_bool_opts(spark, stats, q)
+    boosted = _run_bool_opts(spark, stats, q, must_boost=2.0, should_boost=0.5)
+    base_s = dict(base[0])
+    boos_s = dict(boosted[0])
+    assert set(base_s) == set(boos_s)
+    # doc 2 matches only the must term -> its score scales exactly 2x
+    assert abs(boos_s[2] - 2.0 * base_s[2]) < 1e-9
+    # docs matching should too scale by less than 2x (should part damped)
+    assert boos_s[4] < 2.0 * base_s[4] - 1e-12
+
+
+def test_msm_default_zero_is_backward_compatible(spark, stats):
+    # default path: empty must => >=1 should (legacy behavior)
+    by_q = _run_bool_opts(spark, stats, [(0, "", "window table", "")])
+    assert sorted(d for d, _ in by_q[0]) == [3, 4]

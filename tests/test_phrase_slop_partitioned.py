@@ -1,0 +1,152 @@
+"""Sloppy-phrase semantics and the range-partitioned phrase evaluator.
+
+Slop follows Lucene's PhraseQuery matchLength criterion (see
+query/phrase.py module docstring): with pp_i = pos_i - slot_i, an
+assignment matches when max(pp) - min(pp) <= slop. Hand vectors below pin
+the canonical Lucene cases ("b a" needs slop 2; "a x b" needs slop 1).
+The partitioned evaluator must return row-identical results to the
+single-task path on a stress corpus whose stop token spans many chunked
+posting rows.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.query.phrase import (
+    phrase_match,
+    phrase_match_partitioned,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+DOCS = [
+    (0, "a b c"),
+    (1, "b a"),
+    (2, "a x b"),
+    (3, "a b y a b"),
+    (4, "b x x a"),
+    (5, "c c c"),
+]
+
+
+def _postings(spark, rows, block_size=4, salt_shards=2, max_blocks=None):
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG)
+    kw = {}
+    if max_blocks is not None:
+        kw["max_blocks_per_row"] = max_blocks
+    segs = build_segments(
+        stats, avgdl=4.0, salt_shards=salt_shards, block_size=block_size, **kw
+    )
+    return merge_segments(segs, avgdl=4.0, block_size=block_size, **kw)
+
+
+def _got(out):
+    return {(r["query_id"], r["doc_id"]): r["n_matches"] for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def tiny_postings(spark):
+    p = _postings(spark, DOCS).cache()
+    p.count()
+    return p
+
+
+def test_slop0_is_exact_adjacency(spark, tiny_postings):
+    got = _got(phrase_match(spark, tiny_postings, [(0, "a b")], CFG, slop=0))
+    assert got == {(0, 0): 1, (0, 3): 2}
+
+
+def test_slop1_allows_one_gap_not_transposition(spark, tiny_postings):
+    got = _got(phrase_match(spark, tiny_postings, [(0, "a b")], CFG, slop=1))
+    # doc 2 "a x b": spread 1 -> in; doc 1 "b a": spread 2 -> still out
+    assert got == {(0, 0): 1, (0, 2): 1, (0, 3): 2}
+
+
+def test_slop2_allows_transposition_but_not_far_swap(spark, tiny_postings):
+    got = _got(phrase_match(spark, tiny_postings, [(0, "a b")], CFG, slop=2))
+    # doc 1 "b a": pp spread 2 -> in at slop 2 (Lucene: transposition = 2);
+    # doc 4 "b x x a": pp spread 4 -> still out
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1, (0, 3): 2}
+
+
+def test_three_term_slop(spark, tiny_postings):
+    # "a b c" exact only in doc 0; "c a b" slop 0 in doc 5? no ("c c c").
+    got0 = _got(phrase_match(spark, tiny_postings, [(0, "a b c")], CFG, slop=0))
+    assert got0 == {(0, 0): 1}
+    # slop 1: doc 3 "a b y a b" has no c; still only doc 0
+    got1 = _got(phrase_match(spark, tiny_postings, [(0, "a b c")], CFG, slop=1))
+    assert got1 == {(0, 0): 1}
+
+
+def test_missing_term_returns_no_rows(spark, tiny_postings):
+    got = _got(phrase_match(spark, tiny_postings, [(0, "a zzz")], CFG, slop=3))
+    assert got == {}
+
+
+def test_repeated_term_phrase(spark, tiny_postings):
+    got = _got(phrase_match(spark, tiny_postings, [(0, "c c")], CFG, slop=0))
+    assert got == {(0, 5): 2}
+
+
+@pytest.fixture(scope="module")
+def stress(spark):
+    """200 docs, tiny vocab with a stop token 'the' in nearly every doc;
+    2-block posting rows force the stop term across many chunked rows."""
+    rng = random.Random(7)
+    vocab = ["the", "quick", "fox", "jumps", "over", "lazy", "dog", "a"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(4, 30)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        if rng.random() < 0.7:
+            k = rng.randrange(max(1, n - 1))
+            words[k:k + 2] = ["the", "quick"]
+        rows.append((i * 7919 + 13, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG)
+    segs = build_segments(stats, avgdl=15.0, salt_shards=4, block_size=8,
+                          max_blocks_per_row=2)
+    p = merge_segments(segs, avgdl=15.0, block_size=8,
+                       max_blocks_per_row=2).cache()
+    p.count()
+    return p
+
+
+PHRASES = [(0, "the quick"), (1, "over the lazy"), (2, "the the"),
+           (3, "quick fox jumps")]
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+def test_partitioned_equals_single_task(spark, stress, slop):
+    single = _got(phrase_match(spark, stress, PHRASES, CFG, slop=slop))
+    part = _got(
+        phrase_match_partitioned(
+            spark, stress, PHRASES, CFG, slop=slop, range_bits=3
+        )
+    )
+    assert part == single
+    assert single  # stress corpus really produces matches
+
+
+def test_partitioned_tiny_corpus_and_slop(spark, tiny_postings):
+    for slop in (0, 1, 2):
+        single = _got(
+            phrase_match(spark, tiny_postings, [(0, "a b"), (1, "a b c")],
+                         CFG, slop=slop)
+        )
+        part = _got(
+            phrase_match_partitioned(
+                spark, tiny_postings, [(0, "a b"), (1, "a b c")],
+                CFG, slop=slop, range_bits=2,
+            )
+        )
+        assert part == single

@@ -287,3 +287,37 @@ def test_multimodal_plumbing(spark):
     # real decode is an explicit stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", {}, fake=False)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' (fault-tolerant lineage cut) produces the
+    same components as the default localCheckpoint mode."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    local = {r["doc_id"]: r["component_id"]
+             for r in dedup.connected_components(pairs).collect()}
+    reliable = {r["doc_id"]: r["component_id"]
+                for r in dedup.connected_components(
+                    pairs, checkpoint="reliable").collect()}
+    assert reliable == local
+    assert {reliable[i] for i in (1, 2, 3, 4)} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.connected_components(pairs, checkpoint="bogus")
+
+
+def test_exact_duplicate_groups_cap_bounds_buffer(spark):
+    """doc_ids caps at max_ids (smallest kept) while n_docs stays exact —
+    and the cap is applied pre-aggregation (window rank), so the agg
+    buffer never holds the full membership."""
+    rows = [(i, "dup text") for i in range(50)] + [(100, "unique text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_duplicate_groups(df, max_ids=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 50
+    assert r["doc_ids"] == [0, 1, 2, 3, 4]
