@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input (single-file scan, small in-memory
+    relation) to the cluster's parallelism so CPU-heavy map work (shingle
+    explode + H hash exprs, simhash batches) uses every core. No-ops for
+    wide scans — a real multi-file corpus already parallelizes, and the
+    repartition must not add a shuffle there."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(par) if n < par else df
+
+
 def exact_duplicate_groups(
     df: DataFrame,
     text_col: str = "text",
@@ -101,22 +115,31 @@ def dedup_exact_keep_first(
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle). Tokenization is
+    """k-token shingles per doc: (doc_id, shingle). Tokenization is
     a simple whitespace split done JVM-side; shingle assembly uses
-    transform+slice over the token array (no UDF)."""
+    transform+slice over the token array (no UDF).
+
+    ``distinct`` dedupes per (doc, shingle) — one full shuffle of the
+    shingle stream, required by set-Jaccard. Consumers whose aggregation
+    is duplicate-insensitive (minhash: min over a multiset == min over its
+    set) pass ``distinct=False`` and skip that shuffle entirely."""
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -180,8 +203,14 @@ def minhash_signatures(
     hash(shingle, i). One explode + one groupBy; the H mins are H parallel
     agg expressions (JVM-side, partial-aggregated map-side). ``portable``
     switches xxhash64 (fastest) to an md5-derived hash reproducible in
-    other engines (used by the DuckDB oracle gate)."""
-    sh = shingles(df, text_col, id_col, k)
+    other engines (used by the DuckDB oracle gate).
+
+    The shingle stream is NOT deduplicated: min(hash) is identical over a
+    multiset and its set, and skipping the distinct removes the widest
+    shuffle of the pipeline — the per-doc partial min aggregation happens
+    map-side inside the scan stage, so only (doc_id, H mins) rows ever
+    shuffle."""
+    sh = shingles(_spread(df), text_col, id_col, k, distinct=False)
     aggs = [
         F.min(_minhash_expr(i, portable)).alias(f"h{i}")
         for i in range(num_hashes)
@@ -416,7 +445,9 @@ def simhash(
     batches), one (vocab x 64) unpackbits, one np.add.at scatter into the
     (docs x 64) accumulator, one packbits back — no per-doc or per-bit
     Python loops."""
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    src = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
