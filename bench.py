@@ -192,6 +192,25 @@ def main() -> None:
     ).collect()
     timings["exhaustive_topk"] = time.time() - t0
 
+    # --- phrase (range-partitioned evaluator; stop-token-heavy phrases) ---
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_match_partitioned,
+    )
+
+    phrases = (
+        [(0, "the if"), (1, "token stream"), (2, "merge index segment")]
+        if corpus_spec.startswith("synthetic")
+        else [(0, "the value"), (1, "value table"), (2, "customer order line")]
+    )
+    ph_times = []
+    for _ in range(3):
+        t0 = time.time()
+        phrase_match_partitioned(
+            spark, postings, phrases, CFG, slop=1, range_bits=3
+        ).count()
+        ph_times.append(time.time() - t0)
+    timings["phrase_partitioned"] = statistics.median(ph_times)
+
     # --- training-data ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
