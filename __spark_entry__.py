@@ -1062,6 +1062,150 @@ WITH toks AS (
 """
 
 
+PHRASE_PREFIXES = [(0, "value ta"), (1, "the val"), (2, "customer zz")]
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix: trailing term expands as a prefix (capped,
+    alphabetical) over the term dictionary."""
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_prefix_match,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = phrase_prefix_match(
+        spark, _phrase_postings(spark, sf_dir), term_df, PHRASE_PREFIXES,
+        _ws_config(), slop=0, max_expansions=50,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def _phrase_prefix_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    exps = []
+    for qid, text in PHRASE_PREFIXES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        prefix = terms[-1]
+        exps.append(
+            f"exp{qid} AS (SELECT term FROM dfx WHERE term LIKE '{prefix}%' "
+            f"ORDER BY term LIMIT 50)"
+        )
+        joins = []
+        for i, term in enumerate(terms[1:-1], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.p = t0.p + {i} AND t{i}.t = '{term}'"
+            )
+        last = len(terms) - 1
+        if last > 0:
+            joins.append(
+                f"JOIN toks t{last} ON t{last}.doc_id = t0.doc_id "
+                f"AND t{last}.p = t0.p + {last} "
+                f"AND t{last}.t IN (SELECT term FROM exp{qid})"
+            )
+            head = f"WHERE t0.t = '{terms[0]}'"
+        else:
+            head = f"WHERE t0.t IN (SELECT term FROM exp{qid})"
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches
+FROM toks t0 {' '.join(joins)}
+{head}
+GROUP BY t0.doc_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+dfx AS (SELECT DISTINCT t AS term FROM toks),
+{', '.join(exps)}
+{body}
+"""
+
+
+def q_phrase_ranked(spark, sf_dir):
+    """Ranked phrase query: BM25 over phrase frequency (Lucene
+    PhraseQuery-style idf sum + tf saturation)."""
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    out = phrase_topk(
+        spark, _phrase_postings(spark, sf_dir), PHRASES, _ws_config(),
+        n_docs=n_docs, avgdl=avgdl, k1=K1, b=B, k=TOPK,
+    )
+    return _rerank_rounded(out)
+
+
+def _phrase_ranked_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    counts_parts = []
+    slot_values = []
+    for qid, text in PHRASES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        for slot, term in enumerate(terms):
+            slot_values.append(f"({qid}, {slot}, '{term}')")
+        joins = []
+        for i, term in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.p = t0.p + {i} AND t{i}.t = '{term}'"
+            )
+        counts_parts.append(f"""
+SELECT {qid} AS query_id, t0.doc_id, count(*)::DOUBLE AS f
+FROM toks t0 {' '.join(joins)}
+WHERE t0.t = '{terms[0]}'
+GROUP BY t0.doc_id""")
+    counts = "\nUNION ALL\n".join(counts_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT t AS term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1),
+qslots(query_id, slot, term) AS (VALUES {', '.join(slot_values)}),
+idfs AS (
+  SELECT q.query_id,
+         sum(ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+  FROM qslots q JOIN dfx USING (term) CROSS JOIN gs
+  GROUP BY 1
+),
+counts AS ({counts}),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         i.idf_sum * c.f * ({K1} + 1.0)
+         / (c.f + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS score
+  FROM counts c
+  JOIN idfs i ON i.query_id = c.query_id
+  JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN gs
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational building blocks + streaming
 
@@ -1221,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
         "phrase_slop": q_phrase_slop,
+        "phrase_prefix": q_phrase_prefix,
+        "phrase_ranked": q_phrase_ranked,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
         "bm25_bool_msm": q_bm25_bool_msm,
@@ -1649,6 +1795,8 @@ GROUP BY 1
     sqls["phrase_match"] = _phrase_oracle_sql()
     sqls["phrase_match_partitioned"] = _phrase_oracle_sql()
     sqls["phrase_slop"] = _phrase_slop_oracle_sql()
+    sqls["phrase_prefix"] = _phrase_prefix_oracle_sql()
+    sqls["phrase_ranked"] = _phrase_ranked_oracle_sql()
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
     sqls["bm25_boolean"] = _boolean_oracle_sql()
     sqls["bm25_bool_msm"] = _bool_msm_oracle_sql()

@@ -227,6 +227,82 @@ class ComboSearchEngine:
             self.spark, self.idx.postings(), queries, cfg, slop=slop
         )
 
+    def phrase_prefix(
+        self,
+        query: str | list[tuple[int, str]],
+        slop: int = 0,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix``: the phrase's last term matches as a
+        prefix (alphabetical expansion capped at ``max_expansions``)."""
+        from elasticsearch_analysis_combo_spark.query.phrase import (
+            phrase_prefix_match,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        return phrase_prefix_match(
+            self.spark, self.idx.postings(), self.idx.term_df(), queries,
+            self._query_config(), slop=slop, max_expansions=max_expansions,
+        )
+
+    def phrase_ranked(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        slop: int = 0,
+    ) -> DataFrame:
+        """Ranked phrase query (ES ``match_phrase``): BM25 over the phrase
+        frequency, Lucene PhraseQuery-style idf sum."""
+        from elasticsearch_analysis_combo_spark.query.phrase import phrase_topk
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        meta = self.idx.meta
+        return phrase_topk(
+            self.spark, self.idx.postings(), queries, self._query_config(),
+            n_docs=meta.n_docs, avgdl=meta.avgdl, k1=meta.k1, b=meta.b,
+            k=k, slop=slop,
+        )
+
+    # -- maintenance (delete / upsert / compact) -----------------------------
+    def delete(self, doc_ids) -> None:
+        """Tombstone documents (takes effect at the next :meth:`compact`,
+        like Lucene deletes before a segment merge)."""
+        from elasticsearch_analysis_combo_spark.plans.maintenance import (
+            delete_docs,
+        )
+
+        delete_docs(self.spark, self.index_dir, doc_ids)
+
+    def upsert(
+        self,
+        docs: DataFrame,
+        doc_id_col: str = "doc_id",
+        content_col: str = "content",
+        lang_col: str | None = None,
+    ) -> None:
+        """Stage replacement/new documents (update = delete + add); folded
+        in at the next :meth:`compact`."""
+        from elasticsearch_analysis_combo_spark.plans.maintenance import (
+            upsert_docs,
+        )
+
+        upsert_docs(
+            self.spark, self.index_dir, docs, doc_id_col=doc_id_col,
+            content_col=content_col, lang_col=lang_col,
+        )
+
+    def compact(self, incremental: bool = True) -> InvertedIndex:
+        """Fold pending deletes/upserts into a new atomically-published
+        index generation and re-attach this engine to it."""
+        from elasticsearch_analysis_combo_spark.plans.maintenance import (
+            compact as _compact,
+        )
+
+        self._index = _compact(
+            self.spark, self.index_dir, incremental=incremental
+        )
+        return self._index
+
     # -- analysis (the _analyze API, EP2) -----------------------------------
     def analyze_text(self, text: str, lang: str | None = None):
         return analyze_text(text, self.config, lang)

@@ -124,36 +124,72 @@ def _slot_keys(docs, offs, pos_flat, common, slot: int) -> np.ndarray:
     return keys
 
 
+def _group(t) -> tuple:
+    """Normalize a slot's term spec (str or iterable of str) to a tuple —
+    a multi-term group means 'any of these terms completes this slot'
+    (the match_phrase_prefix expansion)."""
+    return (t,) if isinstance(t, str) else tuple(t)
+
+
 def _match_phrase(
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
-    slots: list[tuple[int, str]],
+    decoded: dict[str, tuple],
+    slots: list[tuple[int, object]],
     slop: int = 0,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Batch phrase evaluation. ``decoded``: term -> (docs, offs, pos_flat)
-    with docs sorted unique and offs the per-doc prefix offsets into
-    pos_flat. Returns (doc_ids, n_matches) for matching docs."""
-    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
-    terms = [t for _, t in slots]
-    for t in terms:
-        if t not in decoded or decoded[t][0].size == 0:
+    want_dl: bool = False,
+):
+    """Batch phrase evaluation. ``decoded``: term -> (docs, offs, pos_flat,
+    dls) with docs sorted unique, offs the per-doc prefix offsets into
+    pos_flat, dls the per-doc lengths. A slot's term spec may be a GROUP
+    (tuple of terms): any member occurrence fills the slot. Returns
+    (doc_ids, n_matches[, dls]) for matching docs."""
+    empty = (np.zeros(0, dtype=np.int64),) * (3 if want_dl else 2)
+    groups = [_group(t) for _, t in sorted(slots)]
+    slot_ids = [s for s, _ in sorted(slots)]
+    # per-slot doc sets: union over the group's members
+    slot_docs = []
+    for g in groups:
+        ds = [decoded[t][0] for t in g if t in decoded and decoded[t][0].size]
+        if not ds:
             return empty
-    common = None
-    for t in dict.fromkeys(terms):  # distinct, first-seen order
-        d = decoded[t][0]
-        common = d if common is None else np.intersect1d(
-            common, d, assume_unique=True
+        slot_docs.append(
+            ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds))
         )
+    common = slot_docs[0]
+    for d in slot_docs[1:]:
+        common = np.intersect1d(common, d, assume_unique=True)
         if common.size == 0:
             return empty
     assert common.size < (1 << 32), "phrase candidate set exceeds key space"
     keys_by_slot = []
-    for slot, t in sorted(slots):
-        docs, offs, pos_flat = decoded[t]
-        if pos_flat.size:
-            assert int(pos_flat.max()) < _POS_BIAS - slop - 1, (
-                "document positions exceed phrase key space"
-            )
-        keys_by_slot.append(_slot_keys(docs, offs, pos_flat, common, slot))
+    for slot, g in zip(slot_ids, groups):
+        parts = []
+        for t in g:
+            if t not in decoded or decoded[t][0].size == 0:
+                continue
+            docs, offs, pos_flat = decoded[t][:3]
+            if pos_flat.size:
+                assert int(pos_flat.max()) < _POS_BIAS - slop - 1, (
+                    "document positions exceed phrase key space"
+                )
+            # group members may miss some common docs; restrict to present
+            if len(g) == 1:
+                sub = common
+            else:
+                idx = np.searchsorted(docs, common)
+                idx_c = np.minimum(idx, docs.size - 1)
+                sub = common[docs[idx_c] == common]
+            if sub.size == 0:
+                continue
+            k = _slot_keys(docs, offs, pos_flat, sub, slot)
+            if len(g) > 1 and sub.size != common.size:
+                # remap member-local doc indices to common-wide indices
+                remap = np.searchsorted(common, sub)
+                k = remap[(k // _BAND).astype(np.int64)] * _BAND + (k % _BAND)
+            parts.append(k)
+        if not parts:
+            return empty
+        keys = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        keys_by_slot.append(keys)
     anchors = keys_by_slot[0]
     if anchors.size == 0:
         return empty
@@ -176,18 +212,31 @@ def _match_phrase(
     cidx = (anchors[valid] // _BAND).astype(np.int64)
     counts = np.bincount(cidx, minlength=common.size)
     hit = counts > 0
-    return common[hit], counts[hit]
+    out_docs, out_counts = common[hit], counts[hit]
+    if not want_dl:
+        return out_docs, out_counts
+    # dl per matched doc, from whichever slot-0 member carries it
+    dls_out = np.zeros(out_docs.size, dtype=np.int64)
+    for t in groups[0]:
+        if t not in decoded:
+            continue
+        docs, dls = decoded[t][0], decoded[t][3]
+        idx = np.searchsorted(docs, out_docs)
+        idx_c = np.minimum(idx, docs.size - 1)
+        present = docs[idx_c] == out_docs
+        dls_out[present] = dls[idx_c[present]]
+    return out_docs, out_counts, dls_out
 
 
 def _decode_rows(rows_by_term: dict[str, dict[int, list]]) -> dict:
-    """term -> (docs, offs, pos_flat) from (run_idx -> blocks) maps; runs
-    concatenate in run_idx order (stays doc-sorted)."""
+    """term -> (docs, offs, pos_flat, dls) from (run_idx -> blocks) maps;
+    runs concatenate in run_idx order (stays doc-sorted)."""
     decoded = {}
     for term, runs in rows_by_term.items():
         blocks = [bl for ri in sorted(runs) for bl in runs[ri]]
-        d, t, _l, pos_flat = decode_segment_blocks_flat(blocks, True)
+        d, t, l, pos_flat = decode_segment_blocks_flat(blocks, True)
         offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
-        decoded[term] = (d, offs, pos_flat)
+        decoded[term] = (d, offs, pos_flat, l)
     return decoded
 
 
@@ -297,24 +346,25 @@ def phrase_match_partitioned(
             # posting runs partition the doc space in order, so sorting
             # blocks by first_doc reconstructs global doc order
             blocks.sort(key=lambda b_: b_["first_doc"])
-            ds, ts, ps = [], [], []
+            ds, ts, ps, ls = [], [], [], []
             for bl in blocks:
-                d, t, _l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
+                d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
                 p = decode_positions_flat(bytes(bl["pos_data"]), t)
                 mask = (d >= lo) & (d <= hi_incl)
                 if not mask.all():
                     p = p[np.repeat(mask, t)]
-                    d, t = d[mask], t[mask]
+                    d, t, l = d[mask], t[mask], l[mask]
                 if d.size:
                     ds.append(d)
                     ts.append(t)
                     ps.append(p)
+                    ls.append(l)
             if not ds:
                 continue
             d = np.concatenate(ds)
             t = np.concatenate(ts)
             offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
-            decoded[term] = (d, offs, np.concatenate(ps))
+            decoded[term] = (d, offs, np.concatenate(ps), np.concatenate(ls))
         docs, counts = _match_phrase(decoded, slots_by_q[qid], slop)
         return pd.DataFrame(
             {
@@ -326,4 +376,174 @@ def phrase_match_partitioned(
 
     return joined.groupBy("query_id", "range_id").applyInPandas(
         run_range, PHRASE_SCHEMA
+    )
+
+
+def _slots_eval(
+    spark: SparkSession,
+    postings: DataFrame,
+    slots_by_q: dict[int, list[tuple[int, object]]],
+    slop: int,
+) -> DataFrame:
+    """Shared single-task-per-query evaluator over prepared slot specs
+    (plain terms or expansion groups)."""
+    qterm_rows = sorted(
+        {
+            (qid, t)
+            for qid, slots in slots_by_q.items()
+            for _, spec in slots
+            for t in _group(spec)
+        }
+    )
+    if not qterm_rows:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    qterms = spark.createDataFrame(qterm_rows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qterm_rows})
+    plists = postings.filter(F.col("term").isin(all_terms))
+    joined = plists.join(F.broadcast(qterms), "term")
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows_by_term: dict[str, dict[int, list]] = {}
+        for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
+            rows_by_term.setdefault(term, {})[int(ri)] = blocks
+        decoded = _decode_rows(rows_by_term)
+        docs, counts = _match_phrase(decoded, slots_by_q[qid], slop)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+                "doc_id": pd.Series(docs, dtype="int64"),
+                "n_matches": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+
+
+def phrase_prefix_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase's LAST term matches as a
+    prefix, expanded to at most ``max_expansions`` vocabulary terms (in
+    dictionary order, as ES caps its expansion — deterministic here:
+    alphabetical). A doc matches when any expansion completes the phrase;
+    ``n_matches`` counts distinct first-slot anchors valid for at least one
+    expansion. The expansion runs over the term DICTIONARY (vocabulary-,
+    not posting-, sized; the startswith filter pushes into the scan) and
+    the posting fetch ships only the expanded terms' rows."""
+    qrows = analyze_phrases(queries, config)
+    if not qrows:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    terms_by_q: dict[int, list[str]] = {}
+    for qid, slot, term in sorted(qrows):
+        terms_by_q.setdefault(qid, []).append(term)
+    slots_by_q: dict[int, list[tuple[int, object]]] = {}
+    for qid, terms in terms_by_q.items():
+        prefix = terms[-1]
+        exp = [
+            r["term"]
+            for r in term_df.filter(F.col("term").startswith(prefix))
+            .select("term").orderBy("term").limit(max_expansions).collect()
+        ]
+        if not exp:
+            continue
+        slots = [(i, t) for i, t in enumerate(terms[:-1])]
+        slots.append((len(terms) - 1, tuple(exp)))
+        slots_by_q[qid] = slots
+    if not slots_by_q:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    return _slots_eval(spark, postings, slots_by_q, slop)
+
+
+def phrase_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """Ranked phrase query (ES ``match_phrase``): BM25 scoring with the
+    PHRASE frequency as tf, Lucene PhraseQuery-style — score =
+    [sum over slots of idf(term)] * satu(freq), satu(f) =
+    f*(k1+1)/(f + k1*(1-b+b*dl/avgdl)), idf the Lucene BM25 idf. freq is
+    this engine's n_matches (distinct matching anchors; = exact phrase
+    occurrences at slop 0). Returns (query_id, rank, doc_id, score)."""
+    from pyspark.sql import Window
+
+    qrows = analyze_phrases(queries, config)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
+    )
+    all_terms = sorted({t for _, _, t in qrows})
+    plists = postings.filter(F.col("term").isin(all_terms))
+    joined = plists.join(F.broadcast(qterms), "term")
+    slots_by_q: dict[int, list[tuple[int, str]]] = {}
+    for qid, slot, term in qrows:
+        slots_by_q.setdefault(qid, []).append((slot, term))
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows_by_term: dict[str, dict[int, list]] = {}
+        df_by_term: dict[str, float] = {}
+        for term, ri, df_t, blocks in zip(
+            pdf["term"], pdf["run_idx"], pdf["df"], pdf["blocks"]
+        ):
+            rows_by_term.setdefault(term, {})[int(ri)] = blocks
+            df_by_term[term] = float(df_t)
+        decoded = _decode_rows(rows_by_term)
+        docs, counts, dls = _match_phrase(
+            decoded, slots_by_q[qid], slop, want_dl=True
+        )
+        if docs.size == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        idf_sum = 0.0
+        for _slot, term in slots_by_q[qid]:
+            df_t = df_by_term.get(term, 0.0)
+            idf_sum += float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+        f = counts.astype(np.float64)
+        sat = f * (k1 + 1.0) / (
+            f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+                "doc_id": pd.Series(docs, dtype="int64"),
+                "score": pd.Series(idf_sum * sat, dtype="float64"),
+            }
+        )
+
+    scored = joined.groupBy("query_id").applyInPandas(run_query, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )

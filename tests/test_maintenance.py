@@ -189,3 +189,26 @@ def test_engine_auto_routes_partitioned(spark, tmp_path, monkeypatch):
     p_auto = {(r["query_id"], r["doc_id"]): r["n_matches"]
               for r in eng.phrase("the quick").collect()}
     assert p_auto == p_small
+
+
+def test_engine_maintenance_facade(spark, tmp_path):
+    """delete/upsert/compact through the ComboSearchEngine facade: the
+    engine re-attaches to the new generation and serves the edited corpus."""
+    rows = _corpus(seed=23, n=30)
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    eng = ComboSearchEngine(
+        spark, CFG, str(tmp_path / "idx"), salt_shards=4, block_size=8
+    )
+    eng.index(df, content_col="content")
+    victim = rows[0][0]
+    eng.delete([victim])
+    eng.upsert(spark.createDataFrame(
+        [(777_000_001, "sphinx of black quartz")], "doc_id long, content string"
+    ))
+    idx = eng.compact()
+    assert idx.meta.n_docs == len(rows)  # -1 deleted, +1 added
+    hits = [r["doc_id"] for r in eng.search("sphinx quartz", k=3).collect()]
+    assert hits == [777_000_001]
+    assert victim not in [
+        r["doc_id"] for r in eng.search("the", k=30, partitioned=False).collect()
+    ]

@@ -150,3 +150,88 @@ def test_partitioned_tiny_corpus_and_slop(spark, tiny_postings):
             )
         )
         assert part == single
+
+
+def test_phrase_prefix_match(spark):
+    """match_phrase_prefix: trailing term expands as a prefix."""
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_prefix_match,
+    )
+
+    rows = [
+        (0, "new york city"),
+        (1, "new york citizens"),
+        (2, "new york state"),
+        (3, "old york city"),
+        (4, "new yorkshire city"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+
+    stats = build_term_stats(df, CFG)
+    term_df = stats.groupBy("doc_id", "term").count().groupBy("term").count()
+    term_df = term_df.withColumnRenamed("count", "df")
+    p = _postings(spark, rows)
+    got = _got(phrase_prefix_match(
+        spark, p, term_df, [(0, "new york cit"), (1, "new yo"), (2, "zzz qq")], CFG
+    ))
+    # q0: "new york cit*" -> docs 0 (city) and 1 (citizens)
+    assert {k for k in got if k[0] == 0} == {(0, 0), (0, 1)}
+    # q1: "new yo*" -> york and yorkshire complete it: docs 0,1,2,4
+    assert {k[1] for k in got if k[0] == 1} == {0, 1, 2, 4}
+    # q2: unknown prefix -> nothing
+    assert not any(k[0] == 2 for k in got)
+
+
+def test_phrase_prefix_max_expansions_cap(spark):
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_prefix_match,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+
+    # expansions are alphabetical: cap=1 keeps only 'ya' (not 'yb')
+    rows = [(0, "go ya"), (1, "go yb")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG)
+    term_df = (
+        stats.groupBy("doc_id", "term").count()
+        .groupBy("term").count().withColumnRenamed("count", "df")
+    )
+    p = _postings(spark, rows)
+    got = _got(phrase_prefix_match(
+        spark, p, term_df, [(0, "go y")], CFG, max_expansions=1
+    ))
+    assert got == {(0, 0): 1}
+
+
+def test_phrase_topk_scoring(spark):
+    """Ranked phrase: idf-sum * tf-saturation over phrase frequency;
+    more occurrences in a shorter doc must rank first."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_topk
+
+    rows = [
+        (0, "a b x a b"),        # freq 2, dl 5
+        (1, "a b x x x x x x"),  # freq 1, dl 8
+        (2, "a x b"),            # no exact match
+        (3, "c c c"),
+    ]
+    p = _postings(spark, rows)
+    n_docs, avgdl = 4, (5 + 8 + 3 + 3) / 4.0
+    out = phrase_topk(
+        spark, p, [(0, "a b")], CFG, n_docs=n_docs, avgdl=avgdl, k=10
+    ).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]
+    assert [r["rank"] for r in out] == [1, 2]
+
+    def idf(df):
+        return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    # df(a)=3 (docs 0,1,2), df(b)=3
+    def score(f, dl):
+        return (idf(3) + idf(3)) * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert abs(got[0] - score(2, 5)) < 1e-9
+    assert abs(got[1] - score(1, 8)) < 1e-9
