@@ -95,11 +95,14 @@ class ComboSearchEngine:
             )
         return config_from_meta(meta_cfg)
 
-    #: above this many indexed docs, search() defaults to the
-    #: range-partitioned WAND evaluator (one task per (query, doc-range))
+    #: above this many indexed docs, search()/phrase() default to the
+    #: range-partitioned evaluators (one task per (query, doc-range))
     #: instead of one task per query — a hot-term query over a large index
     #: must not concentrate its whole posting volume in a single worker.
-    PARTITIONED_THRESHOLD = 1_000_000
+    #: 200k is where measurement flips (BENCH/BASELINE.md at-scale): WAND
+    #: partitioned 1.56s vs single 1.76s, phrase 3.1s vs 16.6s at 200k
+    #: docs, and the gap only widens with corpus size.
+    PARTITIONED_THRESHOLD = 200_000
 
     def search(
         self,

@@ -139,7 +139,14 @@ does not apply.
 
 Raw JSON: BENCH/scaling.json.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve the manually-curated at-scale sections across rewrites
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "## At-scale validation"
+        if marker in old:
+            md = md + "\n" + old[old.index(marker):]
+    with open(path, "w") as f:
         f.write(md)
     print(json.dumps(report))
 
