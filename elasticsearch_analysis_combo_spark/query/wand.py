@@ -151,7 +151,16 @@ class _PostingCursor:
                 return
 
 
-def wand_topk_single(
+# Below this many postings per task, the vectorized dense evaluator beats
+# the cursor loop outright: decoding + scoring 2M postings is a few numpy
+# passes (~100ms), while the per-pivot Python loop over the same volume
+# takes seconds — and stop-token-heavy queries (the scale worst case) are
+# exactly where block-max pruning can't skip much. Above it, block-max
+# skipping starts paying for itself (selective queries over huge lists).
+DENSE_EVAL_MAX_POSTINGS = 2_000_000
+
+
+def _dense_topk(
     postings_by_term: dict[str, tuple[float, list]],
     k: int,
     avgdl: float,
@@ -159,13 +168,70 @@ def wand_topk_single(
     b: float,
     doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, float]]:
-    """Block-max WAND for one query.
+    """Exact vectorized evaluation: decode every block, accumulate per-doc
+    scores in ascending-term order — the SAME summation order as the
+    cursor path, so scores are bit-identical to WAND's — and take the
+    (score desc, doc_id asc) top-k."""
+    lo, hi = doc_range if doc_range else (MIN_DOC, MAX_DOC)
+    decoded = []
+    all_docs = []
+    for term in sorted(postings_by_term):
+        idf, blocks = postings_by_term[term]
+        ds, tfs, dls = [], [], []
+        for bl in blocks:
+            if int(bl["last_doc"]) < lo or int(bl["first_doc"]) > hi:
+                continue
+            d, t, l = decode_block(bytes(bl["data"]), MIN_DOC, int(bl["n"]))
+            if lo > int(d[0]) or hi < int(d[-1]):
+                s = int(np.searchsorted(d, lo, side="left"))
+                e = int(np.searchsorted(d, hi, side="right"))
+                d, t, l = d[s:e], t[s:e], l[s:e]
+            if d.size:
+                ds.append(d)
+                tfs.append(t)
+                dls.append(l)
+        if not ds:
+            continue
+        d = np.concatenate(ds)
+        decoded.append((idf, d, np.concatenate(tfs), np.concatenate(dls)))
+        all_docs.append(d)
+    if not all_docs:
+        return []
+    docs_u = np.unique(np.concatenate(all_docs))
+    acc = np.zeros(docs_u.size, dtype=np.float64)
+    for idf, d, t, l in decoded:
+        acc[np.searchsorted(docs_u, d)] += idf * bm25_impact(t, l, avgdl, k1, b)
+    order = np.lexsort((docs_u, -acc))[:k]
+    return [(int(docs_u[i]), float(acc[i])) for i in order]
+
+
+def wand_topk_single(
+    postings_by_term: dict[str, tuple[float, list]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    doc_range: tuple[int, int] | None = None,
+    dense_max_postings: int = DENSE_EVAL_MAX_POSTINGS,
+) -> list[tuple[int, float]]:
+    """Top-k for one query (or one (query, doc-range) task): block-max
+    WAND with a dense-evaluation dispatch.
 
     postings_by_term: term -> (idf, blocks). Returns [(doc_id, score)]
     sorted by (score desc, doc_id asc), length <= k. ``doc_range``
     restricts evaluation to docs in the closed interval (range-partitioned
     evaluation: per-range results are exact, so the global top-k is the
-    top-k of the per-range unions)."""
+    top-k of the per-range unions). Tasks whose total posting count is at
+    most ``dense_max_postings`` run the vectorized exact evaluator
+    (bit-identical scores, same tie order); pass 0 to force the cursor
+    path."""
+    est = sum(
+        int(bl["n"])
+        for _idf, blocks in postings_by_term.values()
+        for bl in blocks
+    )
+    if est <= dense_max_postings:
+        return _dense_topk(postings_by_term, k, avgdl, k1, b, doc_range)
     cursors = [
         _PostingCursor(term, idf, blocks, avgdl, k1, b, doc_range)
         for term, (idf, blocks) in sorted(postings_by_term.items())
@@ -259,6 +325,7 @@ def wand_topk(
     queries: list[tuple[int, str]],
     config: ComboConfig | None = None,
     k: int = 10,
+    dense_max_postings: int = DENSE_EVAL_MAX_POSTINGS,
 ) -> DataFrame:
     """Distributed block-max WAND over a built index directory. The term
     filter is pushed into the parquet scan and the posting table is
@@ -269,6 +336,7 @@ def wand_topk(
     return wand_topk_from_postings(
         spark, index.postings(), queries, config,
         n_docs=meta.n_docs, avgdl=meta.avgdl, k1=meta.k1, b=meta.b, k=k,
+        dense_max_postings=dense_max_postings,
     )
 
 
@@ -282,9 +350,11 @@ def wand_topk_from_postings(
     k1: float = 1.2,
     b: float = 0.75,
     k: int = 10,
+    dense_max_postings: int = DENSE_EVAL_MAX_POSTINGS,
 ) -> DataFrame:
     """Block-max WAND over any posting DataFrame (materialized table or
-    freshly-built pipeline output): one task per query."""
+    freshly-built pipeline output): one task per query (dense-dispatched
+    below ``dense_max_postings`` postings — see wand_topk_single)."""
     qrows = analyze_queries(queries, config)
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
 
@@ -308,7 +378,8 @@ def wand_topk_from_postings(
             blocks = [bl for _, _, bls in rows for bl in bls]
             idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
             by_term[term] = (idf, blocks)
-        top = wand_topk_single(by_term, k, avgdl, k1, b)
+        top = wand_topk_single(by_term, k, avgdl, k1, b,
+                               dense_max_postings=dense_max_postings)
         return pd.DataFrame(
             {
                 "query_id": np.full(len(top), qid, dtype="int32"),
@@ -332,6 +403,7 @@ def wand_topk_partitioned(
     b: float = 0.75,
     k: int = 10,
     range_bits: int = 4,
+    dense_max_postings: int = DENSE_EVAL_MAX_POSTINGS,
 ) -> DataFrame:
     """Range-partitioned block-max WAND: one task per (query, doc-range).
 
@@ -386,7 +458,8 @@ def wand_topk_partitioned(
             blocks = sorted((bl for _, bl in rows), key=lambda b_: b_["first_doc"])
             idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
             by_term[term] = (idf, blocks)
-        top = wand_topk_single(by_term, k, avgdl, k1, b, doc_range=(lo, hi_incl))
+        top = wand_topk_single(by_term, k, avgdl, k1, b, doc_range=(lo, hi_incl),
+                               dense_max_postings=dense_max_postings)
         return pd.DataFrame(
             {
                 "query_id": np.full(len(top), qid, dtype="int32"),

@@ -71,8 +71,14 @@ def test_wand_random_corpora(seed):
         for k in (1, 3, 10, 1000):
             qterms = sorted({t for t in q.split()})
             by_term = {t: enc[t] for t in qterms if t in enc}
-            got = wand_topk_single(by_term, k, avgdl, K1, B)
+            # dense_max_postings=0 forces the cursor (block-max WAND) path;
+            # the default dispatches small tasks to the dense evaluator —
+            # both must match the oracle AND each other bit-exactly
+            got = wand_topk_single(by_term, k, avgdl, K1, B,
+                                   dense_max_postings=0)
+            dense = wand_topk_single(by_term, k, avgdl, K1, B)
             exp = [(d, s) for _, d, s in oracle_topk(docs, CFG, q, k=k)]
             assert [d for d, _ in got] == [d for d, _ in exp], (seed, q, k)
             for (_, s1), (_, s2) in zip(got, exp):
                 assert abs(s1 - s2) < 1e-9
+            assert dense == got, (seed, q, k)
