@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,7 +48,12 @@ TERM_STATS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("term", T.StringType()),
         T.StructField("tf", T.IntegerType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # per-row positions pre-packed as an independent delta+varint
+        # stream (codec.encode_positions_rows) — the block wire format, so
+        # the posting build concatenates bytes instead of re-encoding, and
+        # the shuffle moves compressed bytes instead of int arrays. Decode
+        # with codec.decode_positions_flat(pos_data, [tf]).
+        T.StructField("pos_data", T.BinaryType()),
         T.StructField("dl", T.IntegerType()),
     ]
 )
@@ -128,12 +134,14 @@ def build_term_stats(
     content_col: str = "content",
     lang_col: str | None = None,
 ) -> DataFrame:
-    """content -> (doc_id, term, tf, positions, dl), one row per (doc, term).
+    """content -> (doc_id, term, tf, pos_data, dl), one row per (doc, term).
 
     This replaces explode+groupBy(term, doc): the per-document aggregation is
     computed inside the Arrow batch (term_stats in combo.py), so no shuffle
     is needed to obtain tf/positions — the downstream posting build shuffles
-    already-aggregated rows only (SURVEY.md §2 B2, "one shuffle saved")."""
+    already-aggregated rows only (SURVEY.md §2 B2, "one shuffle saved").
+    Positions ship pre-packed (see TERM_STATS_SCHEMA) — the stats shuffle
+    moves varint bytes, not int64 arrays."""
     cols = [doc_id_col, content_col] + ([lang_col] if lang_col else [])
     src = df.select(*cols)
     # small-FILE inputs arrive as 1-2 scan partitions; spread the analysis
@@ -182,8 +190,6 @@ def build_term_stats(
         fast_leaf = FAST_TERM_POS_REGISTRY.get(config.sub_analyzers[0])
 
     def _vectorized_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         ids = pdf[doc_id_col].to_numpy()
         toks = [fast_leaf(t or "") for t in pdf[content_col]]
         lens = np.fromiter((len(t[0]) for t in toks), np.int64, len(toks))
@@ -193,11 +199,11 @@ def build_term_stats(
                 {"doc_id": pd.Series([], dtype="int64"),
                  "term": pd.Series([], dtype=object),
                  "tf": pd.Series([], dtype="int32"),
-                 "positions": pd.Series([], dtype=object),
+                 "pos_data": pd.Series([], dtype=object),
                  "dl": pd.Series([], dtype="int32")}
             )
         flat = np.empty(total, dtype=object)
-        pos = np.empty(total, dtype=np.int32)  # schema target is array<int>
+        pos = np.empty(total, dtype=np.int32)
         off = 0
         for (terms, poses), length in zip(toks, lens):
             length = int(length)
@@ -218,14 +224,16 @@ def build_term_stats(
         ends = np.append(starts[1:], total)
         row_first = order[starts]
         pos_sorted = pos[order]
-        out_pos = np.empty(starts.size, dtype=object)
-        for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-            out_pos[i] = pos_sorted[s:e]
+        from elasticsearch_analysis_combo_spark.operators.codec import (
+            encode_positions_rows,
+        )
+
+        packed = encode_positions_rows(pos_sorted, ends - starts)
         return pd.DataFrame(
             {"doc_id": pd.Series(ids[doc_idx[row_first]], dtype="int64"),
              "term": pd.Series(flat[row_first], dtype=object),
              "tf": pd.Series((ends - starts).astype(np.int32), dtype="int32"),
-             "positions": pd.Series(out_pos, dtype=object),
+             "pos_data": pd.Series(packed, dtype=object),
              "dl": pd.Series(lens[doc_idx[row_first]].astype(np.int32),
                              dtype="int32")}
         )
@@ -267,13 +275,28 @@ def build_term_stats(
                     out_tf.append(tf)
                     out_pos.append(positions)
                     out_dl.append(dl)
+            from elasticsearch_analysis_combo_spark.operators.codec import (
+                encode_positions_rows,
+            )
+            import itertools
+
+            if out_pos:
+                flat = np.fromiter(
+                    itertools.chain.from_iterable(out_pos), np.int64,
+                    int(sum(out_tf)),
+                )
+                packed = encode_positions_rows(
+                    flat, np.asarray(out_tf, dtype=np.int64)
+                )
+            else:
+                packed = []
             yield pd.DataFrame(
                 {"doc_id": pd.Series(out_id, dtype="int64"),
                  "term": pd.Series(out_term, dtype=object),
                  "tf": pd.Series(out_tf, dtype="int32"),
-                 # object dtype keeps Arrow's list<int> conversion working
+                 # object dtype keeps Arrow's binary conversion working
                  # even for empty batches
-                 "positions": pd.Series(out_pos, dtype=object),
+                 "pos_data": pd.Series(packed, dtype=object),
                  "dl": pd.Series(out_dl, dtype="int32")}
             )
 

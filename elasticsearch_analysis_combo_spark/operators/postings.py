@@ -4,7 +4,7 @@ The reference feeds its merged token stream to Lucene's IndexWriter
 (AnalysisComboPlugin.java:37-42); this module builds the equivalent inverted
 index Spark-first:
 
-  corpus --mapInPandas(analysis+per-doc agg)--> (doc_id, term, tf, positions, dl)
+  corpus --mapInPandas(analysis+per-doc agg)--> (doc_id, term, tf, pos_data, dl)
          --salted repartition on (term, salt)--> per-shard sorted segments
          (delta+varint blocks + block-max metadata)
          --repartition(term) streamed k-way merge--> compacted posting table
@@ -112,10 +112,15 @@ def _encode_blocks(
     k1: float,
     b: float,
     block_size: int,
+    pos_rows=None,
 ) -> list[dict]:
     """Chunk sorted postings into independent compressed blocks.
     ``pos_flat``: positions flattened doc-major over the whole run
-    (lengths = tfs), sliced per block via cumulative tf offsets."""
+    (lengths = tfs), sliced per block via cumulative tf offsets — used by
+    the merge path, which re-encodes decoded runs. ``pos_rows``: per-doc
+    PRE-PACKED delta+varint streams (codec.encode_positions_rows); a
+    block's pos_data is then their plain concatenation, bit-identical to
+    the pos_flat encoding (same per-doc delta segmentation)."""
     blocks = []
     pos_off = None
     if pos_flat is not None:
@@ -130,6 +135,8 @@ def _encode_blocks(
         # independent blocks: first gap relative to MIN_DOC sentinel so any
         # block decodes without its predecessor (WAND skips blocks)
         data, pos_data = encode_block(d, t, l, p, MIN_DOC)
+        if pos_rows is not None:
+            pos_data = b"".join(pos_rows[off:end])
         blocks.append(
             {
                 "first_doc": int(d[0]),
@@ -201,14 +208,11 @@ def encode_posting_rows_batched(
     block_lens = block_lens_arr.tolist()
 
     if with_positions:
-        pos_flat = np.concatenate(list(cols["positions"])).astype(np.uint64)
-        tf_cum = np.concatenate([[0], np.cumsum(tfs)])
-        # every posting row is a delta segment (absolute at each doc start)
-        deltas = delta_encode_segmented(pos_flat, tf_cum[:-1])
-        pbuf, pnbytes = varint_encode_with_sizes(deltas)
-        pbyte_off = np.concatenate([[0], np.cumsum(pnbytes)])
-        pos_starts = pbyte_off[tf_cum[block_start_rows]].tolist()
-        pos_ends = pbyte_off[tf_cum[block_end_rows]].tolist()
+        # rows arrive PRE-PACKED (codec.encode_positions_rows at analysis
+        # time): a block's stream is the concatenation of its rows' bytes
+        pos_rows = cols["pos_data"]
+        bs_list = block_start_rows.tolist()
+        be_list = block_end_rows.tolist()
 
     # group -> contiguous block id range
     block_gid = gid[block_start_rows]
@@ -231,7 +235,7 @@ def encode_posting_rows_batched(
                     "max_impact": blk_max[bi],
                     "data": buf[data_starts[bi]:data_ends[bi]],
                     "pos_data": (
-                        pbuf[pos_starts[bi]:pos_ends[bi]]
+                        b"".join(pos_rows[bs_list[bi]:be_list[bi]])
                         if with_positions else b""
                     ),
                 }
@@ -285,7 +289,7 @@ def build_segments(
 ) -> DataFrame:
     """B3+B4: salted repartition + per-shard sorted compressed segments.
 
-    Input: (doc_id, term, tf, positions, dl) from build_term_stats.
+    Input: (doc_id, term, tf, pos_data, dl) from build_term_stats.
     Output: bounded rows per (term, salt, run_idx) with sorted posting
     blocks; df/cf on segment rows are run-local counts.
     """
@@ -314,22 +318,17 @@ def _encode_segments(
         doc_ids = cols["doc_id"][s:e]
         tfs = cols["tf"][s:e]
         dls = cols["dl"][s:e]
-        pos_flat = None
-        pos_off = None
-        if with_positions:
-            pos_flat = np.concatenate(list(cols["positions"][s:e])).astype(np.uint64)
+        pos_rows = cols["pos_data"][s:e] if with_positions else None
         term, salt = cols["term"][s], int(cols["salt"][s])
         out = []
         # chunk at the doc level so each run encodes independently
         docs_per_row = max_blocks_per_row * block_size
-        if with_positions:
-            tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
         for ri, off in enumerate(range(0, doc_ids.size, docs_per_row)):
             end = min(off + docs_per_row, doc_ids.size)
-            p = pos_flat[tf_cum[off]:tf_cum[end]] if with_positions else None
             blocks = _encode_blocks(
-                doc_ids[off:end], tfs[off:end], dls[off:end], p,
+                doc_ids[off:end], tfs[off:end], dls[off:end], None,
                 avgdl, k1, b, block_size,
+                pos_rows=pos_rows[off:end] if with_positions else None,
             )
             out.append((
                 term, salt, ri,

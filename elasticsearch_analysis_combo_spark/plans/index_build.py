@@ -187,8 +187,10 @@ def build_index(
             ).alias("x"),
         ).collect()[0]
         input_fingerprint = f"auto:{r['n']}:{r['x']}"
+    # "statsfmt=2": term_stats positions became pre-packed pos_data binary;
+    # the salt invalidates checkpoints of the old array-typed stage outputs
     base_fp = fingerprint(cfg, input_fingerprint, k1, b, block_size,
-                          salt_shards, with_positions)
+                          salt_shards, with_positions, "statsfmt=2")
 
     stats = ckpt.run(
         "term_stats",

@@ -47,10 +47,19 @@ def test_lang_dispatch(spark, tiny_df):
 
 
 def test_build_term_stats(spark, tiny_df):
+    import numpy as np
+
+    from elasticsearch_analysis_combo_spark.operators.codec import (
+        decode_positions_flat,
+    )
+
     stats = build_term_stats(tiny_df, CFG, content_col="content").collect()
     by_doc = {}
     for r in stats:
-        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["tf"], list(r["positions"]), r["dl"])
+        poss = decode_positions_flat(
+            bytes(r["pos_data"]), np.array([r["tf"]], dtype=np.int64)
+        ).tolist()
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["tf"], poss, r["dl"])
     exp_stats, exp_dl = term_stats(analyze_text("just a little test 0", CFG))
     assert {t: (tf, ps) for t, (tf, ps) in exp_stats.items()} == {
         t: (tf, ps) for t, (tf, ps, _) in by_doc[0].items()

@@ -129,9 +129,19 @@ def test_vectorized_term_stats_equals_token_path(spark, analyzer):
     rows += [(998, None), (999, "")]
     df = spark.createDataFrame(rows, "doc_id long, content string")
 
+    from elasticsearch_analysis_combo_spark.operators.codec import (
+        decode_positions_flat,
+    )
+
     def canon(out):
         return sorted(
-            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]), r["dl"])
+            (
+                r["doc_id"], r["term"], r["tf"],
+                tuple(decode_positions_flat(
+                    bytes(r["pos_data"]), np.array([r["tf"]], dtype=np.int64)
+                ).tolist()),
+                r["dl"],
+            )
             for r in out.collect()
         )
 
@@ -170,8 +180,16 @@ def test_batched_encoder_bit_identical_to_per_term(seed, with_positions):
     for i in range(n):
         positions[i] = np.sort(rng.integers(1, 500, int(tfs[i]))).astype(np.int64)
     terms = np.array([f"t{c:04d}" for c in codes], dtype=object)
+    from elasticsearch_analysis_combo_spark.operators.codec import (
+        encode_positions_rows,
+    )
+
+    packed = np.empty(n, dtype=object)
+    packed[:] = encode_positions_rows(
+        np.concatenate(list(positions)), tfs
+    )
     cols = {"term": terms, "doc_id": doc_ids, "tf": tfs, "dl": dls,
-            "positions": positions}
+            "pos_data": packed}
     starts = np.nonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))[0]
     ends = np.append(starts[1:], n)
 
@@ -189,6 +207,7 @@ def test_batched_encoder_bit_identical_to_per_term(seed, with_positions):
         if with_positions:
             p = np.concatenate(list(positions[s:e])).astype(np.uint64)
         blocks = _encode_blocks(d, t, l, p, avgdl, k1, b, block_size)
+        # the pos_flat path and the pre-packed path must stay bit-identical
         df_t, cf_t = e - s, int(t.sum())
         for ri, off in enumerate(range(0, len(blocks), cap)):
             chunk = blocks[off:off + cap]
