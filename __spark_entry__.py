@@ -1206,6 +1206,78 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+MLT_SEEDS = [0, 7, 42]
+MLT_MAX_TERMS, MLT_MIN_DF = 25, 2
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this: seed docs expand to their top-tf*idf terms; hits
+    rank by BM25 with the seed excluded."""
+    from elasticsearch_analysis_combo_spark.query.morelikethis import (
+        more_like_this,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = more_like_this(
+        spark, stats, term_df, MLT_SEEDS, n_docs, avgdl,
+        max_query_terms=MLT_MAX_TERMS, min_doc_freq=MLT_MIN_DF,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _mlt_oracle_sql() -> str:
+    seeds = ", ".join(f"({i}, {d})" for i, d in enumerate(MLT_SEEDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+seeds(query_id, seed_doc_id) AS (VALUES {seeds}),
+sel AS (
+  SELECT s.query_id, tf.term, dfx.df,
+         round(tf.tf * ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5)), 6) AS sc
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed_doc_id
+  JOIN dfx USING (term) CROSS JOIN gs
+  WHERE tf.tf >= 1 AND dfx.df >= {MLT_MIN_DF}
+),
+q AS (
+  SELECT query_id, term, df FROM (
+    SELECT sel.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY sc DESC, term
+    ) AS rn FROM sel
+  ) WHERE rn <= {MLT_MAX_TERMS}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - q.df + 0.5) / (q.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scored sc JOIN seeds s ON s.query_id = sc.query_id
+  WHERE sc.doc_id != s.seed_doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational building blocks + streaming
 
@@ -1367,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": q_phrase_slop,
         "phrase_prefix": q_phrase_prefix,
         "phrase_ranked": q_phrase_ranked,
+        "more_like_this": q_more_like_this,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
         "bm25_bool_msm": q_bm25_bool_msm,
@@ -1797,6 +1870,7 @@ GROUP BY 1
     sqls["phrase_slop"] = _phrase_slop_oracle_sql()
     sqls["phrase_prefix"] = _phrase_prefix_oracle_sql()
     sqls["phrase_ranked"] = _phrase_ranked_oracle_sql()
+    sqls["more_like_this"] = _mlt_oracle_sql()
     sqls["bm25_conjunctive"] = _conjunctive_oracle_sql()
     sqls["bm25_boolean"] = _boolean_oracle_sql()
     sqls["bm25_bool_msm"] = _bool_msm_oracle_sql()

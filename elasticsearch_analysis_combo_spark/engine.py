@@ -266,6 +266,29 @@ class ComboSearchEngine:
             k=k, slop=slop,
         )
 
+    def more_like_this(
+        self,
+        doc_id: int | list[int],
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> DataFrame:
+        """ES ``more_like_this``: docs similar to the seed(s) — top-tf*idf
+        seed terms queried as an OR, seeds excluded from their results."""
+        from elasticsearch_analysis_combo_spark.query.morelikethis import (
+            more_like_this,
+        )
+
+        seeds = [doc_id] if isinstance(doc_id, int) else list(doc_id)
+        idx = self.idx
+        return more_like_this(
+            self.spark, idx.term_stats(), idx.term_df(), seeds,
+            idx.meta.n_docs, idx.meta.avgdl,
+            max_query_terms=max_query_terms, min_term_freq=min_term_freq,
+            min_doc_freq=min_doc_freq, k=k, k1=idx.meta.k1, b=idx.meta.b,
+        )
+
     # -- maintenance (delete / upsert / compact) -----------------------------
     def delete(self, doc_ids) -> None:
         """Tombstone documents (takes effect at the next :meth:`compact`,

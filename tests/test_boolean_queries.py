@@ -140,3 +140,39 @@ def test_msm_default_zero_is_backward_compatible(spark, stats):
     # default path: empty must => >=1 should (legacy behavior)
     by_q = _run_bool_opts(spark, stats, [(0, "", "window table", "")])
     assert sorted(d for d, _ in by_q[0]) == [3, 4]
+
+
+def test_more_like_this(spark, stats):
+    """MLT: seed's top tf*idf terms query as OR; seed excluded; docs
+    sharing more seed terms rank higher."""
+    from elasticsearch_analysis_combo_spark.query.morelikethis import (
+        more_like_this,
+    )
+
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    out = more_like_this(
+        spark, stats, term_df, [1], int(row["n"]), float(row["a"]),
+        min_doc_freq=2, k=10,
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids                      # seed excluded
+    # doc 1 = "spark query engine"; doc 4 shares spark+query, doc 2
+    # shares spark+engine, doc 3 shares query -> all present, doc 5 absent
+    assert set(ids) == {2, 3, 4}
+    assert out[0]["rank"] == 1
+
+    # empty seeds -> empty frame
+    empty = more_like_this(
+        spark, stats, term_df, [], int(row["n"]), float(row["a"])
+    )
+    assert empty.count() == 0
+
+    # unknown seed id -> no rows for that query
+    unk = more_like_this(
+        spark, stats, term_df, [999], int(row["n"]), float(row["a"])
+    )
+    assert unk.count() == 0
