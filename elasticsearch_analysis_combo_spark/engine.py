@@ -95,13 +95,14 @@ class ComboSearchEngine:
             )
         return config_from_meta(meta_cfg)
 
-    #: above this many indexed docs, search()/phrase() default to the
-    #: range-partitioned evaluators (one task per (query, doc-range))
+    #: at or above this many indexed docs, search()/phrase() default to
+    #: the range-partitioned evaluators (one task per (query, doc-range))
     #: instead of one task per query — a hot-term query over a large index
     #: must not concentrate its whole posting volume in a single worker.
-    #: 200k is where measurement flips (BENCH/BASELINE.md at-scale): WAND
-    #: partitioned 1.56s vs single 1.76s, phrase 3.1s vs 16.6s at 200k
-    #: docs, and the gap only widens with corpus size.
+    #: 200k is where measurement flips (BENCH/BASELINE.md "At-scale
+    #: validation (round 3)": partitioned WAND 1.79s vs single 2.55s at
+    #: 1M docs on a quiet host; partitioned phrase 3.1s vs 16.6s at 200k),
+    #: and the gap widens with corpus size.
     PARTITIONED_THRESHOLD = 200_000
 
     def search(
@@ -120,7 +121,7 @@ class ComboSearchEngine:
         uses the range-partitioned evaluator (one task per (query,
         doc-range)) — same exact results, the right shape for stop-word
         queries over very large indexes. Default (None) routes
-        automatically: partitioned once the index holds more than
+        automatically: partitioned once the index holds at least
         ``PARTITIONED_THRESHOLD`` docs, single-task below (fat-query
         throughput wins while per-query posting volume is small)."""
         queries = [(0, query)] if isinstance(query, str) else query

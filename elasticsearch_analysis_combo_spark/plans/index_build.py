@@ -73,23 +73,18 @@ def publish_tables(
     Each DataFrame writes to a fresh ``<name>-<token>`` dir; the new
     meta.json (pointing at the new dirs) replaces the old one with a single
     ``os.replace`` — the only mutation existing paths ever see. Readers
-    that loaded the previous meta keep reading their generation's dirs
-    (still on disk); generations older than ``keep_previous`` metas back
-    are deleted. On a real deployment index_dir is shared storage and the
-    same swap applies (object stores: write new prefixes + swap a pointer
-    object)."""
+    that loaded an earlier meta keep reading their generation's dirs
+    (still on disk). A ``meta.history.jsonl`` records every published
+    generation's table map; dirs referenced only by generations more than
+    ``keep_previous`` publishes back are deleted. On a real deployment
+    index_dir is shared storage and the same swap applies (object stores:
+    write new prefixes + swap a pointer object)."""
     import shutil
     import uuid
 
     token = uuid.uuid4().hex[:8]
     new_tables = dict(meta.tables or {})
-    old_meta = None
     meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(meta_path):
-        try:
-            old_meta = IndexMeta.load(index_dir)
-        except Exception:
-            old_meta = None
     for name, df in tables.items():
         sub = f"{name}-{token}"
         df.write.mode("overwrite").parquet(os.path.join(index_dir, sub))
@@ -99,12 +94,19 @@ def publish_tables(
     with open(meta_tmp, "w") as f:
         json.dump(asdict(meta), f, indent=1)
     os.replace(meta_tmp, meta_path)
-    # GC: drop generation dirs that neither the new nor the immediately
-    # previous meta references (in-flight readers of the previous meta
-    # finish undisturbed; two-generations-old readers are assumed gone)
+    # generation ledger: GC keeps every dir referenced by the newest
+    # keep_previous+1 published generations (in-flight readers of those
+    # metas finish undisturbed; older readers are assumed gone)
+    hist_path = os.path.join(index_dir, "meta.history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(new_tables) + "\n")
     live = set(new_tables.values()) | set(tables.keys())
-    if old_meta is not None and keep_previous > 0:
-        live |= {(old_meta.tables or {}).get(n, n) for n in tables}
+    try:
+        recent = open(hist_path).read().splitlines()[-(keep_previous + 1):]
+        for ln in recent:
+            live |= set(json.loads(ln).values())
+    except Exception:
+        return InvertedIndex(spark, index_dir)  # ledger unreadable: GC nothing
     for entry in os.listdir(index_dir):
         base = entry.rsplit("-", 1)[0]
         if (

@@ -60,18 +60,37 @@ def _pending_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "pending")
 
 
+def _alloc_seq(index_dir: str) -> int:
+    """Allocate the next pending-operation sequence number (shared between
+    deletes and upserts, so compact can order them per doc: the LAST staged
+    operation wins). Marker files, no Spark job; single staging writer
+    assumed (concurrent writers need an external sequencer)."""
+    import uuid
+
+    d = os.path.join(_pending_dir(index_dir), "ops")
+    os.makedirs(d, exist_ok=True)
+    seqs = [int(e.split(".", 1)[0]) for e in os.listdir(d) if "." in e]
+    seq = (max(seqs) + 1) if seqs else 0
+    open(os.path.join(d, f"{seq}.{uuid.uuid4().hex[:8]}"), "w").close()
+    return seq
+
+
 def delete_docs(
     spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]
 ) -> None:
     """Record tombstones for ``doc_ids``. Append-only; takes effect at the
     next :func:`compact` (queries served before that still see the docs,
-    exactly like Lucene deletes before a segment merge)."""
+    exactly like Lucene deletes before a segment merge). Ordered against
+    upserts of the same doc by staging sequence — deleting after
+    re-upserting really deletes."""
     if not isinstance(doc_ids, DataFrame):
         doc_ids = spark.createDataFrame(
             [(int(d),) for d in doc_ids], _TOMBSTONE_SCHEMA
         )
+    seq = _alloc_seq(index_dir)
     (
         doc_ids.select(F.col("doc_id").cast("long"))
+        .withColumn("seq", F.lit(seq))
         .write.mode("append")
         .parquet(os.path.join(_pending_dir(index_dir), "tombstones"))
     )
@@ -87,32 +106,30 @@ def upsert_docs(
 ) -> None:
     """Stage new or replacement documents (update = delete + add). Each
     call analyzes its batch with the INDEX's recorded analyzer config and
-    appends a pending stats generation; last call wins per doc_id at
-    compact time."""
+    appends a pending stats generation; the LAST staged operation per
+    doc_id (upsert or delete) wins at compact time. The batch's doc ids
+    are recorded separately from its analyzed rows, so replacing a doc
+    with content that analyzes to zero tokens correctly blanks it."""
     from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
     from elasticsearch_analysis_combo_spark.query.wand import config_from_meta
 
     meta = IndexMeta.load(index_dir)
     config = config_from_meta(meta.config)
+    seq = _alloc_seq(index_dir)
     stats = build_term_stats(
         docs, config, doc_id_col=doc_id_col,
         content_col=content_col, lang_col=lang_col,
-    ).withColumn("gen", F.lit(_next_gen(index_dir)))
+    ).withColumn("gen", F.lit(seq))
     stats.write.mode("append").partitionBy("gen").parquet(
         os.path.join(_pending_dir(index_dir), "upserts")
     )
-
-
-def _next_gen(index_dir: str) -> int:
-    d = os.path.join(_pending_dir(index_dir), "upserts")
-    if not os.path.isdir(d):
-        return 0
-    gens = [
-        int(e.split("=", 1)[1])
-        for e in os.listdir(d)
-        if e.startswith("gen=")
-    ]
-    return (max(gens) + 1) if gens else 0
+    (
+        docs.select(F.col(doc_id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("gen", F.lit(seq))
+        .write.mode("append")
+        .parquet(os.path.join(_pending_dir(index_dir), "upsert_ids"))
+    )
 
 
 def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
@@ -180,30 +197,45 @@ def compact(
     nothing is pending."""
     idx = InvertedIndex(spark, index_dir)
     meta = idx.meta
-    tomb = _read_optional(
-        spark, os.path.join(_pending_dir(index_dir), "tombstones")
-    )
-    ups = _read_optional(spark, os.path.join(_pending_dir(index_dir), "upserts"))
-    if tomb is None and ups is None:
+    pend = _pending_dir(index_dir)
+    tomb = _read_optional(spark, os.path.join(pend, "tombstones"))
+    ups = _read_optional(spark, os.path.join(pend, "upserts"))
+    up_ids = _read_optional(spark, os.path.join(pend, "upsert_ids"))
+    if tomb is None and up_ids is None:
         return idx
-    if tomb is not None:
-        tomb = tomb.select("doc_id").distinct()
+
+    # per-doc LAST staged operation wins (tombstones and upserts share one
+    # staging sequence): a delete staged after a re-upsert really deletes,
+    # and an upsert staged after a delete resurrects with the new content
+    tomb_last = (
+        tomb.groupBy("doc_id").agg(F.max("seq").alias("_t"))
+        if tomb is not None else None
+    )
+    up_last = (
+        up_ids.groupBy("doc_id").agg(F.max("gen").alias("_g"))
+        if up_ids is not None else None
+    )
+    if tomb_last is not None and up_last is not None:
+        ops = tomb_last.join(up_last, "doc_id", "full_outer")
+    elif tomb_last is not None:
+        ops = tomb_last.withColumn("_g", F.lit(None).cast("long"))
+    else:
+        ops = up_last.withColumn("_t", F.lit(None).cast("long"))
+    ops = ops.persist()
 
     old_stats = idx.term_stats()
-    dead_ids = tomb
+    # every touched doc's OLD rows go away...
+    dead_ids = ops.select("doc_id")
+    # ...and only docs whose last op is an upsert re-add their new rows.
+    # An upserted doc whose content analyzed to zero tokens has a winner
+    # row but no stats rows — it is correctly blanked, not resurrected.
+    winners = ops.filter(
+        F.col("_g").isNotNull()
+        & (F.col("_t").isNull() | (F.col("_g") > F.col("_t")))
+    ).select("doc_id", F.col("_g").alias("gen"))
     up_stats = None
     if ups is not None:
-        # last pending generation wins per doc_id (an upsert staged twice)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("doc_id")
-        up_stats = (
-            ups.withColumn("_mg", F.max("gen").over(w))
-            .filter(F.col("gen") == F.col("_mg"))
-            .drop("_mg", "gen")
-        )
-        up_ids = up_stats.select("doc_id").distinct()
-        dead_ids = up_ids if dead_ids is None else dead_ids.unionByName(up_ids).distinct()
+        up_stats = ups.join(winners, ["doc_id", "gen"]).drop("gen")
 
     # terms whose posting rows must re-encode: any term of a removed or
     # replaced doc's old rows, plus every term of the replacement docs
@@ -280,7 +312,8 @@ def compact(
     # pending edits are folded in; retire them (rename, not delete, so a
     # crash between publish and retire only risks re-applying idempotent
     # edits, never losing them)
-    pend = _pending_dir(index_dir)
     if os.path.isdir(pend):
         os.replace(pend, pend + f".applied-{uuid.uuid4().hex[:8]}")
+    for df in (new_stats, affected, ops):
+        df.unpersist()
     return out

@@ -83,16 +83,6 @@ def analyze_phrases(
     return out
 
 
-def _empty_pdf(qid: int | None = None) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "query_id": pd.Series([], dtype="int32"),
-            "doc_id": pd.Series([], dtype="int64"),
-            "n_matches": pd.Series([], dtype="int64"),
-        }
-    )
-
-
 def _slot_keys(docs, offs, pos_flat, common, slot: int) -> np.ndarray:
     """Sorted unique keys (common_idx * BAND + pos - slot + BIAS) for one
     slot, restricted to the common docs. Vectorized gather (no per-doc
@@ -437,20 +427,37 @@ def phrase_prefix_match(
     expansion. The expansion runs over the term DICTIONARY (vocabulary-,
     not posting-, sized; the startswith filter pushes into the scan) and
     the posting fetch ships only the expanded terms' rows."""
+    from pyspark.sql import Window
+
     qrows = analyze_phrases(queries, config)
     if not qrows:
         return spark.createDataFrame([], PHRASE_SCHEMA)
     terms_by_q: dict[int, list[str]] = {}
     for qid, slot, term in sorted(qrows):
         terms_by_q.setdefault(qid, []).append(term)
+    # ALL queries' expansions in ONE dictionary job (per-query collects
+    # would serialize a vocabulary scan per prefix); the startswith filter
+    # still pushes into the scan per branch
+    exp_union = None
+    for qid, terms in terms_by_q.items():
+        part = (
+            term_df.filter(F.col("term").startswith(terms[-1]))
+            .select(F.lit(qid).alias("query_id"), "term")
+        )
+        exp_union = part if exp_union is None else exp_union.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy("term")
+    exp_rows = (
+        exp_union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("query_id", "term")
+        .collect()
+    )
+    exp_by_q: dict[int, list[str]] = {}
+    for r in exp_rows:
+        exp_by_q.setdefault(r["query_id"], []).append(r["term"])
     slots_by_q: dict[int, list[tuple[int, object]]] = {}
     for qid, terms in terms_by_q.items():
-        prefix = terms[-1]
-        exp = [
-            r["term"]
-            for r in term_df.filter(F.col("term").startswith(prefix))
-            .select("term").orderBy("term").limit(max_expansions).collect()
-        ]
+        exp = sorted(exp_by_q.get(qid, []))
         if not exp:
             continue
         slots = [(i, t) for i, t in enumerate(terms[:-1])]

@@ -212,3 +212,85 @@ def test_engine_maintenance_facade(spark, tmp_path):
     assert victim not in [
         r["doc_id"] for r in eng.search("the", k=30, partitioned=False).collect()
     ]
+
+
+def test_delete_after_upsert_wins(spark, tmp_path):
+    """The LAST staged operation per doc wins: upsert then delete really
+    deletes; delete then upsert resurrects with the new content."""
+    rows = _corpus(seed=31, n=20)
+    idx = _build(spark, rows, tmp_path / "live")
+    x, y = rows[0][0], rows[1][0]
+    # x: upsert THEN delete -> gone
+    upsert_docs(spark, idx.index_dir, spark.createDataFrame(
+        [(x, "replacement words")], "doc_id long, content string"))
+    delete_docs(spark, idx.index_dir, [x])
+    # y: delete THEN upsert -> resurrected with new content
+    delete_docs(spark, idx.index_dir, [y])
+    upsert_docs(spark, idx.index_dir, spark.createDataFrame(
+        [(y, "resurrected unique words")], "doc_id long, content string"))
+    new_idx = compact(spark, idx.index_dir)
+
+    edited = {d: c for d, c in rows if d != x}
+    edited[y] = "resurrected unique words"
+    fresh = _build(spark, list(edited.items()), tmp_path / "fresh")
+    assert new_idx.meta.n_docs == fresh.meta.n_docs == len(rows) - 1
+    assert _term_df_rows(new_idx) == _term_df_rows(fresh)
+    hits = wand_topk(spark, new_idx, [(0, "resurrected")], CFG, k=5).collect()
+    assert [r["doc_id"] for r in hits] == [y]
+    gone = wand_topk(spark, new_idx, [(0, "replacement")], CFG, k=5).collect()
+    assert gone == []
+
+
+def test_upsert_to_empty_content_blanks_doc(spark, tmp_path):
+    """Replacing a doc with content that analyzes to zero tokens removes
+    its old rows (not a silent no-op)."""
+    rows = _corpus(seed=37, n=15)
+    idx = _build(spark, rows, tmp_path / "live")
+    x = rows[0][0]
+    upsert_docs(spark, idx.index_dir, spark.createDataFrame(
+        [(x, "")], "doc_id long, content string"))
+    new_idx = compact(spark, idx.index_dir)
+    fresh = _build(spark, [r for r in rows if r[0] != x], tmp_path / "fresh")
+    # the blanked doc contributes no terms and no doc stats
+    assert _term_df_rows(new_idx) == _term_df_rows(fresh)
+    assert new_idx.meta.n_docs == len(rows) - 1
+    assert x not in [
+        r["doc_id"] for r in wand_topk(spark, new_idx, QUERIES, CFG, k=50).collect()
+    ]
+
+
+def test_publish_keep_previous_two_generations(spark, tmp_path):
+    """keep_previous=N really protects N generations back (meta history
+    ledger), not just the immediately-previous one."""
+    import os
+
+    from elasticsearch_analysis_combo_spark.plans.index_build import (
+        IndexMeta,
+        publish_tables,
+        _config_dict,
+    )
+
+    rows = _corpus(seed=41, n=10)
+    idx = _build(spark, rows, tmp_path / "live")
+    meta = idx.meta
+    post = idx.postings()
+    for _ in range(3):
+        publish_tables(
+            spark, idx.index_dir, {"postings": post},
+            IndexMeta(**{**meta.__dict__}), keep_previous=2,
+        )
+        meta = IndexMeta.load(idx.index_dir)
+    gens = [e for e in os.listdir(idx.index_dir)
+            if e.startswith("postings-")
+            and os.path.isdir(os.path.join(idx.index_dir, e))]
+    # 3 published generations, keep_previous=2 -> all 3 still on disk
+    assert len(gens) == 3
+    # a 4th publish GCs the oldest
+    publish_tables(
+        spark, idx.index_dir, {"postings": post},
+        IndexMeta(**{**meta.__dict__}), keep_previous=2,
+    )
+    gens = [e for e in os.listdir(idx.index_dir)
+            if e.startswith("postings-")
+            and os.path.isdir(os.path.join(idx.index_dir, e))]
+    assert len(gens) == 3
