@@ -601,6 +601,132 @@ def q_bm25_fuzzy(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+MM_BOOSTS = {"title": 2.0, "body": 1.0}
+MM_TITLE_TOKENS = 8
+MM_TIE_BREAKER = 0.3
+
+
+def _field_stats(spark, sf_dir):
+    """Per-field term stats over a deterministically-fielded view of the
+    documents table (title = first 8 whitespace tokens, body = rest)."""
+    from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+    from elasticsearch_analysis_combo_spark.query.multifield import derive_fields
+
+    d = derive_fields(_docs(spark, sf_dir), content_col="text",
+                      title_tokens=MM_TITLE_TOKENS)
+    return {
+        f: build_term_stats(d, _ws_config(), content_col=f).cache()
+        for f in ("title", "body")
+    }
+
+
+def q_multi_match_best(spark, sf_dir):
+    """ES multi_match best_fields (DisjunctionMaxQuery, tie_breaker=0) via
+    one block-max WAND pass per field — exact (containment proof in
+    multifield.py), ships n_fields*k candidates per query."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        field_corpus_stats,
+        multi_match_wand_topk,
+    )
+
+    stats = _field_stats(spark, sf_dir)
+    postings, meta = {}, {}
+    for f, s in stats.items():
+        n, avgdl = field_corpus_stats(s)
+        meta[f] = (n, avgdl)
+        segs = build_segments(s, avgdl=avgdl, k1=K1, b=B, block_size=128,
+                              salt_shards=4, with_positions=False)
+        postings[f] = merge_segments(segs, avgdl=avgdl, k1=K1, b=B,
+                                     block_size=128, with_positions=False)
+    out = multi_match_wand_topk(
+        spark, postings, meta, BM25_QUERIES, _ws_config(),
+        boosts=MM_BOOSTS, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_multi_match_dismax(spark, sf_dir):
+    """best_fields with tie_breaker=0.3 (losing fields contribute a
+    fraction), exhaustive per-field evaluation."""
+    from elasticsearch_analysis_combo_spark.query.multifield import multi_match_topk
+
+    out = multi_match_topk(
+        spark, _field_stats(spark, sf_dir), BM25_QUERIES, _ws_config(),
+        kind="best_fields", boosts=MM_BOOSTS, tie_breaker=MM_TIE_BREAKER,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_multi_match_most(spark, sf_dir):
+    """most_fields: boosted per-field BM25 scores summed across fields."""
+    from elasticsearch_analysis_combo_spark.query.multifield import multi_match_topk
+
+    out = multi_match_topk(
+        spark, _field_stats(spark, sf_dir), BM25_QUERIES, _ws_config(),
+        kind="most_fields", boosts=MM_BOOSTS, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _multi_match_oracle_sql(kind: str, tie_breaker: float = 0.0) -> str:
+    """Fielded BM25 replay: tokens get a field by ordinal (first 8 ->
+    title), each field scores against its own df/doc-count/avgdl, boosted
+    field scores combine by dis-max (+tie_breaker) or sum."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qterms = analyze_queries(BM25_QUERIES, _ws_config())
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    if kind == "best_fields":
+        comb = f"max(fscore) + {tie_breaker} * (sum(fscore) - max(fscore))"
+    else:
+        comb = "sum(fscore)"
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i FROM base
+),
+ftoks AS (
+  SELECT doc_id, term,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS field
+  FROM toks WHERE term <> ''
+),
+tf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM ftoks GROUP BY 1, 2),
+gs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+dfx AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.field,
+         (CASE tf.field WHEN 'title' THEN {MM_BOOSTS['title']} ELSE {MM_BOOSTS['body']} END)
+         * sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                * tf.tf * ({K1} + 1.0)
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS fscore
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfx ON tf.field = dfx.field AND tf.term = dfx.term
+  JOIN dl ON tf.field = dl.field AND tf.doc_id = dl.doc_id
+  JOIN gs ON tf.field = gs.field
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT query_id, doc_id, {comb} AS score FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _expansion_oracle_sql(case_sql: str) -> str:
     """Shared BM25-over-expansion oracle; ``case_sql`` yields
     (query_id, term, df) rows from the dfx CTE."""
@@ -1446,6 +1572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": q_bm25_prefix,
         "bm25_wildcard": q_bm25_wildcard,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_dismax": q_multi_match_dismax,
+        "multi_match_most": q_multi_match_most,
         "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1877,6 +2006,11 @@ GROUP BY 1
     sqls["bm25_prefix"] = _prefix_oracle_sql()
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
+    sqls["multi_match_best"] = _multi_match_oracle_sql("best_fields", 0.0)
+    sqls["multi_match_dismax"] = _multi_match_oracle_sql(
+        "best_fields", MM_TIE_BREAKER
+    )
+    sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()

@@ -339,3 +339,123 @@ class ComboSearchEngine:
         lang_col: str | None = None,
     ) -> DataFrame:
         return analyze(df, self.config, content_col=content_col, lang_col=lang_col)
+
+
+class MultiFieldSearchEngine:
+    """Fielded search: ES ``multi_match`` over per-field sub-indexes.
+
+    The reference plugin exists to feed combo token streams into fielded
+    Lucene documents (reference README.md:17-36); this is the query half
+    of that host behavior. Each field gets its own full inverted index
+    under ``index_dir/fields/<field>/`` (its own df, doc count, avgdl —
+    Lucene's per-field statistics), built/maintained by the same
+    checkpointed pipeline as a single-field engine:
+
+        eng = MultiFieldSearchEngine(
+            spark, {"title": ComboConfig([...]), "body": ComboConfig([...])},
+            index_dir="/indexes/main")
+        eng.index(corpus, field_cols={"title": "title", "body": "body"})
+        eng.multi_match("query text", boosts={"title": 2.0})
+
+    ``best_fields`` with ``tie_breaker=0`` runs one block-max WAND pass
+    per field and merges candidate sets (exact — proof in
+    query/multifield.py); other combinations evaluate per-field scores
+    exhaustively (broadcast-joined, partially aggregated).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        configs: ComboConfig | dict[str, ComboConfig],
+        index_dir: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        **build_opts,
+    ):
+        self.spark = spark
+        self.configs = configs
+        self.index_dir = index_dir
+        self.k1, self.b = k1, b
+        self.build_opts = build_opts
+        self._engines: dict[str, ComboSearchEngine] = {}
+
+    def _field_dir(self, field: str) -> str:
+        import os
+
+        return os.path.join(self.index_dir, "fields", field)
+
+    def _engine(self, field: str) -> ComboSearchEngine:
+        if field not in self._engines:
+            cfg = (
+                self.configs[field]
+                if isinstance(self.configs, dict) else self.configs
+            )
+            self._engines[field] = ComboSearchEngine(
+                self.spark, cfg, self._field_dir(field),
+                k1=self.k1, b=self.b, **self.build_opts,
+            )
+        return self._engines[field]
+
+    @property
+    def fields(self) -> list[str]:
+        import os
+
+        d = os.path.join(self.index_dir, "fields")
+        if self._engines:
+            return sorted(self._engines)
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def index(
+        self,
+        corpus: DataFrame,
+        field_cols: dict[str, str],
+        doc_id_col: str = "doc_id",
+        lang_col: str | None = None,
+    ) -> None:
+        """Build one sub-index per field (field name -> corpus column).
+        Sub-index builds are independently checkpointed, so a crash
+        mid-way resumes at the unfinished field."""
+        for field, col in field_cols.items():
+            self._engine(field).index(
+                corpus, doc_id_col=doc_id_col, content_col=col,
+                lang_col=lang_col,
+            )
+
+    def multi_match(
+        self,
+        query: str | list[tuple[int, str]],
+        kind: str = "best_fields",
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        from elasticsearch_analysis_combo_spark.query.multifield import (
+            multi_match_topk,
+            multi_match_wand_topk,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        use = fields or self.fields
+        if not use:
+            raise ValueError("no fields indexed: call index() first")
+        engines = {f: self._engine(f) for f in use}
+        # query analysis follows each field's INDEX config; with identical
+        # configs (the common case) any one serves
+        any_cfg = engines[use[0]]._query_config()
+        if kind == "best_fields" and tie_breaker == 0.0:
+            postings = {f: e.idx.postings() for f, e in engines.items()}
+            meta = {
+                f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+                for f, e in engines.items()
+            }
+            return multi_match_wand_topk(
+                self.spark, postings, meta, queries, any_cfg,
+                boosts=boosts, k=k, k1=self.k1, b=self.b,
+            )
+        stats = {f: e.idx.term_stats() for f, e in engines.items()}
+        return multi_match_topk(
+            self.spark, stats, queries, any_cfg, kind=kind,
+            boosts=boosts, tie_breaker=tie_breaker, k=k,
+            k1=self.k1, b=self.b,
+        )

@@ -1,0 +1,220 @@
+"""Multi-field search: ES ``multi_match`` over per-field BM25.
+
+The reference plugin's whole purpose is feeding multi-analyzer token
+streams into fielded Lucene documents (reference README.md:17-36 maps a
+combo analyzer onto a mapping's fields); querying across those fields is
+the host behavior every user of it exercises (`multi_match`,
+`DisjunctionMaxQuery`). This module supplies that host half Spark-first.
+
+Semantics (Lucene/ES):
+
+- Each field is its own posting space: per-field df, per-field doc count
+  for idf, per-field ``avgdl`` for length normalization — a doc whose
+  field analyzed to zero tokens simply lacks the field (no rows, not
+  dl=0).
+- ``best_fields`` = DisjunctionMaxQuery: ``score = max_f(boost_f * s_f)
+  + tie_breaker * sum(other fields)``.
+- ``most_fields``: ``score = sum_f(boost_f * s_f)``.
+
+Scale: the exhaustive combiner is one broadcast join + one
+(query_id, doc_id) shuffle per field — the rank oracle. The WAND path
+(:func:`multi_match_wand_topk`) runs the block-max evaluator
+independently per field and merges per-field top-k candidate sets, which
+is exact for ``tie_breaker=0`` (proof in the docstring) and never ships
+more than ``n_fields * k`` rows per query to the final window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
+
+
+def derive_fields(
+    df: DataFrame,
+    content_col: str = "text",
+    title_tokens: int = 8,
+) -> DataFrame:
+    """Deterministically split a single text column into (title, body)
+    fields: title = the first ``title_tokens`` whitespace tokens, body =
+    the rest. Used by tests/benchmarks to synthesize a fielded corpus from
+    the driver's single-text ``documents`` table; a real corpus brings its
+    own field columns."""
+    toks = F.split(F.col(content_col), " ")
+    return df.withColumn(
+        "title", F.array_join(F.slice(toks, 1, title_tokens), " ")
+    ).withColumn(
+        "body",
+        F.when(
+            F.size(toks) > title_tokens,
+            F.array_join(
+                F.slice(toks, title_tokens + 1, F.size(toks) - title_tokens), " "
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def field_corpus_stats(stats: DataFrame) -> tuple[int, float]:
+    """(n_docs_with_field, avgdl) from one field's term stats — Lucene
+    computes idf and norms against the field's own doc count, not the
+    corpus's (a doc without the field doesn't dilute the field's idf)."""
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    if row["n"] == 0:
+        return 0, 1.0
+    return int(row["n"]), float(row["avgdl"])
+
+
+def bm25_field_scores(
+    stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """All (query_id, doc_id, score) rows for one field — the exhaustive
+    per-field scorer (same algebra as bm25_exhaustive_topk, minus the
+    top-k cut so fields can be combined first). qterms is a tiny broadcast
+    dimension; the one shuffle is the (query_id, doc_id) partial-agg sum."""
+    df_tbl = (
+        stats.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    return (
+        stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .withColumn(
+            "score",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+
+
+def _combine_and_rank(
+    per_field: DataFrame,
+    kind: str,
+    tie_breaker: float,
+    k: int,
+) -> DataFrame:
+    """(query_id, doc_id, field, score) -> combined per-query top-k."""
+    if kind == "best_fields":
+        combined = F.col("_mx") + tie_breaker * (F.col("_sm") - F.col("_mx"))
+    elif kind == "most_fields":
+        combined = F.col("_sm")
+    else:
+        raise ValueError(f"kind must be best_fields|most_fields: {kind}")
+    scored = (
+        per_field.groupBy("query_id", "doc_id")
+        .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+        .withColumn("score", combined)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    field_stats: dict[str, DataFrame],
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    kind: str = "best_fields",
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact multi_match top-k by full per-field evaluation — the rank
+    oracle for the WAND path and the small-index fast path. One scored
+    plan per field (broadcast-joined, partially aggregated), one union,
+    one final (query_id, doc_id) combine."""
+    boosts = boosts or {}
+    qterms = spark.createDataFrame(
+        analyze_queries(queries, config), "query_id int, term string"
+    )
+    parts = []
+    for field, stats in field_stats.items():
+        n, avgdl = field_corpus_stats(stats)
+        if n == 0:
+            continue
+        boost = float(boosts.get(field, 1.0))
+        parts.append(
+            bm25_field_scores(stats, qterms, n, avgdl, k1=k1, b=b)
+            .withColumn("score", F.col("score") * boost)
+            .withColumn("field", F.lit(field))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return _combine_and_rank(union, kind, tie_breaker, k)
+
+
+def multi_match_wand_topk(
+    spark: SparkSession,
+    field_postings: dict[str, DataFrame],
+    field_meta: dict[str, tuple[int, float]],
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """best_fields multi_match via one block-max WAND pass per field.
+
+    Each field's evaluator returns its exact top-k; the union is combined
+    with ``max(boost_f * s_f)`` and re-ranked. EXACT for ``tie_breaker=0``:
+    if doc d is in the overall top-k, let f* be its best (boosted) field —
+    any doc e with ``s_f*(e) > s_f*(d)`` has ``combined(e) >= boost_f* *
+    s_f*(e) > combined(d)``, and fewer than k such docs exist (else d is
+    not overall top-k), so d is inside field f*'s top-k and its exact
+    combined score is observed. Docs outside every field's top-k can only
+    be *under*-estimated, which cannot promote them past an exactly-scored
+    winner. Ships ``n_fields * k`` candidate rows per query — no exhaustive
+    rescore, no second posting fetch.
+
+    ``field_meta`` maps field -> (n_docs_with_field, avgdl) recorded at
+    that field's index build.
+    """
+    from elasticsearch_analysis_combo_spark.query.wand import (
+        wand_topk_from_postings,
+    )
+
+    boosts = boosts or {}
+    parts = []
+    for field, postings in field_postings.items():
+        n, avgdl = field_meta[field]
+        boost = float(boosts.get(field, 1.0))
+        topf = wand_topk_from_postings(
+            spark, postings, queries, config,
+            n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
+        )
+        parts.append(
+            topf.select(
+                "query_id", "doc_id",
+                (F.col("score") * boost).alias("score"),
+            ).withColumn("field", F.lit(field))
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return _combine_and_rank(union, "best_fields", tie_breaker=0.0, k=k)
