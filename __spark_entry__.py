@@ -673,6 +673,223 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+REGEXPS = [(0, "qu.*"), (1, "val(ue|ues)"), (2, "[0-9]+")]
+SUGGEST_INPUTS = [(0, "so"), (1, "vlue"), (2, "sca"), (3, "windoq")]
+SUGGEST_EDITS, SUGGEST_PREFIX, SUGGEST_K = 2, 1, 5
+EXPLAIN_QUERIES = [(0, "spark query"), (1, "customer value")]
+FACET_SIZE, HIST_INTERVAL = 10, 200.0
+
+
+def q_bm25_regexp(spark, sf_dir):
+    """ES regexp query: anchored pattern expansion over the vocabulary."""
+    from elasticsearch_analysis_combo_spark.query.boolean import bm25_regexp_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_regexp_topk(
+        spark, stats, term_df, REGEXPS, n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_term_suggest(spark, sf_dir):
+    """ES term suggester: Levenshtein candidates from the vocabulary,
+    ranked (distance, df desc, term)."""
+    from elasticsearch_analysis_combo_spark.query.suggest import term_suggest
+
+    stats = _term_stats(spark, sf_dir)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = term_suggest(
+        spark, term_df, SUGGEST_INPUTS, max_edits=SUGGEST_EDITS,
+        prefix_length=SUGGEST_PREFIX, k=SUGGEST_K,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "suggestion",
+        F.col("distance").cast("long").alias("distance"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def q_bm25_explain(spark, sf_dir):
+    """ES _explain: per-term BM25 factor decomposition for every matching
+    (query, doc) with the doc's total."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_explain
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_explain(
+        spark, stats, term_df, EXPLAIN_QUERIES, _ws_config(),
+        n_docs, avgdl, k1=K1, b=B,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "term", "tf", "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("norm", 6).alias("norm"),
+        F.round("contribution", 6).alias("contribution"),
+        F.round("total_score", 6).alias("total_score"),
+    )
+
+
+def q_facet_terms(spark, sf_dir):
+    """ES terms aggregation over the full match set (not just top-k)."""
+    from elasticsearch_analysis_combo_spark.query.facets import search_facet_terms
+
+    stats = _term_stats(spark, sf_dir)
+    out = search_facet_terms(
+        spark, stats, BM25_QUERIES, _ws_config(), _docs(spark, sf_dir),
+        "lang", size=FACET_SIZE,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "value",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_facet_histogram(spark, sf_dir):
+    """ES histogram aggregation (fixed-interval buckets on n_chars)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        search_facet_histogram,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    out = search_facet_histogram(
+        spark, stats, BM25_QUERIES, _ws_config(), _docs(spark, sf_dir),
+        "n_chars", interval=HIST_INTERVAL,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("bucket").cast("double").alias("bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def _terms_values_sql(pairs: list[tuple[int, str]]) -> str:
+    return ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+
+
+def _regexp_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN {qid} THEN regexp_full_match(term, '{pat}')"
+        for qid, pat in REGEXPS
+    )
+    qids = ", ".join(f"({qid})" for qid, _ in REGEXPS)
+    return _expansion_oracle_sql(
+        f"""SELECT qq.query_id, dfx.term, dfx.df
+            FROM (VALUES {qids}) AS qq(query_id), dfx
+            WHERE CASE qq.query_id {cases} END"""
+    )
+
+
+def _term_suggest_oracle_sql() -> str:
+    values = _terms_values_sql(SUGGEST_INPUTS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, input) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, dfx.term AS suggestion,
+         levenshtein(dfx.term, q.input)::BIGINT AS distance, dfx.df
+  FROM q JOIN dfx
+    ON starts_with(dfx.term, substr(q.input, 1, {SUGGEST_PREFIX}))
+   AND length(dfx.term) BETWEEN length(q.input) - {SUGGEST_EDITS}
+                            AND length(q.input) + {SUGGEST_EDITS}
+  WHERE levenshtein(dfx.term, q.input) BETWEEN 1 AND {SUGGEST_EDITS}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance, df DESC, suggestion) AS rank,
+         suggestion, distance, df
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       suggestion, distance, df
+FROM ranked WHERE rank <= {SUGGEST_K}
+"""
+
+
+def _explain_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(EXPLAIN_QUERIES, _ws_config()))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+rows_ AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         tf.tf::BIGINT AS tf, dfx.df::BIGINT AS df,
+         ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5)) AS idf,
+         tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl) AS norm
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+),
+contrib AS (
+  SELECT *, idf * tf * ({K1} + 1.0) / norm AS contribution FROM rows_
+)
+SELECT query_id::BIGINT AS query_id, doc_id, term, tf, df,
+       round(idf, 6) AS idf, round(norm, 6) AS norm,
+       round(contribution, 6) AS contribution,
+       round(sum(contribution) OVER (PARTITION BY query_id, doc_id), 6)
+         AS total_score
+FROM contrib
+"""
+
+
+def _facet_match_cte() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(BM25_QUERIES, _ws_config()))
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+q(query_id, term) AS (VALUES {values}),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks USING (term)
+)"""
+
+
+def _facet_terms_oracle_sql() -> str:
+    return f"""
+WITH {_facet_match_cte()},
+buckets AS (
+  SELECT m.query_id, d.lang AS value, count(*)::BIGINT AS doc_count
+  FROM matches m JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC, value) AS rank,
+         value, doc_count
+  FROM buckets
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, value, doc_count
+FROM ranked WHERE rank <= {FACET_SIZE}
+"""
+
+
+def _facet_histogram_oracle_sql() -> str:
+    return f"""
+WITH {_facet_match_cte()}
+SELECT m.query_id::BIGINT AS query_id,
+       (floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def _multi_match_oracle_sql(kind: str, tie_breaker: float = 0.0) -> str:
     """Fielded BM25 replay: tokens get a field by ordinal (first 8 ->
     title), each field scores against its own df/doc-count/avgdl, boosted
@@ -1575,6 +1792,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
+        "bm25_regexp": q_bm25_regexp,
+        "term_suggest": q_term_suggest,
+        "bm25_explain": q_bm25_explain,
+        "facet_terms": q_facet_terms,
+        "facet_histogram": q_facet_histogram,
         "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2011,6 +2233,11 @@ GROUP BY 1
         "best_fields", MM_TIE_BREAKER
     )
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
+    sqls["bm25_regexp"] = _regexp_oracle_sql()
+    sqls["term_suggest"] = _term_suggest_oracle_sql()
+    sqls["bm25_explain"] = _explain_oracle_sql()
+    sqls["facet_terms"] = _facet_terms_oracle_sql()
+    sqls["facet_histogram"] = _facet_histogram_oracle_sql()
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()

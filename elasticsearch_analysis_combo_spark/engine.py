@@ -204,6 +204,83 @@ class ComboSearchEngine:
             k1=idx.meta.k1, b=idx.meta.b,
         )
 
+    def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
+        """ES regexp query (pattern must match the whole term)."""
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_regexp_topk,
+        )
+
+        idx = self.idx
+        return bm25_regexp_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, pattern)],
+            idx.meta.n_docs, idx.meta.avgdl, k=k, k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def suggest(
+        self,
+        term: str,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_doc_freq: int = 1,
+        k: int = 5,
+    ) -> DataFrame:
+        """ES term suggester ("did you mean") over the index vocabulary."""
+        from elasticsearch_analysis_combo_spark.query.suggest import term_suggest
+
+        return term_suggest(
+            self.spark, self.idx.term_df(), [(0, term)], max_edits=max_edits,
+            prefix_length=prefix_length, min_doc_freq=min_doc_freq, k=k,
+        )
+
+    def suggest_phrase(self, text: str, max_edits: int = 1) -> DataFrame:
+        """Greedy phrase repair: unknown tokens replaced by their best
+        vocabulary correction."""
+        from elasticsearch_analysis_combo_spark.query.suggest import (
+            phrase_suggest,
+        )
+
+        return phrase_suggest(
+            self.spark, self.idx.term_df(), [(0, text)], max_edits=max_edits
+        )
+
+    def explain(self, query: str) -> DataFrame:
+        """ES ``_explain``: per-term BM25 factor decomposition for every
+        matching doc (idf, tf, norm, contribution, total)."""
+        from elasticsearch_analysis_combo_spark.query.bm25 import bm25_explain
+
+        idx = self.idx
+        return bm25_explain(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def facet_terms(
+        self, query: str, doc_meta: DataFrame, facet_col: str, size: int = 10
+    ) -> DataFrame:
+        """ES ``terms`` aggregation over the query's full match set."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            search_facet_terms,
+        )
+
+        return search_facet_terms(
+            self.spark, self.idx.term_stats(), [(0, query)],
+            self._query_config(), doc_meta, facet_col, size=size,
+        )
+
+    def facet_histogram(
+        self, query: str, doc_meta: DataFrame, value_col: str, interval: float
+    ) -> DataFrame:
+        """ES ``histogram`` aggregation over the query's full match set."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            search_facet_histogram,
+        )
+
+        return search_facet_histogram(
+            self.spark, self.idx.term_stats(), [(0, query)],
+            self._query_config(), doc_meta, value_col, interval=interval,
+        )
+
     def phrase(
         self,
         query: str | list[tuple[int, str]],

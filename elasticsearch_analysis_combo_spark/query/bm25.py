@@ -47,6 +47,50 @@ def idf_expr(n_docs: int, df_col="df"):
     )
 
 
+def bm25_explain(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``_explain``: the per-term score decomposition for every
+    (query, matching doc) pair — one row per contributing term with the
+    Lucene BM25 factors (idf, tf, field-length norm denominator,
+    contribution) plus the doc's total. Same plan shape as the exhaustive
+    scorer (broadcast query dim, one partial-agg shuffle); the total is a
+    window sum so decomposition and total come from one pass."""
+    from pyspark.sql import Window as W
+
+    qterms = spark.createDataFrame(
+        analyze_queries(queries, config), "query_id int, term string"
+    )
+    tdf = term_df.join(F.broadcast(qterms.select("term").distinct()), "term")
+    rows = (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.select("term", "df")), "term")
+        .withColumn("idf", idf_expr(n_docs))
+        .withColumn(
+            "norm", F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+        .withColumn(
+            "contribution", F.col("idf") * F.col("tf") * (k1 + 1.0) / F.col("norm")
+        )
+    )
+    w = W.partitionBy("query_id", "doc_id")
+    return rows.select(
+        "query_id", "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "idf", "norm", "contribution",
+        F.sum("contribution").over(w).alias("total_score"),
+    )
+
+
 def bm25_exhaustive_topk(
     spark: SparkSession,
     term_stats: DataFrame,

@@ -20,10 +20,33 @@ from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
 
 
+#: bucket fan-out for the pre-rank stage; the global window never sees
+#: more than TOPK_BUCKETS * k rows per query
+TOPK_BUCKETS = 32
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k in two stages: per-(query, doc-hash-bucket)
+    top-k first, then a global window over the surviving
+    ``TOPK_BUCKETS * k`` rows per query. A stop-word expansion over a
+    100 TB index produces ~10^9 scored (query, doc) rows; a single
+    per-query window task would sort all of them — the bucket stage keeps
+    every sort partition-sized (same doc-range fan-out idea as
+    wand_topk_partitioned, applied to the generic ranking tail). ANSI-safe
+    ``pmod`` (negative hash), ``doc_id`` tie-break in both stages keeps
+    the result deterministic and identical to the one-stage window."""
+    bucket = F.pmod(F.hash("doc_id"), F.lit(TOPK_BUCKETS))
+    wb = Window.partitionBy("query_id", bucket).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pruned = (
+        scored.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= k)
+        .drop("_bn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
@@ -280,6 +303,35 @@ def bm25_wildcard_topk(
     for qid, pat in patterns:
         part = (
             term_df.filter(F.col("term").rlike(to_regex(pat)))
+            .select(F.lit(qid).alias("query_id"), "term", "df")
+        )
+        expansions = part if expansions is None else expansions.unionByName(part)
+    return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
+
+
+def bm25_regexp_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    patterns: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES regexp query: the pattern (anchored, ES semantics — it must
+    match the WHOLE term) expands to matching vocabulary terms; docs rank
+    by the BM25 sum over the expansion. Same dictionary-scan shape as
+    wildcard: vocabulary-, not posting-, sized."""
+    if not patterns:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    expansions = None
+    for qid, pat in patterns:
+        part = (
+            term_df.filter(F.col("term").rlike(f"^(?:{pat})$"))
             .select(F.lit(qid).alias("query_id"), "term", "df")
         )
         expansions = part if expansions is None else expansions.unionByName(part)

@@ -1,0 +1,134 @@
+"""Term suggester ("did you mean") — the ES `_search` suggest section.
+
+Host behavior the reference's analyzers feed (a combo-analyzed index's
+vocabulary is exactly what Lucene's DirectSpellChecker consults,
+reference README.md:17-36 for the fielded mapping). For each input term,
+candidate corrections are vocabulary terms within ``max_edits``
+Levenshtein edits that share the first ``prefix_length`` characters
+(Lucene's prefix pruning), ranked ES-style: edit distance ascending,
+then document frequency descending, then term — top ``k`` per input.
+
+Scale: the scan is over the term DICTIONARY (one row per vocabulary
+term — tiny next to posting data even at 10^9 terms); the prefix and
+length pre-filters push into the parquet scan before the JVM-side
+``levenshtein`` runs, and all inputs share ONE dictionary pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def term_suggest(
+    spark: SparkSession,
+    term_df: DataFrame,
+    inputs: list[tuple[int, str]],
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_doc_freq: int = 1,
+    k: int = 5,
+    include_exact: bool = False,
+) -> DataFrame:
+    """(query_id, input term) -> top-k ranked correction candidates.
+
+    Returns (query_id, rank, suggestion, distance, df). By default an
+    exact vocabulary hit is excluded from its own suggestions (ES
+    ``suggest_mode: missing/popular`` both skip distance-0 self-matches;
+    pass ``include_exact=True`` for ``always``-like behavior).
+    """
+    if not inputs:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, suggestion string, "
+                "distance int, df long"
+        )
+    cand = None
+    for qid, term in inputs:
+        pref = term[:prefix_length]
+        part = (
+            term_df
+            # pushdown-friendly pruning: shared prefix + length band bound
+            # the Levenshtein distance from below
+            .filter(F.col("term").startswith(pref))
+            .filter(
+                (F.length("term") >= len(term) - max_edits)
+                & (F.length("term") <= len(term) + max_edits)
+            )
+            .withColumn(
+                "distance", F.levenshtein(F.col("term"), F.lit(term))
+            )
+            .filter(F.col("distance") <= max_edits)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("term").alias("suggestion"),
+                F.col("distance").cast("int").alias("distance"),
+                F.col("df").cast("long").alias("df"),
+            )
+        )
+        if not include_exact:
+            part = part.filter(F.col("distance") > 0)
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.filter(F.col("df") >= min_doc_freq)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "suggestion", "distance", "df")
+    )
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    term_df: DataFrame,
+    inputs: list[tuple[int, str]],
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """ES phrase suggester, greedy single-error variant: each whitespace
+    token of the input keeps itself if it is in the vocabulary, else is
+    replaced by its best term_suggest correction (distance, then df).
+    Returns (query_id, suggestion) — the corrected phrase — plus
+    ``n_corrections``. Whole-candidate-lattice reranking (the full ES
+    phrase suggester scores candidate phrases against a language model) is
+    out of scope; this covers the common single-typo query repair."""
+    toks = []
+    for qid, text in inputs:
+        for i, t in enumerate(text.split()):
+            toks.append((qid, i, t))
+    if not toks:
+        return spark.createDataFrame(
+            [], "query_id int, suggestion string, n_corrections int"
+        )
+    tok_inputs = [((qid << 16) | i, t) for qid, i, t in toks]
+    known = {
+        r["suggestion"]
+        for r in term_suggest(
+            spark, term_df, tok_inputs, max_edits=0, prefix_length=0,
+            min_doc_freq=min_doc_freq, k=1, include_exact=True,
+        ).collect()
+    }
+    need = [(key, t) for key, t in tok_inputs if t not in known]
+    best = {}
+    if need:
+        for r in term_suggest(
+            spark, term_df, need, max_edits=max_edits,
+            prefix_length=prefix_length, min_doc_freq=min_doc_freq, k=1,
+        ).collect():
+            best[r["query_id"]] = r["suggestion"]
+    out = []
+    for qid, text in inputs:
+        parts, fixes = [], 0
+        for i, t in enumerate(text.split()):
+            key = (qid << 16) | i
+            if t in known or key not in best:
+                parts.append(t)
+            else:
+                parts.append(best[key])
+                fixes += 1
+        out.append((qid, " ".join(parts), fixes))
+    return spark.createDataFrame(
+        out, "query_id int, suggestion string, n_corrections int"
+    )

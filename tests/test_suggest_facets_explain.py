@@ -1,0 +1,147 @@
+"""Term/phrase suggester, regexp query, _explain decomposition, facets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.query.bm25 import (
+    bm25_exhaustive_topk,
+    bm25_explain,
+)
+from elasticsearch_analysis_combo_spark.query.boolean import bm25_regexp_topk
+from elasticsearch_analysis_combo_spark.query.facets import (
+    search_facet_histogram,
+    search_facet_terms,
+)
+from elasticsearch_analysis_combo_spark.query.suggest import (
+    phrase_suggest,
+    term_suggest,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "merge sort fast", "en", 100),
+        (1, "merge merge slow sort", "en", 220),
+        (2, "marge barge value", "de", 150),
+        (3, "sort value fast fast", "en", 430),
+        (4, "value value value", "fr", 90),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def stats(spark, corpus):
+    s = build_term_stats(corpus, CFG, content_col="text").cache()
+    s.count()
+    return s
+
+
+@pytest.fixture(scope="module")
+def term_df(stats):
+    return stats.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def test_term_suggest_ranks_distance_then_df(spark, term_df):
+    # input "merg": merge d=1 (df 2), marge d=2 (df 1)  -> distance wins
+    out = term_suggest(spark, term_df, [(0, "merg")], max_edits=2, k=5)
+    rows = [(r["rank"], r["suggestion"], r["distance"]) for r in
+            out.orderBy("rank").collect()]
+    assert rows[0] == (1, "merge", 1)
+    assert ("marge" in [s for _, s, _ in rows])
+
+
+def test_term_suggest_df_breaks_distance_ties(spark, term_df):
+    # "valse": value d=2 (df 3); no other v-term  — then try "sost":
+    # sort d=2 (df 3) vs slow d=3 (excluded)
+    out = term_suggest(spark, term_df, [(0, "sost")], max_edits=2, k=5)
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["suggestion"] == "sort"
+
+
+def test_term_suggest_excludes_exact_unless_asked(spark, term_df):
+    out = term_suggest(spark, term_df, [(0, "merge")], max_edits=1, k=5)
+    assert "merge" not in [r["suggestion"] for r in out.collect()]
+    out2 = term_suggest(
+        spark, term_df, [(0, "merge")], max_edits=1, k=5, include_exact=True
+    )
+    got = {(r["suggestion"], r["distance"]) for r in out2.collect()}
+    assert ("merge", 0) in got
+
+
+def test_phrase_suggest_fixes_only_unknown_tokens(spark, term_df):
+    out = phrase_suggest(
+        spark, term_df, [(0, "merge sost fast"), (1, "value sort")],
+        max_edits=2,
+    )
+    got = {r["query_id"]: (r["suggestion"], r["n_corrections"])
+           for r in out.collect()}
+    assert got[0] == ("merge sort fast", 1)
+    assert got[1] == ("value sort", 0)
+
+
+def test_regexp_expansion_scores_match_exhaustive(spark, stats, term_df):
+    """'m.rge' expands to {merge, marge}; scoring a 2-term OR query of
+    exactly those terms must give identical results."""
+    n_docs = stats.select("doc_id").distinct().count()
+    avgdl = (
+        stats.select("doc_id", "dl").distinct().agg(F.avg("dl")).collect()[0][0]
+    )
+    rx = bm25_regexp_topk(
+        spark, stats, term_df, [(0, "m.rge")], n_docs, avgdl, k=10
+    )
+    eq = bm25_exhaustive_topk(
+        spark, stats, term_df, [(0, "merge marge")], CFG, n_docs, avgdl, k=10
+    )
+    r1 = [(r["doc_id"], round(r["score"], 9)) for r in rx.orderBy("rank").collect()]
+    r2 = [(r["doc_id"], round(r["score"], 9)) for r in eq.orderBy("rank").collect()]
+    assert r1 == r2
+
+
+def test_explain_totals_match_exhaustive_scores(spark, stats, term_df):
+    n_docs = stats.select("doc_id").distinct().count()
+    avgdl = (
+        stats.select("doc_id", "dl").distinct().agg(F.avg("dl")).collect()[0][0]
+    )
+    queries = [(0, "merge value")]
+    exp = bm25_explain(
+        spark, stats, term_df, queries, CFG, n_docs, avgdl
+    )
+    totals = {
+        r["doc_id"]: round(r["total_score"], 9)
+        for r in exp.select("doc_id", "total_score").distinct().collect()
+    }
+    top = bm25_exhaustive_topk(
+        spark, stats, term_df, queries, CFG, n_docs, avgdl, k=100
+    )
+    for r in top.collect():
+        assert totals[r["doc_id"]] == round(r["score"], 9)
+    # contribution column really decomposes: one (doc, term) row per match
+    row = exp.filter((F.col("doc_id") == 1) & (F.col("term") == "merge")).collect()[0]
+    assert row["tf"] == 2
+    assert row["df"] == 2
+
+
+def test_facet_terms_counts_full_match_set(spark, stats, corpus):
+    out = search_facet_terms(
+        spark, stats, [(0, "value")], CFG, corpus, "lang", size=10
+    )
+    got = {(r["value"]): (r["rank"], r["doc_count"]) for r in out.collect()}
+    # docs containing "value": 2 (de), 3 (en), 4 (fr) -> counts 1/1/1,
+    # rank ties break by value ascending: de, en, fr
+    assert got == {"de": (1, 1), "en": (2, 1), "fr": (3, 1)}
+
+
+def test_facet_histogram_buckets(spark, stats, corpus):
+    out = search_facet_histogram(
+        spark, stats, [(0, "sort")], CFG, corpus, "n_chars", interval=100.0
+    )
+    got = {r["bucket"]: r["doc_count"] for r in out.collect()}
+    # docs with "sort": 0 (100), 1 (220), 3 (430)
+    assert got == {100.0: 1, 200.0: 1, 400.0: 1}
