@@ -1405,6 +1405,113 @@ WITH toks AS (
 """
 
 
+SPANS = [(0, "value table"), (1, "merge fast batch"), (2, "the customer")]
+SPAN_SLOP = 3
+
+
+def q_span_near_ordered(spark, sf_dir):
+    """Lucene span_near, in_order=true: terms strictly in order within the
+    slop window (greedy-chain vectorized evaluation)."""
+    from elasticsearch_analysis_combo_spark.query.spans import span_near_match
+
+    out = span_near_match(
+        spark, _phrase_postings(spark, sf_dir), SPANS, _ws_config(),
+        slop=SPAN_SLOP, in_order=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def q_span_near_unordered(spark, sf_dir):
+    """span_near, in_order=false: terms in any order within the window;
+    n_matches counts distinct valid window-minimum positions."""
+    from elasticsearch_analysis_combo_spark.query.spans import span_near_match
+
+    out = span_near_match(
+        spark, _phrase_postings(spark, sf_dir), SPANS, _ws_config(),
+        slop=SPAN_SLOP, in_order=False,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def _span_toks_cte() -> str:
+    return """
+toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+)"""
+
+
+def _span_ordered_oracle_sql() -> str:
+    """Distinct clause-1 anchors with ANY strictly-increasing chain whose
+    end stays within slop + n - 1 of the anchor (chain existence ==
+    greedy-chain validity)."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    for qid, text in SPANS:
+        seen, terms = set(), []
+        for t in analyze_text(text, _ws_config()):
+            if t.term not in seen:
+                seen.add(t.term)
+                terms.append(t.term)
+        width = SPAN_SLOP + len(terms) - 1
+        conds, prev = [], "a.p0"
+        for i, term in enumerate(terms[1:], start=1):
+            conds.append(
+                f"t{i}.doc_id = a.doc_id AND t{i}.t = '{term}' "
+                f"AND t{i}.p > {prev} AND t{i}.p <= a.p0 + {width}"
+            )
+            prev = f"t{i}.p"
+        if conds:
+            tables = ", ".join(f"toks t{i}" for i in range(1, len(terms)))
+            exists = f"EXISTS (SELECT 1 FROM {tables} WHERE {' AND '.join(conds)})"
+        else:
+            exists = "TRUE"
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(DISTINCT p0)::BIGINT AS n_matches
+FROM (SELECT doc_id, p AS p0 FROM toks WHERE t = '{terms[0]}') a
+WHERE {exists}
+GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _span_unordered_oracle_sql() -> str:
+    """Distinct positions p (of any clause term) such that every clause
+    term occurs in [p, p + slop + n - 1]."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    for qid, text in SPANS:
+        seen, terms = set(), []
+        for t in analyze_text(text, _ws_config()):
+            if t.term not in seen:
+                seen.add(t.term)
+                terms.append(t.term)
+        width = SPAN_SLOP + len(terms) - 1
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        exists = " AND ".join(
+            f"EXISTS (SELECT 1 FROM toks t{i} WHERE t{i}.doc_id = a.doc_id "
+            f"AND t{i}.t = '{term}' AND t{i}.p BETWEEN a.p0 AND a.p0 + {width})"
+            for i, term in enumerate(terms)
+        )
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(DISTINCT p0)::BIGINT AS n_matches
+FROM (SELECT DISTINCT doc_id, p AS p0 FROM toks WHERE t IN ({in_list})) a
+WHERE {exists}
+GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
 PHRASE_PREFIXES = [(0, "value ta"), (1, "the val"), (2, "customer zz")]
 
 
@@ -1792,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
+        "span_near_ordered": q_span_near_ordered,
+        "span_near_unordered": q_span_near_unordered,
         "bm25_regexp": q_bm25_regexp,
         "term_suggest": q_term_suggest,
         "bm25_explain": q_bm25_explain,
@@ -2233,6 +2342,8 @@ GROUP BY 1
         "best_fields", MM_TIE_BREAKER
     )
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
+    sqls["span_near_ordered"] = _span_ordered_oracle_sql()
+    sqls["span_near_unordered"] = _span_unordered_oracle_sql()
     sqls["bm25_regexp"] = _regexp_oracle_sql()
     sqls["term_suggest"] = _term_suggest_oracle_sql()
     sqls["bm25_explain"] = _explain_oracle_sql()

@@ -308,6 +308,25 @@ class ComboSearchEngine:
             self.spark, self.idx.postings(), queries, cfg, slop=slop
         )
 
+    def span_near(
+        self,
+        query: str | list[tuple[int, str]],
+        slop: int = 0,
+        in_order: bool = True,
+    ) -> DataFrame:
+        """Lucene ``span_near`` over single-term clauses: the query's terms
+        must co-occur within the slop window, in order or not (see
+        query/spans.py for the exact window criterion)."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_near_match,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        return span_near_match(
+            self.spark, self.idx.postings(), queries, self._query_config(),
+            slop=slop, in_order=in_order,
+        )
+
     def phrase_prefix(
         self,
         query: str | list[tuple[int, str]],

@@ -1,0 +1,190 @@
+"""Span-near queries (Lucene SpanNearQuery over single-term clauses).
+
+The remaining positional query family of the host: n terms must co-occur
+inside a bounded window, ordered or not (ES ``span_near`` with
+``in_order``). For single-position clauses the Lucene criterion reduces
+to: positions p_1..p_n (one per clause) with
+``(max(p) - min(p) + 1) - n <= slop``; ``in_order`` additionally requires
+strictly increasing p_i in clause order.
+
+Evaluation is the same batch-vectorized shape as query/phrase.py — no
+per-doc Python loop:
+
+* in_order: greedy chaining. For every anchor position of clause 1, the
+  smallest next-clause position strictly greater is chosen with one
+  ``searchsorted`` per clause (greedy minimizes the chain's end, so it is
+  exact), then the window slack check is one vectorized compare.
+  ``n_matches`` = number of clause-1 anchors starting a valid chain.
+* unordered: every position p (of any clause) is tested as the window
+  minimum — clause u matches iff it has a position in
+  ``[p, p + slop + n - 1]``, two ``searchsorted`` per (anchor-clause,
+  other-clause) pair. ``n_matches`` = distinct valid window-minimum
+  positions. (Windows are not required to be minimal; any doc with a
+  valid window reports >= 1.)
+
+Physical plan: identical to ``phrase_match`` — compressed posting rows of
+the query's terms gather per query (positions ship pre-packed); use the
+doc-range fan-out pattern for stop-word-grade terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import (
+    ComboConfig,
+    analyze_text,
+)
+from elasticsearch_analysis_combo_spark.query.phrase import (
+    PHRASE_SCHEMA,
+    _BAND,
+    _decode_rows,
+)
+
+
+def _term_keys(decoded, term, common):
+    """Sorted int64 keys (common_idx * BAND + pos) for one term restricted
+    to the common docs (same packing as phrase, no slot shift/bias)."""
+    docs, offs, pos_flat, _ = decoded[term]
+    idx = np.searchsorted(docs, common)
+    starts = offs[idx]
+    lens = (offs[idx + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out_off = np.cumsum(lens) - lens
+    gidx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_off, lens)
+        + np.repeat(starts, lens)
+    )
+    cidx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
+    keys = cidx * _BAND + pos_flat[gidx].astype(np.int64)
+    if keys.size > 1:
+        keep = np.empty(keys.size, dtype=bool)
+        keep[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=keep[1:])
+        keys = keys[keep]
+    return keys
+
+
+def _match_span(
+    decoded: dict[str, tuple],
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+):
+    """(doc_ids, n_matches) for the span-near query over decoded postings."""
+    empty = (np.zeros(0, dtype=np.int64),) * 2
+    n = len(terms)
+    for t in terms:
+        if t not in decoded or decoded[t][0].size == 0:
+            return empty
+    common = decoded[terms[0]][0]
+    for t in terms[1:]:
+        common = np.intersect1d(common, decoded[t][0], assume_unique=True)
+        if common.size == 0:
+            return empty
+    keys = [_term_keys(decoded, t, common) for t in terms]
+    if any(k.size == 0 for k in keys):
+        return empty
+    width = slop + n - 1  # max(pos) - min(pos) allowed
+
+    if in_order:
+        anchors = keys[0]
+        cur = anchors.copy()
+        ok = np.ones(anchors.size, dtype=bool)
+        for ks in keys[1:]:
+            idx = np.searchsorted(ks, cur + 1, side="left")
+            has = idx < ks.size
+            nxt = ks[np.minimum(idx, ks.size - 1)]
+            ok &= has & ((nxt // _BAND) == (anchors // _BAND))
+            cur = nxt
+        ok &= (cur - anchors) <= width  # same band where ok holds
+        valid = anchors[ok]
+    else:
+        parts = []
+        for i in range(n):
+            anchors = keys[i]
+            ok = np.ones(anchors.size, dtype=bool)
+            for j in range(n):
+                if j == i:
+                    continue
+                lo = np.searchsorted(keys[j], anchors, side="left")
+                hi = np.searchsorted(keys[j], anchors + width, side="right")
+                ok &= lo < hi
+                if not ok.any():
+                    break
+            # window must stay inside the anchor's doc (positions < 2^30,
+            # width tiny -> anchors + width cannot cross the 2^31 band)
+            parts.append(anchors[ok])
+        valid = np.unique(np.concatenate(parts)) if parts else np.zeros(
+            0, dtype=np.int64
+        )
+    if valid.size == 0:
+        return empty
+    cidx = (valid // _BAND).astype(np.int64)
+    counts = np.bincount(cidx, minlength=common.size)
+    hit = counts > 0
+    return common[hit], counts[hit]
+
+
+def analyze_span_terms(
+    queries: list[tuple[int, str]], config: ComboConfig
+) -> dict[int, list[str]]:
+    """Query text -> ordered clause terms (one clause per analyzed token;
+    duplicate terms collapse to one clause, keeping first position —
+    span clauses are distinct terms)."""
+    out: dict[int, list[str]] = {}
+    for qid, text in queries:
+        seen, terms = set(), []
+        for t in analyze_text(text, config):
+            if t.term not in seen:
+                seen.add(t.term)
+                terms.append(t.term)
+        out[qid] = terms
+    return out
+
+
+def span_near_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    in_order: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id, n_matches) for docs where the query's terms
+    co-occur within the slop window (see module docstring). One task per
+    query, compressed blocks only — same gather shape as phrase_match."""
+    terms_by_q = analyze_span_terms(queries, config)
+    terms_by_q = {q: ts for q, ts in terms_by_q.items() if ts}
+    if not terms_by_q:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, ts in terms_by_q.items() for t in ts}),
+        "query_id int, term string",
+    )
+    all_terms = sorted({t for ts in terms_by_q.values() for t in ts})
+    plists = postings.filter(F.col("term").isin(all_terms))
+    joined = plists.join(F.broadcast(qterms), "term")
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows_by_term: dict[str, dict[int, list]] = {}
+        for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
+            rows_by_term.setdefault(term, {})[int(ri)] = blocks
+        decoded = _decode_rows(rows_by_term)
+        docs, counts = _match_span(decoded, terms_by_q[qid], slop, in_order)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+                "doc_id": pd.Series(docs, dtype="int64"),
+                "n_matches": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
