@@ -1426,12 +1426,16 @@ def q_span_near_ordered(spark, sf_dir):
 
 def q_span_near_unordered(spark, sf_dir):
     """span_near, in_order=false: terms in any order within the window;
-    n_matches counts distinct valid window-minimum positions."""
-    from elasticsearch_analysis_combo_spark.query.spans import span_near_match
+    n_matches counts distinct valid window-minimum positions. Runs the
+    RANGE-PARTITIONED evaluator (one task per (query, doc-range)) so the
+    scale path itself is oracle-gated."""
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_near_match_partitioned,
+    )
 
-    out = span_near_match(
+    out = span_near_match_partitioned(
         spark, _phrase_postings(spark, sf_dir), SPANS, _ws_config(),
-        slop=SPAN_SLOP, in_order=False,
+        slop=SPAN_SLOP, in_order=False, range_bits=3,
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),

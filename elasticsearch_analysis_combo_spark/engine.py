@@ -313,15 +313,28 @@ class ComboSearchEngine:
         query: str | list[tuple[int, str]],
         slop: int = 0,
         in_order: bool = True,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
     ) -> DataFrame:
         """Lucene ``span_near`` over single-term clauses: the query's terms
         must co-occur within the slop window, in order or not (see
-        query/spans.py for the exact window criterion)."""
+        query/spans.py for the exact window criterion). Routes to the
+        range-partitioned evaluator past ``PARTITIONED_THRESHOLD`` docs,
+        same as :meth:`search` and :meth:`phrase`."""
         from elasticsearch_analysis_combo_spark.query.spans import (
             span_near_match,
+            span_near_match_partitioned,
         )
 
         queries = [(0, query)] if isinstance(query, str) else query
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        if partitioned:
+            return span_near_match_partitioned(
+                self.spark, self.idx.postings(), queries,
+                self._query_config(), slop=slop, in_order=in_order,
+                range_bits=range_bits,
+            )
         return span_near_match(
             self.spark, self.idx.postings(), queries, self._query_config(),
             slop=slop, in_order=in_order,

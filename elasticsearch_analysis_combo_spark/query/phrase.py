@@ -274,37 +274,31 @@ def phrase_match(
     return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
 
 
-def phrase_match_partitioned(
+def range_partitioned_positional_eval(
     spark: SparkSession,
     postings: DataFrame,
-    queries: list[tuple[int, str]],
-    config: ComboConfig,
-    slop: int = 0,
+    qterm_rows: list[tuple[int, str]],
+    match_fn,
     range_bits: int = 4,
 ) -> DataFrame:
-    """Range-partitioned phrase matching: one task per (query, doc-range).
+    """Shared doc-range fan-out for positional matchers (phrase, span).
 
     The doc-id space (docIDs are xxhash64 — uniform over int64) splits into
     2^range_bits equal ranges; each compressed block ships only to the
     ranges its [first_doc, last_doc] span overlaps (hot terms' blocks are
     narrow, so their volume splits ~evenly across ranges); each task
-    decodes, trims boundary blocks to its own closed range, and runs the
-    same vectorized matcher. Docs partition across ranges, so the union of
-    per-range results is the exact global answer — identical rows to
-    :func:`phrase_match`."""
-    n_ranges = 1 << range_bits
+    decodes, trims boundary blocks to its own closed range, and calls
+    ``match_fn(qid, decoded) -> (docs, counts)`` with the same decoded
+    shape as the single-task path. Docs partition across ranges, so the
+    union of per-range results is the exact global answer."""
     shift = 64 - range_bits
-    qrows = analyze_phrases(queries, config)
-    if not qrows:
+    if not qterm_rows:
         return spark.createDataFrame([], PHRASE_SCHEMA)
     qterms = spark.createDataFrame(
-        sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
+        sorted(set(qterm_rows)), "query_id int, term string"
     )
-    all_terms = sorted({t for _, _, t in qrows})
+    all_terms = sorted({t for _, t in qterm_rows})
     plists = postings.filter(F.col("term").isin(all_terms))
-    slots_by_q: dict[int, list[tuple[int, str]]] = {}
-    for qid, slot, term in qrows:
-        slots_by_q.setdefault(qid, []).append((slot, term))
 
     def rid(col: str):
         # signed doc -> unsigned order via sign-bit flip, top bits = range
@@ -355,7 +349,7 @@ def phrase_match_partitioned(
             t = np.concatenate(ts)
             offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
             decoded[term] = (d, offs, np.concatenate(ps), np.concatenate(ls))
-        docs, counts = _match_phrase(decoded, slots_by_q[qid], slop)
+        docs, counts = match_fn(qid, decoded)
         return pd.DataFrame(
             {
                 "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
@@ -366,6 +360,32 @@ def phrase_match_partitioned(
 
     return joined.groupBy("query_id", "range_id").applyInPandas(
         run_range, PHRASE_SCHEMA
+    )
+
+
+def phrase_match_partitioned(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    range_bits: int = 4,
+) -> DataFrame:
+    """Range-partitioned phrase matching: one task per (query, doc-range),
+    identical rows to :func:`phrase_match` (see
+    :func:`range_partitioned_positional_eval`) — the scale-safe path for
+    stop-word phrases whose posting lists would concentrate in one task."""
+    qrows = analyze_phrases(queries, config)
+    if not qrows:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    slots_by_q: dict[int, list[tuple[int, str]]] = {}
+    for qid, slot, term in qrows:
+        slots_by_q.setdefault(qid, []).append((slot, term))
+    return range_partitioned_positional_eval(
+        spark, postings,
+        [(qid, t) for qid, _, t in qrows],
+        lambda qid, decoded: _match_phrase(decoded, slots_by_q[qid], slop),
+        range_bits=range_bits,
     )
 
 

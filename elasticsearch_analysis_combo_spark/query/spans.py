@@ -42,6 +42,7 @@ from elasticsearch_analysis_combo_spark.query.phrase import (
     PHRASE_SCHEMA,
     _BAND,
     _decode_rows,
+    range_partitioned_positional_eval,
 )
 
 
@@ -188,3 +189,30 @@ def span_near_match(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+
+
+def span_near_match_partitioned(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    in_order: bool = True,
+    range_bits: int = 4,
+) -> DataFrame:
+    """Range-partitioned span_near: one task per (query, doc-range) — the
+    scale-safe path for stop-word-grade clause terms, identical rows to
+    :func:`span_near_match` (window matching is per-doc, and docs
+    partition across ranges)."""
+    terms_by_q = analyze_span_terms(queries, config)
+    terms_by_q = {q: ts for q, ts in terms_by_q.items() if ts}
+    if not terms_by_q:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    return range_partitioned_positional_eval(
+        spark, postings,
+        [(qid, t) for qid, ts in terms_by_q.items() for t in ts],
+        lambda qid, decoded: _match_span(
+            decoded, terms_by_q[qid], slop, in_order
+        ),
+        range_bits=range_bits,
+    )

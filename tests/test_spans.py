@@ -10,7 +10,10 @@ from elasticsearch_analysis_combo_spark.operators.postings import (
     merge_segments,
 )
 from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
-from elasticsearch_analysis_combo_spark.query.spans import span_near_match
+from elasticsearch_analysis_combo_spark.query.spans import (
+    span_near_match,
+    span_near_match_partitioned,
+)
 
 CFG = ComboConfig(["whitespace"])
 
@@ -93,3 +96,21 @@ def test_ordered_slop0_equals_phrase_on_distinct_terms(spark):
     span = _rows(span_near_match(spark, post, qs, CFG, slop=0, in_order=True))
     phrase = _rows(phrase_match(spark, post, qs, CFG, slop=0))
     assert span == phrase
+
+
+def test_partitioned_equals_single_task(spark):
+    """Doc-range fan-out returns identical rows to the one-task-per-query
+    evaluator, both orders, on a real corpus with stop-word terms."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = build_term_stats(docs, CFG, content_col="text")
+    segs = build_segments(stats, avgdl=50.0, salt_shards=2, block_size=64,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=50.0, block_size=64,
+                          with_positions=True).cache()
+    qs = [(0, "the value"), (1, "fast merge batch")]
+    for in_order in (True, False):
+        single = _rows(span_near_match(
+            spark, post, qs, CFG, slop=2, in_order=in_order))
+        part = _rows(span_near_match_partitioned(
+            spark, post, qs, CFG, slop=2, in_order=in_order, range_bits=3))
+        assert part == single and single
