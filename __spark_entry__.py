@@ -673,6 +673,136 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+QS_QUERIES = [
+    (0, '+value fast -slow'),
+    (1, '"value table" spark'),
+    (2, 'quer* +batch'),
+    (3, '-"value table" value'),
+]
+
+
+def q_query_string(spark, sf_dir):
+    """ES simple_query_string one-box syntax: +must / -not / "phrase"
+    filter / prefix* expansion, lowered onto the scored-terms + clause
+    indicator machinery (phrase clauses run the batch phrase matcher)."""
+    from elasticsearch_analysis_combo_spark.query.querystring import (
+        simple_query_string_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = simple_query_string_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        QS_QUERIES, _ws_config(), n_docs, avgdl,
+        default_operator="or", k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _qs_oracle_sql() -> str:
+    """Replays the documented simple_query_string semantics per query:
+    scoring terms (fixed + prefix-expanded) BM25-summed, must clauses as
+    EXISTS (term / LIKE prefix / positional adjacency), must_not as NOT
+    EXISTS."""
+    from elasticsearch_analysis_combo_spark.query.querystring import (
+        parse_simple_query_string,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    def terms_of(text):
+        return sorted({t.term for t in analyze_text(text, _ws_config())})
+
+    def clause_exists(cl, neg=False):
+        pre = "NOT EXISTS" if neg else "EXISTS"
+        if cl.kind == "term":
+            ts = terms_of(cl.text)
+            inner = " AND ".join(
+                f"EXISTS (SELECT 1 FROM tf x{j} WHERE x{j}.doc_id = s.doc_id "
+                f"AND x{j}.term = '{t}')"
+                for j, t in enumerate(ts)
+            ) or "TRUE"
+            return f"({'NOT ' if neg else ''}({inner}))"
+        if cl.kind == "prefix":
+            return (
+                f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
+                f"AND x.term LIKE '{cl.text}%')"
+            )
+        # phrase: terms in POSITIONAL order (terms_of sorts — wrong here)
+        ts = [t.term for t in analyze_text(cl.text, _ws_config())]
+        conds = [f"t0.doc_id = s.doc_id", f"t0.t = '{ts[0]}'"]
+        tables = ["toks t0"]
+        for i, t in enumerate(ts[1:], start=1):
+            tables.append(f"toks t{i}")
+            conds += [
+                f"t{i}.doc_id = s.doc_id", f"t{i}.t = '{t}'",
+                f"t{i}.p = t0.p + {i}",
+            ]
+        return f"{pre} (SELECT 1 FROM {', '.join(tables)} WHERE {' AND '.join(conds)})"
+
+    parts = []
+    for qid, text in QS_QUERIES:
+        pq = parse_simple_query_string(text, "or")
+        fixed, like_clauses, filters, member = set(), [], [], []
+        for cl in pq.clauses:
+            if cl.role != "must_not":
+                if cl.kind in ("term", "phrase"):
+                    fixed.update(terms_of(cl.text))
+                else:
+                    like_clauses.append(cl.text)
+                member.append(clause_exists(cl))
+            if cl.role == "must":
+                filters.append(clause_exists(cl))
+            elif cl.role == "must_not":
+                filters.append(clause_exists(cl, neg=True))
+        if member:  # clause-level membership: >=1 positive clause matches
+            filters.append("(" + " OR ".join(member) + ")")
+        sel = [
+            f"SELECT term FROM dfx WHERE term IN ({', '.join(repr(t) for t in sorted(fixed))})"
+        ] if fixed else []
+        sel += [
+            f"SELECT term FROM dfx WHERE term LIKE '{p}%'" for p in like_clauses
+        ]
+        qscore = " UNION ".join(sel)
+        where = (" AND " + " AND ".join(filters)) if filters else ""
+        parts.append(f"""
+SELECT {qid} AS query_id, s.doc_id, s.score FROM (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM ({qscore}) q
+  JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1
+) s
+WHERE TRUE{where}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+allq AS ({body}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM allq
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 REGEXPS = [(0, "qu.*"), (1, "val(ue|ues)"), (2, "[0-9]+")]
 SUGGEST_INPUTS = [(0, "so"), (1, "vlue"), (2, "sca"), (3, "windoq")]
 SUGGEST_EDITS, SUGGEST_PREFIX, SUGGEST_K = 2, 1, 5
@@ -1903,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
+        "query_string": q_query_string,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "bm25_regexp": q_bm25_regexp,
@@ -2346,6 +2477,7 @@ GROUP BY 1
         "best_fields", MM_TIE_BREAKER
     )
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
+    sqls["query_string"] = _qs_oracle_sql()
     sqls["span_near_ordered"] = _span_ordered_oracle_sql()
     sqls["span_near_unordered"] = _span_unordered_oracle_sql()
     sqls["bm25_regexp"] = _regexp_oracle_sql()

@@ -204,6 +204,27 @@ class ComboSearchEngine:
             k1=idx.meta.k1, b=idx.meta.b,
         )
 
+    def search_query_string(
+        self,
+        query: str,
+        default_operator: str = "or",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``simple_query_string``: ``+must -not "exact phrase"
+        prefix*`` one-box syntax (see query/querystring.py for the
+        supported subset and semantics)."""
+        from elasticsearch_analysis_combo_spark.query.querystring import (
+            simple_query_string_topk,
+        )
+
+        idx = self.idx
+        return simple_query_string_topk(
+            self.spark, idx.term_stats(), idx.term_df(), idx.postings(),
+            [(0, query)], self._query_config(), idx.meta.n_docs,
+            idx.meta.avgdl, default_operator=default_operator, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
     def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
         """ES regexp query (pattern must match the whole term)."""
         from elasticsearch_analysis_combo_spark.query.boolean import (
