@@ -989,6 +989,71 @@ matches AS (
 )"""
 
 
+SIGTERMS_SIZE, SIGTERMS_MIN_DC = 8, 3
+
+
+def q_significant_terms(spark, sf_dir):
+    """ES significant_terms: JLH-scored foreground-vs-background terms
+    over the full match set, query terms excluded."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_terms,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, _ = _corpus_stats(stats)
+    out = significant_terms(
+        spark, stats, BM25_QUERIES, _ws_config(), n_docs,
+        size=SIGTERMS_SIZE, min_doc_count=SIGTERMS_MIN_DC,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term", "fg_df", "bg_df",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _significant_terms_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qrows = analyze_queries(BM25_QUERIES, _ws_config())
+    values = _terms_values_sql(qrows)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+gs AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+q(query_id, term) AS (VALUES {values}),
+matches AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+nfg AS (SELECT query_id, count(*)::DOUBLE AS n_fg FROM matches GROUP BY 1),
+fg AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS fg_df
+  FROM matches m JOIN tf ON m.doc_id = tf.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {SIGTERMS_MIN_DC}
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM tf GROUP BY 1),
+scored AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+         ((fg.fg_df / nfg.n_fg) - (bg.bg_df / gs.n))
+         * ((fg.fg_df / nfg.n_fg) / (bg.bg_df / gs.n)) AS score
+  FROM fg JOIN nfg USING (query_id) JOIN bg USING (term) CROSS JOIN gs
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q WHERE q.query_id = fg.query_id AND q.term = fg.term
+  )
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, term) AS rank,
+         term, fg_df, bg_df, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       term, fg_df, bg_df, score
+FROM ranked WHERE rank <= {SIGTERMS_SIZE}
+"""
+
+
 def _facet_terms_oracle_sql() -> str:
     return f"""
 WITH {_facet_match_cte()},
@@ -2040,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "bm25_explain": q_bm25_explain,
         "facet_terms": q_facet_terms,
+        "significant_terms": q_significant_terms,
         "facet_histogram": q_facet_histogram,
         "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
@@ -2484,6 +2550,7 @@ GROUP BY 1
     sqls["term_suggest"] = _term_suggest_oracle_sql()
     sqls["bm25_explain"] = _explain_oracle_sql()
     sqls["facet_terms"] = _facet_terms_oracle_sql()
+    sqls["significant_terms"] = _significant_terms_oracle_sql()
     sqls["facet_histogram"] = _facet_histogram_oracle_sql()
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()

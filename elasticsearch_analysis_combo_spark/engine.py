@@ -289,6 +289,22 @@ class ComboSearchEngine:
             self._query_config(), doc_meta, facet_col, size=size,
         )
 
+    def significant_terms(
+        self, query: str, size: int = 10, min_doc_count: int = 3
+    ) -> DataFrame:
+        """ES ``significant_terms``: JLH-scored foreground-vs-background
+        vocabulary terms over the query's full match set."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            significant_terms,
+        )
+
+        idx = self.idx
+        return significant_terms(
+            self.spark, idx.term_stats(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, size=size,
+            min_doc_count=min_doc_count,
+        )
+
     def facet_histogram(
         self, query: str, doc_meta: DataFrame, value_col: str, interval: float
     ) -> DataFrame:

@@ -68,6 +68,71 @@ def search_facet_terms(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms``: vocabulary terms unusually frequent in
+    the query's match set versus the whole corpus, scored with the JLH
+    heuristic ``(fg% - bg%) * (fg% / bg%)`` (fg% = share of matching docs
+    containing the term, bg% = share of all docs). The query's own terms
+    trivially top the list and are excluded, as ES effectively does by
+    interest.
+
+    Plan: match set (distinct (query, doc)) joins back to the per-doc term
+    stats — the one inherently match-set-sized shuffle (ES samples shard
+    tops instead; at 100 TB pass a sampled match set in). Doc frequencies
+    per (query, term) partial-aggregate before the window cut."""
+    qterms = set(analyze_queries(queries, config))
+    matches = _match_set(spark, term_stats, queries, config)
+    n_match = (
+        matches.groupBy("query_id").agg(F.count("*").alias("n_fg"))
+    )
+    fg = (
+        matches.join(term_stats.select("doc_id", "term"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_df"))  # (doc, term) stats rows unique
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    bg = term_stats.groupBy("term").agg(F.count("*").alias("bg_df"))
+    qt = spark.createDataFrame(
+        sorted(qterms), "query_id int, term string"
+    ).withColumn("_isq", F.lit(1))
+    scored = (
+        fg.join(F.broadcast(n_match), "query_id")
+        .join(bg, "term")
+        .join(F.broadcast(qt), ["query_id", "term"], "left")
+        .filter(F.col("_isq").isNull())
+        .withColumn("fg_pct", F.col("fg_df") / F.col("n_fg"))
+        .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_docs)))
+        .withColumn(
+            "score",
+            (F.col("fg_pct") - F.col("bg_pct"))
+            * (F.col("fg_pct") / F.col("bg_pct")),
+        )
+    )
+    # rank on the 6-rounded score (term tiebreak): near-tied floats must
+    # not flip rank order across engines (same policy as _rerank_rounded)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select(
+            "query_id", "rank", "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            "score",
+        )
+    )
+
+
 def search_facet_histogram(
     spark: SparkSession,
     term_stats: DataFrame,

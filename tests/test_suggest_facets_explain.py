@@ -138,6 +138,37 @@ def test_facet_terms_counts_full_match_set(spark, stats, corpus):
     assert got == {"de": (1, 1), "en": (2, 1), "fr": (3, 1)}
 
 
+def test_significant_terms_foreground_lift(spark):
+    """A term that co-occurs with the query term far above its background
+    rate must outrank uniformly-spread terms; the query's own terms are
+    excluded."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_terms,
+    )
+
+    rows = []
+    # 10 docs with "anchor sig" (sig rides along), 40 docs with "noise",
+    # "common" appears everywhere (no lift)
+    for d in range(10):
+        rows.append((d, "anchor sig common"))
+    for d in range(10, 50):
+        rows.append((d, "noise common"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = build_term_stats(df, CFG, content_col="text")
+    out = significant_terms(
+        spark, stats, [(0, "anchor")], CFG, n_docs=50, size=5,
+        min_doc_count=2,
+    ).collect()
+    terms = [r["term"] for r in out]
+    assert terms[0] == "sig"
+    assert "anchor" not in terms  # query term excluded
+    row = out[0]
+    assert row["fg_df"] == 10 and row["bg_df"] == 10
+    # "common" has zero lift: (fg% - bg%) == 0
+    common = [r for r in out if r["term"] == "common"]
+    assert not common or abs(common[0]["score"]) < 1e-9
+
+
 def test_facet_histogram_buckets(spark, stats, corpus):
     out = search_facet_histogram(
         spark, stats, [(0, "sort")], CFG, corpus, "n_chars", interval=100.0
