@@ -716,13 +716,14 @@ def _qs_oracle_sql() -> str:
     def clause_exists(cl, neg=False):
         pre = "NOT EXISTS" if neg else "EXISTS"
         if cl.kind == "term":
+            # ANY analyzed term matches the clause (ES semantics; a combo
+            # analyzer may emit several terms for one token)
             ts = terms_of(cl.text)
-            inner = " AND ".join(
-                f"EXISTS (SELECT 1 FROM tf x{j} WHERE x{j}.doc_id = s.doc_id "
-                f"AND x{j}.term = '{t}')"
-                for j, t in enumerate(ts)
-            ) or "TRUE"
-            return f"({'NOT ' if neg else ''}({inner}))"
+            in_list = ", ".join(f"'{t}'" for t in ts)
+            return (
+                f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
+                f"AND x.term IN ({in_list}))"
+            )
         if cl.kind == "prefix":
             return (
                 f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "

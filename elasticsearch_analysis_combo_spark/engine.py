@@ -209,20 +209,26 @@ class ComboSearchEngine:
         query: str,
         default_operator: str = "or",
         k: int = 10,
+        partitioned: bool | None = None,
     ) -> DataFrame:
         """ES ``simple_query_string``: ``+must -not "exact phrase"
         prefix*`` one-box syntax (see query/querystring.py for the
-        supported subset and semantics)."""
+        supported subset and semantics). Phrase clauses route to the
+        range-partitioned evaluator past ``PARTITIONED_THRESHOLD`` docs,
+        same as :meth:`phrase`."""
         from elasticsearch_analysis_combo_spark.query.querystring import (
             simple_query_string_topk,
         )
 
         idx = self.idx
+        if partitioned is None:
+            partitioned = idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
         return simple_query_string_topk(
             self.spark, idx.term_stats(), idx.term_df(), idx.postings(),
             [(0, query)], self._query_config(), idx.meta.n_docs,
             idx.meta.avgdl, default_operator=default_operator, k=k,
             k1=idx.meta.k1, b=idx.meta.b,
+            partitioned_phrases=partitioned,
         )
 
     def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
@@ -302,7 +308,7 @@ class ComboSearchEngine:
         return significant_terms(
             self.spark, idx.term_stats(), [(0, query)],
             self._query_config(), idx.meta.n_docs, size=size,
-            min_doc_count=min_doc_count,
+            min_doc_count=min_doc_count, term_df=idx.term_df(),
         )
 
     def facet_histogram(
@@ -544,12 +550,14 @@ class MultiFieldSearchEngine:
 
     @property
     def fields(self) -> list[str]:
+        """All fields indexed on disk (the cached-engines set is only a
+        fallback before the first build writes the directory — preferring
+        it would hide sibling fields from a default multi_match)."""
         import os
 
         d = os.path.join(self.index_dir, "fields")
-        if self._engines:
-            return sorted(self._engines)
-        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+        on_disk = sorted(os.listdir(d)) if os.path.isdir(d) else []
+        return on_disk or sorted(self._engines)
 
     def index(
         self,
@@ -600,8 +608,12 @@ class MultiFieldSearchEngine:
                 boosts=boosts, k=k, k1=self.k1, b=self.b,
             )
         stats = {f: e.idx.term_stats() for f, e in engines.items()}
+        meta = {
+            f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+            for f, e in engines.items()
+        }
         return multi_match_topk(
             self.spark, stats, queries, any_cfg, kind=kind,
             boosts=boosts, tie_breaker=tie_breaker, k=k,
-            k1=self.k1, b=self.b,
+            k1=self.k1, b=self.b, field_meta=meta,
         )

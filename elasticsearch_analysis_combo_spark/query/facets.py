@@ -76,6 +76,7 @@ def significant_terms(
     n_docs: int,
     size: int = 10,
     min_doc_count: int = 3,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``significant_terms``: vocabulary terms unusually frequent in
     the query's match set versus the whole corpus, scored with the JLH
@@ -87,7 +88,9 @@ def significant_terms(
     Plan: match set (distinct (query, doc)) joins back to the per-doc term
     stats — the one inherently match-set-sized shuffle (ES samples shard
     tops instead; at 100 TB pass a sampled match set in). Doc frequencies
-    per (query, term) partial-aggregate before the window cut."""
+    per (query, term) partial-aggregate before the window cut. Pass the
+    index's precomputed ``term_df`` (term, df) as the background table —
+    deriving it per call re-shuffles the whole stats table."""
     qterms = set(analyze_queries(queries, config))
     matches = _match_set(spark, term_stats, queries, config)
     n_match = (
@@ -99,7 +102,10 @@ def significant_terms(
         .agg(F.count("*").alias("fg_df"))  # (doc, term) stats rows unique
         .filter(F.col("fg_df") >= min_doc_count)
     )
-    bg = term_stats.groupBy("term").agg(F.count("*").alias("bg_df"))
+    if term_df is not None:
+        bg = term_df.select("term", F.col("df").alias("bg_df"))
+    else:
+        bg = term_stats.groupBy("term").agg(F.count("*").alias("bg_df"))
     qt = spark.createDataFrame(
         sorted(qterms), "query_id int, term string"
     ).withColumn("_isq", F.lit(1))

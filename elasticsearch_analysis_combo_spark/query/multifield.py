@@ -138,18 +138,27 @@ def multi_match_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    field_meta: dict[str, tuple[int, float]] | None = None,
 ) -> DataFrame:
     """Exact multi_match top-k by full per-field evaluation — the rank
     oracle for the WAND path and the small-index fast path. One scored
     plan per field (broadcast-joined, partially aggregated), one union,
-    one final (query_id, doc_id) combine."""
+    one final (query_id, doc_id) combine.
+
+    ``field_meta`` (field -> (n_docs_with_field, avgdl)) skips the
+    per-field stats scan + collect — pass it whenever the stats were
+    recorded at index build (an engine always has them in sub-index
+    meta); deriving them per query costs a full distinct per field."""
     boosts = boosts or {}
     qterms = spark.createDataFrame(
         analyze_queries(queries, config), "query_id int, term string"
     )
     parts = []
     for field, stats in field_stats.items():
-        n, avgdl = field_corpus_stats(stats)
+        if field_meta and field in field_meta:
+            n, avgdl = field_meta[field]
+        else:
+            n, avgdl = field_corpus_stats(stats)
         if n == 0:
             continue
         boost = float(boosts.get(field, 1.0))

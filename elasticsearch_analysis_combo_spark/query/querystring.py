@@ -102,9 +102,13 @@ def simple_query_string_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    partitioned_phrases: bool = False,
+    range_bits: int = 4,
 ) -> DataFrame:
     """Parse and evaluate simple_query_string queries. ``postings`` (with
-    positions) is only required when a query contains phrase clauses."""
+    positions) is only required when a query contains phrase clauses;
+    ``partitioned_phrases`` routes those through the doc-range fan-out
+    evaluator (the scale-safe path for stop-word phrases)."""
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double"
     )
@@ -112,6 +116,12 @@ def simple_query_string_topk(
         qid: parse_simple_query_string(text, default_operator)
         for qid, text in queries
     }
+    for qid, pq in parsed.items():
+        # composite phrase ids pack (qid, clause_id) into int32
+        if pq.clauses and not (0 <= qid < (1 << 21)):
+            raise ValueError(f"query_id out of range [0, 2^21): {qid}")
+        if len(pq.clauses) > (1 << 10):
+            raise ValueError(f"more than {1 << 10} clauses in query {qid}")
     score_rows: set[tuple[int, str]] = set()
     # (qid, clause_id, Clause) for indicator joins
     pos_specs: list[tuple[int, int, Clause]] = []
@@ -121,6 +131,11 @@ def simple_query_string_topk(
     phrase_specs: list[tuple[int, int, Clause]] = []
     for qid, pq in parsed.items():
         for cid, cl in enumerate(pq.clauses):
+            if cl.kind in ("term", "phrase") and not _clause_terms(cl, config):
+                # a clause whose text analyzes to zero terms (e.g. a pure
+                # stopword under a stop-stripping analyzer) is DROPPED,
+                # as ES drops empty clauses — it must not veto the query
+                continue
             if cl.role != "must_not":
                 if cl.kind in ("term", "phrase"):
                     score_rows.update((qid, t) for t in _clause_terms(cl, config))
@@ -162,10 +177,18 @@ def simple_query_string_topk(
     if phrase_specs:
         if postings is None:
             raise ValueError("phrase clauses require positional postings")
-        from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
+        from elasticsearch_analysis_combo_spark.query.phrase import (
+            phrase_match,
+            phrase_match_partitioned,
+        )
 
         comp = [((qid << 10) | cid, cl.text) for qid, cid, cl in phrase_specs]
-        ph = phrase_match(spark, postings, comp, config)
+        if partitioned_phrases:
+            ph = phrase_match_partitioned(
+                spark, postings, comp, config, range_bits=range_bits
+            )
+        else:
+            ph = phrase_match(spark, postings, comp, config)
         phrase_hits = ph.select(
             F.shiftright("query_id", 10).alias("qid"),
             (F.col("query_id") % (1 << 10)).alias("cid"),

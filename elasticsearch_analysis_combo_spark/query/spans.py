@@ -42,34 +42,19 @@ from elasticsearch_analysis_combo_spark.query.phrase import (
     PHRASE_SCHEMA,
     _BAND,
     _decode_rows,
+    _slot_keys,
     range_partitioned_positional_eval,
 )
 
 
 def _term_keys(decoded, term, common):
-    """Sorted int64 keys (common_idx * BAND + pos) for one term restricted
-    to the common docs (same packing as phrase, no slot shift/bias)."""
+    """Sorted int64 keys (common_idx * BAND + pos + BIAS) for one term
+    restricted to the common docs — phrase's ``_slot_keys`` gather at
+    slot 0. The uniform ``_POS_BIAS`` offset is harmless here: every use
+    in ``_match_span`` is a key difference, a window probe (both sides
+    shifted equally), or a band extraction (pos + BIAS < BAND)."""
     docs, offs, pos_flat, _ = decoded[term]
-    idx = np.searchsorted(docs, common)
-    starts = offs[idx]
-    lens = (offs[idx + 1] - starts).astype(np.int64)
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    out_off = np.cumsum(lens) - lens
-    gidx = (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(out_off, lens)
-        + np.repeat(starts, lens)
-    )
-    cidx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
-    keys = cidx * _BAND + pos_flat[gidx].astype(np.int64)
-    if keys.size > 1:
-        keep = np.empty(keys.size, dtype=bool)
-        keep[0] = True
-        np.not_equal(keys[1:], keys[:-1], out=keep[1:])
-        keys = keys[keep]
-    return keys
+    return _slot_keys(docs, offs, pos_flat, common, slot=0)
 
 
 def _match_span(

@@ -42,32 +42,30 @@ def term_suggest(
             [], "query_id int, rank int, suggestion string, "
                 "distance int, df long"
         )
-    cand = None
-    for qid, term in inputs:
-        pref = term[:prefix_length]
-        part = (
-            term_df
-            # pushdown-friendly pruning: shared prefix + length band bound
-            # the Levenshtein distance from below
-            .filter(F.col("term").startswith(pref))
-            .filter(
-                (F.length("term") >= len(term) - max_edits)
-                & (F.length("term") <= len(term) + max_edits)
+    inputs_df = spark.createDataFrame(inputs, "query_id int, input string")
+    # ONE dictionary pass for all inputs: broadcast the tiny input table
+    # against the vocabulary; the prefix + length-band predicates bound
+    # Levenshtein from below and prune before the edit distance runs
+    cand = (
+        term_df.join(
+            F.broadcast(inputs_df),
+            F.col("term").startswith(
+                F.substring("input", 1, prefix_length)
             )
-            .withColumn(
-                "distance", F.levenshtein(F.col("term"), F.lit(term))
-            )
-            .filter(F.col("distance") <= max_edits)
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.col("term").alias("suggestion"),
-                F.col("distance").cast("int").alias("distance"),
-                F.col("df").cast("long").alias("df"),
-            )
+            & (F.length("term") >= F.length("input") - max_edits)
+            & (F.length("term") <= F.length("input") + max_edits),
         )
-        if not include_exact:
-            part = part.filter(F.col("distance") > 0)
-        cand = part if cand is None else cand.unionByName(part)
+        .withColumn("distance", F.levenshtein(F.col("term"), F.col("input")))
+        .filter(F.col("distance") <= max_edits)
+        .select(
+            "query_id",
+            F.col("term").alias("suggestion"),
+            F.col("distance").cast("int").alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+    if not include_exact:
+        cand = cand.filter(F.col("distance") > 0)
     cand = cand.filter(F.col("df") >= min_doc_freq)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("distance"), F.desc("df"), F.asc("suggestion")
@@ -96,23 +94,32 @@ def phrase_suggest(
     out of scope; this covers the common single-typo query repair."""
     toks = []
     for qid, text in inputs:
+        if not (0 <= qid < (1 << 15)):
+            raise ValueError(f"query_id out of range [0, 2^15): {qid}")
         for i, t in enumerate(text.split()):
+            if i >= (1 << 16):
+                raise ValueError(f"more than {1 << 16} tokens in query {qid}")
             toks.append((qid, i, t))
     if not toks:
         return spark.createDataFrame(
             [], "query_id int, suggestion string, n_corrections int"
         )
-    tok_inputs = [((qid << 16) | i, t) for qid, i, t in toks]
+    # vocabulary membership: one isin filter over the dictionary
+    distinct_toks = sorted({t for _, _, t in toks})
     known = {
-        r["suggestion"]
-        for r in term_suggest(
-            spark, term_df, tok_inputs, max_edits=0, prefix_length=0,
-            min_doc_freq=min_doc_freq, k=1, include_exact=True,
-        ).collect()
+        r["term"]
+        for r in term_df.filter(
+            F.col("term").isin(distinct_toks)
+            & (F.col("df") >= min_doc_freq)
+        ).select("term").collect()
     }
-    need = [(key, t) for key, t in tok_inputs if t not in known]
+    need = [
+        ((qid << 16) | i, t) for qid, i, t in toks if t not in known
+    ]
     best = {}
     if need:
+        # one dictionary pass for every unknown token (term_suggest
+        # broadcasts the whole batch)
         for r in term_suggest(
             spark, term_df, need, max_edits=max_edits,
             prefix_length=prefix_length, min_doc_freq=min_doc_freq, k=1,

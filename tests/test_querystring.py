@@ -97,3 +97,33 @@ def test_prefix_clause(spark, fixture):
 def test_must_prefix_with_terms(spark, fixture):
     # must-prefix filters, extra should widens scoring but not match set
     assert _docs_of(spark, fixture, "+delt* alpha") == {2, 4}
+
+
+def test_empty_must_clause_dropped(spark):
+    """A must clause that analyzes to zero terms (stopword under a
+    stop-stripping analyzer) is dropped, not a veto on the whole query."""
+    cfg = ComboConfig(["standard"])  # lowercase + English stopword strip
+    rows = [(0, "alpha beta"), (1, "beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, cfg).cache()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = simple_query_string_topk(
+        spark, stats, term_df, None, [(0, "+the +alpha")], cfg,
+        n_docs=2, avgdl=2.0, k=10,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {0}
+    # all-stopword must phrase is dropped the same way
+    out2 = simple_query_string_topk(
+        spark, stats, term_df, None, [(0, '+"the of" +alpha')], cfg,
+        n_docs=2, avgdl=2.0, k=10,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {0}
+
+
+def test_query_id_range_guard(spark, fixture):
+    stats, term_df, post, n_docs, avgdl = fixture
+    with pytest.raises(ValueError):
+        simple_query_string_topk(
+            spark, stats, term_df, post, [(1 << 22, "alpha")], CFG,
+            n_docs, avgdl,
+        )
