@@ -673,6 +673,44 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+TV_DOC_IDS = [1, 2, 3, 7, 11]
+
+
+def q_termvectors(spark, sf_dir):
+    """ES _termvectors readback: per-doc terms + tf + absolute positions
+    decoded from the packed pos_data wire format (end-to-end value check
+    of the positions payload)."""
+    from elasticsearch_analysis_combo_spark.query.termvectors import (
+        termvectors,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    out = termvectors(spark, stats, TV_DOC_IDS)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def _termvectors_oracle_sql() -> str:
+    ids = ", ".join(str(d) for d in TV_DOC_IDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS term, u.p AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+  WHERE doc_id IN ({ids})
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+SELECT toks.doc_id, toks.term, tf.tf, toks.pos::BIGINT AS pos
+FROM toks JOIN tf ON toks.doc_id = tf.doc_id AND toks.term = tf.term
+"""
+
+
 QS_QUERIES = [
     (0, '+value fast -slow'),
     (1, '"value table" spark'),
@@ -2100,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
         "query_string": q_query_string,
+        "termvectors": q_termvectors,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "bm25_regexp": q_bm25_regexp,
@@ -2545,6 +2584,7 @@ GROUP BY 1
     )
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
+    sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["span_near_ordered"] = _span_ordered_oracle_sql()
     sqls["span_near_unordered"] = _span_unordered_oracle_sql()
     sqls["bm25_regexp"] = _regexp_oracle_sql()

@@ -442,6 +442,44 @@ class ComboSearchEngine:
             min_doc_freq=min_doc_freq, k=k, k1=idx.meta.k1, b=idx.meta.b,
         )
 
+    def termvectors(self, doc_id: int | list[int]) -> DataFrame:
+        """ES ``_termvectors``: every indexed term of the given doc(s)
+        with tf and absolute positions, decoded from the stored packed
+        positions payload."""
+        from elasticsearch_analysis_combo_spark.query.termvectors import (
+            termvectors,
+        )
+
+        ids = [doc_id] if isinstance(doc_id, int) else list(doc_id)
+        return termvectors(self.spark, self.idx.term_stats(), ids)
+
+    def stats(self) -> dict:
+        """ES ``_stats``-style index statistics: doc count, avgdl,
+        vocabulary size, posting rows/blocks/bytes, recorded config."""
+        idx = self.idx
+        post = idx.postings()
+        from pyspark.sql import functions as F
+
+        row = post.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.size("blocks")).alias("blocks"),
+            F.expr(
+                "sum(aggregate(blocks, 0L, (acc, b) -> acc + length(b.data)"
+                " + coalesce(length(b.pos_data), 0)))"
+            ).alias("bytes"),
+        ).collect()[0]
+        return {
+            "n_docs": idx.meta.n_docs,
+            "avgdl": idx.meta.avgdl,
+            "k1": idx.meta.k1,
+            "b": idx.meta.b,
+            "vocabulary_size": idx.term_df().count(),
+            "posting_rows": int(row["rows"]),
+            "posting_blocks": int(row["blocks"] or 0),
+            "posting_bytes": int(row["bytes"] or 0),
+            "config": idx.meta.config,
+        }
+
     # -- maintenance (delete / upsert / compact) -----------------------------
     def delete(self, doc_ids) -> None:
         """Tombstone documents (takes effect at the next :meth:`compact`,
