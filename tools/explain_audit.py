@@ -109,6 +109,48 @@ def main() -> None:
         "partitioned phrase scan pushdown", p, "PushedFilters: [In(term"
     )
 
+    # 6. term suggester: ONE dictionary pass for the whole input batch —
+    # the tiny inputs table must broadcast (BroadcastNestedLoopJoin, the
+    # non-equi prefix/length predicates preclude a hash join) and the
+    # vocabulary must be scanned exactly once
+    from elasticsearch_analysis_combo_spark.query.suggest import term_suggest
+
+    sug = term_suggest(
+        spark, idx.term_df(), [(0, "sprk"), (1, "quey")], max_edits=2
+    )
+    p = plan_text(sug)
+    failures += not check(
+        "suggester single broadcast dictionary pass", p,
+        "BroadcastNestedLoopJoin",
+    )
+    # formatted explain prints each scan twice (tree node + detail header)
+    n_scans = p.count("Scan parquet") // 2
+    ok = n_scans == 1
+    print(f"{'OK ' if ok else 'FAIL'} suggester scans dictionary once: "
+          f"{n_scans} parquet scan(s)")
+    failures += not ok
+
+    # 7. significant_terms with the precomputed dictionary: the background
+    # df must come from the term_df table, not a re-aggregation of the
+    # posting-sized stats (2 stats scans would betray the rebuild)
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_terms,
+    )
+
+    sig = significant_terms(
+        spark, idx.term_stats(), [(0, "spark")], cfg, idx.meta.n_docs,
+        term_df=idx.term_df(),
+    )
+    p = plan_text(sig)
+    # the stats dir name appears once per scan's Location detail line:
+    # match set (scanned for n_fg and for the fg join) + the fg stats join
+    # = 3; a bg rebuilt from stats would add a 4th
+    n_stats_scans = p.count("term_stats")
+    ok = 0 < n_stats_scans <= 3
+    print(f"{'OK ' if ok else 'FAIL'} significant_terms reuses term_df for "
+          f"background: {n_stats_scans} stats scan(s)")
+    failures += not ok
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
