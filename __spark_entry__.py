@@ -1028,6 +1028,65 @@ matches AS (
 )"""
 
 
+def q_search_collapse(spark, sf_dir):
+    """ES collapse: one hit per lang, best-scoring doc represents the
+    group; collapsing happens over the FULL scored set."""
+    from elasticsearch_analysis_combo_spark.query.facets import collapse_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = collapse_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(),
+        _docs(spark, sf_dir), "lang", n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", "collapse_value",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _collapse_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(BM25_QUERIES, _ws_config()))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+keyed AS (
+  SELECT s.query_id, s.doc_id, d.lang AS collapse_value, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS gn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, collapse_value, round(score, 6) AS score
+  FROM keyed WHERE gn = 1
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id, collapse_value, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 SIGTERMS_SIZE, SIGTERMS_MIN_DC = 8, 3
 
 
@@ -2146,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "facet_terms": q_facet_terms,
         "significant_terms": q_significant_terms,
+        "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
         "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
@@ -2592,6 +2652,7 @@ GROUP BY 1
     sqls["bm25_explain"] = _explain_oracle_sql()
     sqls["facet_terms"] = _facet_terms_oracle_sql()
     sqls["significant_terms"] = _significant_terms_oracle_sql()
+    sqls["search_collapse"] = _collapse_oracle_sql()
     sqls["facet_histogram"] = _facet_histogram_oracle_sql()
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()

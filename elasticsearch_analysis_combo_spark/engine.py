@@ -295,6 +295,27 @@ class ComboSearchEngine:
             self._query_config(), doc_meta, facet_col, size=size,
         )
 
+    def search_collapse(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        collapse_field: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``collapse``: top-k with at most one hit per value of
+        ``collapse_field`` (the best-scoring doc represents its group)."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            collapse_topk,
+        )
+
+        idx = self.idx
+        return collapse_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), doc_meta, collapse_field,
+            idx.meta.n_docs, idx.meta.avgdl, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
     def significant_terms(
         self, query: str, size: int = 10, min_doc_count: int = 3
     ) -> DataFrame:

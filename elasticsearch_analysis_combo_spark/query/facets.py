@@ -68,6 +68,74 @@ def search_facet_terms(
     )
 
 
+def collapse_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    doc_meta: DataFrame,
+    collapse_field: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``collapse``: top-k hits with at most ONE hit per value of
+    ``collapse_field`` — the best-scoring doc represents its group
+    (doc_id tiebreak), e.g. one result per domain/author/source.
+
+    Collapsing must happen over the FULL scored set (a group's winner may
+    sit below the uncollapsed top-k), so this scores exhaustively, joins
+    the collapse key, keeps each (query, value) max, and ranks — every
+    step partial-aggregated; the ranking tail sees at most one row per
+    distinct field value."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import idf_expr
+
+    qterms = spark.createDataFrame(
+        analyze_queries(queries, config), "query_id int, term string"
+    )
+    tdf = term_df.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).select("term", "df")
+    scored = (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+        .join(doc_meta.select("doc_id", collapse_field), "doc_id")
+    )
+    # both windows rank on the 6-rounded score (doc_id tiebreak): group
+    # winners and final order must not flip on near-tied floats across
+    # engines (same policy as _rerank_rounded)
+    wg = Window.partitionBy("query_id", collapse_field).orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    winners = (
+        scored.withColumn("_gn", F.row_number().over(wg))
+        .filter(F.col("_gn") == 1)
+        .drop("_gn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        winners.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.col(collapse_field).alias("collapse_value"), "score",
+        )
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     term_stats: DataFrame,

@@ -169,6 +169,32 @@ def test_significant_terms_foreground_lift(spark):
     assert not common or abs(common[0]["score"]) < 1e-9
 
 
+def test_collapse_one_hit_per_group(spark, stats, corpus, term_df):
+    """collapse keeps only the best-scoring doc per field value, chosen
+    over the FULL scored set (not the uncollapsed top-k)."""
+    from elasticsearch_analysis_combo_spark.query.facets import collapse_topk
+
+    n_docs = 5
+    avgdl = stats.select("doc_id", "dl").distinct().agg(
+        F.avg("dl")
+    ).collect()[0][0]
+    out = collapse_topk(
+        spark, stats, term_df, [(0, "value")], CFG, corpus, "lang",
+        n_docs, avgdl, k=10,
+    ).collect()
+    # docs with "value": 2 (de), 3 (en), 4 (fr) — one lang each, all kept
+    langs = [r["collapse_value"] for r in out]
+    assert sorted(langs) == ["de", "en", "fr"]
+    assert len(langs) == len(set(langs))
+    # "merge": docs 0 and 1 both en — only the better one survives
+    out2 = collapse_topk(
+        spark, stats, term_df, [(0, "merge")], CFG, corpus, "lang",
+        n_docs, avgdl, k=10,
+    ).collect()
+    en = [r for r in out2 if r["collapse_value"] == "en"]
+    assert len(en) == 1 and en[0]["doc_id"] == 1  # tf=2 beats tf=1
+
+
 def test_facet_histogram_buckets(spark, stats, corpus):
     out = search_facet_histogram(
         spark, stats, [(0, "sort")], CFG, corpus, "n_chars", interval=100.0
