@@ -673,6 +673,104 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+SYNONYMS = {"fast": ["quick", "rapid"], "big": ["large"]}
+
+
+def q_synonym_analyze(spark, sf_dir):
+    """Synonym filter: same-position stacking (posInc 0, original offsets)
+    over the whitespace base — the analysis-plugin behavior the combo
+    merge exists to host."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_synonym_tokenizer,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+
+    # raw callable in the config: cloudpickled with the UDF closure, so it
+    # reaches Python workers without relying on their module-level registry
+    syn = make_synonym_tokenizer("whitespace", SYNONYMS)
+    d = _docs(spark, sf_dir)
+    t = analyze(d, ComboConfig([syn]), content_col="text")
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("tokens").alias("tok"),
+    ).select(
+        "doc_id",
+        F.col("tok.pos").cast("long").alias("pos"),
+        F.col("tok.term").alias("term"),
+        F.col("tok.start").cast("long").alias("start_off"),
+        F.col("tok.end").cast("long").alias("end_off"),
+    )
+
+
+def _synonym_oracle_sql() -> str:
+    syn_rows = ", ".join(
+        f"('{k}', '{s}')" for k, vs in sorted(SYNONYMS.items()) for s in vs
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, u.p AS pos, u.t AS term,
+         u.s AS start_off, u.s + length(u.t) AS end_off
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i,
+                                        s := CASE WHEN i = 1 THEN 0
+                                             ELSE length(array_to_string(list_slice(string_split(text,' '), 1, i-1), ' ')) + 1 END))) AS u
+    FROM documents
+  )
+),
+syn(term, synonym) AS (VALUES {syn_rows})
+SELECT doc_id, pos, term, start_off, end_off FROM base
+UNION ALL
+SELECT b.doc_id, b.pos, s.synonym AS term, b.start_off, b.end_off
+FROM base b JOIN syn s ON lower(b.term) = s.term
+"""
+
+
+def q_html_strip_analyze(spark, sf_dir):
+    """html_strip char filter: tags replaced by equal-length space runs,
+    so token offsets still index into the original markup."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_html_strip_tokenizer,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+
+    hs = make_html_strip_tokenizer("whitespace")
+    d = _docs(spark, sf_dir).withColumn(
+        "html", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    )
+    t = analyze(d, ComboConfig([hs]), content_col="html")
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("tokens").alias("tok"),
+    ).select(
+        "doc_id",
+        F.col("tok.pos").cast("long").alias("pos"),
+        F.col("tok.term").alias("term"),
+        F.col("tok.start").cast("long").alias("start_off"),
+        F.col("tok.end").cast("long").alias("end_off"),
+    )
+
+
+def _html_strip_oracle_sql() -> str:
+    # '<p>' || text || '</p>': stripping pads tags with spaces, so every
+    # token of text keeps its offsets shifted by the 3-char leading tag
+    return """
+SELECT doc_id, u.p AS pos, u.t AS term,
+       u.s + 3 AS start_off, u.s + 3 + length(u.t) AS end_off
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, ' '),
+                (x, i) -> struct_pack(t := x, p := i,
+                                      s := CASE WHEN i = 1 THEN 0
+                                           ELSE length(array_to_string(list_slice(string_split(text,' '), 1, i-1), ' ')) + 1 END))) AS u
+  FROM documents
+)
+"""
+
+
 TV_DOC_IDS = [1, 2, 3, 7, 11]
 
 
@@ -2198,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most": q_multi_match_most,
         "query_string": q_query_string,
         "termvectors": q_termvectors,
+        "synonym_analyze": q_synonym_analyze,
+        "html_strip_analyze": q_html_strip_analyze,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "bm25_regexp": q_bm25_regexp,
@@ -2645,6 +2745,8 @@ GROUP BY 1
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
+    sqls["synonym_analyze"] = _synonym_oracle_sql()
+    sqls["html_strip_analyze"] = _html_strip_oracle_sql()
     sqls["span_near_ordered"] = _span_ordered_oracle_sql()
     sqls["span_near_unordered"] = _span_unordered_oracle_sql()
     sqls["bm25_regexp"] = _regexp_oracle_sql()

@@ -308,6 +308,75 @@ def lowercase_tokenizer(text: str) -> list[Token]:
     ]
 
 
+def make_synonym_tokenizer(
+    base: TokenizerFn | str,
+    synonyms: dict[str, list[str]],
+    match_lowercase: bool = True,
+    name: str | None = None,
+) -> TokenizerFn:
+    """Lucene SynonymFilter for single-token synonyms: each base token
+    whose term has synonyms also emits those synonyms at the SAME absolute
+    position (posInc 0) with the original token's offsets and type
+    ``SYNONYM`` — exactly the same-position stacking the reference's combo
+    merge is built to handle (same-position dedup then keeps the first
+    emission). Multi-word synonym graphs (SynonymGraphFilter) are out of
+    scope.
+
+    Pass ``name`` when the analyzer feeds an INDEX build: it registers the
+    analyzer and stamps a stable identity into the index meta (an ES node
+    must carry its synonym settings too); anonymous instances work for
+    ad-hoc analysis but record an unstable repr in meta, defeating
+    checkpoint resume and query-time config recovery."""
+    syn = {
+        (k.lower() if match_lowercase else k): list(v)
+        for k, v in synonyms.items()
+    }
+
+    def synonym_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            out.append(t)
+            key = t.term.lower() if match_lowercase else t.term
+            for s in syn.get(key, ()):
+                out.append(Token(s, t.start, t.end, t.pos, "SYNONYM"))
+        return out
+
+    if name:
+        synonym_tok.analyzer_name = name
+        register_analyzer(name, synonym_tok)
+    return synonym_tok
+
+
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def strip_html(text: str) -> str:
+    """Offset-preserving html_strip char filter: every ``<...>`` tag is
+    replaced by an equal run of spaces, so downstream token offsets still
+    index into the ORIGINAL markup (Lucene's HTMLStripCharFilter keeps an
+    offset-correction map; equal-length padding achieves the same
+    observable offsets without one). Character entities are left as-is
+    (decoding changes lengths; documented simplification)."""
+    return _HTML_TAG_RE.sub(lambda m: " " * len(m.group()), text)
+
+
+def make_html_strip_tokenizer(
+    base: TokenizerFn | str, name: str | None = None
+) -> TokenizerFn:
+    """Wrap an analyzer with the html_strip char filter (``name``: see
+    make_synonym_tokenizer — required for index-build configs)."""
+
+    def html_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return fn(strip_html(text))
+
+    if name:
+        html_tok.analyzer_name = name
+        register_analyzer(name, html_tok)
+    return html_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.
@@ -348,6 +417,18 @@ def register_analyzer(name: str, fn: TokenizerFn) -> None:
     """Extension point mirroring the reference's by-name analyzer resolution
     (ComboAnalyzerWrapper.java:78-85)."""
     ANALYZER_REGISTRY[name] = fn
+
+
+def resolve_analyzer(name: str) -> TokenizerFn:
+    """By-name lookup with a loud failure (used by wrapping factories —
+    synonym / html_strip — which accept either a name or a function)."""
+    try:
+        return ANALYZER_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; registered: "
+            f"{sorted(ANALYZER_REGISTRY)}"
+        ) from None
 
 
 # ---------------------------------------------------------------------------

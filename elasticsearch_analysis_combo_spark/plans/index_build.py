@@ -123,7 +123,11 @@ def _config_dict(config: ComboConfig) -> dict:
     def enc(sub):
         if isinstance(sub, ComboConfig):
             return _config_dict(sub)
-        return str(sub)
+        # factory-made analyzers (synonym/html_strip) carry a stable
+        # registered name — record THAT, not the callable's memory repr
+        # (which would break fingerprint resume and query-time recovery)
+        stable = getattr(sub, "analyzer_name", None)
+        return stable if stable else str(sub)
 
     return {
         "sub_analyzers": [enc(s) for s in config.sub_analyzers],
