@@ -673,6 +673,186 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+FS_FACTOR, FS_GAUSS = (0.01, "log1p"), (400.0, 300.0, 0.5)
+RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
+RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score field_value_factor: BM25 * log1p(0.01*n_chars),
+    applied over the FULL match set before the top-k cut."""
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        function_score_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = function_score_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        _docs(spark, sf_dir), "n_chars", function="field_value_factor",
+        factor=FS_FACTOR[0], modifier=FS_FACTOR[1], boost_mode="multiply",
+        k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def q_function_score_gauss(spark, sf_dir):
+    """ES function_score gauss decay on n_chars (origin 400, scale 300,
+    decay 0.5) — recency/length-style normalization."""
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        function_score_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = function_score_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        _docs(spark, sf_dir), "n_chars", function="gauss",
+        origin=FS_GAUSS[0], scale=FS_GAUSS[1], decay=FS_GAUSS[2],
+        k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def q_rescore_phrase(spark, sf_dir):
+    """ES rescore: top-50 BM25 window re-ranked with a phrase boost
+    (score + 2*ln(1+n_matches))."""
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        rescore_phrase_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = rescore_phrase_topk(
+        spark, _phrase_postings(spark, sf_dir), stats, term_df,
+        RESCORE_QUERIES, _ws_config(), n_docs, avgdl,
+        window_size=RESCORE_WINDOW, rescore_weight=RESCORE_WEIGHT,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def _round_score(out):
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+_BM25_CTE = f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)"""
+
+
+def _bm25_scored_cte(values: str) -> str:
+    return f"""
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+)"""
+
+
+def _function_score_oracle_sql(gauss: bool) -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(BM25_QUERIES, _ws_config()))
+    if gauss:
+        import math
+
+        o, sc, dec = FS_GAUSS
+        sigma2 = -(sc * sc) / (2.0 * math.log(dec))
+        comb = (f"s.score * exp(-((d.n_chars - {o}) * (d.n_chars - {o}))"
+                f" / (2.0 * {sigma2}))")
+    else:
+        comb = f"s.score * ln(1.0 + {FS_FACTOR[0]} * d.n_chars)"
+    return f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(values)},
+fsc AS (
+  SELECT s.query_id, s.doc_id, {comb} AS score
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fsc
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _rescore_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(RESCORE_QUERIES, _ws_config()))
+    # per-query adjacency-anchor counts (same definition as phrase_match)
+    parts = []
+    for qid, text in RESCORE_QUERIES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        conds, tables = [f"t0.t = '{terms[0]}'"], ["ptoks t0"]
+        for i, t in enumerate(terms[1:], start=1):
+            tables.append(f"ptoks t{i}")
+            conds += [f"t{i}.doc_id = t0.doc_id", f"t{i}.t = '{t}'",
+                      f"t{i}.p = t0.p + {i}"]
+        parts.append(f"""
+SELECT {qid} AS query_id, t0.doc_id, count(DISTINCT t0.p)::BIGINT AS n_matches
+FROM {', '.join(tables)} WHERE {' AND '.join(conds)}
+GROUP BY 1, 2""")
+    phrase_union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_BM25_CTE},
+ptoks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+{_bm25_scored_cte(values)},
+base AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS brank
+  FROM scored
+),
+ph AS ({phrase_union}),
+comb AS (
+  SELECT b.query_id, b.doc_id,
+         b.score + {RESCORE_WEIGHT} * ln(1.0 + coalesce(ph.n_matches, 0)) AS score
+  FROM base b LEFT JOIN ph ON b.query_id = ph.query_id AND b.doc_id = ph.doc_id
+  WHERE b.brank <= {RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 SYNONYMS = {"fast": ["quick", "rapid"], "big": ["large"]}
 
 
@@ -2297,6 +2477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "termvectors": q_termvectors,
         "synonym_analyze": q_synonym_analyze,
+        "function_score": q_function_score,
+        "function_score_gauss": q_function_score_gauss,
+        "rescore_phrase": q_rescore_phrase,
         "html_strip_analyze": q_html_strip_analyze,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
@@ -2746,6 +2929,9 @@ GROUP BY 1
     sqls["query_string"] = _qs_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
+    sqls["function_score"] = _function_score_oracle_sql(gauss=False)
+    sqls["function_score_gauss"] = _function_score_oracle_sql(gauss=True)
+    sqls["rescore_phrase"] = _rescore_oracle_sql()
     sqls["html_strip_analyze"] = _html_strip_oracle_sql()
     sqls["span_near_ordered"] = _span_ordered_oracle_sql()
     sqls["span_near_unordered"] = _span_unordered_oracle_sql()

@@ -295,6 +295,56 @@ class ComboSearchEngine:
             self._query_config(), doc_meta, facet_col, size=size,
         )
 
+    def function_score(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        field: str,
+        k: int = 10,
+        **function_opts,
+    ) -> DataFrame:
+        """ES ``function_score``: combine BM25 with a document-level
+        function of a metadata field (``function='field_value_factor'``
+        with factor/modifier/boost_mode, or ``function='gauss'`` with
+        origin/scale/decay)."""
+        from elasticsearch_analysis_combo_spark.query.functionscore import (
+            function_score_topk,
+        )
+
+        idx = self.idx
+        return function_score_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            doc_meta, field, k=k, k1=idx.meta.k1, b=idx.meta.b,
+            **function_opts,
+        )
+
+    def rescore(
+        self,
+        query: str,
+        window_size: int = 100,
+        rescore_weight: float = 2.0,
+        slop: int = 0,
+        k: int = 10,
+        partitioned: bool | None = None,
+    ) -> DataFrame:
+        """ES rescore: re-rank the top ``window_size`` BM25 hits with a
+        phrase boost (``score + weight * ln(1 + phrase matches)``)."""
+        from elasticsearch_analysis_combo_spark.query.functionscore import (
+            rescore_phrase_topk,
+        )
+
+        idx = self.idx
+        if partitioned is None:
+            partitioned = idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return rescore_phrase_topk(
+            self.spark, idx.postings(), idx.term_stats(), idx.term_df(),
+            [(0, query)], self._query_config(), idx.meta.n_docs,
+            idx.meta.avgdl, window_size=window_size,
+            rescore_weight=rescore_weight, slop=slop, k=k,
+            k1=idx.meta.k1, b=idx.meta.b, partitioned_phrases=partitioned,
+        )
+
     def search_collapse(
         self,
         query: str,

@@ -1,0 +1,93 @@
+"""function_score (field_value_factor / gauss) and phrase rescore."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.query.bm25 import bm25_exhaustive_topk
+from elasticsearch_analysis_combo_spark.query.functionscore import (
+    function_score_topk,
+    rescore_phrase_topk,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        (0, "alpha beta", 10.0),
+        (1, "alpha alpha", 100.0),
+        (2, "alpha gamma", 1000.0),
+        (3, "beta alpha delta", 50.0),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, wt double")
+    stats = build_term_stats(corpus, CFG, content_col="text").cache()
+    stats.count()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = stats.select("doc_id", "dl").distinct().agg(
+        F.avg("dl")
+    ).collect()[0][0]
+    return corpus, stats, term_df, 4, avgdl
+
+
+def test_field_value_factor_reorders(spark, fixture):
+    corpus, stats, term_df, n, avgdl = fixture
+    out = function_score_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        function="field_value_factor", factor=1.0, modifier="log1p",
+        boost_mode="multiply", k=4,
+    ).collect()
+    # verify the exact combined value for the winner
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, k=10
+        ).collect()
+    }
+    wts = {0: 10.0, 1: 100.0, 2: 1000.0, 3: 50.0}
+    expect = {d: s * math.log1p(wts[d]) for d, s in base.items()}
+    got = {r["doc_id"]: r["score"] for r in out}
+    for d in got:
+        assert abs(got[d] - expect[d]) < 1e-9
+    # ranking follows the combined score
+    order = [r["doc_id"] for r in out]
+    assert order == sorted(expect, key=lambda d: (-round(expect[d], 6), d))
+
+
+def test_gauss_decay_prefers_origin(spark, fixture):
+    corpus, stats, term_df, n, avgdl = fixture
+    out = function_score_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        function="gauss", origin=50.0, scale=30.0, decay=0.5, k=4,
+    ).collect()
+    assert out[0]["doc_id"] == 3  # wt exactly at origin
+    with pytest.raises(ValueError):
+        function_score_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus,
+            "wt", function="nope",
+        )
+
+
+def test_rescore_boosts_phrase_docs(spark, fixture):
+    corpus, stats, term_df, n, avgdl = fixture
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=2, block_size=16,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=avgdl, block_size=16,
+                          with_positions=True)
+    out = rescore_phrase_topk(
+        spark, post, stats, term_df, [(0, "alpha beta")], CFG, n, avgdl,
+        window_size=10, rescore_weight=10.0, k=4,
+    ).collect()
+    # doc 0 contains the exact phrase "alpha beta" -> massive boost wins;
+    # doc 3 has "beta alpha" (reversed) -> no boost
+    assert out[0]["doc_id"] == 0
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[0] > scores[3] + 5.0
