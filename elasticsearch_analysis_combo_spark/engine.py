@@ -712,9 +712,15 @@ class MultiFieldSearchEngine:
                 f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
                 for f, e in engines.items()
             }
+            # per-field WAND fans out across doc ranges once any field's
+            # index crosses the same threshold single-field search uses
+            part = any(
+                e.idx.meta.n_docs >= ComboSearchEngine.PARTITIONED_THRESHOLD
+                for e in engines.values()
+            )
             return multi_match_wand_topk(
                 self.spark, postings, meta, queries, any_cfg,
-                boosts=boosts, k=k, k1=self.k1, b=self.b,
+                boosts=boosts, k=k, k1=self.k1, b=self.b, partitioned=part,
             )
         stats = {f: e.idx.term_stats() for f, e in engines.items()}
         meta = {

@@ -187,6 +187,8 @@ def multi_match_wand_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    partitioned: bool = False,
+    range_bits: int = 4,
 ) -> DataFrame:
     """best_fields multi_match via one block-max WAND pass per field.
 
@@ -202,10 +204,14 @@ def multi_match_wand_topk(
     rescore, no second posting fetch.
 
     ``field_meta`` maps field -> (n_docs_with_field, avgdl) recorded at
-    that field's index build.
+    that field's index build. ``partitioned`` runs each field's pass
+    through the range-partitioned WAND (one task per (query, doc-range))
+    — same exact per-field top-k, the right shape once a field's index is
+    large enough that a hot-term query should not concentrate in one task.
     """
     from elasticsearch_analysis_combo_spark.query.wand import (
         wand_topk_from_postings,
+        wand_topk_partitioned,
     )
 
     boosts = boosts or {}
@@ -213,10 +219,17 @@ def multi_match_wand_topk(
     for field, postings in field_postings.items():
         n, avgdl = field_meta[field]
         boost = float(boosts.get(field, 1.0))
-        topf = wand_topk_from_postings(
-            spark, postings, queries, config,
-            n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
-        )
+        if partitioned:
+            topf = wand_topk_partitioned(
+                spark, postings, queries, config,
+                n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
+                range_bits=range_bits,
+            )
+        else:
+            topf = wand_topk_from_postings(
+                spark, postings, queries, config,
+                n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
+            )
         parts.append(
             topf.select(
                 "query_id", "doc_id",

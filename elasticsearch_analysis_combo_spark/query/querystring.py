@@ -189,11 +189,14 @@ def simple_query_string_topk(
             )
         else:
             ph = phrase_match(spark, postings, comp, config)
+        # persist: the hits feed up to three indicator joins (positive
+        # membership, must counting, must_not exclusion) — without this
+        # each one re-runs the whole positional evaluation
         phrase_hits = ph.select(
             F.shiftright("query_id", 10).alias("qid"),
             (F.col("query_id") % (1 << 10)).alias("cid"),
             "doc_id",
-        )
+        ).persist()
 
     def _indicators(specs: list[tuple[int, int, Clause]]) -> DataFrame | None:
         """(qid, cid, doc_id) distinct rows where the clause matches."""

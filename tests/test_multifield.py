@@ -80,6 +80,11 @@ def test_wand_path_equals_exhaustive_best_fields(spark):
         spark, postings, meta, QUERIES, CFG, boosts=BOOSTS, k=10,
     )
     assert _ranked_rows(wand) == _ranked_rows(exhaustive)
+    parted = multi_match_wand_topk(
+        spark, postings, meta, QUERIES, CFG, boosts=BOOSTS, k=10,
+        partitioned=True, range_bits=3,
+    )
+    assert _ranked_rows(parted) == _ranked_rows(exhaustive)
 
 
 def test_tie_breaker_one_equals_most_fields(spark):
