@@ -308,6 +308,23 @@ def lowercase_tokenizer(text: str) -> list[Token]:
     ]
 
 
+def _stamp_factory(fn: TokenizerFn, name: str, payload: str) -> None:
+    """Register a factory-made analyzer under ``name`` and stamp both the
+    name (recorded in index meta for query-time resolution) and a content
+    FINGERPRINT of its settings (mixed into the build fingerprint, so
+    changing e.g. a synonym map under the same name forces a rebuild
+    instead of silently resuming a stale checkpointed index). A callable
+    base without its own name digests as '<callable>' — change the NAME
+    when changing such a base."""
+    import hashlib
+
+    fn.analyzer_name = name
+    fn.analyzer_fingerprint = hashlib.sha1(
+        payload.encode()
+    ).hexdigest()[:16]
+    register_analyzer(name, fn)
+
+
 def make_synonym_tokenizer(
     base: TokenizerFn | str,
     synonyms: dict[str, list[str]],
@@ -343,21 +360,33 @@ def make_synonym_tokenizer(
         return out
 
     if name:
-        synonym_tok.analyzer_name = name
-        register_analyzer(name, synonym_tok)
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            synonym_tok, name,
+            f"synonym|{base_id}|{match_lowercase}|{sorted(syn.items())}",
+        )
     return synonym_tok
 
 
-_HTML_TAG_RE = re.compile(r"<[^>]*>")
+# comments first (may contain '>'), then tags — where a '>' inside a
+# quoted attribute value must not terminate the tag
+_HTML_TAG_RE = re.compile(
+    r"<!--.*?-->"                                      # comments
+    r"|<[^>'\"]*(?:\"[^\"]*\"[^>'\"]*|'[^']*'[^>'\"]*)*>",  # tags w/ quotes
+    re.S,
+)
 
 
 def strip_html(text: str) -> str:
-    """Offset-preserving html_strip char filter: every ``<...>`` tag is
+    """Offset-preserving html_strip char filter: every tag or comment is
     replaced by an equal run of spaces, so downstream token offsets still
     index into the ORIGINAL markup (Lucene's HTMLStripCharFilter keeps an
     offset-correction map; equal-length padding achieves the same
-    observable offsets without one). Character entities are left as-is
-    (decoding changes lengths; documented simplification)."""
+    observable offsets without one). A ``>`` inside a quoted attribute
+    value or a comment does not terminate the tag. Character entities are
+    left as-is (decoding changes lengths; documented simplification)."""
     return _HTML_TAG_RE.sub(lambda m: " " * len(m.group()), text)
 
 
@@ -372,8 +401,10 @@ def make_html_strip_tokenizer(
         return fn(strip_html(text))
 
     if name:
-        html_tok.analyzer_name = name
-        register_analyzer(name, html_tok)
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(html_tok, name, f"html_strip|{base_id}")
     return html_tok
 
 

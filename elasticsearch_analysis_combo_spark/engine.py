@@ -692,6 +692,7 @@ class MultiFieldSearchEngine:
         tie_breaker: float = 0.0,
         k: int = 10,
         fields: list[str] | None = None,
+        partitioned: bool | None = None,
     ) -> DataFrame:
         from elasticsearch_analysis_combo_spark.query.multifield import (
             multi_match_topk,
@@ -712,12 +713,19 @@ class MultiFieldSearchEngine:
                 f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
                 for f, e in engines.items()
             }
-            # per-field WAND fans out across doc ranges once any field's
-            # index crosses the same threshold single-field search uses
-            part = any(
-                e.idx.meta.n_docs >= ComboSearchEngine.PARTITIONED_THRESHOLD
-                for e in engines.values()
-            )
+            # per-FIELD routing: each field fans out across doc ranges
+            # only once ITS index crosses the single-field threshold (a
+            # small title index next to a huge body index keeps the cheap
+            # one-task pass); explicit `partitioned` overrides all fields
+            part: bool | dict[str, bool]
+            if partitioned is not None:
+                part = partitioned
+            else:
+                part = {
+                    f: e.idx.meta.n_docs
+                    >= ComboSearchEngine.PARTITIONED_THRESHOLD
+                    for f, e in engines.items()
+                }
             return multi_match_wand_topk(
                 self.spark, postings, meta, queries, any_cfg,
                 boosts=boosts, k=k, k1=self.k1, b=self.b, partitioned=part,

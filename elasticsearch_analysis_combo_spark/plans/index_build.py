@@ -129,11 +129,22 @@ def _config_dict(config: ComboConfig) -> dict:
         stable = getattr(sub, "analyzer_name", None)
         return stable if stable else str(sub)
 
-    return {
+    out = {
         "sub_analyzers": [enc(s) for s in config.sub_analyzers],
         "deduplication": config.deduplication,
         "name": config.name,
     }
+    # settings digests of factory-made analyzers: changing a synonym map
+    # under the SAME registered name must change the build fingerprint
+    # (else checkpoint resume silently serves the old settings). Included
+    # only when present so plain-name configs keep their fingerprints.
+    digests = [
+        getattr(s, "analyzer_fingerprint", None)
+        for s in config.sub_analyzers
+    ]
+    if any(digests):
+        out["analyzer_digests"] = digests
+    return out
 
 
 class InvertedIndex:

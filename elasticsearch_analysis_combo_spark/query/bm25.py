@@ -47,6 +47,55 @@ def idf_expr(n_docs: int, df_col="df"):
     )
 
 
+def bm25_scored(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """All (query_id, doc_id, score) rows (no top-k cut) — the shared
+    scoring block for post-retrieval shapers (function_score, rescore,
+    collapse) that must transform the FULL scored set before ranking.
+    Broadcast query dim, one (query_id, doc_id) partial-agg shuffle."""
+    qterms = spark.createDataFrame(
+        analyze_queries(queries, config), "query_id int, term string"
+    )
+    tdf = term_df.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).select("term", "df")
+    return (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_docs)
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+
+
+def rank_topk_rounded(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k ranked on the 6-rounded score with doc_id tiebreak
+    — the deterministic cross-engine ranking policy (near-tied raw floats
+    must not flip order between Spark and an oracle)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_explain(
     spark: SparkSession,
     term_stats: DataFrame,

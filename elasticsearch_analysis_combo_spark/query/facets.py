@@ -90,28 +90,15 @@ def collapse_topk(
     sit below the uncollapsed top-k), so this scores exhaustively, joins
     the collapse key, keeps each (query, value) max, and ranks — every
     step partial-aggregated; the ranking tail sees at most one row per
-    distinct field value."""
-    from elasticsearch_analysis_combo_spark.query.bm25 import idf_expr
+    distinct field value. Docs without a ``doc_meta`` row collapse into
+    a shared null group (ES's missing-field collapse), not silently
+    dropped."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
 
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
-    )
-    tdf = term_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).select("term", "df")
-    scored = (
-        term_stats.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(tdf), "term")
-        .withColumn(
-            "tscore",
-            idf_expr(n_docs)
-            * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("tscore").alias("score"))
-        .join(doc_meta.select("doc_id", collapse_field), "doc_id")
-    )
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(doc_meta.select("doc_id", collapse_field), "doc_id", "left")
     # both windows rank on the 6-rounded score (doc_id tiebreak): group
     # winners and final order must not flip on near-tied floats across
     # engines (same policy as _rerank_rounded)

@@ -21,45 +21,14 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
-from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
-
-
-def _bm25_scored(
-    spark, term_stats, term_df, queries, config, n_docs, avgdl, k1, b
-):
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
-    )
-    tdf = term_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).select("term", "df")
-    return (
-        term_stats.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(tdf), "term")
-        .withColumn(
-            "tscore",
-            idf_expr(n_docs)
-            * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("tscore").alias("score"))
-    )
-
-
-def _rank_rounded(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("score", 6)), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+from elasticsearch_analysis_combo_spark.query.bm25 import (
+    bm25_scored,
+    rank_topk_rounded,
+)
 
 
 def function_score_topk(
@@ -82,16 +51,26 @@ def function_score_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    missing: float | None = None,
 ) -> DataFrame:
     """ES function_score over the full match set (the function applies
     before the top-k cut — a decayed winner may come from outside the
     plain-BM25 top-k). ``function``: ``field_value_factor`` (with
     ``modifier``/``factor``/``boost_mode``) or ``gauss`` (with ``origin``/
-    ``scale``/``decay``; always multiplies, as ES decay functions do)."""
-    scored = _bm25_scored(
-        spark, term_stats, term_df, queries, config, n_docs, avgdl, k1, b
-    ).join(doc_meta.select("doc_id", field), "doc_id")
+    ``scale``/``decay``; always multiplies, as ES decay functions do).
+
+    Docs with no ``doc_meta`` row (or a null field): ``gauss`` keeps the
+    base score (decay 1.0, the ES decay-function rule);
+    ``field_value_factor`` uses ``missing`` as the field value when given
+    (ES's ``missing`` param) and otherwise keeps the base score —
+    matching docs are never silently dropped."""
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(doc_meta.select("doc_id", field), "doc_id", "left")
     fv = F.col(field).cast("double")
+    if missing is not None:
+        fv = F.coalesce(fv, F.lit(float(missing)))
     if function == "field_value_factor":
         val = fv * factor
         if modifier == "log1p":
@@ -101,21 +80,27 @@ def function_score_topk(
         elif modifier != "none":
             raise ValueError(f"modifier must be none|log1p|sqrt: {modifier}")
         if boost_mode == "multiply":
-            combined = F.col("score") * val
+            combined = F.col("score") * F.coalesce(val, F.lit(1.0))
         elif boost_mode == "sum":
-            combined = F.col("score") + val
+            combined = F.col("score") + F.coalesce(val, F.lit(0.0))
         else:
             raise ValueError(f"boost_mode must be multiply|sum: {boost_mode}")
     elif function == "gauss":
         # ES gauss decay: exp(-(x-origin)^2 / (2 sigma^2)),
         # sigma^2 = -scale^2 / (2 ln decay)
+        if not (0.0 < decay < 1.0):
+            # decay=1 divides by zero; decay>1 silently ANTI-decays
+            raise ValueError(f"decay must be in (0, 1): {decay}")
+        if scale <= 0.0:
+            raise ValueError(f"scale must be positive: {scale}")
         sigma2 = -(scale * scale) / (2.0 * math.log(decay))
-        combined = F.col("score") * F.exp(
-            -((fv - origin) * (fv - origin)) / (2.0 * sigma2)
+        combined = F.col("score") * F.coalesce(
+            F.exp(-((fv - origin) * (fv - origin)) / (2.0 * sigma2)),
+            F.lit(1.0),
         )
     else:
         raise ValueError(f"function must be field_value_factor|gauss: {function}")
-    return _rank_rounded(
+    return rank_topk_rounded(
         scored.withColumn("score", combined).select(
             "query_id", "doc_id", "score"
         ),
@@ -144,21 +129,35 @@ def rescore_phrase_topk(
     per query re-rank by ``score + rescore_weight * ln(1 + n_matches)``
     where n_matches counts the query text's phrase occurrences (0 for
     docs without the phrase — they keep their base score, exactly ES's
-    ``score_mode: total`` with an unmatched rescore query)."""
+    ``score_mode: total`` with an unmatched rescore query).
+
+    The positional evaluation is CANDIDATE-RESTRICTED: only the window's
+    (query, doc) pairs fetch and decode positions (phrase_match_docs over
+    the per-doc stats — O(window) rows), never the corpus-wide posting
+    lists of stop-grade phrase terms. ``postings``/``partitioned_phrases``
+    are retained for callers whose stats table lacks positions (falls
+    back to the corpus-wide matcher)."""
     from elasticsearch_analysis_combo_spark.query.phrase import (
         phrase_match,
+        phrase_match_docs,
         phrase_match_partitioned,
     )
 
     # the base window combines from the 6-rounded score (deterministic
     # cross-engine base, same policy the ranking itself uses)
-    base = _rank_rounded(
-        _bm25_scored(
-            spark, term_stats, term_df, queries, config, n_docs, avgdl, k1, b
+    base = rank_topk_rounded(
+        bm25_scored(
+            spark, term_stats, term_df, queries, config, n_docs, avgdl,
+            k1=k1, b=b,
         ),
         window_size,
     ).withColumn("score", F.round("score", 6))
-    if partitioned_phrases:
+    if "pos_data" in term_stats.columns:
+        ph = phrase_match_docs(
+            spark, term_stats, queries, config,
+            allowed=base.select("query_id", "doc_id"), slop=slop,
+        )
+    elif partitioned_phrases:
         ph = phrase_match_partitioned(spark, postings, queries, config, slop=slop)
     else:
         ph = phrase_match(spark, postings, queries, config, slop=slop)
@@ -171,4 +170,4 @@ def rescore_phrase_topk(
         )
         .select("query_id", "doc_id", "score")
     )
-    return _rank_rounded(combined, k)
+    return rank_topk_rounded(combined, k)

@@ -187,7 +187,7 @@ def multi_match_wand_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    partitioned: bool = False,
+    partitioned: bool | dict[str, bool] = False,
     range_bits: int = 4,
 ) -> DataFrame:
     """best_fields multi_match via one block-max WAND pass per field.
@@ -204,10 +204,13 @@ def multi_match_wand_topk(
     rescore, no second posting fetch.
 
     ``field_meta`` maps field -> (n_docs_with_field, avgdl) recorded at
-    that field's index build. ``partitioned`` runs each field's pass
-    through the range-partitioned WAND (one task per (query, doc-range))
-    — same exact per-field top-k, the right shape once a field's index is
-    large enough that a hot-term query should not concentrate in one task.
+    that field's index build. ``partitioned`` runs a field's pass through
+    the range-partitioned WAND (one task per (query, doc-range)) — same
+    exact per-field top-k, the right shape once THAT field's index is
+    large enough that a hot-term query should not concentrate in one
+    task. Pass a dict (field -> bool) to decide per field (a tiny title
+    index next to a huge body index should not pay the fan-out), or one
+    bool for all fields.
     """
     from elasticsearch_analysis_combo_spark.query.wand import (
         wand_topk_from_postings,
@@ -219,7 +222,11 @@ def multi_match_wand_topk(
     for field, postings in field_postings.items():
         n, avgdl = field_meta[field]
         boost = float(boosts.get(field, 1.0))
-        if partitioned:
+        part_f = (
+            partitioned.get(field, False)
+            if isinstance(partitioned, dict) else partitioned
+        )
+        if part_f:
             topf = wand_topk_partitioned(
                 spark, postings, queries, config,
                 n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,

@@ -274,6 +274,71 @@ def phrase_match(
     return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
 
 
+def phrase_match_docs(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    allowed: DataFrame,
+    slop: int = 0,
+) -> DataFrame:
+    """Phrase matching restricted to an ``allowed`` (query_id, doc_id)
+    candidate set, evaluated straight from the per-doc term stats
+    (pre-packed ``pos_data``) — no posting-block fetch at all. Cost is
+    O(|allowed| x phrase terms) rows, the right shape when candidates are
+    already known and few (a rescore window): a corpus-wide stop-word
+    phrase never decodes beyond the candidates."""
+    qrows = analyze_phrases(queries, config)
+    if not qrows:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
+    )
+    slots_by_q: dict[int, list[tuple[int, str]]] = {}
+    for qid, slot, term in qrows:
+        slots_by_q.setdefault(qid, []).append((slot, term))
+    sel = (
+        term_stats.join(F.broadcast(qterms), "term")
+        .join(
+            F.broadcast(allowed.select("query_id", "doc_id").distinct()),
+            ["query_id", "doc_id"],
+        )
+        .select("query_id", "term", "doc_id", "tf", "pos_data")
+    )
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        decoded = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            order = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
+            docs = grp["doc_id"].to_numpy()[order]
+            tfs = grp["tf"].to_numpy().astype(np.int64)[order]
+            pos_parts = [
+                decode_positions_flat(
+                    bytes(pd_), np.asarray([int(t_)], dtype=np.int64)
+                )
+                for pd_, t_ in zip(
+                    grp["pos_data"].to_numpy()[order], tfs
+                )
+            ]
+            pos_flat = (
+                np.concatenate(pos_parts) if pos_parts
+                else np.zeros(0, dtype=np.int64)
+            )
+            offs = np.concatenate([[0], np.cumsum(tfs)])
+            decoded[term] = (docs, offs, pos_flat, np.zeros(docs.size, np.int64))
+        docs, counts = _match_phrase(decoded, slots_by_q[qid], slop)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+                "doc_id": pd.Series(docs, dtype="int64"),
+                "n_matches": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return sel.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+
+
 def range_partitioned_positional_eval(
     spark: SparkSession,
     postings: DataFrame,

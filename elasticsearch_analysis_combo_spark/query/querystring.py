@@ -191,12 +191,17 @@ def simple_query_string_topk(
             ph = phrase_match(spark, postings, comp, config)
         # persist: the hits feed up to three indicator joins (positive
         # membership, must counting, must_not exclusion) — without this
-        # each one re-runs the whole positional evaluation
+        # each one re-runs the whole positional evaluation (measured 3x
+        # at 200k docs). MEMORY_AND_DISK so a huge hit set spills instead
+        # of evicting; the cache is reclaimed by Spark's ContextCleaner
+        # once the returned query plan (which references it) is released.
+        from pyspark import StorageLevel
+
         phrase_hits = ph.select(
             F.shiftright("query_id", 10).alias("qid"),
             (F.col("query_id") % (1 << 10)).alias("cid"),
             "doc_id",
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def _indicators(specs: list[tuple[int, int, Clause]]) -> DataFrame | None:
         """(qid, cid, doc_id) distinct rows where the clause matches."""

@@ -76,6 +76,43 @@ def test_gauss_decay_prefers_origin(spark, fixture):
         )
 
 
+def test_gauss_invalid_decay_raises(spark, fixture):
+    corpus, stats, term_df, n, avgdl = fixture
+    for bad in (1.0, 0.0, 1.5, -0.2):
+        with pytest.raises(ValueError, match="decay"):
+            function_score_topk(
+                spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl,
+                corpus, "wt", function="gauss", decay=bad,
+            )
+
+
+def test_missing_meta_rows_keep_base_score(spark, fixture):
+    """Docs without a doc_meta row are never dropped: gauss keeps the
+    base score (decay 1.0); fvf without `missing` keeps the base score;
+    fvf with `missing` uses it as the field value."""
+    corpus, stats, term_df, n, avgdl = fixture
+    partial = corpus.filter(F.col("doc_id") != 1)  # doc 1 has no meta row
+    base = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, k=10
+        ).collect()
+    }
+    g = function_score_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, partial,
+        "wt", function="gauss", origin=50.0, scale=30.0, decay=0.5, k=10,
+    ).collect()
+    got = {r["doc_id"]: round(r["score"], 9) for r in g}
+    assert 1 in got and abs(got[1] - base[1]) < 1e-6
+    fv = function_score_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, partial,
+        "wt", function="field_value_factor", factor=1.0, modifier="log1p",
+        k=10, missing=100.0,
+    ).collect()
+    got_fv = {r["doc_id"]: round(r["score"], 9) for r in fv}
+    assert abs(got_fv[1] - base[1] * math.log1p(100.0)) < 1e-6
+
+
 def test_rescore_boosts_phrase_docs(spark, fixture):
     corpus, stats, term_df, n, avgdl = fixture
     segs = build_segments(stats, avgdl=avgdl, salt_shards=2, block_size=16,

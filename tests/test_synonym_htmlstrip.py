@@ -54,6 +54,42 @@ def test_html_strip_offsets_point_into_markup():
     assert strip_html("<br/>x") == "     x"
 
 
+def test_html_strip_quoted_attrs_and_comments():
+    """A '>' inside a quoted attribute value or a comment must not
+    terminate the tag (leaves markup fragments as bogus tokens)."""
+    t1 = '<a href="x>y">link</a>'
+    assert strip_html(t1).split() == ["link"]
+    t2 = "<!-- a > b -->note"
+    assert strip_html(t2).split() == ["note"]
+    t3 = "<img alt='w > h'/>pic"
+    assert strip_html(t3).split() == ["pic"]
+    # offsets still index the original markup
+    hs = make_html_strip_tokenizer("whitespace")
+    tok = hs(t1)[0]
+    assert t1[tok.start:tok.end] == "link"
+
+
+def test_synonym_change_under_same_name_changes_fingerprint():
+    """Re-creating a named synonym analyzer with DIFFERENT settings must
+    change the config digest index builds fingerprint on — else a rebuild
+    silently resumes stale checkpoints."""
+    from elasticsearch_analysis_combo_spark.plans.index_build import (
+        _config_dict,
+    )
+
+    a = make_synonym_tokenizer("whitespace", {"fast": ["quick"]}, name="fpx")
+    d1 = _config_dict(ComboConfig([a]))
+    b = make_synonym_tokenizer("whitespace", {"fast": ["rapid"]}, name="fpx")
+    d2 = _config_dict(ComboConfig([b]))
+    assert d1["sub_analyzers"] == d2["sub_analyzers"] == ["fpx"]
+    assert d1["analyzer_digests"] != d2["analyzer_digests"]
+    # unchanged settings -> same digest (checkpoint resume keeps working)
+    c = make_synonym_tokenizer("whitespace", {"fast": ["quick"]}, name="fpx")
+    assert _config_dict(ComboConfig([c]))["analyzer_digests"] == d1[
+        "analyzer_digests"
+    ]
+
+
 def test_resolve_unknown_analyzer_raises():
     with pytest.raises(KeyError, match="unknown analyzer"):
         resolve_analyzer("nope_does_not_exist")
