@@ -673,6 +673,56 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+SA_QUERIES = [q for q in BM25_QUERIES if q[0] != 4]  # queries with 2 pages
+
+
+def q_search_after(spark, sf_dir):
+    """ES search_after: page 2 fetched via the (score, doc_id) cursor of
+    page 1's last hit — must equal ranks 11..20 of the full ranking."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        bm25_exhaustive_topk,
+        bm25_search_after,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    page1 = _rerank_rounded(bm25_exhaustive_topk(
+        spark, stats, term_df, SA_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )).collect()
+    cursors = {
+        int(r["query_id"]): (float(r["score"]), int(r["doc_id"]))
+        for r in page1 if r["rank"] == TOPK
+    }
+    out = bm25_search_after(
+        spark, stats, term_df, SA_QUERIES, _ws_config(), n_docs, avgdl,
+        cursors=cursors, k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def _search_after_oracle_sql() -> str:
+    """Page 2 == ranks 11..20 of the full ranking, re-ranked 1..10."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(SA_QUERIES, _ws_config()))
+    return f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(values)},
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS frank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, (frank - {TOPK})::BIGINT AS rank,
+       doc_id, score
+FROM ranked WHERE frank > {TOPK} AND frank <= {2 * TOPK}
+"""
+
+
 FS_FACTOR, FS_GAUSS = (0.01, "log1p"), (400.0, 300.0, 0.5)
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
@@ -2477,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "termvectors": q_termvectors,
         "synonym_analyze": q_synonym_analyze,
+        "search_after": q_search_after,
         "function_score": q_function_score,
         "function_score_gauss": q_function_score_gauss,
         "rescore_phrase": q_rescore_phrase,
@@ -2929,6 +2980,7 @@ GROUP BY 1
     sqls["query_string"] = _qs_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
+    sqls["search_after"] = _search_after_oracle_sql()
     sqls["function_score"] = _function_score_oracle_sql(gauss=False)
     sqls["function_score_gauss"] = _function_score_oracle_sql(gauss=True)
     sqls["rescore_phrase"] = _rescore_oracle_sql()

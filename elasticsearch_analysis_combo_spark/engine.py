@@ -152,6 +152,27 @@ class ComboSearchEngine:
             .select("query_id", "rank", "doc_id", "score", *cols)
         )
 
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, int] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``search_after`` pagination: the next page strictly after
+        the ``(score, doc_id)`` cursor (take it from the previous page's
+        last row). Stateless exact pagination via the exhaustive scorer."""
+        from elasticsearch_analysis_combo_spark.query.bm25 import (
+            bm25_search_after,
+        )
+
+        idx = self.idx
+        return bm25_search_after(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            cursors={0: after} if after else {}, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
     def search_boolean(
         self,
         must: str = "",

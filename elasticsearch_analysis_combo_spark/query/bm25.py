@@ -61,13 +61,14 @@ def bm25_scored(
     """All (query_id, doc_id, score) rows (no top-k cut) — the shared
     scoring block for post-retrieval shapers (function_score, rescore,
     collapse) that must transform the FULL scored set before ranking.
-    Broadcast query dim, one (query_id, doc_id) partial-agg shuffle."""
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
-    )
-    tdf = term_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).select("term", "df")
+    Broadcast query dim, one (query_id, doc_id) partial-agg shuffle; the
+    literal term isin pushes into the stats/dictionary scans (a broadcast
+    join alone doesn't prune parquet row groups)."""
+    qrows = analyze_queries(queries, config)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qrows})
+    term_stats = term_stats.filter(F.col("term").isin(all_terms))
+    tdf = term_df.filter(F.col("term").isin(all_terms)).select("term", "df")
     return (
         term_stats.join(F.broadcast(qterms), "term")
         .join(F.broadcast(tdf), "term")
@@ -94,6 +95,46 @@ def rank_topk_rounded(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def bm25_search_after(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    cursors: dict[int, tuple[float, int]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``search_after`` pagination: the next ``k`` hits strictly after
+    a per-query cursor ``(score, doc_id)`` in the ranking order
+    (6-rounded score desc, doc_id asc — the engine's deterministic sort).
+    Queries without a cursor get their first page. Exact and stateless —
+    no scroll context to keep alive; deep pages cost one exhaustive
+    evaluation (the ES trade-off is the same: search_after re-runs the
+    query per page)."""
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    )
+    if cursors:
+        cur = spark.createDataFrame(
+            [(qid, float(s), int(d)) for qid, (s, d) in cursors.items()],
+            "query_id int, c_score double, c_doc long",
+        )
+        scored = scored.join(F.broadcast(cur), "query_id", "left").filter(
+            F.col("c_score").isNull()
+            | (F.round("score", 6) < F.round("c_score", 6))
+            | (
+                (F.round("score", 6) == F.round("c_score", 6))
+                & (F.col("doc_id") > F.col("c_doc"))
+            )
+        ).select("query_id", "doc_id", "score")
+    return rank_topk_rounded(scored, k)
 
 
 def bm25_explain(

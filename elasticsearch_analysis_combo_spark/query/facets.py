@@ -29,12 +29,14 @@ def _match_set(
     queries: list[tuple[int, str]],
     config: ComboConfig,
 ) -> DataFrame:
-    """Distinct (query_id, doc_id) for docs containing >=1 query term."""
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
-    )
+    """Distinct (query_id, doc_id) for docs containing >=1 query term.
+    The literal isin pushes into the stats scan (a broadcast join alone
+    doesn't prune parquet row groups)."""
+    qrows = analyze_queries(queries, config)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
     return (
-        term_stats.join(F.broadcast(qterms), "term")
+        term_stats.filter(F.col("term").isin(sorted({t for _, t in qrows})))
+        .join(F.broadcast(qterms), "term")
         .select("query_id", "doc_id")
         .distinct()
     )

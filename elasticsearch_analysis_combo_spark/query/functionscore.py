@@ -144,14 +144,20 @@ def rescore_phrase_topk(
     )
 
     # the base window combines from the 6-rounded score (deterministic
-    # cross-engine base, same policy the ranking itself uses)
+    # cross-engine base, same policy the ranking itself uses); persisted —
+    # it feeds both the phrase candidate set and the final combine, and
+    # re-deriving it means re-running the full scored-set ranking
+    from pyspark import StorageLevel
+
     base = rank_topk_rounded(
         bm25_scored(
             spark, term_stats, term_df, queries, config, n_docs, avgdl,
             k1=k1, b=b,
         ),
         window_size,
-    ).withColumn("score", F.round("score", 6))
+    ).withColumn("score", F.round("score", 6)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if "pos_data" in term_stats.columns:
         ph = phrase_match_docs(
             spark, term_stats, queries, config,

@@ -297,8 +297,12 @@ def phrase_match_docs(
     slots_by_q: dict[int, list[tuple[int, str]]] = {}
     for qid, slot, term in qrows:
         slots_by_q.setdefault(qid, []).append((slot, term))
+    all_terms = sorted({t for _, _, t in qrows})
     sel = (
-        term_stats.join(F.broadcast(qterms), "term")
+        # literal isin pushes into the stats scan; the broadcast join
+        # alone would read every row group
+        term_stats.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterms), "term")
         .join(
             F.broadcast(allowed.select("query_id", "doc_id").distinct()),
             ["query_id", "doc_id"],

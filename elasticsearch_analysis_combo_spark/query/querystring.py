@@ -218,8 +218,10 @@ def simple_query_string_topk(
             ct = spark.createDataFrame(
                 term_rows, "qid int, cid int, term string"
             )
+            ind_terms = sorted({t for _, _, t in term_rows})
             parts.append(
-                term_stats.join(F.broadcast(ct), "term")
+                term_stats.filter(F.col("term").isin(ind_terms))
+                .join(F.broadcast(ct), "term")
                 .select("qid", "cid", "doc_id")
             )
         ph_ids = [
@@ -241,11 +243,11 @@ def simple_query_string_topk(
     qterms = spark.createDataFrame(
         sorted(score_rows), "query_id int, term string"
     )
-    tdf = term_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).select("term", "df")
+    score_terms = sorted({t for _, t in score_rows})
+    tdf = term_df.filter(F.col("term").isin(score_terms)).select("term", "df")
     scored = (
-        term_stats.join(F.broadcast(qterms), "term")
+        term_stats.filter(F.col("term").isin(score_terms))
+        .join(F.broadcast(qterms), "term")
         .join(F.broadcast(tdf), "term")
         .withColumn(
             "tscore",

@@ -116,7 +116,14 @@ def main() -> None:
     postings.write.mode("overwrite").parquet(pq_dir)
     postings = spark.read.parquet(pq_dir)
     out["index_build_sec"] = round(time.time() - t0, 2)
-    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    # materialized like the engine's published term_df table — a lazy
+    # groupBy here would re-aggregate the full stats per reference and
+    # charge that to every query timing
+    td_dir = tempfile.mkdtemp(prefix="r3f_termdf_")
+    stats.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(td_dir)
+    term_df = spark.read.parquet(td_dir)
 
     # ---- span_near ---------------------------------------------------------
     for in_order in (True, False):

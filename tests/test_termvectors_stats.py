@@ -6,6 +6,24 @@ from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine
 CFG = ComboConfig(["whitespace"])
 
 
+def test_search_after_pagination(spark, tmp_path):
+    """Page 2 via the (score, doc_id) cursor equals ranks k+1..2k of the
+    full ranking; pages are disjoint and ordered."""
+    rows = [(d, " ".join(["common"] + ["pad"] * (d % 5))) for d in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    eng = ComboSearchEngine(spark, CFG, str(tmp_path / "pidx"), salt_shards=2)
+    eng.index(corpus)
+    full = eng.search("common", k=20, partitioned=False).collect()
+    page1 = eng.search_after("common", k=10).collect()
+    last = page1[-1]
+    page2 = eng.search_after(
+        "common", after=(last["score"], last["doc_id"]), k=10
+    ).collect()
+    got = [r["doc_id"] for r in page1] + [r["doc_id"] for r in page2]
+    assert got == [r["doc_id"] for r in full]
+    assert len(set(got)) == 20
+
+
 def test_termvectors_and_stats(spark, tmp_path):
     rows = [
         (0, "alpha beta alpha"),
