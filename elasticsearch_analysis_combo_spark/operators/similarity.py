@@ -227,21 +227,27 @@ def ivf_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k (the inverted-file ANN scale
     path, complementing the LSH one):
 
       1. centroids = n_cells corpus vectors picked by deterministic hash
-         order (cheap, seedable; a k-means refinement can slot in without
-         changing the plan shape);
+         order (cheap, seedable), optionally refined by ``kmeans_iters``
+         rounds of spherical Lloyd iteration (each round = one extra
+         corpus pass: assign + per-cell mean; empty cells keep their
+         centroid) — balanced cells raise recall at a fixed probe budget;
       2. one corpus pass assigns every vector to its nearest-centroid cell
          (GEMM against the broadcast centroid matrix);
       3. each query probes its ``n_probe`` nearest cells; only vectors in
          probed cells are scored — exactly, via the shared reranker.
 
-    At 10^9+ vectors the assignment is the only full pass; queries touch
-    ~n_probe/n_cells of the corpus. Recall rises with n_probe (n_probe =
-    n_cells degrades gracefully to brute force)."""
+    At 10^9+ vectors assignment passes are the only full scans; queries
+    touch ~n_probe/n_cells of the corpus. Recall rises with n_probe
+    (n_probe = n_cells degrades gracefully to brute force, refined or
+    not). The refinement is deterministic but engine-internal — the
+    DuckDB gate oracle replays only the hash-seeded ``kmeans_iters=0``
+    configuration."""
     # md5-derived hash order: deterministic, seedable, and replayable in
     # other engines (the DuckDB oracle re-derives the same centroid set);
     # orderBy+limit compiles to TakeOrderedAndProject (no full sort)
@@ -259,6 +265,55 @@ def ivf_cosine_topk(
     )
     cmat = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in cents])
     cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+
+    src0 = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+    dim = cmat.shape[1]
+    for _ in range(kmeans_iters):
+        cn = cnorm  # bind current centroids into the closure
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+                )
+                norms = np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+                )
+                cell = np.argmax((mat / norms) @ cn.T, axis=1)
+                sums = np.zeros((cn.shape[0], mat.shape[1]))
+                np.add.at(sums, cell, mat / norms)
+                counts = np.bincount(cell, minlength=cn.shape[0])
+                live = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype(np.int32),
+                        "n": counts[live].astype(np.int64),
+                        "s": pd.Series(list(sums[live]), dtype=object),
+                    }
+                )
+
+        part_schema = "cell int, n long, s array<double>"
+        agg = (
+            src0.mapInPandas(partials, schema=part_schema)
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.col("s")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = cnorm.copy()
+        for r in agg:
+            vec = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[r["cell"]] = vec / nrm
+        cnorm = new
 
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.array([q[1] for q in queries], dtype=np.float64)

@@ -235,6 +235,51 @@ def test_ivf_cosine_topk_recall_and_exactness(spark):
     assert sorted(map(key, full.collect())) == sorted(map(key, bf.collect()))
 
 
+def test_ivf_kmeans_refinement(spark):
+    """Lloyd refinement: on clustered data the refined centroids recover
+    the true cluster structure, so recall@1 with a tight probe budget is
+    at least as good as the unrefined seeding; n_probe == n_cells stays
+    exactly brute force regardless of refinement."""
+    rng = np.random.RandomState(5)
+    d, per = 16, 40
+    centers = rng.standard_normal((6, d)) * 4
+    pts = np.vstack([
+        c + 0.3 * rng.standard_normal((per, d)) for c in centers
+    ])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [
+        (qi, (centers[qi] + 0.2 * rng.standard_normal(d)).tolist())
+        for qi in range(6)
+    ]
+    normed = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+
+    def recall1(out):
+        hit = 0
+        for r in out.collect():
+            if r["rank"] != 1:
+                continue
+            q = np.asarray(queries[r["query_id"]][1])
+            truth = int(np.argmax(normed @ (q / np.linalg.norm(q))))
+            hit += r["vec_id"] == truth
+        return hit
+
+    plain = recall1(similarity.ivf_cosine_topk(
+        emb, queries, k=1, n_cells=6, n_probe=1, kmeans_iters=0))
+    refined = recall1(similarity.ivf_cosine_topk(
+        emb, queries, k=1, n_cells=6, n_probe=1, kmeans_iters=3))
+    assert refined >= plain
+    assert refined == 6  # refined cells align with the true clusters
+
+    full = similarity.ivf_cosine_topk(
+        emb, queries, k=5, n_cells=6, n_probe=6, kmeans_iters=2)
+    bf = similarity.brute_force_cosine_topk(emb, queries, k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, bf.collect()))
+
+
 def test_lang_id(docs_df):
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
     assert got[0] == "en"
