@@ -673,6 +673,66 @@ def q_multi_match_most(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+PERCOLATE_REGISTRY = [
+    (0, "spark query", 1, ""),            # any-of
+    (1, "merge batch window", 2, ""),     # 2-of-3
+    (2, "customer value", 0, ""),         # ALL (operator: and)
+    (3, "the", 1, "slow"),                # stop term minus exclusion
+]
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator: documents matched against REGISTERED term queries
+    (minimum_should_match + must_not) in one analysis pass — the reverse
+    search used for alerting/saved searches."""
+    from elasticsearch_analysis_combo_spark.query.percolate import percolate
+
+    out = percolate(
+        spark, _docs(spark, sf_dir), PERCOLATE_REGISTRY, _ws_config(),
+        content_col="text",
+    )
+    return out.select(
+        "doc_id",
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_matched",
+    )
+
+
+def _percolate_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    for qid, text, msm, not_text in PERCOLATE_REGISTRY:
+        terms = sorted({t.term for t in analyze_text(text, _ws_config())})
+        need = len(terms) if msm <= 0 else min(msm, len(terms))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        not_terms = sorted(
+            {t.term for t in analyze_text(not_text, _ws_config())}
+        )
+        excl = ""
+        if not_terms:
+            nl = ", ".join(f"'{t}'" for t in not_terms)
+            excl = (
+                f" AND NOT EXISTS (SELECT 1 FROM dterms x "
+                f"WHERE x.doc_id = m.doc_id AND x.term IN ({nl}))"
+            )
+        parts.append(f"""
+SELECT m.doc_id, {qid}::BIGINT AS query_id, m.n_matched
+FROM (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+  FROM dterms WHERE term IN ({in_list}) GROUP BY doc_id
+) m
+WHERE m.n_matched >= {need}{excl}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH dterms AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+{body}
+"""
+
+
 SA_QUERIES = [q for q in BM25_QUERIES if q[0] != 4]  # queries with 2 pages
 
 
@@ -2528,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termvectors": q_termvectors,
         "synonym_analyze": q_synonym_analyze,
         "search_after": q_search_after,
+        "percolate": q_percolate,
         "function_score": q_function_score,
         "function_score_gauss": q_function_score_gauss,
         "rescore_phrase": q_rescore_phrase,
@@ -2981,6 +3042,7 @@ GROUP BY 1
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()
+    sqls["percolate"] = _percolate_oracle_sql()
     sqls["function_score"] = _function_score_oracle_sql(gauss=False)
     sqls["function_score_gauss"] = _function_score_oracle_sql(gauss=True)
     sqls["rescore_phrase"] = _rescore_oracle_sql()

@@ -572,6 +572,28 @@ class ComboSearchEngine:
             "config": idx.meta.config,
         }
 
+    def percolate(
+        self,
+        docs: DataFrame,
+        registered: list[tuple],
+        doc_id_col: str = "doc_id",
+        content_col: str = "content",
+        lang_col: str | None = None,
+    ) -> DataFrame:
+        """ES percolator: match incoming documents (pre-index) against
+        registered term queries — (query_id, text, minimum_should_match[,
+        must_not_text]) tuples. Uses the ENGINE's analyzer config (docs
+        percolate the same way they would index)."""
+        from elasticsearch_analysis_combo_spark.query.percolate import (
+            percolate,
+        )
+
+        return percolate(
+            self.spark, docs, registered, self.config,
+            doc_id_col=doc_id_col, content_col=content_col,
+            lang_col=lang_col,
+        )
+
     # -- maintenance (delete / upsert / compact) -----------------------------
     def delete(self, doc_ids) -> None:
         """Tombstone documents (takes effect at the next :meth:`compact`,
