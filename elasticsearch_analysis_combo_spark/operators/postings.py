@@ -360,6 +360,7 @@ def build_postings(
     with_positions: bool = True,
     num_partitions: int | None = None,
     max_blocks_per_row: int = DEFAULT_MAX_BLOCKS_PER_ROW,
+    target_postings_per_shard: int | None = None,
 ) -> DataFrame:
     """B3-B5 in the minimal number of shuffles.
 
@@ -376,7 +377,16 @@ def build_postings(
     rows are the shard runs with run_idx renumbered across shards and the
     term totals joined on (a broadcast of the hot vocabulary). No decode,
     no re-encode, and NO single task ever gathers a whole hot term: the
-    log-structured merge degenerates to metadata."""
+    log-structured merge degenerates to metadata.
+
+    ``target_postings_per_shard`` (requires ``hot_terms`` to carry a
+    ``df`` column) makes the shard count ADAPTIVE per term:
+    ``clip(ceil(df / target), 1, 2047)`` doc ranges — a df=10^6 term and
+    a df=10^10 term both get ~target-sized shards instead of sharing one
+    fixed ``salt_shards`` (which over-splits the former into tiny runs
+    and under-splits the latter into giant ones). Left None, every hot
+    term uses the fixed ``salt_shards`` ranges (the gate-validated
+    default)."""
     if hot_terms is None and salt_shards > 1:
         # everything hash-salted: the classic two-phase path (kept for
         # segment/merge API users and as the merge test surface)
@@ -399,16 +409,49 @@ def build_postings(
             F.col("doc_id").bitwiseXOR(F.lit(MIN_DOC)), 64 - range_bits
         ) + 1
     ).cast("int")
+    adaptive = target_postings_per_shard is not None and hot_terms is not None
+    if adaptive and "df" not in hot_terms.columns:
+        raise ValueError(
+            "target_postings_per_shard needs hot_terms with a df column"
+        )
     if hot_terms is None:
         salted = term_stats.withColumn("salt", F.lit(0).cast("int"))
     else:
-        hotb = hot_terms.select("term").withColumn("_hot", F.lit(True))
+        if adaptive:
+            # per-term shard count; 2047 * RUN_STRIDE stays inside int32
+            hotb = hot_terms.select(
+                "term",
+                F.least(
+                    F.greatest(
+                        F.ceil(
+                            F.col("df") / float(target_postings_per_shard)
+                        ).cast("int"),
+                        F.lit(1),
+                    ),
+                    F.lit(2047),
+                ).alias("_shards"),
+            )
+            # uniform doc position (top 32 bits) scaled to the term's
+            # shard count: ranges still ascend with doc id per term, so
+            # the strided run renumbering below stays in global doc order
+            u32 = F.shiftrightunsigned(
+                F.col("doc_id").bitwiseXOR(F.lit(MIN_DOC)), 32
+            )
+            rid = (
+                F.shiftright(u32 * F.col("_shards").cast("long"), 32) + 1
+            ).cast("int")
+        else:
+            hotb = hot_terms.select("term").withColumn(
+                "_shards", F.lit(1)  # marker only; fixed rid is used
+            )
         salted = (
             term_stats.join(F.broadcast(hotb), "term", "left")
             .withColumn(
-                "salt", F.when(F.col("_hot"), rid).otherwise(F.lit(0)).cast("int")
+                "salt",
+                F.when(F.col("_shards").isNotNull(), rid)
+                .otherwise(F.lit(0)).cast("int"),
             )
-            .drop("_hot")
+            .drop("_shards")
         )
     cold = salted.filter(F.col("salt") == 0)
     hot = salted.filter(F.col("salt") > 0)
@@ -454,7 +497,7 @@ def build_postings(
     # count per-row below (a shard overflowing its stride would otherwise
     # silently collide with the next shard's runs and corrupt doc order).
     RUN_STRIDE = 1 << 20
-    if (1 << range_bits) * RUN_STRIDE >= (1 << 31):
+    if not adaptive and (1 << range_bits) * RUN_STRIDE >= (1 << 31):
         raise ValueError(
             f"salt_shards={salt_shards} needs {1 << range_bits} ranges; "
             f"run_idx renumbering overflows int32 at stride {RUN_STRIDE}"

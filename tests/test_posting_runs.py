@@ -325,6 +325,33 @@ def test_range_salted_hot_path_equals_merge(spark):
     for term in a:
         assert a[term] == bb[term], term
 
+    # adaptive per-term shard counts (df-proportional ranges) must decode
+    # to the SAME content in the same global doc order, and shard counts
+    # must actually differ across hot terms of different df
+    adaptive = build_postings(
+        stats, avgdl=avgdl, hot_terms=term_df.filter(F.col("df") >= 30),
+        block_size=8, with_positions=True, max_blocks_per_row=2,
+        target_postings_per_shard=25,
+    ).collect()
+    c = decode_all(adaptive)
+    assert c.keys() == bb.keys()
+    for term in c:
+        assert c[term] == bb[term], term
+    hot_dfs = {
+        r["term"]: r["df"]
+        for r in term_df.filter(F.col("df") >= 30).collect()
+    }
+    runs_per_term: dict[str, set] = {}
+    for r in adaptive:
+        if r["term"] in hot_dfs:
+            runs_per_term.setdefault(r["term"], set()).add(
+                r["run_idx"] >> 20  # shard id from the stride
+            )
+    import math as _m
+
+    for term, shards in runs_per_term.items():
+        assert len(shards) <= min(2047, _m.ceil(hot_dfs[term] / 25))
+
 
 def test_phrase_over_chunked_rows_matches_unchunked(spark):
     rng = random.Random(7)
