@@ -1104,13 +1104,17 @@ QS_QUERIES = [
     (1, '"value table" spark'),
     (2, 'quer* +batch'),
     (3, '-"value table" value'),
+    (4, 'qery~2 +data'),
+    (5, 's* join'),
 ]
+QS_MAX_EXP = 4  # 's*' has 6 vocabulary expansions — the cap must bite
 
 
 def q_query_string(spark, sf_dir):
     """ES simple_query_string one-box syntax: +must / -not / "phrase"
-    filter / prefix* expansion, lowered onto the scored-terms + clause
-    indicator machinery (phrase clauses run the batch phrase matcher)."""
+    (scored by Lucene phrase frequency) / prefix* / fuzzy~N expansion —
+    expansions capped at max_expansions and kept DISTRIBUTED (the
+    round-3 verdict's scale fix: no driver-side expansion collect)."""
     from elasticsearch_analysis_combo_spark.query.querystring import (
         simple_query_string_topk,
     )
@@ -1122,15 +1126,18 @@ def q_query_string(spark, sf_dir):
         spark, stats, term_df, _phrase_postings(spark, sf_dir),
         QS_QUERIES, _ws_config(), n_docs, avgdl,
         default_operator="or", k=TOPK, k1=K1, b=B,
+        max_expansions=QS_MAX_EXP,
     )
     return _rerank_rounded(out)
 
 
 def _qs_oracle_sql() -> str:
     """Replays the documented simple_query_string semantics per query:
-    scoring terms (fixed + prefix-expanded) BM25-summed, must clauses as
-    EXISTS (term / LIKE prefix / positional adjacency), must_not as NOT
-    EXISTS."""
+    scoring = BM25 over term-clause terms + capped prefix/fuzzy
+    expansions (row_number-capped subqueries) UNION ALL per-phrase
+    Lucene scores (idf_sum * satu(distinct-anchor freq)); must clauses
+    as EXISTS (term / capped expansion / positional adjacency), must_not
+    as NOT EXISTS."""
     from elasticsearch_analysis_combo_spark.query.querystring import (
         parse_simple_query_string,
     )
@@ -1138,6 +1145,35 @@ def _qs_oracle_sql() -> str:
 
     def terms_of(text):
         return sorted({t.term for t in analyze_text(text, _ws_config())})
+
+    def exp_subquery(cl):
+        """Capped expansion replay — identical ranking to
+        querystring.build_expansions."""
+        if cl.kind == "prefix":
+            return (
+                f"SELECT term FROM (SELECT term, row_number() OVER "
+                f"(ORDER BY term) AS rn FROM dfx WHERE term LIKE "
+                f"'{cl.text}%') WHERE rn <= {QS_MAX_EXP}"
+            )
+        return (
+            f"SELECT term FROM (SELECT term, row_number() OVER "
+            f"(ORDER BY levenshtein(term, '{cl.text}') ASC, df DESC, term)"
+            f" AS rn FROM dfx WHERE levenshtein(term, '{cl.text}') <= "
+            f"{cl.fuzz}) WHERE rn <= {QS_MAX_EXP}"
+        )
+
+    def phrase_parts(cl):
+        """(adjacency-FROM, adjacency-WHERE-conds, constituent terms)."""
+        ts = [t.term for t in analyze_text(cl.text, _ws_config())]
+        conds = [f"t0.t = '{ts[0]}'"]
+        tables = ["toks t0"]
+        for i, t in enumerate(ts[1:], start=1):
+            tables.append(f"toks t{i}")
+            conds += [
+                f"t{i}.doc_id = t0.doc_id", f"t{i}.t = '{t}'",
+                f"t{i}.p = t0.p + {i}",
+            ]
+        return tables, conds, sorted(set(ts))
 
     def clause_exists(cl, neg=False):
         pre = "NOT EXISTS" if neg else "EXISTS"
@@ -1150,50 +1186,53 @@ def _qs_oracle_sql() -> str:
                 f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
                 f"AND x.term IN ({in_list}))"
             )
-        if cl.kind == "prefix":
+        if cl.kind in ("prefix", "fuzzy"):
             return (
                 f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
-                f"AND x.term LIKE '{cl.text}%')"
+                f"AND x.term IN ({exp_subquery(cl)}))"
             )
-        # phrase: terms in POSITIONAL order (terms_of sorts — wrong here)
-        ts = [t.term for t in analyze_text(cl.text, _ws_config())]
-        conds = [f"t0.doc_id = s.doc_id", f"t0.t = '{ts[0]}'"]
-        tables = ["toks t0"]
-        for i, t in enumerate(ts[1:], start=1):
-            tables.append(f"toks t{i}")
-            conds += [
-                f"t{i}.doc_id = s.doc_id", f"t{i}.t = '{t}'",
-                f"t{i}.p = t0.p + {i}",
-            ]
+        tables, conds, _ = phrase_parts(cl)
+        conds = [f"t0.doc_id = s.doc_id"] + conds
         return f"{pre} (SELECT 1 FROM {', '.join(tables)} WHERE {' AND '.join(conds)})"
 
     parts = []
     for qid, text in QS_QUERIES:
         pq = parse_simple_query_string(text, "or")
-        fixed, like_clauses, filters, member = set(), [], [], []
+        fixed, exp_clauses, filters, ph_scores = set(), [], [], []
         for cl in pq.clauses:
             if cl.role != "must_not":
-                if cl.kind in ("term", "phrase"):
+                if cl.kind == "term":
                     fixed.update(terms_of(cl.text))
-                else:
-                    like_clauses.append(cl.text)
-                member.append(clause_exists(cl))
+                elif cl.kind in ("prefix", "fuzzy"):
+                    exp_clauses.append(cl)
+                else:  # phrase: Lucene PhraseQuery score part
+                    tables, conds, cterms = phrase_parts(cl)
+                    in_list = ", ".join(f"'{t}'" for t in cterms)
+                    idf_sum = (
+                        f"(SELECT sum(ln(1.0 + (g2.n - d2.df + 0.5) / "
+                        f"(d2.df + 0.5))) FROM dfx d2 CROSS JOIN gs g2 "
+                        f"WHERE d2.term IN ({in_list}))"
+                    )
+                    ph_scores.append(f"""
+  SELECT ph.doc_id,
+         {idf_sum} * ph.f * ({K1} + 1.0)
+         / (ph.f + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS score
+  FROM (SELECT t0.doc_id, count(DISTINCT t0.p)::DOUBLE AS f
+        FROM {', '.join(tables)} WHERE {' AND '.join(conds)}
+        GROUP BY 1) ph
+  JOIN dl ON ph.doc_id = dl.doc_id CROSS JOIN gs""")
             if cl.role == "must":
                 filters.append(clause_exists(cl))
             elif cl.role == "must_not":
                 filters.append(clause_exists(cl, neg=True))
-        if member:  # clause-level membership: >=1 positive clause matches
-            filters.append("(" + " OR ".join(member) + ")")
         sel = [
             f"SELECT term FROM dfx WHERE term IN ({', '.join(repr(t) for t in sorted(fixed))})"
         ] if fixed else []
-        sel += [
-            f"SELECT term FROM dfx WHERE term LIKE '{p}%'" for p in like_clauses
-        ]
+        sel += [exp_subquery(cl) for cl in exp_clauses]
         qscore = " UNION ".join(sel)
-        where = (" AND " + " AND ".join(filters)) if filters else ""
-        parts.append(f"""
-SELECT {qid} AS query_id, s.doc_id, s.score FROM (
+        score_parts = []
+        if qscore:
+            score_parts.append(f"""
   SELECT tf.doc_id,
          sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
               * tf.tf * ({K1} + 1.0)
@@ -1201,7 +1240,15 @@ SELECT {qid} AS query_id, s.doc_id, s.score FROM (
   FROM ({qscore}) q
   JOIN tf USING (term) JOIN dfx USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
-  GROUP BY 1
+  GROUP BY 1""")
+        score_parts += ph_scores
+        body = "\n  UNION ALL\n".join(score_parts)
+        where = (" AND " + " AND ".join(filters)) if filters else ""
+        parts.append(f"""
+SELECT {qid} AS query_id, s.doc_id, s.score FROM (
+  SELECT doc_id, sum(score) AS score FROM (
+{body}
+  ) GROUP BY 1
 ) s
 WHERE TRUE{where}""")
     body = "\nUNION ALL\n".join(parts)

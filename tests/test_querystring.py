@@ -127,3 +127,93 @@ def test_query_id_range_guard(spark, fixture):
             spark, stats, term_df, post, [(1 << 22, "alpha")], CFG,
             n_docs, avgdl,
         )
+
+
+def test_fuzzy_clause(spark, fixture):
+    # "alpa~1" is one edit from "alpha"
+    assert _docs_of(spark, fixture, "+alpa~1") == {0, 1, 3, 5}
+    # fuzziness 0 degrades to an exact term
+    assert _docs_of(spark, fixture, "+alpha~0") == {0, 1, 3, 5}
+    # must_not fuzzy excludes the expansion's matches
+    assert _docs_of(spark, fixture, "gamma -alpa~1") == {2, 4}
+
+
+def test_parser_fuzzy():
+    pq = parse_simple_query_string("alpa~1 +beta~2 word~0")
+    got = [(c.kind, c.role, c.text, c.fuzz) for c in pq.clauses]
+    assert got == [
+        ("fuzzy", "should", "alpa", 1),
+        ("fuzzy", "must", "beta", 2),
+        ("term", "should", "word", 0),
+    ]
+
+
+def test_prefix_expansion_cap_and_no_driver_collect(spark):
+    """The round-3 verdict's scale-killer: a 1-char prefix over the full
+    vocabulary must (a) cap at max_expansions in dictionary order and
+    (b) never collect the expansion to the driver — the expansion stays
+    a distributed join table."""
+    from pyspark.sql import DataFrame
+
+    # 30 vocabulary terms under prefix 'x' across 10 docs
+    rows = [
+        (d, " ".join(f"x{d:02d}{j}" for j in range(3)) + " common")
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG).cache()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = 4.0
+
+    orig_collect = DataFrame.collect
+
+    def guarded(self, *a, **kw):
+        raise AssertionError("driver-side collect during plan build")
+
+    DataFrame.collect = guarded
+    try:
+        out = simple_query_string_topk(
+            spark, stats, term_df, None, [(0, "x*")], CFG,
+            n_docs=10, avgdl=avgdl, k=20, max_expansions=6,
+        )
+    finally:
+        DataFrame.collect = orig_collect
+    got = out.collect()
+    # dictionary order: x000,x001,x002 (doc 0), x010,x011,x012 (doc 1) —
+    # the first 6 expansions cover exactly docs 0 and 1
+    assert {r["doc_id"] for r in got} == {0, 1}
+    # uncapped: every doc matches
+    out_all = simple_query_string_topk(
+        spark, stats, term_df, None, [(0, "x*")], CFG,
+        n_docs=10, avgdl=avgdl, k=20, max_expansions=1000,
+    )
+    assert {r["doc_id"] for r in out_all.collect()} == set(range(10))
+
+
+def test_phrase_clause_scores_by_phrase_freq(spark, fixture):
+    """A should-phrase scores with Lucene PhraseQuery algebra
+    (idf_sum * satu(n_matches)), not by scattered constituents."""
+    import math
+
+    stats, term_df, post, n_docs, avgdl = fixture
+    out = simple_query_string_topk(
+        spark, stats, term_df, post, [(0, '"alpha beta"')], CFG,
+        n_docs, avgdl, k=10,
+    )
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    dfs = {r["term"]: r["df"] for r in term_df.collect()}
+    dls = {
+        r["doc_id"]: r["dl"]
+        for r in stats.select("doc_id", "dl").distinct().collect()
+    }
+    idf_sum = sum(
+        math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in ("alpha", "beta")
+    )
+    exp = {}
+    for d in (0, 3):  # the two docs with the exact phrase, 1 anchor each
+        f = 1.0
+        exp[d] = idf_sum * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl))
+    assert set(got) == {0, 3}
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-9)
