@@ -678,6 +678,7 @@ PERCOLATE_REGISTRY = [
     (1, "merge batch window", 2, ""),     # 2-of-3
     (2, "customer value", 0, ""),         # ALL (operator: and)
     (3, "the", 1, "slow"),                # stop term minus exclusion
+    (4, "join row", 5, ""),               # over-constrained: matches NOTHING
 ]
 
 
@@ -704,7 +705,8 @@ def _percolate_oracle_sql() -> str:
     parts = []
     for qid, text, msm, not_text in PERCOLATE_REGISTRY:
         terms = sorted({t.term for t in analyze_text(text, _ws_config())})
-        need = len(terms) if msm <= 0 else min(msm, len(terms))
+        # ES semantics: msm above the term count matches nothing (no clamp)
+        need = len(terms) if msm <= 0 else msm
         in_list = ", ".join(f"'{t}'" for t in terms)
         not_terms = sorted(
             {t.term for t in analyze_text(not_text, _ws_config())}

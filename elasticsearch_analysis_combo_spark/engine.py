@@ -747,9 +747,9 @@ class MultiFieldSearchEngine:
         if not use:
             raise ValueError("no fields indexed: call index() first")
         engines = {f: self._engine(f) for f in use}
-        # query analysis follows each field's INDEX config; with identical
-        # configs (the common case) any one serves
-        any_cfg = engines[use[0]]._query_config()
+        # query analysis follows each field's OWN index config (a dict of
+        # per-field analyzers must not all analyze with the first field's)
+        cfgs = {f: e._query_config() for f, e in engines.items()}
         if kind == "best_fields" and tie_breaker == 0.0:
             postings = {f: e.idx.postings() for f, e in engines.items()}
             meta = {
@@ -770,7 +770,7 @@ class MultiFieldSearchEngine:
                     for f, e in engines.items()
                 }
             return multi_match_wand_topk(
-                self.spark, postings, meta, queries, any_cfg,
+                self.spark, postings, meta, queries, cfgs,
                 boosts=boosts, k=k, k1=self.k1, b=self.b, partitioned=part,
             )
         stats = {f: e.idx.term_stats() for f, e in engines.items()}
@@ -779,7 +779,7 @@ class MultiFieldSearchEngine:
             for f, e in engines.items()
         }
         return multi_match_topk(
-            self.spark, stats, queries, any_cfg, kind=kind,
+            self.spark, stats, queries, cfgs, kind=kind,
             boosts=boosts, tie_breaker=tie_breaker, k=k,
             k1=self.k1, b=self.b, field_meta=meta,
         )

@@ -418,18 +418,22 @@ def build_postings(
         salted = term_stats.withColumn("salt", F.lit(0).cast("int"))
     else:
         if adaptive:
-            # per-term shard count; 2047 * RUN_STRIDE stays inside int32
+            # per-term shard count; 2047 * RUN_STRIDE stays inside int32.
+            # Clamp BEFORE the int cast: F.ceil yields LongType, and with
+            # ANSI mode on an extreme df/target ratio would fail the cast
+            # instead of clamping (non-ANSI would wrap negative and
+            # silently collapse the term to one shard)
             hotb = hot_terms.select(
                 "term",
                 F.least(
                     F.greatest(
                         F.ceil(
                             F.col("df") / float(target_postings_per_shard)
-                        ).cast("int"),
-                        F.lit(1),
+                        ),
+                        F.lit(1).cast("long"),
                     ),
-                    F.lit(2047),
-                ).alias("_shards"),
+                    F.lit(2047).cast("long"),
+                ).cast("int").alias("_shards"),
             )
             # uniform doc position (top 32 bits) scaled to the term's
             # shard count: ranges still ascend with doc id per term, so

@@ -144,20 +144,19 @@ def rescore_phrase_topk(
     )
 
     # the base window combines from the 6-rounded score (deterministic
-    # cross-engine base, same policy the ranking itself uses); persisted —
-    # it feeds both the phrase candidate set and the final combine, and
-    # re-deriving it means re-running the full scored-set ranking
-    from pyspark import StorageLevel
-
+    # cross-engine base, same policy the ranking itself uses). It feeds
+    # both the phrase candidate set and the final combine, and re-deriving
+    # it means re-running the full scored-set ranking — localCheckpoint
+    # (eager) materializes the small window ONCE and truncates lineage,
+    # leaving no cache reference to outlive the call (a persist with no
+    # unpersist accumulated blocks across a long-lived session)
     base = rank_topk_rounded(
         bm25_scored(
             spark, term_stats, term_df, queries, config, n_docs, avgdl,
             k1=k1, b=b,
         ),
         window_size,
-    ).withColumn("score", F.round("score", 6)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).withColumn("score", F.round("score", 6)).localCheckpoint(eager=True)
     if "pos_data" in term_stats.columns:
         ph = phrase_match_docs(
             spark, term_stats, queries, config,

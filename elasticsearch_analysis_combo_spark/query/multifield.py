@@ -127,11 +127,25 @@ def _combine_and_rank(
     )
 
 
+def _field_config(
+    config: ComboConfig | dict[str, ComboConfig], field: str
+) -> ComboConfig:
+    """Per-field analyzer resolution: a dict config analyzes the query
+    with THAT field's analyzer (a title keyword field and a stemmed body
+    field see different query terms — using one field's config for all,
+    the pre-fix behavior, silently queried wrong terms)."""
+    if isinstance(config, dict):
+        if field not in config:
+            raise ValueError(f"no analyzer config for field {field!r}")
+        return config[field]
+    return config
+
+
 def multi_match_topk(
     spark: SparkSession,
     field_stats: dict[str, DataFrame],
     queries: list[tuple[int, str]],
-    config: ComboConfig,
+    config: ComboConfig | dict[str, ComboConfig],
     kind: str = "best_fields",
     boosts: dict[str, float] | None = None,
     tie_breaker: float = 0.0,
@@ -145,16 +159,21 @@ def multi_match_topk(
     plan per field (broadcast-joined, partially aggregated), one union,
     one final (query_id, doc_id) combine.
 
+    ``config`` may be one ComboConfig for every field or a dict
+    field -> ComboConfig; each field's query analysis uses its own
+    config (ES analyzes the query per field).
+
     ``field_meta`` (field -> (n_docs_with_field, avgdl)) skips the
     per-field stats scan + collect — pass it whenever the stats were
     recorded at index build (an engine always has them in sub-index
     meta); deriving them per query costs a full distinct per field."""
     boosts = boosts or {}
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
-    )
     parts = []
     for field, stats in field_stats.items():
+        qterms = spark.createDataFrame(
+            analyze_queries(queries, _field_config(config, field)),
+            "query_id int, term string",
+        )
         if field_meta and field in field_meta:
             n, avgdl = field_meta[field]
         else:
@@ -182,7 +201,7 @@ def multi_match_wand_topk(
     field_postings: dict[str, DataFrame],
     field_meta: dict[str, tuple[int, float]],
     queries: list[tuple[int, str]],
-    config: ComboConfig,
+    config: ComboConfig | dict[str, ComboConfig],
     boosts: dict[str, float] | None = None,
     k: int = 10,
     k1: float = 1.2,
@@ -220,6 +239,7 @@ def multi_match_wand_topk(
     boosts = boosts or {}
     parts = []
     for field, postings in field_postings.items():
+        cfg_f = _field_config(config, field)
         n, avgdl = field_meta[field]
         boost = float(boosts.get(field, 1.0))
         part_f = (
@@ -228,13 +248,13 @@ def multi_match_wand_topk(
         )
         if part_f:
             topf = wand_topk_partitioned(
-                spark, postings, queries, config,
+                spark, postings, queries, cfg_f,
                 n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
                 range_bits=range_bits,
             )
         else:
             topf = wand_topk_from_postings(
-                spark, postings, queries, config,
+                spark, postings, queries, cfg_f,
                 n_docs=n, avgdl=avgdl, k1=k1, b=b, k=k,
             )
         parts.append(

@@ -55,7 +55,11 @@ def percolate(
         terms = sorted({t.term for t in analyze_text(text, config)})
         if not terms:
             continue
-        need = len(terms) if msm <= 0 else min(msm, len(terms))
+        # no clamp to the term count: a stored query demanding more
+        # distinct matches than it has terms matches NOTHING, the
+        # ES/Lucene minimum_should_match semantics for over-constrained
+        # queries
+        need = len(terms) if msm <= 0 else msm
         counts.append((qid, need))
         pos_rows += [(qid, t) for t in terms]
         not_rows += [
