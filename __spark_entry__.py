@@ -1376,6 +1376,112 @@ def q_facet_histogram(spark, sf_dir):
     )
 
 
+FACET_RANGES = [(None, 300.0), (300.0, 600.0), (600.0, None)]
+
+
+def q_facet_range(spark, sf_dir):
+    """ES range aggregation: explicit [from, to) buckets (open ends)
+    over the full match set, empty buckets emitted."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        search_facet_range,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    out = search_facet_range(
+        spark, stats, BM25_QUERIES, _ws_config(), _docs(spark, sf_dir),
+        "n_chars", ranges=FACET_RANGES,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.concat(
+            F.coalesce(F.col("lo").cast("string"), F.lit("*")), F.lit("-"),
+            F.coalesce(F.col("hi").cast("string"), F.lit("*")),
+        ).alias("label"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def _facet_range_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({i}, "
+        f"{'NULL::DOUBLE' if lo is None else lo}, "
+        f"{'NULL::DOUBLE' if hi is None else hi})"
+        for i, (lo, hi) in enumerate(FACET_RANGES)
+    )
+    return f"""
+WITH {_facet_match_cte()},
+b(bucket, lo, hi) AS (VALUES {vals}),
+vals AS (SELECT m.query_id, d.n_chars AS v FROM matches m
+         JOIN documents d USING (doc_id)),
+counted AS (
+  SELECT v.query_id, b.bucket, count(*)::BIGINT AS doc_count
+  FROM vals v JOIN b ON (b.lo IS NULL OR v.v >= b.lo)
+                    AND (b.hi IS NULL OR v.v < b.hi)
+  GROUP BY 1, 2
+)
+SELECT q.query_id::BIGINT AS query_id, b.bucket::BIGINT AS bucket,
+       concat(coalesce(b.lo::VARCHAR, '*'), '-',
+              coalesce(b.hi::VARCHAR, '*')) AS label,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM (SELECT DISTINCT query_id FROM matches) q
+CROSS JOIN b
+LEFT JOIN counted c ON c.query_id = q.query_id AND c.bucket = b.bucket
+"""
+
+
+def q_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar interval: day) segmented by
+    event_type — pure date_trunc + partial-aggregated groupBy over the
+    events table (TIMESTAMP_NTZ cast first)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        date_histogram_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = date_histogram_agg(ev, "ts", interval="day", group_col="event_type")
+    return out.select(
+        "event_type", "bucket",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_cardinality(spark, sf_dir):
+    """ES cardinality aggregation: HLL++ sketch distinct count per
+    event_type (rsd 0.005 — exact at gate-scale cardinalities; the
+    oracle is the exact DuckDB count)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        cardinality_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cardinality_agg(ev, "user_id", group_col="event_type", rsd=0.005)
+    return out.select(
+        "event_type", F.col("cardinality").cast("long").alias("cardinality")
+    )
+
+
+def q_stats_agg(spark, sf_dir):
+    """ES extended_stats aggregation per event_type: count/min/max/avg/
+    sum + population variance/stddev/sum_of_squares, all Spark
+    built-ins (doubles 6-rounded for cross-engine compare)."""
+    from elasticsearch_analysis_combo_spark.query.facets import stats_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = stats_agg(ev, "value", group_col="event_type", extended=True)
+    return out.select(
+        "event_type",
+        F.col("count").cast("long").alias("count"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("avg", 6).alias("avg"),
+        F.round("sum", 6).alias("sum"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("sum_of_squares", 6).alias("sum_of_squares"),
+    )
+
+
 def _terms_values_sql(pairs: list[tuple[int, str]]) -> str:
     return ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
 
@@ -2651,6 +2757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
+        "facet_range": q_facet_range,
+        "date_histogram": q_date_histogram,
+        "cardinality": q_cardinality,
+        "stats_agg": q_stats_agg,
         "highlight_offsets": q_highlight_offsets,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3105,6 +3215,29 @@ GROUP BY 1
     sqls["significant_terms"] = _significant_terms_oracle_sql()
     sqls["search_collapse"] = _collapse_oracle_sql()
     sqls["facet_histogram"] = _facet_histogram_oracle_sql()
+    sqls["facet_range"] = _facet_range_oracle_sql()
+    sqls["date_histogram"] = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1, 2
+"""
+    sqls["cardinality"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS cardinality
+FROM events GROUP BY 1
+"""
+    sqls["stats_agg"] = """
+SELECT event_type,
+       count(value)::BIGINT AS count,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max,
+       round(avg(value), 6) AS avg,
+       round(sum(value), 6) AS sum,
+       round(var_pop(value), 6) AS variance,
+       round(stddev_pop(value), 6) AS std_deviation,
+       round(sum(value * value), 6) AS sum_of_squares
+FROM events GROUP BY 1
+"""
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()

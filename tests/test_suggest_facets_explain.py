@@ -202,3 +202,74 @@ def test_facet_histogram_buckets(spark, stats, corpus):
     got = {r["bucket"]: r["doc_count"] for r in out.collect()}
     # docs with "sort": 0 (100), 1 (220), 3 (430)
     assert got == {100.0: 1, 200.0: 1, 400.0: 1}
+
+
+def test_facet_range_open_ends_overlap_and_empty(spark, stats, corpus):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        search_facet_range,
+    )
+
+    out = search_facet_range(
+        spark, stats, [(0, "sort")], CFG, corpus, "n_chars",
+        ranges=[(None, 200.0), (100.0, 500.0), (900.0, None)],
+    )
+    got = {r["bucket"]: r["doc_count"] for r in out.collect()}
+    # docs with "sort": n_chars 100, 220, 430.
+    # [*,200): {100}; [100,500): all three (overlap allowed); [900,*): empty
+    assert got == {0: 1, 1: 3, 2: 0}
+
+
+def test_date_histogram_calendar_buckets(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        date_histogram_agg,
+    )
+
+    rows = [
+        ("a", "2024-01-01 03:10:00"),
+        ("a", "2024-01-01 17:45:00"),
+        ("a", "2024-01-02 00:00:01"),
+        ("b", "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string")
+    out = date_histogram_agg(df, "ts", interval="day", group_col="g")
+    got = {(r["g"], r["bucket"]): r["doc_count"] for r in out.collect()}
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): 2,
+        ("a", "2024-01-02 00:00:00"): 1,
+        ("b", "2024-01-01 00:00:00"): 1,
+    }
+    with pytest.raises(ValueError):
+        date_histogram_agg(df, "ts", interval="fortnight")
+
+
+def test_cardinality_exact_at_small_n(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        cardinality_agg,
+    )
+
+    rows = [(i % 8, "g%d" % (i % 2)) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = {
+        r["g"]: r["cardinality"] for r in
+        cardinality_agg(df, "v", group_col="g").collect()
+    }
+    assert got == {"g0": 4, "g1": 4}  # evens 0,2,4,6; odds 1,3,5,7
+    assert cardinality_agg(df, "v").collect()[0]["cardinality"] == 8
+
+
+def test_stats_agg_extended(spark):
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.facets import stats_agg
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = stats_agg(df, "v", extended=True).collect()[0]
+    assert r["count"] == 4 and r["min"] == 1.0 and r["max"] == 4.0
+    assert r["avg"] == pytest.approx(2.5)
+    assert r["sum"] == pytest.approx(10.0)
+    mean = 2.5
+    var = sum((v - mean) ** 2 for v in vals) / 4
+    assert r["variance"] == pytest.approx(var)
+    assert r["std_deviation"] == pytest.approx(math.sqrt(var))
+    assert r["sum_of_squares"] == pytest.approx(sum(v * v for v in vals))
