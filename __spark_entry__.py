@@ -1319,6 +1319,100 @@ def q_term_suggest(spark, sf_dir):
     )
 
 
+def q_sort_search_after(spark, sf_dir):
+    """ES sort + search_after on an arbitrary field: the query's match
+    set ordered by (n_chars desc, doc_id) and paged via the page-1
+    cursor — page 2 must equal global ranks 11..20 of the full order."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        sort_search_after,
+    )
+    from elasticsearch_analysis_combo_spark.query.facets import _match_set
+
+    stats = _term_stats(spark, sf_dir)
+    matches = _match_set(spark, stats, BM25_QUERIES, _ws_config())
+    hits = matches.join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    ).cache()
+    keys = [("n_chars", "desc")]
+    page1 = sort_search_after(hits, keys, None, k=TOPK).collect()
+    cursors = {
+        int(r["query_id"]): (int(r["n_chars"]), int(r["doc_id"]))
+        for r in page1 if r["rank"] == TOPK
+    }
+    out = sort_search_after(hits, keys, cursors, k=TOPK)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _sort_search_after_oracle_sql() -> str:
+    return f"""
+WITH {_facet_match_cte()},
+h AS (
+  SELECT m.query_id, m.doc_id, d.n_chars
+  FROM matches m JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         doc_id, n_chars
+  FROM h
+)
+SELECT query_id::BIGINT AS query_id, (rn - {TOPK})::BIGINT AS rank,
+       doc_id, n_chars::BIGINT AS n_chars
+FROM ranked WHERE rn BETWEEN {TOPK} + 1 AND 2 * {TOPK}
+"""
+
+
+COMPLETION_INPUTS = [(0, "s"), (1, "va"), (2, "w"), (3, "qu")]
+
+
+def q_completion_suggest(spark, sf_dir):
+    """ES completion suggester: prefix-ranked (df desc) vocabulary
+    completions, startswith pushed into the dictionary scan."""
+    from elasticsearch_analysis_combo_spark.query.suggest import (
+        completion_suggest,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = completion_suggest(
+        spark, term_df, COMPLETION_INPUTS, k=SUGGEST_K,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "suggestion",
+        "df",
+    )
+
+
+def _completion_oracle_sql() -> str:
+    values = _terms_values_sql(COMPLETION_INPUTS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+inp(query_id, p) AS (VALUES {values}),
+cand AS (
+  SELECT i.query_id, d.term AS suggestion, d.df
+  FROM inp i JOIN dfx d ON d.term LIKE i.p || '%'
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df DESC, suggestion) AS rank,
+         suggestion, df
+  FROM cand
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, suggestion, df
+FROM ranked WHERE rank <= {SUGGEST_K}
+"""
+
+
 def q_bm25_explain(spark, sf_dir):
     """ES _explain: per-term BM25 factor decomposition for every matching
     (query, doc) with the doc's total."""
@@ -1769,6 +1863,77 @@ scored AS (
 comb AS (
   SELECT query_id, doc_id, {comb} AS score FROM scored GROUP BY 1, 2
 ),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_multi_match_cross(spark, sf_dir):
+    """ES multi_match cross_fields: term-centric scoring with BLENDED
+    term statistics (df = max across fields, one idf per term) and
+    per-term dis-max field combination — fields treated as one big
+    field."""
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        multi_match_cross_fields_topk,
+    )
+
+    out = multi_match_cross_fields_topk(
+        spark, _field_stats(spark, sf_dir), BM25_QUERIES, _ws_config(),
+        boosts=MM_BOOSTS, tie_breaker=MM_TIE_BREAKER, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _multi_match_cross_oracle_sql() -> str:
+    """cross_fields replay: blended df (max over fields per term), one
+    idf per term against the max field doc count, per-(term, doc)
+    dis-max of boosted saturated-tf field contributions, summed over
+    terms."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qterms = analyze_queries(BM25_QUERIES, _ws_config())
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i FROM base
+),
+ftoks AS (
+  SELECT doc_id, term,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS field
+  FROM toks WHERE term <> ''
+),
+tf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM ftoks GROUP BY 1, 2),
+gs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+dfx AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+bdf AS (SELECT term, max(df) AS df FROM dfx GROUP BY 1),
+nb AS (SELECT max(n) AS n FROM gs),
+q(query_id, term) AS (VALUES {values}),
+sat AS (
+  SELECT q.query_id, tf.term, tf.doc_id,
+         (CASE tf.field WHEN 'title' THEN {MM_BOOSTS['title']} ELSE {MM_BOOSTS['body']} END)
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS s
+  FROM q
+  JOIN tf USING (term)
+  JOIN dl ON tf.field = dl.field AND tf.doc_id = dl.doc_id
+  JOIN gs ON tf.field = gs.field
+),
+tscores AS (
+  SELECT s.query_id, s.term, s.doc_id,
+         ln(1.0 + (nb.n - bdf.df + 0.5) / (bdf.df + 0.5))
+         * (max(s.s) + {MM_TIE_BREAKER} * (sum(s.s) - max(s.s))) AS tscore
+  FROM sat s JOIN bdf USING (term) CROSS JOIN nb
+  GROUP BY s.query_id, s.term, s.doc_id, bdf.df, nb.n
+),
+comb AS (SELECT query_id, doc_id, sum(tscore) AS score FROM tscores GROUP BY 1, 2),
 ranked AS (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
@@ -2752,11 +2917,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unordered": q_span_near_unordered,
         "bm25_regexp": q_bm25_regexp,
         "term_suggest": q_term_suggest,
+        "completion_suggest": q_completion_suggest,
+        "sort_search_after": q_sort_search_after,
         "bm25_explain": q_bm25_explain,
         "facet_terms": q_facet_terms,
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
+        "multi_match_cross": q_multi_match_cross,
         "facet_range": q_facet_range,
         "date_histogram": q_date_histogram,
         "cardinality": q_cardinality,
@@ -3210,11 +3378,14 @@ GROUP BY 1
     sqls["span_near_unordered"] = _span_unordered_oracle_sql()
     sqls["bm25_regexp"] = _regexp_oracle_sql()
     sqls["term_suggest"] = _term_suggest_oracle_sql()
+    sqls["completion_suggest"] = _completion_oracle_sql()
+    sqls["sort_search_after"] = _sort_search_after_oracle_sql()
     sqls["bm25_explain"] = _explain_oracle_sql()
     sqls["facet_terms"] = _facet_terms_oracle_sql()
     sqls["significant_terms"] = _significant_terms_oracle_sql()
     sqls["search_collapse"] = _collapse_oracle_sql()
     sqls["facet_histogram"] = _facet_histogram_oracle_sql()
+    sqls["multi_match_cross"] = _multi_match_cross_oracle_sql()
     sqls["facet_range"] = _facet_range_oracle_sql()
     sqls["date_histogram"] = """
 SELECT event_type,

@@ -137,6 +137,68 @@ def bm25_search_after(
     return rank_topk_rounded(scored, k)
 
 
+def sort_search_after(
+    hits: DataFrame,
+    sort_keys: list[tuple[str, str]],
+    cursors: dict[int, tuple] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``sort`` + ``search_after`` on ARBITRARY sort keys: page any
+    per-query result set (a scored match set joined to metadata, a plain
+    filtered table carrying query_id) by ``[(column, "asc"|"desc"),...]``
+    with a per-query cursor of the previous page's last sort values.
+
+    ``doc_id`` ascending is appended as the final tiebreak unless the
+    caller sorts on it, making the order TOTAL — ES requires the same
+    (its docs tell users to add a tiebreaker field, or pages skip/repeat
+    rows on ties). A cursor therefore has one value per effective sort
+    key, tiebreak included.
+
+    Stateless and exact like :func:`bm25_search_after`: the cursor
+    lowers to a lexicographic strictly-after predicate (evaluated
+    JVM-side, pushable for the leading key), then one per-query window
+    ranks the survivors — no scroll context, no driver state."""
+    keys = list(sort_keys)
+    if all(c != "doc_id" for c, _ in keys):
+        keys.append(("doc_id", "asc"))
+    for col, d in keys:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"direction must be asc|desc: {col} {d}")
+    if cursors:
+        clauses = []
+        for qid, vals in cursors.items():
+            if len(vals) != len(keys):
+                raise ValueError(
+                    f"cursor for query {qid} has {len(vals)} values, "
+                    f"need {len(keys)} (tiebreak included)"
+                )
+            # lexicographic strictly-after: OR over key prefixes
+            after = None
+            for i, (col, d) in enumerate(keys):
+                cmp = (
+                    F.col(col) > F.lit(vals[i]) if d == "asc"
+                    else F.col(col) < F.lit(vals[i])
+                )
+                for j in range(i):
+                    cmp = cmp & (F.col(keys[j][0]) == F.lit(vals[j]))
+                after = cmp if after is None else (after | cmp)
+            clauses.append((F.col("query_id") == qid) & after)
+        # queries without a cursor get their first page
+        no_cursor = ~F.col("query_id").isin(sorted(cursors))
+        pred = no_cursor
+        for c in clauses:
+            pred = pred | c
+        hits = hits.filter(pred)
+    order = [
+        F.asc(col) if d == "asc" else F.desc(col) for col, d in keys
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bm25_explain(
     spark: SparkSession,
     term_stats: DataFrame,

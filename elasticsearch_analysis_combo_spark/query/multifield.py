@@ -26,6 +26,8 @@ more than ``n_fields * k`` rows per query to the final window.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -194,6 +196,105 @@ def multi_match_topk(
     for p in parts[1:]:
         union = union.unionByName(p)
     return _combine_and_rank(union, kind, tie_breaker, k)
+
+
+def multi_match_cross_fields_topk(
+    spark: SparkSession,
+    field_stats: dict[str, DataFrame],
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    field_meta: dict[str, tuple[int, float]] | None = None,
+) -> DataFrame:
+    """ES multi_match ``cross_fields``: TERM-centric scoring over a group
+    of fields treated as one big field — the mode users reach for with
+    split entities (first/last name, street/city). Per Lucene's
+    BlendedTermQuery:
+
+    - each query term gets ONE blended idf from blended statistics
+      (``df = max over fields of df_f(term)``, doc count = max field doc
+      count) instead of a per-field idf — a term rare in one field but
+      common in another must not look rare;
+    - per (term, doc), the field contributions (saturated tf, each
+      field's own dl/avgdl norm, times its boost) combine by dis-max
+      with ``tie_breaker``;
+    - the doc score is the SUM over query terms (every term must find
+      its best home field independently — the cross_fields point).
+
+    cross_fields requires the fields to share one analyzer (ES groups
+    fields per analyzer and blends within a group), so ``config`` is a
+    single ComboConfig here by design.
+
+    Plan: one isin-pruned stats scan per field unioned into a
+    (query, term, doc) fact table (broadcast query dim), blended df from
+    the same pruned scans, one (query, term, doc) dis-max partial agg,
+    one (query, doc) sum — two shuffles total, both key-partial.
+    """
+    boosts = boosts or {}
+    qrows = analyze_queries(queries, config)
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qrows})
+    sat_parts, df_parts, n_blend = [], [], 0
+    for field, stats in field_stats.items():
+        if field_meta and field in field_meta:
+            n, avgdl = field_meta[field]
+        else:
+            n, avgdl = field_corpus_stats(stats)
+        if n == 0:
+            continue
+        n_blend = max(n_blend, n)
+        boost = float(boosts.get(field, 1.0))
+        pruned = stats.filter(F.col("term").isin(all_terms))
+        sat_parts.append(
+            pruned.join(F.broadcast(qterms), "term")
+            .select(
+                "query_id", "term", "doc_id",
+                (
+                    F.lit(boost)
+                    * F.col("tf") * (k1 + 1.0)
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+                ).alias("sat"),
+            )
+        )
+        df_parts.append(pruned.groupBy("term").agg(F.count("*").alias("df")))
+    if not sat_parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    blended_df = (
+        reduce(lambda a, b_: a.unionByName(b_), df_parts)
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+    )
+    sat = reduce(lambda a, b_: a.unionByName(b_), sat_parts)
+    term_scores = (
+        sat.groupBy("query_id", "term", "doc_id")
+        .agg(F.max("sat").alias("_mx"), F.sum("sat").alias("_sm"))
+        .join(F.broadcast(blended_df), "term")
+        .withColumn(
+            "tscore",
+            idf_expr(n_blend)
+            * (F.col("_mx") + tie_breaker * (F.col("_sm") - F.col("_mx"))),
+        )
+    )
+    scored = (
+        term_scores.groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def multi_match_wand_topk(

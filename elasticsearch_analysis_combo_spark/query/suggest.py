@@ -139,3 +139,51 @@ def phrase_suggest(
     return spark.createDataFrame(
         out, "query_id int, suggestion string, n_corrections int"
     )
+
+
+def completion_suggest(
+    spark: SparkSession,
+    term_df: DataFrame,
+    inputs: list[tuple[int, str]],
+    k: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """ES completion suggester (search-as-you-type): vocabulary terms
+    completing each input prefix, ranked by document frequency
+    descending (the ES weight default when index docs carry no explicit
+    weight) with the term as tiebreak — top ``k`` per input.
+
+    Scale: one dictionary pass for ALL prefixes; each branch's
+    ``startswith`` filter pushes into the parquet scan (StringStartsWith
+    — asserted by tools/explain_audit.py), so a dictionary clustered by
+    term prunes to the prefix's row groups. The per-input top-k cut is
+    a window over the (bounded) expansion, never a driver collect — ES
+    serves this from an in-memory FST; at 10^9 vocabulary terms the
+    pruned columnar scan is the Spark-shaped equivalent."""
+    if not inputs:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, suggestion string, df long"
+        )
+    parts = []
+    for qid, prefix in inputs:
+        parts.append(
+            term_df.filter(
+                F.col("term").startswith(prefix)
+                & (F.col("df") >= min_doc_freq)
+            ).select(
+                F.lit(qid).alias("query_id"),
+                F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("df"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "suggestion", "df")
+    )

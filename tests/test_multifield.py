@@ -165,3 +165,70 @@ def test_multifield_engine_end_to_end(spark, tmp_path):
         & F.col("title").contains(title_term)
     ).count()
     assert in_title == 1
+
+
+def test_cross_fields_blended_stats(spark):
+    """cross_fields: one blended idf per term (df = max over fields),
+    per-term dis-max of field saturations, summed over terms — verified
+    against a hand NumPy replay."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        multi_match_cross_fields_topk,
+    )
+
+    corpus = _fielded_corpus(spark, n=40)
+    stats = {
+        "title": _stats(corpus, "title").cache(),
+        "body": _stats(corpus, "body").cache(),
+    }
+    k1, b, tb = 1.2, 0.75, 0.3
+    out = multi_match_cross_fields_topk(
+        spark, stats, QUERIES, CFG, boosts=BOOSTS, tie_breaker=tb,
+        k=1000, k1=k1, b=b,
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"] for r in out.collect()
+    }
+
+    # hand replay from the raw stats tables
+    data = {
+        f: [(r["term"], r["doc_id"], r["tf"], r["dl"])
+            for r in s.select("term", "doc_id", "tf", "dl").collect()]
+        for f, s in stats.items()
+    }
+    meta = {}
+    for f, rows in data.items():
+        dls = {d: dl for _, d, _, dl in rows}
+        meta[f] = (len(dls), sum(dls.values()) / len(dls))
+    n_blend = max(n for n, _ in meta.values())
+    from collections import defaultdict
+
+    dfs = defaultdict(lambda: defaultdict(set))
+    for f, rows in data.items():
+        for t, d, _, _ in rows:
+            dfs[t][f].add(d)
+    exp = defaultdict(float)
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    for qid, term in analyze_queries(QUERIES, CFG):
+        bdf = max((len(ds) for ds in dfs.get(term, {}).values()), default=0)
+        if not bdf:
+            continue
+        idf = math.log(1 + (n_blend - bdf + 0.5) / (bdf + 0.5))
+        sats = defaultdict(list)
+        for f, rows in data.items():
+            _, avgdl = meta[f]
+            for t, d, tf, dl in rows:
+                if t != term:
+                    continue
+                sats[d].append(
+                    BOOSTS[f] * tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+                )
+        for d, ss in sats.items():
+            mx, sm = max(ss), sum(ss)
+            exp[(qid, d)] += idf * (mx + tb * (sm - mx))
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], rel=1e-9), key

@@ -49,3 +49,48 @@ def test_termvectors_and_stats(spark, tmp_path):
     assert st["posting_blocks"] >= st["posting_rows"] > 0
     assert st["posting_bytes"] > 0
     assert abs(st["avgdl"] - 2.0) < 1e-9
+
+
+def test_sort_search_after_pages_partition_full_order(spark):
+    """Arbitrary-key sort + search_after: consecutive pages partition
+    the full (key desc, doc_id) order, ties crossed page boundaries
+    correctly, mixed-direction keys work, and cursor-less queries get
+    page 1."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        sort_search_after,
+    )
+
+    rows = []
+    for qid in (0, 1):
+        for d in range(25):
+            rows.append((qid, d, (d * 7) % 5, float(d % 3)))  # heavy ties
+    hits = spark.createDataFrame(
+        rows, "query_id int, doc_id long, grp long, v double"
+    )
+    keys = [("grp", "desc"), ("v", "asc")]
+    full = sort_search_after(hits, keys, None, k=100).collect()
+    order = {}
+    for r in full:
+        order.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["grp"], r["v"])
+        )
+    pages = {0: [], 1: []}
+    cursors = {}
+    for page in range(3):
+        out = sort_search_after(hits, keys, cursors or None, k=10).collect()
+        cursors = {}
+        for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+            pages[r["query_id"]].append((r["doc_id"], r["grp"], r["v"]))
+            if r["rank"] == 10:
+                cursors[r["query_id"]] = (r["grp"], r["v"], r["doc_id"])
+    for qid in (0, 1):
+        expected = [(d, g, v) for _, d, g, v in sorted(order[qid])]
+        assert pages[qid] == expected  # 25 rows = 10 + 10 + 5, no skips
+
+    # cursor length mismatch raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sort_search_after(hits, keys, {0: (1, 2)}, k=10).collect()
+    with _pytest.raises(ValueError):
+        sort_search_after(hits, [("grp", "down")], None, k=10)
