@@ -404,6 +404,36 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with spherical-k-means-REFINED centroids (kmeans_iters=2 —
+    the mapInPandas partial-sum refinement runs for real) probing ALL
+    cells: every vector sits in exactly one probed cell, so the result
+    provably equals brute-force cosine top-k whatever the centroids —
+    the value oracle for the refinement path (complementing
+    tests/test_ivf_kmeans_refinement's recall checks at n_probe <
+    n_cells)."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = ivf_cosine_topk(emb, queries, k=TOPK, n_cells=IVF_CELLS,
+                          n_probe=IVF_CELLS, seed=LSH_COS_SEED,
+                          kmeans_iters=2)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 MEDIA_N = 300
 
 
@@ -2880,78 +2910,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
+    entries of this dict (insertion order). Policy: (1) every surface
+    touched this round leads, (2) then one representative per operator
+    family across the whole engine — search core, phrase/span, boolean,
+    aggs, dedup, ANN, streaming, multimodal — so the driver window spans
+    the full breadth, (3) near-duplicate/stable-since-r1 variants sit
+    past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "query_string": q_query_string,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "percolate": q_percolate,
+        "multi_match_cross": q_multi_match_cross,
+        "facet_range": q_facet_range,
+        "date_histogram": q_date_histogram,
+        "cardinality": q_cardinality,
+        "stats_agg": q_stats_agg,
+        "completion_suggest": q_completion_suggest,
+        "sort_search_after": q_sort_search_after,
+        "rescore_phrase": q_rescore_phrase,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_dismax": q_multi_match_dismax,
+        "multi_match_most": q_multi_match_most,
+        "search_after": q_search_after,
+        # --- engine core ---
         "tokenize_explode": q_tokenize_explode,
         "term_stats": q_term_stats,
-        "term_df": q_term_df,
-        "doc_stats": q_doc_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
-        "phrase_slop": q_phrase_slop,
-        "phrase_prefix": q_phrase_prefix,
         "phrase_ranked": q_phrase_ranked,
-        "more_like_this": q_more_like_this,
-        "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
         "bm25_bool_msm": q_bm25_bool_msm,
-        "bm25_prefix": q_bm25_prefix,
-        "bm25_wildcard": q_bm25_wildcard,
-        "bm25_fuzzy": q_bm25_fuzzy,
-        "multi_match_best": q_multi_match_best,
-        "multi_match_dismax": q_multi_match_dismax,
-        "multi_match_most": q_multi_match_most,
-        "query_string": q_query_string,
-        "termvectors": q_termvectors,
-        "synonym_analyze": q_synonym_analyze,
-        "search_after": q_search_after,
-        "percolate": q_percolate,
-        "function_score": q_function_score,
-        "function_score_gauss": q_function_score_gauss,
-        "rescore_phrase": q_rescore_phrase,
-        "html_strip_analyze": q_html_strip_analyze,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
-        "bm25_regexp": q_bm25_regexp,
-        "term_suggest": q_term_suggest,
-        "completion_suggest": q_completion_suggest,
-        "sort_search_after": q_sort_search_after,
-        "bm25_explain": q_bm25_explain,
+        "function_score": q_function_score,
+        # --- aggs / rendering ---
         "facet_terms": q_facet_terms,
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
-        "multi_match_cross": q_multi_match_cross,
-        "facet_range": q_facet_range,
-        "date_histogram": q_date_histogram,
-        "cardinality": q_cardinality,
-        "stats_agg": q_stats_agg,
         "highlight_offsets": q_highlight_offsets,
+        "termvectors": q_termvectors,
+        "synonym_analyze": q_synonym_analyze,
+        "html_strip_analyze": q_html_strip_analyze,
+        # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_sig": q_minhash_sig,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_duplicates": q_near_duplicates,
         "near_dup_components": q_near_dup_components,
         "dedup_keep_best": q_dedup_keep_best,
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "lsh_cosine_candidates": q_lsh_cosine_candidates,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "multimodal_frames": q_multimodal_frames,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "streaming_dedup_state": q_streaming_dedup_state,
+        "multimodal_frames": q_multimodal_frames,
+        # ---------------- past the driver's 50-entry window ----------------
+        "term_df": q_term_df,
+        "doc_stats": q_doc_stats,
+        "phrase_slop": q_phrase_slop,
+        "phrase_prefix": q_phrase_prefix,
+        "more_like_this": q_more_like_this,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_prefix": q_bm25_prefix,
+        "bm25_wildcard": q_bm25_wildcard,
+        "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_regexp": q_bm25_regexp,
+        "term_suggest": q_term_suggest,
+        "bm25_explain": q_bm25_explain,
+        "function_score_gauss": q_function_score_gauss,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_sig": q_minhash_sig,
+        "lsh_cosine_candidates": q_lsh_cosine_candidates,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "pricing_summary": q_pricing_summary,
         "topk_customer_revenue": q_topk_customer_revenue,
         "sessionize_events": q_sessionize_events,
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "streaming_dedup_state": q_streaming_dedup_state,
     }
 
 
@@ -3528,6 +3571,8 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
 """
+    # n_probe = n_cells makes refined IVF exactly brute force — same oracle
+    sqls["ivf_kmeans_topk"] = sqls["ann_cosine_topk"]
 
     en = "', '".join(["the", "and", "of", "to", "is", "in", "that", "it", "for"])
     de = "', '".join(["der", "die", "das", "und", "ist", "nicht", "ein", "mit"])

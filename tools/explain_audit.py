@@ -151,6 +151,63 @@ def main() -> None:
           f"background: {n_stats_scans} stats scan(s)")
     failures += not ok
 
+    # 8. completion suggester: every prefix branch's startswith filter
+    # reaches the dictionary scan (StringStartsWith pushdown) — a 10^9
+    # vocabulary must prune to the prefix's row groups
+    from elasticsearch_analysis_combo_spark.query.suggest import (
+        completion_suggest,
+    )
+
+    comp = completion_suggest(
+        spark, idx.term_df(), [(0, "sp"), (1, "qu")], k=5
+    )
+    p = plan_text(comp)
+    failures += not check(
+        "completion suggester startswith pushdown", p,
+        "StringStartsWith(term",
+    )
+
+    # 9. simple_query_string prefix clause: the expansion must stay a
+    # DISTRIBUTED join (the round-3 scale-killer was a driver-side
+    # collect re-shipped as isin literals); evidence = the query-text
+    # startswith predicate pushed into the stats scan AND a window cap
+    # over the expansion inside the plan
+    from elasticsearch_analysis_combo_spark.query.querystring import (
+        simple_query_string_topk,
+    )
+
+    qs = simple_query_string_topk(
+        spark, idx.term_stats(), idx.term_df(), None, [(0, "sp* +query")],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, k=10,
+    )
+    p = plan_text(qs)
+    failures += not check(
+        "query_string prefix pushdown (no driver expansion)", p,
+        "StringStartsWith(term",
+    )
+    # WindowGroupLimit = Spark 4 pushes the rank()<=N cap map-side, so
+    # each task keeps only max_expansions rows before any shuffle — the
+    # shape that makes a 1-char prefix over a 10^9 vocabulary safe
+    failures += not check(
+        "query_string expansion cap is an in-plan window", p,
+        "WindowGroupLimit",
+    )
+
+    # 10. cross_fields: per-field stats scans stay isin-pruned (blending
+    # statistics must not force full-vocabulary scans)
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        multi_match_cross_fields_topk,
+    )
+
+    cross = multi_match_cross_fields_topk(
+        spark, {"a": idx.term_stats(), "b": idx.term_stats()},
+        [(0, "spark query")], cfg,
+    )
+    p = plan_text(cross)
+    failures += not check(
+        "cross_fields pruned stats scans", p, "PushedFilters: [In(term"
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
