@@ -211,6 +211,27 @@ def main() -> None:
         ph_times.append(time.time() - t0)
     timings["phrase_partitioned"] = statistics.median(ph_times)
 
+    # --- simple_query_string (distributed capped expansions + phrase
+    # frequency scoring; prefix/fuzzy/phrase mix is the stress shape) ---
+    from elasticsearch_analysis_combo_spark.query.querystring import (
+        simple_query_string_topk,
+    )
+
+    qs_queries = (
+        [(0, "s* merge"), (1, '"token stream" +cache'), (2, "qery~2 score")]
+        if corpus_spec.startswith("synthetic")
+        else [(0, "s* join"), (1, '"value table" +spark'), (2, "qery~2 data")]
+    )
+    qs_times = []
+    for _ in range(3):
+        t0 = time.time()
+        simple_query_string_topk(
+            spark, stats, term_df, postings, qs_queries, CFG, n_idx, avgdl,
+            k=10, max_expansions=50,
+        ).collect()
+        qs_times.append(time.time() - t0)
+    timings["query_string"] = statistics.median(qs_times)
+
     # --- training-data ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()

@@ -231,12 +231,14 @@ class ComboSearchEngine:
         default_operator: str = "or",
         k: int = 10,
         partitioned: bool | None = None,
+        max_expansions: int = 50,
     ) -> DataFrame:
         """ES ``simple_query_string``: ``+must -not "exact phrase"
-        prefix*`` one-box syntax (see query/querystring.py for the
-        supported subset and semantics). Phrase clauses route to the
+        prefix* fuzzy~N`` one-box syntax (see query/querystring.py for
+        the supported subset and semantics). Phrase clauses route to the
         range-partitioned evaluator past ``PARTITIONED_THRESHOLD`` docs,
-        same as :meth:`phrase`."""
+        same as :meth:`phrase`; prefix/fuzzy clauses expand to at most
+        ``max_expansions`` terms, distributed (never collected)."""
         from elasticsearch_analysis_combo_spark.query.querystring import (
             simple_query_string_topk,
         )
@@ -250,6 +252,22 @@ class ComboSearchEngine:
             idx.meta.avgdl, default_operator=default_operator, k=k,
             k1=idx.meta.k1, b=idx.meta.b,
             partitioned_phrases=partitioned,
+            max_expansions=max_expansions,
+        )
+
+    def suggest_completion(
+        self, prefix: str, k: int = 5, min_doc_freq: int = 1
+    ) -> DataFrame:
+        """ES completion suggester: top-k vocabulary completions of the
+        prefix, ranked df desc (startswith pushed into the dictionary
+        scan)."""
+        from elasticsearch_analysis_combo_spark.query.suggest import (
+            completion_suggest,
+        )
+
+        return completion_suggest(
+            self.spark, self.idx.term_df(), [(0, prefix)], k=k,
+            min_doc_freq=min_doc_freq,
         )
 
     def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
@@ -414,6 +432,24 @@ class ComboSearchEngine:
         return search_facet_histogram(
             self.spark, self.idx.term_stats(), [(0, query)],
             self._query_config(), doc_meta, value_col, interval=interval,
+        )
+
+    def facet_range(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        value_col: str,
+        ranges: list[tuple[float | None, float | None]],
+    ) -> DataFrame:
+        """ES ``range`` aggregation ([from, to) buckets, open ends) over
+        the query's full match set."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            search_facet_range,
+        )
+
+        return search_facet_range(
+            self.spark, self.idx.term_stats(), [(0, query)],
+            self._query_config(), doc_meta, value_col, ranges=ranges,
         )
 
     def phrase(
@@ -750,6 +786,35 @@ class MultiFieldSearchEngine:
         # query analysis follows each field's OWN index config (a dict of
         # per-field analyzers must not all analyze with the first field's)
         cfgs = {f: e._query_config() for f, e in engines.items()}
+        if kind == "cross_fields":
+            from elasticsearch_analysis_combo_spark.query.multifield import (
+                multi_match_cross_fields_topk,
+            )
+            from elasticsearch_analysis_combo_spark.plans.index_build import (
+                _config_dict,
+            )
+
+            # cross_fields blends statistics across fields, which is only
+            # meaningful when the fields share one analyzer (ES groups
+            # fields per analyzer); mixed configs must fail loudly
+            distinct = {
+                tuple(sorted(_config_dict(c).items())) for c in cfgs.values()
+            }
+            if len(distinct) > 1:
+                raise ValueError(
+                    "cross_fields requires all fields to share one "
+                    "analyzer config; found differing configs"
+                )
+            stats = {f: e.idx.term_stats() for f, e in engines.items()}
+            meta = {
+                f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+                for f, e in engines.items()
+            }
+            return multi_match_cross_fields_topk(
+                self.spark, stats, queries, cfgs[use[0]],
+                boosts=boosts, tie_breaker=tie_breaker, k=k,
+                k1=self.k1, b=self.b, field_meta=meta,
+            )
         if kind == "best_fields" and tie_breaker == 0.0:
             postings = {f: e.idx.postings() for f, e in engines.items()}
             meta = {
