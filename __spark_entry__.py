@@ -35,6 +35,33 @@ FP_K, FP_W = 5, 4
 LSH_COS_PLANES, LSH_COS_BANDS, LSH_COS_SEED = 64, 4, 42
 EMB_DIM = 64  # driver testdata embeddings dim (all SFs)
 
+# round-4b fixtures
+PCT_LIST = [0.25, 0.5, 0.75, 0.95]
+FILTER_BUCKETS = {
+    "spark": "spark query",
+    "window": "window merge",
+    "customer": "customer table",
+    "fast": "fast value",
+}
+COMPOSITE_AFTER = ("error", 100)
+COMPOSITE_SIZE = 20
+BOOSTING_QUERIES = [
+    (0, "spark query", "batch"),
+    (1, "window merge", "the"),
+    (2, "customer", "zzz_no_such_term"),
+]
+NEG_BOOST = 0.5
+TERMS_SET_QUERIES = [
+    (0, "spark query window"),
+    (1, "customer table value"),
+    (2, "merge batch fast the"),
+]
+TERMS_SET_REQ = "pmod(n_chars, 3) + 1"
+RANDOM_SEED = 7
+# near-dup over near-random synthetic embeddings: 8-bit bands so buckets
+# collide, threshold 0.3 (no pair sits within 1e-9 of it at sf0.01/0.001)
+COSDUP_BANDS, COSDUP_TH = 8, 0.3
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2909,6 +2936,179 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# round-4b gates: aggregation breadth + compound queries + embedding near-dup
+
+
+def q_percentiles(spark, sf_dir):
+    """ES percentiles aggregation per event_type: exact interpolated
+    percentile (== ANSI percentile_cont / DuckDB quantile_cont)."""
+    from elasticsearch_analysis_combo_spark.query.facets import percentiles_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = percentiles_agg(ev, "value", PCT_LIST, group_col="event_type")
+    return out.select(
+        "event_type",
+        F.round("percent", 2).alias("percent"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: extendedprice weighted by quantity
+    per returnflag."""
+    from elasticsearch_analysis_combo_spark.query.facets import weighted_avg_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = weighted_avg_agg(
+        li, "l_extendedprice", "l_quantity", group_col="l_returnflag"
+    )
+    return out.select(
+        "l_returnflag", F.round("weighted_avg", 6).alias("weighted_avg")
+    )
+
+
+def q_filters_agg(spark, sf_dir):
+    """ES filters aggregation: named query buckets with doc counts,
+    empty buckets kept."""
+    from elasticsearch_analysis_combo_spark.query.facets import filters_agg
+
+    stats = _term_stats(spark, sf_dir)
+    out = filters_agg(spark, stats, FILTER_BUCKETS, _ws_config())
+    return out.select("name", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation: per-filter counts + pairwise
+    intersection buckets (key 'a&b'), empty intersections omitted."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        adjacency_matrix_agg,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    out = adjacency_matrix_agg(spark, stats, FILTER_BUCKETS, _ws_config())
+    return out.select("key", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation: top 3 docs per source by n_chars
+    (two-stage bucketed top-k)."""
+    from elasticsearch_analysis_combo_spark.query.facets import top_hits_agg
+
+    out = top_hits_agg(_docs(spark, sf_dir), "source", "n_chars", k=3)
+    return out.select(
+        "source",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_composite_after(spark, sf_dir):
+    """ES composite aggregation page: (event_type, user_id) buckets in
+    key order, resumed past the after-key cursor — compiled to
+    TakeOrderedAndProject (no global sort)."""
+    from elasticsearch_analysis_combo_spark.query.facets import composite_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = composite_agg(
+        ev, ["event_type", "user_id"], size=COMPOSITE_SIZE,
+        after=COMPOSITE_AFTER,
+    )
+    return out.select(
+        "event_type", "user_id",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats aggregation: pairwise population covariance +
+    Pearson correlation over lineitem numerics, one aggregate pass."""
+    from elasticsearch_analysis_combo_spark.query.facets import matrix_stats_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = matrix_stats_agg(li, MATRIX_COLS)
+    return out.select(
+        "col_a", "col_b",
+        F.col("count").cast("long").alias("count"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("covariance", 6).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"),
+    )
+
+
+def q_boosting_query(spark, sf_dir):
+    """ES boosting query: positive BM25 score, docs matching the
+    negative clause demoted by negative_boost (not excluded)."""
+    from elasticsearch_analysis_combo_spark.query.compound import boosting_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = boosting_topk(
+        spark, stats, term_df, BOOSTING_QUERIES, _ws_config(), n_docs,
+        avgdl, k=TOPK, k1=K1, b=B, negative_boost=NEG_BOOST,
+    )
+    return _rerank_rounded(out)
+
+
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query: per-doc required match count from a metadata
+    expression (minimum_should_match_field), clamped to
+    [1, n_query_terms]."""
+    from elasticsearch_analysis_combo_spark.query.compound import terms_set_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = terms_set_topk(
+        spark, stats, term_df, TERMS_SET_QUERIES, _ws_config(),
+        _docs(spark, sf_dir), TERMS_SET_REQ, n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def q_random_score(spark, sf_dir):
+    """ES function_score.random_score with a seed: engine-portable
+    md5-hash score in [0,1) over the match set — reproducible sampling
+    order in ANY engine."""
+    from elasticsearch_analysis_combo_spark.query.compound import (
+        random_score_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    out = random_score_topk(
+        spark, stats, BM25_QUERIES, _ws_config(), seed=RANDOM_SEED, k=TOPK
+    )
+    return _rerank_rounded(out)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicates: LSH band collisions verified
+    with the exact cosine >= threshold (the embedding analogue of
+    minhash near_duplicates). Threshold applied on the 6-rounded cosine
+    in both engines; the library is called a hair below so the rounded
+    filter is the deciding cut."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_duplicates(
+        emb, threshold=COSDUP_TH - 1e-9, n_planes=LSH_COS_PLANES,
+        bands=COSDUP_BANDS, seed=LSH_COS_SEED,
+    )
+    return (
+        out.filter(F.round("cosine", 6) >= COSDUP_TH)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -2919,6 +3119,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "percentiles": q_percentiles,
+        "weighted_avg": q_weighted_avg,
+        "filters_agg": q_filters_agg,
+        "adjacency_matrix": q_adjacency_matrix,
+        "top_hits": q_top_hits,
+        "composite_after": q_composite_after,
+        "matrix_stats": q_matrix_stats,
+        "boosting_query": q_boosting_query,
+        "terms_set": q_terms_set,
+        "random_score": q_random_score,
+        "cosine_near_dup": q_cosine_near_dup,
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "percolate": q_percolate,
@@ -3352,8 +3563,245 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _percentiles_oracle_sql() -> str:
+    parts = [
+        f"SELECT event_type, {p}::DOUBLE AS percent, "
+        f"round(quantile_cont(value, {p}), 6) AS value "
+        f"FROM events GROUP BY 1"
+        for p in PCT_LIST
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _filters_members_cte() -> str:
+    """Shared (name, doc_id) membership CTE for filters / adjacency."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    rows = []
+    for name in sorted(FILTER_BUCKETS):
+        for _, term in analyze_queries([(0, FILTER_BUCKETS[name])], _ws_config()):
+            rows.append(f"('{name}', '{term}')")
+    values = ", ".join(rows)
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+fq(name, term) AS (VALUES {values}),
+members AS (SELECT DISTINCT fq.name, toks.doc_id FROM fq JOIN toks USING (term))"""
+
+
+def _filters_oracle_sql() -> str:
+    names = ", ".join(f"('{n}')" for n in sorted(FILTER_BUCKETS))
+    return f"""
+WITH {_filters_members_cte()},
+counted AS (SELECT name, count(*) AS doc_count FROM members GROUP BY 1)
+SELECT n.name, coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM (VALUES {names}) AS n(name) LEFT JOIN counted c USING (name)
+"""
+
+
+def _adjacency_oracle_sql() -> str:
+    return f"""
+WITH {_filters_members_cte()},
+singles AS (SELECT name AS key, count(*)::BIGINT AS doc_count
+            FROM members GROUP BY 1),
+pairs AS (
+  SELECT concat(a.name, '&', b.name) AS key, count(*)::BIGINT AS doc_count
+  FROM members a JOIN members b
+    ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY 1
+)
+SELECT key, doc_count FROM singles
+UNION ALL
+SELECT key, doc_count FROM pairs
+"""
+
+
+def _boosting_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    pos = _terms_values_sql(
+        analyze_queries([(q[0], q[1]) for q in BOOSTING_QUERIES], _ws_config())
+    )
+    neg = _terms_values_sql(
+        analyze_queries([(q[0], q[2]) for q in BOOSTING_QUERIES], _ws_config())
+    )
+    return f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(pos)},
+negq(query_id, term) AS (VALUES {neg}),
+neg AS (SELECT DISTINCT negq.query_id, tf.doc_id FROM negq JOIN tf USING (term)),
+adj AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * {NEG_BOOST}
+              ELSE s.score END AS score
+  FROM scored s LEFT JOIN neg n
+    ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM adj
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _terms_set_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qrows = analyze_queries(TERMS_SET_QUERIES, _ws_config())
+    values = _terms_values_sql(qrows)
+    n_terms: dict[int, int] = {qid: 0 for qid, _ in TERMS_SET_QUERIES}
+    for qid, _ in qrows:
+        n_terms[qid] += 1
+    qn = ", ".join(f"({qid}, {n})" for qid, n in sorted(n_terms.items()))
+    return f"""
+WITH {_BM25_CTE},
+q(query_id, term) AS (VALUES {values}),
+qn(query_id, n_terms) AS (VALUES {qn}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score,
+         count(*) AS n_matched
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+req AS (SELECT doc_id, ((n_chars % 3) + 1) AS r FROM documents),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN req USING (doc_id) JOIN qn USING (query_id)
+  WHERE s.n_matched >= least(greatest(req.r, 1), qn.n_terms)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM kept
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _random_score_oracle_sql() -> str:
+    return f"""
+WITH {_facet_match_cte()},
+scored AS (
+  SELECT query_id, doc_id,
+         ('0x' || substr(md5('{RANDOM_SEED}#' || doc_id::VARCHAR), 1, 15))::BIGINT
+           / {float(1 << 60)} AS score
+  FROM matches
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _cosine_near_dup_oracle_sql() -> str:
+    """Replays cosine_near_duplicates: literal plane matrix -> 8-bit band
+    buckets -> band self-join -> exact cosine verify on the 6-rounded
+    value (the same deciding cut the gate applies)."""
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_COS_SEED)
+    planes = rng.standard_normal((LSH_COS_PLANES, EMB_DIM))
+    width = LSH_COS_PLANES // COSDUP_BANDS
+    band_cols = []
+    for bi in range(COSDUP_BANDS):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in planes[bi * width + r])
+            + f"]::DOUBLE[]) > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        band_cols.append(f"({bits})::BIGINT AS k{bi}")
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {bi} AS band, k{bi} AS bucket FROM sigs"
+        for bi in range(COSDUP_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {', '.join(band_cols)} FROM embeddings
+),
+buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {COSDUP_TH}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    sqls["percentiles"] = _percentiles_oracle_sql()
+    sqls["weighted_avg"] = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_avg
+FROM lineitem GROUP BY 1
+"""
+    sqls["filters_agg"] = _filters_oracle_sql()
+    sqls["adjacency_matrix"] = _adjacency_oracle_sql()
+    sqls["top_hits"] = """
+SELECT source, hit_rank, doc_id, n_chars FROM (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS hit_rank,
+         doc_id, n_chars
+  FROM documents
+) WHERE hit_rank <= 3
+"""
+    sqls["composite_after"] = f"""
+SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+FROM events
+GROUP BY 1, 2
+HAVING (event_type > '{COMPOSITE_AFTER[0]}')
+    OR (event_type = '{COMPOSITE_AFTER[0]}' AND user_id > {COMPOSITE_AFTER[1]})
+ORDER BY event_type, user_id
+LIMIT {COMPOSITE_SIZE}
+"""
+    _ms_parts = []
+    for _i, _ca in enumerate(MATRIX_COLS):
+        for _cb in MATRIX_COLS[_i:]:
+            _ms_parts.append(
+                f"SELECT '{_ca}' AS col_a, '{_cb}' AS col_b, "
+                f"count({MATRIX_COLS[0]})::BIGINT AS count, "
+                f"round(avg({_ca}), 6) AS mean_a, "
+                f"round(avg({_cb}), 6) AS mean_b, "
+                f"round(covar_pop({_ca}, {_cb}), 6) AS covariance, "
+                f"round(corr({_ca}, {_cb}), 6) AS correlation "
+                f"FROM lineitem"
+            )
+    sqls["matrix_stats"] = "\nUNION ALL\n".join(_ms_parts)
+    sqls["boosting_query"] = _boosting_oracle_sql()
+    sqls["terms_set"] = _terms_set_oracle_sql()
+    sqls["random_score"] = _random_score_oracle_sql()
+    sqls["cosine_near_dup"] = _cosine_near_dup_oracle_sql()
 
     sqls["tokenize_explode"] = """
 SELECT doc_id,

@@ -452,6 +452,99 @@ class ComboSearchEngine:
             self._query_config(), doc_meta, value_col, ranges=ranges,
         )
 
+    def facet_filters(self, named_filters: dict[str, str]) -> DataFrame:
+        """ES ``filters`` aggregation: named query buckets with doc
+        counts (empty buckets kept)."""
+        from elasticsearch_analysis_combo_spark.query.facets import filters_agg
+
+        return filters_agg(
+            self.spark, self.idx.term_stats(), named_filters,
+            self._query_config(),
+        )
+
+    def adjacency_matrix(self, named_filters: dict[str, str]) -> DataFrame:
+        """ES ``adjacency_matrix``: per-filter + pairwise-intersection
+        doc counts (key ``a&b``)."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            adjacency_matrix_agg,
+        )
+
+        return adjacency_matrix_agg(
+            self.spark, self.idx.term_stats(), named_filters,
+            self._query_config(),
+        )
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``boosting`` query: positive BM25 score; docs matching the
+        negative clause demoted by ``negative_boost`` (not excluded)."""
+        from elasticsearch_analysis_combo_spark.query.compound import (
+            boosting_topk,
+        )
+
+        idx = self.idx
+        return boosting_topk(
+            self.spark, idx.term_stats(), idx.term_df(),
+            [(0, positive, negative)], self._query_config(),
+            idx.meta.n_docs, idx.meta.avgdl, k=k,
+            k1=idx.meta.k1, b=idx.meta.b, negative_boost=negative_boost,
+        )
+
+    def search_constant_score(
+        self, query: str, boost: float = 1.0, k: int = 10
+    ) -> DataFrame:
+        """ES ``constant_score``: filter context — matching docs score
+        exactly ``boost``."""
+        from elasticsearch_analysis_combo_spark.query.compound import (
+            constant_score_topk,
+        )
+
+        return constant_score_topk(
+            self.spark, self.idx.term_stats(), [(0, query)],
+            self._query_config(), k=k, boost=boost,
+        )
+
+    def search_terms_set(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        required_expr: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``terms_set``: per-doc required match count from a metadata
+        expression (``minimum_should_match_field``), clamped to
+        [1, n_query_terms]."""
+        from elasticsearch_analysis_combo_spark.query.compound import (
+            terms_set_topk,
+        )
+
+        idx = self.idx
+        return terms_set_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), doc_meta, required_expr,
+            idx.meta.n_docs, idx.meta.avgdl, k=k,
+            k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def search_random_score(
+        self, query: str, seed: int, k: int = 10
+    ) -> DataFrame:
+        """ES ``function_score.random_score`` with a seed: reproducible
+        engine-portable pseudo-random ordering of the match set."""
+        from elasticsearch_analysis_combo_spark.query.compound import (
+            random_score_topk,
+        )
+
+        return random_score_topk(
+            self.spark, self.idx.term_stats(), [(0, query)],
+            self._query_config(), seed=seed, k=k,
+        )
+
     def phrase(
         self,
         query: str | list[tuple[int, str]],

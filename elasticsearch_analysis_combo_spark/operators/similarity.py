@@ -356,6 +356,51 @@ def ivf_cosine_topk(
     return _topk_window(_exact_rerank(cand_emb, qids, qnorm), k)
 
 
+def cosine_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH band collisions
+    (lsh_cosine_candidates) verified with the EXACT cosine, keeping
+    pairs >= ``threshold`` — the embedding-space analogue of
+    ``dedup.near_duplicates`` (MinHash->Jaccard). The exact check is
+    candidate-restricted (never all-pairs) and stays JVM-side via
+    cosine_expr, so the verify step is whole-stage codegen over the
+    collision set only. Recall follows the band/width geometry of
+    lsh_cosine_candidates: defaults (64 planes / 4 bands / 16-bit
+    buckets) collide vectors within ~25 degrees with high probability —
+    comfortably above any dedup-grade threshold."""
+    cand = lsh_cosine_candidates(
+        emb, n_planes=n_planes, bands=bands, seed=seed,
+        id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
+    )
+    ea = emb.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    )
+    eb = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def lsh_cosine_candidates(
     emb: DataFrame,
     n_planes: int = 64,

@@ -321,6 +321,229 @@ def stats_agg(
     return rows.groupBy(*keys).agg(*aggs) if keys else rows.agg(*aggs)
 
 
+def percentiles_agg(
+    rows: DataFrame,
+    col: str,
+    percents: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation. Spark's exact ``percentile``
+    (linear interpolation between closest ranks — the same definition as
+    ANSI ``percentile_cont``) rather than the t-digest ES uses, so the
+    result is deterministic and oracle-comparable; at 100 TB swap in
+    ``approx_percentile`` (mergeable sketch) with the same call shape.
+    One aggregate computes the whole percent list; the array is exploded
+    to (group, percent, value) rows."""
+    pcts = [float(p) for p in percents]
+    agg = F.percentile(F.col(col), F.array(*[F.lit(p) for p in pcts]))
+    keys = [F.col(group_col)] if group_col else []
+    out = rows.groupBy(*keys).agg(agg.alias("_vals")) if keys else rows.agg(
+        agg.alias("_vals")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("percent"),
+        F.col("_vals").alias("value"),
+    )
+    return out.select(
+        *([group_col] if group_col else []),
+        F.explode(pairs).alias("_p"),
+    ).select(
+        *([group_col] if group_col else []),
+        F.col("_p.percent").alias("percent"),
+        F.col("_p.value").alias("value"),
+    )
+
+
+def weighted_avg_agg(
+    rows: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: sum(value*weight)/sum(weight),
+    optionally per keyword group — a single partial-aggregated groupBy."""
+    num = F.sum(F.col(value_col) * F.col(weight_col))
+    den = F.sum(F.col(weight_col))
+    keys = [F.col(group_col)] if group_col else []
+    agg = (num / den).alias("weighted_avg")
+    return rows.groupBy(*keys).agg(agg) if keys else rows.agg(agg)
+
+
+def _filter_memberships(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    named_filters: dict[str, str],
+    config: ComboConfig,
+) -> DataFrame:
+    """Distinct (name, doc_id) for docs matching >=1 analyzed term of each
+    named filter query — the shared membership table behind ``filters``
+    and ``adjacency_matrix``. Same literal-isin pushdown + broadcast-dim
+    shape as _match_set."""
+    names = sorted(named_filters)
+    idx = {i: n for i, n in enumerate(names)}
+    qrows = analyze_queries(
+        [(i, named_filters[n]) for i, n in idx.items()], config
+    )
+    qterms = spark.createDataFrame(qrows, "fid int, term string")
+    name_dim = spark.createDataFrame(
+        [(i, n) for i, n in idx.items()], "fid int, name string"
+    )
+    return (
+        term_stats.filter(F.col("term").isin(sorted({t for _, t in qrows})))
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(name_dim), "fid")
+        .select("name", "doc_id")
+        .distinct()
+    )
+
+
+def filters_agg(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    named_filters: dict[str, str],
+    config: ComboConfig,
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per filter query,
+    counting docs that match it (a doc may land in several buckets).
+    Empty buckets are emitted with 0 (ES keeps the declared bucket
+    list stable)."""
+    members = _filter_memberships(spark, term_stats, named_filters, config)
+    counted = members.groupBy("name").agg(F.count("*").alias("doc_count"))
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(named_filters)], "name string"
+    )
+    # broadcast the counted side (left side of a left join can't build)
+    return names.join(F.broadcast(counted), "name", "left").select(
+        "name", F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")
+    )
+
+
+def adjacency_matrix_agg(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    named_filters: dict[str, str],
+    config: ComboConfig,
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for every named
+    filter AND every pairwise intersection (key ``a&b``, names in sorted
+    order, as ES emits them). Empty intersections are omitted (ES
+    behavior). The pair join shuffles the membership table on doc_id
+    once; membership is distinct (name, doc) so output is bounded by
+    n_filters² buckets."""
+    members = _filter_memberships(
+        spark, term_stats, named_filters, config
+    ).cache()
+    singles = members.groupBy(F.col("name").alias("key")).agg(
+        F.count("*").alias("doc_count")
+    )
+    a = members.alias("a")
+    b = members.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .groupBy(
+            F.concat(F.col("a.name"), F.lit("&"), F.col("b.name")).alias("key")
+        )
+        .agg(F.count("*").alias("doc_count"))
+    )
+    return singles.unionByName(pairs)
+
+
+#: bucket fan-out for per-group top-k (same rationale as boolean._rank_topk)
+TOP_HITS_BUCKETS = 32
+
+
+def top_hits_agg(
+    doc_meta: DataFrame,
+    group_col: str,
+    sort_col: str,
+    k: int = 3,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation under a ``terms`` bucket: the top
+    ``k`` docs per bucket ordered by ``sort_col`` (doc_id tiebreak).
+    Two-stage exact top-k — per-(group, doc-hash-bucket) first so no
+    single sort task sees a whole 100 TB group, then the global window
+    over <= TOP_HITS_BUCKETS*k survivors per group."""
+    direction = F.asc(sort_col) if ascending else F.desc(sort_col)
+    bucket = F.pmod(F.hash("doc_id"), F.lit(TOP_HITS_BUCKETS))
+    wb = Window.partitionBy(group_col, bucket).orderBy(
+        direction, F.asc("doc_id")
+    )
+    pruned = (
+        doc_meta.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= k)
+        .drop("_bn")
+    )
+    w = Window.partitionBy(group_col).orderBy(direction, F.asc("doc_id"))
+    return (
+        pruned.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= k)
+        .select(group_col, "hit_rank", "doc_id", sort_col)
+    )
+
+
+def composite_agg(
+    rows: DataFrame,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source buckets streamed in
+    source-key order with ``after``-key pagination — THE way to page an
+    unbounded bucket set (terms aggs truncate; composite walks them all).
+    GroupBy on the source tuple, lexicographic ``> after`` filter, then
+    sort+limit — Spark compiles that to TakeOrderedAndProject (per-
+    partition partial top-N, no global sort), so a page costs one
+    partial-agg shuffle regardless of total bucket count."""
+    grouped = rows.groupBy(*sources).agg(F.count("*").alias("doc_count"))
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError("after key arity must match sources")
+        pred = F.lit(False)
+        for i in range(len(sources)):
+            clause = F.col(sources[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = clause & (F.col(sources[j]) == F.lit(after[j]))
+            pred = pred | clause
+        grouped = grouped.filter(pred)
+    return grouped.orderBy(*[F.asc(c) for c in sources]).limit(size)
+
+
+def matrix_stats_agg(rows: DataFrame, cols: list[str]) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: per ordered field pair (i <= j),
+    row count, field means, population covariance and Pearson correlation
+    (the diagonal carries variance / correlation 1). All Spark built-in
+    aggregates in ONE partial-aggregated pass — the pair expansion is
+    column-wise, not a data fan-out."""
+    aggs = [F.count(F.col(cols[0])).alias("count")]
+    for c in cols:
+        aggs.append(F.avg(F.col(c)).alias(f"_mean_{c}"))
+    for i, ca in enumerate(cols):
+        for cb in cols[i:]:
+            aggs.append(F.covar_pop(ca, cb).alias(f"_cov_{ca}_{cb}"))
+            aggs.append(F.corr(ca, cb).alias(f"_cor_{ca}_{cb}"))
+    one = rows.agg(*aggs)
+    pair_rows = []
+    for i, ca in enumerate(cols):
+        for cb in cols[i:]:
+            pair_rows.append(
+                F.struct(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    F.col("count").alias("count"),
+                    F.col(f"_mean_{ca}").alias("mean_a"),
+                    F.col(f"_mean_{cb}").alias("mean_b"),
+                    F.col(f"_cov_{ca}_{cb}").alias("covariance"),
+                    F.col(f"_cor_{ca}_{cb}").alias("correlation"),
+                )
+            )
+    return one.select(F.explode(F.array(*pair_rows)).alias("_p")).select(
+        "_p.col_a", "_p.col_b", "_p.count",
+        "_p.mean_a", "_p.mean_b", "_p.covariance", "_p.correlation",
+    )
+
+
 def search_facet_histogram(
     spark: SparkSession,
     term_stats: DataFrame,
