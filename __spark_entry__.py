@@ -45,6 +45,8 @@ FILTER_BUCKETS = {
 }
 COMPOSITE_AFTER = ("error", 100)
 COMPOSITE_SIZE = 20
+PCTRANK_VALUES = [10.0, 25.0, 40.0]
+KNN_FILTER = "label < 5"
 BOOSTING_QUERIES = [
     (0, "spark query", "batch"),
     (1, "window merge", "the"),
@@ -3109,6 +3111,99 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (derivative / cumulative_sum / moving_fn
+    avg over a trailing 3-bucket window) chained onto a per-event_type
+    daily date_histogram — ordered window functions over the
+    ALREADY-REDUCED bucket rows (thousands, never raw events), exactly
+    ES's post-reduce chaining. First bucket's derivative is null in
+    both engines."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        date_histogram_agg,
+        pipeline_aggs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = date_histogram_agg(ev, "ts", interval="day", group_col="event_type")
+    out = pipeline_aggs(
+        buckets, "doc_count", "bucket", group_col="event_type", window=3
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("derivative").cast("long").alias("derivative"),
+        F.col("cumulative_sum").cast("long").alias("cumulative_sum"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def q_bucket_script(spark, sf_dir):
+    """ES bucket_script pipeline agg: per-bucket value from sibling
+    metric aggs (effective discount rate = ratio of sums per
+    returnflag) — one partial-aggregated groupBy, script math is a
+    per-bucket projection."""
+    from elasticsearch_analysis_combo_spark.query.facets import bucket_script_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = bucket_script_agg(
+        li,
+        "l_returnflag",
+        "sum(l_extendedprice * l_discount)",
+        "sum(l_extendedprice)",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("num", 4).alias("num"),
+        F.round("den", 4).alias("den"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks aggregation: fraction (0-100) of l_quantity
+    values <= each probe value per returnflag — all probes in ONE
+    partial-aggregated pass."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        percentile_ranks_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = percentile_ranks_agg(
+        li, "l_quantity", PCTRANK_VALUES, group_col="l_returnflag"
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("value", 2).alias("value"),
+        F.round("percentile_rank", 6).alias("percentile_rank"),
+    )
+
+
+def q_knn_filtered(spark, sf_dir):
+    """ES filtered kNN (knn + filter): exact cosine top-k restricted to
+    vectors passing a metadata predicate, PRE-filter semantics — the
+    filter cuts candidates before scoring (pushed into the parquet
+    scan), so every query returns k matching vectors."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = filtered_cosine_topk(emb, queries, KNN_FILTER, k=TOPK)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -3119,6 +3214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "pipeline_aggs": q_pipeline_aggs,
+        "bucket_script": q_bucket_script,
+        "percentile_ranks": q_percentile_ranks,
+        "knn_filtered": q_knn_filtered,
         "percentiles": q_percentiles,
         "weighted_avg": q_weighted_avg,
         "filters_agg": q_filters_agg,
@@ -3165,13 +3264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
+        # --- training-data pipeline: dedup / ANN / text / streaming ---
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        # ------------- past the driver's 50-entry window -------------
+        # (still checked by tools/check_entry.py + pytest every round;
+        #  stable since r2/r3 with green driver rows in those rounds)
         "highlight_offsets": q_highlight_offsets,
         "termvectors": q_termvectors,
         "synonym_analyze": q_synonym_analyze,
         "html_strip_analyze": q_html_strip_analyze,
-        # --- training-data pipeline: dedup / ANN / text / streaming ---
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_duplicates": q_near_duplicates,
         "near_dup_components": q_near_dup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -3183,7 +3285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "streaming_dedup_state": q_streaming_dedup_state,
         "multimodal_frames": q_multimodal_frames,
-        # ---------------- past the driver's 50-entry window ----------------
         "term_df": q_term_df,
         "doc_stats": q_doc_stats,
         "phrase_slop": q_phrase_slop,
@@ -3759,6 +3860,61 @@ SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {COSDUP_TH}
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    sqls["pipeline_aggs"] = """
+WITH b AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, doc_count,
+       (doc_count - lag(doc_count) OVER w)::BIGINT AS derivative,
+       (sum(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS cumulative_sum,
+       round(avg(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+"""
+    sqls["bucket_script"] = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_discount), 4) AS num,
+       round(sum(l_extendedprice), 4) AS den,
+       round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+         AS value
+FROM lineitem GROUP BY 1
+"""
+    _pr_parts = []
+    for _v in PCTRANK_VALUES:
+        _pr_parts.append(
+            f"SELECT l_returnflag, round(({_v})::DOUBLE, 2) AS value, "
+            f"round(100.0 * sum(CASE WHEN l_quantity <= {_v} THEN 1 ELSE 0 END) "
+            f"/ count(l_quantity), 6) AS percentile_rank "
+            f"FROM lineitem GROUP BY 1"
+        )
+    sqls["percentile_ranks"] = "\nUNION ALL\n".join(_pr_parts)
+    _ann_ids_f = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sqls["knn_filtered"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN ({_ann_ids_f})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE {KNN_FILTER}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
+"""
     sqls["percentiles"] = _percentiles_oracle_sql()
     sqls["weighted_avg"] = """
 SELECT l_returnflag,

@@ -80,6 +80,29 @@ def brute_force_cosine_topk(
     return _topk_window(scored, k)
 
 
+def filtered_cosine_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    filter_expr: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES filtered kNN (``knn`` with ``filter``): exact cosine top-k
+    restricted to vectors satisfying a metadata predicate, with
+    PRE-filter semantics — the filter cuts the candidate set before
+    scoring, so the result always holds k matching vectors (post-filter
+    kNN can come up short). The predicate is applied before the Arrow
+    scoring pass, so Catalyst pushes it into the parquet scan
+    (row-group pruning on the metadata column) and the GEMM only sees
+    surviving rows. At IVF/LSH scale apply the same pre-filter to the
+    candidate set before the exact rerank."""
+    return brute_force_cosine_topk(
+        emb.filter(F.expr(filter_expr)), queries, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def cosine_expr(vec_a, vec_b):
     """JVM-side cosine via zip_with + aggregate (for SQL-oracle parity and
     whole-stage-codegen paths)."""

@@ -544,6 +544,94 @@ def matrix_stats_agg(rows: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def pipeline_aggs(
+    buckets: DataFrame,
+    metric_col: str,
+    order_col: str,
+    group_col: str | None = None,
+    window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over a bucketed parent (e.g. a
+    date_histogram): ``derivative`` (bucket-over-bucket delta),
+    ``cumulative_sum``, and ``moving_fn`` avg over a trailing window of
+    ``window`` buckets — each an ordered window function over the
+    ALREADY-AGGREGATED bucket rows, so the window partition holds bucket
+    counts (thousands), never raw events; this is exactly how ES chains
+    them post-reduce. The first bucket's derivative is null (ES emits no
+    derivative there)."""
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.asc(order_col))
+    mv = w.rowsBetween(-(window - 1), 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        *part,
+        order_col,
+        metric_col,
+        (F.col(metric_col) - F.lag(metric_col, 1).over(w)).alias("derivative"),
+        F.sum(metric_col).over(cum).alias("cumulative_sum"),
+        F.avg(metric_col).over(mv).alias("moving_avg"),
+    )
+
+
+def bucket_script_agg(
+    rows: DataFrame,
+    group_col: str,
+    numerator_expr: str,
+    denominator_expr: str,
+    script: str = "num / den",
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation: a per-bucket value
+    computed from sibling metric aggregations (the canonical
+    ratio-of-sums). ``numerator_expr``/``denominator_expr`` are SQL
+    aggregate expressions evaluated per bucket; ``script`` combines the
+    resulting ``num``/``den`` columns. One partial-aggregated groupBy —
+    the script math is a per-bucket projection."""
+    return (
+        rows.groupBy(group_col)
+        .agg(
+            F.expr(numerator_expr).alias("num"),
+            F.expr(denominator_expr).alias("den"),
+        )
+        .withColumn("value", F.expr(script))
+        .select(group_col, "num", "den", "value")
+    )
+
+
+def percentile_ranks_agg(
+    rows: DataFrame,
+    col: str,
+    values: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation: for each probe value, the
+    fraction (0-100) of column values <= it — the inverse of
+    percentiles. One aggregate pass computes all probes (a
+    count-when per probe), partial-aggregated."""
+    keys = [F.col(group_col)] if group_col else []
+    aggs = [
+        (F.sum(F.when(F.col(col) <= F.lit(float(v)), 1).otherwise(0))
+         * 100.0 / F.count(F.col(col))).alias(f"_r{i}")
+        for i, v in enumerate(values)
+    ]
+    out = rows.groupBy(*keys).agg(*aggs) if keys else rows.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.col(f"_r{i}").alias("percentile_rank"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return out.select(
+        *([group_col] if group_col else []), F.explode(pairs).alias("_p")
+    ).select(
+        *([group_col] if group_col else []),
+        F.col("_p.value").alias("value"),
+        F.col("_p.percentile_rank").alias("percentile_rank"),
+    )
+
+
 def search_facet_histogram(
     spark: SparkSession,
     term_stats: DataFrame,
