@@ -47,6 +47,11 @@ COMPOSITE_AFTER = ("error", 100)
 COMPOSITE_SIZE = 20
 PCTRANK_VALUES = [10.0, 25.0, 40.0]
 KNN_FILTER = "label < 5"
+SPAN_OR_QS = [(0, "value customer"), (1, "merge batch")]
+SPAN_FIRST_QS = [(0, "the value")]
+SPAN_FIRST_END = 4
+SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
+SPAN_NOT_POST = 1
 BOOSTING_QUERIES = [
     (0, "spark query", "batch"),
     (1, "window merge", "the"),
@@ -2515,6 +2520,51 @@ toks AS (
 )"""
 
 
+def _analyzed_terms(text: str) -> list[str]:
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    seen, terms = set(), []
+    for t in analyze_text(text, _ws_config()):
+        if t.term not in seen:
+            seen.add(t.term)
+            terms.append(t.term)
+    return terms
+
+
+def _span_or_oracle_sql() -> str:
+    parts = []
+    for qid, text in SPAN_OR_QS:
+        in_list = ", ".join(f"'{t}'" for t in _analyzed_terms(text))
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(DISTINCT p)::BIGINT AS n_matches
+FROM toks WHERE t IN ({in_list}) GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _span_first_oracle_sql() -> str:
+    parts = []
+    for qid, text in SPAN_FIRST_QS:
+        in_list = ", ".join(f"'{t}'" for t in _analyzed_terms(text))
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(DISTINCT p)::BIGINT AS n_matches
+FROM toks WHERE t IN ({in_list}) AND p <= {SPAN_FIRST_END} GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _span_not_oracle_sql() -> str:
+    parts = []
+    for qid, inc, exc in SPAN_NOT_QS:
+        inc_list = ", ".join(f"'{t}'" for t in _analyzed_terms(inc))
+        exc_list = ", ".join(f"'{t}'" for t in _analyzed_terms(exc))
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, count(DISTINCT p)::BIGINT AS n_matches
+FROM toks a WHERE a.t IN ({inc_list}) AND NOT EXISTS (
+  SELECT 1 FROM toks b WHERE b.doc_id = a.doc_id AND b.t IN ({exc_list})
+  AND b.p BETWEEN a.p - 0 AND a.p + {SPAN_NOT_POST})
+GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
 def _span_ordered_oracle_sql() -> str:
     """Distinct clause-1 anchors with ANY strictly-increasing chain whose
     end stays within slop + n - 1 of the anchor (chain existence ==
@@ -3111,6 +3161,55 @@ def q_cosine_near_dup(spark, sf_dir):
     )
 
 
+def q_span_or(spark, sf_dir):
+    """Lucene span_or over single-term clauses: docs holding ANY clause
+    term, n_matches = distinct positions holding any clause term."""
+    from elasticsearch_analysis_combo_spark.query.spans import span_or_match
+
+    out = span_or_match(
+        spark, _phrase_postings(spark, sf_dir), SPAN_OR_QS, _ws_config()
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def q_span_first(spark, sf_dir):
+    """Lucene span_first: clause spans ending within the first
+    SPAN_FIRST_END positions (1-based stored positions: token at p has
+    span end p)."""
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_first_match,
+    )
+
+    out = span_first_match(
+        spark, _phrase_postings(spark, sf_dir), SPAN_FIRST_QS,
+        _ws_config(), end=SPAN_FIRST_END,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def q_span_not(spark, sf_dir):
+    """Lucene span_not: include spans with no exclude span within
+    [-0, +SPAN_NOT_POST] positions ('value' not immediately followed by
+    'table'); runs the RANGE-PARTITIONED evaluator so the scale path is
+    the oracled path."""
+    from elasticsearch_analysis_combo_spark.query.spans import span_not_match
+
+    out = span_not_match(
+        spark, _phrase_postings(spark, sf_dir), SPAN_NOT_QS, _ws_config(),
+        pre=0, post=SPAN_NOT_POST, range_bits=3,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
 def q_pipeline_aggs(spark, sf_dir):
     """ES pipeline aggregations (derivative / cumulative_sum / moving_fn
     avg over a trailing 3-bucket window) chained onto a per-event_type
@@ -3214,6 +3313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "span_or": q_span_or,
+        "span_first": q_span_first,
+        "span_not": q_span_not,
         "pipeline_aggs": q_pipeline_aggs,
         "bucket_script": q_bucket_script,
         "percentile_ranks": q_percentile_ranks,
@@ -3261,15 +3363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": q_function_score,
         # --- aggs / rendering ---
         "facet_terms": q_facet_terms,
-        "significant_terms": q_significant_terms,
-        "search_collapse": q_search_collapse,
-        "facet_histogram": q_facet_histogram,
         # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         # ------------- past the driver's 50-entry window -------------
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
+        "significant_terms": q_significant_terms,
+        "search_collapse": q_search_collapse,
+        "facet_histogram": q_facet_histogram,
         "highlight_offsets": q_highlight_offsets,
         "termvectors": q_termvectors,
         "synonym_analyze": q_synonym_analyze,
@@ -3860,6 +3962,9 @@ SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {COSDUP_TH}
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    sqls["span_or"] = _span_or_oracle_sql()
+    sqls["span_first"] = _span_first_oracle_sql()
+    sqls["span_not"] = _span_not_oracle_sql()
     sqls["pipeline_aggs"] = """
 WITH b AS (
   SELECT event_type,

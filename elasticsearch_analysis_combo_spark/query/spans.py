@@ -41,6 +41,7 @@ from elasticsearch_analysis_combo_spark.analysis.combo import (
 from elasticsearch_analysis_combo_spark.query.phrase import (
     PHRASE_SCHEMA,
     _BAND,
+    _POS_BIAS,
     _decode_rows,
     _slot_keys,
     range_partitioned_positional_eval,
@@ -118,6 +119,117 @@ def _match_span(
     return common[hit], counts[hit]
 
 
+def _union_docs(decoded, terms):
+    """Sorted union of the doc arrays of the terms present in the gather."""
+    ds = [
+        decoded[t][0]
+        for t in terms
+        if t in decoded and decoded[t][0].size
+    ]
+    if not ds:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(ds))
+
+
+def _keys_in_space(decoded, term, space):
+    """Banded position keys for ALL of ``term``'s postings, mapped into
+    the doc-index space ``space`` (a sorted superset-or-overlap doc
+    array): docs outside ``space`` are dropped, the rest band at their
+    ``space`` index so keys from different terms are directly
+    comparable/mergeable."""
+    if term not in decoded:
+        return np.zeros(0, dtype=np.int64)
+    docs, offs, pos_flat, _ = decoded[term]
+    if docs.size == 0 or space.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    sub = docs[np.isin(docs, space, assume_unique=True)]
+    if sub.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    keys = _slot_keys(docs, offs, pos_flat, sub, slot=0)
+    cmap = np.searchsorted(space, sub).astype(np.int64)
+    return cmap[keys // _BAND] * _BAND + keys % _BAND
+
+
+def _docs_counts(space, keys):
+    """(doc_ids, n_matches) from surviving banded keys."""
+    empty = (np.zeros(0, dtype=np.int64),) * 2
+    if keys.size == 0:
+        return empty
+    counts = np.bincount(
+        (keys // _BAND).astype(np.int64), minlength=space.size
+    )
+    hit = counts > 0
+    return space[hit], counts[hit]
+
+
+def _match_span_or(decoded, terms):
+    """Lucene SpanOrQuery over single-term clauses: the span set is the
+    union of every clause's positions; ``n_matches`` counts matching
+    spans (distinct positions holding any clause term)."""
+    space = _union_docs(decoded, terms)
+    if space.size == 0:
+        return _docs_counts(space, np.zeros(0, dtype=np.int64))
+    keys = [_keys_in_space(decoded, t, space) for t in terms]
+    keys = [k for k in keys if k.size]
+    allk = (
+        np.unique(np.concatenate(keys))
+        if keys
+        else np.zeros(0, dtype=np.int64)
+    )
+    return _docs_counts(space, allk)
+
+
+def _match_span_first(decoded, terms, end):
+    """Lucene SpanFirstQuery over a span_or of single-term clauses:
+    keep spans whose END position <= ``end``. This engine's positions
+    are 1-based (posInc accumulation from 0), so a token at stored
+    position p occupies 0-based [p-1, p) — its Lucene span end IS p,
+    and the boundary check is ``p <= end`` (end=1 admits exactly the
+    first token, matching ES)."""
+    space = _union_docs(decoded, terms)
+    if space.size == 0:
+        return _docs_counts(space, np.zeros(0, dtype=np.int64))
+    keys = [_keys_in_space(decoded, t, space) for t in terms]
+    keys = [k for k in keys if k.size]
+    allk = (
+        np.unique(np.concatenate(keys))
+        if keys
+        else np.zeros(0, dtype=np.int64)
+    )
+    pos = allk % _BAND - _POS_BIAS
+    return _docs_counts(space, allk[pos <= end])
+
+
+def _match_span_not(decoded, inc_terms, exc_terms, pre=0, post=0):
+    """Lucene SpanNotQuery: include spans (span_or of ``inc_terms``)
+    that do NOT overlap any exclude span expanded by ``pre`` positions
+    before / ``post`` after — for single-position spans, an include
+    position p dies iff an exclude position lies in [p - pre, p + post].
+    Vectorized: two searchsorted probes against the merged exclude keys
+    (band arithmetic is safe: pre/post << 2^30 position bias, so probes
+    never cross a doc band)."""
+    space = _union_docs(decoded, inc_terms)
+    if space.size == 0:
+        return _docs_counts(space, np.zeros(0, dtype=np.int64))
+    inck = [_keys_in_space(decoded, t, space) for t in inc_terms]
+    inck = [k for k in inck if k.size]
+    allk = (
+        np.unique(np.concatenate(inck))
+        if inck
+        else np.zeros(0, dtype=np.int64)
+    )
+    if allk.size == 0:
+        return _docs_counts(space, allk)
+    exck = [_keys_in_space(decoded, t, space) for t in exc_terms]
+    exck = [k for k in exck if k.size]
+    if exck:
+        exc_all = np.unique(np.concatenate(exck))
+        lo = np.searchsorted(exc_all, allk - pre, side="left")
+        hi = np.searchsorted(exc_all, allk + post, side="right")
+        allk = allk[lo >= hi]
+    return _docs_counts(space, allk)
+
+
 def analyze_span_terms(
     queries: list[tuple[int, str]], config: ComboConfig
 ) -> dict[int, list[str]]:
@@ -174,6 +286,124 @@ def span_near_match(
         )
 
     return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+
+
+def _span_eval(
+    spark: SparkSession,
+    postings: DataFrame,
+    qid_terms: dict[int, list[str]],
+    matcher,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """Shared evaluation harness for the span family: gather the
+    compressed posting rows of each query's terms (broadcast query dim,
+    positions ship pre-packed), then run ``matcher(qid, decoded)`` per
+    query — or per (query, doc-range) when ``range_bits`` is set (the
+    scale path; all span matchers are per-doc, so doc-range fan-out is
+    exact)."""
+    qid_terms = {q: ts for q, ts in qid_terms.items() if ts}
+    if not qid_terms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    pairs = sorted({(qid, t) for qid, ts in qid_terms.items() for t in ts})
+    if range_bits is not None:
+        return range_partitioned_positional_eval(
+            spark, postings, pairs,
+            lambda qid, decoded: matcher(qid, decoded),
+            range_bits=range_bits,
+        )
+    qterms = spark.createDataFrame(pairs, "query_id int, term string")
+    all_terms = sorted({t for ts in qid_terms.values() for t in ts})
+    plists = postings.filter(F.col("term").isin(all_terms))
+    joined = plists.join(F.broadcast(qterms), "term")
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rows_by_term: dict[str, dict[int, list]] = {}
+        for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
+            rows_by_term.setdefault(term, {})[int(ri)] = blocks
+        decoded = _decode_rows(rows_by_term)
+        docs, counts = matcher(qid, decoded)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+                "doc_id": pd.Series(docs, dtype="int64"),
+                "n_matches": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+
+
+def span_or_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_or`` over single-term clauses: docs holding ANY
+    clause term; ``n_matches`` = distinct positions holding any clause
+    term (the union span set)."""
+    terms_by_q = analyze_span_terms(queries, config)
+    return _span_eval(
+        spark, postings, terms_by_q,
+        lambda qid, decoded: _match_span_or(decoded, terms_by_q[qid]),
+        range_bits=range_bits,
+    )
+
+
+def span_first_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    end: int,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_first``: spans of the inner span_or whose end
+    position <= ``end`` — 'term near the start of the field' (stored
+    positions are 1-based, so a token at position p has span end p)."""
+    terms_by_q = analyze_span_terms(queries, config)
+    return _span_eval(
+        spark, postings, terms_by_q,
+        lambda qid, decoded: _match_span_first(
+            decoded, terms_by_q[qid], end
+        ),
+        range_bits=range_bits,
+    )
+
+
+def span_not_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str, str]],
+    config: ComboConfig,
+    pre: int = 0,
+    post: int = 0,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_not``: include spans (span_or of the include
+    text's terms) that do not fall within [-pre, +post] positions of any
+    exclude span. Queries are (qid, include_text, exclude_text); docs
+    where every include span is excluded drop out entirely."""
+    inc_by_q = analyze_span_terms(
+        [(qid, inc) for qid, inc, _ in queries], config
+    )
+    exc_by_q = analyze_span_terms(
+        [(qid, exc) for qid, _, exc in queries], config
+    )
+    all_by_q = {
+        qid: sorted(set(inc_by_q.get(qid, [])) | set(exc_by_q.get(qid, [])))
+        for qid, _, _ in queries
+        if inc_by_q.get(qid)
+    }
+    return _span_eval(
+        spark, postings, all_by_q,
+        lambda qid, decoded: _match_span_not(
+            decoded, inc_by_q[qid], exc_by_q.get(qid, []), pre=pre, post=post
+        ),
+        range_bits=range_bits,
+    )
 
 
 def span_near_match_partitioned(

@@ -114,3 +114,91 @@ def test_partitioned_equals_single_task(spark):
         part = _rows(span_near_match_partitioned(
             spark, post, qs, CFG, slop=2, in_order=in_order, range_bits=3))
         assert part == single and single
+
+
+# ---------------------------------------------------------------------------
+# span_or / span_first / span_not (round 4)
+
+
+def test_span_or_union_positions(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import span_or_match
+
+    got = _rows(span_or_match(spark, post, [(0, "alpha gamma")], CFG))
+    assert got == {
+        (0, 0): 2,  # alpha@0 + gamma@2
+        (0, 1): 1,
+        (0, 2): 1,
+        (0, 3): 2,  # alpha@0, alpha@3
+        (0, 4): 1,  # gamma@0
+        (0, 5): 1,
+    }
+
+
+def test_span_or_missing_term_still_unions(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import span_or_match
+
+    got = _rows(span_or_match(spark, post, [(0, "zzz gamma")], CFG))
+    assert got == {(0, 0): 1, (0, 4): 1}
+    assert _rows(span_or_match(spark, post, [(1, "zzz")], CFG)) == {}
+
+
+def test_span_first_end_boundary(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_first_match,
+    )
+
+    # positions are 1-based; span end of the token at position p is p,
+    # so end=2 admits beta within the first two tokens
+    got = _rows(span_first_match(spark, post, [(0, "beta")], CFG, end=2))
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 5): 1}
+    # end=1: only the very first token qualifies
+    got1 = _rows(span_first_match(spark, post, [(0, "beta")], CFG, end=1))
+    assert got1 == {(0, 1): 1, (0, 5): 1}
+
+
+def test_span_not_post_window(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import span_not_match
+
+    # alpha NOT immediately followed by beta (post=1)
+    got = _rows(
+        span_not_match(spark, post, [(0, "alpha", "beta")], CFG, pre=0, post=1)
+    )
+    assert got == {(0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 5): 1}
+    # pre=1: alpha NOT immediately preceded by beta — d1 drops out now
+    got2 = _rows(
+        span_not_match(spark, post, [(0, "alpha", "beta")], CFG, pre=1, post=0)
+    )
+    assert (0, 1) not in got2 and (0, 0) in got2
+
+
+def test_span_not_empty_exclude_is_span_or(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_not_match,
+        span_or_match,
+    )
+
+    a = _rows(span_not_match(spark, post, [(0, "alpha", "zzz")], CFG))
+    b = _rows(span_or_match(spark, post, [(0, "alpha")], CFG))
+    assert a == b
+
+
+def test_span_family_partitioned_equals_single(spark, post):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_first_match,
+        span_not_match,
+        span_or_match,
+    )
+
+    assert _rows(
+        span_or_match(spark, post, [(0, "alpha gamma")], CFG, range_bits=2)
+    ) == _rows(span_or_match(spark, post, [(0, "alpha gamma")], CFG))
+    assert _rows(
+        span_first_match(spark, post, [(0, "beta")], CFG, end=2, range_bits=2)
+    ) == _rows(span_first_match(spark, post, [(0, "beta")], CFG, end=2))
+    assert _rows(
+        span_not_match(
+            spark, post, [(0, "alpha", "beta")], CFG, post=1, range_bits=2
+        )
+    ) == _rows(
+        span_not_match(spark, post, [(0, "alpha", "beta")], CFG, post=1)
+    )
