@@ -52,6 +52,10 @@ SPAN_FIRST_QS = [(0, "the value")]
 SPAN_FIRST_END = 4
 SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
 SPAN_NOT_POST = 1
+SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.4, "src2": 0.2}
+SAMPLE_DEFAULT_FRACTION = 0.05
+SAMPLE_SEED = 11
+SAMPLE_N_PER_STRATUM = 5
 BOOSTING_QUERIES = [
     (0, "spark query", "batch"),
     (1, "window merge", "the"),
@@ -3210,6 +3214,36 @@ def q_span_not(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Training-pipeline corpus mixing: per-source Bernoulli rates via
+    the portable 60-bit md5 hash — a map-only filter, reproducible
+    across engines/cluster sizes (no RNG state)."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), "source", SAMPLE_FRACTIONS,
+        key_col="doc_id", seed=SAMPLE_SEED,
+        default_fraction=SAMPLE_DEFAULT_FRACTION,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_sample_exact(spark, sf_dir):
+    """Exactly n docs per source: hash-ranked without-replacement
+    sample (WindowGroupLimit keeps the shuffle at O(n) rows per task)."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    out = stratified_sample_exact(
+        _docs(spark, sf_dir), "source", SAMPLE_N_PER_STRATUM,
+        key_col="doc_id", seed=SAMPLE_SEED,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_pipeline_aggs(spark, sf_dir):
     """ES pipeline aggregations (derivative / cumulative_sum / moving_fn
     avg over a trailing 3-bucket window) chained onto a per-event_type
@@ -3313,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "stratified_sample": q_stratified_sample,
+        "sample_exact": q_sample_exact,
         "span_or": q_span_or,
         "span_first": q_span_first,
         "span_not": q_span_not,
@@ -3355,20 +3391,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
-        "phrase_ranked": q_phrase_ranked,
         "bm25_boolean": q_bm25_boolean,
         "bm25_bool_msm": q_bm25_bool_msm,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         "function_score": q_function_score,
-        # --- aggs / rendering ---
-        "facet_terms": q_facet_terms,
         # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         # ------------- past the driver's 50-entry window -------------
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
+        "phrase_ranked": q_phrase_ranked,
+        "facet_terms": q_facet_terms,
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
         "facet_histogram": q_facet_histogram,
@@ -3962,6 +3997,28 @@ SELECT vec_a, vec_b, cosine FROM verified WHERE cosine >= {COSDUP_TH}
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        oracle_hash_sql,
+    )
+
+    _h = oracle_hash_sql("doc_id", SAMPLE_SEED)
+    _cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(f * (1 << 60))}"
+        for s, f in sorted(SAMPLE_FRACTIONS.items())
+    )
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_h} < (CASE {_cases}
+              ELSE {int(SAMPLE_DEFAULT_FRACTION * (1 << 60))} END)
+"""
+    sqls["sample_exact"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_h}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_N_PER_STRATUM}
+"""
     sqls["span_or"] = _span_or_oracle_sql()
     sqls["span_first"] = _span_first_oracle_sql()
     sqls["span_not"] = _span_not_oracle_sql()

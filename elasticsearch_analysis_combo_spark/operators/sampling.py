@@ -1,0 +1,131 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+A 100 TB corpus is never shuffled to sample it: every operator here is a
+map-only predicate (or a per-stratum bounded top-k) over a seeded hash
+of the row key, so
+
+* the same (seed, key) always lands in the same split — samples are
+  REPRODUCIBLE across runs, engines, and cluster sizes (no RNG state,
+  no partition-order dependence, unlike ``DataFrame.sample``);
+* membership is decidable per-row — predicates stay inside whole-stage
+  codegen and push no shuffle;
+* splits by construction partition the data (train/val are exact
+  complements), which ``sample()`` twice cannot guarantee.
+
+The hash is the repo's portable 60-bit md5 prefix (see
+``operators/dedup.py`` portable mode): ``conv(substr(md5(k),1,15),16,10)``
+in Spark == ``('0x' || substr(md5(k),1,15))::BIGINT`` in DuckDB — a
+uniform integer in [0, 2^60), so ``hash < fraction * 2^60`` samples at
+``fraction`` exactly and portably (1e-18 quantization, far below any
+real sampling tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO60 = 1 << 60
+
+
+def _u60(key_col: str, seed: int):
+    """Uniform int64 in [0, 2^60) from (seed, key) — portable md5
+    prefix, JVM-side, whole-stage codegen."""
+    return F.expr(
+        f"conv(substr(md5(concat('{int(seed)}', ':', "
+        f"cast({key_col} as string))), 1, 15), 16, 10)"
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Bernoulli sample at ``fraction``, keyed on ``key_col`` — a pure
+    filter (no shuffle, no RNG state), reproducible and engine-portable.
+    The SAME rows are selected no matter the partitioning or cluster
+    size."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    return df.filter(_u60(key_col, seed) < int(fraction * _TWO60))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (the corpus-mixing knob of LLM data
+    pipelines: upsample rare sources, downsample boilerplate). Still one
+    map-only filter: the per-stratum threshold is a broadcast-free CASE
+    chain on ``strata_col``; strata absent from ``fractions`` get
+    ``default_fraction``."""
+    for s, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction must be in [0,1]: {s}={f_}")
+    thresh = F.lit(int(default_fraction * _TWO60))
+    for s, f_ in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(f_ * _TWO60))
+        ).otherwise(thresh)
+    return df.filter(_u60(key_col, seed) < thresh)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum: rank rows by the
+    portable hash inside each stratum and keep the first n — a uniform
+    without-replacement sample that is deterministic across engines.
+    One shuffle on ``strata_col``; the ``row_number() <= n`` filter
+    triggers Spark's rank-limit pushdown (WindowGroupLimit, Spark 3.5+)
+    so each map task keeps only its local top-n per stratum BEFORE the
+    exchange — the shuffle carries O(n * strata * tasks) rows, not the
+    corpus. For extreme strata, pre-thin with :func:`stratified_sample`
+    at ~(n / |stratum|) * safety first."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.asc("_h"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("_h", _u60(key_col, seed))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_h", "_rk")
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    val_fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, val) as EXACT complements of one hash predicate — every
+    row lands in exactly one side, stable under reruns and appends
+    (new rows don't reshuffle old assignments, the property that makes
+    hash splits the standard for dataset versioning)."""
+    if not 0.0 <= val_fraction <= 1.0:
+        raise ValueError(f"val_fraction must be in [0,1]: {val_fraction}")
+    cut = int(val_fraction * _TWO60)
+    h = _u60(key_col, seed)
+    return df.filter(h >= cut), df.filter(h < cut)
+
+
+def oracle_hash_sql(key_col: str, seed: int) -> str:
+    """The DuckDB replay of :func:`_u60` — exposed so gates/oracles
+    share one definition."""
+    return (
+        f"('0x' || substr(md5('{int(seed)}' || ':' || "
+        f"CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT"
+    )
