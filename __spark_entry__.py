@@ -854,6 +854,8 @@ FROM ranked WHERE frank > {TOPK} AND frank <= {2 * TOPK}
 
 
 FS_FACTOR, FS_GAUSS = (0.01, "log1p"), (400.0, 300.0, 0.5)
+RF_PIVOT, RF_BOOST = 100.0, 2.0
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 200.0, 50.0, 3.0
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
@@ -892,6 +894,44 @@ def q_function_score_gauss(spark, sf_dir):
         _docs(spark, sf_dir), "n_chars", function="gauss",
         origin=FS_GAUSS[0], scale=FS_GAUSS[1], decay=FS_GAUSS[2],
         k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + boost * S/(S+pivot) on
+    n_chars — the popularity-boost staple, one codegen projection over
+    the scored set."""
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        rank_feature_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = rank_feature_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        _docs(spark, sf_dir), "n_chars", function="saturation",
+        pivot=RF_PIVOT, boost=RF_BOOST, k=TOPK, k1=K1, b=B,
+    )
+    return _round_score(out)
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature: BM25 + boost * pivot/(pivot + |x - origin|)
+    on n_chars — nearness-to-origin boosting (recency when x is an
+    epoch)."""
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        distance_feature_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = distance_feature_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        _docs(spark, sf_dir), "n_chars", origin=DF_ORIGIN, pivot=DF_PIVOT,
+        boost=DF_BOOST, k=TOPK, k1=K1, b=B,
     )
     return _round_score(out)
 
@@ -959,6 +999,31 @@ def _function_score_oracle_sql(gauss: bool) -> str:
                 f" / (2.0 * {sigma2}))")
     else:
         comb = f"s.score * ln(1.0 + {FS_FACTOR[0]} * d.n_chars)"
+    return f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(values)},
+fsc AS (
+  SELECT s.query_id, s.doc_id, {comb} AS score
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fsc
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _feature_score_oracle_sql(comb: str) -> str:
+    """BM25 replay + a per-doc feature combine expression over
+    ``s.score``/``d.<field>``, ranked on the 6-rounded combined score."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    values = _terms_values_sql(analyze_queries(BM25_QUERIES, _ws_config()))
     return f"""
 WITH {_BM25_CTE},
 {_bm25_scored_cte(values)},
@@ -3347,6 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
         "stratified_sample": q_stratified_sample,
         "sample_exact": q_sample_exact,
         "span_or": q_span_or,
@@ -3391,11 +3458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_analyze": q_combo_analyze,
         "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
-        "bm25_boolean": q_bm25_boolean,
         "bm25_bool_msm": q_bm25_bool_msm,
         "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
-        "function_score": q_function_score,
         # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -3403,6 +3468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
         "phrase_ranked": q_phrase_ranked,
+        "bm25_boolean": q_bm25_boolean,
+        "function_score": q_function_score,
         "facet_terms": q_facet_terms,
         "significant_terms": q_significant_terms,
         "search_collapse": q_search_collapse,
@@ -4181,6 +4248,13 @@ GROUP BY 1
     sqls["percolate"] = _percolate_oracle_sql()
     sqls["function_score"] = _function_score_oracle_sql(gauss=False)
     sqls["function_score_gauss"] = _function_score_oracle_sql(gauss=True)
+    sqls["rank_feature"] = _feature_score_oracle_sql(
+        f"s.score + {RF_BOOST} * (d.n_chars / (d.n_chars + {RF_PIVOT}))"
+    )
+    sqls["distance_feature"] = _feature_score_oracle_sql(
+        f"s.score + {DF_BOOST} * ({DF_PIVOT} / "
+        f"({DF_PIVOT} + abs(d.n_chars - {DF_ORIGIN})))"
+    )
     sqls["rescore_phrase"] = _rescore_oracle_sql()
     sqls["html_strip_analyze"] = _html_strip_oracle_sql()
     sqls["span_near_ordered"] = _span_ordered_oracle_sql()

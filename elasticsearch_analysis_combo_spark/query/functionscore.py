@@ -108,6 +108,107 @@ def function_score_topk(
     )
 
 
+def rank_feature_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    doc_meta: DataFrame,
+    field: str,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``rank_feature`` query as a should clause over a ranked match
+    set: ``score = bm25 + boost * f(S)`` where ``S`` is a non-negative
+    per-doc feature (popularity, pagerank, url_length...) and ``f`` is
+
+    * ``saturation``: ``S / (S + pivot)`` (the default; bounded [0,1)),
+    * ``log``: ``ln(scaling_factor + S)``,
+    * ``sigmoid``: ``S^exp / (S^exp + pivot^exp)``.
+
+    Docs with no feature row (or null) gain 0 — the rank_feature clause
+    simply doesn't match, exactly ES's behavior for docs missing the
+    rank_feature field. One projection over the scored set + a doc_id
+    join to the feature table (feature tables are doc-partitioned at
+    scale, so the join co-locates; no corpus scan)."""
+    if pivot <= 0.0:
+        raise ValueError(f"pivot must be positive: {pivot}")
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(doc_meta.select("doc_id", field), "doc_id", "left")
+    s = F.col(field).cast("double")
+    if function == "saturation":
+        val = s / (s + F.lit(float(pivot)))
+    elif function == "log":
+        val = F.log(F.lit(float(scaling_factor)) + s)
+    elif function == "sigmoid":
+        if exponent <= 0.0:
+            raise ValueError(f"exponent must be positive: {exponent}")
+        sp = F.pow(s, F.lit(float(exponent)))
+        val = sp / (sp + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(
+            f"function must be saturation|log|sigmoid: {function}"
+        )
+    combined = F.col("score") + float(boost) * F.coalesce(val, F.lit(0.0))
+    return rank_topk_rounded(
+        scored.withColumn("score", combined).select(
+            "query_id", "doc_id", "score"
+        ),
+        k,
+    )
+
+
+def distance_feature_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    doc_meta: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``distance_feature``: boost docs near an origin in a numeric/
+    date dimension — ``score = bm25 + boost * pivot / (pivot + |x -
+    origin|)`` (the contribution halves at distance ``pivot``). Missing
+    field gains 0, as in ES. Dates lower to epoch numbers upstream (cast
+    the column before calling); the combine itself is one codegen
+    projection."""
+    if pivot <= 0.0:
+        raise ValueError(f"pivot must be positive: {pivot}")
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(doc_meta.select("doc_id", field), "doc_id", "left")
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    val = F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    combined = F.col("score") + float(boost) * F.coalesce(val, F.lit(0.0))
+    return rank_topk_rounded(
+        scored.withColumn("score", combined).select(
+            "query_id", "doc_id", "score"
+        ),
+        k,
+    )
+
+
 def rescore_phrase_topk(
     spark: SparkSession,
     postings: DataFrame,

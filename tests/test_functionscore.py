@@ -128,3 +128,109 @@ def test_rescore_boosts_phrase_docs(spark, fixture):
     assert out[0]["doc_id"] == 0
     scores = {r["doc_id"]: r["score"] for r in out}
     assert scores[0] > scores[3] + 5.0
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / distance_feature (round 4)
+
+
+def test_rank_feature_saturation_values(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        rank_feature_topk,
+    )
+
+    corpus, stats, term_df, n, avgdl = fixture
+    out = rank_feature_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        function="saturation", pivot=100.0, boost=2.0, k=4,
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, k=10
+        ).collect()
+    }
+    wts = {0: 10.0, 1: 100.0, 2: 1000.0, 3: 50.0}
+    got = {r["doc_id"]: r["score"] for r in out}
+    for d, s in got.items():
+        exp = base[d] + 2.0 * wts[d] / (wts[d] + 100.0)
+        assert abs(s - round(exp, 6)) < 1e-6
+
+
+def test_rank_feature_log_and_sigmoid_and_missing(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        rank_feature_topk,
+    )
+
+    corpus, stats, term_df, n, avgdl = fixture
+    # drop doc 2's feature row: it must keep its base score (gain 0)
+    meta = corpus.filter("doc_id <> 2")
+    out = rank_feature_topk(
+        spark, stats, term_df, [(0, "gamma")], CFG, n, avgdl, meta, "wt",
+        function="log", scaling_factor=1.0, boost=1.0, k=4,
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "gamma")], CFG, n, avgdl, k=10
+        ).collect()
+    }
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert abs(got[2] - round(base[2], 6)) < 1e-6  # missing => +0
+    # sigmoid with exponent 1 == saturation
+    s1 = rank_feature_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        function="sigmoid", pivot=100.0, exponent=1.0, boost=2.0, k=4,
+    ).collect()
+    s2 = rank_feature_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        function="saturation", pivot=100.0, boost=2.0, k=4,
+    ).collect()
+    assert {(r["doc_id"], r["score"]) for r in s1} == {
+        (r["doc_id"], r["score"]) for r in s2
+    }
+
+
+def test_distance_feature_halves_at_pivot(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        distance_feature_topk,
+    )
+
+    corpus, stats, term_df, n, avgdl = fixture
+    out = distance_feature_topk(
+        spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus, "wt",
+        origin=100.0, pivot=50.0, boost=4.0, k=4,
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, k=10
+        ).collect()
+    }
+    wts = {0: 10.0, 1: 100.0, 2: 1000.0, 3: 50.0}
+    got = {r["doc_id"]: r["score"] for r in out}
+    for d, s in got.items():
+        exp = base[d] + 4.0 * 50.0 / (50.0 + abs(wts[d] - 100.0))
+        assert abs(s - round(exp, 6)) < 1e-6
+    # doc at the origin gets the full boost; at distance=pivot, half
+    assert abs((got[1] - base[1]) - 4.0) < 1e-6
+    assert abs((got[3] - base[3]) - 2.0) < 1e-6
+
+
+def test_feature_validation(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        distance_feature_topk,
+        rank_feature_topk,
+    )
+
+    corpus, stats, term_df, n, avgdl = fixture
+    with pytest.raises(ValueError):
+        rank_feature_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus,
+            "wt", pivot=0.0,
+        )
+    with pytest.raises(ValueError):
+        distance_feature_topk(
+            spark, stats, term_df, [(0, "alpha")], CFG, n, avgdl, corpus,
+            "wt", origin=0.0, pivot=-1.0,
+        )
