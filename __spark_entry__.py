@@ -856,6 +856,7 @@ FROM ranked WHERE frank > {TOPK} AND frank <= {2 * TOPK}
 FS_FACTOR, FS_GAUSS = (0.01, "log1p"), (400.0, 300.0, 0.5)
 RF_PIVOT, RF_BOOST = 100.0, 2.0
 DF_ORIGIN, DF_PIVOT, DF_BOOST = 200.0, 50.0, 3.0
+FILTER_CTX = "n_chars >= 150 AND n_chars < 450 AND source IS NOT NULL"
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
@@ -934,6 +935,24 @@ def q_distance_feature(spark, sf_dir):
         boost=DF_BOOST, k=TOPK, k1=K1, b=B,
     )
     return _round_score(out)
+
+
+def q_bm25_filter_context(spark, sf_dir):
+    """ES bool filter context: scored must + non-scoring metadata
+    filters (range + exists) — predicate pushed to the documents scan,
+    surviving doc_ids semi-join the scored set."""
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_filtered_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_filtered_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        _docs(spark, sf_dir), FILTER_CTX, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
 
 
 def q_rescore_phrase(spark, sf_dir):
@@ -3412,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "stratified_sample": q_stratified_sample,
@@ -3459,7 +3479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
         "bm25_bool_msm": q_bm25_bool_msm,
-        "span_near_ordered": q_span_near_ordered,
         "span_near_unordered": q_span_near_unordered,
         # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
@@ -3468,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
         "phrase_ranked": q_phrase_ranked,
+        "span_near_ordered": q_span_near_ordered,
         "bm25_boolean": q_bm25_boolean,
         "function_score": q_function_score,
         "facet_terms": q_facet_terms,
@@ -4248,6 +4268,25 @@ GROUP BY 1
     sqls["percolate"] = _percolate_oracle_sql()
     sqls["function_score"] = _function_score_oracle_sql(gauss=False)
     sqls["function_score_gauss"] = _function_score_oracle_sql(gauss=True)
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        analyze_queries as _aq,
+    )
+
+    _fc_values = _terms_values_sql(_aq(BM25_QUERIES, _ws_config()))
+    sqls["bm25_filter_context"] = f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(_fc_values)},
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {FILTER_CTX})
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
     sqls["rank_feature"] = _feature_score_oracle_sql(
         f"s.score + {RF_BOOST} * (d.n_chars / (d.n_chars + {RF_PIVOT}))"
     )

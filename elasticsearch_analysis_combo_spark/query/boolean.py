@@ -373,3 +373,42 @@ def bm25_fuzzy_topk(
         )
         expansions = part if expansions is None else expansions.unionByName(part)
     return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
+
+
+def bm25_filtered_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    doc_meta: DataFrame,
+    filter_expr: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES bool FILTER CONTEXT: a scored must (BM25 over the analyzed
+    query) restricted by metadata predicates that contribute NO score —
+    ``{"bool": {"must": [{"match": ...}], "filter": [{"range": ...},
+    {"exists": ...}, {"term": ...}]}}``, the most common production
+    query shape (tenant/date/status filters around every search).
+
+    ``filter_expr`` is a SQL predicate over ``doc_meta`` columns (range
+    / exists (IS NOT NULL) / term equality compose with AND/OR). The
+    plan is the scale-right one: the predicate is applied to the
+    metadata table BEFORE anything else, so Catalyst pushes it into the
+    parquet scan (row-group pruning on min/max stats — a date filter
+    over a date-partitioned 100 TB corpus prunes partitions outright),
+    and the surviving doc_ids semi-join the scored set (no score
+    perturbation, no row duplication, exactly filter-context caching
+    semantics)."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
+
+    allowed = doc_meta.filter(F.expr(filter_expr)).select("doc_id")
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(allowed, "doc_id", "semi")
+    return _rank_topk(scored, k)

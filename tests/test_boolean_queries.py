@@ -176,3 +176,46 @@ def test_more_like_this(spark, stats):
         spark, stats, term_df, [999], int(row["n"]), float(row["a"])
     )
     assert unk.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bool filter context (round 4)
+
+
+def test_filter_context_restricts_without_rescoring(spark, stats):
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        bm25_exhaustive_topk,
+    )
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_filtered_topk,
+    )
+
+    meta = spark.createDataFrame(
+        [(1, 100, "a"), (2, 300, "a"), (3, 250, None), (4, 50, "b"),
+         (5, 400, "a")],
+        "doc_id long, n_chars int, tenant string",
+    )
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    n, avgdl = int(row["n"]), float(row["a"])
+    out = bm25_filtered_topk(
+        spark, stats, term_df, [(0, "spark query")], CFG, n, avgdl,
+        meta, "n_chars >= 100 AND tenant IS NOT NULL", k=10,
+    ).collect()
+    # docs 3 (null tenant) and 4 (n_chars < 100) are filtered out;
+    # doc 5 passes the filter but matches no term
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # filter context contributes NO score: surviving scores equal the
+    # unfiltered exhaustive scores for the same docs
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in bm25_exhaustive_topk(
+            spark, stats, term_df, [(0, "spark query")], CFG, n, avgdl,
+            k=10,
+        ).collect()
+    }
+    for r in out:
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-6
