@@ -857,6 +857,10 @@ FS_FACTOR, FS_GAUSS = (0.01, "log1p"), (400.0, 300.0, 0.5)
 RF_PIVOT, RF_BOOST = 100.0, 2.0
 DF_ORIGIN, DF_PIVOT, DF_BOOST = 200.0, 50.0, 3.0
 FILTER_CTX = "n_chars >= 150 AND n_chars < 450 AND source IS NOT NULL"
+RARE_MAX_DC = 8
+AUTO_DH_TARGET = 50
+DIV_MAX_PER_VALUE, DIV_SHARD_SIZE = 2, 20
+RUNTIME_K_EXPR = "cast(get_json_object(props, '$.k') as int)"
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
@@ -3298,6 +3302,92 @@ def q_span_not(spark, sf_dir):
     )
 
 
+def q_rare_terms(spark, sf_dir):
+    """ES rare_terms: long-tail user_ids (<= RARE_MAX_DC events) per
+    event_type — exact one-pass groupBy (map-side combined)."""
+    from elasticsearch_analysis_combo_spark.query.facets import rare_terms_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rare_terms_agg(
+        ev, "user_id", max_doc_count=RARE_MAX_DC, group_col="event_type"
+    )
+    return out.select(
+        "event_type", "user_id",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: smallest hour/day/month/year interval
+    whose distinct-bucket count fits AUTO_DH_TARGET (one scalar-agg
+    pass), then the calendar bucketing at that interval."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        auto_date_histogram_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = auto_date_histogram_agg(ev, "ts", target_buckets=AUTO_DH_TARGET)
+    return out.select(
+        "interval", "bucket",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler + sub-agg: best DIV_SHARD_SIZE hits per
+    query with <= DIV_MAX_PER_VALUE docs per source, then a per-source
+    count/avg-score sub-aggregation over the sample."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        diversified_sampler_agg,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hits = bm25_scored(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        k1=K1, b=B,
+    )
+    out = diversified_sampler_agg(
+        hits, _docs(spark, sf_dir).select("doc_id", "source"), "source",
+        "source", max_docs_per_value=DIV_MAX_PER_VALUE,
+        shard_size=DIV_SHARD_SIZE,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "source",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("avg_score", 6).alias("avg_score"),
+    )
+
+
+def q_runtime_field(spark, sf_dir):
+    """ES runtime mappings: a query-time JSON-extracted field (props.k)
+    aggregated like any indexed field — stats per event_type over the
+    derived column, all in one codegen projection + partial agg."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        with_runtime_field,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = with_runtime_field(ev, "k", RUNTIME_K_EXPR)
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count("k").alias("doc_count"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+        )
+        .select(
+            "event_type",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("sum_k").cast("long").alias("sum_k"),
+            F.round("avg_k", 6).alias("avg_k"),
+        )
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Training-pipeline corpus mixing: per-source Bernoulli rates via
     the portable 60-bit md5 hash — a map-only filter, reproducible
@@ -3431,6 +3521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "rare_terms": q_rare_terms,
+        "auto_date_histogram": q_auto_date_histogram,
+        "diversified_sampler": q_diversified_sampler,
+        "runtime_field": q_runtime_field,
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
@@ -3473,10 +3567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_explode": q_tokenize_explode,
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
-        "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
-        "phrase_match": q_phrase_match,
         "phrase_match_partitioned": q_phrase_partitioned,
         "bm25_bool_msm": q_bm25_bool_msm,
         "span_near_unordered": q_span_near_unordered,
@@ -3487,6 +3579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
         "phrase_ranked": q_phrase_ranked,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "phrase_match": q_phrase_match,
         "span_near_ordered": q_span_near_ordered,
         "bm25_boolean": q_bm25_boolean,
         "function_score": q_function_score,
@@ -4088,6 +4182,61 @@ def oracle_sql() -> dict[str, str]:
         oracle_hash_sql,
     )
 
+    sqls["rare_terms"] = f"""
+SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DC}
+"""
+    sqls["auto_date_histogram"] = f"""
+WITH pick AS (
+  SELECT CASE
+    WHEN count(DISTINCT date_trunc('hour', ts)) <= {AUTO_DH_TARGET} THEN 'hour'
+    WHEN count(DISTINCT date_trunc('day', ts)) <= {AUTO_DH_TARGET} THEN 'day'
+    WHEN count(DISTINCT date_trunc('month', ts)) <= {AUTO_DH_TARGET} THEN 'month'
+    ELSE 'year' END AS iv
+  FROM events
+)
+SELECT pick.iv AS interval,
+       strftime(date_trunc(pick.iv, e.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events e, pick GROUP BY 1, 2
+"""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        analyze_queries as _div_aq,
+    )
+
+    _dv_values = _terms_values_sql(_div_aq(BM25_QUERIES, _ws_config()))
+    sqls["diversified_sampler"] = f"""
+WITH {_BM25_CTE},
+{_bm25_scored_cte(_dv_values)},
+j AS (
+  SELECT s.query_id, s.doc_id, round(s.score, 6) AS s6, d.source
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+dv AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, source
+                               ORDER BY s6 DESC, doc_id) AS _dv
+  FROM j
+),
+samp AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s6 DESC, doc_id) AS _rk
+  FROM dv WHERE _dv <= {DIV_MAX_PER_VALUE}
+)
+SELECT query_id::BIGINT AS query_id, source,
+       count(*)::BIGINT AS doc_count,
+       round(avg(s6), 6) AS avg_score
+FROM samp WHERE _rk <= {DIV_SHARD_SIZE}
+GROUP BY 1, 2
+"""
+    sqls["runtime_field"] = """
+SELECT event_type,
+       count(k)::BIGINT AS doc_count,
+       sum(k)::BIGINT AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM (SELECT event_type,
+             json_extract_string(props, '$.k')::INT AS k FROM events)
+GROUP BY 1
+"""
     _h = oracle_hash_sql("doc_id", SAMPLE_SEED)
     _cases = " ".join(
         f"WHEN source = '{s}' THEN {int(f * (1 << 60))}"

@@ -632,6 +632,114 @@ def percentile_ranks_agg(
     )
 
 
+def rare_terms_agg(
+    rows: DataFrame,
+    col: str,
+    max_doc_count: int = 1,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG TAIL — values appearing
+    in at most ``max_doc_count`` docs (the opposite cut of ``terms``,
+    which surfaces the head). ES approximates with a CuckooFilter to
+    bound memory; here one partial-aggregated groupBy is exact AND
+    scale-safe: map-side combine collapses each value to one count per
+    task before the shuffle, and the post-filter output is tiny by
+    definition of the query."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    keys = ([F.col(group_col)] if group_col else []) + [F.col(col)]
+    return (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+    )
+
+
+AUTO_DH_LADDER = ["hour", "day", "month", "year"]
+
+
+def auto_date_histogram_agg(
+    rows: DataFrame,
+    ts_col: str,
+    target_buckets: int = 50,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    from hour -> day -> month -> year whose DISTINCT bucket count fits
+    ``target_buckets``, then bucket with it (year is the fallback when
+    nothing fits). The interval choice is ONE scalar aggregate pass
+    (four countDistinct sketches over truncations — engine-replayable,
+    no sampling); the result carries the chosen ``interval`` so callers
+    see which resolution they got, as ES returns it."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    ts = F.col(ts_col).cast("timestamp")
+    counts = rows.agg(
+        *[
+            F.countDistinct(F.date_trunc(iv, ts)).alias(iv)
+            for iv in AUTO_DH_LADDER
+        ]
+    ).collect()[0]
+    interval = AUTO_DH_LADDER[-1]
+    for iv in AUTO_DH_LADDER:
+        if int(counts[iv]) <= target_buckets:
+            interval = iv
+            break
+    out = date_histogram_agg(
+        rows, ts_col, interval=interval, group_col=group_col
+    )
+    return out.withColumn("interval", F.lit(interval))
+
+
+def diversified_sampler_agg(
+    hits: DataFrame,
+    doc_meta: DataFrame,
+    diversify_col: str,
+    agg_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+) -> DataFrame:
+    """ES ``diversified_sampler`` + a terms/avg sub-aggregation: from a
+    scored match set take the best ``shard_size`` hits per query AFTER
+    capping each ``diversify_col`` value at ``max_docs_per_value``
+    (kills the one-dominant-source skew before sub-aggregating), then
+    aggregate the sample by ``agg_col``. Order is the engine's
+    deterministic (rounded score desc, doc_id) rank, so the sample —
+    and therefore the sub-agg — is reproducible cross-engine. Both
+    row_number filters trigger WindowGroupLimit rank pushdown: each map
+    task forwards at most max_docs_per_value (then shard_size) rows per
+    partition key, so the shuffles carry samples, not match sets."""
+    scored = hits.join(
+        doc_meta, "doc_id"
+    ).withColumn("_s6", F.round("score", 6))
+    w_div = Window.partitionBy("query_id", diversify_col).orderBy(
+        F.desc("_s6"), F.asc("doc_id")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("_s6"), F.asc("doc_id")
+    )
+    sample = (
+        scored.withColumn("_dv", F.row_number().over(w_div))
+        .filter(F.col("_dv") <= max_docs_per_value)
+        .withColumn("_rk", F.row_number().over(w_top))
+        .filter(F.col("_rk") <= shard_size)
+    )
+    return sample.groupBy("query_id", F.col(agg_col)).agg(
+        F.count("*").alias("doc_count"),
+        F.avg("_s6").alias("avg_score"),
+    )
+
+
+def with_runtime_field(df: DataFrame, name: str, sql_expr: str) -> DataFrame:
+    """ES runtime mappings (runtime fields): a query-time derived field
+    defined by an expression, immediately usable by every agg/filter in
+    this module — ES evaluates a Painless script per doc at query time;
+    here the expression compiles into the plan (whole-stage codegen)
+    and costs a projection, with pushdown-eligible predicates on top.
+    JSON extraction (``get_json_object``) is the canonical use."""
+    return df.withColumn(name, F.expr(sql_expr))
+
+
 def search_facet_histogram(
     spark: SparkSession,
     term_stats: DataFrame,

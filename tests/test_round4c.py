@@ -131,3 +131,97 @@ def test_filtered_cosine_topk_prefilter_semantics(emb):
     assert [(r["rank"], r["vec_id"]) for r in out] == [
         (r["rank"], r["vec_id"]) for r in expect
     ]
+
+
+# ---------------------------------------------------------------------------
+# rare_terms / auto_date_histogram / diversified_sampler / runtime fields
+
+
+def test_rare_terms_long_tail(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import rare_terms_agg
+
+    rows = [("a", "u1")] * 5 + [("a", "u2")] * 2 + [("a", "u3")] + [
+        ("b", "u1")
+    ]
+    df = spark.createDataFrame(rows, "et string, uid string")
+    out = rare_terms_agg(df, "uid", max_doc_count=2, group_col="et")
+    got = {(r["et"], r["uid"]): r["doc_count"] for r in out.collect()}
+    # u1 in group a has 5 events -> excluded; same uid in group b has 1
+    assert got == {("a", "u2"): 2, ("a", "u3"): 1, ("b", "u1"): 1}
+    with pytest.raises(ValueError):
+        rare_terms_agg(df, "uid", max_doc_count=0)
+
+
+def test_auto_date_histogram_ladder(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        auto_date_histogram_agg,
+    )
+
+    rows = [
+        (f"2024-01-{d:02d} {h:02d}:15:00",)
+        for d in range(1, 4)
+        for h in (0, 6, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts string")
+    # 9 distinct hours fit in 10 -> hour
+    out = auto_date_histogram_agg(df, "ts", target_buckets=10)
+    assert out.select("interval").distinct().collect()[0][0] == "hour"
+    assert out.count() == 9
+    # 9 hours > 5 but 3 days fit -> day, counts roll up
+    out2 = auto_date_histogram_agg(df, "ts", target_buckets=5)
+    assert out2.select("interval").distinct().collect()[0][0] == "day"
+    got = {r["bucket"]: r["doc_count"] for r in out2.collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 3,
+        "2024-01-02 00:00:00": 3,
+        "2024-01-03 00:00:00": 3,
+    }
+    # nothing fits -> year fallback
+    out3 = auto_date_histogram_agg(df, "ts", target_buckets=0 + 1)
+    assert out3.select("interval").distinct().collect()[0][0] in (
+        "month", "year"
+    )
+
+
+def test_diversified_sampler_caps_and_samples(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        diversified_sampler_agg,
+    )
+
+    hits = spark.createDataFrame(
+        [(0, d, 10.0 - d) for d in range(6)],
+        "query_id int, doc_id long, score double",
+    )
+    meta = spark.createDataFrame(
+        [(0, "s1"), (1, "s1"), (2, "s1"), (3, "s2"), (4, "s2"), (5, "s3")],
+        "doc_id long, src string",
+    )
+    # cap 1 per src, shard 2: best hit per src = docs 0,3,5 -> top2 = 0,3
+    out = diversified_sampler_agg(
+        hits, meta, "src", "src", max_docs_per_value=1, shard_size=2
+    )
+    got = {(r["query_id"], r["src"]): r["doc_count"] for r in out.collect()}
+    assert got == {(0, "s1"): 1, (0, "s2"): 1}
+    # cap 2, shard 10: docs 0,1 (s1), 3,4 (s2), 5 (s3)
+    out2 = diversified_sampler_agg(
+        hits, meta, "src", "src", max_docs_per_value=2, shard_size=10
+    )
+    got2 = {(r["query_id"], r["src"]): r["doc_count"] for r in out2.collect()}
+    assert got2 == {(0, "s1"): 2, (0, "s2"): 2, (0, "s3"): 1}
+
+
+def test_runtime_field_json_extract(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        with_runtime_field,
+    )
+
+    df = spark.createDataFrame(
+        [('{"k": 3}',), ('{"k": 7}',), ("{}",)], "props string"
+    )
+    out = with_runtime_field(
+        df, "k", "cast(get_json_object(props, '$.k') as int)"
+    )
+    vals = sorted(
+        (r["k"] for r in out.collect()), key=lambda x: (x is None, x)
+    )
+    assert vals == [3, 7, None]
