@@ -861,6 +861,7 @@ RARE_MAX_DC = 8
 AUTO_DH_TARGET = 50
 DIV_MAX_PER_VALUE, DIV_SHARD_SIZE = 2, 20
 RUNTIME_K_EXPR = "cast(get_json_object(props, '$.k') as int)"
+HL_WINDOW = 20
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 
@@ -2132,13 +2133,26 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
-def _highlight_oracle_sql() -> str:
+def _highlight_oracle_sql(fragment: bool = False) -> str:
     """Recompute the BM25 top-10 hits (same CTE as the bm25 oracle), then
-    join every tokenized-with-offsets occurrence of the hit query's terms."""
+    join every tokenized-with-offsets occurrence of the hit query's terms;
+    with ``fragment``, also assemble the <em>-tagged context snippet."""
     from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
 
     qterms = analyze_queries(BM25_QUERIES, _ws_config())
     values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    frag_col = (
+        f""",
+       substr(d.text, greatest(0, o.start_off - {HL_WINDOW}) + 1,
+              o.start_off - greatest(0, o.start_off - {HL_WINDOW}))
+       || '<em>' || substr(d.text, o.start_off + 1, o.end_off - o.start_off)
+       || '</em>' || substr(d.text, o.end_off + 1, {HL_WINDOW}) AS fragment"""
+        if fragment
+        else ""
+    )
+    frag_join = (
+        "\nJOIN documents d ON d.doc_id = h.doc_id" if fragment else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2176,10 +2190,10 @@ offs AS (
     FROM documents
   )
 )
-SELECT h.query_id, h.doc_id, o.term, o.start_off, o.end_off
+SELECT h.query_id, h.doc_id, o.term, o.start_off, o.end_off{frag_col}
 FROM hits h
 JOIN q ON q.query_id = h.query_id
-JOIN offs o ON o.doc_id = h.doc_id AND o.term = q.term
+JOIN offs o ON o.doc_id = h.doc_id AND o.term = q.term{frag_join}
 """
 
 
@@ -3302,6 +3316,90 @@ def q_span_not(spark, sf_dir):
     )
 
 
+TF_PATTERN, TF_REPL, TF_TRUNC = "[0-9]+", "#", 6
+
+
+def q_token_filters(spark, sf_dir):
+    """ES token-filter chain over the whitespace base: pattern_replace
+    (digits -> '#') -> truncate(6) -> unique (keep-first) — positions
+    and offsets stay those of the ORIGINAL tokens, the Lucene filter
+    contract."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_pattern_replace_tokenizer,
+        make_truncate_tokenizer,
+        make_unique_tokenizer,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+
+    chain = make_unique_tokenizer(
+        make_truncate_tokenizer(
+            make_pattern_replace_tokenizer("whitespace", TF_PATTERN, TF_REPL),
+            length=TF_TRUNC,
+        )
+    )
+    d = _docs(spark, sf_dir)
+    t = analyze(d, ComboConfig([chain]), content_col="text")
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("tokens").alias("tok"),
+    ).select(
+        "doc_id",
+        F.col("tok.pos").cast("long").alias("pos"),
+        F.col("tok.term").alias("term"),
+        F.col("tok.start").cast("long").alias("start_off"),
+        F.col("tok.end").cast("long").alias("end_off"),
+    )
+
+
+def q_highlight_fragments(spark, sf_dir):
+    """ES highlight with tagged snippets: per query-term occurrence in a
+    hit doc, ...before<em>match</em>after... with HL_WINDOW chars of
+    context — assembled in codegen from the offset rows, hits only."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        bm25_exhaustive_topk,
+    )
+    from elasticsearch_analysis_combo_spark.query.highlight import (
+        highlight_fragments,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hits = _rerank_rounded(bm25_exhaustive_topk(
+        spark, stats, term_df, BM25_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )).select("query_id", "doc_id")
+    out = highlight_fragments(
+        spark, _docs(spark, sf_dir), hits, BM25_QUERIES, _ws_config(),
+        content_col="text", window=HL_WINDOW,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "term",
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("end_off").cast("long").alias("end_off"),
+        "fragment",
+    )
+
+
+def q_index_stats(spark, sf_dir):
+    """ES _stats/_count readback: doc count, vocabulary size, posting
+    count, token count, avgdl — one row from two partial-agg passes."""
+    from elasticsearch_analysis_combo_spark.plans.index_build import (
+        index_stats,
+    )
+
+    out = index_stats(_term_stats(spark, sf_dir))
+    return out.select(
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("vocabulary_size").cast("long").alias("vocabulary_size"),
+        F.col("posting_count").cast("long").alias("posting_count"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("avgdl", 6).alias("avgdl"),
+    )
+
+
 def q_rare_terms(spark, sf_dir):
     """ES rare_terms: long-tail user_ids (<= RARE_MAX_DC events) per
     event_type — exact one-pass groupBy (map-side combined)."""
@@ -3521,6 +3619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-4 new/changed surfaces (driver must oracle these) ---
+        "token_filters": q_token_filters,
+        "highlight_fragments": q_highlight_fragments,
+        "index_stats": q_index_stats,
         "rare_terms": q_rare_terms,
         "auto_date_histogram": q_auto_date_histogram,
         "diversified_sampler": q_diversified_sampler,
@@ -3564,20 +3665,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most": q_multi_match_most,
         "search_after": q_search_after,
         # --- engine core ---
-        "tokenize_explode": q_tokenize_explode,
-        "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
-        "phrase_match_partitioned": q_phrase_partitioned,
-        "bm25_bool_msm": q_bm25_bool_msm,
-        "span_near_unordered": q_span_near_unordered,
         # --- training-data pipeline: dedup / ANN / text / streaming ---
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         # ------------- past the driver's 50-entry window -------------
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
+        "tokenize_explode": q_tokenize_explode,
+        "phrase_match_partitioned": q_phrase_partitioned,
+        "term_stats": q_term_stats,
+        "bm25_bool_msm": q_bm25_bool_msm,
+        "span_near_unordered": q_span_near_unordered,
         "phrase_ranked": q_phrase_ranked,
         "bm25_topk_wand": q_bm25_topk_wand,
         "phrase_match": q_phrase_match,
@@ -4182,6 +4283,46 @@ def oracle_sql() -> dict[str, str]:
         oracle_hash_sql,
     )
 
+    sqls["token_filters"] = f"""
+WITH base AS (
+  SELECT doc_id, u.p AS pos, u.t AS t, u.s AS s FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i,
+                                        s := CASE WHEN i = 1 THEN 0
+                                             ELSE length(array_to_string(list_slice(string_split(text,' '), 1, i-1), ' ')) + 1 END))) AS u
+    FROM documents
+  )
+),
+f AS (
+  SELECT doc_id, pos,
+         substr(regexp_replace(t, '{TF_PATTERN}', '{TF_REPL}', 'g'),
+                1, {TF_TRUNC}) AS term,
+         s AS start_off, s + length(t) AS end_off
+  FROM base
+  WHERE length(regexp_replace(t, '{TF_PATTERN}', '{TF_REPL}', 'g')) > 0
+)
+SELECT doc_id, pos::BIGINT AS pos, term,
+       start_off::BIGINT AS start_off, end_off::BIGINT AS end_off
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, term
+                               ORDER BY pos) AS rk
+  FROM f
+) WHERE rk = 1
+"""
+    sqls["highlight_fragments"] = _highlight_oracle_sql(fragment=True)
+    sqls["index_stats"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1)
+SELECT (SELECT count(DISTINCT doc_id) FROM tf)::BIGINT AS doc_count,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS vocabulary_size,
+       (SELECT count(*) FROM tf)::BIGINT AS posting_count,
+       (SELECT sum(tf) FROM tf)::BIGINT AS token_count,
+       (SELECT round(avg(dl), 6) FROM dl) AS avgdl
+"""
     sqls["rare_terms"] = f"""
 SELECT event_type, user_id, count(*)::BIGINT AS doc_count
 FROM events GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DC}

@@ -408,6 +408,119 @@ def make_html_strip_tokenizer(
     return html_tok
 
 
+def make_pattern_replace_tokenizer(
+    base: TokenizerFn | str,
+    pattern: str,
+    replacement: str = "",
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``pattern_replace`` TOKEN filter: rewrite each term by regex
+    (all occurrences), keeping the original position and offsets — the
+    token-filter variant deliberately, because the char-filter variant
+    shifts offsets against the original text (ES documents the same
+    hazard). Tokens whose term becomes empty are dropped (ES behavior)."""
+    rx = re.compile(pattern)
+
+    def pr_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            term = rx.sub(replacement, t.term)
+            if term:
+                out.append(Token(term, t.start, t.end, t.pos, t.type))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            pr_tok, name, f"pattern_replace|{base_id}|{pattern}|{replacement}"
+        )
+    return pr_tok
+
+
+def make_truncate_tokenizer(
+    base: TokenizerFn | str, length: int = 10, name: str | None = None
+) -> TokenizerFn:
+    """ES ``truncate`` token filter: cap each term at ``length`` chars
+    (offsets still span the full original token, as in Lucene)."""
+    if length < 1:
+        raise ValueError(f"length must be >= 1: {length}")
+
+    def trunc_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            Token(t.term[:length], t.start, t.end, t.pos, t.type)
+            for t in fn(text)
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(trunc_tok, name, f"truncate|{base_id}|{length}")
+    return trunc_tok
+
+
+def make_unique_tokenizer(
+    base: TokenizerFn | str,
+    only_on_same_position: bool = False,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``unique`` token filter: drop repeated terms, keeping the
+    FIRST occurrence (its position and offsets). With
+    ``only_on_same_position`` only same-position repeats are dropped
+    (the RemoveDuplicatesTokenFilter semantics)."""
+
+    def uniq_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        seen: set = set()
+        for t in fn(text):
+            key = (t.term, t.pos) if only_on_same_position else t.term
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(t)
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            uniq_tok, name, f"unique|{base_id}|{only_on_same_position}"
+        )
+    return uniq_tok
+
+
+def make_length_filter_tokenizer(
+    base: TokenizerFn | str,
+    min_len: int = 0,
+    max_len: int = 1 << 30,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``length`` token filter: keep terms with min <= len <= max
+    (positions are NOT re-compacted, matching Lucene's LengthFilter
+    with positionIncrements preserved)."""
+
+    def len_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            t for t in fn(text) if min_len <= len(t.term) <= max_len
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            len_tok, name, f"length|{base_id}|{min_len}|{max_len}"
+        )
+    return len_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.

@@ -271,3 +271,30 @@ def build_index(
     )
 
     return InvertedIndex(spark, index_dir)
+
+
+def index_stats(term_stats: DataFrame) -> DataFrame:
+    """ES ``_stats`` / ``_count`` readback over the index's stats table:
+    one row of corpus-level figures — doc count, vocabulary size,
+    posting count, total token count, average document length. Two
+    partial-aggregated passes (postings-grain and doc-grain) joined as
+    1x1 rows; at 100 TB swap countDistinct for approx_count_distinct if
+    the ±0.5% trade is acceptable — schema identical."""
+    from pyspark.sql import functions as F
+
+    grain = term_stats.agg(
+        F.countDistinct("term").alias("vocabulary_size"),
+        F.count("*").alias("posting_count"),
+        F.sum("tf").alias("token_count"),
+    )
+    docs = (
+        term_stats.select("doc_id", "dl").distinct()
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    return grain.crossJoin(docs).select(
+        "doc_count", "vocabulary_size", "posting_count", "token_count",
+        "avgdl",
+    )

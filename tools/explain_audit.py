@@ -208,6 +208,57 @@ def main() -> None:
         "cross_fields pruned stats scans", p, "PushedFilters: [In(term"
     )
 
+    # 11. filter context: the metadata predicate must reach the documents
+    # parquet scan (row-group pruning), not sit above the join
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_filtered_topk,
+    )
+
+    docs_meta = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fc = bm25_filtered_topk(
+        spark, idx.term_stats(), idx.term_df(), [(0, "spark")], cfg,
+        idx.meta.n_docs, idx.meta.avgdl, docs_meta,
+        "n_chars >= 100 AND n_chars < 400", k=10,
+    )
+    p = plan_text(fc)
+    failures += not check(
+        "filter-context predicate pushdown", p,
+        "GreaterThanOrEqual(n_chars,100)",
+    )
+
+    # 12. deterministic sampling: hash_sample must be a pure filter (no
+    # Exchange anywhere — at 100 TB a shuffle to sample is the bug), and
+    # exact-n sampling must use the WindowGroupLimit rank pushdown
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample_exact,
+    )
+
+    hs = hash_sample(docs_meta, 0.25, key_col="doc_id", seed=7)
+    p = plan_text(hs)
+    failures += not check(
+        "hash_sample is map-only", p, "Scan parquet", forbid="Exchange"
+    )
+    se = stratified_sample_exact(docs_meta, "source", 5, key_col="doc_id")
+    p = plan_text(se)
+    failures += not check(
+        "exact-n sample rank-limit pushdown", p, "WindowGroupLimit"
+    )
+
+    # 13. filtered kNN: the label predicate must reach the embeddings scan
+    # BEFORE the Arrow scoring pass (pre-filter semantics + row-group
+    # pruning on the metadata column)
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kf = filtered_cosine_topk(emb, [(0, [0.0] * 64)], "label < 5", k=5)
+    p = plan_text(kf)
+    failures += not check(
+        "filtered kNN label pushdown", p, "LessThan(label,5)"
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
