@@ -604,6 +604,156 @@ class ComboSearchEngine:
             slop=slop, in_order=in_order,
         )
 
+    def span_or(
+        self,
+        query: str | list[tuple[int, str]],
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Lucene ``span_or``: docs holding ANY of the query's terms,
+        n_matches = distinct matching positions (union span set)."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_or_match,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_or_match(
+            self.spark, self.idx.postings(), queries, self._query_config(),
+            range_bits=range_bits if partitioned else None,
+        )
+
+    def span_first(
+        self,
+        query: str | list[tuple[int, str]],
+        end: int,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Lucene ``span_first``: the query's terms within the first
+        ``end`` positions of the field (1-based positions: the token at
+        position p has span end p)."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_first_match,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_first_match(
+            self.spark, self.idx.postings(), queries, self._query_config(),
+            end=end, range_bits=range_bits if partitioned else None,
+        )
+
+    def span_not(
+        self,
+        include: str,
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Lucene ``span_not``: include spans with no exclude span within
+        [-pre, +post] positions."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_not_match,
+        )
+
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_not_match(
+            self.spark, self.idx.postings(), [(0, include, exclude)],
+            self._query_config(), pre=pre, post=post,
+            range_bits=range_bits if partitioned else None,
+        )
+
+    def search_filtered(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        filter_expr: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES bool filter context: scored must + non-scoring metadata
+        predicates (range/exists/term), pushed into the metadata scan."""
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_filtered_topk,
+        )
+
+        idx = self.idx
+        return bm25_filtered_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            doc_meta, filter_expr, k=k, k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def rank_feature(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        field: str,
+        k: int = 10,
+        **opts,
+    ) -> DataFrame:
+        """ES ``rank_feature`` should-clause: BM25 + boost * f(S)
+        (``function``: saturation | log | sigmoid)."""
+        from elasticsearch_analysis_combo_spark.query.functionscore import (
+            rank_feature_topk,
+        )
+
+        idx = self.idx
+        return rank_feature_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            doc_meta, field, k=k, k1=idx.meta.k1, b=idx.meta.b, **opts,
+        )
+
+    def distance_feature(
+        self,
+        query: str,
+        doc_meta: DataFrame,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``distance_feature``: BM25 + boost * pivot/(pivot+|x-origin|)."""
+        from elasticsearch_analysis_combo_spark.query.functionscore import (
+            distance_feature_topk,
+        )
+
+        idx = self.idx
+        return distance_feature_topk(
+            self.spark, idx.term_stats(), idx.term_df(), [(0, query)],
+            self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            doc_meta, field, origin=origin, pivot=pivot, boost=boost,
+            k=k, k1=idx.meta.k1, b=idx.meta.b,
+        )
+
+    def highlight(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 10,
+        window: int = 20,
+        content_col: str = "content",
+    ) -> DataFrame:
+        """ES highlight: run the query, then emit per-occurrence
+        ``...before<em>match</em>after...`` fragments for the top-k hits
+        (hit-pruned re-analysis, O(hits))."""
+        from elasticsearch_analysis_combo_spark.query.highlight import (
+            highlight_fragments,
+        )
+
+        hits = self.search(query, k=k).select("query_id", "doc_id")
+        return highlight_fragments(
+            self.spark, docs, hits, [(0, query)], self._query_config(),
+            content_col=content_col, window=window,
+        )
+
     def phrase_prefix(
         self,
         query: str | list[tuple[int, str]],

@@ -97,3 +97,39 @@ def test_search_fetch(spark, tmp_path):
     assert 0 < len(hits) <= 3
     assert {"query_id", "rank", "doc_id", "score", "repo", "path"} == set(hits[0].asDict())
     assert all(r["repo"].startswith("org") for r in hits)
+
+
+def test_engine_round4_surfaces(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    corpus = ingest(generate_corpus(spark, 60)).cache()
+    cfg = ComboConfig(["whitespace"], deduplication=True)
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idx4"), salt_shards=2)
+    eng.index(corpus)
+    meta = corpus.select(
+        "doc_id", F.length("content").alias("n_chars")
+    ).cache()
+
+    so = eng.span_or("the if").collect()
+    assert so and all(r["n_matches"] >= 1 for r in so)
+    sf = eng.span_first("the", end=2).collect()
+    assert isinstance(sf, list)
+    sn = eng.span_not("if", "the", post=1).collect()
+    assert isinstance(sn, list)
+
+    filt = eng.search_filtered("the if", meta, "n_chars >= 50", k=5)
+    rows = filt.collect()
+    ok_ids = {r["doc_id"] for r in meta.filter("n_chars >= 50").collect()}
+    assert all(r["doc_id"] in ok_ids for r in rows)
+
+    rf = eng.rank_feature(
+        "the if", meta, "n_chars", pivot=100.0, boost=2.0, k=5
+    ).collect()
+    assert rf and rf[0]["rank"] == 1
+    df_ = eng.distance_feature(
+        "the if", meta, "n_chars", origin=100.0, pivot=50.0, k=5
+    ).collect()
+    assert df_ and df_[0]["rank"] == 1
+
+    hl = eng.highlight("the if", corpus, k=3).collect()
+    assert all("<em>" in r["fragment"] for r in hl)
