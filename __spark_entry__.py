@@ -3400,6 +3400,32 @@ def q_index_stats(spark, sf_dir):
     )
 
 
+def q_nested_aggs(spark, sf_dir):
+    """ES nested bucket chain terms(event_type) > date_histogram(day) >
+    stats(value): the whole sub-aggregation tree flattens to ONE
+    composite-key partial-aggregated groupBy (no per-level reduce)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        stats_agg,
+        with_runtime_field,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = with_runtime_field(
+        ev, "bucket",
+        "date_format(date_trunc('day', cast(ts as timestamp)), "
+        "'yyyy-MM-dd HH:mm:ss')",
+    )
+    out = stats_agg(b, "value", group_col=["event_type", "bucket"])
+    return out.select(
+        "event_type", "bucket",
+        F.col("count").cast("long").alias("count"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("avg", 6).alias("avg"),
+        F.round("sum", 6).alias("sum"),
+    )
+
+
 def q_rare_terms(spark, sf_dir):
     """ES rare_terms: long-tail user_ids (<= RARE_MAX_DC events) per
     event_type — exact one-pass groupBy (map-side combined)."""
@@ -3622,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_filters": q_token_filters,
         "highlight_fragments": q_highlight_fragments,
         "index_stats": q_index_stats,
+        "nested_aggs": q_nested_aggs,
         "rare_terms": q_rare_terms,
         "auto_date_histogram": q_auto_date_histogram,
         "diversified_sampler": q_diversified_sampler,
@@ -4322,6 +4349,16 @@ SELECT (SELECT count(DISTINCT doc_id) FROM tf)::BIGINT AS doc_count,
        (SELECT count(*) FROM tf)::BIGINT AS posting_count,
        (SELECT sum(tf) FROM tf)::BIGINT AS token_count,
        (SELECT round(avg(dl), 6) FROM dl) AS avgdl
+"""
+    sqls["nested_aggs"] = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(value)::BIGINT AS count,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max,
+       round(avg(value), 6) AS avg,
+       round(sum(value), 6) AS sum
+FROM events GROUP BY 1, 2
 """
     sqls["rare_terms"] = f"""
 SELECT event_type, user_id, count(*)::BIGINT AS doc_count

@@ -495,6 +495,30 @@ def make_unique_tokenizer(
     return uniq_tok
 
 
+def make_reverse_tokenizer(
+    base: TokenizerFn | str, name: str | None = None
+) -> TokenizerFn:
+    """ES ``reverse`` token filter: emit each term reversed, positions
+    and offsets unchanged. The classic use is a side index of reversed
+    terms so a LEADING wildcard (``*foo``) becomes a reversed PREFIX
+    (``oof*``) — turning the one wildcard shape that defeats dictionary
+    min/max pruning into a pushdown-friendly startswith."""
+
+    def rev_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            Token(t.term[::-1], t.start, t.end, t.pos, t.type)
+            for t in fn(text)
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(rev_tok, name, f"reverse|{base_id}")
+    return rev_tok
+
+
 def make_length_filter_tokenizer(
     base: TokenizerFn | str,
     min_len: int = 0,

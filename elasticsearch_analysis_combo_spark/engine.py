@@ -883,6 +883,52 @@ class ComboSearchEngine:
 
         delete_docs(self.spark, self.index_dir, doc_ids)
 
+    def delete_by_query(self, query: str, conjunctive: bool = True) -> int:
+        """ES ``_delete_by_query``: tombstone every doc matching the
+        analyzed query (ALL matched terms when ``conjunctive``, ES's
+        default match semantics otherwise any term). Returns the number
+        of docs tombstoned; takes effect at the next :meth:`compact`,
+        exactly ES's delete-then-merge lifecycle. The match set is
+        doc_ids only — tiny relative to the index — so the collect is
+        bounded by the match cardinality, not the corpus."""
+        from pyspark.sql import functions as F
+
+        from elasticsearch_analysis_combo_spark.query.bm25 import (
+            analyze_queries,
+        )
+
+        idx = self.idx
+        qterms = analyze_queries([(0, query)], self._query_config())
+        terms = sorted({t for _, t in qterms})
+        if not terms:
+            return 0
+        stats = idx.term_stats().filter(F.col("term").isin(terms))
+        matched = stats.groupBy("doc_id").agg(
+            F.countDistinct("term").alias("_n")
+        )
+        if conjunctive:
+            matched = matched.filter(F.col("_n") == len(terms))
+        ids = [r["doc_id"] for r in matched.select("doc_id").collect()]
+        if ids:
+            self.delete(ids)
+        return len(ids)
+
+    def get_docs(
+        self,
+        doc_ids,
+        source: DataFrame,
+        cols: list[str] | None = None,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES ``_mget`` with source filtering: fetch selected columns of
+        specific docs from a stored corpus table — the id filter pushes
+        into the parquet scan and ``cols`` prunes the read schema."""
+        from pyspark.sql import functions as F
+
+        ids = [doc_ids] if isinstance(doc_ids, int) else list(doc_ids)
+        out = source.filter(F.col(id_col).isin(ids))
+        return out.select(id_col, *cols) if cols else out
+
     def upsert(
         self,
         docs: DataFrame,

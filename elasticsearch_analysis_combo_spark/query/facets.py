@@ -296,13 +296,17 @@ def cardinality_agg(
 def stats_agg(
     rows: DataFrame,
     col: str,
-    group_col: str | None = None,
+    group_col: str | list[str] | None = None,
     extended: bool = False,
 ) -> DataFrame:
     """ES ``stats`` / ``extended_stats`` aggregation: count, min, max,
     avg, sum (+ population variance/stddev and sum of squares when
     ``extended``) over a numeric column, optionally per keyword group.
-    All Spark built-ins — one partial-aggregated groupBy, scan speed."""
+    ``group_col`` may be a LIST of columns — that is exactly ES's
+    nested bucket chain (terms > date_histogram > stats and friends):
+    every level of an ES sub-aggregation tree flattens to one composite
+    grouping key, so the whole chain stays ONE partial-aggregated
+    shuffle instead of ES's per-level reduce. All Spark built-ins."""
     c = F.col(col)
     aggs = [
         F.count(c).alias("count"),
@@ -317,7 +321,12 @@ def stats_agg(
             F.stddev_pop(c).alias("std_deviation"),
             F.sum(c * c).alias("sum_of_squares"),
         ]
-    keys = [F.col(group_col)] if group_col else []
+    if group_col is None:
+        keys = []
+    elif isinstance(group_col, str):
+        keys = [F.col(group_col)]
+    else:
+        keys = [F.col(g) for g in group_col]
     return rows.groupBy(*keys).agg(*aggs) if keys else rows.agg(*aggs)
 
 

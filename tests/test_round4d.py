@@ -102,3 +102,55 @@ def test_token_filter_chain(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         make_truncate_tokenizer("whitespace", length=0)
+
+
+def test_reverse_filter_and_stats_multikey(spark):
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_reverse_tokenizer,
+    )
+    from elasticsearch_analysis_combo_spark.query.facets import stats_agg
+
+    rv = make_reverse_tokenizer("whitespace")
+    toks = rv("abc defg")
+    assert [t.term for t in toks] == ["cba", "gfed"]
+    assert (toks[1].start, toks[1].end) == (4, 8)
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 5.0), ("b", "x", 7.0)],
+        "g1 string, g2 string, v double",
+    )
+    out = stats_agg(df, "v", group_col=["g1", "g2"])
+    got = {(r["g1"], r["g2"]): (r["count"], r["sum"]) for r in out.collect()}
+    assert got == {("a", "x"): (2, 4.0), ("a", "y"): (1, 5.0),
+                   ("b", "x"): (1, 7.0)}
+
+
+def test_delete_by_query_and_get_docs(spark, tmp_path):
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine
+
+    rows = [
+        (0, "alpha beta"),
+        (1, "alpha gamma"),
+        (2, "beta gamma"),
+        (3, "delta"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    eng = ComboSearchEngine(
+        spark, ComboConfig(["whitespace"]), str(tmp_path / "dbq"),
+        salt_shards=2,
+    )
+    eng.index(corpus)
+    # conjunctive: only doc 0 holds BOTH alpha and beta
+    n = eng.delete_by_query("alpha beta")
+    assert n == 1
+    eng.compact(incremental=False)
+    hits = eng.search("alpha", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {1}
+    # no-term query deletes nothing
+    assert eng.delete_by_query("") == 0
+
+    got = eng.get_docs([1, 3], corpus, cols=["content"]).collect()
+    assert {(r["doc_id"], r["content"]) for r in got} == {
+        (1, "alpha gamma"), (3, "delta")
+    }
