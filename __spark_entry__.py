@@ -52,6 +52,9 @@ SPAN_FIRST_QS = [(0, "the value")]
 SPAN_FIRST_END = 4
 SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
 SPAN_NOT_POST = 1
+CURATE_MINQ = 0.62
+CURATE_SEED = 13
+PACK_BUDGET, PACK_BUCKETS, PACK_SEED = 2048, 4, 13
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.4, "src2": 0.2}
 SAMPLE_DEFAULT_FRACTION = 0.05
 SAMPLE_SEED = 11
@@ -3512,6 +3515,46 @@ def q_runtime_field(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end curation chain: lang tag + quality floor + exact
+    dedup (hash-smallest survivor per distinct text) — one declarative
+    plan, one shuffle (the dedup window)."""
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        curate_corpus,
+    )
+
+    out = curate_corpus(
+        _docs(spark, sf_dir), text_col="text", min_quality=CURATE_MINQ,
+        dedup=True, seed=CURATE_SEED,
+    )
+    return out.select(
+        "doc_id", "source", "lang", F.round("quality_score", 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Offset packing of docs into 2048-token training sequences across
+    4 hash buckets: per-bucket window cumsum (no global sort),
+    deterministic under any partitioning."""
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = pack_sequences(
+        d, "n_chars", budget=PACK_BUDGET, n_buckets=PACK_BUCKETS,
+        seed=PACK_SEED,
+    )
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Training-pipeline corpus mixing: per-source Bernoulli rates via
     the portable 60-bit md5 hash — a map-only filter, reproducible
@@ -3656,6 +3699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "curate_corpus": q_curate_corpus,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "sample_exact": q_sample_exact,
         "span_or": q_span_or,
@@ -4414,6 +4459,85 @@ SELECT event_type,
 FROM (SELECT event_type,
              json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY 1
+"""
+    _en = "', '".join(["the", "and", "of", "to", "is", "in", "that", "it", "for"])
+    _de = "', '".join(["der", "die", "das", "und", "ist", "nicht", "ein", "mit"])
+    _fr = "', '".join(["le", "la", "les", "et", "est", "pas", "une", "dans"])
+    _es = "', '".join(["el", "la", "los", "que", "es", "no", "una", "por"])
+    _ch = oracle_hash_sql("doc_id", CURATE_SEED)
+    sqls["curate_corpus"] = f"""
+WITH lbase AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+         length(text) AS n_chars, text, source
+  FROM documents
+),
+lsc AS (
+  SELECT doc_id, source, text, toks, n_chars,
+    len(list_filter(toks, x -> x IN ('{_en}'))) * 1.0 / greatest(len(toks), 1) AS s_en,
+    len(list_filter(toks, x -> x IN ('{_de}'))) * 1.0 / greatest(len(toks), 1) AS s_de,
+    len(list_filter(toks, x -> x IN ('{_fr}'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
+    len(list_filter(toks, x -> x IN ('{_es}'))) * 1.0 / greatest(len(toks), 1) AS s_es,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 / greatest(length(text), 1) AS s_zh
+  FROM lbase
+),
+lng AS (
+  SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS b FROM lsc
+),
+tagged AS (
+  SELECT doc_id, source, text, toks, n_chars,
+       CASE WHEN b <= 0.0 THEN 'und'
+            WHEN s_en = b THEN 'en'
+            WHEN s_de = b THEN 'de'
+            WHEN s_fr = b THEN 'fr'
+            WHEN s_es = b THEN 'es'
+            WHEN s_zh = b THEN 'zh'
+            ELSE 'und' END AS lang
+  FROM lng
+),
+q AS (
+  SELECT doc_id,
+       round(
+         (CASE WHEN len(toks) >= 20 THEN 0.25 ELSE len(toks) / 80.0 END)
+         + (CASE WHEN (n_chars - (len(toks) - 1)) * 1.0 / greatest(len(toks), 1) >= 3
+                  AND (n_chars - (len(toks) - 1)) * 1.0 / greatest(len(toks), 1) <= 12
+                 THEN 0.25 ELSE 0.0 END)
+         + least(len(list_filter(toks, x -> x IN ('{_en}'))) * 2.5 / greatest(len(toks), 1), 0.25)
+         + len(list_distinct(toks)) * 0.25 / greatest(len(toks), 1)
+         - least(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1), 0.25),
+         6) AS quality_score
+  FROM tagged
+),
+j AS (
+  SELECT t.doc_id, t.source, t.lang, q.quality_score, t.text
+  FROM tagged t JOIN q USING (doc_id)
+  WHERE q.quality_score >= {CURATE_MINQ}
+),
+k AS (
+  SELECT doc_id, source, lang, quality_score,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY {_ch}, doc_id) AS rk
+  FROM j
+)
+SELECT doc_id, source, lang, quality_score FROM k WHERE rk = 1
+"""
+    _ph = oracle_hash_sql("doc_id", PACK_SEED)
+    sqls["pack_sequences"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars, {_ph} AS hh FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars, hh, (hh % {PACK_BUCKETS})::BIGINT AS bucket FROM h
+),
+c AS (
+  SELECT doc_id, bucket,
+         (sum(n_chars) OVER (PARTITION BY bucket ORDER BY hh, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_chars)::BIGINT AS start_offset
+  FROM b
+)
+SELECT doc_id, bucket, start_offset,
+       (bucket * 4294967296 + start_offset // {PACK_BUDGET})::BIGINT AS seq_id
+FROM c
 """
     _h = oracle_hash_sql("doc_id", SAMPLE_SEED)
     _cases = " ".join(

@@ -1,0 +1,150 @@
+"""End-to-end corpus curation and sequence packing — the compositions a
+large-scale LLM training-data pipeline runs over this repo's operators.
+
+``curate_corpus`` chains the standard cleanup plan — language filter,
+quality floor, exact dedup (keep-first by portable hash), per-source
+sampling — as ONE declarative DataFrame plan: every step is a column
+expression or a single partial-aggregated window, so Catalyst fuses the
+filters into the scan and the whole chain costs one shuffle (the dedup
+window) regardless of how many steps are enabled.
+
+``pack_sequences`` assigns documents to fixed-token-budget training
+sequences ("offset packing": concatenate docs in a deterministic order,
+cut at budget boundaries, assign each doc to the bin where it STARTS —
+whole docs are never split). Packing is per-bucket so no global sort or
+single-partition window exists: docs hash into ``n_buckets`` independent
+streams, each packed by one window cumsum, and a sequence id is
+``bucket * 2^32 + local_bin``. Deterministic and engine-replayable (the
+order inside a bucket is the portable md5 hash), so the SAME packing
+comes out of a laptop and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.operators.sampling import _u60
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: list[str] | None = None,
+    min_quality: float | None = None,
+    dedup: bool = True,
+    sample_fractions: dict[str, float] | None = None,
+    strata_col: str = "source",
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """The curation chain, each stage optional:
+
+    1. language filter (``lang_id`` argmax in ``languages``),
+    2. quality floor (``quality_score >= min_quality``),
+    3. exact dedup — ONE survivor per distinct text, chosen
+       deterministically (lowest portable hash of ``id_col``; content
+       identity is the md5 of the text, so the same corpus dedups the
+       same way in any engine),
+    4. per-stratum Bernoulli sampling (corpus mixing).
+
+    Returns the surviving rows of ``docs`` with ``lang`` and
+    ``quality_score`` columns attached. Filters 1/2/4 are pure
+    predicates (pushed/codegen); only dedup shuffles (on the text
+    hash — at 100 TB that is the unavoidable exact-dedup exchange, and
+    it runs AFTER the cheap filters have already dropped their share)."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        lang_id,
+        quality_score,
+    )
+
+    # derived lang / quality_score OVERWRITE any same-named input column
+    # (the curation chain is the source of truth for both)
+    out = docs
+    if "lang" in out.columns:
+        out = out.drop("lang")
+    if "quality_score" in out.columns:
+        out = out.drop("quality_score")
+    lang = lang_id(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), F.col("pred_lang").alias("lang")
+    )
+    out = out.join(lang, id_col)
+    if languages is not None:
+        out = out.filter(F.col("lang").isin(list(languages)))
+    q = quality_score(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias(id_col), "quality_score"
+    )
+    out = out.join(q, id_col)
+    if min_quality is not None:
+        out = out.filter(F.col("quality_score") >= float(min_quality))
+    if dedup:
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+            F.asc(_u60(id_col, seed)), F.asc(id_col)
+        )
+        out = (
+            out.withColumn("_dk", F.row_number().over(w))
+            .filter(F.col("_dk") == 1)
+            .drop("_dk")
+        )
+    if sample_fractions is not None:
+        from elasticsearch_analysis_combo_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(
+            out, strata_col, sample_fractions, key_col=id_col, seed=seed,
+            default_fraction=default_fraction,
+        )
+    return out
+
+
+def pack_sequences(
+    docs_with_tokens: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Offset packing into ``budget``-token training sequences.
+
+    Each doc lands in bucket ``u60(id) % n_buckets``; inside a bucket,
+    docs order by (hash, id) and the doc's sequence is the bin its
+    STARTING token offset falls in: ``local_bin = floor((cumsum -
+    tokens) / budget)``. A bin may run over by at most one doc's tail
+    (exactly the concat-then-chunk packing LLM loaders use, minus
+    doc-splitting); docs longer than ``budget`` occupy their own bin(s)
+    without blocking neighbors. Returns the input plus ``bucket``,
+    ``seq_id`` (= bucket * 2^32 + local_bin), and ``start_offset``.
+
+    Scale shape: ONE window cumsum per bucket (n_buckets independent
+    partitions — no global sort), deterministic under any input
+    partitioning because the order key is the portable hash."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    h = _u60(id_col, seed)
+    bucket = F.pmod(h, F.lit(n_buckets)).cast("int")
+    w = Window.partitionBy("bucket").orderBy(F.asc("_h"), F.asc(id_col))
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        docs_with_tokens.withColumn("_h", h)
+        .withColumn("bucket", bucket)
+        .withColumn("_cum", cum)
+        .withColumn(
+            "start_offset", (F.col("_cum") - F.col(token_col)).cast("long")
+        )
+        .withColumn(
+            "seq_id",
+            (
+                F.col("bucket").cast("long") * F.lit(1 << 32)
+                + F.floor(F.col("start_offset") / budget)
+            ),
+        )
+        .drop("_h", "_cum")
+    )
+    return out
