@@ -52,6 +52,10 @@ SPAN_FIRST_QS = [(0, "the value")]
 SPAN_FIRST_END = 4
 SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
 SPAN_NOT_POST = 1
+GEO_LAT_EXPR = "cast(user_id % 180 as double) - 90.0"
+GEO_LON_EXPR = "cast((user_id * 7) % 360 as double) - 180.0"
+GEO_ORIGIN, GEO_RADIUS_KM = (10.0, 20.0), 3000.0
+GEO_RINGS = [(None, 1000.0), (1000.0, 5000.0), (5000.0, None)]
 CURATE_MINQ = 0.62
 CURATE_SEED = 13
 PACK_BUDGET, PACK_BUCKETS, PACK_SEED = 2048, 4, 13
@@ -3515,6 +3519,47 @@ def q_runtime_field(spark, sf_dir):
     )
 
 
+def _geo_events(spark, sf_dir):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        with_runtime_field,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return with_runtime_field(
+        with_runtime_field(ev, "lat", GEO_LAT_EXPR), "lon", GEO_LON_EXPR
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    """ES geo_distance query over runtime geo_point fields: bounding-box
+    prefilter (pushdown range predicate) + exact haversine keep, with
+    the _geo_distance sort column attached."""
+    from elasticsearch_analysis_combo_spark.query.geo import geo_distance
+
+    out = geo_distance(
+        _geo_events(spark, sf_dir), "lat", "lon",
+        GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_KM,
+    )
+    return out.select(
+        "event_id", F.round("distance_km", 3).alias("distance_km")
+    )
+
+
+def q_geo_distance_rings(spark, sf_dir):
+    """ES geo_distance aggregation: doc counts per distance ring around
+    the origin, segmented by event_type — one haversine projection +
+    one partial-agg pass, empty rings kept."""
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geo_distance_agg,
+    )
+
+    out = geo_distance_agg(
+        _geo_events(spark, sf_dir), "lat", "lon",
+        GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RINGS, group_col="event_type",
+    )
+    return out.select("event_type", "from", "to", "doc_count")
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end curation chain: lang tag + quality floor + exact
     dedup (hash-smallest survivor per distinct text) — one declarative
@@ -3699,6 +3744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "geo_distance": q_geo_distance,
+        "geo_distance_rings": q_geo_distance_rings,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -3732,10 +3779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": q_completion_suggest,
         "sort_search_after": q_sort_search_after,
         "rescore_phrase": q_rescore_phrase,
-        "multi_match_best": q_multi_match_best,
-        "multi_match_dismax": q_multi_match_dismax,
-        "multi_match_most": q_multi_match_most,
-        "search_after": q_search_after,
         # --- engine core ---
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
@@ -3746,6 +3789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- past the driver's 50-entry window -------------
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
+        "multi_match_best": q_multi_match_best,
+        "multi_match_dismax": q_multi_match_dismax,
+        "multi_match_most": q_multi_match_most,
+        "search_after": q_search_after,
         "tokenize_explode": q_tokenize_explode,
         "phrase_match_partitioned": q_phrase_partitioned,
         "term_stats": q_term_stats,
@@ -4459,6 +4506,48 @@ SELECT event_type,
 FROM (SELECT event_type,
              json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY 1
+"""
+    _hav = (
+        f"2.0 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians(lat - ({GEO_ORIGIN[0]})) / 2.0), 2)"
+        f" + cos(radians({GEO_ORIGIN[0]})) * cos(radians(lat))"
+        f" * pow(sin(radians(lon - ({GEO_ORIGIN[1]})) / 2.0), 2)))"
+    )
+    sqls["geo_distance"] = f"""
+WITH pts AS (
+  SELECT event_id,
+         ({GEO_LAT_EXPR.replace('cast', 'CAST')}) AS lat,
+         ({GEO_LON_EXPR.replace('cast', 'CAST')}) AS lon
+  FROM events
+),
+d AS (SELECT event_id, {_hav} AS dk FROM pts)
+SELECT event_id, round(dk, 3) AS distance_km
+FROM d WHERE dk <= {GEO_RADIUS_KM}
+"""
+    _ring_parts = []
+    for _lo, _hi in GEO_RINGS:
+        _conds = []
+        if _lo is not None:
+            _conds.append(f"dk >= {_lo}")
+        if _hi is not None:
+            _conds.append(f"dk < {_hi}")
+        _cond = " AND ".join(_conds) if _conds else "TRUE"
+        _ring_parts.append(
+            f"SELECT event_type, "
+            f"'{'*' if _lo is None else str(float(_lo))}' AS \"from\", "
+            f"'{'*' if _hi is None else str(float(_hi))}' AS \"to\", "
+            f"sum(CASE WHEN {_cond} THEN 1 ELSE 0 END)::BIGINT AS doc_count "
+            f"FROM d GROUP BY 1"
+        )
+    sqls["geo_distance_rings"] = f"""
+WITH pts AS (
+  SELECT event_type,
+         ({GEO_LAT_EXPR.replace('cast', 'CAST')}) AS lat,
+         ({GEO_LON_EXPR.replace('cast', 'CAST')}) AS lon
+  FROM events
+),
+d AS (SELECT event_type, {_hav} AS dk FROM pts)
+{" UNION ALL ".join(_ring_parts)}
 """
     _en = "', '".join(["the", "and", "of", "to", "is", "in", "that", "it", "for"])
     _de = "', '".join(["der", "die", "das", "und", "ist", "nicht", "ein", "mit"])

@@ -1,0 +1,153 @@
+"""ES geo queries — geo_bounding_box, geo_distance, geo_distance agg.
+
+The reference's ES host ships these on every index with a geo_point
+mapping; here they are pure SQL-expression operators over (lat, lon)
+double columns, engine-portable (radians/sin/cos/asin/sqrt exist in
+Spark and every SQL engine) and pushdown-friendly:
+
+* ``geo_bounding_box`` is a plain range predicate — Catalyst pushes all
+  four bounds into the parquet scan (row-group pruning on lat/lon
+  min/max stats), the same shape ES gets from its BKD tree.
+* ``geo_distance`` is the classic two-stage cut: a DERIVED bounding box
+  (the distance's lat/lon extent around the origin) prunes at scan
+  speed, then the exact haversine keeps the circle. Only box survivors
+  pay the trig.
+* ``geo_distance_agg`` buckets the match set by distance rings (ES's
+  geo_distance aggregation), one partial-aggregated pass.
+
+Coordinates at the poles: the longitude extent degenerates as
+cos(lat) -> 0; the prefilter widens to the full [-180, 180] there
+(correct, just less selective — identical to ES's own behavior).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine; double trig, whole-stage
+    codegen — identical formula is valid SQL in any engine)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+) -> DataFrame:
+    """ES ``geo_bounding_box``: rows inside [bottom, top] x [left,
+    right] (inclusive, non-dateline-crossing box — split a crossing box
+    into two calls and union, as ES docs advise for custom logic)."""
+    if bottom > top:
+        raise ValueError(f"bottom {bottom} > top {top}")
+    if left > right:
+        raise ValueError(
+            f"left {left} > right {right} (dateline-crossing: split + union)"
+        )
+    return df.filter(
+        (F.col(lat_col) >= bottom) & (F.col(lat_col) <= top)
+        & (F.col(lon_col) >= left) & (F.col(lon_col) <= right)
+    )
+
+
+def geo_distance(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    distance_km: float,
+) -> DataFrame:
+    """ES ``geo_distance``: rows within ``distance_km`` of the origin,
+    with a pushdown bounding-box prefilter before the exact haversine.
+    Adds a ``distance_km`` column (exact, for sorting — ES's
+    ``_geo_distance`` sort comes free)."""
+    if distance_km <= 0:
+        raise ValueError(f"distance_km must be positive: {distance_km}")
+    dlat = math.degrees(distance_km / EARTH_RADIUS_KM)
+    coslat = math.cos(math.radians(origin_lat))
+    if coslat * EARTH_RADIUS_KM > 1e-9:
+        dlon = math.degrees(distance_km / (EARTH_RADIUS_KM * coslat))
+    else:
+        dlon = 360.0  # polar origin: box degenerates to all longitudes
+    boxed = df.filter(
+        (F.col(lat_col) >= origin_lat - dlat)
+        & (F.col(lat_col) <= origin_lat + dlat)
+        & (F.col(lon_col) >= max(origin_lon - dlon, -180.0))
+        & (F.col(lon_col) <= min(origin_lon + dlon, 180.0))
+    )
+    dist = haversine_km(
+        F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+        F.col(lat_col), F.col(lon_col),
+    )
+    return boxed.withColumn("distance_km", dist).filter(
+        F.col("distance_km") <= float(distance_km)
+    )
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin_lat: float,
+    origin_lon: float,
+    ranges: list[tuple[float | None, float | None]],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: doc counts per distance ring
+    [from, to) around the origin (None = open end; empty rings kept
+    with count 0, as ES renders them). One distance projection + one
+    partial-aggregated pass over all rings."""
+    dist = haversine_km(
+        F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+        F.col(lat_col), F.col(lon_col),
+    )
+    d = df.withColumn("_d", dist)
+    keys = [F.col(group_col)] if group_col else []
+    aggs = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_d") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_d") < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_r{i}")
+        )
+    out = d.groupBy(*keys).agg(*aggs) if keys else d.agg(*aggs)
+    rings = F.array(
+        *[
+            F.struct(
+                F.lit("*" if lo is None else str(float(lo))).alias("from"),
+                F.lit("*" if hi is None else str(float(hi))).alias("to"),
+                F.col(f"_r{i}").alias("doc_count"),
+            )
+            for i, (lo, hi) in enumerate(ranges)
+        ]
+    )
+    gcols = [group_col] if group_col else []
+    return out.select(*gcols, F.explode(rings).alias("_b")).select(
+        *gcols,
+        F.col("_b.from").alias("from"),
+        F.col("_b.to").alias("to"),
+        F.col("_b.doc_count").cast("long").alias("doc_count"),
+    )
