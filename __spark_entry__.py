@@ -52,6 +52,8 @@ SPAN_FIRST_QS = [(0, "the value")]
 SPAN_FIRST_END = 4
 SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
 SPAN_NOT_POST = 1
+MBP_QUERIES = [(0, "value ta"), (1, "customer the"), (2, "fast val")]
+MBP_MAX_EXP = 50
 GEO_LAT_EXPR = "cast(user_id % 180 as double) - 90.0"
 GEO_LON_EXPR = "cast((user_id * 7) % 360 as double) - 180.0"
 GEO_ORIGIN, GEO_RADIUS_KM = (10.0, 20.0), 3000.0
@@ -3530,6 +3532,24 @@ def _geo_events(spark, sf_dir):
     )
 
 
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (search-as-you-type): full terms as term
+    clauses + the last token as a capped distributed prefix expansion,
+    BM25-summed in one bool should."""
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        match_bool_prefix_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = match_bool_prefix_topk(
+        spark, stats, term_df, MBP_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B, max_expansions=MBP_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
 def q_geo_distance(spark, sf_dir):
     """ES geo_distance query over runtime geo_point fields: bounding-box
     prefilter (pushdown range predicate) + exact haversine keep, with
@@ -3744,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "match_bool_prefix": q_match_bool_prefix,
         "geo_distance": q_geo_distance,
         "geo_distance_rings": q_geo_distance_rings,
         "curate_corpus": q_curate_corpus,
@@ -4506,6 +4527,44 @@ SELECT event_type,
 FROM (SELECT event_type,
              json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY 1
+"""
+    _mbp_parts = []
+    for _qid, _text in MBP_QUERIES:
+        _terms = _analyzed_terms(_text)  # ORDERED: last token = prefix
+        _full, _pfx = _terms[:-1], _terms[-1]
+        if _full:
+            _in = ", ".join(f"'{t}'" for t in _full)
+            _mbp_parts.append(
+                f"SELECT {_qid} AS query_id, term, df FROM dfx "
+                f"WHERE term IN ({_in})"
+            )
+        _mbp_parts.append(
+            f"SELECT {_qid} AS query_id, term, df FROM ("
+            f"SELECT term, df, row_number() OVER (ORDER BY term) AS rk "
+            f"FROM dfx WHERE term LIKE '{_pfx}%') WHERE rk <= {MBP_MAX_EXP}"
+        )
+    sqls["match_bool_prefix"] = f"""
+WITH {_BM25_CTE},
+expraw AS ({" UNION ALL ".join(_mbp_parts)}),
+exp AS (SELECT DISTINCT query_id, term, df FROM expraw),
+scored AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM exp e JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
 """
     _hav = (
         f"2.0 * 6371.0088 * asin(sqrt("

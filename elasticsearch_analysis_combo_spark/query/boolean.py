@@ -412,3 +412,74 @@ def bm25_filtered_topk(
         k1=k1, b=b,
     ).join(allowed, "doc_id", "semi")
     return _rank_topk(scored, k)
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_bool_prefix`` (search-as-you-type's query side): every
+    analyzed term except the LAST matches as a term query, the last as
+    a prefix — all in a bool should, so docs rank by the BM25 sum over
+    full terms plus the prefix's expansion. The expansion stays a
+    DISTRIBUTED dictionary subquery capped at ``max_expansions`` per
+    query (dictionary order, the ES tie rule) via a rank window —
+    startswith pushdown + WindowGroupLimit keep it scan-bounded; no
+    driver-side collect."""
+    from pyspark.sql import Window as W
+
+    from elasticsearch_analysis_combo_spark.analysis.combo import (
+        analyze_text,
+    )
+
+    rows = []
+    for qid, text in queries:
+        # token ORDER matters here (the LAST token is the prefix), so
+        # analyze directly instead of analyze_queries' sorted-distinct
+        terms, seen = [], set()
+        for t in analyze_text(text, config):
+            if t.term not in seen:
+                seen.add(t.term)
+                terms.append(t.term)
+        if not terms:
+            continue
+        rows.append((qid, terms[:-1], terms[-1]))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    # exact clauses: (query_id, term, df) straight from the dictionary
+    exact_pairs = sorted(
+        {(qid, t) for qid, full, _ in rows for t in full}
+    )
+    parts = []
+    if exact_pairs:
+        qt = spark.createDataFrame(exact_pairs, "query_id int, term string")
+        parts.append(term_df.join(F.broadcast(qt), "term").select(
+            "query_id", "term", "df"
+        ))
+    # prefix clause per query: capped dictionary expansion
+    for qid, _, prefix in rows:
+        w = W.partitionBy(F.lit(qid)).orderBy(F.asc("term"))
+        parts.append(
+            term_df.filter(F.col("term").startswith(prefix))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_expansions)
+            .select(F.lit(qid).alias("query_id"), "term", "df")
+        )
+    expansions = parts[0]
+    for p in parts[1:]:
+        expansions = expansions.unionByName(p)
+    # a term matched both exactly and via the prefix scores once (ES
+    # dedups identical clauses in the bool)
+    expansions = expansions.dropDuplicates(["query_id", "term"])
+    return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)

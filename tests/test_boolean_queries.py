@@ -219,3 +219,39 @@ def test_filter_context_restricts_without_rescoring(spark, stats):
     }
     for r in out:
         assert abs(r["score"] - base[r["doc_id"]]) < 1e-6
+
+
+def test_match_bool_prefix(spark, stats):
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_boolean_topk,
+        match_bool_prefix_topk,
+    )
+
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    n, avgdl = int(row["n"]), float(row["a"])
+    # "spark quer" -> exact 'spark' + prefix 'quer' (expands to 'query')
+    out = match_bool_prefix_topk(
+        spark, stats, term_df, [(0, "spark quer")], CFG, n, avgdl, k=10
+    ).collect()
+    got = {r["doc_id"] for r in out}
+    # docs with spark or any quer*-term: 1,2,4 have spark; 3 has query
+    assert got == {1, 2, 3, 4}
+    # equals the pure-should bool over the expanded terms
+    ref = bm25_boolean_topk(
+        spark, stats, term_df, [(0, "", "spark query", "")], CFG, n, avgdl,
+        k=10,
+    ).collect()
+    assert {(r["doc_id"], round(r["score"], 9)) for r in out} == {
+        (r["doc_id"], round(r["score"], 9)) for r in ref
+    }
+    # cap: max_expansions=0 would be invalid usage; cap=1 keeps the
+    # alphabetically first quer*-expansion only
+    out1 = match_bool_prefix_topk(
+        spark, stats, term_df, [(0, "quer")], CFG, n, avgdl, k=10,
+        max_expansions=1,
+    ).collect()
+    assert {r["doc_id"] for r in out1} == {1, 3, 4}
