@@ -451,6 +451,34 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_knn_filtered(spark, sf_dir):
+    """Filtered kNN at IVF scale: the metadata predicate cuts the
+    searched corpus BEFORE centroid selection/assignment/probing
+    (pre-filter semantics, pushed into the scan) — the approximate
+    filtered-ANN path complementing the exact knn_filtered gate."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = ivf_cosine_topk(
+        emb, queries, k=TOPK, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        seed=LSH_COS_SEED, filter_expr=KNN_FILTER,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF with spherical-k-means-REFINED centroids (kmeans_iters=2 —
     the mapInPandas partial-sum refinement runs for real) probing ALL
@@ -3764,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
         "geo_distance": q_geo_distance,
         "geo_distance_rings": q_geo_distance_rings,
@@ -3781,7 +3810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "weighted_avg": q_weighted_avg,
         "filters_agg": q_filters_agg,
-        "adjacency_matrix": q_adjacency_matrix,
         "top_hits": q_top_hits,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
@@ -3810,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- past the driver's 50-entry window -------------
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
+        "adjacency_matrix": q_adjacency_matrix,
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
@@ -4115,10 +4144,12 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
 """
 
 
-def _ivf_ann_topk_oracle_sql() -> str:
+def _ivf_ann_topk_oracle_sql(where: str = "TRUE") -> str:
     """ivf_cosine_topk replay: same md5-ordered centroid set, nearest-cell
     assignment (ties -> lowest cell, matching np.argmax), same probe list
-    (stable argsort == cosine DESC, cell ASC), exact rerank."""
+    (stable argsort == cosine DESC, cell ASC), exact rerank. ``where``
+    replays a filtered-kNN metadata predicate (pre-filter semantics:
+    applied before centroids/assignment, not after scoring)."""
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     return f"""
 WITH ranked_c AS (
@@ -4126,7 +4157,7 @@ WITH ranked_c AS (
          row_number() OVER (
            ORDER BY ('0x'||substr(md5(vec_id::VARCHAR || '#{LSH_COS_SEED}'),1,15))::BIGINT,
                     vec_id) AS rn
-  FROM embeddings
+  FROM embeddings WHERE {where}
 ),
 cent AS (SELECT rn - 1 AS cell, v FROM ranked_c WHERE rn <= {IVF_CELLS}),
 assign AS (
@@ -4134,7 +4165,7 @@ assign AS (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.v) DESC, c.cell) AS r
-    FROM embeddings e CROSS JOIN cent c
+    FROM embeddings e CROSS JOIN cent c WHERE {where}
   ) WHERE r = 1
 ),
 qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4939,6 +4970,7 @@ FROM events GROUP BY 1
     sqls["lsh_cosine_candidates"] = _lsh_cosine_oracle_sql()
     sqls["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()
     sqls["ivf_ann_topk"] = _ivf_ann_topk_oracle_sql()
+    sqls["ivf_knn_filtered"] = _ivf_ann_topk_oracle_sql(where=KNN_FILTER)
     sqls["multimodal_frames"] = _multimodal_frames_oracle_sql()
 
     sqls["combo_analyze"] = """

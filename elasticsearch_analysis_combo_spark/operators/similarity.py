@@ -251,6 +251,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k (the inverted-file ANN scale
     path, complementing the LSH one):
@@ -271,6 +272,14 @@ def ivf_cosine_topk(
     not). The refinement is deterministic but engine-internal — the
     DuckDB gate oracle replays only the hash-seeded ``kmeans_iters=0``
     configuration."""
+    if filter_expr is not None:
+        # ES filtered kNN at IVF scale: PRE-filter semantics — the
+        # metadata predicate cuts the searched corpus before centroid
+        # selection, assignment, and probing (pushed into the scan), so
+        # every probed cell holds only matching vectors and the exact
+        # rerank needs no post-filter. Query vectors are caller-supplied
+        # and unaffected.
+        emb = emb.filter(F.expr(filter_expr))
     # md5-derived hash order: deterministic, seedable, and replayable in
     # other engines (the DuckDB oracle re-derives the same centroid set);
     # orderBy+limit compiles to TakeOrderedAndProject (no full sort)

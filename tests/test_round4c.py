@@ -225,3 +225,29 @@ def test_runtime_field_json_extract(spark):
         (r["k"] for r in out.collect()), key=lambda x: (x is None, x)
     )
     assert vals == [3, 7, None]
+
+
+def test_ivf_filtered_equals_filtered_brute_force_at_full_probe(emb):
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 1).collect()[0]
+    queries = [(1, [float(x) for x in q["embedding"]])]
+    out = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=4, n_probe=4, seed=11,
+        filter_expr="label = 2",
+    ).collect()
+    labels = {
+        r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin([x["vec_id"] for x in out])
+        ).collect()
+    }
+    assert labels == {2} and len(out) == 5
+    expect = brute_force_cosine_topk(
+        emb.filter("label = 2"), queries, k=5
+    ).collect()
+    assert [(r["rank"], r["vec_id"]) for r in out] == [
+        (r["rank"], r["vec_id"]) for r in expect
+    ]
