@@ -259,6 +259,44 @@ def main() -> None:
         "filtered kNN label pushdown", p, "LessThan(label,5)"
     )
 
+    # 14. geo_distance: the derived bounding box must reach the scan as
+    # plain range predicates (the BKD-tree analogue) — the haversine
+    # itself must NOT be the pruning filter
+    from elasticsearch_analysis_combo_spark.query.geo import geo_distance
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.selectExpr(
+        "event_id",
+        "cast(user_id % 180 as double) - 90.0 as lat",
+        "cast((user_id * 7) % 360 as double) - 180.0 as lon",
+    )
+    gd = geo_distance(pts, "lat", "lon", 10.0, 20.0, 1500.0)
+    p = plan_text(gd)
+    # dlat = degrees(1500 / R) ~ 13.4898 deg -> upper lat bound 23.4898…
+    # appears as a literal range comparison (the pushable box), proving
+    # the plan prunes by the box before any trig evaluates
+    failures += not check(
+        "geo_distance literal box bound in plan", p, "23.48"
+    )
+
+    # 15. match_bool_prefix: prefix expansion stays distributed —
+    # startswith pushdown + in-plan rank cap (WindowGroupLimit)
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        match_bool_prefix_topk,
+    )
+
+    mbp = match_bool_prefix_topk(
+        spark, idx.term_stats(), idx.term_df(), [(0, "spark qu")], cfg,
+        idx.meta.n_docs, idx.meta.avgdl, k=10,
+    )
+    p = plan_text(mbp)
+    failures += not check(
+        "match_bool_prefix startswith pushdown", p, "StringStartsWith(term"
+    )
+    failures += not check(
+        "match_bool_prefix capped expansion window", p, "WindowGroupLimit"
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
