@@ -3123,6 +3123,48 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming session windows: per-user sessions that
+    close after a 30-minute inactivity gap (F.session_window — the
+    stateful merge-on-arrival operator), driven to completion on the
+    events stream. Oracle: the batch gaps-and-islands replay."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    qname = "stream_sessions_tmp"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(qname).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(qname)
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias(
+            "session_start"
+        ),
+        F.col("n").cast("long").alias("n"),
+        "total_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3792,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_context": q_bm25_filter_context,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
         "geo_distance": q_geo_distance,
@@ -3810,7 +3853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "weighted_avg": q_weighted_avg,
         "filters_agg": q_filters_agg,
-        "top_hits": q_top_hits,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
         "boosting_query": q_boosting_query,
@@ -3839,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still checked by tools/check_entry.py + pytest every round;
         #  stable since r2/r3 with green driver rows in those rounds)
         "adjacency_matrix": q_adjacency_matrix,
+        "top_hits": q_top_hits,
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
@@ -5220,6 +5263,24 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+    sqls["streaming_sessions"] = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)) >= 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
+"""
     sqls["streaming_dedup_state"] = """
 SELECT sha256(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS content_hash,
        min(doc_id) AS doc_id
