@@ -250,6 +250,27 @@ def main() -> None:
     lang_id(docs).count()
     timings["quality_lang"] = time.time() - t0
 
+    # --- round-4 ops: curation chain + deterministic packing ---
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        curate_corpus,
+        pack_sequences,
+    )
+
+    text_col = "text" if "text" in docs.columns else "content"
+    t0 = time.time()
+    curate_corpus(
+        docs, text_col=text_col, min_quality=0.5, dedup=True
+    ).count()
+    timings["curate"] = time.time() - t0
+    tok_col = "n_chars" if "n_chars" in docs.columns else None
+    if tok_col:
+        t0 = time.time()
+        pack_sequences(
+            docs.select("doc_id", tok_col), tok_col, budget=2048,
+            n_buckets=32,
+        ).count()
+        timings["pack"] = time.time() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "pipeline_bench_total",
