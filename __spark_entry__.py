@@ -52,6 +52,8 @@ SPAN_FIRST_QS = [(0, "the value")]
 SPAN_FIRST_END = 4
 SPAN_NOT_QS = [(0, "value", "table"), (1, "the", "customer")]
 SPAN_NOT_POST = 1
+DECON_EVAL_IDS = [5, 105, 205]
+DECON_K, DECON_MIN = 4, 1
 MBP_QUERIES = [(0, "value ta"), (1, "customer the"), (2, "fast val")]
 MBP_MAX_EXP = 50
 GEO_LAT_EXPR = "cast(user_id % 180 as double) - 90.0"
@@ -3650,6 +3652,25 @@ def q_geo_distance_rings(spark, sf_dir):
     return out.select("event_type", "from", "to", "doc_count")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: training docs sharing >= DECON_MIN
+    distinct 5-gram shingles with the (broadcast) eval set — the LLM
+    13-gram contamination rule at gate-friendly k."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        find_contaminated,
+    )
+
+    d = _docs(spark, sf_dir)
+    evals = d.filter(F.col("doc_id").isin(DECON_EVAL_IDS))
+    out = find_contaminated(
+        d, evals, k=DECON_K, min_overlaps=DECON_MIN
+    )
+    return out.select(
+        "doc_id", "eval_id",
+        F.col("n_overlaps").cast("long").alias("n_overlaps"),
+    )
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end curation chain: lang tag + quality floor + exact
     dedup (hash-smallest survivor per distinct text) — one declarative
@@ -3839,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": q_match_bool_prefix,
         "geo_distance": q_geo_distance,
         "geo_distance_rings": q_geo_distance_rings,
+        "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -4681,6 +4703,14 @@ WITH pts AS (
 ),
 d AS (SELECT event_type, {_hav} AS dk FROM pts)
 {" UNION ALL ".join(_ring_parts)}
+"""
+    _dec_ids = ", ".join(str(i) for i in DECON_EVAL_IDS)
+    sqls["decontaminate"] = f"""
+WITH {_shingle_cte(DECON_K)},
+esh AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id IN ({_dec_ids}))
+SELECT t.doc_id, e.eval_id, count(*)::BIGINT AS n_overlaps
+FROM sh t JOIN esh e USING (gram)
+GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN}
 """
     _en = "', '".join(["the", "and", "of", "to", "is", "in", "that", "it", "for"])
     _de = "', '".join(["der", "die", "das", "und", "ist", "nicht", "ein", "mit"])

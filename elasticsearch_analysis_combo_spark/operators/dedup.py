@@ -534,3 +534,62 @@ def simhash_near_dup_candidates(
         )
         .distinct()
     )
+
+
+def find_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    min_overlaps: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: training docs sharing at least
+    ``min_overlaps`` distinct ``k``-token shingles with any evaluation
+    document — the standard 13-gram contamination rule of LLM data
+    pipelines (a train doc containing a benchmark question verbatim
+    shares its shingles and must be dropped before training).
+
+    Returns (doc_id, eval_id, n_overlaps) per contaminated pair. Scale
+    shape: the eval set is small by definition, so its shingle table
+    BROADCASTS — the training corpus is one shingle projection + a
+    broadcast-hash semi-ish join, never an all-pairs comparison, and no
+    shuffle of the train shingle stream is needed (the aggregation keys
+    arrive partition-local post-join, Catalyst partial-aggregates)."""
+    ev_text = eval_text_col or text_col
+    ev_id = eval_id_col or id_col
+    t_sh = shingles(train, text_col=text_col, id_col=id_col, k=k)
+    e_sh = shingles(
+        eval_docs.select(
+            F.col(ev_id).alias("eval_id"), F.col(ev_text).alias("_et")
+        ),
+        text_col="_et", id_col="eval_id", k=k,
+    ).withColumnRenamed("doc_id", "eval_id")
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .filter(F.col("n_overlaps") >= min_overlaps)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    min_overlaps: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop contaminated training docs: anti-join against
+    :func:`find_contaminated`'s doc list. The returned plan is the
+    train scan minus a broadcast hash anti-join — decontaminating
+    100 TB costs one pass."""
+    bad = find_contaminated(
+        train, eval_docs, k=k, min_overlaps=min_overlaps,
+        text_col=text_col, id_col=id_col, **kw,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return train.join(bad, id_col, "left_anti")

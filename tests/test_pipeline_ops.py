@@ -91,3 +91,33 @@ def test_pack_sequences_offsets_and_bins(spark):
     }
     with pytest.raises(ValueError):
         pack_sequences(df, "tokens", budget=0)
+
+
+def test_find_contaminated_and_decontaminate(spark):
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        decontaminate,
+        find_contaminated,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated content about spark plans"),
+            (2, "prefix words then the quick brown fox appears here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    pairs = find_contaminated(train, evals, k=4).collect()
+    got = {(r["doc_id"], r["eval_id"]): r["n_overlaps"] for r in pairs}
+    # the eval text's single 4-gram appears in docs 0 and 2, not 1
+    assert set(got) == {(0, 100), (2, 100)}
+    assert all(v >= 1 for v in got.values())
+    # min_overlaps above the max kills all pairs
+    assert (
+        find_contaminated(train, evals, k=4, min_overlaps=5).count() == 0
+    )
+    clean = decontaminate(train, evals, k=4)
+    assert {r["doc_id"] for r in clean.collect()} == {1}
