@@ -3873,7 +3873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "knn_filtered": q_knn_filtered,
         "percentiles": q_percentiles,
-        "weighted_avg": q_weighted_avg,
         "filters_agg": q_filters_agg,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
@@ -3904,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  stable since r2/r3 with green driver rows in those rounds)
         "adjacency_matrix": q_adjacency_matrix,
         "top_hits": q_top_hits,
+        "weighted_avg": q_weighted_avg,
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
