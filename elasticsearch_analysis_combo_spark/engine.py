@@ -888,11 +888,15 @@ class ComboSearchEngine:
         analyzed query (ALL matched terms when ``conjunctive``, ES's
         default match semantics otherwise any term). Returns the number
         of docs tombstoned; takes effect at the next :meth:`compact`,
-        exactly ES's delete-then-merge lifecycle. The match set is
-        doc_ids only — tiny relative to the index — so the collect is
-        bounded by the match cardinality, not the corpus."""
+        exactly ES's delete-then-merge lifecycle. The match set reaches
+        the tombstone log as a DISTRIBUTED DataFrame — a stop-word
+        delete over a 100 TB index never routes its doc_ids through the
+        driver (only the returned count is a scalar)."""
         from pyspark.sql import functions as F
 
+        from elasticsearch_analysis_combo_spark.plans.maintenance import (
+            delete_docs,
+        )
         from elasticsearch_analysis_combo_spark.query.bm25 import (
             analyze_queries,
         )
@@ -908,10 +912,12 @@ class ComboSearchEngine:
         )
         if conjunctive:
             matched = matched.filter(F.col("_n") == len(terms))
-        ids = [r["doc_id"] for r in matched.select("doc_id").collect()]
-        if ids:
-            self.delete(ids)
-        return len(ids)
+        # materialize ONCE (count + tombstone write share the plan)
+        matched = matched.select("doc_id").localCheckpoint(eager=True)
+        n = matched.count()
+        if n:
+            delete_docs(self.spark, self.index_dir, matched)
+        return n
 
     def get_docs(
         self,
