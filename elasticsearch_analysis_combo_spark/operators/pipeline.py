@@ -79,14 +79,26 @@ def curate_corpus(
     if min_quality is not None:
         out = out.filter(F.col("quality_score") >= float(min_quality))
     if dedup:
-        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
-            F.asc(_u60(id_col, seed)), F.asc(id_col)
+        # survivor per distinct text = min (hash, id). Shuffle ONLY the
+        # (text-md5, order-hash, id) triple — a window partitioned by
+        # md5(text) would exchange the full document text; min_by over
+        # the keyed projection moves ~50 bytes/row at any corpus size,
+        # then a semi-join restores the surviving rows
+        keyed = out.select(
+            F.md5(F.col(text_col)).alias("_k"),
+            _u60(id_col, seed).alias("_h"),
+            F.col(id_col).alias("_id"),
         )
-        out = (
-            out.withColumn("_dk", F.row_number().over(w))
-            .filter(F.col("_dk") == 1)
-            .drop("_dk")
+        survivors = (
+            keyed.groupBy("_k")
+            .agg(
+                F.min_by(
+                    F.col("_id"), F.struct(F.col("_h"), F.col("_id"))
+                ).alias(id_col)
+            )
+            .select(id_col)
         )
+        out = out.join(survivors, id_col, "semi")
     if sample_fractions is not None:
         from elasticsearch_analysis_combo_spark.operators.sampling import (
             stratified_sample,
