@@ -560,7 +560,13 @@ def find_contaminated(
     arrive partition-local post-join, Catalyst partial-aggregates)."""
     ev_text = eval_text_col or text_col
     ev_id = eval_id_col or id_col
-    t_sh = shingles(train, text_col=text_col, id_col=id_col, k=k)
+    # distinct=False on the TRAIN side: a distinct() here would shuffle
+    # the full train shingle stream before the join; instead only
+    # join-surviving rows shuffle, and countDistinct restores the
+    # distinct-shared-shingle semantics post-join
+    t_sh = shingles(
+        train, text_col=text_col, id_col=id_col, k=k, distinct=False
+    )
     e_sh = shingles(
         eval_docs.select(
             F.col(ev_id).alias("eval_id"), F.col(ev_text).alias("_et")
@@ -570,7 +576,7 @@ def find_contaminated(
     return (
         t_sh.join(F.broadcast(e_sh), "shingle")
         .groupBy("doc_id", "eval_id")
-        .agg(F.count("*").alias("n_overlaps"))
+        .agg(F.countDistinct("shingle").alias("n_overlaps"))
         .filter(F.col("n_overlaps") >= min_overlaps)
     )
 

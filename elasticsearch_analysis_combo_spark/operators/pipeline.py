@@ -4,9 +4,9 @@ large-scale LLM training-data pipeline runs over this repo's operators.
 ``curate_corpus`` chains the standard cleanup plan — language filter,
 quality floor, exact dedup (keep-first by portable hash), per-source
 sampling — as ONE declarative DataFrame plan: every step is a column
-expression or a single partial-aggregated window, so Catalyst fuses the
-filters into the scan and the whole chain costs one shuffle (the dedup
-window) regardless of how many steps are enabled.
+expression over the same scan (no joins), so Catalyst fuses the filters
+into the scan and the whole chain costs one keyed aggregation + semi-join
+(the exact-dedup exchange) regardless of how many steps are enabled.
 
 ``pack_sequences`` assigns documents to fixed-token-budget training
 sequences ("offset packing": concatenate docs in a deterministic order,
@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_analysis_combo_spark.operators.sampling import _u60
+
+#: offset applied to the dedup ORDERING hash seed so it is independent
+#: of the sampling hash at the same user seed (see curate_corpus body)
+DEDUP_SEED_SALT = 1_000_003
 
 
 def curate_corpus(
@@ -55,27 +59,26 @@ def curate_corpus(
     hash — at 100 TB that is the unavoidable exact-dedup exchange, and
     it runs AFTER the cheap filters have already dropped their share)."""
     from elasticsearch_analysis_combo_spark.operators.text_quality import (
-        lang_id,
-        quality_score,
+        lang_expr,
+        quality_expr,
     )
 
     # derived lang / quality_score OVERWRITE any same-named input column
-    # (the curation chain is the source of truth for both)
+    # (the curation chain is the source of truth for both) and attach as
+    # PROJECTIONS over the same scan — no joins, so the only exchange in
+    # the whole chain is the dedup aggregation below
     out = docs
     if "lang" in out.columns:
         out = out.drop("lang")
     if "quality_score" in out.columns:
         out = out.drop("quality_score")
-    lang = lang_id(docs, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id").alias(id_col), F.col("pred_lang").alias("lang")
-    )
-    out = out.join(lang, id_col)
+    pred_lang, _ = lang_expr(text_col)
+    out = out.withColumn("lang", pred_lang)
     if languages is not None:
         out = out.filter(F.col("lang").isin(list(languages)))
-    q = quality_score(docs, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id").alias(id_col), "quality_score"
+    out = out.withColumn(
+        "quality_score", F.round(quality_expr(text_col), 6)
     )
-    out = out.join(q, id_col)
     if min_quality is not None:
         out = out.filter(F.col("quality_score") >= float(min_quality))
     if dedup:
@@ -83,10 +86,16 @@ def curate_corpus(
         # (text-md5, order-hash, id) triple — a window partitioned by
         # md5(text) would exchange the full document text; min_by over
         # the keyed projection moves ~50 bytes/row at any corpus size,
-        # then a semi-join restores the surviving rows
+        # then a semi-join restores the surviving rows.
+        # The ordering hash is SALTED away from the sampling hash: the
+        # survivor of an n-way duplicate group has the MINIMUM of n
+        # uniforms, so reusing the sampling hash would pass duplicated
+        # docs through a downstream fraction-f cut with probability
+        # 1-(1-f)^n instead of f — boilerplate would be oversampled,
+        # the opposite of what curation wants
         keyed = out.select(
             F.md5(F.col(text_col)).alias("_k"),
-            _u60(id_col, seed).alias("_h"),
+            _u60(id_col, seed + DEDUP_SEED_SALT).alias("_h"),
             F.col(id_col).alias("_id"),
         )
         survivors = (

@@ -30,10 +30,10 @@ def tokens_col(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: marker-word hit ratio per language, CJK
-    codepoint share for zh; argmax with 'und' fallback when nothing fires.
-    Pure SQL expressions — scan-speed at any scale."""
+def lang_expr(text_col: str):
+    """(pred_lang, best_score) Column pair — the language-ID argmax as
+    pure expressions, composable into any projection (curation chains
+    attach them with withColumn; no join, no extra scan)."""
     toks = tokens_col(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     scores = []
@@ -51,10 +51,39 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     for lang, s in reversed(scores):
         pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score <= 0.0, F.lit("und")).otherwise(pred)
+    return pred, best_score
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: marker-word hit ratio per language, CJK
+    codepoint share for zh; argmax with 'und' fallback when nothing fires.
+    Pure SQL expressions — scan-speed at any scale."""
+    pred, best_score = lang_expr(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         pred.alias("pred_lang"),
         F.round(best_score, 6).alias("lang_score"),
+    )
+
+
+def quality_expr(text_col: str):
+    """The composite quality score as one Column (see quality_score) —
+    composable into any projection without a join."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS["en"])))
+    digits = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    digit_ratio = digits / F.greatest(n_chars, F.lit(1))
+    return (
+        F.when(n_tokens >= 20, 0.25).otherwise(n_tokens / 80.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + F.least(stop_ratio * 2.5, F.lit(0.25))
+        + (distinct_ratio * 0.25)
+        - F.least(digit_ratio, F.lit(0.25))
     )
 
 

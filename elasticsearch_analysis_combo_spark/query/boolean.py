@@ -444,15 +444,20 @@ def match_bool_prefix_topk(
     rows = []
     for qid, text in queries:
         # token ORDER matters here (the LAST token is the prefix), so
-        # analyze directly instead of analyze_queries' sorted-distinct
-        terms, seen = [], set()
-        for t in analyze_text(text, config):
-            if t.term not in seen:
-                seen.add(t.term)
-                terms.append(t.term)
-        if not terms:
+        # analyze directly instead of analyze_queries' sorted-distinct —
+        # and split the prefix off BEFORE deduplicating, else a query
+        # whose last token repeats an earlier one ("new york new")
+        # would promote the wrong token to prefix duty
+        toks = [t.term for t in analyze_text(text, config)]
+        if not toks:
             continue
-        rows.append((qid, terms[:-1], terms[-1]))
+        prefix = toks[-1]
+        full, seen = [], set()
+        for term in toks[:-1]:
+            if term not in seen:
+                seen.add(term)
+                full.append(term)
+        rows.append((qid, full, prefix))
     if not rows:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"

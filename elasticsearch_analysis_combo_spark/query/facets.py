@@ -439,9 +439,13 @@ def adjacency_matrix_agg(
     behavior). The pair join shuffles the membership table on doc_id
     once; membership is distinct (name, doc) so output is bounded by
     n_filters² buckets."""
+    # localCheckpoint (eager), not cache: the membership table feeds the
+    # single-bucket counts AND the self-join; a persist with no
+    # unpersist would accumulate executor blocks across a long-lived
+    # session (same lifetime fix as querystring/functionscore)
     members = _filter_memberships(
         spark, term_stats, named_filters, config
-    ).cache()
+    ).localCheckpoint(eager=True)
     singles = members.groupBy(F.col("name").alias("key")).agg(
         F.count("*").alias("doc_count")
     )

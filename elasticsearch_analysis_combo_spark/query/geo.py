@@ -84,17 +84,32 @@ def geo_distance(
     if distance_km <= 0:
         raise ValueError(f"distance_km must be positive: {distance_km}")
     dlat = math.degrees(distance_km / EARTH_RADIUS_KM)
+    # the circle's true longitude extent is asin(sin(d/R)/cos(lat)) —
+    # NOT (d/R)/cos(lat), which under-covers at high latitude (the
+    # circle's east/west tangent sits poleward of the origin's parallel)
+    ang = distance_km / EARTH_RADIUS_KM
     coslat = math.cos(math.radians(origin_lat))
-    if coslat * EARTH_RADIUS_KM > 1e-9:
-        dlon = math.degrees(distance_km / (EARTH_RADIUS_KM * coslat))
-    else:
-        dlon = 360.0  # polar origin: box degenerates to all longitudes
-    boxed = df.filter(
-        (F.col(lat_col) >= origin_lat - dlat)
-        & (F.col(lat_col) <= origin_lat + dlat)
-        & (F.col(lon_col) >= max(origin_lon - dlon, -180.0))
-        & (F.col(lon_col) <= min(origin_lon + dlon, 180.0))
+    sin_ratio = math.sin(min(ang, math.pi / 2)) / coslat if coslat > 0 else 2.0
+    cond = (F.col(lat_col) >= origin_lat - dlat) & (
+        F.col(lat_col) <= origin_lat + dlat
     )
+    if (
+        sin_ratio < 1.0
+        and origin_lat - dlat > -90.0
+        and origin_lat + dlat < 90.0
+    ):
+        dlon = math.degrees(math.asin(sin_ratio))
+        lo, hi = origin_lon - dlon, origin_lon + dlon
+        if lo >= -180.0 and hi <= 180.0:
+            cond = cond & (F.col(lon_col) >= lo) & (F.col(lon_col) <= hi)
+        else:
+            # antimeridian wrap: the interval splits into two ranges
+            cond = cond & (
+                (F.col(lon_col) >= ((lo + 180.0) % 360.0) - 180.0)
+                | (F.col(lon_col) <= ((hi + 180.0) % 360.0) - 180.0)
+            )
+    # else: circle reaches a pole or wraps every longitude — lat-only box
+    boxed = df.filter(cond)
     dist = haversine_km(
         F.lit(float(origin_lat)), F.lit(float(origin_lon)),
         F.col(lat_col), F.col(lon_col),

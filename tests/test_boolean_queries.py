@@ -255,3 +255,29 @@ def test_match_bool_prefix(spark, stats):
         max_expansions=1,
     ).collect()
     assert {r["doc_id"] for r in out1} == {1, 3, 4}
+
+
+def test_match_bool_prefix_repeated_last_token(spark, stats):
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        match_bool_prefix_topk,
+    )
+
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    row = (
+        stats.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    )
+    n, avgdl = int(row["n"]), float(row["a"])
+    # "spark engine spark": last token repeats the first — the PREFIX
+    # must still be 'spark', with 'spark'/'engine' as the exact clauses
+    out = match_bool_prefix_topk(
+        spark, stats, term_df, [(0, "spark engine spark")], CFG, n, avgdl,
+        k=10,
+    ).collect()
+    # identical term set as "spark engine" (spark* expands to spark only)
+    ref = match_bool_prefix_topk(
+        spark, stats, term_df, [(0, "engine spark")], CFG, n, avgdl, k=10
+    ).collect()
+    assert {(r["doc_id"], round(r["score"], 9)) for r in out} == {
+        (r["doc_id"], round(r["score"], 9)) for r in ref
+    }

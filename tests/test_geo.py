@@ -100,3 +100,37 @@ def test_geo_distance_rings(spark, pts):
     assert got[("*", "200.0")] == 2
     assert got[("200.0", "2000.0")] == 1
     assert got[("2000.0", "*")] == 3
+
+
+def test_geo_distance_antimeridian_wrap(spark):
+    pts = spark.createDataFrame(
+        [(0, 0.0, 179.5), (1, 0.0, -179.9), (2, 0.0, 170.0),
+         (3, 0.0, -170.0)],
+        "id long, lat double, lon double",
+    )
+    # origin just west of the dateline: the match on the OTHER side of
+    # ±180 must survive the box prefilter
+    out = geo_distance(pts, "lat", "lon", 0.0, 179.5, 200.0).collect()
+    got = {r["id"] for r in out}
+    expect = {
+        r["id"] for r in pts.collect()
+        if _hav(0.0, 179.5, r["lat"], r["lon"]) <= 200.0
+    }
+    assert got == expect and 1 in got
+
+
+def test_geo_distance_high_latitude_tangent(spark):
+    # origin at 60N, 1000 km: the naive d/(R cos lat) box under-covers;
+    # place a point just inside the circle but beyond that naive dlon
+    import math as m
+
+    naive_dlon = m.degrees(1000.0 / (EARTH_RADIUS_KM * m.cos(m.radians(60))))
+    probe_lon = naive_dlon + 0.15   # beyond the naive box
+    probe_lat = 61.3                # near the circle's tangent latitude
+    d = _hav(60.0, 0.0, probe_lat, probe_lon)
+    assert d <= 1000.0              # genuinely inside the circle
+    pts = spark.createDataFrame(
+        [(0, probe_lat, probe_lon)], "id long, lat double, lon double"
+    )
+    out = geo_distance(pts, "lat", "lon", 60.0, 0.0, 1000.0).collect()
+    assert {r["id"] for r in out} == {0}

@@ -44,11 +44,16 @@ def test_curate_language_and_quality_filters(spark, docs):
 
 
 def test_curate_exact_dedup_keeps_hash_smallest(spark, docs):
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        DEDUP_SEED_SALT,
+    )
+
     out = curate_corpus(docs, dedup=True, seed=9).collect()
     ids = {r["doc_id"] for r in out}
     # docs 0 and 1 share text: exactly one survives, the hash-smallest
+    # under the SALTED dedup-ordering seed (independent of sampling)
     assert len(ids & {0, 1}) == 1
-    expect = min((0, 1), key=lambda i: (_u60(9, i), i))
+    expect = min((0, 1), key=lambda i: (_u60(9 + DEDUP_SEED_SALT, i), i))
     assert expect in ids
     assert {2, 3, 4} <= ids
 
