@@ -477,3 +477,94 @@ def lsh_cosine_candidates(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    cluster the corpus into ``n_cells`` IVF cells, then compare pairs
+    ONLY within a cell with the exact cosine, keeping pairs >=
+    ``threshold``. The clustering complements the LSH route
+    (cosine_near_duplicates): LSH recall is geometric in band width,
+    cell-restricted compare is exhaustive within a cluster — the
+    published recipe for semantic dedup of training corpora.
+
+    Centroids are the same deterministic md5-ordered corpus sample as
+    ivf_cosine_topk (seedable, DuckDB-replayable); assignment is one
+    map-only GEMM pass against the broadcast centroid matrix; the
+    within-cell self-join shuffles (cell, id, vec) once and the pairwise
+    cosine stays JVM-side (cosine_expr, codegen). Per-cell work is
+    quadratic in cell size by design — n_cells is the scale knob
+    (E[cell] = N/n_cells; SemDeDup runs ~100k cells at billions of
+    docs), and cells never leave their shuffle partition."""
+    cent_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    cents = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .orderBy(cent_key, F.col("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in cents])
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = np.argmax((mat / norms) @ cnorm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells}
+            )
+
+    cells = src.mapInPandas(assign, schema=assign_schema)
+    keyed = cells.join(src, "vec_id")
+    a = keyed.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("_vec").alias("_va"),
+    )
+    b = keyed.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("_vec").alias("_vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("cell", "vec_a", "vec_b", "cosine")
+    )

@@ -178,3 +178,103 @@ def fingerprint_winnow(
         .groupBy("doc_id", F.col("h").alias("fp_hash"))
         .agg(F.min("pos").alias("first_pos"))
     )
+
+
+def _gram_col(toks, n: int):
+    """All (overlapping) n-gram strings of a token array — empty array
+    when the doc has fewer than n tokens (sequence() would otherwise
+    run descending)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 quality filters), per doc:
+
+    * ``dup_token_frac``      — ``1 - distinct/total`` whitespace tokens;
+    * ``top_ngram_char_frac`` — characters covered by ALL occurrences of
+      the single most frequent ``top_n``-gram, / total chars (ties break
+      to the lexicographically greatest gram — a total order, so the
+      pick is deterministic cross-engine);
+    * ``dup_ngram_char_frac`` — characters covered by every ``dup_n``-gram
+      occurring more than once, occurrence-counted (overlapping
+      occurrences are NOT deduplicated — a documented simplification of
+      Gopher's overlap-free character count; same filtering power,
+      exactly SQL-replayable).
+
+    Gram char length counts the joined gram text (tokens + single
+    separators). Shape at 100 TB: two explode + partial-aggregated
+    groupBys keyed on (doc, gram) — per-doc cardinality is bounded by
+    doc length, no corpus-wide vocabulary state — then two map-side
+    per-doc reduces rejoined on doc_id. Filters downstream consume the
+    fractions (e.g. Gopher drops top_2gram_char_frac > 0.20)."""
+    toks = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (
+            1.0
+            - F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("dup_token_frac"),
+    )
+
+    def gram_counts(n: int):
+        return (
+            df.select(
+                F.col(id_col), F.explode(_gram_col(toks, n)).alias("gram")
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top = (
+        gram_counts(top_n)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top")
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.col("_top.cnt") * F.length(F.col("_top.gram"))
+            ).alias("_top_chars"),
+        )
+    )
+    dup = (
+        gram_counts(dup_n)
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.length(F.col("gram"))).alias("_dup_chars")
+        )
+    )
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "dup_token_frac",
+            (F.coalesce(F.col("_top_chars"), F.lit(0)) / nc).alias(
+                "top_ngram_char_frac"
+            ),
+            (F.coalesce(F.col("_dup_chars"), F.lit(0)) / nc).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )

@@ -780,3 +780,164 @@ def search_facet_histogram(
             "doc_count",
         )
     )
+
+
+def sibling_bucket_stats(
+    buckets: DataFrame,
+    metric_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES sibling pipeline aggregations ``avg_bucket`` / ``min_bucket`` /
+    ``max_bucket`` / ``sum_bucket`` / ``stats_bucket`` in one pass:
+    reduce an ALREADY-bucketed parent's metric across its buckets to a
+    single row (per outer group). Input rows are bucket counts
+    (thousands), never raw events — the reduce is effectively free, and
+    at 100 TB the expensive part remains the parent bucketing, which is
+    one partial-aggregated shuffle."""
+    keys = [F.col(group_col)] if group_col else []
+    c = F.col(metric_col)
+    aggs = [
+        F.count(c).alias("bucket_count"),
+        F.min(c).alias("min_bucket"),
+        F.max(c).alias("max_bucket"),
+        F.avg(c).alias("avg_bucket"),
+        F.sum(c).alias("sum_bucket"),
+    ]
+    return buckets.groupBy(*keys).agg(*aggs) if keys else buckets.agg(*aggs)
+
+
+def serial_diff_agg(
+    buckets: DataFrame,
+    metric_col: str,
+    order_col: str,
+    lag: int = 1,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: metric minus the metric
+    ``lag`` buckets earlier in bucket order (lag=1 is the derivative;
+    larger lags deseasonalize). The first ``lag`` buckets emit null,
+    exactly as ES does. Ordered window over bucket rows only."""
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.asc(order_col))
+    return buckets.withColumn(
+        "serial_diff", F.col(metric_col) - F.lag(metric_col, lag).over(w)
+    )
+
+
+def bucket_selector_agg(buckets: DataFrame, predicate_sql: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline aggregation: keep only buckets
+    whose metrics satisfy a per-bucket script — a plain Catalyst filter
+    over the already-reduced bucket rows (pushes past any subsequent
+    window/sort the caller chains)."""
+    return buckets.filter(F.expr(predicate_sql))
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort_col: str,
+    desc: bool = True,
+    size: int = 10,
+    from_: int = 0,
+    group_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: order buckets by a
+    metric and truncate to [from, from+size) — per outer group when
+    ``group_col`` is set. Emits ``bucket_rank`` (1-based position in
+    the sort order). ``tiebreak_col`` makes the order total so the cut
+    is deterministic cross-engine. Spark turns the rank-filter window
+    into WindowGroupLimit, so each task retains only from+size rows."""
+    part = [group_col] if group_col else []
+    order = [F.desc(sort_col) if desc else F.asc(sort_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*part).orderBy(*order)
+    return (
+        buckets.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(
+            (F.col("bucket_rank") > from_)
+            & (F.col("bucket_rank") <= from_ + size)
+        )
+    )
+
+
+def string_stats_agg(
+    rows: DataFrame,
+    col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation: count, min/max/avg length, and
+    Shannon entropy (bits per character) of the bucket's character
+    distribution. Lengths are one partial-aggregated pass; entropy is
+    an explode to single characters + two more partial aggs, computed
+    as ``log2(N) - sum(n_c*log2(n_c))/N`` so no per-character division
+    happens before the final reduce. All JVM built-ins — the explode is
+    the only data amplification (xN chars), the same cost ES pays
+    scanning the strings."""
+    keys = [F.col(group_col)] if group_col else []
+    names = [group_col] if group_col else []
+    c = F.col(col)
+    base = (
+        rows.groupBy(*keys).agg(
+            F.count(c).alias("count"),
+            F.min(F.length(c)).alias("min_length"),
+            F.max(F.length(c)).alias("max_length"),
+            F.avg(F.length(c)).alias("avg_length"),
+        )
+        if keys
+        else rows.agg(
+            F.count(c).alias("count"),
+            F.min(F.length(c)).alias("min_length"),
+            F.max(F.length(c)).alias("max_length"),
+            F.avg(F.length(c)).alias("avg_length"),
+        )
+    )
+    ch = rows.select(
+        *keys, F.explode(F.split(c, "")).alias("_ch")
+    ).filter(F.length("_ch") == 1)
+    dist = ch.groupBy(*keys, F.col("_ch")).agg(F.count("*").alias("_n"))
+    egrp = dist.groupBy(*keys) if keys else dist.groupBy()
+    ent = egrp.agg(
+        (
+            F.log2(F.sum("_n"))
+            - F.sum(F.col("_n") * F.log2("_n")) / F.sum("_n")
+        ).alias("entropy")
+    )
+    if keys:
+        return base.join(ent, names, "left")
+    return base.crossJoin(ent)
+
+
+def median_abs_deviation_agg(
+    rows: DataFrame,
+    col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation:
+    ``median(|x - median(x)|)``. ES computes both medians on a t-digest
+    sketch; here both are Spark's exact interpolated ``percentile``
+    (ANSI percentile_cont), deterministic and oracle-comparable — at
+    100 TB swap ``approx_percentile`` with the same call shape. Two
+    partial-aggregated passes; the per-group median rejoins the rows as
+    a broadcast dim."""
+    keys = [F.col(group_col)] if group_col else []
+    names = [group_col] if group_col else []
+    med = (
+        rows.groupBy(*keys).agg(
+            F.percentile(F.col(col), F.lit(0.5)).alias("_med")
+        )
+        if keys
+        else rows.agg(F.percentile(F.col(col), F.lit(0.5)).alias("_med"))
+    )
+    joined = (
+        rows.join(F.broadcast(med), names)
+        if keys
+        else rows.crossJoin(F.broadcast(med))
+    )
+    out = joined.groupBy(*keys) if keys else joined.groupBy()
+    return out.agg(
+        F.first("_med").alias("median"),
+        F.percentile(F.abs(F.col(col) - F.col("_med")), F.lit(0.5)).alias(
+            "mad"
+        ),
+    )

@@ -431,3 +431,165 @@ def span_near_match_partitioned(
         ),
         range_bits=range_bits,
     )
+
+
+def _near_extents(decoded, terms, slop, space):
+    """(start_keys, end_keys) of ordered span_near chains over ``terms``,
+    restricted to docs in ``space`` and banded in ``space`` index space
+    (directly comparable with ``_keys_in_space`` output). One greedy
+    minimal-end chain per clause-1 anchor — exact for span existence,
+    and the canonical span set this engine defines for the
+    within/containing family (for each anchor, the greedy chain is the
+    SHORTEST valid span starting there, which is the Lucene-enumerated
+    one). Starts are strictly increasing (anchors are distinct sorted
+    positions), so the output is sorted by start key."""
+    empty = (np.zeros(0, dtype=np.int64),) * 2
+    n = len(terms)
+    keys = [_keys_in_space(decoded, t, space) for t in terms]
+    if any(k.size == 0 for k in keys):
+        return empty
+    width = slop + n - 1
+    anchors = keys[0]
+    cur = anchors.copy()
+    ok = np.ones(anchors.size, dtype=bool)
+    for ks in keys[1:]:
+        idx = np.searchsorted(ks, cur + 1, side="left")
+        has = idx < ks.size
+        nxt = ks[np.minimum(idx, ks.size - 1)]
+        ok &= has & ((nxt // _BAND) == (anchors // _BAND))
+        cur = nxt
+    ok &= (cur - anchors) <= width
+    return anchors[ok], cur[ok]
+
+
+def _within_space(decoded, little_terms, big_terms):
+    """Candidate doc space for within/containing: docs holding ALL big
+    clause terms AND at least one little clause term."""
+    empty = np.zeros(0, dtype=np.int64)
+    big_docs = None
+    for t in big_terms:
+        if t not in decoded or decoded[t][0].size == 0:
+            return empty
+        d = decoded[t][0]
+        big_docs = d if big_docs is None else np.intersect1d(
+            big_docs, d, assume_unique=True
+        )
+        if big_docs.size == 0:
+            return empty
+    little_docs = _union_docs(decoded, little_terms)
+    return np.intersect1d(big_docs, little_docs, assume_unique=True)
+
+
+def _match_span_within(decoded, little_terms, big_terms, slop):
+    """Lucene SpanWithinQuery: little spans (span_or of single-term
+    clauses) lying fully inside some big span (ordered span_near of
+    ``big_terms`` with ``slop``). Positions are 1-based, so a little
+    token at position p (0-based span [p-1, p)) is within big span
+    [s, e] iff s <= p <= e. ``n_matches`` = distinct contained little
+    positions. Containment test is vectorized: big spans sorted by
+    start, running max of ends, one searchsorted per little key."""
+    empty = (np.zeros(0, dtype=np.int64),) * 2
+    space = _within_space(decoded, little_terms, big_terms)
+    if space.size == 0:
+        return empty
+    s, e = _near_extents(decoded, big_terms, slop, space)
+    if s.size == 0:
+        return empty
+    lks = [_keys_in_space(decoded, t, space) for t in little_terms]
+    lks = [k for k in lks if k.size]
+    if not lks:
+        return empty
+    lk = np.unique(np.concatenate(lks))
+    # exists big span with s <= k and e >= k  <=>  running-max of ends
+    # over spans starting at or before k reaches k (cross-band safe:
+    # earlier-band ends are always < later-band keys)
+    maxe = np.maximum.accumulate(e)
+    idx = np.searchsorted(s, lk, side="right")
+    has = idx > 0
+    contained = np.zeros(lk.size, dtype=bool)
+    contained[has] = maxe[idx[has] - 1] >= lk[has]
+    return _docs_counts(space, lk[contained])
+
+
+def _match_span_containing(decoded, little_terms, big_terms, slop):
+    """Lucene SpanContainingQuery: big spans (ordered span_near) that
+    contain at least one little span. ``n_matches`` = number of such
+    big spans (anchors are distinct, so greedy spans are distinct)."""
+    empty = (np.zeros(0, dtype=np.int64),) * 2
+    space = _within_space(decoded, little_terms, big_terms)
+    if space.size == 0:
+        return empty
+    s, e = _near_extents(decoded, big_terms, slop, space)
+    if s.size == 0:
+        return empty
+    lks = [_keys_in_space(decoded, t, space) for t in little_terms]
+    lks = [k for k in lks if k.size]
+    if not lks:
+        return empty
+    lk = np.unique(np.concatenate(lks))
+    lo = np.searchsorted(lk, s, side="left")
+    hi = np.searchsorted(lk, e, side="right")
+    return _docs_counts(space, s[lo < hi])
+
+
+def _within_family_terms(
+    queries: list[tuple[int, str, str]], config: ComboConfig
+):
+    little_by_q = analyze_span_terms(
+        [(qid, lt) for qid, lt, _ in queries], config
+    )
+    big_by_q = analyze_span_terms(
+        [(qid, bt) for qid, _, bt in queries], config
+    )
+    all_by_q = {
+        qid: sorted(set(little_by_q.get(qid, [])) | set(big_by_q.get(qid, [])))
+        for qid, _, _ in queries
+        if little_by_q.get(qid) and big_by_q.get(qid)
+    }
+    return little_by_q, big_by_q, all_by_q
+
+
+def span_within_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_within``: little spans enclosed by a big span.
+    Queries are (qid, little_text, big_text); the little clause is a
+    span_or over its analyzed terms, the big clause an ORDERED span_near
+    over its analyzed terms with ``slop``. Same gather/fan-out harness
+    as the rest of the span family (matching is per-doc, so the
+    doc-range partitioned path is exact)."""
+    little_by_q, big_by_q, all_by_q = _within_family_terms(queries, config)
+    return _span_eval(
+        spark, postings, all_by_q,
+        lambda qid, decoded: _match_span_within(
+            decoded, little_by_q[qid], big_by_q[qid], slop
+        ),
+        range_bits=range_bits,
+    )
+
+
+def span_containing_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: list[tuple[int, str, str]],
+    config: ComboConfig,
+    slop: int = 0,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES/Lucene ``span_containing``: big spans (ordered span_near with
+    ``slop``) that enclose at least one little span. Queries are
+    (qid, little_text, big_text) — same clause shapes as
+    :func:`span_within_match`, dual output side."""
+    little_by_q, big_by_q, all_by_q = _within_family_terms(queries, config)
+    return _span_eval(
+        spark, postings, all_by_q,
+        lambda qid, decoded: _match_span_containing(
+            decoded, little_by_q[qid], big_by_q[qid], slop
+        ),
+        range_bits=range_bits,
+    )
