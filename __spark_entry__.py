@@ -2710,6 +2710,45 @@ GROUP BY doc_id""")
     return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
 
 
+def _span_wc_oracle_sql() -> str:
+    """span_within + span_containing replay: big spans = one greedy
+    minimal-end ordered chain per clause-1 anchor (min(p) of clause 2
+    after the anchor, kept when the width fits slop + 1); within counts
+    little positions inside a big span, containing counts big spans
+    holding a little position."""
+    ctes = [_span_toks_cte()]
+    parts = []
+    for qid, little, big in SPAN_WC_QS:
+        bt = _analyzed_terms(big)
+        assert len(bt) == 2, "oracle replays two-clause big spans"
+        lt = ", ".join(f"'{t}'" for t in _analyzed_terms(little))
+        width = SPAN_WC_SLOP + 1
+        ctes.append(f"""bv{qid} AS (
+  SELECT doc_id, s, e FROM (
+    SELECT a.doc_id, a.p AS s,
+           (SELECT min(b.p) FROM toks b
+            WHERE b.doc_id = a.doc_id AND b.t = '{bt[1]}'
+              AND b.p > a.p) AS e
+    FROM toks a WHERE a.t = '{bt[0]}'
+  ) WHERE e IS NOT NULL AND e - s <= {width}
+)""")
+        parts.append(f"""
+SELECT 'within' AS kind, {qid}::BIGINT AS query_id, l.doc_id,
+       count(DISTINCT l.p)::BIGINT AS n_matches
+FROM toks l WHERE l.t IN ({lt}) AND EXISTS (
+  SELECT 1 FROM bv{qid} v WHERE v.doc_id = l.doc_id
+  AND v.s <= l.p AND l.p <= v.e)
+GROUP BY l.doc_id""")
+        parts.append(f"""
+SELECT 'containing' AS kind, {qid}::BIGINT AS query_id, v.doc_id,
+       count(*)::BIGINT AS n_matches
+FROM bv{qid} v WHERE EXISTS (
+  SELECT 1 FROM toks l WHERE l.doc_id = v.doc_id AND l.t IN ({lt})
+  AND l.p BETWEEN v.s AND v.e)
+GROUP BY v.doc_id""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def _span_ordered_oracle_sql() -> str:
     """Distinct clause-1 anchors with ANY strictly-increasing chain whose
     end stays within slop + n - 1 of the anchor (chain existence ==
@@ -3747,10 +3786,17 @@ def q_pipeline_aggs(spark, sf_dir):
     daily date_histogram — ordered window functions over the
     ALREADY-REDUCED bucket rows (thousands, never raw events), exactly
     ES's post-reduce chaining. First bucket's derivative is null in
-    both engines."""
+    both engines. Round 4e extends the chain with serial_diff (lag 2),
+    bucket_selector (doc_count >= PIPE_MIN_COUNT, applied AFTER the
+    windows so lags see the full bucket sequence) and bucket_sort
+    (top PIPE_TOP buckets per event_type by doc_count, bucket
+    tie-break)."""
     from elasticsearch_analysis_combo_spark.query.facets import (
+        bucket_selector_agg,
+        bucket_sort_agg,
         date_histogram_agg,
         pipeline_aggs,
+        serial_diff_agg,
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -3758,6 +3804,11 @@ def q_pipeline_aggs(spark, sf_dir):
     out = pipeline_aggs(
         buckets, "doc_count", "bucket", group_col="event_type", window=3
     )
+    out = serial_diff_agg(out, "doc_count", "bucket", lag=2,
+                          group_col="event_type")
+    out = bucket_selector_agg(out, f"doc_count >= {PIPE_MIN_COUNT}")
+    out = bucket_sort_agg(out, "doc_count", desc=True, size=PIPE_TOP,
+                          group_col="event_type", tiebreak_col="bucket")
     return out.select(
         "event_type",
         "bucket",
@@ -3765,6 +3816,8 @@ def q_pipeline_aggs(spark, sf_dir):
         F.col("derivative").cast("long").alias("derivative"),
         F.col("cumulative_sum").cast("long").alias("cumulative_sum"),
         F.round("moving_avg", 6).alias("moving_avg"),
+        F.col("serial_diff").cast("long").alias("serial_diff"),
+        F.col("bucket_rank").cast("long").alias("bucket_rank"),
     )
 
 
@@ -3834,6 +3887,165 @@ def q_knn_filtered(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4e gates: span within/containing, pipeline-agg siblings,
+# string_stats + MAD, Gopher repetition, SemDeDup — plus same-schema
+# family merges (span / compound / samples) that keep every round-4
+# surface inside the driver's 50-entry oracle window.
+
+SPAN_WC_QS = [(0, "value", "the customer"), (1, "the", "value table")]
+SPAN_WC_SLOP = 3
+SEMDD_TH = 0.3  # same corpus margin as COSDUP_TH (no pair within 1e-9)
+PIPE_MIN_COUNT = 2
+PIPE_TOP = 5
+
+
+def q_span_within_containing(spark, sf_dir):
+    """Lucene span_within + span_containing (union, tagged by kind):
+    little = span_or of the little text's terms, big = ORDERED span_near
+    of the big text's two terms with slop; within counts contained
+    little positions, containing counts enclosing big spans (one greedy
+    minimal-end span per big anchor — the Lucene-enumerated span set for
+    two-clause nears)."""
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_containing_match,
+        span_within_match,
+    )
+
+    post = _phrase_postings(spark, sf_dir)
+    w = span_within_match(
+        spark, post, SPAN_WC_QS, _ws_config(), slop=SPAN_WC_SLOP
+    ).withColumn("kind", F.lit("within"))
+    c = span_containing_match(
+        spark, post, SPAN_WC_QS, _ws_config(), slop=SPAN_WC_SLOP
+    ).withColumn("kind", F.lit("containing"))
+    return w.unionByName(c).select(
+        "kind",
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def q_span_family(spark, sf_dir):
+    """span_or / span_first / span_not merged into one gate (same
+    schema, tagged by kind) so all three keep driver-oracle rows inside
+    the 50-entry window."""
+    o = q_span_or(spark, sf_dir).withColumn("kind", F.lit("or"))
+    f = q_span_first(spark, sf_dir).withColumn("kind", F.lit("first"))
+    n = q_span_not(spark, sf_dir).withColumn("kind", F.lit("not"))
+    return o.unionByName(f).unionByName(n).select(
+        "kind", "query_id", "doc_id", "n_matches"
+    )
+
+
+def q_compound_queries(spark, sf_dir):
+    """boosting / terms_set / random_score merged into one gate (same
+    ranked schema, tagged by kind) — window-slot consolidation."""
+    bq = q_boosting_query(spark, sf_dir).withColumn("kind", F.lit("boosting"))
+    ts = q_terms_set(spark, sf_dir).withColumn("kind", F.lit("terms_set"))
+    rs = q_random_score(spark, sf_dir).withColumn("kind", F.lit("random"))
+    return bq.unionByName(ts).unionByName(rs).select(
+        "kind", "query_id", "rank", "doc_id", "score"
+    )
+
+
+def q_samples(spark, sf_dir):
+    """stratified_sample + stratified_sample_exact merged into one gate
+    (same (doc_id, source) schema, tagged by kind)."""
+    fr = q_stratified_sample(spark, sf_dir).withColumn(
+        "kind", F.lit("fraction")
+    )
+    ex = q_sample_exact(spark, sf_dir).withColumn("kind", F.lit("exact"))
+    return fr.unionByName(ex).select("kind", "doc_id", "source")
+
+
+def q_stats_bucket(spark, sf_dir):
+    """ES sibling pipeline aggs (stats_bucket = avg/min/max/sum_bucket +
+    bucket_count) over a per-event_type daily date_histogram."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        date_histogram_agg,
+        sibling_bucket_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = date_histogram_agg(ev, "ts", interval="day", group_col="event_type")
+    out = sibling_bucket_stats(b, "doc_count", group_col="event_type")
+    return out.select(
+        "event_type",
+        F.col("bucket_count").cast("long").alias("bucket_count"),
+        F.col("min_bucket").cast("long").alias("min_bucket"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.round("avg_bucket", 6).alias("avg_bucket"),
+        F.col("sum_bucket").cast("long").alias("sum_bucket"),
+    )
+
+
+def q_string_stats_mad(spark, sf_dir):
+    """ES string_stats (length stats + Shannon entropy of the bucket's
+    character distribution) joined with median_absolute_deviation over
+    n_chars, per language. MAD here is exact interpolated percentiles
+    (DuckDB quantile_cont replays it); ES's t-digest is approximate."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        median_abs_deviation_agg,
+        string_stats_agg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ss = string_stats_agg(docs, "text", group_col="lang")
+    mad = median_abs_deviation_agg(docs, "n_chars", group_col="lang")
+    return ss.join(mad, "lang").select(
+        "lang",
+        F.col("count").cast("long").alias("count"),
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate
+    token fraction, chars covered by the most frequent 2-gram, chars
+    covered by duplicated 5-grams (occurrence-counted)."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        repetition_stats,
+    )
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+        F.round("dup_ngram_char_frac", 6).alias("dup_ngram_char_frac"),
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-duplicates: md5-seeded IVF cells
+    (same centroid scheme as ivf_ann_topk), exact cosine WITHIN a cell
+    only. Threshold applied on the 6-rounded cosine in both engines;
+    the library is called a hair below so the rounded filter decides."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup_pairs(
+        emb, threshold=SEMDD_TH - 1e-4, n_cells=IVF_CELLS, seed=LSH_COS_SEED
+    )
+    return (
+        out.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= SEMDD_TH)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "vec_a", "vec_b", "cosine",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -3843,6 +4055,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4e new/changed surfaces ---
+        "span_within_containing": q_span_within_containing,
+        "stats_bucket": q_stats_bucket,
+        "string_stats_mad": q_string_stats_mad,
+        "repetition_stats": q_repetition_stats,
+        "semantic_dedup": q_semantic_dedup,
+        # merged families (window-slot consolidation; members also
+        # remain as individual gates past the window)
+        "span_family": q_span_family,
+        "compound_queries": q_compound_queries,
+        "samples": q_samples,
         # --- round-4 new/changed surfaces (driver must oracle these) ---
         "token_filters": q_token_filters,
         "highlight_fragments": q_highlight_fragments,
@@ -3863,11 +4086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "sample_exact": q_sample_exact,
-        "span_or": q_span_or,
-        "span_first": q_span_first,
-        "span_not": q_span_not,
         "pipeline_aggs": q_pipeline_aggs,
         "bucket_script": q_bucket_script,
         "percentile_ranks": q_percentile_ranks,
@@ -3876,9 +4094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": q_filters_agg,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
-        "boosting_query": q_boosting_query,
-        "terms_set": q_terms_set,
-        "random_score": q_random_score,
         "cosine_near_dup": q_cosine_near_dup,
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -3902,6 +4117,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  the bm25/wand/combo core)
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "span_or": q_span_or,
+        "span_first": q_span_first,
+        "span_not": q_span_not,
+        "boosting_query": q_boosting_query,
+        "terms_set": q_terms_set,
+        "random_score": q_random_score,
+        "stratified_sample": q_stratified_sample,
+        "sample_exact": q_sample_exact,
         "adjacency_matrix": q_adjacency_matrix,
         "top_hits": q_top_hits,
         "weighted_avg": q_weighted_avg,
@@ -4824,22 +5047,33 @@ SELECT doc_id, source FROM (
     sqls["span_or"] = _span_or_oracle_sql()
     sqls["span_first"] = _span_first_oracle_sql()
     sqls["span_not"] = _span_not_oracle_sql()
-    sqls["pipeline_aggs"] = """
+    sqls["pipeline_aggs"] = f"""
 WITH b AS (
   SELECT event_type,
          strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          count(*)::BIGINT AS doc_count
   FROM events GROUP BY 1, 2
-)
-SELECT event_type, bucket, doc_count,
-       (doc_count - lag(doc_count) OVER w)::BIGINT AS derivative,
-       (sum(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-         AS cumulative_sum,
-       round(avg(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
-          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
-FROM b
-WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+p AS (
+  SELECT event_type, bucket, doc_count,
+         (doc_count - lag(doc_count) OVER w)::BIGINT AS derivative,
+         (sum(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS cumulative_sum,
+         round(avg(doc_count) OVER (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+         (doc_count - lag(doc_count, 2) OVER w)::BIGINT AS serial_diff
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+s AS (SELECT * FROM p WHERE doc_count >= {PIPE_MIN_COUNT})
+SELECT event_type, bucket, doc_count, derivative, cumulative_sum,
+       moving_avg, serial_diff, bucket_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY doc_count DESC, bucket)::BIGINT AS bucket_rank
+  FROM s
+) WHERE bucket_rank <= {PIPE_TOP}
 """
     sqls["bucket_script"] = """
 SELECT l_returnflag,
@@ -5327,6 +5561,134 @@ FROM s GROUP BY user_id, sid
 SELECT sha256(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS content_hash,
        min(doc_id) AS doc_id
 FROM documents GROUP BY 1
+"""
+
+    # --- round-4e surfaces ---
+    sqls["span_within_containing"] = _span_wc_oracle_sql()
+    sqls["span_family"] = (
+        "SELECT 'or' AS kind, * FROM (" + _span_or_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'first' AS kind, * FROM ("
+        + _span_first_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'not' AS kind, * FROM ("
+        + _span_not_oracle_sql() + ")"
+    )
+    sqls["compound_queries"] = (
+        "SELECT 'boosting' AS kind, * FROM (" + _boosting_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'terms_set' AS kind, * FROM ("
+        + _terms_set_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'random' AS kind, * FROM ("
+        + _random_score_oracle_sql() + ")"
+    )
+    sqls["samples"] = (
+        "SELECT 'fraction' AS kind, * FROM ("
+        + sqls["stratified_sample"] + ")\n"
+        "UNION ALL\nSELECT 'exact' AS kind, * FROM ("
+        + sqls["sample_exact"] + ")"
+    )
+    sqls["stats_bucket"] = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(doc_count)::BIGINT AS bucket_count,
+       min(doc_count)::BIGINT AS min_bucket,
+       max(doc_count)::BIGINT AS max_bucket,
+       round(avg(doc_count), 6) AS avg_bucket,
+       sum(doc_count)::BIGINT AS sum_bucket
+FROM b GROUP BY 1
+"""
+    sqls["string_stats_mad"] = """
+WITH base AS (
+  SELECT lang, count(text)::BIGINT AS count,
+         min(length(text))::BIGINT AS min_length,
+         max(length(text))::BIGINT AS max_length,
+         round(avg(length(text)), 6) AS avg_length
+  FROM documents GROUP BY 1
+),
+ent AS (
+  SELECT lang, round(entropy(c), 6) AS entropy FROM (
+    SELECT lang, unnest(string_split(text, '')) AS c FROM documents
+  ) GROUP BY 1
+),
+med AS (SELECT lang, quantile_cont(n_chars, 0.5)::DOUBLE AS m
+        FROM documents GROUP BY 1),
+madt AS (
+  SELECT d.lang, round(min(m.m), 6) AS median,
+         round(quantile_cont(abs(d.n_chars - m.m), 0.5)::DOUBLE, 6) AS mad
+  FROM documents d JOIN med m ON d.lang = m.lang GROUP BY d.lang
+)
+SELECT b.lang, b.count, b.min_length, b.max_length, b.avg_length,
+       e.entropy, t.median, t.mad
+FROM base b JOIN ent e USING (lang) JOIN madt t USING (lang)
+"""
+    sqls["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         greatest(length(text), 1)::DOUBLE AS nc
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         round(1.0 - len(list_distinct(toks))::DOUBLE
+               / greatest(len(toks), 1), 6) AS dup_token_frac,
+         nc
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+),
+c2 AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, cnt * length(gram) AS chars FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram DESC) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - 3, 1))) AS r(i)
+),
+c5 AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g5 GROUP BY 1, 2),
+dup5 AS (SELECT doc_id, sum(cnt * length(gram)) AS chars
+         FROM c5 WHERE cnt >= 2 GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+       round(coalesce(t2.chars, 0) / b.nc, 6) AS top_ngram_char_frac,
+       round(coalesce(d5.chars, 0) / b.nc, 6) AS dup_ngram_char_frac
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+    sqls["semantic_dedup"] = f"""
+WITH ranked_c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (
+           ORDER BY ('0x'||substr(md5(vec_id::VARCHAR || '#{LSH_COS_SEED}'),1,15))::BIGINT,
+                    vec_id) AS rn
+  FROM embeddings
+),
+cent AS (SELECT rn - 1 AS cell, v FROM ranked_c WHERE rn <= {IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.v) DESC,
+                      c.cell) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT a.cell::BIGINT AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT cell, vec_a, vec_b, cosine FROM pairs WHERE cosine >= {SEMDD_TH}
 """
 
     return sqls
