@@ -271,6 +271,21 @@ def main() -> None:
         ).count()
         timings["pack"] = time.time() - t0
 
+    # --- round-4e ops: Gopher repetition filters + SemDeDup ---
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        repetition_stats,
+    )
+
+    t0 = time.time()
+    repetition_stats(docs, text_col=text_col).count()
+    timings["repetition"] = time.time() - t0
+    t0 = time.time()
+    semantic_dedup_pairs(emb, threshold=0.3, n_cells=32, seed=42).count()
+    timings["semantic_dedup"] = time.time() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "pipeline_bench_total",

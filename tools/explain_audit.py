@@ -297,6 +297,52 @@ def main() -> None:
         "match_bool_prefix capped expansion window", p, "WindowGroupLimit"
     )
 
+    # 16. repetition_stats: the documents scan must read only (doc_id,
+    # text) — the gram explode must not drag metadata columns through
+    # the (doc, gram) shuffle — and the gram counts must partial-agg
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        repetition_stats,
+    )
+
+    rep = repetition_stats(docs_meta)
+    p = plan_text(rep)
+    failures += not check(
+        "repetition_stats column pruning", p,
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    )
+    failures += not check(
+        "repetition_stats partial-agg gram counts", p, "HashAggregate"
+    )
+
+    # 17. bucket_sort: the rank cut must push map-side (WindowGroupLimit)
+    # so each task keeps only from+size bucket rows
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        bucket_sort_agg,
+        date_histogram_agg,
+    )
+
+    bs = bucket_sort_agg(
+        date_histogram_agg(ev, "ts", interval="day", group_col="event_type"),
+        "doc_count", size=5, group_col="event_type", tiebreak_col="bucket",
+    )
+    p = plan_text(bs)
+    failures += not check("bucket_sort rank-limit pushdown", p,
+                          "WindowGroupLimit")
+
+    # 18. semantic_dedup: assignment is one Arrow map pass and the
+    # within-cell pairwise cosine stays JVM-side — no Python eval node
+    # may appear above the cell join
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    sd = semantic_dedup_pairs(emb, threshold=0.9, n_cells=4, seed=7)
+    p = plan_text(sd)
+    failures += not check(
+        "semantic_dedup Arrow assignment pass", p, "MapInPandas",
+        forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
