@@ -4046,6 +4046,77 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+GEOTILE_ZOOM = 7
+MISSING_THRESH = 30.0
+
+
+def q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid + per-tile geo_centroid: web-mercator z/x/y tile
+    buckets (zoom GEOTILE_ZOOM) over runtime-derived coords, ONE
+    partial-aggregated groupBy (centroid ships as avg partials)."""
+    from elasticsearch_analysis_combo_spark.query.geo import geotile_grid_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", f"{GEO_LAT_EXPR} as lat", f"{GEO_LON_EXPR} as lon"
+    )
+    out = geotile_grid_agg(ev, "lat", "lon", precision=GEOTILE_ZOOM)
+    return out.select(
+        F.col("zoom").cast("long").alias("zoom"),
+        "tile_x", "tile_y",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+def q_percentile_family(spark, sf_dir):
+    """percentiles + percentile_ranks merged into one gate (unified
+    (kind, group_key, probe, value) schema) — window-slot
+    consolidation; the members stay as individual tail gates."""
+    p = q_percentiles(spark, sf_dir).select(
+        F.lit("percentiles").alias("kind"),
+        F.col("event_type").alias("group_key"),
+        F.col("percent").alias("probe"),
+        F.col("value"),
+    )
+    r = q_percentile_ranks(spark, sf_dir).select(
+        F.lit("ranks").alias("kind"),
+        F.col("l_returnflag").alias("group_key"),
+        F.col("value").alias("probe"),
+        F.col("percentile_rank").alias("value"),
+    )
+    return p.unionByName(r)
+
+
+def q_missing_agg(spark, sf_dir):
+    """ES missing aggregation: per-type count of events whose (runtime
+    -derived, so genuinely nullable) value field is null."""
+    from elasticsearch_analysis_combo_spark.query.facets import missing_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "v",
+        F.expr(f"CASE WHEN value < {MISSING_THRESH} THEN NULL ELSE value END"),
+    )
+    out = missing_agg(ev, "v", group_col="event_type")
+    return out.select(
+        "event_type", F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
+def q_global_agg(spark, sf_dir):
+    """ES global aggregation: whole-table metrics escaping any filter
+    scope — one reduce."""
+    from elasticsearch_analysis_combo_spark.query.facets import global_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = global_agg(
+        ev, {"n_events": "count(*)", "total_value": "round(sum(value), 4)"}
+    )
+    return out.select(
+        F.col("n_events").cast("long").alias("n_events"), "total_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -4061,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_mad": q_string_stats_mad,
         "repetition_stats": q_repetition_stats,
         "semantic_dedup": q_semantic_dedup,
+        "geotile_grid": q_geotile_grid,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
         "span_family": q_span_family,
@@ -4088,9 +4160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pipeline_aggs": q_pipeline_aggs,
         "bucket_script": q_bucket_script,
-        "percentile_ranks": q_percentile_ranks,
+        "percentile_family": q_percentile_family,
         "knn_filtered": q_knn_filtered,
-        "percentiles": q_percentiles,
         "filters_agg": q_filters_agg,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
@@ -4125,6 +4196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": q_random_score,
         "stratified_sample": q_stratified_sample,
         "sample_exact": q_sample_exact,
+        "percentiles": q_percentiles,
+        "percentile_ranks": q_percentile_ranks,
+        "missing_agg": q_missing_agg,
+        "global_agg": q_global_agg,
         "adjacency_matrix": q_adjacency_matrix,
         "top_hits": q_top_hits,
         "weighted_avg": q_weighted_avg,
@@ -5564,6 +5639,50 @@ FROM documents GROUP BY 1
 """
 
     # --- round-4e surfaces ---
+    _n_tiles = 1 << GEOTILE_ZOOM
+    sqls["geotile_grid"] = f"""
+WITH pts AS (
+  SELECT {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon FROM events
+),
+c AS (
+  SELECT lat, lon,
+         greatest(-85.0511287798, least(85.0511287798, lat)) AS latc
+  FROM pts
+),
+t AS (
+  SELECT lat, lon,
+         least(greatest(
+           floor((lon + 180.0) / 360.0 * {_n_tiles})::BIGINT, 0),
+           {_n_tiles - 1}) AS tile_x,
+         least(greatest(
+           floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc)))
+                  / pi()) / 2.0 * {_n_tiles})::BIGINT, 0),
+           {_n_tiles - 1}) AS tile_y
+  FROM c
+)
+SELECT {GEOTILE_ZOOM}::BIGINT AS zoom, tile_x, tile_y,
+       count(*)::BIGINT AS doc_count,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM t GROUP BY 1, 2, 3
+"""
+    sqls["percentile_family"] = (
+        "SELECT 'percentiles' AS kind, event_type AS group_key, "
+        "percent AS probe, value FROM (" + sqls["percentiles"] + ")\n"
+        "UNION ALL\nSELECT 'ranks' AS kind, l_returnflag AS group_key, "
+        "value AS probe, percentile_rank AS value FROM ("
+        + sqls["percentile_ranks"] + ")"
+    )
+    sqls["missing_agg"] = f"""
+SELECT event_type,
+       sum(CASE WHEN value < {MISSING_THRESH} THEN 1 ELSE 0 END)::BIGINT
+         AS doc_count
+FROM events GROUP BY 1
+"""
+    sqls["global_agg"] = """
+SELECT count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM events
+"""
     sqls["span_within_containing"] = _span_wc_oracle_sql()
     sqls["span_family"] = (
         "SELECT 'or' AS kind, * FROM (" + _span_or_oracle_sql() + ")\n"

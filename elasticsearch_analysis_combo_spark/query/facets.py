@@ -941,3 +941,27 @@ def median_abs_deviation_agg(
             "mad"
         ),
     )
+
+
+def missing_agg(
+    rows: DataFrame,
+    col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``missing`` aggregation: count of docs with no value for the
+    field (null), per outer group — one partial-aggregated count-when."""
+    keys = [F.col(group_col)] if group_col else []
+    agg = F.sum(
+        F.when(F.col(col).isNull(), 1).otherwise(0)
+    ).alias("doc_count")
+    return rows.groupBy(*keys).agg(agg) if keys else rows.agg(agg)
+
+
+def global_agg(rows: DataFrame, metric_exprs: dict[str, str]) -> DataFrame:
+    """ES ``global`` aggregation: metrics over the WHOLE table,
+    escaping any query/filter context the caller's bucket tree is
+    scoped to — the caller passes the unfiltered source, this computes
+    the named SQL aggregate expressions in one reduce."""
+    return rows.agg(
+        *[F.expr(expr).alias(name) for name, expr in metric_exprs.items()]
+    )

@@ -166,3 +166,45 @@ def geo_distance_agg(
         F.col("_b.to").alias("to"),
         F.col("_b.doc_count").cast("long").alias("doc_count"),
     )
+
+
+def geotile_grid_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 7,
+    with_centroid: bool = True,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation (+ optional per-tile
+    ``geo_centroid``): bucket points into web-mercator map tiles at the
+    given zoom ``precision`` (2^p x 2^p world grid, the slippy-map
+    x/y/z scheme ES emits as "z/x/y" keys). Tile math is pure codegen
+    arithmetic; the whole agg is ONE partial-aggregated groupBy on the
+    tile key — at 100 TB the map-side combine collapses each task to
+    <= 4^p rows and the centroid ships as (sum, count) partials.
+    Latitudes are clamped to the web-mercator domain (+/-85.0511), as
+    ES does."""
+    if not 0 <= precision <= 29:
+        raise ValueError("precision must be in [0, 29]")
+    n = float(1 << precision)
+    lat = F.greatest(F.lit(-85.0511287798), F.least(F.lit(85.0511287798),
+                                                    F.col(lat_col)))
+    lon = F.col(lon_col)
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    lat_rad = F.radians(lat)
+    mercator = F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad))
+    y = F.floor((1.0 - mercator / math.pi) / 2.0 * n).cast("long")
+    # clamp the x/y edge cases (lon=180, lat at the clamp boundary)
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1))
+    keyed = df.withColumn("tile_x", x).withColumn("tile_y", y)
+    aggs = [F.count("*").alias("doc_count")]
+    if with_centroid:
+        aggs += [
+            F.avg(F.col(lat_col)).alias("centroid_lat"),
+            F.avg(F.col(lon_col)).alias("centroid_lon"),
+        ]
+    return (
+        keyed.groupBy(F.lit(precision).alias("zoom"), "tile_x", "tile_y")
+        .agg(*aggs)
+    )

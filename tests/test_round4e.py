@@ -265,3 +265,44 @@ def test_semantic_dedup_cells_subset_of_brute_force(spark):
     assert set(got) <= set(want)
     # planted near-identical pairs land in the same cell
     assert {(3, 7), (14, 21)} <= set(got)
+
+
+# ---------------------------------------------------------------------------
+# geotile / missing / global
+
+
+def test_geotile_grid_known_tiles(spark):
+    from elasticsearch_analysis_combo_spark.query.geo import geotile_grid_agg
+
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.0, 0.1), (2, 89.9, 179.9), (3, -89.9, -179.9)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in geotile_grid_agg(pts, "lat", "lon", precision=2).collect()
+    }
+    # equator/greenwich points land in tile (2,2) of the 4x4 grid
+    assert got[(2, 2)]["doc_count"] == 2
+    assert abs(got[(2, 2)]["centroid_lon"] - 0.05) < 1e-12
+    # out-of-mercator-domain lats clamp into the edge rows
+    assert got[(3, 0)]["doc_count"] == 1
+    assert got[(0, 3)]["doc_count"] == 1
+    with pytest.raises(ValueError):
+        geotile_grid_agg(pts, "lat", "lon", precision=31)
+
+
+def test_missing_and_global(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        global_agg,
+        missing_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {r["g"]: r["doc_count"] for r in missing_agg(df, "v", "g").collect()}
+    assert got == {"a": 1, "b": 2}
+    g = global_agg(df, {"n": "count(*)", "s": "sum(v)"}).collect()[0]
+    assert g["n"] == 4 and g["s"] == 1.0
