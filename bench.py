@@ -280,7 +280,11 @@ def main() -> None:
     )
 
     t0 = time.time()
-    repetition_stats(docs, text_col=text_col).count()
+    # sum a joined column: count() alone would let Catalyst eliminate
+    # the unique-key left joins and skip the gram aggregations entirely
+    repetition_stats(docs, text_col=text_col).agg(
+        F.sum("top_ngram_char_frac"), F.sum("dup_ngram_char_frac")
+    ).collect()
     timings["repetition"] = time.time() - t0
     t0 = time.time()
     semantic_dedup_pairs(emb, threshold=0.3, n_cells=32, seed=42).count()

@@ -77,8 +77,21 @@ def main():
     t0 = time.time()
     stats = build_term_stats(corpus, CFG, content_col="content")
     avgdl_row = stats.select(F.avg("dl")).collect()[0][0]
+    # salted hot-term path, mirroring bench.py / build_index — without
+    # it, stop-grade terms serialize into single encode tasks
+    hot_list = [
+        r["term"]
+        for r in stats.sample(0.05, seed=42)
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= max(4, int((N_DOCS // 10) * 0.05)))
+        .collect()
+    ]
+    hot = spark.createDataFrame(
+        [(t,) for t in hot_list] or [("",)], "term string"
+    )
     post = build_postings(
-        stats, avgdl=float(avgdl_row), with_positions=True,
+        stats, avgdl=float(avgdl_row), hot_terms=hot, salt_shards=8,
+        with_positions=True,
     ).cache()
     post.count()
     out["index_build_sec"] = round(time.time() - t0, 2)
@@ -106,7 +119,14 @@ def main():
         out[f"{name}_rows"] = len(single)
 
     docs = corpus.selectExpr("doc_id", "content as text")
-    _timed(out, "repetition", lambda: repetition_stats(docs).count())
+    # aggregate a joined column — count() would let Catalyst eliminate
+    # the unique-key left joins and skip the gram work
+    _timed(
+        out, "repetition",
+        lambda: repetition_stats(docs).agg(
+            F.sum("top_ngram_char_frac"), F.sum("dup_ngram_char_frac")
+        ).collect(),
+    )
 
     def gen_vecs(batches):
         for pdf in batches:
