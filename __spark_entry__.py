@@ -4048,6 +4048,28 @@ def q_semantic_dedup(spark, sf_dir):
 
 GEOTILE_ZOOM = 7
 MISSING_THRESH = 30.0
+CLEAN_MIN_LEN = 10
+PII_SUFFIX = " reach me at bob@example.com or 10.0.0.1"
+
+
+def q_clean_text(spark, sf_dir):
+    """Curation text-cleaning chain: deterministic PII injection on
+    every 7th doc -> sentence structure derived by turning ' the ' into
+    unit boundaries -> scrub_pii (email/IP/phone regex chain) ->
+    corpus-level exact line dedup (first (doc, pos) occurrence wins,
+    units under CLEAN_MIN_LEN chars exempt)."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import dedup_lines
+    from elasticsearch_analysis_combo_spark.operators.pipeline import scrub_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"replace(CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' "
+            "ELSE text END, ' the ', '. ')"
+        ).alias("text"),
+    )
+    out = dedup_lines(scrub_pii(docs), min_len=CLEAN_MIN_LEN)
+    return out.select("doc_id", "text")
 
 
 def q_geotile_grid(spark, sf_dir):
@@ -4176,7 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "completion_suggest": q_completion_suggest,
         "sort_search_after": q_sort_search_after,
-        "rescore_phrase": q_rescore_phrase,
+        "clean_text": q_clean_text,
         # --- engine core ---
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
@@ -4200,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "missing_agg": q_missing_agg,
         "global_agg": q_global_agg,
+        "rescore_phrase": q_rescore_phrase,
         "adjacency_matrix": q_adjacency_matrix,
         "top_hits": q_top_hits,
         "weighted_avg": q_weighted_avg,
@@ -5639,6 +5662,47 @@ FROM documents GROUP BY 1
 """
 
     # --- round-4e surfaces ---
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        PII_PATTERNS,
+    )
+
+    _scrub_expr = "text"
+    for _, _pat, _repl in PII_PATTERNS:
+        _scrub_expr = (
+            f"regexp_replace({_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+        )
+    sqls["clean_text"] = f"""
+WITH src AS (
+  SELECT doc_id,
+         replace(CASE WHEN doc_id % 7 = 0
+                      THEN text || '{PII_SUFFIX}' ELSE text END,
+                 ' the ', '. ') AS text
+  FROM documents
+),
+scrub AS (SELECT doc_id, {_scrub_expr} AS text FROM src),
+u AS (
+  SELECT doc_id, i - 1 AS p, parts[i] AS unit FROM (
+    SELECT doc_id, string_split_regex(text, '\\. ') AS parts FROM scrub
+  ), unnest(range(1, len(parts) + 1)) r(i)
+),
+win AS (
+  SELECT h, doc_id AS wd, p AS wp FROM (
+    SELECT md5(unit) AS h, doc_id, p,
+           row_number() OVER (PARTITION BY md5(unit)
+                              ORDER BY doc_id, p) AS rn
+    FROM u WHERE length(unit) >= {CLEAN_MIN_LEN}
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT u.doc_id, u.p, u.unit FROM u LEFT JOIN win ON md5(u.unit) = win.h
+  WHERE win.h IS NULL OR (u.doc_id = win.wd AND u.p = win.wp)
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(unit, '. ' ORDER BY p) AS text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
     _n_tiles = 1 << GEOTILE_ZOOM
     sqls["geotile_grid"] = f"""
 WITH pts AS (

@@ -669,6 +669,52 @@ class ComboSearchEngine:
             range_bits=range_bits if partitioned else None,
         )
 
+    def span_within(
+        self,
+        little: str,
+        big: str,
+        slop: int = 0,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Lucene ``span_within``: the little clause's positions enclosed
+        by an ordered span_near of the big clause's terms (slop-bounded);
+        n_matches = contained little positions."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_within_match,
+        )
+
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_within_match(
+            self.spark, self.idx.postings(), [(0, little, big)],
+            self._query_config(), slop=slop,
+            range_bits=range_bits if partitioned else None,
+        )
+
+    def span_containing(
+        self,
+        little: str,
+        big: str,
+        slop: int = 0,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """Lucene ``span_containing``: big spans (ordered span_near)
+        enclosing at least one little position; n_matches = enclosing
+        spans."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_containing_match,
+        )
+
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_containing_match(
+            self.spark, self.idx.postings(), [(0, little, big)],
+            self._query_config(), slop=slop,
+            range_bits=range_bits if partitioned else None,
+        )
+
     def search_filtered(
         self,
         query: str,

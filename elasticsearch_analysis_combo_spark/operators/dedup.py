@@ -129,14 +129,22 @@ def shingles(
     shingle stream, required by set-Jaccard. Consumers whose aggregation
     is duplicate-insensitive (minhash: min over a multiset == min over its
     set) pass ``distinct=False`` and skip that shuffle entirely."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # split materialized as a column BEFORE the shingle lambda: HOFs are
+    # interpreted (CodegenFallback), so an expression captured inside the
+    # lambda re-evaluates per element — inlining the split would make
+    # shingling O(len^2) per doc
+    tok_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     out = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        tok_df.select("doc_id", F.explode(sh).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
     return out.distinct() if distinct else out
@@ -599,3 +607,66 @@ def decontaminate(
         text_col=text_col, id_col=id_col, **kw,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return train.join(bad, id_col, "left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+    min_len: int = 0,
+) -> DataFrame:
+    """Corpus-level exact line/sentence dedup (the C4/RefinedWeb "drop
+    repeated lines across documents" pass): split every doc into units
+    on ``sep``, keep each distinct unit's FIRST occurrence (lowest
+    (doc_id, position) — deterministic on any cluster), drop every
+    later copy (including within-doc repeats), and reassemble the
+    surviving units in original order. Units shorter than ``min_len``
+    characters are exempt (kept everywhere) so ubiquitous short
+    fragments don't vaporize the corpus.
+
+    Shape at 100 TB: one explode, ONE md5-keyed groupBy (the shuffle
+    carries (hash, doc, pos) triples, never the text), a hash join back,
+    and a per-doc reassembly groupBy — no corpus-wide state beyond the
+    distinct-unit hash space, the same ledger exact_duplicate_groups
+    keeps at doc granularity."""
+    import re as _re
+
+    pat = _re.escape(sep)
+    u = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("_p", "_u"),
+    )
+    win = (
+        u.filter(F.length("_u") >= min_len)
+        .groupBy(F.md5(F.col("_u")).alias("_h"))
+        .agg(F.min(F.struct("_d", "_p")).alias("_w"))
+    )
+    kept = (
+        u.withColumn("_uh", F.md5(F.col("_u")))
+        .join(win, F.col("_uh") == F.col("_h"), "left")
+        .filter(
+            F.col("_h").isNull()
+            | ((F.col("_w._d") == F.col("_d")) & (F.col("_w._p") == F.col("_p")))
+        )
+    )
+    out = (
+        kept.groupBy("_d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_u"))),
+                    lambda s: s["_u"],
+                ),
+                sep,
+            ).alias("_t")
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(out, F.col(id_col) == F.col("_d"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_t"), F.lit("")).alias(text_col),
+        )
+    )

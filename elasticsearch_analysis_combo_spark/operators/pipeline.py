@@ -169,3 +169,30 @@ def pack_sequences(
         .drop("_h", "_cum")
     )
     return out
+
+
+# (name, pattern, replacement) — patterns restricted to the syntax both
+# Java regex (Spark) and RE2 (DuckDB oracle) implement identically: no
+# backreferences, no lookaround; \b and (?:...) are fine in both.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d .-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Curation-time PII redaction: chained ``regexp_replace`` over the
+    text column (emails, IPv4s, phone-shaped digit runs by default) —
+    pure codegen projections, scan-speed and map-only at any scale.
+    Pattern order matters (IPs are scrubbed before the looser phone
+    digit-run pattern can eat them) and is applied identically in the
+    oracle replay."""
+    col = F.col(text_col)
+    for _, pat, repl in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(text_col, col)

@@ -1,10 +1,14 @@
 """Text analysis operators for corpus curation (engine extensions:
 language-ID, quality scoring, token counting, document fingerprinting).
 
-All four are pure DataFrame/SQL expressions (JVM-side, codegen'd, no UDF) so
-they run at scan speed and their semantics are mirror-expressible in the
-DuckDB oracle. The fingerprint operator implements winnowing-style selection
-(Schleimer et al. 2003) with window functions.
+Language-ID, quality scoring, and token counting are pure DataFrame/SQL
+expressions (JVM-side, codegen'd, no UDF) so they run at scan speed; the
+fingerprint operator implements winnowing-style selection (Schleimer et
+al. 2003) with window functions. repetition_stats is the one Arrow-batched
+pandas kernel: its signals are strictly per-doc, and the map-only kernel
+avoids shuffling gram strings (~7x corpus bytes) that a (doc, gram)
+groupBy formulation would pay. All semantics are mirror-expressible in
+the DuckDB oracle.
 
 Portable hashing note: Spark's hash()/xxhash64() differ from DuckDB's
 hash(), so oracle-checked fingerprints derive 63-bit ints from md5 hex
@@ -157,15 +161,23 @@ def fingerprint_winnow(
     (rolling-hash equivalent via portable md5-derived 63-bit ints), then
     keep each sliding window's minimum hash (distinct). Output:
     (doc_id, fp_hash, pos of first selection). Window functions only —
-    shuffles once on doc_id."""
-    toks = tokens_col(text_col)
+    shuffles once on doc_id.
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda: higher-order functions are interpreted (CodegenFallback),
+    so an expression captured inside the lambda re-evaluates per
+    element — an inlined split() would make shingling O(len^2) per doc."""
+    tok_df = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos", "gram")
+    grams = tok_df.select(
+        "doc_id", F.posexplode(sh).alias("pos", "gram")
     ).withColumn("h", _portable_hash63(F.col("gram")))
     w = (
         Window.partitionBy("doc_id")
@@ -215,66 +227,79 @@ def repetition_stats(
       exactly SQL-replayable).
 
     Gram char length counts the joined gram text (tokens + single
-    separators). Shape at 100 TB: two explode + partial-aggregated
-    groupBys keyed on (doc, gram) — per-doc cardinality is bounded by
-    doc length, no corpus-wide vocabulary state — then two map-side
-    per-doc reduces rejoined on doc_id. Filters downstream consume the
-    fractions (e.g. Gopher drops top_2gram_char_frac > 0.20)."""
-    toks = tokens_col(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        (
-            1.0
-            - F.size(F.array_distinct(toks))
-            / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        ).alias("dup_token_frac"),
-    )
+    separators). Shape at 100 TB: MAP-ONLY — every signal is a per-doc
+    function, so the kernel is an Arrow-batched ``mapInPandas`` counter
+    pass with zero shuffle and no corpus-wide state. (A (doc, gram)
+    groupBy formulation is expressible but shuffles the 5-gram strings
+    — ~7x the corpus bytes — to compute a per-row statistic; the
+    map-only kernel reads the scan once and emits 5 small columns.)
+    Tokenization replicates ``split(trim(text), '\\s+')`` byte-for-byte
+    (ASCII ``\\s``, space-only trim, empty-string token preserved) so
+    results are identical to the SQL replay the oracle runs. Filters
+    downstream consume the fractions (e.g. Gopher drops
+    top_2gram_char_frac > 0.20)."""
+    import re
+    from collections import Counter
 
-    def gram_counts(n: int):
-        return (
-            df.select(
-                F.col(id_col), F.explode(_gram_col(toks, n)).alias("gram")
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_tokens int, dup_token_frac double, "
+        "top_ngram_char_frac double, dup_ngram_char_frac double"
+    )
+    # Java-regex \s is ASCII [ \t\n\x0B\f\r]; Python's re.ASCII \s is the
+    # same set. F.trim strips spaces only, and split keeps empty tokens
+    # (trailing separators, empty input) — replicated exactly.
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, n_toks, dup_tok, top_frac, dup_frac = [], [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                nc = float(max(len(text), 1))
+                toks = ws.split(text.strip(" "))
+                nt = len(toks)
+                ids.append(i)
+                n_toks.append(nt)
+                dup_tok.append(1.0 - len(set(toks)) / max(nt, 1))
+                top_chars = 0
+                if nt >= top_n:
+                    cnt = Counter(
+                        " ".join(toks[j:j + top_n])
+                        for j in range(nt - top_n + 1)
+                    )
+                    # ties break to the lexicographically greatest gram
+                    c, g = max((c, g) for g, c in cnt.items())
+                    top_chars = c * len(g)
+                dup_chars = 0
+                if nt >= dup_n:
+                    cnt = Counter(
+                        " ".join(toks[j:j + dup_n])
+                        for j in range(nt - dup_n + 1)
+                    )
+                    dup_chars = sum(
+                        c * len(g) for g, c in cnt.items() if c >= 2
+                    )
+                top_frac.append(top_chars / nc)
+                dup_frac.append(dup_chars / nc)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": pd.array(n_toks, dtype="int32"),
+                    "dup_token_frac": pd.array(dup_tok, dtype="float64"),
+                    "top_ngram_char_frac": pd.array(
+                        top_frac, dtype="float64"
+                    ),
+                    "dup_ngram_char_frac": pd.array(
+                        dup_frac, dtype="float64"
+                    ),
+                }
             )
-            .groupBy(id_col, "gram")
-            .agg(F.count("*").alias("cnt"))
-        )
 
-    top = (
-        gram_counts(top_n)
-        .groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top")
-        )
-        .select(
-            F.col(id_col),
-            (
-                F.col("_top.cnt") * F.length(F.col("_top.gram"))
-            ).alias("_top_chars"),
-        )
-    )
-    dup = (
-        gram_counts(dup_n)
-        .filter(F.col("cnt") >= 2)
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("cnt") * F.length(F.col("gram"))).alias("_dup_chars")
-        )
-    )
-    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    return (
-        base.join(top, id_col, "left")
-        .join(dup, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            "dup_token_frac",
-            (F.coalesce(F.col("_top_chars"), F.lit(0)) / nc).alias(
-                "top_ngram_char_frac"
-            ),
-            (F.coalesce(F.col("_dup_chars"), F.lit(0)) / nc).alias(
-                "dup_ngram_char_frac"
-            ),
-        )
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        stats, schema=schema
     )

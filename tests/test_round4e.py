@@ -306,3 +306,83 @@ def test_missing_and_global(spark):
     assert got == {"a": 1, "b": 2}
     g = global_agg(df, {"n": "count(*)", "s": "sum(v)"}).collect()[0]
     assert g["n"] == 4 and g["s"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + corpus-level line dedup
+
+
+def test_scrub_pii(spark):
+    from elasticsearch_analysis_combo_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail bob@example.com ip 10.0.0.1 tel +1 555-123-4567 end"),
+         (1, "clean text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(df).collect()}
+    assert got[0] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert got[1] == "clean text"
+
+
+def test_dedup_lines(spark):
+    from elasticsearch_analysis_combo_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha one. shared sentence. beta"),
+            (1, "shared sentence. gamma two"),
+            (2, "delta. delta. unique tail"),
+            (3, "shared sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    # first occurrence (doc 0) keeps the shared sentence; docs 1 and 3
+    # lose it; within-doc repeat in doc 2 collapses to one
+    assert got[0] == "alpha one. shared sentence. beta"
+    assert got[1] == "gamma two"
+    assert got[2] == "delta. unique tail"
+    assert got[3] == ""
+
+
+def test_dedup_lines_min_len_exempts_short_units(spark):
+    from elasticsearch_analysis_combo_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "ok. a very long repeated sentence"),
+         (1, "ok. a very long repeated sentence")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, min_len=5).collect()
+    }
+    assert got[0] == "ok. a very long repeated sentence"
+    assert got[1] == "ok"  # short unit exempt, long one deduped
+
+
+# ---------------------------------------------------------------------------
+# engine facade: span_within / span_containing
+
+
+def test_engine_span_within_containing(spark, tmp_path):
+    from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine
+    from elasticsearch_analysis_combo_spark.sources.corpus import (
+        generate_corpus,
+        ingest,
+    )
+
+    corpus = ingest(generate_corpus(spark, 60))
+    cfg = ComboConfig(["whitespace"])
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idxwc"), salt_shards=2)
+    eng.index(corpus)
+    w = eng.span_within("return", "the if", slop=3).collect()
+    c = eng.span_containing("return", "the if", slop=3).collect()
+    # dual outputs agree on the matching doc set
+    assert {r["doc_id"] for r in w} == {r["doc_id"] for r in c}
+    part = eng.span_within("return", "the if", slop=3,
+                           partitioned=True).collect()
+    assert {(r["doc_id"], r["n_matches"]) for r in w} == {
+        (r["doc_id"], r["n_matches"]) for r in part
+    }

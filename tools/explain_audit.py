@@ -298,8 +298,8 @@ def main() -> None:
     )
 
     # 16. repetition_stats: the documents scan must read only (doc_id,
-    # text) — the gram explode must not drag metadata columns through
-    # the (doc, gram) shuffle — and the gram counts must partial-agg
+    # text), and the per-doc kernel must stay MAP-ONLY — a per-row
+    # statistic must not shuffle gram strings (~7x corpus bytes)
     from elasticsearch_analysis_combo_spark.operators.text_quality import (
         repetition_stats,
     )
@@ -311,7 +311,8 @@ def main() -> None:
         "ReadSchema: struct<doc_id:bigint,text:string>",
     )
     failures += not check(
-        "repetition_stats partial-agg gram counts", p, "HashAggregate"
+        "repetition_stats map-only kernel", p, "MapInPandas",
+        forbid="Exchange",
     )
 
     # 17. bucket_sort: the rank cut must push map-side (WindowGroupLimit)
