@@ -64,6 +64,15 @@ PHRASE_SCHEMA = T.StructType(
     ]
 )
 
+# with_dl=True variant: the matcher already holds every hit doc's length
+# (decoded alongside positions), so emitting it costs nothing and saves
+# consumers a term_stats re-scan + distinct + join just to recover dl
+# (the simple_query_string phrase scorer needs dl for the BM25 length
+# normalization).
+PHRASE_DL_SCHEMA = T.StructType(
+    PHRASE_SCHEMA.fields + [T.StructField("dl", T.LongType())]
+)
+
 # key packing: doc-index band of 2^31, positions biased by 2^30 so pp
 # (position minus slot) stays positive. Bounds asserted in _match_phrase.
 _POS_BIAS = 1 << 30
@@ -236,14 +245,16 @@ def phrase_match(
     queries: list[tuple[int, str]],
     config: ComboConfig,
     slop: int = 0,
+    with_dl: bool = False,
 ) -> DataFrame:
-    """(query_id, doc_id, n_matches) for every doc containing the phrase
-    (within ``slop`` position moves — see module docstring). One task per
-    query; use :func:`phrase_match_partitioned` for stop-word phrases over
-    very large indexes."""
+    """(query_id, doc_id, n_matches[, dl]) for every doc containing the
+    phrase (within ``slop`` position moves — see module docstring). One
+    task per query; use :func:`phrase_match_partitioned` for stop-word
+    phrases over very large indexes."""
+    schema = PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return spark.createDataFrame([], schema)
     qterms = spark.createDataFrame(
         sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
     )
@@ -260,18 +271,18 @@ def phrase_match(
         for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
             rows_by_term.setdefault(term, {})[int(ri)] = blocks
         decoded = _decode_rows(rows_by_term)
-        docs, counts = _match_phrase(decoded, slots_by_q[qid], slop)
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(
-                    np.full(docs.size, qid), dtype="int32"
-                ),
-                "doc_id": pd.Series(docs, dtype="int64"),
-                "n_matches": pd.Series(counts, dtype="int64"),
-            }
-        )
+        res = _match_phrase(decoded, slots_by_q[qid], slop, want_dl=with_dl)
+        docs, counts = res[0], res[1]
+        out = {
+            "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "n_matches": pd.Series(counts, dtype="int64"),
+        }
+        if with_dl:
+            out["dl"] = pd.Series(res[2], dtype="int64")
+        return pd.DataFrame(out)
 
-    return joined.groupBy("query_id").applyInPandas(run_query, PHRASE_SCHEMA)
+    return joined.groupBy("query_id").applyInPandas(run_query, schema)
 
 
 def phrase_match_docs(
@@ -349,6 +360,7 @@ def range_partitioned_positional_eval(
     qterm_rows: list[tuple[int, str]],
     match_fn,
     range_bits: int = 4,
+    want_dl: bool = False,
 ) -> DataFrame:
     """Shared doc-range fan-out for positional matchers (phrase, span).
 
@@ -359,10 +371,14 @@ def range_partitioned_positional_eval(
     decodes, trims boundary blocks to its own closed range, and calls
     ``match_fn(qid, decoded) -> (docs, counts)`` with the same decoded
     shape as the single-task path. Docs partition across ranges, so the
-    union of per-range results is the exact global answer."""
+    union of per-range results is the exact global answer. With
+    ``want_dl`` the matcher must return ``(docs, counts, dls)`` and the
+    output gains a ``dl`` column (docs partition across ranges, so per-doc
+    lengths are emitted exactly once)."""
+    schema = PHRASE_DL_SCHEMA if want_dl else PHRASE_SCHEMA
     shift = 64 - range_bits
     if not qterm_rows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return spark.createDataFrame([], schema)
     qterms = spark.createDataFrame(
         sorted(set(qterm_rows)), "query_id int, term string"
     )
@@ -418,17 +434,19 @@ def range_partitioned_positional_eval(
             t = np.concatenate(ts)
             offs = np.concatenate([[0], np.cumsum(t.astype(np.int64))])
             decoded[term] = (d, offs, np.concatenate(ps), np.concatenate(ls))
-        docs, counts = match_fn(qid, decoded)
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
-                "doc_id": pd.Series(docs, dtype="int64"),
-                "n_matches": pd.Series(counts, dtype="int64"),
-            }
-        )
+        res = match_fn(qid, decoded)
+        docs, counts = res[0], res[1]
+        out = {
+            "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "n_matches": pd.Series(counts, dtype="int64"),
+        }
+        if want_dl:
+            out["dl"] = pd.Series(res[2], dtype="int64")
+        return pd.DataFrame(out)
 
     return joined.groupBy("query_id", "range_id").applyInPandas(
-        run_range, PHRASE_SCHEMA
+        run_range, schema
     )
 
 
@@ -439,6 +457,7 @@ def phrase_match_partitioned(
     config: ComboConfig,
     slop: int = 0,
     range_bits: int = 4,
+    with_dl: bool = False,
 ) -> DataFrame:
     """Range-partitioned phrase matching: one task per (query, doc-range),
     identical rows to :func:`phrase_match` (see
@@ -446,15 +465,20 @@ def phrase_match_partitioned(
     stop-word phrases whose posting lists would concentrate in one task."""
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return spark.createDataFrame(
+            [], PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA
+        )
     slots_by_q: dict[int, list[tuple[int, str]]] = {}
     for qid, slot, term in qrows:
         slots_by_q.setdefault(qid, []).append((slot, term))
     return range_partitioned_positional_eval(
         spark, postings,
         [(qid, t) for qid, _, t in qrows],
-        lambda qid, decoded: _match_phrase(decoded, slots_by_q[qid], slop),
+        lambda qid, decoded: _match_phrase(
+            decoded, slots_by_q[qid], slop, want_dl=with_dl
+        ),
         range_bits=range_bits,
+        want_dl=with_dl,
     )
 
 

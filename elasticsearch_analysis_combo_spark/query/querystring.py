@@ -22,7 +22,13 @@ Semantics (SQL-replayable, shared with the gate oracle):
 * scoring = plain BM25 summed once per distinct (query, term) over the
   term clauses' analyzed terms plus every capped prefix/fuzzy expansion
   term, PLUS, per phrase clause, the Lucene PhraseQuery score
-  ``idf_sum(constituents) * satu(phrase_freq)``;
+  ``idf_sum(constituents) * satu(phrase_freq)``. Per-term df for the
+  LITERAL query terms (term clauses + phrase constituents — bounded by
+  the query text, never by the corpus) is fetched driver-side in one
+  tiny dictionary probe, so neither the BM25 idf nor the phrase idf_sum
+  needs an in-plan dictionary join; expansion terms keep their df from
+  the expansion table itself. Phrase hits carry ``dl`` straight out of
+  the positional evaluator (with_dl), so no stats re-scan recovers it;
 * membership needs no separate pass: every score source implies the doc
   matches the clause that produced it (term present / expansion present
   / phrase present), so the scored set IS the >=1-positive-clause set;
@@ -43,6 +49,7 @@ vocabulary must not be forced driver-side — cf. boolean.bm25_prefix_topk).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from functools import reduce
@@ -140,6 +147,7 @@ def build_expansions(
                 term_df.filter(F.col("term").startswith(cl.text))
                 .select(*base, F.lit(0).alias("_o1"), F.lit(0.0).alias("_o2"))
             )
+        # df rides along so scoring never re-joins the dictionary
         elif cl.kind == "fuzzy":
             src = F.lit(cl.text)
             parts.append(
@@ -162,7 +170,7 @@ def build_expansions(
     return (
         u.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_expansions)
-        .select("qid", "cid", "term", "neg")
+        .select("qid", "cid", "term", "df", "neg")
     )
 
 
@@ -266,23 +274,38 @@ def simple_query_string_topk(
         comp = [((qid << 10) | cid, cl.text) for qid, cid, cl in phrase_specs]
         if partitioned_phrases:
             ph = phrase_match_partitioned(
-                spark, postings, comp, config, range_bits=range_bits
+                spark, postings, comp, config, range_bits=range_bits,
+                with_dl=True,
             )
         else:
-            ph = phrase_match(spark, postings, comp, config)
-        # the hit set feeds scoring plus up to two indicator joins (must
-        # counting, must_not exclusion) — without materialization each
-        # consumer re-runs the whole positional evaluation (measured 3x at
-        # 200k docs). localCheckpoint (eager) materializes the small hit
-        # set ONCE and truncates lineage, so no cache reference outlives
-        # the call (a persist here with no unpersist accumulated blocks
-        # across a long session until the ContextCleaner caught up).
+            ph = phrase_match(spark, postings, comp, config, with_dl=True)
         phrase_hits = ph.select(
             F.shiftright("query_id", 10).alias("qid"),
             (F.col("query_id") % (1 << 10)).alias("cid"),
             "doc_id",
             "n_matches",
-        ).localCheckpoint(eager=True)
+            "dl",
+        )
+        # the hit set can feed scoring plus up to two indicator joins
+        # (must counting, must_not exclusion) — without materialization
+        # each consumer re-runs the whole positional evaluation (measured
+        # 3x at 200k docs). localCheckpoint (eager) materializes the small
+        # hit set ONCE and truncates lineage, so no cache reference
+        # outlives the call (a persist here with no unpersist accumulated
+        # blocks across a long session until the ContextCleaner caught
+        # up). With a SINGLE consumer (the common should-phrase shape) the
+        # checkpoint is pure overhead — an extra eager job — so it only
+        # fires when the hit set is consumed more than once.
+        n_phrase_consumers = (
+            (1 if any(
+                cl.role != "must_not" and _clause_terms(cl, config)
+                for _, _, cl in phrase_specs
+            ) else 0)
+            + (1 if any(cl.kind == "phrase" for _, _, cl in must_specs) else 0)
+            + (1 if any(cl.kind == "phrase" for _, _, cl in not_specs) else 0)
+        )
+        if n_phrase_consumers >= 2:
+            phrase_hits = phrase_hits.localCheckpoint(eager=True)
 
     def _indicators(specs: list[tuple[int, int, Clause]]) -> DataFrame | None:
         """(qid, cid, doc_id) distinct rows where the clause matches."""
@@ -324,30 +347,55 @@ def simple_query_string_topk(
             )
         if not parts:
             return None
-        return reduce(lambda a, b: a.unionByName(b), parts).distinct()
+        # no distinct: the must consumer counts DISTINCT cids and the
+        # must_not consumer is an anti join — both duplicate-insensitive,
+        # so the dedup shuffle would be pure overhead
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     # ---- scoring: term clauses + expansions (BM25 per distinct term) ----
+    # one bounded dictionary probe supplies df for every LITERAL term the
+    # scorer needs (term clauses + phrase constituents): O(query text)
+    # rows, never O(corpus) — the same "tiny query fetch" class as the
+    # WAND block-metadata reads. Expansion terms carry df from the
+    # expansion table itself, so no in-plan dictionary join remains.
+    pos_phrases = [
+        (qid, cid, cl) for qid, cid, cl in phrase_specs
+        if cl.role != "must_not" and _clause_terms(cl, config)
+    ]
+    literal_terms = sorted(
+        {t for _, t in score_rows}
+        | {t for _, _, cl in pos_phrases for t in _clause_terms(cl, config)}
+    )
+    df_map: dict[str, int] = {}
+    if literal_terms:
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in term_df.filter(F.col("term").isin(literal_terms))
+            .select("term", "df").collect()
+        }
+
     score_parts = []
     qterms_parts = []
-    if score_rows:
+    lit_rows = [
+        (qid, t, df_map[t]) for qid, t in sorted(score_rows) if t in df_map
+    ]
+    if lit_rows:
         qterms_parts.append(
             spark.createDataFrame(
-                sorted(score_rows), "query_id int, term string"
+                lit_rows, "query_id int, term string, df long"
             )
         )
     if exp_df is not None:
         qterms_parts.append(
             exp_df.filter(F.col("neg") == 0)
-            .select(F.col("qid").alias("query_id"), "term")
+            .select(F.col("qid").alias("query_id"), "term", "df")
         )
     if qterms_parts:
         qterms = reduce(
             lambda a, b: a.unionByName(b), qterms_parts
         ).distinct()
-        tdf = term_df.filter(reduce(or_, prune_conds)).select("term", "df")
         score_parts.append(
             stats_pruned.join(qterms, "term")
-            .join(tdf, "term")
             .withColumn(
                 "tscore",
                 idf_expr(n_docs)
@@ -358,42 +406,32 @@ def simple_query_string_topk(
         )
 
     # ---- scoring: phrase clauses (Lucene PhraseQuery algebra) ----
-    pos_phrases = [
-        (qid, cid, cl) for qid, cid, cl in phrase_specs
-        if cl.role != "must_not" and _clause_terms(cl, config)
-    ]
     if pos_phrases and phrase_hits is not None:
-        const_rows = sorted({
-            (qid, cid, t)
+        # idf_sum per clause from the driver-side df probe (missing-vocab
+        # constituents contribute nothing, matching the old inner join);
+        # dl rides on the phrase hits themselves (with_dl)
+        def _idf(df: int) -> float:
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        sel_rows = sorted({
+            (
+                qid, cid,
+                sum(
+                    (
+                        _idf(df_map[t])
+                        for t in _clause_terms(cl, config) if t in df_map
+                    ),
+                    0.0,
+                ),
+            )
             for qid, cid, cl in pos_phrases
-            for t in _clause_terms(cl, config)
         })
-        const = spark.createDataFrame(
-            const_rows, "qid int, cid int, term string"
-        )
-        const_terms = sorted({t for _, _, t in const_rows})
-        # idf_sum per clause: tiny in-plan aggregate (clause-count rows)
-        idf_tbl = (
-            term_df.filter(F.col("term").isin(const_terms))
-            .join(F.broadcast(const), "term")
-            .groupBy("qid", "cid")
-            .agg(F.sum(idf_expr(n_docs)).alias("idf_sum"))
-        )
-        # dl for hit docs: any constituent's stats row carries it, and a
-        # phrase hit contains every constituent — pruned scan, one distinct
-        dl_tbl = (
-            term_stats.filter(F.col("term").isin(const_terms))
-            .select("doc_id", "dl").distinct()
-        )
         sel = spark.createDataFrame(
-            sorted({(qid, cid) for qid, cid, _ in pos_phrases}),
-            "qid int, cid int",
+            sel_rows, "qid int, cid int, idf_sum double"
         )
         f = F.col("n_matches").cast("double")
         score_parts.append(
             phrase_hits.join(F.broadcast(sel), ["qid", "cid"])
-            .join(F.broadcast(idf_tbl), ["qid", "cid"])
-            .join(dl_tbl, "doc_id")
             .withColumn(
                 "pscore",
                 F.col("idf_sum") * f * (k1 + 1.0)
@@ -427,22 +465,24 @@ def simple_query_string_topk(
             .agg(F.countDistinct("cid").alias("n_matched"))
             .withColumnRenamed("qid", "query_id")
         )
-        need = spark.createDataFrame(
-            [(q, n) for q, n in n_must.items()], "query_id int, n_need int"
+        # required-count per query as a literal map (bounded by the query
+        # batch) instead of a broadcast-join table — one fewer exchange
+        need_map = F.create_map(
+            *[F.lit(v) for q_n in sorted(n_must.items()) for v in q_n]
         )
         scored = (
             scored.join(counts, ["query_id", "doc_id"], "left")
-            .join(F.broadcast(need), "query_id", "left")
             .filter(
                 F.coalesce(F.col("n_matched"), F.lit(0))
-                == F.coalesce(F.col("n_need"), F.lit(0))
+                == F.coalesce(
+                    F.element_at(need_map, F.col("query_id")), F.lit(0)
+                )
             )
             .select("query_id", "doc_id", "score")
         )
     not_ind = _indicators(not_specs)
     if not_ind is not None:
-        excl = not_ind.select(
-            F.col("qid").alias("query_id"), "doc_id"
-        ).distinct()
+        # anti join is duplicate-insensitive — no dedup pass needed
+        excl = not_ind.select(F.col("qid").alias("query_id"), "doc_id")
         scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
     return _rank_topk(scored, k)

@@ -217,3 +217,41 @@ def test_phrase_clause_scores_by_phrase_freq(spark, fixture):
     assert set(got) == {0, 3}
     for d in exp:
         assert got[d] == pytest.approx(exp[d], rel=1e-9)
+
+
+def test_partitioned_phrases_identical_and_dl_carried(spark, fixture):
+    """partitioned_phrases routes phrase clauses through the doc-range
+    fan-out evaluator (with_dl) — rows and scores identical to the
+    single-task path; phrase hits carry dl so no stats re-scan joins it
+    back."""
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_match,
+        phrase_match_partitioned,
+    )
+
+    stats, term_df, post, n_docs, avgdl = fixture
+    for text in ('"alpha beta" gamma', '+"alpha beta" -delta'):
+        a = simple_query_string_topk(
+            spark, stats, term_df, post, [(0, text)], CFG, n_docs, avgdl,
+            k=10,
+        ).collect()
+        b = simple_query_string_topk(
+            spark, stats, term_df, post, [(0, text)], CFG, n_docs, avgdl,
+            k=10, partitioned_phrases=True, range_bits=2,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # dl on the hits equals the indexed document length, on BOTH paths
+    dls = {
+        r["doc_id"]: r["dl"]
+        for r in stats.select("doc_id", "dl").distinct().collect()
+    }
+    for hits in (
+        phrase_match(spark, post, [(0, "alpha beta")], CFG, with_dl=True),
+        phrase_match_partitioned(
+            spark, post, [(0, "alpha beta")], CFG, range_bits=2, with_dl=True
+        ),
+    ):
+        rows = hits.collect()
+        assert {r["doc_id"] for r in rows} == {0, 3}
+        for r in rows:
+            assert r["dl"] == dls[r["doc_id"]]
