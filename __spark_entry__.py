@@ -3959,6 +3959,59 @@ def q_samples(spark, sf_dir):
     return fr.unionByName(ex).select("kind", "doc_id", "source")
 
 
+def q_phrase_shingle_accel(spark, sf_dir):
+    """Lucene ``index_phrases``-style phrase acceleration: EXACT phrase
+    matching against a side index of word bigrams (shingle terms are
+    orders of magnitude rarer than their stop-grade constituent unigrams,
+    so scan/decode/kernel all shrink by the df ratio). Row-identical to
+    phrase_match — the unigram SQL oracle replays it directly."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        make_word_shingle_tokenizer,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import (
+        build_term_stats,
+    )
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_match_shingles,
+    )
+
+    d = _docs(spark, sf_dir)
+    sh_cfg = ComboConfig([make_word_shingle_tokenizer("whitespace", size=2)])
+    stats = build_term_stats(d, sh_cfg, content_col="text")
+    segs = build_segments(stats, avgdl=50.0, salt_shards=4, block_size=128,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=50.0, block_size=128,
+                          with_positions=True)
+    out = phrase_match_shingles(spark, post, PHRASES, _ws_config())
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
+def q_phrase_family(spark, sf_dir):
+    """Every phrase surface merged into one gate (same (query_id, doc_id,
+    n_matches) schema, tagged by kind): single-task, range-partitioned,
+    sloppy, and the round-4f shingle-index accelerated path — one window
+    slot oracles all four evaluators."""
+    m = q_phrase_match(spark, sf_dir).withColumn("kind", F.lit("match"))
+    p = q_phrase_partitioned(spark, sf_dir).withColumn(
+        "kind", F.lit("partitioned")
+    )
+    s = q_phrase_slop(spark, sf_dir).withColumn("kind", F.lit("slop"))
+    g = q_phrase_shingle_accel(spark, sf_dir).withColumn(
+        "kind", F.lit("shingle")
+    )
+    return m.unionByName(p).unionByName(s).unionByName(g).select(
+        "kind", "query_id", "doc_id", "n_matches"
+    )
+
+
 def q_stats_bucket(spark, sf_dir):
     """ES sibling pipeline aggs (stats_bucket = avg/min/max/sum_bucket +
     bucket_count) over a per-event_type daily date_histogram."""
@@ -4148,6 +4201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4f new/changed surfaces ---
+        # phrase_family covers all four phrase evaluators (match /
+        # partitioned / slop / NEW shingle-index accel) in one slot;
+        # query_string below exercises the with_dl phrase path
+        "phrase_family": q_phrase_family,
         # --- round-4e new/changed surfaces ---
         "span_within_containing": q_span_within_containing,
         "stats_bucket": q_stats_bucket,
@@ -4183,7 +4241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs": q_pipeline_aggs,
         "bucket_script": q_bucket_script,
         "percentile_family": q_percentile_family,
-        "knn_filtered": q_knn_filtered,
         "filters_agg": q_filters_agg,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
@@ -4210,6 +4267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  the bm25/wand/combo core)
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        # brute-force filtered knn: near-duplicate of in-window
+        # ivf_knn_filtered (same filter machinery, IVF probing on top)
+        "knn_filtered": q_knn_filtered,
+        "phrase_shingle_accel": q_phrase_shingle_accel,
         "span_or": q_span_or,
         "span_first": q_span_first,
         "span_not": q_span_not,
@@ -5294,6 +5355,18 @@ GROUP BY 1
     sqls["phrase_match"] = _phrase_oracle_sql()
     sqls["phrase_match_partitioned"] = _phrase_oracle_sql()
     sqls["phrase_slop"] = _phrase_slop_oracle_sql()
+    # shingle-accelerated exact phrase is row-identical to phrase_match —
+    # the unigram adjacency oracle replays it directly
+    sqls["phrase_shingle_accel"] = _phrase_oracle_sql()
+    sqls["phrase_family"] = (
+        "SELECT 'match' AS kind, * FROM (" + _phrase_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'partitioned' AS kind, * FROM ("
+        + _phrase_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'slop' AS kind, * FROM ("
+        + _phrase_slop_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'shingle' AS kind, * FROM ("
+        + _phrase_oracle_sql() + ")"
+    )
     sqls["phrase_prefix"] = _phrase_prefix_oracle_sql()
     sqls["phrase_ranked"] = _phrase_ranked_oracle_sql()
     sqls["more_like_this"] = _mlt_oracle_sql()

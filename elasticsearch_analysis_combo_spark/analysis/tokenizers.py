@@ -545,6 +545,56 @@ def make_length_filter_tokenizer(
     return len_tok
 
 
+def make_word_shingle_tokenizer(
+    base: TokenizerFn | str,
+    size: int = 2,
+    sep: str = " ",
+    name: str | None = None,
+) -> TokenizerFn:
+    """Lucene ShingleFilter over the BASE analyzer's token stream — the
+    `index_phrases: true` building block: a side index of word ``size``-grams
+    turns an exact phrase query into a lookup of far rarer shingle terms
+    (see query.phrase.phrase_match_shingles). A shingle spans ``size``
+    tokens at CONSECUTIVE positions and sits at its first token's position,
+    so consecutive phrase starts map to consecutive shingle positions and
+    the standard positional kernel applies unchanged. Position gaps (e.g.
+    stopword removal) are NOT bridged — use a gap-free base (whitespace /
+    simple / keyword-less standard text); where Lucene would emit a filler
+    ``_`` shingle, this emits nothing. Same-position duplicates (synonym
+    streams) keep the first-emitted token, matching the phrase-index
+    contract of a single base analyzer."""
+    if size < 2:
+        raise ValueError(f"shingle size must be >= 2: {size}")
+
+    def shingle_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        by_pos: dict[int, Token] = {}
+        for t in fn(text):
+            by_pos.setdefault(t.pos, t)
+        toks = [by_pos[p] for p in sorted(by_pos)]
+        out = []
+        for i in range(len(toks) - size + 1):
+            run = toks[i:i + size]
+            if run[-1].pos - run[0].pos != size - 1:
+                continue  # position gap — no filler shingle
+            out.append(
+                Token(
+                    sep.join(t.term for t in run),
+                    run[0].start, run[-1].end, run[0].pos, "shingle",
+                )
+            )
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            shingle_tok, name, f"word_shingle|{base_id}|{size}|{sep}"
+        )
+    return shingle_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.

@@ -482,6 +482,75 @@ def phrase_match_partitioned(
     )
 
 
+def shingle_phrase_slots(
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    size: int = 2,
+    sep: str = " ",
+) -> dict[int, list[tuple[int, str]]]:
+    """Analyze each phrase with the BASE ``config`` and rewrite it into
+    word-shingle slots: phrase terms t0..tn-1 become the n-size+1 shingle
+    terms sep.join(t[i:i+size]) at slots 0..n-size. Consecutive phrase
+    start positions map to consecutive shingle positions (the shingle
+    sits at its first word's position — analysis.tokenizers.
+    make_word_shingle_tokenizer), so the standard positional kernel
+    evaluates shingle slots unchanged. Raises ValueError for phrases with
+    fewer than ``size`` analyzed terms — those can't use the shingle
+    index; callers fall back to :func:`phrase_match`."""
+    by_q: dict[int, list[tuple[int, str]]] = {}
+    for qid, slot, term in analyze_phrases(queries, config):
+        by_q.setdefault(qid, []).append((slot, term))
+    slots_by_q: dict[int, list[tuple[int, str]]] = {}
+    for qid, st in by_q.items():
+        terms = [t for _, t in sorted(st)]
+        if len(terms) < size:
+            raise ValueError(
+                f"phrase {qid} analyzes to {len(terms)} term(s); the "
+                f"size-{size} shingle index needs >= {size} — fall back "
+                "to phrase_match"
+            )
+        slots_by_q[qid] = [
+            (i, sep.join(terms[i:i + size]))
+            for i in range(len(terms) - size + 1)
+        ]
+    return slots_by_q
+
+
+def phrase_match_shingles(
+    spark: SparkSession,
+    shingle_postings: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    size: int = 2,
+    sep: str = " ",
+    partitioned: bool = False,
+    range_bits: int = 4,
+) -> DataFrame:
+    """Lucene ``index_phrases``-style accelerated EXACT phrase matching:
+    rows identical to :func:`phrase_match` at slop=0, evaluated against a
+    side index of word ``size``-grams (build the postings from
+    ``make_word_shingle_tokenizer(base)`` over the same corpus). The win
+    at scale: a stop-word phrase's unigram posting lists cover most of the
+    corpus, but its shingles ("to be", "of the") are orders of magnitude
+    rarer — the scan, decode, and kernel all shrink by the unigram/shingle
+    df ratio, and n_matches is exact because every size-gram of the phrase
+    must appear at consecutive positions with the anchor count equal to
+    the phrase-start count. Slop is unsupported by construction (shingles
+    fix adjacency); ``config`` must be the single gap-free base analyzer
+    the shingle index was built over."""
+    slots_by_q = shingle_phrase_slots(queries, config, size, sep)
+    if not slots_by_q:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    if partitioned:
+        return range_partitioned_positional_eval(
+            spark, shingle_postings,
+            [(qid, t) for qid, st in slots_by_q.items() for _, t in st],
+            lambda qid, decoded: _match_phrase(decoded, slots_by_q[qid], 0),
+            range_bits=range_bits,
+        )
+    return _slots_eval(spark, shingle_postings, slots_by_q, 0)
+
+
 def _slots_eval(
     spark: SparkSession,
     postings: DataFrame,
