@@ -4012,6 +4012,136 @@ def q_phrase_family(spark, sf_dir):
     )
 
 
+def q_agg_core_family(spark, sf_dir):
+    """facet_range / date_histogram / cardinality / extended_stats merged
+    into one long-format gate (kind, key, metric, value) — window-slot
+    consolidation; the four members remain individual tail gates."""
+    fr = q_facet_range(spark, sf_dir).selectExpr(
+        "'range' as kind",
+        "cast(query_id as string) || '|' || cast(bucket as string) as key",
+        "'doc_count' as metric",
+        "cast(doc_count as double) as value",
+    )
+    dh = q_date_histogram(spark, sf_dir).selectExpr(
+        "'date_histogram' as kind",
+        "event_type || '|' || bucket as key",
+        "'doc_count' as metric",
+        "cast(doc_count as double) as value",
+    )
+    ca = q_cardinality(spark, sf_dir).selectExpr(
+        "'cardinality' as kind", "event_type as key",
+        "'cardinality' as metric",
+        "cast(cardinality as double) as value",
+    )
+    st = q_stats_agg(spark, sf_dir).selectExpr(
+        "'stats' as kind", "event_type as key",
+        "stack(8, 'count', cast(count as double), 'min', min, 'max', max, "
+        "'avg', avg, 'sum', sum, 'variance', variance, "
+        "'std_deviation', std_deviation, "
+        "'sum_of_squares', sum_of_squares) as (metric, value)",
+    )
+    return fr.unionByName(dh).unionByName(ca).unionByName(st)
+
+
+TTEST_SPLIT = 50.0
+
+
+def q_agg_family2(spark, sf_dir):
+    """Round-4g aggregations merged long-format (kind, key, metric,
+    value): multi_terms (composite-key top-N), top_metrics (rank-limited
+    window), t_test (Welch's, one conditional-aggregate pass), boxplot
+    (five-number summary), and rate (normalized date_histogram)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        boxplot_agg,
+        multi_terms_agg,
+        rate_agg,
+        t_test_agg,
+        top_metrics_agg,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mt = multi_terms_agg(docs, ["lang", "source"], size=5).selectExpr(
+        "'multi_terms' as kind", "lang || '|' || source as key",
+        "'doc_count' as metric", "cast(doc_count as double) as value",
+    )
+    tm = top_metrics_agg(
+        ev, "ts", ["value"], group_col="event_type", size=1
+    ).selectExpr(
+        "'top_metrics' as kind", "event_type as key",
+        "'top_value' as metric", "round(value, 6) as value",
+    )
+    tt = t_test_agg(
+        ev, "value", f"value < {TTEST_SPLIT}", f"value >= {TTEST_SPLIT}",
+        group_col="event_type",
+    ).selectExpr(
+        "'t_test' as kind", "event_type as key",
+        "stack(3, 'n_a', cast(n_a as double), 'n_b', cast(n_b as double), "
+        "'t_value', round(t_value, 6)) as (metric, value)",
+    )
+    bp = boxplot_agg(ev, "value", group_col="event_type").selectExpr(
+        "'boxplot' as kind", "event_type as key",
+        "stack(5, 'min', round(min, 6), 'q1', round(q1, 6), "
+        "'q2', round(q2, 6), 'q3', round(q3, 6), "
+        "'max', round(max, 6)) as (metric, value)",
+    )
+    rt = rate_agg(
+        ev, "ts", "day", 3600.0, group_col="event_type"
+    ).selectExpr(
+        "'rate' as kind",
+        "event_type || '|' || date_format(bucket, 'yyyy-MM-dd') as key",
+        "'per_hour' as metric", "round(rate, 6) as value",
+    )
+    return mt.unionByName(tm).unionByName(tt).unionByName(bp).unionByName(rt)
+
+
+def q_parent_child(spark, sf_dir):
+    """ES join-field queries over the orders->lineitem family:
+    has_child (parents with >=2 children matching a predicate, max child
+    score) and has_parent (children inheriting a matching parent's
+    score), merged kind-tagged. Child side pre-aggregates before the key
+    join; parent side projects (key, score) before the join."""
+    from elasticsearch_analysis_combo_spark.query.relations import (
+        has_child_query,
+        has_parent_query,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hc = has_child_query(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        "l_quantity >= 45", score_mode="max",
+        score_expr="l_extendedprice", min_children=2,
+    ).selectExpr(
+        "'has_child' as kind", "o_orderkey as key",
+        "cast(n_children as long) as n", "round(score, 6) as score",
+    )
+    hp = has_parent_query(
+        lineitem, orders, "o_orderkey", "l_orderkey",
+        "o_totalprice > 200000", score_expr="o_totalprice",
+    ).selectExpr(
+        "'has_parent' as kind", "l_orderkey as key",
+        "cast(l_linenumber as long) as n", "round(score, 6) as score",
+    )
+    return hc.unionByName(hp)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: deterministic logistic over the
+    quality_score feature vector — map-only column algebra, SQL-replayed
+    by the oracle."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        quality_classifier,
+    )
+
+    out = quality_classifier(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "p_keep", F.col("keep").cast("long").alias("keep")
+    )
+
+
 def q_stats_bucket(spark, sf_dir):
     """ES sibling pipeline aggs (stats_bucket = avg/min/max/sum_bucket +
     bucket_count) over a per-event_type daily date_histogram."""
@@ -4201,11 +4331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
-        # --- round-4f new/changed surfaces ---
+        # --- round-4f/4g new/changed surfaces ---
         # phrase_family covers all four phrase evaluators (match /
         # partitioned / slop / NEW shingle-index accel) in one slot;
         # query_string below exercises the with_dl phrase path
         "phrase_family": q_phrase_family,
+        "agg_family2": q_agg_family2,
+        "parent_child": q_parent_child,
+        "quality_classifier": q_quality_classifier,
+        # merged slot for the r4a core aggs (members now tail gates)
+        "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
         "span_within_containing": q_span_within_containing,
         "stats_bucket": q_stats_bucket,
@@ -4249,10 +4384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "percolate": q_percolate,
         "multi_match_cross": q_multi_match_cross,
-        "facet_range": q_facet_range,
-        "date_histogram": q_date_histogram,
-        "cardinality": q_cardinality,
-        "stats_agg": q_stats_agg,
         "completion_suggest": q_completion_suggest,
         "sort_search_after": q_sort_search_after,
         "clean_text": q_clean_text,
@@ -4271,6 +4402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_knn_filtered (same filter machinery, IVF probing on top)
         "knn_filtered": q_knn_filtered,
         "phrase_shingle_accel": q_phrase_shingle_accel,
+        # members of the in-window agg_core_family merged gate
+        "facet_range": q_facet_range,
+        "date_histogram": q_date_histogram,
+        "cardinality": q_cardinality,
+        "stats_agg": q_stats_agg,
         "span_or": q_span_or,
         "span_first": q_span_first,
         "span_not": q_span_not,
@@ -5451,6 +5587,91 @@ SELECT event_type,
        round(sum(value * value), 6) AS sum_of_squares
 FROM events GROUP BY 1
 """
+    sqls["agg_core_family"] = (
+        "WITH st AS (" + sqls["stats_agg"] + ")\n"
+        "SELECT 'range' AS kind, query_id::VARCHAR || '|' || "
+        "bucket::VARCHAR AS key, 'doc_count' AS metric, "
+        "doc_count::DOUBLE AS value FROM (" + sqls["facet_range"] + ")\n"
+        "UNION ALL SELECT 'date_histogram', event_type || '|' || bucket, "
+        "'doc_count', doc_count::DOUBLE FROM ("
+        + sqls["date_histogram"] + ")\n"
+        "UNION ALL SELECT 'cardinality', event_type, 'cardinality', "
+        "cardinality::DOUBLE FROM (" + sqls["cardinality"] + ")\n"
+        + "".join(
+            f'UNION ALL SELECT \'stats\', event_type, \'{m}\', '
+            f'"{m}"::DOUBLE FROM st\n'
+            for m in [
+                "count", "min", "max", "avg", "sum", "variance",
+                "std_deviation", "sum_of_squares",
+            ]
+        )
+    )
+    sqls["agg_family2"] = f"""
+WITH mt AS (
+  SELECT lang || '|' || source AS key, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, source
+  ORDER BY c DESC, lang, source LIMIT 5
+),
+tm AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, value) AS rn
+    FROM events) WHERE rn = 1
+),
+tt AS (
+  SELECT event_type,
+         count(CASE WHEN value < {TTEST_SPLIT} THEN 1 END)::DOUBLE AS n_a,
+         count(CASE WHEN value >= {TTEST_SPLIT} THEN 1 END)::DOUBLE AS n_b,
+         avg(CASE WHEN value < {TTEST_SPLIT} THEN value END) AS ma,
+         avg(CASE WHEN value >= {TTEST_SPLIT} THEN value END) AS mb,
+         var_samp(CASE WHEN value < {TTEST_SPLIT} THEN value END) AS va,
+         var_samp(CASE WHEN value >= {TTEST_SPLIT} THEN value END) AS vb
+  FROM events GROUP BY 1
+),
+bp AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+),
+rt AS (
+  SELECT event_type || '|' ||
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+         count(*)::DOUBLE / 24.0 AS rate
+  FROM events GROUP BY 1
+)
+SELECT 'multi_terms' AS kind, key, 'doc_count' AS metric,
+       c::DOUBLE AS value FROM mt
+UNION ALL SELECT 'top_metrics', event_type, 'top_value',
+       round(value, 6) FROM tm
+UNION ALL SELECT 't_test', event_type, 'n_a', n_a FROM tt
+UNION ALL SELECT 't_test', event_type, 'n_b', n_b FROM tt
+UNION ALL SELECT 't_test', event_type, 't_value',
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) FROM tt
+UNION ALL SELECT 'boxplot', event_type, 'min', round(mn, 6) FROM bp
+UNION ALL SELECT 'boxplot', event_type, 'q1', round(q1, 6) FROM bp
+UNION ALL SELECT 'boxplot', event_type, 'q2', round(q2, 6) FROM bp
+UNION ALL SELECT 'boxplot', event_type, 'q3', round(q3, 6) FROM bp
+UNION ALL SELECT 'boxplot', event_type, 'max', round(mx, 6) FROM bp
+UNION ALL SELECT 'rate', key, 'per_hour', round(rate, 6) FROM rt
+"""
+    sqls["parent_child"] = """
+WITH hc AS (
+  SELECT l_orderkey AS key, count(*)::BIGINT AS n,
+         round(max(l_extendedprice), 6) AS score
+  FROM lineitem WHERE l_quantity >= 45
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT 'has_child' AS kind, o.o_orderkey AS key, hc.n, hc.score
+FROM orders o JOIN hc ON hc.key = o.o_orderkey
+UNION ALL
+SELECT 'has_parent', l.l_orderkey, l.l_linenumber::BIGINT,
+       round(o.o_totalprice, 6)
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 200000
+"""
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()
@@ -5638,6 +5859,31 @@ SELECT doc_id, n_tokens,
 FROM m
 """
 
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        QUALITY_MODEL_BIAS as _QB,
+        QUALITY_MODEL_THRESHOLD as _QT,
+        QUALITY_MODEL_WEIGHTS as _QW,
+    )
+
+    _qfeat = {
+        "log_n_tokens": "ln(1 + n_tokens)",
+        "mean_token_len": "mean_token_len",
+        "stopword_ratio": "stopword_ratio",
+        "digit_ratio": "digit_ratio",
+        "distinct_ratio": "distinct_ratio",
+    }
+    # same addition ORDER as the Spark expression (sorted weight names)
+    # so the doubles agree bit-for-bit before the 6-digit round
+    _qz = " + ".join(
+        [repr(_QB)] + [f"({w!r} * {_qfeat[k]})" for k, w in sorted(_QW.items())]
+    )
+    sqls["quality_classifier"] = (
+        "WITH f AS (" + sqls["quality_score"] + "),\n"
+        f"z AS (SELECT doc_id, {_qz} AS z FROM f)\n"
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p_keep,\n"
+        f"       (CASE WHEN 1.0 / (1.0 + exp(-z)) >= {_QT!r} THEN 1 "
+        "ELSE 0 END)::BIGINT AS keep\nFROM z"
+    )
     sqls["token_counts"] = r"""
 SELECT doc_id,
        len(string_split(trim(text), ' ')) AS ws_tokens,

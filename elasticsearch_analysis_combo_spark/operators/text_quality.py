@@ -145,6 +145,59 @@ def token_counts(
     )
 
 
+# Deterministic logistic quality model: fixed, documented weights over
+# the quality_score feature vector (the CCNet/DCLM-style "model-based
+# quality filter" shape, with a transparent linear model standing in for
+# a fastText binary — the Spark-side plumbing, feature extraction, and
+# thresholding are the real artifact; weights are swappable).
+QUALITY_MODEL_WEIGHTS = {
+    "log_n_tokens": 0.55,      # longer docs are likelier keepers…
+    "mean_token_len": 0.35,    # …with natural-language word lengths
+    "stopword_ratio": 2.0,     # English function-word density
+    "digit_ratio": -3.0,       # tables/serials/logs
+    "distinct_ratio": 1.2,     # penalizes boilerplate repetition
+}
+QUALITY_MODEL_BIAS = -3.2
+# Keep-decision boundary, calibrated on the synthetic corpus so both
+# classes occur (p_keep spans ~[0.58, 0.81] there; 0.5 keeps everything).
+QUALITY_MODEL_THRESHOLD = 0.75
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = QUALITY_MODEL_THRESHOLD,
+    weights: dict | None = None,
+    bias: float | None = None,
+) -> DataFrame:
+    """Model-based quality filter: P(keep) = sigmoid(w . features + b)
+    over the :func:`quality_score` feature vector, plus the boolean
+    ``keep`` decision at ``threshold``. Pure column expressions on top of
+    the single feature-extraction projection — map-only, scan-speed at
+    any scale, and exactly replayable in SQL (the oracle re-derives the
+    same algebra)."""
+    w = dict(QUALITY_MODEL_WEIGHTS if weights is None else weights)
+    b = QUALITY_MODEL_BIAS if bias is None else bias
+    feats = quality_score(df, text_col, id_col)
+    z = F.lit(float(b))
+    featmap = {
+        "log_n_tokens": F.log1p(F.col("n_tokens")),
+        "mean_token_len": F.col("mean_token_len"),
+        "stopword_ratio": F.col("stopword_ratio"),
+        "digit_ratio": F.col("digit_ratio"),
+        "distinct_ratio": F.col("distinct_ratio"),
+    }
+    for name, weight in sorted(w.items()):
+        z = z + F.lit(float(weight)) * featmap[name]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        (p >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def _portable_hash63(col):
     """63-bit int from md5 hex — identical in Spark and DuckDB SQL."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -965,3 +965,146 @@ def global_agg(rows: DataFrame, metric_exprs: dict[str, str]) -> DataFrame:
     return rows.agg(
         *[F.expr(expr).alias(name) for name, expr in metric_exprs.items()]
     )
+
+
+def multi_terms_agg(
+    rows: DataFrame,
+    cols: list[str],
+    size: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: top-``size`` COMPOSITE keys by
+    doc count (the terms agg over a tuple of fields). One
+    partial-aggregated groupBy over the composite key; the global top-N
+    is a single ordered limit on the already-reduced bucket set, so no
+    second shuffle of row data."""
+    out = (
+        rows.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    return out.orderBy(
+        F.desc("doc_count"), *[F.asc(c) for c in cols]
+    ).limit(size)
+
+
+def top_metrics_agg(
+    rows: DataFrame,
+    sort_col: str,
+    metric_cols: list[str],
+    group_col: str | None = None,
+    size: int = 1,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric column values from the
+    row(s) with the largest (or smallest) ``sort_col``, per group — a
+    rank-limited window (WindowGroupLimit pushes the limit into the
+    sort, so no full per-group materialization). Ties break on the sort
+    value only, deterministically via the metric columns."""
+    order = [
+        F.asc(sort_col) if ascending else F.desc(sort_col),
+        *[F.asc(c) for c in metric_cols],
+    ]
+    w = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(*order)
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .select(
+            *([group_col] if group_col else []),
+            F.col("_rn").alias("rank"),
+            F.col(sort_col).alias("sort_value"),
+            *metric_cols,
+        )
+    )
+
+
+def t_test_agg(
+    rows: DataFrame,
+    col: str,
+    filter_a: str,
+    filter_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch's, the ES
+    default): the t statistic between the populations selected by two
+    SQL predicates over the same table. Both populations reduce in ONE
+    partial-aggregated pass (conditional aggregates), so adding the
+    second filter costs no extra scan or shuffle."""
+    a, b = F.expr(filter_a), F.expr(filter_b)
+    c = F.col(col)
+    ca, cb = F.when(a, c), F.when(b, c)
+    keys = [F.col(group_col)] if group_col else []
+    aggs = [
+        F.count(ca).alias("_na"), F.avg(ca).alias("_ma"),
+        F.var_samp(ca).alias("_va"),
+        F.count(cb).alias("_nb"), F.avg(cb).alias("_mb"),
+        F.var_samp(cb).alias("_vb"),
+    ]
+    base = rows.groupBy(*keys).agg(*aggs) if keys else rows.agg(*aggs)
+    se = F.sqrt(
+        F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
+    )
+    return base.select(
+        *([group_col] if group_col else []),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        ((F.col("_ma") - F.col("_mb")) / se).alias("t_value"),
+    )
+
+
+def boxplot_agg(
+    rows: DataFrame,
+    col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation: min, q1, q2, q3, max per group. Exact
+    ``percentile`` (ANSI percentile_cont interpolation) for deterministic
+    oracle parity — at 100 TB swap ``approx_percentile`` (mergeable
+    t-digest-style sketch, ES's own accuracy class) with the same shape.
+    One aggregate computes the whole five-number summary."""
+    c = F.col(col)
+    q = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    keys = [F.col(group_col)] if group_col else []
+    aggs = [
+        F.min(c).alias("min"), F.max(c).alias("max"), q.alias("_q"),
+    ]
+    base = rows.groupBy(*keys).agg(*aggs) if keys else rows.agg(*aggs)
+    return base.select(
+        *([group_col] if group_col else []),
+        "min",
+        F.col("_q")[0].alias("q1"),
+        F.col("_q")[1].alias("q2"),
+        F.col("_q")[2].alias("q3"),
+        "max",
+    )
+
+
+def rate_agg(
+    rows: DataFrame,
+    ts_col: str,
+    bucket_interval: str,
+    rate_unit_seconds: float,
+    value_col: str | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per-bucket
+    count (or sum of ``value_col``) normalized to a rate per
+    ``rate_unit_seconds`` (e.g. 3600 for per-hour rates out of daily
+    buckets). Bucket seconds come from the interval literal, so the
+    whole thing stays one partial-aggregated groupBy plus a map-side
+    division."""
+    interval_s = {
+        "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+    }.get(bucket_interval)
+    if interval_s is None:
+        raise ValueError(f"unsupported interval: {bucket_interval}")
+    bucket = F.date_trunc(bucket_interval, F.col(ts_col)).alias("bucket")
+    metric = (
+        F.sum(F.col(value_col)) if value_col else F.count(F.lit(1))
+    ).cast("double")
+    keys = ([F.col(group_col)] if group_col else []) + [bucket]
+    return rows.groupBy(*keys).agg(
+        (metric * F.lit(rate_unit_seconds / interval_s)).alias("rate")
+    )
