@@ -1330,15 +1330,90 @@ def q_query_string(spark, sf_dir):
 
 
 def _qs_oracle_sql() -> str:
-    """Replays the documented simple_query_string semantics per query:
-    scoring = BM25 over term-clause terms + capped prefix/fuzzy
-    expansions (row_number-capped subqueries) UNION ALL per-phrase
-    Lucene scores (idf_sum * satu(distinct-anchor freq)); must clauses
-    as EXISTS (term / capped expansion / positional adjacency), must_not
-    as NOT EXISTS."""
+    """simple_query_string oracle: parse the gate's one-box queries and
+    replay through the shared clause-oracle builder."""
     from elasticsearch_analysis_combo_spark.query.querystring import (
         parse_simple_query_string,
     )
+
+    return _clause_oracle_sql(
+        [(qid, parse_simple_query_string(text, "or"), None)
+         for qid, text in QS_QUERIES],
+        QS_MAX_EXP,
+    )
+
+
+DSL_QUERIES = [
+    # match + term filter
+    (0, {"bool": {"must": [{"match": {"content": "value"}}],
+                  "filter": [{"term": {"lang": "en"}}]}}),
+    # phrase + match shoulds, range filter
+    (1, {"bool": {"should": [{"match_phrase": {"content": "value table"}},
+                             {"match": {"content": "spark"}}],
+                  "filter": [{"range": {"n_chars": {"gte": 150,
+                                                    "lt": 500}}}]}}),
+    # operator=and must split + must_not
+    (2, {"bool": {"must": [{"match": {"content": {"query": "data batch",
+                                                  "operator": "and"}}}],
+                  "must_not": [{"match": {"content": "slow"}}]}}),
+    # capped prefix expansion + terms filter
+    (3, {"bool": {"must": [{"prefix": {"content": "quer"}}],
+                  "filter": [{"terms": {"source": ["src1", "src2", "src3",
+                                                   "src4", "src5"]}}]}}),
+    # capped fuzzy expansion + nested bool filter with wildcard
+    (4, {"bool": {"should": [{"fuzzy": {"content": {"value": "qery",
+                                                    "fuzziness": 2}}}],
+                  "filter": [{"bool": {
+                      "must": [{"wildcard": {"source": "src1*"}}],
+                      "must_not": [{"term": {"lang": "zh"}}]}}]}}),
+    # bare leaf query (no bool wrapper)
+    (5, {"match": {"content": "join value"}}),
+]
+
+
+def q_es_dsl(spark, sf_dir):
+    """ES Query DSL (JSON) compiler: the _search request body compiled
+    onto the shared clause evaluator (match / match_phrase / prefix /
+    fuzzy / bool roles) with the FILTER CONTEXT compiled to one SQL
+    predicate over document metadata, pushed into the scan and
+    semi-joined pre-rank (query/dsl.py)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_QUERIES, _ws_config(), n_docs, avgdl, doc_meta=meta,
+        k=TOPK, k1=K1, b=B, max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_oracle_sql() -> str:
+    """es_dsl oracle: compile the SAME DSL requests and replay through
+    the shared clause-oracle builder (the compiled filter predicate is
+    already portable SQL over the documents columns)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, node in DSL_QUERIES:
+        pq, fsql = compile_dsl(node)
+        specs.append((qid, pq, fsql))
+    return _clause_oracle_sql(specs, QS_MAX_EXP)
+
+
+def _clause_oracle_sql(specs, max_exp) -> str:
+    """Replays the documented clause-evaluator semantics per query
+    (shared by the simple_query_string and es_dsl gates): scoring = BM25
+    over term-clause terms + capped prefix/fuzzy expansions
+    (row_number-capped subqueries) UNION ALL per-phrase Lucene scores
+    (idf_sum * satu(distinct-anchor freq)); must clauses as EXISTS (term
+    / capped expansion / positional adjacency), must_not as NOT EXISTS;
+    a compiled filter-context predicate (already portable SQL over the
+    documents columns) as a pre-rank doc_id IN (...) semi-join.
+    ``specs`` = [(qid, ParsedQuery, filter_sql | None)]."""
     from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
 
     def terms_of(text):
@@ -1351,13 +1426,13 @@ def _qs_oracle_sql() -> str:
             return (
                 f"SELECT term FROM (SELECT term, row_number() OVER "
                 f"(ORDER BY term) AS rn FROM dfx WHERE term LIKE "
-                f"'{cl.text}%') WHERE rn <= {QS_MAX_EXP}"
+                f"'{cl.text}%') WHERE rn <= {max_exp}"
             )
         return (
             f"SELECT term FROM (SELECT term, row_number() OVER "
             f"(ORDER BY levenshtein(term, '{cl.text}') ASC, df DESC, term)"
             f" AS rn FROM dfx WHERE levenshtein(term, '{cl.text}') <= "
-            f"{cl.fuzz}) WHERE rn <= {QS_MAX_EXP}"
+            f"{cl.fuzz}) WHERE rn <= {max_exp}"
         )
 
     def phrase_parts(cl):
@@ -1394,9 +1469,12 @@ def _qs_oracle_sql() -> str:
         return f"{pre} (SELECT 1 FROM {', '.join(tables)} WHERE {' AND '.join(conds)})"
 
     parts = []
-    for qid, text in QS_QUERIES:
-        pq = parse_simple_query_string(text, "or")
+    for qid, pq, fsql in specs:
         fixed, exp_clauses, filters, ph_scores = set(), [], [], []
+        if fsql is not None:
+            filters.append(
+                f"s.doc_id IN (SELECT doc_id FROM documents WHERE {fsql})"
+            )
         for cl in pq.clauses:
             if cl.role != "must_not":
                 if cl.kind == "term":
@@ -4097,6 +4175,34 @@ def q_agg_family2(spark, sf_dir):
     return mt.unionByName(tm).unionByName(tt).unionByName(bp).unionByName(rt)
 
 
+def q_nested_query(spark, sf_dir):
+    """ES nested query over array<struct> — built from lineitem grouped
+    under its order (ES's nested mapping shape), then evaluated as
+    MAP-ONLY higher-order array algebra (filter/size/array_max): the
+    Spark-first replacement for the Lucene block join (zero shuffle on
+    the query side; the only shuffle is constructing the nested table,
+    which a real nested corpus already has)."""
+    from elasticsearch_analysis_combo_spark.query.relations import (
+        nested_query,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nested = lineitem.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.sort_array(F.collect_list(F.struct(
+            "l_linenumber", "l_quantity", "l_extendedprice"
+        ))).alias("items")
+    )
+    out = nested_query(
+        nested, "items", "x.l_quantity >= 45",
+        score_mode="max", score_expr="x.l_extendedprice", min_children=2,
+    )
+    return out.select(
+        "order_key",
+        F.col("n_nested").cast("long").alias("n_nested"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_parent_child(spark, sf_dir):
     """ES join-field queries over the orders->lineitem family:
     has_child (parents with >=2 children matching a predicate, max child
@@ -4336,8 +4442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned / slop / NEW shingle-index accel) in one slot;
         # query_string below exercises the with_dl phrase path
         "phrase_family": q_phrase_family,
+        "es_dsl": q_es_dsl,
         "agg_family2": q_agg_family2,
         "parent_child": q_parent_child,
+        "nested_query": q_nested_query,
         "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
@@ -4363,8 +4471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sampler": q_diversified_sampler,
         "runtime_field": q_runtime_field,
         "bm25_filter_context": q_bm25_filter_context,
-        "rank_feature": q_rank_feature,
-        "distance_feature": q_distance_feature,
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
@@ -4391,6 +4497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
+        # r3 surfaces, unchanged since; displaced from the window by
+        # es_dsl/nested_query (driver-oracled green in r3)
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
         # ------------- past the driver's 50-entry window -------------
         # (everything below is still checked by tools/check_entry.py +
         #  pytest every round, and was driver-green in r1-r3; the 50
@@ -5518,6 +5628,7 @@ GROUP BY 1
     )
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
+    sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()
@@ -5656,6 +5767,12 @@ UNION ALL SELECT 'boxplot', event_type, 'q2', round(q2, 6) FROM bp
 UNION ALL SELECT 'boxplot', event_type, 'q3', round(q3, 6) FROM bp
 UNION ALL SELECT 'boxplot', event_type, 'max', round(mx, 6) FROM bp
 UNION ALL SELECT 'rate', key, 'per_hour', round(rate, 6) FROM rt
+"""
+    sqls["nested_query"] = """
+SELECT l_orderkey AS order_key, count(*)::BIGINT AS n_nested,
+       round(max(l_extendedprice), 6) AS score
+FROM lineitem WHERE l_quantity >= 45
+GROUP BY 1 HAVING count(*) >= 2
 """
     sqls["parent_child"] = """
 WITH hc AS (

@@ -735,6 +735,35 @@ class ComboSearchEngine:
             doc_meta, filter_expr, k=k, k1=idx.meta.k1, b=idx.meta.b,
         )
 
+    def search_dsl(
+        self,
+        dsl: dict | list[tuple[int, dict]],
+        doc_meta: DataFrame | None = None,
+        k: int = 10,
+        partitioned: bool | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES Query DSL (JSON ``query`` node) entry point — the request
+        body an application sends to ``_search``, compiled onto the
+        shared clause evaluator + pushed-down filter context (see
+        query/dsl.py for the supported subset). ``doc_meta`` supplies
+        the metadata table for ``bool.filter`` predicates. Phrase
+        clauses route through the doc-range-partitioned evaluator past
+        ``PARTITIONED_THRESHOLD`` docs, same as :meth:`search`."""
+        from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+        queries = [(0, dsl)] if isinstance(dsl, dict) else dsl
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        idx = self.idx
+        return dsl_topk(
+            self.spark, idx.term_stats(), idx.term_df(), idx.postings(),
+            queries, self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            doc_meta=doc_meta, k=k, k1=idx.meta.k1, b=idx.meta.b,
+            partitioned_phrases=partitioned,
+            max_expansions=max_expansions,
+        )
+
     def rank_feature(
         self,
         query: str,

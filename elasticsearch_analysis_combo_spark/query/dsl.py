@@ -1,0 +1,348 @@
+"""ES Query DSL (JSON) compiler: the request body a reference user's
+application actually sends to ``_search``, compiled onto this repo's
+primitives instead of hand-translated per query.
+
+Two halves, matching ES's own split:
+
+* **Scoring context** (top level, or ``bool`` must/should/must_not)
+  compiles to the shared clause evaluator
+  (:func:`querystring.evaluate_parsed` — the simple_query_string engine):
+  ``match`` (operator or|and), ``match_phrase`` (with ``slop``),
+  ``prefix``, ``fuzzy`` (capped distributed expansions),
+  ``simple_query_string`` (nested one-box), ``match_all``.
+* **Filter context** (``bool.filter``) compiles to ONE SQL predicate
+  string over the document-metadata table: ``term`` / ``terms`` /
+  ``range`` (gt/gte/lt/lte) / ``exists`` / ``ids`` / ``prefix`` /
+  ``wildcard`` / ``match_all`` / nested ``bool``. Being a plain
+  predicate, Catalyst pushes it into the parquet metadata scan
+  (row-group pruning — the 100 TB shape for tenant/date/status filters);
+  the surviving (doc_id) set then semi-joins the scored set BEFORE the
+  top-k cut, so filtering never drops hits the way a post-rank filter
+  would.
+
+Documented subset divergences (all raise, never silently mis-execute):
+``minimum_should_match`` inside a scoring ``bool`` is unsupported (use
+``simple_query_string``/engine.search_boolean); ``match`` with
+``operator: and`` is only valid in must position (ES's optional-but-
+all-terms should-AND has no counterpart in the clause evaluator) and
+splits on whitespace before analysis; nested scoring ``bool``s are one
+level deep.
+
+Reference scope note: the reference plugin delegates query parsing to
+its ES host (AnalysisComboPlugin.java:37-42); this module re-expresses
+the host's Query DSL entry point.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.query.querystring import (
+    Clause,
+    ParsedQuery,
+    evaluate_parsed,
+    parse_simple_query_string,
+)
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _field(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid field name: {name!r}")
+    return name
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a scalar value (strings single-quote-doubled —
+    never string-interpolated unescaped; the Spark and DuckDB dialects
+    share this quoting)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported literal type: {type(v).__name__}")
+
+
+def _like_escape(s: str, wildcard: bool) -> str:
+    """LIKE pattern body: literal %/_/! escaped with ``!``; with
+    ``wildcard``, ES ``*``/``?`` map to ``%``/``_``. The escape char is
+    ``!`` (not backslash) deliberately: Spark SQL consumes backslashes
+    inside string literals while DuckDB/ANSI keep them, so a
+    backslash-escaped pattern would mean different things to the two
+    engines the oracle compares."""
+    out = []
+    for ch in s:
+        if ch in ("%", "_", "!"):
+            out.append("!" + ch)
+        elif wildcard and ch == "*":
+            out.append("%")
+        elif wildcard and ch == "?":
+            out.append("_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_RANGE_OPS = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+
+
+def compile_filter(node: dict) -> str:
+    """Filter-context DSL node -> SQL predicate string (see module
+    docstring for the supported leaves). Composable: the caller can AND
+    several compiled filters."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"filter node must have exactly one key: {node!r}")
+    kind, body = next(iter(node.items()))
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "term":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return f"{_field(f)} = {_sql_lit(v)}"
+    if kind == "terms":
+        (f, vs), = body.items()
+        if not vs:
+            return "FALSE"
+        return f"{_field(f)} IN ({', '.join(_sql_lit(v) for v in vs)})"
+    if kind == "range":
+        (f, ops), = body.items()
+        conds = []
+        for op, v in sorted(ops.items()):
+            if op not in _RANGE_OPS:
+                raise ValueError(f"unsupported range op: {op}")
+            conds.append(f"{_field(f)} {_RANGE_OPS[op]} {_sql_lit(v)}")
+        if not conds:
+            raise ValueError("empty range body")
+        return "(" + " AND ".join(conds) + ")"
+    if kind == "exists":
+        return f"{_field(body['field'])} IS NOT NULL"
+    if kind == "ids":
+        vs = body["values"]
+        if not vs:
+            return "FALSE"
+        return f"doc_id IN ({', '.join(_sql_lit(int(v)) for v in vs)})"
+    if kind == "prefix":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return (
+            f"{_field(f)} LIKE {_sql_lit(_like_escape(v, False) + '%')}"
+            " ESCAPE '!'"
+        )
+    if kind == "wildcard":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return (
+            f"{_field(f)} LIKE {_sql_lit(_like_escape(v, True))}"
+            " ESCAPE '!'"
+        )
+    if kind == "bool":
+        groups = []
+        for part in body.get("must", []) + body.get("filter", []):
+            groups.append(compile_filter(part))
+        shoulds = [compile_filter(p) for p in body.get("should", [])]
+        if shoulds:
+            msm = body.get("minimum_should_match")
+            required = (
+                not groups if msm is None else int(msm) >= 1
+            )
+            if msm is not None and int(msm) > 1:
+                raise ValueError(
+                    "minimum_should_match > 1 unsupported in filter bool"
+                )
+            if required:
+                groups.append("(" + " OR ".join(shoulds) + ")")
+        for part in body.get("must_not", []):
+            groups.append(f"NOT ({compile_filter(part)})")
+        if not groups:
+            return "TRUE"
+        return "(" + " AND ".join(groups) + ")"
+    raise ValueError(f"unsupported filter query: {kind}")
+
+
+def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
+    """Scoring-context leaf -> evaluator clauses (see module docstring)."""
+    if kind == "match":
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            text, op = v["query"], v.get("operator", "or")
+        else:
+            text, op = v, "or"
+        if op == "and":
+            if role != "must":
+                raise ValueError(
+                    "match operator=and is only supported in must position"
+                )
+            return [Clause("term", "must", tok) for tok in text.split()]
+        if op != "or":
+            raise ValueError(f"unsupported match operator: {op}")
+        return [Clause("term", role, text)]
+    if kind == "match_phrase":
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            text, slop = v["query"], int(v.get("slop", 0))
+        else:
+            text, slop = v, 0
+        return [Clause("phrase", role, text, slop=slop)]
+    if kind == "prefix":
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            v = v["value"]
+        return [Clause("prefix", role, v)]
+    if kind == "fuzzy":
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            val, fz = v["value"], int(v.get("fuzziness", 2))
+        else:
+            val, fz = v, 2
+        return [Clause("fuzzy", role, val, fuzz=fz)]
+    if kind == "simple_query_string":
+        if role != "should":
+            raise ValueError(
+                "simple_query_string nests only in should/top position "
+                "(its own +/- prefixes set clause roles)"
+            )
+        return parse_simple_query_string(
+            body["query"], body.get("default_operator", "or")
+        ).clauses
+    if kind == "match_all":
+        return []
+    raise ValueError(f"unsupported scoring query: {kind}")
+
+
+def compile_dsl(dsl: dict) -> tuple[ParsedQuery, str | None]:
+    """Full DSL request ``query`` node -> (clause set for the shared
+    evaluator, filter-context SQL predicate or None)."""
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise ValueError(f"query node must have exactly one key: {dsl!r}")
+    kind, body = next(iter(dsl.items()))
+    if kind != "bool":
+        return ParsedQuery(clauses=_leaf_clauses(kind, body, "should")), None
+    if "minimum_should_match" in body:
+        raise ValueError(
+            "minimum_should_match unsupported in scoring bool "
+            "(see engine.search_boolean)"
+        )
+    clauses: list[Clause] = []
+    for role, key in (
+        ("must", "must"), ("should", "should"), ("must_not", "must_not"),
+    ):
+        parts = body.get(key, [])
+        if isinstance(parts, dict):
+            parts = [parts]
+        for part in parts:
+            (lk, lb), = part.items()
+            if lk == "bool":
+                raise ValueError("nested scoring bool unsupported")
+            clauses.extend(_leaf_clauses(lk, lb, role))
+    filters = body.get("filter", [])
+    if isinstance(filters, dict):
+        filters = [filters]
+    filter_sql = (
+        " AND ".join(compile_filter(f) for f in filters) if filters else None
+    )
+    return ParsedQuery(clauses=clauses), filter_sql
+
+
+def dsl_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    postings: DataFrame | None,
+    queries: list[tuple[int, dict]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    doc_meta: DataFrame | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    partitioned_phrases: bool = False,
+    range_bits: int = 4,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Compile and evaluate ES Query DSL requests (qid, query-node).
+
+    Pure-filter requests (``match_all`` with filters, or a lone filter
+    bool) return the filtered membership with ES's constant score 1.0,
+    ranked by doc_id — all straight off the pushed-down metadata scan.
+    Mixed requests score through the shared clause evaluator with the
+    filter as a pre-rank semi-join."""
+    compiled = {qid: compile_dsl(node) for qid, node in queries}
+    if any(f for _, f in compiled.values()) and doc_meta is None:
+        raise ValueError("filter context requires doc_meta")
+
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
+    out = []
+    scored_parsed: dict[int, ParsedQuery] = {}
+    # ONE shared filter plan per distinct predicate (repeated tenant
+    # filters across a query batch scan the metadata once via reuse)
+    filter_frames: dict[str, DataFrame] = {}
+    for qid, (pq, fsql) in compiled.items():
+        if fsql is not None and fsql not in filter_frames:
+            filter_frames[fsql] = doc_meta.filter(F.expr(fsql)).select(
+                "doc_id"
+            )
+        if pq.clauses:
+            scored_parsed[qid] = pq
+        else:
+            base = (
+                filter_frames[fsql]
+                if fsql is not None
+                else doc_meta.select("doc_id")
+                if doc_meta is not None
+                else None
+            )
+            if base is None:
+                raise ValueError(
+                    f"query {qid}: match_all without doc_meta has no "
+                    "document universe"
+                )
+            w = Window.partitionBy(F.lit(1)).orderBy("doc_id")
+            out.append(
+                base.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    F.col("rank").cast("int"),
+                    F.col("doc_id").cast("long"),
+                    F.lit(1.0).alias("score"),
+                )
+            )
+    if scored_parsed:
+        # group scored queries by their filter predicate so each group
+        # evaluates in ONE evaluator pass with a shared doc_filter
+        by_filter: dict[str | None, dict[int, ParsedQuery]] = {}
+        for qid, pq in scored_parsed.items():
+            by_filter.setdefault(compiled[qid][1], {})[qid] = pq
+        for fsql, group in sorted(
+            by_filter.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        ):
+            out.append(evaluate_parsed(
+                spark, term_stats, term_df, postings, group, config,
+                n_docs, avgdl, k=k, k1=k1, b=b,
+                partitioned_phrases=partitioned_phrases,
+                range_bits=range_bits, max_expansions=max_expansions,
+                doc_filter=None if fsql is None else filter_frames[fsql],
+            ))
+    if not out:
+        return empty
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res

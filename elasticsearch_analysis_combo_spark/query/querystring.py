@@ -75,6 +75,7 @@ class Clause:
     role: str  # must | should | must_not
     text: str  # raw token / phrase body / prefix (without *) / fuzzy source
     fuzz: int = 0  # max edits (fuzzy only)
+    slop: int = 0  # positional tolerance (phrase only; DSL match_phrase)
 
 
 @dataclass
@@ -195,13 +196,47 @@ def simple_query_string_topk(
     positions) is only required when a query contains phrase clauses;
     ``partitioned_phrases`` routes those through the doc-range fan-out
     evaluator (the scale-safe path for stop-word phrases)."""
-    empty = spark.createDataFrame(
-        [], "query_id int, rank int, doc_id long, score double"
-    )
     parsed = {
         qid: parse_simple_query_string(text, default_operator)
         for qid, text in queries
     }
+    return evaluate_parsed(
+        spark, term_stats, term_df, postings, parsed, config, n_docs,
+        avgdl, k=k, k1=k1, b=b, partitioned_phrases=partitioned_phrases,
+        range_bits=range_bits, max_expansions=max_expansions,
+    )
+
+
+def evaluate_parsed(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    postings: DataFrame | None,
+    parsed: dict[int, ParsedQuery],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    partitioned_phrases: bool = False,
+    range_bits: int = 4,
+    max_expansions: int = 50,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Shared clause-set evaluator: the engine behind both
+    ``simple_query_string`` (parsed from the one-box syntax) and the ES
+    Query DSL compiler (``query/dsl.py``, compiled from JSON). Phrase
+    clauses evaluate in one batched positional-matcher call PER DISTINCT
+    SLOP (the one-box parser only emits slop 0; the DSL's
+    ``match_phrase`` may set it). ``doc_filter`` is an optional (doc_id)
+    frame — the compiled ES FILTER CONTEXT — semi-joined onto the scored
+    set BEFORE the top-k cut, so filtering never loses hits the way a
+    post-rank filter would; the filter frame comes from a pruned
+    metadata scan, the scale-right side of the semi join."""
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
     for qid, pq in parsed.items():
         # composite phrase ids pack (qid, clause_id) into int32
         if pq.clauses and not (0 <= qid < (1 << 21)):
@@ -271,14 +306,25 @@ def simple_query_string_topk(
             phrase_match_partitioned,
         )
 
-        comp = [((qid << 10) | cid, cl.text) for qid, cid, cl in phrase_specs]
-        if partitioned_phrases:
-            ph = phrase_match_partitioned(
-                spark, postings, comp, config, range_bits=range_bits,
-                with_dl=True,
+        # one batched matcher call per DISTINCT slop (the one-box parser
+        # only emits slop 0, so this is one call on that path)
+        by_slop: dict[int, list[tuple[int, str]]] = {}
+        for qid, cid, cl in phrase_specs:
+            by_slop.setdefault(cl.slop, []).append(
+                ((qid << 10) | cid, cl.text)
             )
-        else:
-            ph = phrase_match(spark, postings, comp, config, with_dl=True)
+        ph_parts = []
+        for slop_v, comp in sorted(by_slop.items()):
+            if partitioned_phrases:
+                ph_parts.append(phrase_match_partitioned(
+                    spark, postings, comp, config, slop=slop_v,
+                    range_bits=range_bits, with_dl=True,
+                ))
+            else:
+                ph_parts.append(phrase_match(
+                    spark, postings, comp, config, slop=slop_v, with_dl=True,
+                ))
+        ph = reduce(lambda a, c: a.unionByName(c), ph_parts)
         phrase_hits = ph.select(
             F.shiftright("query_id", 10).alias("qid"),
             (F.col("query_id") % (1 << 10)).alias("cid"),
@@ -485,4 +531,8 @@ def simple_query_string_topk(
         # anti join is duplicate-insensitive — no dedup pass needed
         excl = not_ind.select(F.col("qid").alias("query_id"), "doc_id")
         scored = scored.join(excl, ["query_id", "doc_id"], "left_anti")
+    if doc_filter is not None:
+        scored = scored.join(
+            doc_filter.select("doc_id"), "doc_id", "left_semi"
+        )
     return _rank_topk(scored, k)

@@ -68,6 +68,58 @@ def has_child_query(
     return parents.join(matched, parent_key)
 
 
+_NESTED_AGGS = {
+    "sum": "aggregate({m}, cast(0.0 as double), (a, x) -> a + ({e}))",
+    "max": "array_max(transform({m}, x -> cast(({e}) as double)))",
+    "min": "array_min(transform({m}, x -> cast(({e}) as double)))",
+    "avg": (
+        "aggregate({m}, cast(0.0 as double), (a, x) -> a + ({e}))"
+        " / size({m})"
+    ),
+}
+
+
+def nested_query(
+    df: DataFrame,
+    path: str,
+    pred: str,
+    score_mode: str = "none",
+    score_expr: str | None = None,
+    min_children: int = 1,
+    inner_hits: bool = False,
+) -> DataFrame:
+    """ES ``nested`` query over an ``array<struct>`` column ``path``:
+    parent rows with at least ``min_children`` nested objects matching
+    ``pred`` (a SQL predicate over the object's fields, referenced as
+    ``x.field``). ``score_mode`` none|sum|max|min|avg aggregates
+    ``score_expr`` (SQL over ``x.``) across the MATCHING objects into
+    ``score``; ``inner_hits`` keeps the matching objects themselves as
+    a ``{path}_hits`` column (ES inner_hits).
+
+    Scale note: ES stores nested docs in the parent's Lucene block and
+    runs a block join; Spark stores them in the parent's own row, so
+    the whole query is per-row array algebra — ``filter``/``aggregate``
+    higher-order functions, MAP-ONLY, zero shuffle, scan speed at any
+    corpus size. This is the plan a hand-written block join can't beat.
+    """
+    if score_mode != "none" and score_mode not in _NESTED_AGGS:
+        raise ValueError(f"unsupported score_mode: {score_mode}")
+    if score_mode != "none" and not score_expr:
+        raise ValueError("score_mode requires score_expr")
+    matched = f"filter({path}, x -> {pred})"
+    out = df.withColumn("_m", F.expr(matched)).filter(
+        F.size("_m") >= min_children
+    ).withColumn("n_nested", F.size("_m"))
+    if score_mode != "none":
+        out = out.withColumn(
+            "score",
+            F.expr(_NESTED_AGGS[score_mode].format(m="_m", e=score_expr)),
+        )
+    if inner_hits:
+        out = out.withColumn(f"{path}_hits", F.col("_m"))
+    return out.drop("_m")
+
+
 def has_parent_query(
     children: DataFrame,
     parents: DataFrame,

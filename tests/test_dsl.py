@@ -1,0 +1,240 @@
+"""ES Query DSL compiler: filter compilation vectors + evaluator
+equivalences against simple_query_string / phrase_match, and the
+pre-rank (not post-rank) filter-context semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.query.dsl import (
+    compile_dsl,
+    compile_filter,
+    dsl_topk,
+)
+from elasticsearch_analysis_combo_spark.query.querystring import (
+    simple_query_string_topk,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+
+# ------------------------------------------------------------ compile unit
+
+def test_compile_filter_leaves():
+    assert compile_filter({"term": {"lang": "en"}}) == "lang = 'en'"
+    assert compile_filter({"term": {"n": {"value": 3}}}) == "n = 3"
+    assert compile_filter({"terms": {"lang": ["en", "de"]}}) == (
+        "lang IN ('en', 'de')"
+    )
+    assert compile_filter({"terms": {"lang": []}}) == "FALSE"
+    assert compile_filter(
+        {"range": {"doc_id": {"gte": 2, "lt": 10}}}
+    ) == "(doc_id >= 2 AND doc_id < 10)"
+    assert compile_filter({"exists": {"field": "lang"}}) == (
+        "lang IS NOT NULL"
+    )
+    assert compile_filter({"ids": {"values": [1, 2]}}) == "doc_id IN (1, 2)"
+    assert compile_filter({"match_all": {}}) == "TRUE"
+
+
+def test_compile_filter_like_escaping():
+    # quote doubling in string literals
+    assert compile_filter({"term": {"lang": "o'b"}}) == "lang = 'o''b'"
+    # prefix: literal %/_/! escaped with ! (portable escape char), % appended
+    assert compile_filter({"prefix": {"source": "a%b_c!"}}) == (
+        "source LIKE 'a!%b!_c!!%' ESCAPE '!'"
+    )
+    # wildcard: * -> %, ? -> _, literal %/_ escaped
+    assert compile_filter({"wildcard": {"source": "w*x?y%z"}}) == (
+        "source LIKE 'w%x_y!%z' ESCAPE '!'"
+    )
+
+
+def test_compile_filter_bool_and_errors():
+    got = compile_filter({"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "should": [{"term": {"source": "a"}}, {"term": {"source": "b"}}],
+        "must_not": [{"exists": {"field": "flag"}}],
+    }})
+    # shoulds are optional next to a must (no msm) -> AND of must+must_not
+    assert got == "(lang = 'en' AND NOT (flag IS NOT NULL))"
+    only_should = compile_filter({"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 2}}],
+    }})
+    assert only_should == "((a = 1 OR b = 2))"
+    forced = compile_filter({"bool": {
+        "must": [{"term": {"a": 1}}],
+        "should": [{"term": {"b": 2}}],
+        "minimum_should_match": 1,
+    }})
+    assert forced == "(a = 1 AND (b = 2))"
+    with pytest.raises(ValueError):
+        compile_filter({"bool": {"should": [{"term": {"a": 1}}],
+                                 "minimum_should_match": 2}})
+    with pytest.raises(ValueError):
+        compile_filter({"term": {"bad-field!": 1}})
+    with pytest.raises(ValueError):
+        compile_filter({"nope": {}})
+
+
+def test_compile_dsl_roles():
+    pq, fsql = compile_dsl({"bool": {
+        "must": [{"match": {"content": "alpha"}}],
+        "should": [{"match_phrase": {"content": {"query": "a b", "slop": 2}}}],
+        "must_not": [{"fuzzy": {"content": {"value": "beta", "fuzziness": 1}}}],
+        "filter": [{"term": {"lang": "en"}}, {"range": {"doc_id": {"lt": 9}}}],
+    }})
+    got = [(c.kind, c.role, c.text, c.fuzz, c.slop) for c in pq.clauses]
+    assert got == [
+        ("term", "must", "alpha", 0, 0),
+        ("phrase", "should", "a b", 0, 2),
+        ("fuzzy", "must_not", "beta", 1, 0),
+    ]
+    assert fsql == "lang = 'en' AND (doc_id < 9)"
+    # match operator=and splits to per-token musts
+    pq2, _ = compile_dsl({"bool": {"must": [
+        {"match": {"content": {"query": "x y", "operator": "and"}}}
+    ]}})
+    assert [(c.role, c.text) for c in pq2.clauses] == [
+        ("must", "x"), ("must", "y")
+    ]
+    with pytest.raises(ValueError):
+        compile_dsl({"bool": {"should": [
+            {"match": {"content": {"query": "x y", "operator": "and"}}}
+        ]}})
+    with pytest.raises(ValueError):
+        compile_dsl({"bool": {"must": [{"bool": {}}]}})
+    with pytest.raises(ValueError):
+        compile_dsl({"bool": {"minimum_should_match": 1}})
+
+
+# --------------------------------------------------------------- evaluation
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        (0, "alpha beta gamma", "en", "web"),
+        (1, "alpha gamma", "en", "book"),
+        (2, "beta gamma delta", "de", "web"),
+        (3, "alpha beta slowpoke", "en", "web"),
+        (4, "gamma delta epsilon", "de", "book"),
+        (5, "beta alpha", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    )
+    stats = build_term_stats(df, CFG).cache()
+    stats.count()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = stats.select("doc_id", "dl").distinct().agg(
+        F.avg("dl")
+    ).collect()[0][0]
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=2, block_size=16,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=avgdl, block_size=16,
+                          with_positions=True).cache()
+    meta = df.select("doc_id", "lang", "source")
+    return stats, term_df, post, 6, avgdl, meta
+
+
+def _run(spark, fixture, dsl, k=10):
+    stats, term_df, post, n_docs, avgdl, meta = fixture
+    return dsl_topk(
+        spark, stats, term_df, post, [(0, dsl)], CFG, n_docs, avgdl,
+        doc_meta=meta, k=k,
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+def test_dsl_matches_simple_query_string(spark, fixture):
+    stats, term_df, post, n_docs, avgdl, _ = fixture
+    cases = [
+        ({"match": {"content": "alpha delta"}}, "alpha delta"),
+        ({"bool": {"must": [{"match": {"content": "alpha"}}],
+                   "must_not": [{"match": {"content": "slowpoke"}}]}},
+         "+alpha -slowpoke"),
+        ({"bool": {"must": [
+            {"match": {"content": {"query": "alpha gamma",
+                                   "operator": "and"}}}]}},
+         "+alpha +gamma"),
+        ({"bool": {"should": [{"match_phrase": {"content": "alpha beta"}},
+                              {"match": {"content": "delta"}}]}},
+         '"alpha beta" delta'),
+        ({"bool": {"must": [{"prefix": {"content": "ga"}}]}}, "+ga*"),
+    ]
+    for dsl, qs in cases:
+        got = _run(spark, fixture, dsl)
+        want = simple_query_string_topk(
+            spark, stats, term_df, post, [(0, qs)], CFG, n_docs, avgdl, k=10,
+        )
+        assert _rows(got) == _rows(want), (dsl, qs)
+
+
+def test_dsl_phrase_slop(spark, fixture):
+    # "alpha gamma" within slop 1 matches doc 0 (alpha beta gamma) and
+    # doc 1 (adjacent); slop 0 only doc 1
+    tight = _run(spark, fixture,
+                 {"match_phrase": {"content": "alpha gamma"}})
+    loose = _run(spark, fixture,
+                 {"match_phrase": {"content": {"query": "alpha gamma",
+                                               "slop": 1}}})
+    assert {r["doc_id"] for r in tight.collect()} == {1}
+    assert {r["doc_id"] for r in loose.collect()} == {0, 1}
+
+
+def test_dsl_filter_is_pre_rank(spark, fixture):
+    # top-1 for "gamma" unfiltered is some doc; with a filter excluding
+    # it, the hit must be the best SURVIVOR, not empty (post-rank filter
+    # would return nothing at k=1)
+    full = _run(spark, fixture, {"match": {"content": "gamma"}}, k=1)
+    top_doc = full.collect()[0]["doc_id"]
+    dsl = {"bool": {
+        "must": [{"match": {"content": "gamma"}}],
+        "filter": [{"bool": {"must_not": [
+            {"ids": {"values": [int(top_doc)]}}]}}],
+    }}
+    got = _run(spark, fixture, dsl, k=1).collect()
+    assert len(got) == 1 and got[0]["doc_id"] != top_doc
+    # and the filtered ranking equals filter-then-rank over the full set
+    full_all = _run(spark, fixture, {"match": {"content": "gamma"}}, k=10)
+    survivors = [
+        r["doc_id"] for r in full_all.collect() if r["doc_id"] != top_doc
+    ]
+    got_all = _run(spark, fixture, dsl, k=10)
+    assert [r["doc_id"] for r in
+            got_all.orderBy("rank").collect()] == survivors
+
+
+def test_dsl_term_filter_and_match_all(spark, fixture):
+    got = _run(spark, fixture, {"bool": {
+        "must": [{"match": {"content": "beta"}}],
+        "filter": [{"term": {"lang": "de"}},
+                   {"term": {"source": "web"}}],
+    }})
+    assert {r["doc_id"] for r in got.collect()} == {2}
+    # pure filter: match_all + filter -> constant score, doc_id order
+    pure = _run(spark, fixture, {"bool": {
+        "filter": [{"term": {"source": "book"}}],
+    }})
+    rows = pure.orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [(1, 1.0), (4, 1.0)]
+
+
+def test_dsl_filter_requires_meta(spark, fixture):
+    stats, term_df, post, n_docs, avgdl, _ = fixture
+    with pytest.raises(ValueError):
+        dsl_topk(
+            spark, stats, term_df, post,
+            [(0, {"bool": {"filter": [{"term": {"lang": "en"}}]}})],
+            CFG, n_docs, avgdl, doc_meta=None,
+        )

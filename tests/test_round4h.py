@@ -1,0 +1,71 @@
+"""Round-4h: ES nested query (map-only array<struct> algebra)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.query.relations import nested_query
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    rows = [
+        (1, [(1, 10.0, 100.0), (2, 50.0, 500.0), (3, 60.0, 300.0)]),
+        (2, [(1, 70.0, 900.0)]),
+        (3, [(1, 5.0, 50.0), (2, 8.0, 80.0)]),
+        (4, []),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, items array<struct<ln:int, qty:double, price:double>>",
+    )
+
+
+def test_nested_match_and_score(spark, nested):
+    got = {
+        r["id"]: (r["n_nested"], r["score"])
+        for r in nested_query(
+            nested, "items", "x.qty >= 50", score_mode="max",
+            score_expr="x.price",
+        ).collect()
+    }
+    # doc 1: two matching items (qty 50, 60) -> max price 500
+    # doc 2: one matching item -> 900; docs 3, 4: none
+    assert got == {1: (2, 500.0), 2: (1, 900.0)}
+
+
+def test_nested_min_children_and_modes(spark, nested):
+    assert {
+        r["id"] for r in nested_query(
+            nested, "items", "x.qty >= 50", min_children=2
+        ).collect()
+    } == {1}
+    by_mode = {}
+    for mode in ("sum", "min", "avg"):
+        r = nested_query(
+            nested, "items", "x.qty >= 50", score_mode=mode,
+            score_expr="x.price",
+        ).filter("id = 1").collect()[0]
+        by_mode[mode] = r["score"]
+    assert by_mode == {"sum": 800.0, "min": 300.0, "avg": 400.0}
+
+
+def test_nested_inner_hits_and_validation(spark, nested):
+    r = nested_query(
+        nested, "items", "x.qty >= 50", inner_hits=True
+    ).filter("id = 1").collect()[0]
+    assert [h["ln"] for h in r["items_hits"]] == [2, 3]
+    # original array column untouched
+    assert len(r["items"]) == 3
+    with pytest.raises(ValueError):
+        nested_query(nested, "items", "x.qty > 0", score_mode="median",
+                     score_expr="x.price")
+    with pytest.raises(ValueError):
+        nested_query(nested, "items", "x.qty > 0", score_mode="sum")
+
+
+def test_nested_is_map_only(spark, nested):
+    plan = nested_query(
+        nested, "items", "x.qty >= 50", score_mode="sum",
+        score_expr="x.price",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

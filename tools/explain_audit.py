@@ -344,6 +344,39 @@ def main() -> None:
         forbid="BatchEvalPython",
     )
 
+    # 19. ES DSL filter context: the compiled predicate must reach the
+    # metadata parquet scan (PushedFilters), and the nested query must
+    # stay map-only (array algebra, no Exchange)
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+    from elasticsearch_analysis_combo_spark.query.relations import (
+        nested_query,
+    )
+
+    docs_meta = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    d = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"bool": {"must": [{"match": {"content": "spark"}}],
+                       "filter": [{"term": {"lang": "en"}},
+                                  {"range": {"n_chars": {"gte": 100}}}]}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, doc_meta=docs_meta,
+    )
+    p = plan_text(d)
+    failures += not check(
+        "DSL filter-context parquet pushdown", p,
+        "PushedFilters: [IsNotNull(lang), IsNotNull(n_chars), "
+        "EqualTo(lang,en), GreaterThanOrEqual(n_chars,100)",
+    )
+
+    nested = spark.createDataFrame(
+        [(1, [(1, 2.0)])], "id long, items array<struct<ln:int, q:double>>"
+    )
+    p = plan_text(nested_query(nested, "items", "x.q >= 1", score_mode="sum",
+                               score_expr="x.q"))
+    failures += not check("nested query map-only", p, "Project",
+                          forbid="Exchange")
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
