@@ -3978,6 +3978,158 @@ PIPE_MIN_COUNT = 2
 PIPE_TOP = 5
 
 
+INTERVALS_QUERIES = [
+    (0, {"match": {"query": "value table", "ordered": True,
+                   "max_gaps": 2}}),
+    (1, {"match": {"query": "data batch", "max_gaps": 4}}),
+    (2, {"all_of": {"ordered": True, "max_gaps": 3,
+                    "intervals": [{"match": {"query": "value"}},
+                                  {"match": {"query": "spark"}}]}}),
+    (3, {"any_of": {"intervals": [
+        {"match": {"query": "value table", "ordered": True,
+                   "max_gaps": 0}},
+        {"match": {"query": "spark join", "max_gaps": 2}}]}}),
+]
+
+
+def q_intervals(spark, sf_dir):
+    """ES intervals query: Lucene MINIMAL-interval semantics (no
+    returned interval contains another) over match ordered/unordered
+    with max_gaps, ordered all_of chains, and any_of unions — the
+    divergence from span_near pinned by tests (query/intervals.py)."""
+    from elasticsearch_analysis_combo_spark.query.intervals import (
+        intervals_match,
+    )
+
+    out = intervals_match(
+        spark, _phrase_postings(spark, sf_dir), INTERVALS_QUERIES,
+        _ws_config(),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
+def _intervals_oracle_sql() -> str:
+    """Replays the minimal-interval algebra per rule: candidates via
+    LATERAL min-occurrence chains (ordered) / per-start covering ends
+    (unordered), minimality via a per-doc suffix-min window, max_gaps
+    filters in the SAME order as the Spark kernels (match: minimal then
+    width; all_of: chain gaps then minimal; any_of: union then
+    minimal)."""
+
+    def terms_of(text):
+        return [w for w in text.split() if w]
+
+    def minimalize(sub):
+        return f"""
+SELECT doc_id, s, e FROM (
+  SELECT doc_id, s, e,
+         min(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS sfx
+  FROM (SELECT doc_id, s, min(e) AS e FROM ({sub}) GROUP BY 1, 2))
+WHERE sfx IS NULL OR e < sfx"""
+
+    def ordered_chain(ts):
+        if len(ts) == 1:
+            return (f"SELECT doc_id, p AS s, p AS e FROM toks "
+                    f"WHERE t = '{ts[0]}'")
+        laterals, conds, prev = [], [], "a.p"
+        for i, t in enumerate(ts[1:], start=1):
+            laterals.append(
+                f", LATERAL (SELECT min(x.p) AS m FROM toks x WHERE "
+                f"x.doc_id = a.doc_id AND x.t = '{t}' AND x.p > {prev})"
+                f" c{i}"
+            )
+            conds.append(f"c{i}.m IS NOT NULL")
+            prev = f"c{i}.m"
+        return (
+            f"SELECT a.doc_id, a.p AS s, {prev} AS e FROM toks a"
+            + "".join(laterals)
+            + f" WHERE a.t = '{ts[0]}' AND " + " AND ".join(conds)
+        )
+
+    def unordered_cand(ts):
+        in_list = ", ".join(f"'{t}'" for t in ts)
+        laterals, conds, maxes = [], [], []
+        for i, t in enumerate(ts):
+            laterals.append(
+                f", LATERAL (SELECT min(x.p) AS m FROM toks x WHERE "
+                f"x.doc_id = u.doc_id AND x.t = '{t}' AND x.p >= u.p) l{i}"
+            )
+            conds.append(f"l{i}.m IS NOT NULL")
+            maxes.append(f"l{i}.m")
+        return (
+            f"SELECT u.doc_id, u.p AS s, greatest({', '.join(maxes)}) AS e "
+            f"FROM (SELECT DISTINCT doc_id, p FROM toks WHERE t IN "
+            f"({in_list})) u" + "".join(laterals)
+            + " WHERE " + " AND ".join(conds)
+        )
+
+    def rule_sql(rule):
+        kind, body = next(iter(rule.items()))
+        if kind == "match":
+            ts = terms_of(body["query"])
+            g = int(body.get("max_gaps", -1))
+            cand = (
+                ordered_chain(ts) if body.get("ordered") or len(ts) == 1
+                else unordered_cand(ts)
+            )
+            out = minimalize(cand)
+            if g >= 0:
+                out = (f"SELECT doc_id, s, e FROM ({out}) "
+                       f"WHERE e - s + 1 - {len(ts)} <= {g}")
+            return out
+        if kind == "all_of":
+            # gate restriction: single-term match children -> the chain
+            # is an ordered single-position chain; gaps filter BEFORE
+            # minimality, matching the Spark kernel
+            ts = []
+            for child in body["intervals"]:
+                ck, cb = next(iter(child.items()))
+                cts = terms_of(cb["query"])
+                assert ck == "match" and len(cts) == 1, (
+                    "oracle replays single-term all_of children only"
+                )
+                ts.append(cts[0])
+            g = int(body.get("max_gaps", -1))
+            cand = ordered_chain(ts)
+            if g >= 0:
+                cand = (f"SELECT doc_id, s, e FROM ({cand}) "
+                        f"WHERE e - s + 1 - {len(ts)} <= {g}")
+            return minimalize(cand)
+        if kind == "any_of":
+            union = "\nUNION ALL\n".join(
+                f"SELECT doc_id, s, e FROM ({rule_sql(c)})"
+                for c in body["intervals"]
+            )
+            return minimalize(union)
+        raise AssertionError(kind)
+
+    parts = [
+        f"SELECT {qid} AS query_id, doc_id, count(*)::BIGINT AS n_matches"
+        f" FROM ({rule_sql(rule)}) GROUP BY 1, 2"
+        for qid, rule in INTERVALS_QUERIES
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+)
+SELECT query_id::BIGINT AS query_id, doc_id, n_matches FROM (
+{body}
+)
+"""
+
+
 def q_span_within_containing(spark, sf_dir):
     """Lucene span_within + span_containing (union, tagged by kind):
     little = span_or of the little text's terms, big = ORDERED span_near
@@ -4446,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_family2": q_agg_family2,
         "parent_child": q_parent_child,
         "nested_query": q_nested_query,
+        "intervals": q_intervals,
         "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
@@ -4475,7 +4628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
         "geo_distance": q_geo_distance,
-        "geo_distance_rings": q_geo_distance_rings,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
@@ -4501,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # es_dsl/nested_query (driver-oracled green in r3)
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
+        "geo_distance_rings": q_geo_distance_rings,
         # ------------- past the driver's 50-entry window -------------
         # (everything below is still checked by tools/check_entry.py +
         #  pytest every round, and was driver-green in r1-r3; the 50
@@ -5629,6 +5782,7 @@ GROUP BY 1
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
+    sqls["intervals"] = _intervals_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()

@@ -715,6 +715,28 @@ class ComboSearchEngine:
             range_bits=range_bits if partitioned else None,
         )
 
+    def intervals(
+        self,
+        rule: dict | list[tuple[int, dict]],
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """ES ``intervals`` query (minimal-interval semantics): a rule
+        tree of match / any_of / ordered all_of with max_gaps (see
+        query/intervals.py). Routes to the doc-range fan-out past
+        ``PARTITIONED_THRESHOLD`` docs, same as the span family."""
+        from elasticsearch_analysis_combo_spark.query.intervals import (
+            intervals_match,
+        )
+
+        queries = [(0, rule)] if isinstance(rule, dict) else rule
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return intervals_match(
+            self.spark, self.idx.postings(), queries, self._query_config(),
+            range_bits=range_bits if partitioned else None,
+        )
+
     def search_filtered(
         self,
         query: str,
