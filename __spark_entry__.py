@@ -386,6 +386,137 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+HYBRID_QUERIES = [  # (query_id, bm25 text, embedding row used as query vector)
+    (0, "value table", 10),
+    (1, "spark join data", 25),
+    (2, "customer window", 40),
+]
+RRF_K = 60
+
+
+def q_knn_rrf_hybrid(spark, sf_dir):
+    """ES 8 hybrid search: BM25 leg + exact-kNN leg fused with
+    reciprocal rank fusion (rank: rrf) — rank-based, so the legs'
+    incomparable score scales never meet. Both legs rank on 6-rounded
+    scores for cross-engine determinism."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        brute_force_cosine_topk,
+    )
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        bm25_exhaustive_topk,
+    )
+    from elasticsearch_analysis_combo_spark.query.dsl import rrf_hybrid
+    from pyspark.sql import Window
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    bm = _rerank_rounded(bm25_exhaustive_topk(
+        spark, stats, term_df, [(q, t) for q, t, _ in HYBRID_QUERIES],
+        _ws_config(), n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )).select("query_id", "rank", "doc_id")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src_ids = [v for _, _, v in HYBRID_QUERIES]
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(src_ids))
+        .select("vec_id", "embedding").collect()
+    }
+    kq = [(qid, vecs[v]) for qid, _, v in HYBRID_QUERIES]
+    kn_raw = brute_force_cosine_topk(emb, kq, k=TOPK)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id")
+    )
+    kn = (
+        kn_raw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", F.col("vec_id").alias("doc_id"))
+    )
+    out = rrf_hybrid([bm, kn], k=TOPK, rank_constant=RRF_K)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("n_rankers").cast("long").alias("n_rankers"),
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    """Replays both legs (rounded-rank BM25, rounded-cosine kNN) and the
+    reciprocal-rank-fusion sum in SQL."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
+
+    qterms = analyze_queries(
+        [(q, t) for q, t, _ in HYBRID_QUERIES], _ws_config()
+    )
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in qterms)
+    qv = ", ".join(f"({qid}, {v})" for qid, _, v in HYBRID_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+bm AS (
+  SELECT query_id, rank, doc_id FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rank,
+           doc_id
+    FROM scored) WHERE rank <= {TOPK}
+),
+qsrc(query_id, src) AS (VALUES {qv}),
+kscored AS (
+  SELECT qsrc.query_id, e.vec_id,
+         round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cosine
+  FROM qsrc JOIN embeddings s ON s.vec_id = qsrc.src
+  CROSS JOIN embeddings e
+),
+kn AS (
+  SELECT query_id, rank, vec_id AS doc_id FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank,
+           vec_id
+    FROM kscored) WHERE rank <= {TOPK}
+),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm
+  UNION ALL SELECT query_id, doc_id, rank FROM kn
+),
+fused AS (
+  SELECT query_id, doc_id,
+         sum(1.0 / ({RRF_K} + rank)) AS rrf_score,
+         count(*)::BIGINT AS n_rankers
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(rrf_score, 6) AS rrf_score, n_rankers
+FROM (
+  SELECT query_id, doc_id, rrf_score, n_rankers,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(rrf_score, 9) DESC, doc_id)
+           AS rank
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+
+
 def q_lsh_cosine_candidates(spark, sf_dir):
     """Random-hyperplane LSH candidates at the production defaults (64
     planes, 4 bands => 16-bit buckets). The seeded plane matrix is embedded
@@ -4599,6 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_child": q_parent_child,
         "nested_query": q_nested_query,
         "intervals": q_intervals,
+        "knn_rrf_hybrid": q_knn_rrf_hybrid,
         "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
@@ -4637,7 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": q_filters_agg,
         "composite_after": q_composite_after,
         "matrix_stats": q_matrix_stats,
-        "cosine_near_dup": q_cosine_near_dup,
+
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "percolate": q_percolate,
@@ -4654,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "geo_distance_rings": q_geo_distance_rings,
+        "cosine_near_dup": q_cosine_near_dup,
         # ------------- past the driver's 50-entry window -------------
         # (everything below is still checked by tools/check_entry.py +
         #  pytest every round, and was driver-green in r1-r3; the 50
@@ -5783,6 +5916,7 @@ GROUP BY 1
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["intervals"] = _intervals_oracle_sql()
+    sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()

@@ -257,6 +257,96 @@ def compile_dsl(dsl: dict) -> tuple[ParsedQuery, str | None]:
     return ParsedQuery(clauses=clauses), filter_sql
 
 
+def knn_search(
+    emb: DataFrame,
+    knn: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "exact",
+    **ivf_opts,
+) -> DataFrame:
+    """ES 8 ``knn`` search section: ``{"field": ..., "query_vector":
+    [...], "k": N, "filter": <dsl filter>}`` compiled onto the ANN
+    operators. The filter is ES PRE-filter semantics: compiled to one
+    SQL predicate (same grammar as ``bool.filter``) and applied before
+    scoring, so Catalyst pushes it into the vector-table scan and the
+    result always holds k matching vectors. ``mode``: "exact" (GEMM
+    brute force — the oracle-able baseline) or "ivf" (inverted-file
+    cells, the scale path; ``num_candidates`` maps to ``n_probe``).
+    Single query; batch several via dict query_vector lists upstream."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    if knn.get("field", vec_col) != vec_col:
+        raise ValueError(
+            f"knn field {knn.get('field')!r} does not match the vector "
+            f"column {vec_col!r}"
+        )
+    qv = [float(x) for x in knn["query_vector"]]
+    k = int(knn.get("k", 10))
+    flt = knn.get("filter")
+    if flt is not None:
+        nodes = flt if isinstance(flt, list) else [flt]
+        fsql = " AND ".join(compile_filter(n) for n in nodes)
+        emb = emb.filter(F.expr(fsql))
+    queries = [(0, qv)]
+    if mode == "exact":
+        return brute_force_cosine_topk(
+            emb, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    if mode == "ivf":
+        opts = dict(ivf_opts)
+        if "num_candidates" in knn and "n_probe" not in opts:
+            opts["n_probe"] = max(1, int(knn["num_candidates"]) // 100)
+        return ivf_cosine_topk(
+            emb, queries, k=k, id_col=id_col, vec_col=vec_col, **opts
+        )
+    raise ValueError(f"unsupported knn mode: {mode}")
+
+
+def rrf_hybrid(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rank_constant: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rank: {"rrf": ...}`` — reciprocal rank fusion of N ranked
+    result sets (the ES 8 hybrid BM25 + kNN combination):
+    ``rrf_score(d) = sum over rankers 1 / (rank_constant + rank_r(d))``,
+    summed over the rankers that returned d. Each input needs
+    (query_id, rank, id_col). Rank-based, so the legs' incomparable
+    score scales never meet; one union + one partial-aggregated groupBy
+    over ALREADY top-k rows — driver-size data, trivially scalable."""
+    if not rankings:
+        raise ValueError("rrf_hybrid needs at least one ranking")
+    parts = [
+        r.select("query_id", F.col(id_col).alias("_id"), "rank")
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", "_id").agg(
+        F.sum(
+            F.lit(1.0) / (F.lit(float(rank_constant)) + F.col("rank"))
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("rrf_score", 9)), F.asc("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("_id").alias(id_col),
+            "rrf_score", "n_rankers",
+        )
+    )
+
+
 def dsl_topk(
     spark: SparkSession,
     term_stats: DataFrame,

@@ -238,3 +238,46 @@ def test_dsl_filter_requires_meta(spark, fixture):
             [(0, {"bool": {"filter": [{"term": {"lang": "en"}}]}})],
             CFG, n_docs, avgdl, doc_meta=None,
         )
+
+
+# ------------------------------------------------------------- knn + rrf
+
+def test_knn_search_filter_and_validation(spark):
+    from elasticsearch_analysis_combo_spark.query.dsl import knn_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    got = knn_search(emb, {"field": "embedding", "query_vector": qv,
+                           "k": 5, "filter": {"range": {"label": {"lt": 5}}}})
+    rows = got.collect()
+    assert len(rows) == 5
+    labels = {r["label"] for r in
+              emb.filter(F.col("vec_id").isin([x["vec_id"] for x in rows]))
+              .collect()}
+    assert all(l < 5 for l in labels)  # pre-filter semantics
+    with pytest.raises(ValueError):
+        knn_search(emb, {"field": "wrong", "query_vector": qv})
+    with pytest.raises(ValueError):
+        knn_search(emb, {"query_vector": qv}, mode="hnsw")
+
+
+def test_rrf_hybrid_fusion(spark):
+    from elasticsearch_analysis_combo_spark.query.dsl import rrf_hybrid
+
+    a = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 101), (0, 3, 102)],
+        "query_id int, rank int, doc_id long",
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 101), (0, 2, 103)],
+        "query_id int, rank int, doc_id long",
+    )
+    got = {r["doc_id"]: (r["rank"], round(r["rrf_score"], 9), r["n_rankers"])
+           for r in rrf_hybrid([a, b], k=10, rank_constant=60).collect()}
+    # doc 101: 1/62 + 1/61; doc 100: 1/61; doc 103: 1/62; doc 102: 1/63
+    s101 = 1 / 62 + 1 / 61
+    assert got[101] == (1, round(s101, 9), 2)
+    assert got[100][0] == 2 and got[103][0] == 3 and got[102][0] == 4
+    with pytest.raises(ValueError):
+        rrf_hybrid([])
