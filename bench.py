@@ -232,6 +232,55 @@ def main() -> None:
         qs_times.append(time.time() - t0)
     timings["query_string"] = statistics.median(qs_times)
 
+    # --- intervals (minimal-interval algebra over the positional index) ---
+    from elasticsearch_analysis_combo_spark.query.intervals import (
+        intervals_match,
+    )
+
+    iv_rules = (
+        [(0, {"match": {"query": "token stream", "ordered": True,
+                        "max_gaps": 3}}),
+         (1, {"match": {"query": "the if", "max_gaps": 6}})]
+        if corpus_spec.startswith("synthetic")
+        else [(0, {"match": {"query": "value table", "ordered": True,
+                             "max_gaps": 3}}),
+              (1, {"match": {"query": "data batch", "max_gaps": 6}})]
+    )
+    iv_times = []
+    for _ in range(3):
+        t0 = time.time()
+        intervals_match(spark, postings, iv_rules, CFG, range_bits=3).count()
+        iv_times.append(time.time() - t0)
+    timings["intervals"] = statistics.median(iv_times)
+
+    # --- ES Query DSL (compiled bool + pre-rank filter semi-join) ---
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    dsl_meta = corpus.select(
+        F.col("doc_id"), F.length("content").alias("n_chars")
+    )
+    dsl_reqs = (
+        [(0, {"bool": {"must": [{"match": {"content": "the"}}],
+                       "should": [{"match_phrase": {"content":
+                                                    "token stream"}}],
+                       "filter": [{"range": {"n_chars": {"gte": 100}}}]}})]
+        if corpus_spec.startswith("synthetic")
+        else [(0, {"bool": {"must": [{"match": {"content": "value"}}],
+                            "should": [{"match_phrase": {"content":
+                                                         "value table"}}],
+                            "filter": [{"range": {"n_chars":
+                                                  {"gte": 100}}}]}})]
+    )
+    dsl_times = []
+    for _ in range(3):
+        t0 = time.time()
+        dsl_topk(
+            spark, stats, term_df, postings, dsl_reqs, CFG, n_idx, avgdl,
+            doc_meta=dsl_meta, k=10, partitioned_phrases=True, range_bits=3,
+        ).collect()
+        dsl_times.append(time.time() - t0)
+    timings["es_dsl"] = statistics.median(dsl_times)
+
     # --- training-data ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
