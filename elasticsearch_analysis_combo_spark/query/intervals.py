@@ -29,9 +29,12 @@ interval is dropped, never replaced by a wider non-minimal one).
 
 Evaluation shape: same gather as the span family (`_span_eval` — the
 compressed posting rows of the query's terms, positions pre-packed),
-with a per-doc numpy kernel: candidate generation is vectorized across
-a doc's positions (searchsorted chains for ordered, per-start max of
-next-occurrence for unordered), minimality is one suffix-min scan. The
+with the whole kernel vectorized ACROSS DOCS in banded-key space (key =
+doc_index * BAND + position): searchsorted chains for ordered leaves,
+per-start covering ends for unordered, same-band checks confining every
+window to one doc, and minimality as ONE global suffix-min scan — the
+band bits dominate the key, so a later doc's end key can never falsely
+shadow an earlier doc's interval. No per-doc Python loop anywhere. The
 ``range_bits`` doc-range fan-out is exact (all rules are per-doc).
 
 Reference scope note: the reference plugin delegates querying to its ES
@@ -48,7 +51,12 @@ from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
 )
-from elasticsearch_analysis_combo_spark.query.spans import _span_eval
+from elasticsearch_analysis_combo_spark.query.phrase import _BAND
+from elasticsearch_analysis_combo_spark.query.spans import (
+    _docs_counts,
+    _keys_in_space,
+    _span_eval,
+)
 
 
 def _analyzed(rule: dict, config: ComboConfig) -> dict:
@@ -117,10 +125,15 @@ def _minimalize(s: np.ndarray, e: np.ndarray) -> np.ndarray:
     return np.stack([s, e], axis=1)
 
 
-def _match_ivs(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
+def _match_ivs(rule: dict, keys: dict[str, np.ndarray]) -> np.ndarray:
+    """Minimal intervals of a match leaf, in BANDED-KEY space (key =
+    doc_index * BAND + position + BIAS, the span family's encoding):
+    every step is vectorized across ALL candidate docs at once — the
+    same-band checks confine chains and covering windows to one doc,
+    and key differences equal position differences within a band."""
     terms = rule["terms"]
-    lists = [pos.get(t) for t in terms]
-    if not terms or any(p is None or p.size == 0 for p in lists):
+    lists = [keys.get(t) for t in terms]
+    if not terms or any(k is None or k.size == 0 for k in lists):
         return _EMPTY_IV
     if len(terms) == 1:
         iv = np.stack([lists[0], lists[0]], axis=1)
@@ -128,24 +141,24 @@ def _match_ivs(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
         anchors = lists[0]
         cur = anchors.copy()
         ok = np.ones(anchors.size, dtype=bool)
-        for ps in lists[1:]:
-            idx = np.searchsorted(ps, cur + 1)
-            has = idx < ps.size
-            cur = ps[np.minimum(idx, ps.size - 1)]
-            ok &= has
+        for ks in lists[1:]:
+            idx = np.searchsorted(ks, cur + 1)
+            has = idx < ks.size
+            cur = ks[np.minimum(idx, ks.size - 1)]
+            ok &= has & ((cur // _BAND) == (anchors // _BAND))
         iv = _minimalize(anchors[ok], cur[ok])
     else:
         # every occurrence of any term is a candidate start; the
         # minimal covering interval from start s ends at the max over
-        # terms of that term's first occurrence >= s
+        # terms of that term's first occurrence >= s (same doc)
         starts = np.unique(np.concatenate(lists))
         ends = np.full(starts.size, -1, dtype=np.int64)
         ok = np.ones(starts.size, dtype=bool)
-        for ps in lists:
-            idx = np.searchsorted(ps, starts)
-            has = idx < ps.size
-            nxt = ps[np.minimum(idx, ps.size - 1)]
-            ok &= has
+        for ks in lists:
+            idx = np.searchsorted(ks, starts)
+            has = idx < ks.size
+            nxt = ks[np.minimum(idx, ks.size - 1)]
+            ok &= has & ((nxt // _BAND) == (starts // _BAND))
             ends = np.maximum(ends, nxt)
         iv = _minimalize(starts[ok], ends[ok])
     if rule["max_gaps"] >= 0 and iv.size:
@@ -154,8 +167,8 @@ def _match_ivs(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
     return iv
 
 
-def _all_of_ivs(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
-    kids = [_eval_rule(c, pos) for c in rule["children"]]
+def _all_of_ivs(rule: dict, keys: dict[str, np.ndarray]) -> np.ndarray:
+    kids = [_eval_rule(c, keys) for c in rule["children"]]
     if any(k.shape[0] == 0 for k in kids):
         return _EMPTY_IV
     anchors_s = kids[0][:, 0]
@@ -163,25 +176,26 @@ def _all_of_ivs(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
     gaps = np.zeros(anchors_s.size, dtype=np.int64)
     ok = np.ones(anchors_s.size, dtype=bool)
     for child in kids[1:]:
-        # minimal lists sorted by start are also sorted by end, so the
-        # first child interval starting past cur_end is the greedy pick
+        # minimal lists sorted by start are also sorted by end within a
+        # band, so the first child interval starting past cur_end (same
+        # band) is the greedy pick
         idx = np.searchsorted(child[:, 0], cur_end + 1)
         has = idx < child.shape[0]
         idx = np.minimum(idx, child.shape[0] - 1)
+        ok &= has & ((child[idx, 0] // _BAND) == (anchors_s // _BAND))
         gaps += child[idx, 0] - cur_end - 1
         cur_end = child[idx, 1]
-        ok &= has
     if rule["max_gaps"] >= 0:
         ok &= gaps <= rule["max_gaps"]
     return _minimalize(anchors_s[ok], cur_end[ok])
 
 
-def _eval_rule(rule: dict, pos: dict[str, np.ndarray]) -> np.ndarray:
+def _eval_rule(rule: dict, keys: dict[str, np.ndarray]) -> np.ndarray:
     if rule["kind"] == "match":
-        return _match_ivs(rule, pos)
+        return _match_ivs(rule, keys)
     if rule["kind"] == "all_of":
-        return _all_of_ivs(rule, pos)
-    kids = [_eval_rule(c, pos) for c in rule["children"]]
+        return _all_of_ivs(rule, keys)
+    kids = [_eval_rule(c, keys) for c in rule["children"]]
     allv = np.concatenate(kids, axis=0)
     return _minimalize(allv[:, 0], allv[:, 1])
 
@@ -231,30 +245,12 @@ def intervals_match(
         cand = _candidate_docs(rule, decoded)
         if cand.size == 0:
             return empty
-        # per-term CSR slices for the candidate docs
-        slices = {}
-        for t in qid_terms[qid]:
-            d = decoded.get(t)
-            if d is None:
-                continue
-            docs, offs, flat, _ = d
-            slices[t] = (docs, offs, flat)
-        docs_out, counts = [], []
-        for doc in cand:
-            pos = {}
-            for t, (docs, offs, flat) in slices.items():
-                i = np.searchsorted(docs, doc)
-                if i < docs.size and docs[i] == doc:
-                    pos[t] = flat[offs[i]:offs[i + 1]]
-            iv = _eval_rule(rule, pos)
-            if iv.shape[0]:
-                docs_out.append(doc)
-                counts.append(iv.shape[0])
-        if not docs_out:
+        keys = {
+            t: _keys_in_space(decoded, t, cand) for t in qid_terms[qid]
+        }
+        iv = _eval_rule(rule, keys)
+        if iv.shape[0] == 0:
             return empty
-        return (
-            np.asarray(docs_out, dtype=np.int64),
-            np.asarray(counts, dtype=np.int64),
-        )
+        return _docs_counts(cand, iv[:, 0])
 
     return _span_eval(spark, postings, qid_terms, matcher, range_bits)

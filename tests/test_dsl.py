@@ -281,3 +281,28 @@ def test_rrf_hybrid_fusion(spark):
     assert got[100][0] == 2 and got[103][0] == 3 and got[102][0] == 4
     with pytest.raises(ValueError):
         rrf_hybrid([])
+
+
+# -------------------------------------------------- constant_score + pinned
+
+def test_constant_score(spark, fixture):
+    got = _run(spark, fixture, {"constant_score": {
+        "filter": {"term": {"source": "book"}}, "boost": 2.5,
+    }})
+    rows = got.orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [(1, 2.5), (4, 2.5)]
+
+
+def test_pinned_query(spark, fixture):
+    organic = _run(spark, fixture, {"match": {"content": "gamma"}})
+    org_ids = [r["doc_id"] for r in organic.orderBy("rank").collect()]
+    pin = [org_ids[-1], 5]  # one organic hit promoted + one non-matching doc
+    got = _run(spark, fixture, {"pinned": {
+        "ids": pin, "organic": {"match": {"content": "gamma"}},
+    }}).orderBy("rank").collect()
+    got_ids = [r["doc_id"] for r in got]
+    # pinned first in given order (even doc 5, which never matches gamma),
+    # then the organic order with the promoted doc removed
+    assert got_ids == pin + [d for d in org_ids if d not in pin]
+    assert got[0]["score"] > got[1]["score"] > got[2]["score"]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
