@@ -1189,8 +1189,13 @@ class MultiFieldSearchEngine:
             # cross_fields blends statistics across fields, which is only
             # meaningful when the fields share one analyzer (ES groups
             # fields per analyzer); mixed configs must fail loudly
+            import json
+
+            # canonical JSON: _config_dict values contain lists, which a
+            # tuple-of-items set cannot hash
             distinct = {
-                tuple(sorted(_config_dict(c).items())) for c in cfgs.values()
+                json.dumps(_config_dict(c), sort_keys=True)
+                for c in cfgs.values()
             }
             if len(distinct) > 1:
                 raise ValueError(
@@ -1239,4 +1244,45 @@ class MultiFieldSearchEngine:
             self.spark, stats, queries, cfgs, kind=kind,
             boosts=boosts, tie_breaker=tie_breaker, k=k,
             k1=self.k1, b=self.b, field_meta=meta,
+        )
+
+    def combined_fields(
+        self,
+        query: str | list[tuple[int, str]],
+        weights: dict[str, float] | None = None,
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """ES ``combined_fields`` query: the fields scored as ONE
+        synthetic BM25F field (weighted tf/dl blend, exact combined df —
+        see query/multifield.py::combined_fields_topk). Like ES,
+        requires the fields to share one analyzer config."""
+        from elasticsearch_analysis_combo_spark.plans.index_build import (
+            _config_dict,
+        )
+        from elasticsearch_analysis_combo_spark.query.multifield import (
+            combined_fields_topk,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        use = fields or self.fields
+        if not use:
+            raise ValueError("no fields indexed: call index() first")
+        engines = {f: self._engine(f) for f in use}
+        cfgs = {f: e._query_config() for f, e in engines.items()}
+        import json
+
+        distinct = {
+            json.dumps(_config_dict(c), sort_keys=True)
+            for c in cfgs.values()
+        }
+        if len(distinct) > 1:
+            raise ValueError(
+                "combined_fields requires all fields to share one "
+                "analyzer config; found differing configs"
+            )
+        stats = {f: e.idx.term_stats() for f, e in engines.items()}
+        return combined_fields_topk(
+            self.spark, stats, queries, cfgs[use[0]],
+            weights=weights, k=k, k1=self.k1, b=self.b,
         )

@@ -297,6 +297,108 @@ def multi_match_cross_fields_topk(
     )
 
 
+def combined_fields_topk(
+    spark: SparkSession,
+    field_stats: dict[str, DataFrame],
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_norms: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``combined_fields`` query (Lucene CombinedFieldQuery, the
+    simplified BM25F): the fields are scored as ONE synthetic combined
+    field rather than per-field-then-combined —
+
+    - per (term, doc): ``tf* = sum_f w_f * tf_f`` (field weight = ES
+      per-field boost, the BM25F weight);
+    - per doc: ``dl* = sum_f w_f * dl_f`` and ``avgdl*`` over it;
+    - ``df*(term)`` = docs containing the term in ANY field, and
+      ``n*`` = docs with any field content — the TRUE combined-field
+      statistics. (Lucene approximates df* with per-field maxima
+      because it cannot afford the union count at query time; computing
+      the exact union over the pruned term-filtered scans is one small
+      aggregate here — a Spark-side improvement, documented.)
+    - score = sum over query terms of ``idf(df*) * tf*(k1+1) /
+      (tf* + k1(1-b+b*dl*/avgdl*))`` — ONE saturation over the blended
+      tf, which is what separates combined_fields from cross_fields
+      (saturate-then-combine).
+
+    Like ES, requires all fields to share one analyzer (``config`` is a
+    single ComboConfig by design). Plan: per-field isin-pruned stats
+    scans union into (term, doc, wtf); one (term, doc) partial agg;
+    doc-length blend is a per-doc partial agg over the per-field (doc,
+    dl) projections; n*/avgdl* are two scalar aggregates. The blend is
+    query-independent — at scale pass ``doc_norms`` (a (doc_id, wdl)
+    frame persisted at INDEX time, like Lucene's norms) so queries skip
+    the corpus-wide doc-length pass; the default derives it inline for
+    the weights given."""
+    weights = weights or {}
+    qrows = analyze_queries(queries, config)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
+    if not qrows or not field_stats:
+        return empty
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    all_terms = sorted({t for _, t in qrows})
+    tf_parts, dl_parts = [], []
+    for field, stats in field_stats.items():
+        w_f = float(weights.get(field, 1.0))
+        pruned = stats.filter(F.col("term").isin(all_terms))
+        tf_parts.append(
+            pruned.select(
+                "term", "doc_id",
+                (F.lit(w_f) * F.col("tf")).alias("wtf"),
+            )
+        )
+        dl_parts.append(
+            stats.select("doc_id", "dl").distinct().select(
+                "doc_id", (F.lit(w_f) * F.col("dl")).alias("wdl")
+            )
+        )
+    wtf = (
+        reduce(lambda a, b_: a.unionByName(b_), tf_parts)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("wtf").alias("wtf"))
+    )
+    wdl = doc_norms if doc_norms is not None else (
+        reduce(lambda a, b_: a.unionByName(b_), dl_parts)
+        .groupBy("doc_id")
+        .agg(F.sum("wdl").alias("wdl"))
+    )
+    g = wdl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("wdl").alias("avgdl")
+    ).collect()[0]
+    n_comb, avgdl = int(g["n"]), float(g["avgdl"] or 0.0)
+    if n_comb == 0:
+        return empty
+    # exact combined df: distinct docs holding the term in any field —
+    # wtf is already one row per (term, doc), so a count is exact
+    cdf = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        wtf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cdf), "term")
+        .join(wdl, "doc_id")
+        .withColumn(
+            "tscore",
+            idf_expr(n_comb)
+            * F.col("wtf") * (k1 + 1.0)
+            / (F.col("wtf") + k1 * (1.0 - b + b * F.col("wdl") / avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def multi_match_wand_topk(
     spark: SparkSession,
     field_postings: dict[str, DataFrame],

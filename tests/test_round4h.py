@@ -69,3 +69,75 @@ def test_nested_is_map_only(spark, nested):
         score_expr="x.price",
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------- combined_fields
+
+def test_combined_fields_blend(spark):
+    import math
+
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.udfs import (
+        build_term_stats,
+    )
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        combined_fields_topk,
+    )
+
+    cfg = ComboConfig(["whitespace"])
+    docs = spark.createDataFrame(
+        [(0, "apple pie", "apple tart recipe"),
+         (1, "banana", "apple banana split"),
+         (2, "cherry", "cherry jam")],
+        "doc_id long, title string, body string",
+    )
+    stats = {
+        f: build_term_stats(docs, cfg, content_col=f)
+        for f in ("title", "body")
+    }
+    weights = {"title": 2.0, "body": 1.0}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_topk(
+            spark, stats, [(0, "apple")], cfg, weights=weights,
+        ).collect()
+    }
+    # hand replay: wtf = 2*tf_title + 1*tf_body; wdl = 2*dl_t + dl_b
+    k1, b = 1.2, 0.75
+    wtf = {0: 2 * 1 + 1 * 1, 1: 1.0}
+    wdl = {0: 2 * 2 + 3, 1: 2 * 1 + 3, 2: 2 * 1 + 2}
+    n, avgdl = 3, sum(wdl.values()) / 3
+    df = 2  # docs 0 and 1 contain "apple" in some field
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    for d in (0, 1):
+        want = idf * wtf[d] * (k1 + 1) / (
+            wtf[d] + k1 * (1 - b + b * wdl[d] / avgdl)
+        )
+        assert got[d] == pytest.approx(want, rel=1e-12)
+    assert 2 not in got
+    # one saturation over the blended tf: doc 0 (both fields) must beat
+    # doc 1 (one field) but by LESS than 2x (saturation), unlike a
+    # per-field sum which would double-count
+    assert got[0] > got[1]
+
+
+def test_combined_fields_engine_validation(spark, tmp_path):
+    from elasticsearch_analysis_combo_spark.engine import (
+        MultiFieldSearchEngine,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "apple pie", "tart recipe")],
+        "doc_id long, title string, body string",
+    )
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+
+    eng = MultiFieldSearchEngine(
+        spark,
+        {"title": ComboConfig(["whitespace"]),
+         "body": ComboConfig(["keyword"])},
+        str(tmp_path / "mf"),
+    )
+    eng.index(docs, field_cols={"title": "title", "body": "body"})
+    with pytest.raises(ValueError):
+        eng.combined_fields("apple")
