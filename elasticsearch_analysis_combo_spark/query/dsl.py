@@ -20,6 +20,12 @@ Two halves, matching ES's own split:
   top-k cut, so filtering never drops hits the way a post-rank filter
   would.
 
+On top: ``constant_score`` (filter membership at a fixed boost) and
+``pinned`` (pinned ids above re-ranked organics) normalize inside
+:func:`dsl_topk`; the ES 8 ``knn`` section compiles onto the ANN
+operators (:func:`knn_search`, pre-filter semantics) and fuses with
+BM25 legs via :func:`rrf_hybrid` (reciprocal rank fusion).
+
 Documented subset divergences (all raise, never silently mis-execute):
 ``minimum_should_match`` inside a scoring ``bool`` is unsupported (use
 ``simple_query_string``/engine.search_boolean); ``match`` with
@@ -422,10 +428,14 @@ def dsl_topk(
                     f"query {qid}: match_all without doc_meta has no "
                     "document universe"
                 )
+            # orderBy+limit compiles to TakeOrderedAndProject (per-task
+            # top-k then one merge); the row_number window then runs
+            # over <= k rows — never a global single-partition sort of
+            # the whole filtered membership
+            topk = base.orderBy("doc_id").limit(k)
             w = Window.partitionBy(F.lit(1)).orderBy("doc_id")
             out.append(
-                base.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+                topk.withColumn("rank", F.row_number().over(w))
                 .select(
                     F.lit(qid).cast("int").alias("query_id"),
                     F.col("rank").cast("int"),

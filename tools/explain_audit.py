@@ -377,6 +377,35 @@ def main() -> None:
     failures += not check("nested query map-only", p, "Project",
                           forbid="Exchange")
 
+    # 20. pure-filter DSL (constant_score / match_all+filter) must be a
+    # TakeOrderedAndProject, never a single-partition window over the
+    # whole filtered membership
+    cs = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"constant_score": {"filter": {"term": {"lang": "en"}},
+                                 "boost": 2.0}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, doc_meta=docs_meta,
+    )
+    p = plan_text(cs)
+    failures += not check(
+        "pure-filter DSL top-k is TakeOrdered", p, "TakeOrderedAndProject"
+    )
+
+    # 21. combined_fields: the per-field stats scans must prune on the
+    # query terms (In pushdown)
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        combined_fields_topk,
+    )
+
+    cf = combined_fields_topk(
+        spark, {"a": idx.term_stats(), "b": idx.term_stats()},
+        [(0, "spark query")], cfg, weights={"a": 2.0},
+    )
+    p = plan_text(cf)
+    failures += not check(
+        "combined_fields pruned stats scans", p, "PushedFilters: [In(term"
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
