@@ -2352,6 +2352,62 @@ def q_multi_match_cross(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+SIGTEXT_TERM = "value"
+
+
+def q_significant_text(spark, sf_dir):
+    """ES significant_text: JLH significant terms straight over the RAW
+    text of the match set (no index) — one tokenized projection feeds
+    foreground and background, per-doc term dedup, TakeOrdered top-N."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_text_agg,
+    )
+
+    out = significant_text_agg(
+        _docs(spark, sf_dir),
+        f"array_contains(split(text, ' '), '{SIGTEXT_TERM}')",
+        size=10, min_doc_count=3, exclude=[SIGTEXT_TERM],
+    )
+    return out.select(
+        "rank", "term", "fg_df", "bg_df",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _significant_text_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+base2 AS (SELECT doc_id, term FROM base WHERE term <> ''),
+m AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(string_split(text, ' '), '{SIGTEXT_TERM}')
+),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM m),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM base2 JOIN m USING (doc_id) GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM base2 GROUP BY 1),
+scored AS (
+  SELECT term, fg_df, bg_df,
+         (fg_df / nfg.n - bg_df / nbg.n)
+           * ((fg_df / nfg.n) / (bg_df / nbg.n)) AS score
+  FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg
+  WHERE term <> '{SIGTEXT_TERM}'
+)
+SELECT rank, term, fg_df, bg_df, round(score, 6) AS score FROM (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, term)::BIGINT
+           AS rank,
+         term, fg_df, bg_df, score
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_combined_fields(spark, sf_dir):
     """ES combined_fields (Lucene CombinedFieldQuery / simplified
     BM25F): fields scored as ONE synthetic field — weighted tf/dl
@@ -4854,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
         "dsl_extras": q_dsl_extras,
         "combined_fields": q_combined_fields,
+        "significant_text": q_significant_text,
         "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
@@ -4878,7 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": q_auto_date_histogram,
         "diversified_sampler": q_diversified_sampler,
         "runtime_field": q_runtime_field,
-        "bm25_filter_context": q_bm25_filter_context,
+
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
@@ -4912,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "highlight_fragments": q_highlight_fragments,
         "token_filters": q_token_filters,
+        "bm25_filter_context": q_bm25_filter_context,
         # ------------- past the driver's 50-entry window -------------
         # (everything below is still checked by tools/check_entry.py +
         #  pytest every round, and was driver-green in r1-r3; the 50
@@ -6044,6 +6102,7 @@ GROUP BY 1
     sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
     sqls["dsl_extras"] = _dsl_extras_oracle_sql()
     sqls["combined_fields"] = _combined_fields_oracle_sql()
+    sqls["significant_text"] = _significant_text_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()
     sqls["synonym_analyze"] = _synonym_oracle_sql()
     sqls["search_after"] = _search_after_oracle_sql()

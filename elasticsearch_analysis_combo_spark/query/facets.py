@@ -196,6 +196,87 @@ def significant_terms(
     )
 
 
+def significant_text_agg(
+    docs: DataFrame,
+    match_pred: str,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 3,
+    exclude: list[str] | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """ES ``significant_text``: significant-terms straight over the RAW
+    text of the match set (``match_pred``, a SQL predicate over the
+    table) — no index required, ES's re-analyze-on-the-fly agg. Terms
+    are whitespace tokens counted ONCE per doc (ES's per-doc dedup —
+    its filter_duplicate_text defense in the same spirit), scored with
+    JLH ``(fg% - bg%) * (fg% / bg%)`` against the whole table as
+    background; ``exclude`` drops the query's own terms (ES excludes by
+    interest).
+
+    Plan: ONE tokenized projection feeds both sides — foreground =
+    predicate-filtered docs (pushdown) -> distinct (doc, term) ->
+    per-term counts; background = the same projection unfiltered. Both
+    are partial-aggregated token-level shuffles; at 100 TB set
+    ``sample_fraction`` to sample the FOREGROUND docs before exploding
+    (ES's sampler-wrapped significant_text — the background stays
+    exact, fg/bg percentages stay unbiased in expectation)."""
+    base = docs.select(
+        "doc_id",
+        F.expr(match_pred).alias("_m"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    fg_docs = docs.filter(F.expr(match_pred)).select("doc_id")
+    if sample_fraction is not None:
+        fg_docs = fg_docs.sample(sample_fraction, seed=seed)
+        base_fg = base.join(fg_docs, "doc_id").filter(F.col("_m"))
+    else:
+        base_fg = base.filter(F.col("_m"))
+    n_fg = fg_docs.count()
+    n_bg = docs.count()
+    if n_fg == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "rank long, term string, fg_df long, bg_df long, score double"
+        )
+    fg = (
+        base_fg.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .filter(F.col("fg_df") >= min_doc_count)
+    )
+    bg = base.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    scored = fg.join(bg, "term")
+    if exclude:
+        scored = scored.filter(~F.col("term").isin(list(exclude)))
+    scored = (
+        scored.withColumn("fg_pct", F.col("fg_df") / F.lit(float(n_fg)))
+        .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_bg)))
+        .withColumn(
+            "score",
+            (F.col("fg_pct") - F.col("bg_pct"))
+            * (F.col("fg_pct") / F.col("bg_pct")),
+        )
+    )
+    # orderBy+limit = TakeOrderedAndProject over the reduced buckets
+    # (the match-set vocabulary can be huge — never a global
+    # single-partition window); the rank window then sees <= size rows
+    topk = scored.orderBy(
+        F.desc(F.round("score", 6)), F.asc("term")
+    ).limit(size)
+    w = Window.orderBy(F.desc(F.round("score", 6)), F.asc("term"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"), "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            "score",
+        )
+    )
+
+
 def search_facet_range(
     spark: SparkSession,
     term_stats: DataFrame,

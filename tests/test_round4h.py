@@ -141,3 +141,63 @@ def test_combined_fields_engine_validation(spark, tmp_path):
     eng.index(docs, field_cols={"title": "title", "body": "body"})
     with pytest.raises(ValueError):
         eng.combined_fields("apple")
+
+
+# --------------------------------------------------------- significant_text
+
+def test_significant_text_jlh(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_text_agg,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "crash crash disk error"),   # match (crash): dup-token doc
+         (1, "crash kernel panic"),
+         (2, "crash disk full"),
+         (3, "sunny day outside"),
+         (4, "warm sunny day")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["fg_df"], r["bg_df"], r["score"])
+        for r in significant_text_agg(
+            docs, "array_contains(split(text, ' '), 'crash')",
+            min_doc_count=2, exclude=["crash"],
+        ).collect()
+    }
+    # per-doc dedup: doc 0's repeated "crash" counts once; "disk" is in
+    # 2/3 matching docs, 2/5 overall
+    assert "crash" not in got
+    assert got["disk"][:2] == (2, 2)
+    fg_pct, bg_pct = 2 / 3, 2 / 5
+    assert got["disk"][2] == pytest.approx(
+        round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6), abs=1e-6
+    )
+    # terms absent from the match set never rank
+    assert "sunny" not in got
+
+
+def test_significant_text_sampling_and_empty(spark):
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_text_agg,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta common") for i in range(20)]
+        + [(100 + i, "common other") for i in range(20)],
+        "doc_id long, text string",
+    )
+    full = significant_text_agg(
+        docs, "array_contains(split(text, ' '), 'alpha')",
+        min_doc_count=2,
+    ).collect()
+    assert [r["term"] for r in full][:2] == ["alpha", "beta"]
+    sampled = significant_text_agg(
+        docs, "array_contains(split(text, ' '), 'alpha')",
+        min_doc_count=2, sample_fraction=0.5, seed=7,
+    ).collect()
+    assert {r["term"] for r in sampled} <= {"alpha", "beta", "common"}
+    empty = significant_text_agg(
+        docs, "array_contains(split(text, ' '), 'zzz')",
+    )
+    assert empty.count() == 0
