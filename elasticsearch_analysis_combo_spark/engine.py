@@ -1155,6 +1155,29 @@ class MultiFieldSearchEngine:
                 lang_col=lang_col,
             )
 
+    @staticmethod
+    def _require_shared_analyzer(cfgs: dict, kind: str) -> None:
+        """Term-statistic-blending modes (cross_fields, combined_fields)
+        are only meaningful when the fields share one analyzer (ES
+        groups fields per analyzer); mixed configs must fail loudly.
+        Canonical JSON because _config_dict values contain lists, which
+        a tuple-of-items set cannot hash."""
+        import json
+
+        from elasticsearch_analysis_combo_spark.plans.index_build import (
+            _config_dict,
+        )
+
+        distinct = {
+            json.dumps(_config_dict(c), sort_keys=True)
+            for c in cfgs.values()
+        }
+        if len(distinct) > 1:
+            raise ValueError(
+                f"{kind} requires all fields to share one analyzer "
+                "config; found differing configs"
+            )
+
     def multi_match(
         self,
         query: str | list[tuple[int, str]],
@@ -1189,19 +1212,7 @@ class MultiFieldSearchEngine:
             # cross_fields blends statistics across fields, which is only
             # meaningful when the fields share one analyzer (ES groups
             # fields per analyzer); mixed configs must fail loudly
-            import json
-
-            # canonical JSON: _config_dict values contain lists, which a
-            # tuple-of-items set cannot hash
-            distinct = {
-                json.dumps(_config_dict(c), sort_keys=True)
-                for c in cfgs.values()
-            }
-            if len(distinct) > 1:
-                raise ValueError(
-                    "cross_fields requires all fields to share one "
-                    "analyzer config; found differing configs"
-                )
+            self._require_shared_analyzer(cfgs, "cross_fields")
             stats = {f: e.idx.term_stats() for f, e in engines.items()}
             meta = {
                 f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
@@ -1270,17 +1281,7 @@ class MultiFieldSearchEngine:
             raise ValueError("no fields indexed: call index() first")
         engines = {f: self._engine(f) for f in use}
         cfgs = {f: e._query_config() for f, e in engines.items()}
-        import json
-
-        distinct = {
-            json.dumps(_config_dict(c), sort_keys=True)
-            for c in cfgs.values()
-        }
-        if len(distinct) > 1:
-            raise ValueError(
-                "combined_fields requires all fields to share one "
-                "analyzer config; found differing configs"
-            )
+        self._require_shared_analyzer(cfgs, "combined_fields")
         stats = {f: e.idx.term_stats() for f, e in engines.items()}
         return combined_fields_topk(
             self.spark, stats, queries, cfgs[use[0]],

@@ -149,7 +149,9 @@ def token_counts(
 # the quality_score feature vector (the CCNet/DCLM-style "model-based
 # quality filter" shape, with a transparent linear model standing in for
 # a fastText binary — the Spark-side plumbing, feature extraction, and
-# thresholding are the real artifact; weights are swappable).
+# thresholding are the real artifact; weights are swappable over this
+# FIXED feature set — unknown names raise, omitted features contribute
+# nothing).
 QUALITY_MODEL_WEIGHTS = {
     "log_n_tokens": 0.55,      # longer docs are likelier keepers…
     "mean_token_len": 0.35,    # …with natural-language word lengths
@@ -179,6 +181,12 @@ def quality_classifier(
     same algebra)."""
     w = dict(QUALITY_MODEL_WEIGHTS if weights is None else weights)
     b = QUALITY_MODEL_BIAS if bias is None else bias
+    unknown = set(w) - set(QUALITY_MODEL_WEIGHTS)
+    if unknown:
+        raise ValueError(
+            f"unknown quality features {sorted(unknown)}; supported: "
+            f"{sorted(QUALITY_MODEL_WEIGHTS)}"
+        )
     feats = quality_score(df, text_col, id_col)
     z = F.lit(float(b))
     featmap = {

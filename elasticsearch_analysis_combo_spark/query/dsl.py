@@ -26,7 +26,13 @@ On top: ``constant_score`` (filter membership at a fixed boost) and
 operators (:func:`knn_search`, pre-filter semantics) and fuses with
 BM25 legs via :func:`rrf_hybrid` (reciprocal rank fusion).
 
-Documented subset divergences (all raise, never silently mis-execute):
+Documented subset divergences — everything UNSUPPORTED raises rather
+than silently mis-executing; the one documented SCORING approximation:
+``match_phrase`` with ``slop > 0`` filters exactly (Lucene matchLength
+window) but scores each matching doc by its anchor-match count rather
+than Lucene's per-match ``1/(matchLength+1)`` sloppyFreq weighting
+(at slop 0 the two coincide, and that path is oracle-verified).
+Unsupported constructs:
 ``minimum_should_match`` inside a scoring ``bool`` is unsupported (use
 ``simple_query_string``/engine.search_boolean); ``match`` with
 ``operator: and`` is only valid in must position (ES's optional-but-

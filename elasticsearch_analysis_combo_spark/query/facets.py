@@ -229,14 +229,22 @@ def significant_text_agg(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("term"),
     ).filter(F.col("term") != "")
-    fg_docs = docs.filter(F.expr(match_pred)).select("doc_id")
     if sample_fraction is not None:
-        fg_docs = fg_docs.sample(sample_fraction, seed=seed)
+        fg_docs = (
+            docs.filter(F.expr(match_pred)).select("doc_id")
+            .sample(sample_fraction, seed=seed)
+        )
         base_fg = base.join(fg_docs, "doc_id").filter(F.col("_m"))
+        n_fg = fg_docs.count()
+        n_bg = docs.count()
     else:
         base_fg = base.filter(F.col("_m"))
-    n_fg = fg_docs.count()
-    n_bg = docs.count()
+        # both totals in ONE counting pass over the pruned projection
+        g = docs.agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.count(F.when(F.expr(match_pred), 1)).alias("n_fg"),
+        ).collect()[0]
+        n_fg, n_bg = int(g["n_fg"]), int(g["n_bg"])
     if n_fg == 0:
         return docs.sparkSession.createDataFrame(
             [], "rank long, term string, fg_df long, bg_df long, score double"

@@ -138,6 +138,9 @@ def has_parent_query(
     if score_expr:
         cols.append(F.expr(score_expr).alias("score"))
     keys = parents.filter(F.expr(parent_pred)).select(*cols)
+    # drop the PARENT frame's key by reference, not by name: when both
+    # tables name the key identically (the common ES join-field shape),
+    # drop("<name>") would remove the child's key column too
     return children.join(
         keys, children[child_key] == keys[parent_key]
-    ).drop(parent_key)
+    ).drop(keys[parent_key])

@@ -201,3 +201,21 @@ def test_quality_classifier_custom_weights(spark):
         bias=10.0,
     ).collect()
     assert all(r["keep"] and r["p_keep"] > 0.999 for r in allpos)
+
+
+def test_has_parent_same_key_name(spark):
+    # both tables name the join key identically (the common ES
+    # join-field shape): the output must keep the CHILD's key column
+    parents = spark.createDataFrame(
+        [(1, 500.0), (2, 50.0)], "join_key long, price double"
+    )
+    children = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "join_key long, payload string"
+    )
+    got = has_parent_query(
+        children, parents, "join_key", "join_key",
+        "price > 100", score_expr="price",
+    )
+    assert "join_key" in got.columns
+    rows = {(r["join_key"], r["payload"], r["score"]) for r in got.collect()}
+    assert rows == {(1, "a", 500.0), (1, "b", 500.0)}
