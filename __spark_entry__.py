@@ -1034,6 +1034,14 @@ RUNTIME_K_EXPR = "cast(get_json_object(props, '$.k') as int)"
 HL_WINDOW = 20
 RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
+# round-4i fixtures
+LM_ADD_K = 0.1
+GEO_POLY = [  # non-convex pentagon, integer vertices (no horizontal edge)
+    (-40.0, -100.0), (50.0, -80.0), (0.0, -20.0), (45.0, 60.0),
+    (-50.0, 90.0),
+]
+MOVP_WINDOW = 5
+MOVP_PERCENTS = [50.0, 90.0]
 
 
 def q_function_score(spark, sf_dir):
@@ -3988,7 +3996,11 @@ def q_diversified_sampler(spark, sf_dir):
         F.col("query_id").cast("long").alias("query_id"),
         "source",
         F.col("doc_count").cast("long").alias("doc_count"),
-        F.round("avg_score", 6).alias("avg_score"),
+        # 7dp, not 6: the sample holds <=2 rows per (query, source)
+        # (DIV_MAX_PER_VALUE), so the avg of two 6dp scores has at
+        # most 7 exact decimal digits — 7dp rounding is an identity
+        # and can never land on a cross-engine .5 tie (6dp can)
+        F.round("avg_score", 7).alias("avg_score"),
     )
 
 
@@ -4667,11 +4679,16 @@ def q_parent_child(spark, sf_dir):
     """ES join-field queries over the orders->lineitem family:
     has_child (parents with >=2 children matching a predicate, max child
     score) and has_parent (children inheriting a matching parent's
-    score), merged kind-tagged. Child side pre-aggregates before the key
-    join; parent side projects (key, score) before the join."""
+    score), merged kind-tagged; round 4i adds the children AGGREGATION
+    (parents bucketed by status, children counted/averaged per bucket)
+    and reverse_nested (bucket by a nested field, count PARENT docs).
+    Child side pre-aggregates before the key join; parent side projects
+    (key, bucket/score) before the join."""
     from elasticsearch_analysis_combo_spark.query.relations import (
+        children_agg,
         has_child_query,
         has_parent_query,
+        reverse_nested_agg,
     )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -4681,17 +4698,36 @@ def q_parent_child(spark, sf_dir):
         "l_quantity >= 45", score_mode="max",
         score_expr="l_extendedprice", min_children=2,
     ).selectExpr(
-        "'has_child' as kind", "o_orderkey as key",
+        "'has_child' as kind", "cast(o_orderkey as string) as key",
         "cast(n_children as long) as n", "round(score, 6) as score",
     )
     hp = has_parent_query(
         lineitem, orders, "o_orderkey", "l_orderkey",
         "o_totalprice > 200000", score_expr="o_totalprice",
     ).selectExpr(
-        "'has_parent' as kind", "l_orderkey as key",
+        "'has_parent' as kind", "cast(l_orderkey as string) as key",
         "cast(l_linenumber as long) as n", "round(score, 6) as score",
     )
-    return hc.unionByName(hp)
+    ca = children_agg(
+        orders, lineitem, "o_orderkey", "l_orderkey", "o_orderstatus",
+        metric_exprs={"avg_qty": "avg(l_quantity)"},
+    ).selectExpr(
+        "'children' as kind", "o_orderstatus as key",
+        "cast(doc_count as long) as n", "round(avg_qty, 6) as score",
+    )
+    nested = lineitem.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.sort_array(F.collect_list(F.struct(
+            "l_linenumber", "l_quantity", "l_extendedprice"
+        ))).alias("items")
+    )
+    rn = reverse_nested_agg(
+        nested, "items", "x.l_linenumber", "order_key",
+        pred="x.l_quantity >= 45",
+    ).selectExpr(
+        "'reverse_nested' as kind", "cast(key as string) as key",
+        "cast(doc_count as long) as n", "cast(null as double) as score",
+    )
+    return hc.unionByName(hp).unionByName(ca).unionByName(rn)
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -4888,6 +4924,168 @@ def q_global_agg(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4i gates
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring: add-k-smoothed bigram model
+    trained on the corpus itself, every doc scored by mean log-prob +
+    perplexity — array-side bigram construction (no window/shuffle),
+    vocabulary-bounded model aggregates, one bigram-keyed scoring join."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        ngram_lm_perplexity,
+    )
+
+    out = ngram_lm_perplexity(_docs(spark, sf_dir), add_k=LM_ADD_K)
+    return out.select(
+        "doc_id", "n_bigrams", "logprob_per_token", "perplexity"
+    )
+
+
+def q_pipeline_aggs2(spark, sf_dir):
+    """Round-4i pipeline aggs merged long-format (kind, key, metric,
+    value): normalize (rescale_0_1 + percent_of_sum over per-event_type
+    daily buckets), cumulative_cardinality (distinct users to date, via
+    first-seen reduction — the window sees bucket counts, never keys),
+    and moving_percentiles (exact p50/p90 over a trailing
+    MOVP_WINDOW-bucket window, quantile_cont interpolation)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        cumulative_cardinality_agg,
+        date_histogram_agg,
+        moving_percentiles_agg,
+        normalize_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = date_histogram_agg(ev, "ts", interval="day",
+                                 group_col="event_type")
+    key = "event_type || '|' || bucket as key"
+    n01 = normalize_agg(
+        buckets, "doc_count", method="rescale_0_1", group_col="event_type"
+    ).selectExpr("'normalize' as kind", key, "'rescale_0_1' as metric",
+                 "normalized as value")
+    nps = normalize_agg(
+        buckets, "doc_count", method="percent_of_sum",
+        group_col="event_type",
+    ).selectExpr("'normalize' as kind", key, "'percent_of_sum' as metric",
+                 "normalized as value")
+    days = ev.select(
+        "event_type", "user_id",
+        F.date_format(
+            F.date_trunc("day", F.col("ts").cast("timestamp")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+    )
+    cc = cumulative_cardinality_agg(
+        days, "day", "user_id", group_col="event_type"
+    ).selectExpr(
+        "'cumulative_cardinality' as kind",
+        "event_type || '|' || day as key",
+        "stack(2, 'new_keys', cast(new_keys as double), "
+        "'cumulative', cast(cumulative_cardinality as double)) "
+        "as (metric, value)",
+    )
+    mp = moving_percentiles_agg(
+        buckets, "doc_count", "bucket", window=MOVP_WINDOW,
+        percents=MOVP_PERCENTS, group_col="event_type",
+    ).selectExpr(
+        "'moving_percentiles' as kind", key,
+        "stack(2, 'p50', p50, 'p90', p90) as (metric, value)",
+    )
+    return n01.unionByName(nps).unionByName(cc).unionByName(mp)
+
+
+def q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric, Spark-shaped: per-partition map+combine over
+    Arrow batches (full rows never shuffle), per-bucket reduce over the
+    partial states — the metric here is the sum of squared values per
+    event_type, deterministic and SQL-replayable."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        scripted_metric_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = scripted_metric_agg(
+        ev.select("event_type", "value"),
+        "event_type",
+        lambda pdf: {"wsum": float((pdf["value"] ** 2).sum()),
+                     "n": int(len(pdf))},
+        lambda states: round(float(states["wsum"].sum()), 6),
+        state_schema="wsum double, n long",
+        value_name="sum_sq",
+    )
+    return out.select("event_type", "sum_sq")
+
+
+def q_geo_family(spark, sf_dir):
+    """Geo surface merged long-format (kind, key, metric, value):
+    geo_distance (bbox prefilter + exact haversine), geo_polygon
+    (bbox prefilter + ray-casting parity over a non-convex pentagon),
+    and geo_bounds (per-event_type tightest box over the polygon's
+    match set + doc_count). Members stay as individual tail gates."""
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geo_bounds_agg,
+        geo_distance,
+        geo_polygon,
+    )
+
+    pts = _geo_events(spark, sf_dir)
+    gd = geo_distance(
+        pts, "lat", "lon", GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_KM
+    ).selectExpr(
+        "'distance' as kind", "cast(event_id as string) as key",
+        "'distance_km' as metric", "round(distance_km, 3) as value",
+    )
+    poly = geo_polygon(pts, "lat", "lon", GEO_POLY)
+    gp = poly.selectExpr(
+        "'polygon' as kind", "cast(event_id as string) as key",
+        "'inside' as metric", "cast(1.0 as double) as value",
+    )
+    gb = geo_bounds_agg(poly, "lat", "lon", group_col="event_type")
+    counts = poly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("doc_count")
+    )
+    gbl = gb.join(counts, "event_type").selectExpr(
+        "'bounds' as kind", "event_type as key",
+        "stack(5, 'top_left_lat', top_left_lat, "
+        "'top_left_lon', top_left_lon, "
+        "'bottom_right_lat', bottom_right_lat, "
+        "'bottom_right_lon', bottom_right_lon, "
+        "'doc_count', doc_count) as (metric, value)",
+    )
+    return gd.unionByName(gp).unionByName(gbl)
+
+
+def q_agg_family3(spark, sf_dir):
+    """rare_terms / auto_date_histogram / diversified_sampler /
+    runtime_field merged long-format (kind, key, metric, value) —
+    window-slot consolidation; the four members remain individual tail
+    gates."""
+    rt = q_rare_terms(spark, sf_dir).selectExpr(
+        "'rare_terms' as kind",
+        "event_type || '|' || cast(user_id as string) as key",
+        "'doc_count' as metric", "cast(doc_count as double) as value",
+    )
+    ad = q_auto_date_histogram(spark, sf_dir).selectExpr(
+        "'auto_date_histogram' as kind", "interval || '|' || bucket as key",
+        "'doc_count' as metric", "cast(doc_count as double) as value",
+    )
+    dv = q_diversified_sampler(spark, sf_dir).selectExpr(
+        "'diversified_sampler' as kind",
+        "cast(query_id as string) || '|' || source as key",
+        "stack(2, 'doc_count', cast(doc_count as double), "
+        "'avg_score', avg_score) as (metric, value)",
+    )
+    rf = q_runtime_field(spark, sf_dir).selectExpr(
+        "'runtime_field' as kind", "event_type as key",
+        "stack(3, 'doc_count', cast(doc_count as double), "
+        "'sum_k', cast(sum_k as double), 'avg_k', avg_k) "
+        "as (metric, value)",
+    )
+    return rt.unionByName(ad).unionByName(dv).unionByName(rf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -4897,6 +5095,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4i new/changed surfaces ---
+        "lm_perplexity": q_lm_perplexity,
+        "pipeline_aggs2": q_pipeline_aggs2,
+        "scripted_metric": q_scripted_metric,
+        # geo_family merges geo_distance + NEW geo_polygon/geo_bounds
+        # (geo_distance stays as a tail member gate)
+        "geo_family": q_geo_family,
+        # agg_family3 merges rare_terms/auto_date_histogram/
+        # diversified_sampler/runtime_field (members now tail gates)
+        "agg_family3": q_agg_family3,
         # --- round-4f/4g new/changed surfaces ---
         # phrase_family covers all four phrase evaluators (match /
         # partitioned / slop / NEW shingle-index accel) in one slot;
@@ -4931,15 +5139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
-        "rare_terms": q_rare_terms,
-        "auto_date_histogram": q_auto_date_histogram,
-        "diversified_sampler": q_diversified_sampler,
-        "runtime_field": q_runtime_field,
 
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
-        "geo_distance": q_geo_distance,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
@@ -4977,6 +5180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  the bm25/wand/combo core)
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        # members of the in-window agg_family3 / geo_family merged gates
+        "rare_terms": q_rare_terms,
+        "auto_date_histogram": q_auto_date_histogram,
+        "diversified_sampler": q_diversified_sampler,
+        "runtime_field": q_runtime_field,
+        "geo_distance": q_geo_distance,
         # brute-force filtered knn: near-duplicate of in-window
         # ivf_knn_filtered (same filter machinery, IVF probing on top)
         "knn_filtered": q_knn_filtered,
@@ -5709,7 +5918,7 @@ samp AS (
 )
 SELECT query_id::BIGINT AS query_id, source,
        count(*)::BIGINT AS doc_count,
-       round(avg(s6), 6) AS avg_score
+       round(avg(s6), 7) AS avg_score
 FROM samp WHERE _rk <= {DIV_SHARD_SIZE}
 GROUP BY 1, 2
 """
@@ -6255,14 +6464,166 @@ WITH hc AS (
   FROM lineitem WHERE l_quantity >= 45
   GROUP BY 1 HAVING count(*) >= 2
 )
-SELECT 'has_child' AS kind, o.o_orderkey AS key, hc.n, hc.score
+SELECT 'has_child' AS kind, o.o_orderkey::VARCHAR AS key, hc.n, hc.score
 FROM orders o JOIN hc ON hc.key = o.o_orderkey
 UNION ALL
-SELECT 'has_parent', l.l_orderkey, l.l_linenumber::BIGINT,
+SELECT 'has_parent', l.l_orderkey::VARCHAR, l.l_linenumber::BIGINT,
        round(o.o_totalprice, 6)
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE o.o_totalprice > 200000
+UNION ALL
+SELECT 'children', o.o_orderstatus, count(*)::BIGINT,
+       round(avg(l.l_quantity), 6)
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 2
+UNION ALL
+SELECT 'reverse_nested', l_linenumber::VARCHAR,
+       count(DISTINCT l_orderkey)::BIGINT, NULL::DOUBLE
+FROM lineitem WHERE l_quantity >= 45 GROUP BY 2
 """
+    sqls["lm_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(arr[1:len(arr)-1]) AS w1,
+         unnest(arr[2:len(arr)]) AS w2
+  FROM toks WHERE len(arr) >= 2
+),
+doc_tf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY ALL
+),
+c2 AS (SELECT w1, w2, sum(tf) AS c2 FROM doc_tf GROUP BY ALL),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(arr) AS t FROM toks)),
+lp AS (
+  SELECT w1, w2,
+         ln((c2 + {LM_ADD_K}) / (c1 + {LM_ADD_K} * v)) AS logp
+  FROM c2 JOIN c1 USING (w1), v
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(sum(tf * logp) / sum(tf), 6) AS logprob_per_token,
+       round(exp(-round(sum(tf * logp) / sum(tf), 6)), 2) AS perplexity
+FROM doc_tf JOIN lp USING (w1, w2) GROUP BY doc_id
+"""
+    sqls["scripted_metric"] = """
+SELECT event_type, round(sum(value * value), 6) AS sum_sq
+FROM events GROUP BY 1
+"""
+    _poly_terms = []
+    for _i in range(len(GEO_POLY)):
+        _yi, _xi = GEO_POLY[_i]
+        _yj, _xj = GEO_POLY[(_i + 1) % len(GEO_POLY)]
+        _poly_terms.append(
+            f"(CASE WHEN (({_yi}) > lat) <> (({_yj}) > lat) THEN "
+            f"(CASE WHEN lon < (({_xj}) - ({_xi})) * (lat - ({_yi}))"
+            f" / (({_yj}) - ({_yi})) + ({_xi}) THEN 1 ELSE 0 END) "
+            f"ELSE 0 END)"
+        )
+    _poly_in = "(" + " + ".join(_poly_terms) + ") % 2 = 1"
+    sqls["geo_family"] = f"""
+WITH pts AS (
+  SELECT event_id, event_type,
+         ({GEO_LAT_EXPR.replace('cast', 'CAST')}) AS lat,
+         ({GEO_LON_EXPR.replace('cast', 'CAST')}) AS lon
+  FROM events
+),
+d AS (SELECT event_id, {_hav} AS dk FROM pts),
+poly AS (SELECT * FROM pts WHERE {_poly_in}),
+bounds AS (
+  SELECT event_type, max(lat) AS tll, min(lon) AS tlo,
+         min(lat) AS brl, max(lon) AS bro, count(*)::DOUBLE AS dc
+  FROM poly GROUP BY 1
+)
+SELECT 'distance' AS kind, event_id::VARCHAR AS key,
+       'distance_km' AS metric, round(dk, 3) AS value
+FROM d WHERE dk <= {GEO_RADIUS_KM}
+UNION ALL SELECT 'polygon', event_id::VARCHAR, 'inside', 1.0 FROM poly
+UNION ALL SELECT 'bounds', event_type, 'top_left_lat', tll FROM bounds
+UNION ALL SELECT 'bounds', event_type, 'top_left_lon', tlo FROM bounds
+UNION ALL SELECT 'bounds', event_type, 'bottom_right_lat', brl FROM bounds
+UNION ALL SELECT 'bounds', event_type, 'bottom_right_lon', bro FROM bounds
+UNION ALL SELECT 'bounds', event_type, 'doc_count', dc FROM bounds
+"""
+    sqls["pipeline_aggs2"] = f"""
+WITH dh AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::DOUBLE AS doc_count
+  FROM events GROUP BY 1, 2
+),
+norm AS (
+  SELECT event_type, bucket, doc_count,
+         min(doc_count) OVER w AS mn, max(doc_count) OVER w AS mx,
+         sum(doc_count) OVER w AS s
+  FROM dh WINDOW w AS (PARTITION BY event_type)
+),
+days AS (
+  SELECT event_type, user_id,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+),
+fs AS (SELECT event_type, user_id, min(day) AS day FROM days GROUP BY 1, 2),
+news AS (
+  SELECT event_type, day, count(*)::DOUBLE AS new_keys
+  FROM fs GROUP BY 1, 2
+),
+spine AS (SELECT DISTINCT event_type, day FROM days),
+cc AS (
+  SELECT s.event_type, s.day, coalesce(n.new_keys, 0) AS new_keys,
+         sum(coalesce(n.new_keys, 0)) OVER (
+           PARTITION BY s.event_type ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM spine s LEFT JOIN news n
+    ON n.event_type = s.event_type AND n.day = s.day
+),
+mp AS (
+  SELECT event_type, bucket,
+         quantile_cont(doc_count, {MOVP_PERCENTS[0] / 100.0}) OVER tw AS p50,
+         quantile_cont(doc_count, {MOVP_PERCENTS[1] / 100.0}) OVER tw AS p90
+  FROM dh WINDOW tw AS (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN {MOVP_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT 'normalize' AS kind, event_type || '|' || bucket AS key,
+       'rescale_0_1' AS metric,
+       round(CASE WHEN mx <> mn THEN (doc_count - mn) / (mx - mn) END, 6)
+         AS value
+FROM norm
+UNION ALL SELECT 'normalize', event_type || '|' || bucket,
+       'percent_of_sum', round(doc_count / s, 6) FROM norm
+UNION ALL SELECT 'cumulative_cardinality', event_type || '|' || day,
+       'new_keys', new_keys FROM cc
+UNION ALL SELECT 'cumulative_cardinality', event_type || '|' || day,
+       'cumulative', cum FROM cc
+UNION ALL SELECT 'moving_percentiles', event_type || '|' || bucket,
+       'p50', round(p50, 6) FROM mp
+UNION ALL SELECT 'moving_percentiles', event_type || '|' || bucket,
+       'p90', round(p90, 6) FROM mp
+"""
+    sqls["agg_family3"] = (
+        "SELECT 'rare_terms' AS kind, event_type || '|' || "
+        "user_id::VARCHAR AS key, 'doc_count' AS metric, "
+        "doc_count::DOUBLE AS value FROM (" + sqls["rare_terms"] + ")\n"
+        "UNION ALL SELECT 'auto_date_histogram', "
+        "\"interval\" || '|' || bucket, 'doc_count', doc_count::DOUBLE "
+        "FROM (" + sqls["auto_date_histogram"] + ")\n"
+        "UNION ALL SELECT 'diversified_sampler', query_id::VARCHAR || "
+        "'|' || source, 'doc_count', doc_count::DOUBLE FROM ("
+        + sqls["diversified_sampler"] + ")\n"
+        "UNION ALL SELECT 'diversified_sampler', query_id::VARCHAR || "
+        "'|' || source, 'avg_score', avg_score FROM ("
+        + sqls["diversified_sampler"] + ")\n"
+        "UNION ALL SELECT 'runtime_field', event_type, 'doc_count', "
+        "doc_count::DOUBLE FROM (" + sqls["runtime_field"] + ")\n"
+        "UNION ALL SELECT 'runtime_field', event_type, 'sum_k', "
+        "sum_k::DOUBLE FROM (" + sqls["runtime_field"] + ")\n"
+        "UNION ALL SELECT 'runtime_field', event_type, 'avg_k', avg_k "
+        "FROM (" + sqls["runtime_field"] + ")\n"
+    )
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()
     sqls["near_duplicates"] = _near_duplicates_oracle_sql()

@@ -364,3 +364,118 @@ def repetition_stats(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         stats, schema=schema
     )
+
+
+def ngram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.1,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): score
+    every document by the mean log-probability of an add-k-smoothed
+    BIGRAM language model trained on ``train`` (default: the corpus
+    itself), the classic perplexity filter of LLM data pipelines —
+    low-perplexity docs read like the training distribution, high ones
+    are noise/boilerplate/another register.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), with V the distinct
+    unigram count of the training corpus and c(w1,·) the count of
+    bigrams starting at w1. Per doc (docs with ≥2 tokens; a 1-token doc
+    has no bigram and is omitted):
+
+    * ``n_bigrams``          — bigram occurrences scored;
+    * ``logprob_per_token``  — mean ln P over those occurrences;
+    * ``perplexity``         — exp(-logprob_per_token), derived from the
+      ROUNDED mean (6dp) and itself rounded to 2dp so the figure is
+      bit-reproducible across engines (ln/exp libm implementations may
+      differ in the last ulp; the double rounding pins the value).
+
+    Shape at 100 TB: bigram construction is ARRAY-SIDE (one transform
+    over the token array — no window, no shuffle); per-doc bigram tfs
+    pre-aggregate before any join; the model tables c2/c1 are
+    vocabulary-bounded aggregates with map-side partials; the single
+    scoring join keys on the bigram and AQE handles the stop-bigram
+    skew. V rides along as a broadcast 1-row cross join — no driver
+    collect anywhere.
+    """
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return frame.select(
+            F.col(id_col), F.explode(pairs).alias("bg")
+        ).select(id_col, "bg.w1", "bg.w2")
+
+    train_df = df if train is None else train
+    train_big = bigrams(train_df)
+    c2 = train_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vdf = (
+        train_df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("t")
+        )
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    k = float(add_k)
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    doc_tf = bigrams(df).groupBy(id_col, "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    # unseen (doc, bigram) pairs only arise with an external `train`;
+    # they take the unseen-bigram floor ln(k / (k·V)) = -ln(V) when w1
+    # itself is unseen, else the smoothed c2=0 mass
+    scored = doc_tf.join(model, ["w1", "w2"], "left")
+    if train is not None:
+        c1_only = c1.withColumnRenamed("w1", "_w1")
+        scored = (
+            scored.join(
+                c1_only, scored["w1"] == c1_only["_w1"], "left"
+            )
+            .crossJoin(F.broadcast(vdf.withColumnRenamed("v", "_v")))
+            .withColumn(
+                "logp",
+                F.coalesce(
+                    F.col("logp"),
+                    F.log(
+                        F.lit(k)
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0.0))
+                            + k * F.col("_v")
+                        )
+                    ),
+                ),
+            )
+            .drop("_w1", "c1", "_v")
+        )
+    lp = F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")
+    lp6 = F.round(lp, 6)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            lp6.alias("logprob_per_token"),
+            F.round(F.exp(-lp6), 2).alias("perplexity"),
+        )
+    )

@@ -1197,3 +1197,159 @@ def rate_agg(
     return rows.groupBy(*keys).agg(
         (metric * F.lit(rate_unit_seconds / interval_s)).alias("rate")
     )
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    metric_col: str,
+    method: str = "rescale_0_1",
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale a sibling metric
+    across the bucket set. Methods: ``rescale_0_1``
+    ((x-min)/(max-min)), ``percent_of_sum`` (x/sum),
+    ``z_score`` ((x-mean)/population stdev), ``softmax``
+    (exp(x)/sum(exp(x))). Unbounded window over ALREADY-REDUCED bucket
+    rows (thousands, never raw events); a constant metric yields null
+    for rescale/z_score, as ES emits when the denominator is 0. Values
+    round to 6dp for cross-engine reproducibility."""
+    part = [group_col] if group_col else []
+    # no orderBy: an unordered window aggregates over the whole partition
+    w = Window.partitionBy(*part)
+    x = F.col(metric_col)
+    if method == "rescale_0_1":
+        rng = F.max(x).over(w) - F.min(x).over(w)
+        val = F.when(rng != 0, (x - F.min(x).over(w)) / rng)
+    elif method == "percent_of_sum":
+        val = x / F.sum(x).over(w)
+    elif method == "z_score":
+        sd = F.stddev_pop(x).over(w)
+        val = F.when(sd != 0, (x - F.avg(x).over(w)) / sd)
+    elif method == "softmax":
+        val = F.exp(x) / F.sum(F.exp(x)).over(w)
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.withColumn("normalized", F.round(val, 6))
+
+
+def cumulative_cardinality_agg(
+    rows: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation (the
+    "new users per day / total users to date" question): per ordered
+    bucket, how many DISTINCT keys have appeared in any bucket up to and
+    including it. Exact, and cheaper than a per-bucket distinct-union:
+    each key reduces to its FIRST bucket (one groupBy on the key), new
+    arrivals aggregate per bucket, and a cumulative window over the
+    bucket spine (every bucket present in ``rows``, including ones with
+    no new keys) finishes it — the window sees bucket counts, never
+    keys. Emits ``new_keys`` (ES's derivative view) + ``cumulative_cardinality``."""
+    part = [group_col] if group_col else []
+    first_seen = rows.groupBy(*part, F.col(key_col).alias("_k")).agg(
+        F.min(bucket_col).alias(bucket_col)
+    )
+    news = first_seen.groupBy(*part, bucket_col).agg(
+        F.count("*").alias("new_keys")
+    )
+    spine = rows.select(*part, bucket_col).distinct()
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.asc(bucket_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(news, [*part, bucket_col], "left").withColumn(
+        "new_keys", F.coalesce(F.col("new_keys"), F.lit(0)).cast("long")
+    )
+    return joined.withColumn(
+        "cumulative_cardinality", F.sum("new_keys").over(w).cast("long")
+    )
+
+
+def moving_percentiles_agg(
+    buckets: DataFrame,
+    metric_col: str,
+    order_col: str,
+    window: int = 5,
+    percents: list[float] | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: exact continuous
+    percentiles of the metric over a trailing window of ``window``
+    buckets (current bucket inclusive, partial leading windows shrink —
+    ES's shift=0 default). Linear interpolation at rank p/100*(n-1),
+    the quantile_cont convention, so any SQL engine replays it. The
+    window holds bucket rows only; the per-row sort is over <= window
+    values."""
+    percents = [50.0, 90.0] if percents is None else percents
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(metric_col)).over(w))
+    out = buckets.withColumn("_arr", arr)
+    n = F.size(F.col("_arr"))
+    for p in percents:
+        rank = F.lit(float(p) / 100.0) * (n - 1).cast("double")
+        lo = F.floor(rank).cast("int")
+        frac = rank - lo
+        val = (
+            F.element_at(F.col("_arr"), lo + 1) * (1.0 - frac)
+            + F.element_at(
+                F.col("_arr"), F.least(lo + 2, n)
+            ) * frac
+        )
+        name = f"p{p:g}".replace(".", "_")
+        out = out.withColumn(name, F.round(val, 6))
+    return out.drop("_arr")
+
+
+def scripted_metric_agg(
+    rows: DataFrame,
+    group_col: str,
+    map_partial,
+    reduce_states,
+    state_schema: str,
+    value_name: str = "value",
+    value_type: str = "double",
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, Spark-shaped: ES runs
+    init/map per shard, combine per shard, reduce on the coordinator;
+    here ``map_partial(pandas.DataFrame) -> dict`` plays init+map+combine
+    over each PARTITION's slice of each bucket (Arrow-batched, map-side
+    — the full rows never shuffle), the partial states (``state_schema``
+    struct fields) shuffle instead, and ``reduce_states(pandas.DataFrame
+    of states) -> scalar`` plays the reduce per bucket. At 100 TB the
+    shuffle carries O(partitions x buckets) state rows, exactly the
+    scripted-metric contract. Scripts are Python callables rather than
+    Painless — deterministic callables keep the result engine-replayable.
+    """
+    import pandas as pd
+
+    gtype = rows.schema[group_col].dataType.simpleString()
+    partial_schema = f"{group_col} {gtype}, {state_schema}"
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                state = dict(map_partial(sub))
+                state[group_col] = g
+                out.append(state)
+            yield pd.DataFrame(out)
+
+    states = rows.mapInPandas(partials, schema=partial_schema)
+
+    def red(key, pdf):
+        return pd.DataFrame({group_col: [key[0]],
+                             value_name: [reduce_states(pdf)]})
+
+    return states.groupBy(group_col).applyInPandas(
+        red, schema=f"{group_col} {gtype}, {value_name} {value_type}"
+    )

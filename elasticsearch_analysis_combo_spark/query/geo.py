@@ -208,3 +208,67 @@ def geotile_grid_agg(
         keyed.groupBy(F.lit(precision).alias("zoom"), "tile_x", "tile_y")
         .agg(*aggs)
     )
+
+
+def geo_polygon(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    vertices: list[tuple[float, float]],
+) -> DataFrame:
+    """ES ``geo_polygon`` query: rows whose point falls inside the
+    polygon given as [(lat, lon), ...] (ES's points list; closing edge
+    implied). Two-stage like ``geo_distance``: the polygon's bounding
+    box prunes at scan speed (plain range predicate — parquet row-group
+    stats), then ray-casting parity (odd crossing count of a westward
+    ray) keeps the interior. Each edge test is a guarded codegen
+    expression — the division only evaluates under the lat-straddle
+    branch, so ANSI mode never sees a zero denominator. Points exactly
+    on an edge are boundary-implementation-defined, as in ES/Lucene.
+    Non-convex and self-intersecting (even-odd rule) polygons work."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lats = [float(la) for la, _ in vertices]
+    lons = [float(lo) for _, lo in vertices]
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    boxed = df.filter(
+        (lat >= min(lats)) & (lat <= max(lats))
+        & (lon >= min(lons)) & (lon <= max(lons))
+    )
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[(i + 1) % n], lons[(i + 1) % n]
+        straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+        crossing = F.when(
+            straddles,
+            F.when(
+                lon < (xj - xi) * (lat - yi) / (yj - yi) + xi,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
+        crossings = crossings + crossing
+    return boxed.filter(F.pmod(crossings, F.lit(2)) == 1)
+
+
+def geo_bounds_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the tightest lat/lon box holding
+    the (grouped) point set, reported as ES's top_left / bottom_right
+    corners. One partial-aggregated min/max pass — four scalars per
+    group at any scale. (``wrap_longitude`` dateline splitting is not
+    modeled; boxes are plain min/max as with ES wrap_longitude=false.)"""
+    aggs = [
+        F.max(F.col(lat_col)).alias("top_left_lat"),
+        F.min(F.col(lon_col)).alias("top_left_lon"),
+        F.min(F.col(lat_col)).alias("bottom_right_lat"),
+        F.max(F.col(lon_col)).alias("bottom_right_lon"),
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs)
+    return df.agg(*aggs)

@@ -144,3 +144,58 @@ def has_parent_query(
     return children.join(
         keys, children[child_key] == keys[parent_key]
     ).drop(keys[parent_key])
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    group_col: str,
+    metric_exprs: dict[str, str] | None = None,
+) -> DataFrame:
+    """ES ``children`` aggregation: bucket PARENTS by ``group_col``,
+    then aggregate each bucket's CHILDREN (doc_count + optional SQL
+    aggregate ``metric_exprs`` over child columns). The parent side is
+    projected to its (key, bucket) pair before the join — the minimal
+    build side, broadcastable when parents are dimension-sized; children
+    never shuffle more than once and aggregate with map-side partials.
+    Parents with no children drop out (ES emits doc_count only for
+    buckets with child docs)."""
+    keymap = parents.select(
+        F.col(parent_key).alias("_pk"), F.col(group_col)
+    )
+    joined = children.join(
+        keymap, children[child_key] == keymap["_pk"]
+    ).drop("_pk")
+    aggs = [F.count("*").alias("doc_count")]
+    for name, expr in (metric_exprs or {}).items():
+        aggs.append(F.expr(expr).alias(name))
+    return joined.groupBy(group_col).agg(*aggs)
+
+
+def reverse_nested_agg(
+    df: DataFrame,
+    path: str,
+    nested_group_expr: str,
+    id_col: str,
+    pred: str | None = None,
+) -> DataFrame:
+    """ES ``reverse_nested`` aggregation: bucket by a NESTED field
+    (``nested_group_expr``, SQL over the nested object as ``x``), but
+    count PARENT documents per bucket — the "how many posts have a
+    comment by each author" question (a plain nested terms agg would
+    count comments). ``pred`` optionally restricts which nested objects
+    key their parent. One explode + distinct-parent count per bucket
+    (exact count_distinct on the parent id); the explode carries only
+    (bucket_key, parent_id) pairs, never the nested payload."""
+    objs = f"filter({path}, x -> {pred})" if pred else path
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.expr(objs)).alias("x"),
+    ).select(
+        F.col(id_col), F.expr(nested_group_expr).alias("key")
+    )
+    return pairs.groupBy("key").agg(
+        F.countDistinct(F.col(id_col)).alias("doc_count")
+    )
