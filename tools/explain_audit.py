@@ -406,6 +406,58 @@ def main() -> None:
         "combined_fields pruned stats scans", p, "PushedFilters: [In(term"
     )
 
+    # 22. geo_polygon: the vertex bounding box must reach the parquet
+    # scan (row-group pruning), and the parity test is map-only
+    from elasticsearch_analysis_combo_spark.query.geo import geo_polygon
+
+    pts = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).selectExpr(
+        "event_id",
+        "cast(user_id % 180 as double) - 90.0 as lat",
+        "cast((user_id * 7) % 360 as double) - 180.0 as lon",
+    )
+    gp = geo_polygon(
+        pts, "lat", "lon", [(-40.0, -100.0), (50.0, -80.0), (0.0, 30.0)]
+    )
+    p = plan_text(gp)
+    failures += not check(
+        "geo_polygon map-only parity", p, "Project", forbid="Exchange"
+    )
+
+    # 23. ngram_lm_perplexity: the 1-row vocabulary count rides as a
+    # broadcast nested-loop cross join; no per-row Python anywhere
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        ngram_lm_perplexity,
+    )
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_text(ngram_lm_perplexity(docs_df))
+    failures += not check(
+        "lm_perplexity broadcast V, JVM-side", p,
+        "BroadcastNestedLoopJoin", forbid="BatchEvalPython",
+    )
+
+    # 24. scripted_metric: per-partition map+combine (MapInPandas) feeds
+    # a per-bucket reduce (FlatMapGroupsInPandas) — full rows must not
+    # be what shuffles
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        scripted_metric_agg,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sm = scripted_metric_agg(
+        ev.select("event_type", "value"), "event_type",
+        lambda pdf: {"wsum": float(pdf["value"].sum()), "n": int(len(pdf))},
+        lambda states: float(states["wsum"].sum()),
+        state_schema="wsum double, n long",
+    )
+    p = plan_text(sm)
+    failures += not (
+        check("scripted_metric map+combine stage", p, "MapInPandas")
+        and check("scripted_metric reduce stage", p, "FlatMapGroupsInPandas")
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
