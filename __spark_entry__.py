@@ -1036,6 +1036,13 @@ RESCORE_QUERIES = [(0, "value table"), (1, "fast merge"), (2, "the customer")]
 RESCORE_WINDOW, RESCORE_WEIGHT = 50, 2.0
 # round-4i fixtures
 LM_ADD_K = 0.1
+SPAN_MULTI_CLAUSES = {
+    0: [("prefix", "val"), ("term", "customer")],
+    1: [("term", "the"), ("fuzzy", ("merge", 1))],
+    2: [("wildcard", "bat*"), ("prefix", "tab")],
+}
+SPAN_MULTI_SLOP = 6
+SPAN_MULTI_MAXEXP = 10
 GEO_POLY = [  # non-convex pentagon, integer vertices (no horizontal edge)
     (-40.0, -100.0), (50.0, -80.0), (0.0, -20.0), (45.0, 60.0),
     (-50.0, 90.0),
@@ -3204,6 +3211,56 @@ GROUP BY doc_id""")
     return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
 
 
+def _span_multi_oracle_sql() -> str:
+    """Unordered span_near replay where each clause is a SET of terms:
+    the multi clauses' sets are re-derived IN SQL from the dictionary
+    with the same capped (dist, df desc, term) window the Spark
+    expansion uses."""
+
+    def member_set(kind, pat):
+        if kind == "term":
+            return f"(SELECT '{pat}' AS t)"
+        if kind == "prefix":
+            cond, order = f"t LIKE '{pat}%'", "df DESC, t"
+        elif kind == "wildcard":
+            rx = pat.replace("*", ".*").replace("?", ".")
+            cond, order = f"regexp_full_match(t, '{rx}')", "df DESC, t"
+        else:  # fuzzy
+            base, k = pat
+            cond = (
+                f"abs(length(t) - {len(base)}) <= {k} "
+                f"AND levenshtein(t, '{base}') <= {k}"
+            )
+            order = f"levenshtein(t, '{base}'), df DESC, t"
+        return f"""(
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY {order}) AS rk
+    FROM (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+    WHERE {cond}
+  ) WHERE rk <= {SPAN_MULTI_MAXEXP})"""
+
+    parts = []
+    for qid, clauses in sorted(SPAN_MULTI_CLAUSES.items()):
+        n = len(clauses)
+        w = SPAN_MULTI_SLOP + n - 1
+        sets = [member_set(kind, pat) for kind, pat in clauses]
+        any_member = " UNION ".join(f"SELECT t FROM {s}" for s in sets)
+        exists = " AND ".join(
+            f"EXISTS (SELECT 1 FROM toks t{i} WHERE t{i}.doc_id = a.doc_id "
+            f"AND t{i}.t IN (SELECT t FROM {s}) "
+            f"AND t{i}.p BETWEEN a.p0 AND a.p0 + {w})"
+            for i, s in enumerate(sets)
+        )
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id,
+       count(DISTINCT p0)::BIGINT AS n_matches
+FROM (SELECT DISTINCT doc_id, p AS p0 FROM toks
+      WHERE t IN ({any_member})) a
+WHERE {exists}
+GROUP BY doc_id""")
+    return f"WITH {_span_toks_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
 PHRASE_PREFIXES = [(0, "value ta"), (1, "the val"), (2, "customer zz")]
 
 
@@ -4476,14 +4533,37 @@ def q_span_within_containing(spark, sf_dir):
     )
 
 
+def q_span_multi(spark, sf_dir):
+    """ES span_multi inside span_near (unordered): prefix / wildcard /
+    fuzzy clauses expand against the dictionary (distributed, capped,
+    df-desc — ES top_terms rewrite) and act as ONE disjunctive span
+    clause via an in-kernel posting union."""
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_multi_near_match,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = span_multi_near_match(
+        spark, _phrase_postings(spark, sf_dir), term_df,
+        SPAN_MULTI_CLAUSES, slop=SPAN_MULTI_SLOP, in_order=False,
+        max_expansions=SPAN_MULTI_MAXEXP,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+    )
+
+
 def q_span_family(spark, sf_dir):
-    """span_or / span_first / span_not merged into one gate (same
-    schema, tagged by kind) so all three keep driver-oracle rows inside
-    the 50-entry window."""
+    """span_or / span_first / span_not / span_multi merged into one gate
+    (same schema, tagged by kind) so all four keep driver-oracle rows
+    inside the 50-entry window."""
     o = q_span_or(spark, sf_dir).withColumn("kind", F.lit("or"))
     f = q_span_first(spark, sf_dir).withColumn("kind", F.lit("first"))
     n = q_span_not(spark, sf_dir).withColumn("kind", F.lit("not"))
-    return o.unionByName(f).unionByName(n).select(
+    m = q_span_multi(spark, sf_dir).withColumn("kind", F.lit("multi"))
+    return o.unionByName(f).unionByName(n).unionByName(m).select(
         "kind", "query_id", "doc_id", "n_matches"
     )
 
@@ -5196,6 +5276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality": q_cardinality,
         "stats_agg": q_stats_agg,
         "span_or": q_span_or,
+        "span_multi": q_span_multi,
         "span_first": q_span_first,
         "span_not": q_span_not,
         "boosting_query": q_boosting_query,
@@ -7019,12 +7100,15 @@ SELECT count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
 FROM events
 """
     sqls["span_within_containing"] = _span_wc_oracle_sql()
+    sqls["span_multi"] = _span_multi_oracle_sql()
     sqls["span_family"] = (
         "SELECT 'or' AS kind, * FROM (" + _span_or_oracle_sql() + ")\n"
         "UNION ALL\nSELECT 'first' AS kind, * FROM ("
         + _span_first_oracle_sql() + ")\n"
         "UNION ALL\nSELECT 'not' AS kind, * FROM ("
-        + _span_not_oracle_sql() + ")"
+        + _span_not_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'multi' AS kind, * FROM ("
+        + _span_multi_oracle_sql() + ")"
     )
     sqls["compound_queries"] = (
         "SELECT 'boosting' AS kind, * FROM (" + _boosting_oracle_sql() + ")\n"

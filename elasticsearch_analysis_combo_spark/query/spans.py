@@ -593,3 +593,164 @@ def span_containing_match(
         ),
         range_bits=range_bits,
     )
+
+
+def _union_decoded(decoded: dict[str, tuple], terms: list[str]) -> tuple:
+    """Merge member terms' postings into ONE pseudo-term with the
+    standard decoded layout (docs, offs, pos_flat, dls): per-doc sorted
+    position UNION, duplicate (doc, pos) pairs collapsed — the Lucene
+    SpanMultiTermQueryWrapper disjunction, built vectorized from the
+    already-decoded member arrays (one lexsort, no per-doc loop)."""
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(1, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+    )
+    ds, ps, dl_docs, dl_vals = [], [], [], []
+    for t in terms:
+        if t not in decoded or decoded[t][0].size == 0:
+            continue
+        docs, offs, pos_flat, dls = decoded[t]
+        counts = np.diff(offs).astype(np.int64)
+        ds.append(np.repeat(docs, counts))
+        ps.append(pos_flat.astype(np.int64))
+        dl_docs.append(docs)
+        dl_vals.append(np.asarray(dls, dtype=np.int64))
+    if not ds:
+        return empty
+    d = np.concatenate(ds)
+    p = np.concatenate(ps)
+    order = np.lexsort((p, d))
+    d, p = d[order], p[order]
+    keep = np.ones(d.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1])
+    d, p = d[keep], p[keep]
+    udocs, starts = np.unique(d, return_index=True)
+    offs = np.append(starts, d.size).astype(np.int64)
+    # per-doc dl from whichever member carries the doc (dl is a document
+    # property, identical across members)
+    md = np.concatenate(dl_docs)
+    mv = np.concatenate(dl_vals)
+    o = np.argsort(md, kind="stable")
+    md, mv = md[o], mv[o]
+    dls = mv[np.searchsorted(md, udocs)]
+    return udocs, offs, p, dls
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """ES wildcard -> anchored Java/RE2 regex (* = any run, ? = one)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def span_multi_near_match(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_df: DataFrame,
+    clauses_by_q: dict[int, list[tuple[str, object]]],
+    slop: int = 0,
+    in_order: bool = True,
+    max_expansions: int = 20,
+    range_bits: int | None = None,
+) -> DataFrame:
+    """ES ``span_multi`` inside ``span_near``: each clause is either
+    ``("term", t)`` or a multi-term pattern — ``("prefix", p)``,
+    ``("wildcard", w)`` (``*``/``?``), ``("fuzzy", (t, n))`` — whose
+    dictionary expansions act as ONE disjunctive span clause
+    (SpanMultiTermQueryWrapper).
+
+    Expansion runs as one DISTRIBUTED job over the term dictionary with
+    a per-clause ``row_number`` cap at ``max_expansions`` (df desc, term
+    asc — ES's top_terms rewrite order); only the <= clauses *
+    max_expansions winning terms come back to the driver (ES caps the
+    same way; an uncapped collect would be the 100 TB killer). Matching
+    reuses the span harness: member postings gather like any terms, the
+    clause's union is built in-kernel (:func:`_union_decoded`), and the
+    existing ordered/unordered window criterion runs unchanged —
+    including the doc-range fan-out when ``range_bits`` is set."""
+    from functools import reduce
+
+    multi = [
+        (qid, ci, kind, pat)
+        for qid, clauses in clauses_by_q.items()
+        for ci, (kind, pat) in enumerate(clauses)
+        if kind != "term"
+    ]
+    expansions: dict[tuple[int, int], list[str]] = {}
+    if multi:
+        parts = []
+        for qid, ci, kind, pat in multi:
+            if kind == "prefix":
+                cond = F.col("term").startswith(pat)
+                dist = F.lit(0)
+            elif kind == "wildcard":
+                cond = F.col("term").rlike(_wildcard_regex(pat))
+                dist = F.lit(0)
+            elif kind == "fuzzy":
+                base, n = pat
+                cond = (
+                    F.abs(F.length("term") - len(base)) <= int(n)
+                ) & (F.levenshtein(F.col("term"), F.lit(base)) <= int(n))
+                dist = F.levenshtein(F.col("term"), F.lit(base))
+            else:
+                raise ValueError(f"unknown span_multi clause kind {kind!r}")
+            parts.append(
+                term_df.filter(cond).select(
+                    F.lit(qid).alias("qid"),
+                    F.lit(ci).alias("ci"),
+                    "term",
+                    "df",
+                    dist.alias("dist"),
+                )
+            )
+        from pyspark.sql import Window
+
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        w = Window.partitionBy("qid", "ci").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
+        rows = (
+            u.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_expansions))
+            .select("qid", "ci", "term")
+            .collect()
+        )
+        for r in rows:
+            expansions.setdefault((r["qid"], r["ci"]), []).append(r["term"])
+
+    qid_terms: dict[int, list[str]] = {}
+    for qid, clauses in clauses_by_q.items():
+        terms: list[str] = []
+        for ci, (kind, pat) in enumerate(clauses):
+            if kind == "term":
+                terms.append(pat)
+            else:
+                terms.extend(expansions.get((qid, ci), []))
+        qid_terms[qid] = sorted(set(terms))
+
+    def matcher(qid, decoded):
+        d2 = dict(decoded)
+        names = []
+        for ci, (kind, pat) in enumerate(clauses_by_q[qid]):
+            if kind == "term":
+                names.append(pat)
+            else:
+                pseudo = f"\x00mc{ci}"
+                d2[pseudo] = _union_decoded(
+                    decoded, expansions.get((qid, ci), [])
+                )
+                names.append(pseudo)
+        return _match_span(d2, names, slop, in_order)
+
+    return _span_eval(spark, postings, qid_terms, matcher,
+                      range_bits=range_bits)

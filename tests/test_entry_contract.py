@@ -57,3 +57,24 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert rowset(sdf.columns, srows) == rowset(ocols, orows)
+
+
+def test_driver_window_policy():
+    """The driver oracles only the FIRST 50 queries() entries. Guard the
+    invariants the rounds keep re-learning: the engine-core gates stay
+    inside the window, every in-window merged FAMILY's members exist as
+    tail gates, and the window is exactly full (a 51st 'new surface'
+    slot silently gets no driver row)."""
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    assert len(names) >= 50
+    for core in ("bm25_topk", "bm25_topk_wand_partitioned",
+                 "combo_analyze"):
+        assert core in window, f"engine core gate {core} fell out"
+    # merged families in the window -> members stay checkable as tails
+    for member in ("span_or", "span_first", "span_not", "span_multi",
+                   "rare_terms", "auto_date_histogram",
+                   "diversified_sampler", "runtime_field", "geo_distance",
+                   "facet_range", "date_histogram", "cardinality",
+                   "stats_agg"):
+        assert member in names, f"family member {member} missing"

@@ -288,3 +288,147 @@ def test_gate_parity_round4i(spark):
                 if a != b
             ][:5]
             raise AssertionError(f"{name}: value mismatch, e.g. {diff}")
+
+
+# ------------------------------------------------------------ span_multi
+
+
+def _sm_postings(spark, rows):
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+    from elasticsearch_analysis_combo_spark.analysis.udfs import (
+        build_term_stats,
+    )
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, ComboConfig(["whitespace"]))
+    segs = build_segments(stats, avgdl=10.0, salt_shards=2, block_size=16,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=10.0, block_size=16,
+                          with_positions=True)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    return post, term_df
+
+
+def test_wildcard_regex_translation():
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        _wildcard_regex,
+    )
+
+    assert _wildcard_regex("bat*") == "^bat.*$"
+    assert _wildcard_regex("b?t") == "^b.t$"
+    assert _wildcard_regex("a.c*") == r"^a\.c.*$"  # dot escaped
+
+
+def test_union_decoded_merges_and_dedupes():
+    import numpy as np
+
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        _union_decoded,
+    )
+
+    # term a: doc 1 pos [2, 5]; doc 3 pos [1]  — dl 10/30
+    # term b: doc 1 pos [5, 7]; doc 2 pos [4]  — dl 10/20
+    decoded = {
+        "a": (np.array([1, 3], dtype=np.int64),
+              np.array([0, 2, 3], dtype=np.int64),
+              np.array([2, 5, 1], dtype=np.int64),
+              np.array([10, 30], dtype=np.int64)),
+        "b": (np.array([1, 2], dtype=np.int64),
+              np.array([0, 2, 3], dtype=np.int64),
+              np.array([5, 7, 4], dtype=np.int64),
+              np.array([10, 20], dtype=np.int64)),
+    }
+    docs, offs, pos, dls = _union_decoded(decoded, ["a", "b"])
+    assert docs.tolist() == [1, 2, 3]
+    assert offs.tolist() == [0, 3, 4, 5]
+    assert pos.tolist() == [2, 5, 7, 4, 1]  # doc 1: pos 5 deduped
+    assert dls.tolist() == [10, 20, 30]
+    # missing/empty members are skipped; all-empty -> empty pseudo-term
+    e = _union_decoded(decoded, ["zzz"])
+    assert e[0].size == 0 and e[1].tolist() == [0]
+
+
+def test_span_multi_prefix_equals_expanded_span_near(spark):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_multi_near_match,
+        span_near_match,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+
+    rows = [
+        (0, "value near customer now"),
+        (1, "customer takes a value"),
+        (2, "valley far from customer"),
+        (3, "value alone"),
+    ]
+    post, term_df = _sm_postings(spark, rows)
+    post.cache().count()
+    # prefix val -> {value, valley}: doc 0 and 2 match within slop 2
+    out = span_multi_near_match(
+        spark, post, term_df,
+        {0: [("prefix", "val"), ("term", "customer")]},
+        slop=2, in_order=True,
+    )
+    got = {(r["query_id"], r["doc_id"]): r["n_matches"]
+           for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 2): 1}
+    # single-expansion prefix must equal plain span_near on the term
+    one = span_multi_near_match(
+        spark, post, term_df,
+        {0: [("prefix", "valu"), ("term", "customer")]},
+        slop=2, in_order=True,
+    )
+    ref = span_near_match(
+        spark, post, [(0, "value customer")], ComboConfig(["whitespace"]),
+        slop=2, in_order=True,
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_span_multi_fuzzy_and_cap(spark):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_multi_near_match,
+    )
+
+    rows = [
+        (0, "merge the batch"),
+        (1, "marge the batch"),
+        (2, "miracle the batch"),
+    ]
+    post, term_df = _sm_postings(spark, rows)
+    out = span_multi_near_match(
+        spark, post, term_df,
+        {0: [("fuzzy", ("merge", 1)), ("term", "batch")]},
+        slop=1, in_order=True,
+    )
+    docs = {r["doc_id"] for r in out.collect()}
+    assert docs == {0, 1}  # miracle is beyond distance 1
+    # cap: max_expansions=1 keeps only the best candidate (dist asc ->
+    # exact term wins)
+    capped = span_multi_near_match(
+        spark, post, term_df,
+        {0: [("fuzzy", ("merge", 1)), ("term", "batch")]},
+        slop=1, in_order=True, max_expansions=1,
+    )
+    assert {r["doc_id"] for r in capped.collect()} == {0}
+
+
+def test_span_multi_empty_expansion_matches_nothing(spark):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_multi_near_match,
+    )
+
+    rows = [(0, "value customer")]
+    post, term_df = _sm_postings(spark, rows)
+    out = span_multi_near_match(
+        spark, post, term_df,
+        {0: [("prefix", "zzz"), ("term", "customer")]},
+        slop=5, in_order=False,
+    )
+    assert out.count() == 0
