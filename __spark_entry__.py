@@ -4733,7 +4733,9 @@ def q_nested_query(spark, sf_dir):
     MAP-ONLY higher-order array algebra (filter/size/array_max): the
     Spark-first replacement for the Lucene block join (zero shuffle on
     the query side; the only shuffle is constructing the nested table,
-    which a real nested corpus already has)."""
+    which a real nested corpus already has). inner_hits is exercised
+    end-to-end: each matching nested object is exploded back out next
+    to its parent's score — still map-only, no join back."""
     from elasticsearch_analysis_combo_spark.query.relations import (
         nested_query,
     )
@@ -4747,11 +4749,21 @@ def q_nested_query(spark, sf_dir):
     out = nested_query(
         nested, "items", "x.l_quantity >= 45",
         score_mode="max", score_expr="x.l_extendedprice", min_children=2,
+        inner_hits=True,
     )
+    # inner_hits exercised end-to-end: each matching nested object comes
+    # back as its own row next to the parent's score — still map-only
+    # (explode of an already-filtered in-row array, no join back)
     return out.select(
         "order_key",
         F.col("n_nested").cast("long").alias("n_nested"),
         F.round("score", 6).alias("score"),
+        F.explode("items_hits").alias("_h"),
+    ).select(
+        "order_key", "n_nested", "score",
+        F.col("_h.l_linenumber").cast("long").alias("hit_lineno"),
+        F.round("_h.l_quantity", 6).alias("hit_qty"),
+        F.round("_h.l_extendedprice", 6).alias("hit_price"),
     )
 
 
@@ -5028,13 +5040,17 @@ def q_pipeline_aggs2(spark, sf_dir):
     value): normalize (rescale_0_1 + percent_of_sum over per-event_type
     daily buckets), cumulative_cardinality (distinct users to date, via
     first-seen reduction — the window sees bucket counts, never keys),
-    and moving_percentiles (exact p50/p90 over a trailing
-    MOVP_WINDOW-bucket window, quantile_cont interpolation)."""
+    moving_percentiles (exact p50/p90 over a trailing
+    MOVP_WINDOW-bucket window, quantile_cont interpolation), and
+    percentiles_bucket (exact sibling percentiles of the daily bucket
+    counts per event_type — ES computes these exactly, so the kernel
+    is faithful, not a stand-in)."""
     from elasticsearch_analysis_combo_spark.query.facets import (
         cumulative_cardinality_agg,
         date_histogram_agg,
         moving_percentiles_agg,
         normalize_agg,
+        percentiles_bucket_agg,
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -5073,7 +5089,16 @@ def q_pipeline_aggs2(spark, sf_dir):
         "'moving_percentiles' as kind", key,
         "stack(2, 'p50', p50, 'p90', p90) as (metric, value)",
     )
-    return n01.unionByName(nps).unionByName(cc).unionByName(mp)
+    pb = percentiles_bucket_agg(
+        buckets, "doc_count", percents=MOVP_PERCENTS,
+        group_col="event_type",
+    ).selectExpr(
+        "'percentiles_bucket' as kind", "event_type as key",
+        "'p' || cast(cast(percent as int) as string) as metric",
+        "round(value, 6) as value",
+    )
+    return n01.unionByName(nps).unionByName(cc).unionByName(mp) \
+        .unionByName(pb)
 
 
 def q_scripted_metric(spark, sf_dir):
@@ -6533,10 +6558,20 @@ UNION ALL SELECT 'boxplot', event_type, 'max', round(mx, 6) FROM bp
 UNION ALL SELECT 'rate', key, 'per_hour', round(rate, 6) FROM rt
 """
     sqls["nested_query"] = """
-SELECT l_orderkey AS order_key, count(*)::BIGINT AS n_nested,
-       round(max(l_extendedprice), 6) AS score
-FROM lineitem WHERE l_quantity >= 45
-GROUP BY 1 HAVING count(*) >= 2
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity >= 45
+),
+p AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_nested,
+         round(max(l_extendedprice), 6) AS score
+  FROM m GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT p.l_orderkey AS order_key, p.n_nested, p.score,
+       m.l_linenumber::BIGINT AS hit_lineno,
+       round(m.l_quantity, 6) AS hit_qty,
+       round(m.l_extendedprice, 6) AS hit_price
+FROM p JOIN m ON m.l_orderkey = p.l_orderkey
 """
     sqls["parent_child"] = """
 WITH hc AS (
@@ -6684,6 +6719,14 @@ UNION ALL SELECT 'moving_percentiles', event_type || '|' || bucket,
        'p50', round(p50, 6) FROM mp
 UNION ALL SELECT 'moving_percentiles', event_type || '|' || bucket,
        'p90', round(p90, 6) FROM mp
+UNION ALL SELECT 'percentiles_bucket', event_type,
+       'p{int(MOVP_PERCENTS[0])}',
+       round(quantile_cont(doc_count, {MOVP_PERCENTS[0] / 100.0}), 6)
+FROM dh GROUP BY event_type
+UNION ALL SELECT 'percentiles_bucket', event_type,
+       'p{int(MOVP_PERCENTS[1])}',
+       round(quantile_cont(doc_count, {MOVP_PERCENTS[1] / 100.0}), 6)
+FROM dh GROUP BY event_type
 """
     sqls["agg_family3"] = (
         "SELECT 'rare_terms' AS kind, event_type || '|' || "

@@ -339,6 +339,38 @@ def main() -> None:
     semantic_dedup_pairs(emb, threshold=0.3, n_cells=32, seed=42).count()
     timings["semantic_dedup"] = time.time() - t0
 
+    # --- round-4i ops: bigram-LM perplexity + span_multi ---
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        ngram_lm_perplexity,
+    )
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_multi_near_match,
+    )
+
+    t0 = time.time()
+    # sum scores so Catalyst can't elide the model join
+    ngram_lm_perplexity(docs, text_col=text_col).agg(
+        F.sum("logprob_per_token")
+    ).collect()
+    timings["lm_perplexity"] = time.time() - t0
+
+    sm_clauses = (
+        {0: [("prefix", "tok"), ("term", "the")],
+         1: [("term", "if"), ("fuzzy", ("token", 1))]}
+        if corpus_spec.startswith("synthetic")
+        else {0: [("prefix", "val"), ("term", "the")],
+              1: [("term", "data"), ("fuzzy", ("batch", 1))]}
+    )
+    sm_times = []
+    for _ in range(3):
+        t0 = time.time()
+        span_multi_near_match(
+            spark, postings, term_df, sm_clauses, slop=6, in_order=False,
+            max_expansions=20, range_bits=3,
+        ).count()
+        sm_times.append(time.time() - t0)
+    timings["span_multi"] = statistics.median(sm_times)
+
     total = sum(timings.values())
     result = {
         "metric": "pipeline_bench_total",

@@ -401,17 +401,21 @@ def ngram_lm_perplexity(
     collect anywhere.
     """
     def bigrams(frame: DataFrame) -> DataFrame:
+        # arrays_zip of two shifted slices, NOT transform+element_at:
+        # codegen inlines `t` (the whole split) into every lambda-body
+        # element access, turning per-element indexing into an O(tokens²)
+        # re-tokenization per doc (observed: a 32-task stage over 200k
+        # ~900-token docs stuck >15 min; slices are O(tokens))
         t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         pairs = F.when(
             F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i).alias("w1"),
-                    F.element_at(t, i + 1).alias("w2"),
-                ),
+            F.arrays_zip(
+                F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                F.slice(t, 2, F.size(t) - 1).alias("w2"),
             ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
         return frame.select(
             F.col(id_col), F.explode(pairs).alias("bg")
         ).select(id_col, "bg.w1", "bg.w2")

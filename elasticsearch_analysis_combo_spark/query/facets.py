@@ -895,6 +895,29 @@ def sibling_bucket_stats(
     return buckets.groupBy(*keys).agg(*aggs) if keys else buckets.agg(*aggs)
 
 
+def percentiles_bucket_agg(
+    buckets: DataFrame,
+    metric_col: str,
+    percents: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline aggregation:
+    percentiles of a parent aggregation's bucket metric across its
+    buckets (per outer group), ES-style percents in [0, 100]. ES
+    computes these EXACTLY (a plain sort of the bucket values, unlike
+    the t-digest `percentiles` metric agg) — so the exact
+    linear-interpolation :func:`percentiles_agg` is the faithful
+    kernel, not a stand-in. Input rows are already-reduced bucket rows
+    (thousands), so the exact quantile is effectively free; at 100 TB
+    the cost remains the parent bucketing's one partial-aggregated
+    shuffle. Emits (group?, percent, value) with ES-unit percents."""
+    out = percentiles_agg(
+        buckets, metric_col, [float(p) / 100.0 for p in percents],
+        group_col=group_col,
+    )
+    return out.withColumn("percent", F.round(F.col("percent") * 100.0, 6))
+
+
 def serial_diff_agg(
     buckets: DataFrame,
     metric_col: str,
