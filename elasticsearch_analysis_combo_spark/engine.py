@@ -669,6 +669,47 @@ class ComboSearchEngine:
             range_bits=range_bits if partitioned else None,
         )
 
+    def span_multi(
+        self,
+        clauses: list[tuple[str, object]],
+        slop: int = 0,
+        in_order: bool = True,
+        max_expansions: int = 20,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
+    ) -> DataFrame:
+        """ES ``span_multi`` inside ``span_near``: each clause is
+        ``("term", t)``, ``("prefix", p)``, ``("wildcard", w)`` or
+        ``("fuzzy", (t, n))``; multi-term clauses expand against the
+        index vocabulary (distributed, capped at ``max_expansions`` in
+        ES's top_terms order) and act as one disjunctive span clause.
+        Routes to the doc-range fan-out past ``PARTITIONED_THRESHOLD``
+        docs, same as the other span queries. ``term`` clause text is
+        analyzed with the index's recorded config (a multi-token
+        analysis becomes consecutive term clauses, as ES's span_near
+        does); multi-term patterns stay raw, matching ES's
+        no-analysis term-level rewrite semantics."""
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_multi_near_match,
+        )
+
+        cfg = self._query_config()
+        resolved: list[tuple[str, object]] = []
+        for kind, pat in clauses:
+            if kind == "term":
+                resolved += [("term", t.term)
+                             for t in analyze_text(str(pat), cfg)]
+            else:
+                resolved.append((kind, pat))
+        if partitioned is None:
+            partitioned = self.idx.meta.n_docs >= self.PARTITIONED_THRESHOLD
+        return span_multi_near_match(
+            self.spark, self.idx.postings(), self.idx.term_df(),
+            {0: resolved}, slop=slop, in_order=in_order,
+            max_expansions=max_expansions,
+            range_bits=range_bits if partitioned else None,
+        )
+
     def span_within(
         self,
         little: str,

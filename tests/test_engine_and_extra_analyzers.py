@@ -116,6 +116,20 @@ def test_engine_round4_surfaces(spark, tmp_path):
     assert isinstance(sf, list)
     sn = eng.span_not("if", "the", post=1).collect()
     assert isinstance(sn, list)
+    # span_multi: term-only clauses reproduce plain span_near exactly;
+    # a prefix clause can only widen the doc set
+    ref = eng.span_near("the if", slop=4, in_order=False).collect()
+    sm_t = eng.span_multi(
+        [("term", "the"), ("term", "if")], slop=4, in_order=False
+    ).collect()
+    assert {(r["doc_id"], r["n_matches"]) for r in sm_t} == {
+        (r["doc_id"], r["n_matches"]) for r in ref
+    }
+    sm_p = eng.span_multi(
+        [("prefix", "the"), ("term", "if")], slop=4, in_order=False,
+        max_expansions=50,
+    ).collect()
+    assert {r["doc_id"] for r in sm_p} >= {r["doc_id"] for r in ref}
 
     filt = eng.search_filtered("the if", meta, "n_chars >= 50", k=5)
     rows = filt.collect()
