@@ -5191,6 +5191,64 @@ def q_agg_family3(spark, sf_dir):
     return rt.unionByName(ad).unionByName(dv).unionByName(rf)
 
 
+def q_analysis_filters2(spark, sf_dir):
+    """Round-4j analysis additions merged kind-tagged: word_delimiter
+    (ES default flags: possessive strip + case/letter-digit splits +
+    non-alnum delimiters, positions re-accumulated), elision (French
+    article strip), apostrophe (Turkish drop-after), decimal_digit
+    (Unicode digit fold), and the fingerprint analyzer (lowercase +
+    fold + dedup + sort -> ONE token; the OpenRefine dedup key). The
+    corpus is all-lowercase words, so case/digit/apostrophe-rich inputs
+    are SYNTHESIZED deterministically with engine-portable expressions
+    (concat/upper/substr/translate) evaluated identically in the DuckDB
+    oracle; the analyzers themselves run through the real analyze UDF."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import (
+        ComboConfig,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+
+    d = _docs(spark, sf_dir)
+
+    def ucfirst(c):
+        return F.concat(F.upper(c.substr(1, 1)),
+                        c.substr(F.lit(2), F.length(c)))
+
+    sp = F.split("text", " ")
+    w1, w2, w3 = (F.element_at(sp, i) for i in (1, 2, 3))
+    digits = F.pmod("doc_id", F.lit(1000)).cast("string")
+    inp = d.select(
+        "doc_id", "text",
+        F.concat(ucfirst(w1), F.lit("'s "), F.upper(w2), digits,
+                 F.lit("-"), ucfirst(w3)).alias("wd_in"),
+        F.concat(F.lit("l'"), w1, F.lit(" J'"), w2, F.lit(" qu'"), w3,
+                 F.lit(" o'"), w1).alias("el_in"),
+        F.concat(w1, F.translate(digits, "0123456789",
+                                 "٠١٢٣٤٥٦٧٨٩")).alias("dd_in"),
+    )
+
+    def toks(col, analyzer, kind):
+        t = analyze(
+            inp.select("doc_id", F.col(col).alias("content")),
+            ComboConfig([analyzer]), content_col="content",
+        )
+        return t.select(
+            "doc_id", F.explode("tokens").alias("tok")
+        ).select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tok.pos").cast("long").alias("pos"),
+            F.col("tok.term").alias("term"),
+        )
+
+    return (
+        toks("wd_in", "word_delimiter", "word_delimiter")
+        .unionByName(toks("el_in", "elision", "elision"))
+        .unionByName(toks("el_in", "apostrophe", "apostrophe"))
+        .unionByName(toks("dd_in", "decimal_digit", "decimal_digit"))
+        .unionByName(toks("text", "fingerprint", "fingerprint"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -5200,6 +5258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4j new/changed surfaces ---
+        # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
+        "analysis_filters2": q_analysis_filters2,
         # --- round-4i new/changed surfaces ---
         "lm_perplexity": q_lm_perplexity,
         "pipeline_aggs2": q_pipeline_aggs2,
@@ -5266,11 +5327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_search_after": q_sort_search_after,
         "clean_text": q_clean_text,
         # --- engine core ---
-        "bm25_topk": q_bm25_topk,
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         "combo_analyze": q_combo_analyze,
         # r3 surfaces, unchanged since; displaced from the window by
-        # es_dsl/nested_query (driver-oracled green in r3)
+        # es_dsl/nested_query (driver-oracled green in r3).
+        # bm25_topk shares its oracle/result with bm25_topk_wand_partitioned
+        # (kept in-window above), so it moved past 50 for analysis_filters2
+        "bm25_topk": q_bm25_topk,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "geo_distance_rings": q_geo_distance_rings,
@@ -6358,6 +6421,83 @@ FROM (
                                            ELSE length(array_to_string(list_slice(string_split(text,' '), 1, i-1), ' ')) + 1 END))) AS u
   FROM documents
 )
+"""
+
+    # the word_delimiter chain mirrors word_delimiter_parts() rule for
+    # rule (RE2 'g' flag = re.sub replace-all; \b works in both engines);
+    # the synthesized inputs replay the gate's concat/upper/translate
+    sqls["analysis_filters2"] = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2,
+         string_split(text, ' ')[3] AS w3
+  FROM documents
+),
+inp AS (
+  SELECT doc_id, text,
+         concat(upper(substr(w1, 1, 1)), substr(w1, 2), '''s ',
+                upper(w2), CAST(doc_id % 1000 AS VARCHAR), '-',
+                upper(substr(w3, 1, 1)), substr(w3, 2)) AS wd_in,
+         concat('l''', w1, ' J''', w2, ' qu''', w3, ' o''', w1) AS el_in
+  FROM base
+),
+wd AS (
+  SELECT 'word_delimiter' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(list_filter(string_split(
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(wd_in,
+               '''[sS]\b', '', 'g'),
+               '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+               '([a-z])([A-Z])', '\1 \2', 'g'),
+               '([A-Za-z])([0-9])', '\1 \2', 'g'),
+               '([0-9])([A-Za-z])', '\1 \2', 'g'),
+               '[^A-Za-z0-9]+', ' ', 'g')), ' '), x -> x <> ''),
+             (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM inp
+  )
+),
+el_toks AS (
+  SELECT doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(el_in, ' '),
+             (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM inp
+  )
+),
+el AS (
+  SELECT 'elision' AS kind, doc_id, pos,
+         regexp_replace(term,
+           '^(l|m|t|qu|n|s|j|d|c|jusqu|quoiqu|lorsqu|puisqu)''', '',
+           'i') AS term
+  FROM el_toks
+),
+apos AS (
+  SELECT 'apostrophe' AS kind, doc_id, pos,
+         CASE WHEN strpos(term, '''') > 0
+              THEN substr(term, 1, strpos(term, '''') - 1)
+              ELSE term END AS term
+  FROM el_toks
+),
+dd AS (
+  SELECT 'decimal_digit' AS kind, doc_id, 1::BIGINT AS pos,
+         concat(w1, CAST(doc_id % 1000 AS VARCHAR)) AS term
+  FROM base
+),
+fp AS (
+  SELECT 'fingerprint' AS kind, doc_id, 1::BIGINT AS pos,
+         array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' ') AS term
+  FROM base
+)
+SELECT * FROM wd
+UNION ALL SELECT * FROM el WHERE term <> ''
+UNION ALL SELECT * FROM apos WHERE term <> ''
+UNION ALL SELECT * FROM dd
+UNION ALL SELECT * FROM fp WHERE term <> '' AND length(term) <= 255
 """
 
     sqls["term_stats"] = """

@@ -595,6 +595,316 @@ def make_word_shingle_tokenizer(
     return shingle_tok
 
 
+# --- word_delimiter ---------------------------------------------------
+# ES/Lucene WordDelimiterFilter boundary rules, expressed as separator
+# insertion so the SAME chain is replayable as SQL regexp_replace in the
+# DuckDB oracle (RE2 has no lookahead; \b is supported by both engines):
+#   1. strip English possessive ('s at a word boundary)
+#   2. ACRONYMWord  -> ACRONYM Word   (XMLHttp -> XML Http)
+#   3. camelCase    -> camel Case
+#   4. letter<->digit transitions     (XL500 -> XL 500)
+#   5. any non-alphanumeric run is a hard delimiter
+_WD_POSSESSIVE_RE = re.compile(r"'[sS]\b")
+_WD_BOUNDARIES = (
+    (re.compile(r"([A-Z]+)([A-Z][a-z])"), r"\1 \2"),
+    (re.compile(r"([a-z])([A-Z])"), r"\1 \2"),
+    (re.compile(r"([A-Za-z])([0-9])"), r"\1 \2"),
+    (re.compile(r"([0-9])([A-Za-z])"), r"\1 \2"),
+)
+_WD_NONALNUM_RE = re.compile(r"[^A-Za-z0-9]+")
+
+
+def word_delimiter_parts(
+    term: str,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+) -> list[str]:
+    """Split one term into WordDelimiterFilter sub-words (default flags:
+    generate_word_parts + generate_number_parts on; catenate_* off —
+    documented unsupported, they produce position graphs)."""
+    s = _WD_POSSESSIVE_RE.sub("", term) if stem_english_possessive else term
+    for i, (rx, rep) in enumerate(_WD_BOUNDARIES):
+        if not split_on_case_change and i < 2:
+            continue
+        if not split_on_numerics and i >= 2:
+            continue
+        s = rx.sub(rep, s)
+    s = _WD_NONALNUM_RE.sub(" ", s)
+    return s.split()
+
+
+def make_word_delimiter_tokenizer(
+    base: TokenizerFn | str = "whitespace",
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+    preserve_original: bool = False,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``word_delimiter`` token filter (defaults: generate_word_parts +
+    generate_number_parts + split_on_case_change + split_on_numerics +
+    stem_english_possessive — the ES doc example "Neil's Super-Duper-XL500--42+AutoCoder"
+    -> [Neil, Super, Duper, XL, 500, 42, Auto, Coder]). Absolute positions
+    are re-accumulated Lucene-style: the first sub-word keeps the base
+    token's position increment, later sub-words increment by 1, so base
+    position GAPS (stopword removal) survive. ``preserve_original`` stacks
+    the unsplit term at the first sub-word's position (posInc 0), the
+    same-position stacking the combo merge already handles. Sub-word
+    offsets index into the original text (found by in-order scan of the
+    base token's term). catenate_* flags are out of scope: they emit a
+    position GRAPH, which the flat positional index cannot represent."""
+
+    def wd_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        prev_base_pos = 0
+        out_pos = 0
+        for t in fn(text):
+            parts = word_delimiter_parts(
+                t.term, split_on_case_change, split_on_numerics,
+                stem_english_possessive,
+            )
+            out_pos += max(t.pos - prev_base_pos, 1)
+            prev_base_pos = t.pos
+            if not parts:
+                continue
+            cursor = 0
+            first_pos = out_pos
+            for j, part in enumerate(parts):
+                rel = t.term.find(part, cursor)
+                if rel < 0:  # possessive strip shifted text — best effort
+                    rel = cursor
+                cursor = rel + len(part)
+                if j > 0:
+                    out_pos += 1
+                out.append(
+                    Token(part, t.start + rel, t.start + rel + len(part),
+                          out_pos, _token_type(part))
+                )
+            if preserve_original and (len(parts) > 1 or parts[0] != t.term):
+                out.append(Token(t.term, t.start, t.end, first_pos, "word"))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            wd_tok, name,
+            f"word_delimiter|{base_id}|{split_on_case_change}"
+            f"|{split_on_numerics}|{stem_english_possessive}"
+            f"|{preserve_original}",
+        )
+    return wd_tok
+
+
+# Lucene ElisionFilter's French default article set
+FRENCH_ELISION_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+_APOSTROPHES = "'’"
+
+
+def make_elision_tokenizer(
+    base: TokenizerFn | str = "whitespace",
+    articles: frozenset[str] | set[str] = FRENCH_ELISION_ARTICLES,
+    articles_case: bool = False,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``elision`` token filter: strip a leading ``article'`` (ASCII or
+    typographic apostrophe) from each term — l'avion -> avion. With
+    ``articles_case=False`` (the ES default) matching is case-insensitive.
+    Positions and offsets are unchanged (Lucene only rewrites the term
+    buffer)."""
+    arts = frozenset(articles if articles_case
+                     else (a.lower() for a in articles))
+
+    def elision_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            term = t.term
+            for i, ch in enumerate(term):
+                if ch in _APOSTROPHES:
+                    head = term[:i] if articles_case else term[:i].lower()
+                    if head in arts:
+                        term = term[i + 1:]
+                    break
+            if term:
+                out.append(Token(term, t.start, t.end, t.pos, t.type))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            elision_tok, name,
+            f"elision|{base_id}|{sorted(arts)}|{articles_case}",
+        )
+    return elision_tok
+
+
+def make_apostrophe_tokenizer(
+    base: TokenizerFn | str = "whitespace", name: str | None = None
+) -> TokenizerFn:
+    """ES ``apostrophe`` token filter (built for Turkish): drop the first
+    apostrophe and EVERYTHING after it — Istanbul'a -> Istanbul. Terms
+    that become empty are removed; positions/offsets unchanged."""
+
+    def apos_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            term = t.term
+            for i, ch in enumerate(term):
+                if ch in _APOSTROPHES:
+                    term = term[:i]
+                    break
+            if term:
+                out.append(Token(term, t.start, t.end, t.pos, t.type))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(apos_tok, name, f"apostrophe|{base_id}")
+    return apos_tok
+
+
+def fold_decimal_digits(s: str) -> str:
+    """Map every Unicode decimal digit (Nd category: Arabic-Indic,
+    Devanagari, fullwidth, ...) to its ASCII 0-9 equivalent."""
+    out = []
+    for ch in s:
+        d = unicodedata.decimal(ch, None)
+        out.append(str(d) if d is not None else ch)
+    return "".join(out)
+
+
+def make_decimal_digit_tokenizer(
+    base: TokenizerFn | str = "whitespace", name: str | None = None
+) -> TokenizerFn:
+    """ES ``decimal_digit`` token filter: normalize all Unicode decimal
+    digits to ASCII (٣ -> 3); positions/offsets unchanged."""
+
+    def dd_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            Token(fold_decimal_digits(t.term), t.start, t.end, t.pos, t.type)
+            for t in fn(text)
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(dd_tok, name, f"decimal_digit|{base_id}")
+    return dd_tok
+
+
+def make_mapping_char_filter_tokenizer(
+    base: TokenizerFn | str,
+    mappings: dict[str, str],
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``mapping`` char filter: literal string replacements applied to
+    the text BEFORE tokenization, longest key first (ES matches greedily).
+    DIVERGENCE (documented): when a mapping changes length, downstream
+    offsets index into the FILTERED text, not the original — Lucene keeps
+    an offset-correction map; equal-length mappings (and the common
+    search-side uses) are unaffected."""
+    keys = sorted(mappings, key=len, reverse=True)
+    rx = re.compile("|".join(re.escape(k) for k in keys)) if keys else None
+
+    def mapping_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        if rx is not None:
+            text = rx.sub(lambda m: mappings[m.group()], text)
+        return fn(text)
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            mapping_tok, name,
+            f"mapping|{base_id}|{sorted(mappings.items())}",
+        )
+    return mapping_tok
+
+
+def make_fingerprint_analyzer(
+    max_output_size: int = 255,
+    separator: str = " ",
+    stopwords: frozenset[str] | set[str] = frozenset(),
+) -> TokenizerFn:
+    """ES ``fingerprint`` analyzer (the OpenRefine clustering fingerprint):
+    lowercase, ASCII-fold, word-tokenize, drop stopwords, DEDUP, SORT
+    (code-point order), concatenate with ``separator`` into ONE token at
+    position 1 spanning the whole input. Inputs whose fingerprint exceeds
+    ``max_output_size`` emit NOTHING (the ES filter discards, never
+    truncates). The classic use is key-collision dedup — pairs naturally
+    with operators.dedup (group by the fingerprint term)."""
+
+    def fingerprint_tok(text: str) -> list[Token]:
+        terms = sorted({
+            w for w in (
+                fold_text(m.group().lower())
+                for m in _WORD_RE.finditer(text)
+            ) if w and w not in stopwords
+        })
+        if not terms:
+            return []
+        fp = separator.join(terms)
+        if len(fp) > max_output_size:
+            return []
+        return [Token(fp, 0, len(text), 1, "fingerprint")]
+
+    return fingerprint_tok
+
+
+def make_english_tokenizer(
+    protected: frozenset[str] | set[str] = frozenset(),
+    overrides: dict[str, str] | None = None,
+    name: str | None = None,
+) -> TokenizerFn:
+    """The english analyzer with ES ``keyword_marker`` (``protected``
+    terms bypass stemming) and ``stemmer_override`` (``overrides`` map
+    wins over Porter, and — as in Lucene — marks the term as keyword so
+    no further stemming applies). Both operate on the lowercased,
+    possessive-stripped form, before stop removal, matching ES's usual
+    filter chain order."""
+    ov = dict(overrides or {})
+
+    def english_custom_tok(text: str) -> list[Token]:
+        out = []
+        for i, m in enumerate(_WORD_RE.finditer(text)):
+            term = m.group().lower()
+            if term.endswith("'s"):
+                term = term[:-2]
+            if term in ENGLISH_STOPWORDS:
+                continue
+            if term in ov:
+                term = ov[term]
+            elif term not in protected:
+                term = porter_stem(term)
+            if term:
+                out.append(
+                    Token(term, m.start(), m.end(), i + 1, _token_type(term))
+                )
+        return out
+
+    if name:
+        _stamp_factory(
+            english_custom_tok, name,
+            f"english_custom|{sorted(protected)}|{sorted(ov.items())}",
+        )
+    return english_custom_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.
@@ -628,6 +938,11 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "ngram": make_ngram_tokenizer(2, 3),
     "edge_ngram": make_edge_ngram_tokenizer(1, 8),
     "shingle": make_shingle_tokenizer(2),
+    "word_delimiter": make_word_delimiter_tokenizer("whitespace"),
+    "elision": make_elision_tokenizer("whitespace"),
+    "apostrophe": make_apostrophe_tokenizer("whitespace"),
+    "decimal_digit": make_decimal_digit_tokenizer("whitespace"),
+    "fingerprint": make_fingerprint_analyzer(),
 }
 
 
