@@ -5191,6 +5191,55 @@ def q_agg_family3(spark, sf_dir):
     return rt.unionByName(ad).unionByName(dv).unionByName(rf)
 
 
+# duplicate_spans gate window: 4 tokens over the 31-word vocabulary makes
+# repeats come mostly from genuinely duplicated passages (31^4 ~ 923k
+# possible 4-grams vs ~26k window sites at sf0.01), not chance
+DUPSPAN_W = 4
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) in rolling-window form,
+    kind-tagged: 'span' rows are the merged non-canonical duplicated
+    token ranges per doc (one copy always survives corpus-wide);
+    'clean' rows pin remove_duplicate_spans end-to-end as
+    (tokens_after, tokens_before, tokens_removed) per doc. portable=True
+    hashes windows with md5 so the DuckDB oracle replays bit-identically."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    d = _docs(spark, sf_dir)
+    sp = duplicate_spans(d, window=DUPSPAN_W, portable=True)
+    spans = sp.select(
+        F.lit("span").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").alias("a"),
+        F.col("span_end").alias("b"),
+        F.col("n_windows").cast("long").alias("n"),
+    )
+    clean = remove_duplicate_spans(d, sp)
+    before = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_before"),
+    )
+    counts = (
+        clean.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split("text", r"\s+")))
+            .cast("long").alias("n_after"),
+        )
+        .join(before, "doc_id")
+        .select(
+            F.lit("clean").alias("kind"), "doc_id",
+            F.col("n_after").alias("a"), F.col("n_before").alias("b"),
+            (F.col("n_before") - F.col("n_after")).alias("n"),
+        )
+    )
+    return spans.unionByName(counts)
+
+
 def q_analysis_filters2(spark, sf_dir):
     """Round-4j analysis additions merged kind-tagged: word_delimiter
     (ES default flags: possessive strip + case/letter-digit splits +
@@ -5261,6 +5310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4j new/changed surfaces ---
         # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
         "analysis_filters2": q_analysis_filters2,
+        # ExactSubstr repeated-passage dedup + span removal
+        "duplicate_spans": q_duplicate_spans,
         # --- round-4i new/changed surfaces ---
         "lm_perplexity": q_lm_perplexity,
         "pipeline_aggs2": q_pipeline_aggs2,
@@ -5328,11 +5379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         # --- engine core ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
-        "combo_analyze": q_combo_analyze,
         # r3 surfaces, unchanged since; displaced from the window by
         # es_dsl/nested_query (driver-oracled green in r3).
         # bm25_topk shares its oracle/result with bm25_topk_wand_partitioned
-        # (kept in-window above), so it moved past 50 for analysis_filters2
+        # (kept in-window above) and combo_analyze is unchanged-since-r1,
+        # driver-green in r1-r3; both moved past 50 so every round-4
+        # surface gets a driver oracle row
+        "combo_analyze": q_combo_analyze,
         "bm25_topk": q_bm25_topk,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
@@ -6498,6 +6551,63 @@ UNION ALL SELECT * FROM el WHERE term <> ''
 UNION ALL SELECT * FROM apos WHERE term <> ''
 UNION ALL SELECT * FROM dd
 UNION ALL SELECT * FROM fp WHERE term <> '' AND length(term) <= 255
+"""
+
+    # ExactSubstr rolling-window replay: same md5 window hashes, same
+    # min-(doc,pos) canonical ledger, same gaps-and-islands merge
+    sqls["duplicate_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sites AS (
+  SELECT doc_id, s.pos AS pos, md5(s.w) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, greatest(len(t) - {DUPSPAN_W} + 1, 0)),
+             i -> struct_pack(
+               pos := i,
+               w := array_to_string(
+                 list_slice(t, i + 1, i + {DUPSPAN_W}), ' ')))) AS s
+    FROM toks
+  )
+),
+canon AS (
+  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS w0
+  FROM sites GROUP BY h HAVING count(*) >= 2
+),
+dup AS (
+  SELECT s.doc_id, s.pos
+  FROM sites s JOIN canon c ON s.h = c.h
+  WHERE NOT (s.doc_id = (c.w0).d AND s.pos = (c.w0).p)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {DUPSPAN_W}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS a,
+         (max(pos) + {DUPSPAN_W} - 1)::BIGINT AS b,
+         count(*)::BIGINT AS n
+  FROM isl GROUP BY doc_id, island
+),
+removed AS (
+  SELECT doc_id, sum(b - a + 1) AS n_rm FROM spans GROUP BY doc_id
+)
+SELECT 'span' AS kind, doc_id, a, b, n FROM spans
+UNION ALL
+SELECT 'clean' AS kind, tk.doc_id,
+       (len(tk.t) - coalesce(rm.n_rm, 0))::BIGINT AS a,
+       len(tk.t)::BIGINT AS b,
+       coalesce(rm.n_rm, 0)::BIGINT AS n
+FROM toks tk LEFT JOIN removed rm ON tk.doc_id = rm.doc_id
 """
 
     sqls["term_stats"] = """

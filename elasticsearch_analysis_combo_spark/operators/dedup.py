@@ -670,3 +670,129 @@ def dedup_lines(
             F.coalesce(F.col("_t"), F.lit("")).alias(text_col),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-corpus repeated-passage finder — the ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), rolling-window form: every ``window``-token sequence that
+    occurs at more than one (doc, position) site in the corpus marks all
+    its NON-canonical sites (canonical = lowest (doc_id, pos), so one
+    copy always survives, deterministically on any cluster). Overlapping
+    flagged windows per doc merge into maximal spans.
+
+    Returns (doc_id, span_start, span_end, n_windows) with 0-based
+    INCLUSIVE token indexes. The suffix-array construction of the paper
+    finds duplicates of ANY length >= threshold; the rolling-window form
+    finds exactly the same token ranges for duplicates >= ``window``
+    tokens (every such range is a union of duplicated windows) and is
+    embarrassingly parallel.
+
+    Shape at 100 TB: one explode to (hash, doc, pos) triples — the text
+    itself never shuffles (hash is xxhash64 long by default; ``portable``
+    switches to md5 for cross-engine replay), one hash-keyed groupBy for
+    the canonical-site ledger, a hash join back, then a per-doc window
+    merge — the dedup_lines shuffle discipline at window granularity."""
+    tok_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    )
+    # split materialized BEFORE the HOF lambda (interpreted HOFs re-eval
+    # captured expressions per element — the shingles() lesson)
+    toks = F.col("_toks")
+    n = F.size(toks)
+    win_text = F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    hash_fn = (lambda c: F.md5(c)) if portable else (
+        lambda c: F.xxhash64(c)
+    )
+    sites = (
+        tok_df.filter(n >= window)
+        .select("doc_id", F.posexplode(win_text).alias("pos", "_w"))
+        .select("doc_id", "pos", hash_fn(F.col("_w")).alias("_h"))
+    )
+    canon = (
+        sites.groupBy("_h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("_w0"),
+            F.count("*").alias("_c"),
+        )
+        .filter(F.col("_c") >= 2)
+        .select(F.col("_h").alias("_ch"), "_w0")
+    )
+    dup = (
+        sites.join(canon, F.col("_h") == F.col("_ch"))
+        .filter(
+            ~(
+                (F.col("_w0.doc_id") == F.col("doc_id"))
+                & (F.col("_w0.pos") == F.col("pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w_doc).isNull()
+        | (F.col("pos") > F.lag("pos").over(w_doc) + window),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        dup.withColumn("_i", F.sum(brk).over(w_doc))
+        .groupBy("doc_id", "_i")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_i")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the token ranges flagged by duplicate_spans out of each doc
+    (canonical copies survive by construction). Docs with no flagged
+    span pass through untouched; a fully-covered doc becomes ''. The
+    span list joins back pre-grouped per doc (bounded: spans are
+    disjoint, so there are at most len/window of them) and tokens are
+    filtered array-side — no shuffle beyond the one span join."""
+    sp = spans.groupBy(F.col(id_col).alias("_d")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    tok_df = (
+        df.join(sp, F.col(id_col) == F.col("_d"), "left")
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), r"\s+").alias("_toks"),
+            F.coalesce(
+                "_sp", F.array().cast(
+                    "array<struct<span_start:long,span_end:long>>"
+                )
+            ).alias("_spans"),
+        )
+    )
+    spans_col = F.col("_spans")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            spans_col,
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return tok_df.select(
+        F.col(id_col), F.array_join(kept, " ").alias(text_col)
+    )

@@ -458,6 +458,22 @@ def main() -> None:
         and check("scripted_metric reduce stage", p, "FlatMapGroupsInPandas")
     )
 
+    # 25. duplicate_spans: the hash-keyed canonical ledger must partial-
+    # aggregate map-side, and no per-row Python runs anywhere — the
+    # window text itself must never be a shuffle key (only its hash is;
+    # asserted by the projected schema of the exchange input)
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    p = plan_text(duplicate_spans(docs_df, window=8))
+    failures += not (
+        check("duplicate_spans partial ledger agg", p, "partial_min",
+              forbid="BatchEvalPython")
+        and check("duplicate_spans hash-only shuffle", p,
+                  "xxhash64", forbid="CartesianProduct")
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
