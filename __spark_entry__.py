@@ -5188,7 +5188,103 @@ def q_agg_family3(spark, sf_dir):
         "'sum_k', cast(sum_k as double), 'avg_k', avg_k) "
         "as (metric, value)",
     )
-    return rt.unionByName(ad).unionByName(dv).unionByName(rf)
+    # round-4j members: date_range / variable_width_histogram /
+    # categorize_text (individual tail gates as usual)
+    dr = q_date_range(spark, sf_dir).selectExpr(
+        "'date_range' as kind",
+        "cast(bucket as string) || '|' || coalesce(from_ts, '-inf') "
+        "|| '|' || coalesce(to_ts, 'inf') as key",
+        "'doc_count' as metric", "cast(doc_count as double) as value",
+    )
+    vw = q_vw_histogram(spark, sf_dir).selectExpr(
+        "'vw_histogram' as kind", "cast(bucket as string) as key",
+        "stack(4, 'min', cast(min_cents as double), "
+        "'max', cast(max_cents as double), 'centroid', centroid, "
+        "'doc_count', cast(doc_count as double)) as (metric, value)",
+    )
+    ct = q_categorize_text(spark, sf_dir).selectExpr(
+        "'categorize_text' as kind", "category as key",
+        "stack(2, 'doc_count', cast(doc_count as double), "
+        "'example_hash', cast(example_hash as double)) as (metric, value)",
+    )
+    return (
+        rt.unionByName(ad).unionByName(dv).unionByName(rf)
+        .unionByName(dr).unionByName(vw).unionByName(ct)
+    )
+
+
+# date_range gate buckets over the events month (from INCL, to EXCL,
+# open ends) — one empty-by-overlap check comes from the short middle
+DR_RANGES = [
+    (None, "2024-01-10 00:00:00"),
+    ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+    ("2024-01-20 00:00:00", None),
+]
+VWH_BUCKETS = 6
+CAT_MAX_TOKENS = 10
+
+
+def q_date_range(spark, sf_dir):
+    """ES date_range agg over the events timeline (explicit [from, to)
+    timestamp buckets, empty buckets kept)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        date_range_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = date_range_agg(ev, "ts", DR_RANGES)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "from_ts", "to_ts",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_vw_histogram(spark, sf_dir):
+    """variable_width_histogram over events.value quantized to integer
+    cents (engine-exact gap comparisons; the agg itself takes any
+    numeric column)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        variable_width_histogram_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = variable_width_histogram_agg(ev, "cents", buckets=VWH_BUCKETS)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("min").cast("long").alias("min_cents"),
+        F.col("max").cast("long").alias("max_cents"),
+        F.round("centroid", 6).alias("centroid"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def q_categorize_text(spark, sf_dir):
+    """categorize_text over synthesized log-like messages (event_type +
+    volatile id/value tokens that the digit filter must drop); the
+    representative example rides as a portable 48-bit md5 prefix."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        categorize_text_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    msgs = ev.select(
+        F.concat(
+            "event_type", F.lit(" id"), F.col("user_id").cast("string"),
+            F.lit(" took "),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit(" cents"),
+        ).alias("msg")
+    )
+    out = categorize_text_agg(msgs, "msg", max_tokens=CAT_MAX_TOKENS)
+    return out.select(
+        "category",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.conv(F.substring(F.md5("example"), 1, 12), 16, 10)
+        .cast("long").alias("example_hash"),
+    )
 
 
 # duplicate_spans gate window: 4 tokens over the 31-word vocabulary makes
@@ -5320,7 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (geo_distance stays as a tail member gate)
         "geo_family": q_geo_family,
         # agg_family3 merges rare_terms/auto_date_histogram/
-        # diversified_sampler/runtime_field (members now tail gates)
+        # diversified_sampler/runtime_field + round-4j date_range/
+        # vw_histogram/categorize_text (members all tail gates)
         "agg_family3": q_agg_family3,
         # --- round-4f/4g new/changed surfaces ---
         # phrase_family covers all four phrase evaluators (match /
@@ -5406,6 +5503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": q_auto_date_histogram,
         "diversified_sampler": q_diversified_sampler,
         "runtime_field": q_runtime_field,
+        "date_range": q_date_range,
+        "vw_histogram": q_vw_histogram,
+        "categorize_text": q_categorize_text,
         "geo_distance": q_geo_distance,
         # brute-force filtered knn: near-duplicate of in-window
         # ivf_knn_filtered (same filter machinery, IVF probing on top)
@@ -6978,6 +7078,59 @@ UNION ALL SELECT 'percentiles_bucket', event_type,
        round(quantile_cont(doc_count, {MOVP_PERCENTS[1] / 100.0}), 6)
 FROM dh GROUP BY event_type
 """
+    dr_vals = ",\n  ".join(
+        f"({i}, "
+        + (f"TIMESTAMP '{lo}'" if lo else "NULL::TIMESTAMP") + ", "
+        + (f"TIMESTAMP '{hi}'" if hi else "NULL::TIMESTAMP") + ")"
+        for i, (lo, hi) in enumerate(DR_RANGES)
+    )
+    sqls["date_range"] = f"""
+WITH b(bucket, lo, hi) AS (VALUES
+  {dr_vals})
+SELECT b.bucket::BIGINT AS bucket,
+       strftime(b.lo, '%Y-%m-%d %H:%M:%S') AS from_ts,
+       strftime(b.hi, '%Y-%m-%d %H:%M:%S') AS to_ts,
+       count(e.ts)::BIGINT AS doc_count
+FROM b LEFT JOIN events e
+  ON (b.lo IS NULL OR e.ts >= b.lo) AND (b.hi IS NULL OR e.ts < b.hi)
+GROUP BY 1, 2, 3
+"""
+
+    # deterministic variable-width histogram replay: split the sorted
+    # distinct axis at the (buckets-1) largest gaps, ties to lower value
+    sqls["vw_histogram"] = f"""
+WITH vals AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+d AS (SELECT DISTINCT v FROM vals),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM d),
+b AS (SELECT v FROM g WHERE gap IS NOT NULL
+      ORDER BY gap DESC, v ASC LIMIT {VWH_BUCKETS - 1}),
+assigned AS (
+  SELECT vals.v,
+         (SELECT count(*) FROM b WHERE b.v <= vals.v) AS bucket
+  FROM vals
+)
+SELECT bucket::BIGINT AS bucket, min(v)::BIGINT AS min_cents,
+       max(v)::BIGINT AS max_cents, round(avg(v), 6) AS centroid,
+       count(*)::BIGINT AS doc_count
+FROM assigned GROUP BY bucket
+"""
+
+    sqls["categorize_text"] = f"""
+WITH msgs AS (
+  SELECT event_type || ' id' || CAST(user_id AS VARCHAR) || ' took ' ||
+         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
+         ' cents' AS msg
+  FROM events
+)
+SELECT array_to_string(list_slice(list_filter(
+         string_split(lower(msg), ' '),
+         x -> NOT regexp_matches(x, '[0-9]')), 1, {CAT_MAX_TOKENS}),
+         ' ') AS category,
+       count(*)::BIGINT AS doc_count,
+       ('0x' || substr(md5(min(msg)), 1, 12))::BIGINT AS example_hash
+FROM msgs GROUP BY 1
+"""
+
     sqls["agg_family3"] = (
         "SELECT 'rare_terms' AS kind, event_type || '|' || "
         "user_id::VARCHAR AS key, 'doc_count' AS metric, "
@@ -6997,6 +7150,19 @@ FROM dh GROUP BY event_type
         "sum_k::DOUBLE FROM (" + sqls["runtime_field"] + ")\n"
         "UNION ALL SELECT 'runtime_field', event_type, 'avg_k', avg_k "
         "FROM (" + sqls["runtime_field"] + ")\n"
+        "UNION ALL SELECT 'date_range', bucket::VARCHAR || '|' || "
+        "coalesce(from_ts, '-inf') || '|' || coalesce(to_ts, 'inf'), "
+        "'doc_count', doc_count::DOUBLE FROM ("
+        + sqls["date_range"] + ")\n"
+        "UNION ALL SELECT 'vw_histogram', bucket::VARCHAR, u.m, u.v "
+        "FROM (" + sqls["vw_histogram"] + "), LATERAL (SELECT "
+        "unnest(['min', 'max', 'centroid', 'doc_count']) AS m, "
+        "unnest([min_cents::DOUBLE, max_cents::DOUBLE, centroid, "
+        "doc_count::DOUBLE]) AS v) u\n"
+        "UNION ALL SELECT 'categorize_text', category, u.m, u.v "
+        "FROM (" + sqls["categorize_text"] + "), LATERAL (SELECT "
+        "unnest(['doc_count', 'example_hash']) AS m, "
+        "unnest([doc_count::DOUBLE, example_hash::DOUBLE]) AS v) u\n"
     )
     sqls["highlight_offsets"] = _highlight_oracle_sql()
     sqls["minhash_lsh_candidates"] = _minhash_lsh_oracle_sql()

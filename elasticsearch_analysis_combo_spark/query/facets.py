@@ -1376,3 +1376,141 @@ def scripted_metric_agg(
     return states.groupBy(group_col).applyInPandas(
         red, schema=f"{group_col} {gtype}, {value_name} {value_type}"
     )
+
+
+def date_range_agg(
+    rows: DataFrame,
+    ts_col: str,
+    ranges: list[tuple[str | None, str | None]],
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``date_range`` aggregation: explicit ``[from, to)`` timestamp
+    buckets (from inclusive, to exclusive, either side open-ended with
+    None), overlapping allowed, empty buckets emitted with doc_count 0 —
+    the search_facet_range contract on a time axis. The bucket table is
+    a broadcast literal dimension; one partial-aggregated groupBy."""
+    spark = rows.sparkSession
+    bounds = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
+        "bucket int, lo string, hi string",
+    ).select(
+        "bucket",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    ts = F.col(ts_col).cast("timestamp")
+    keys = [F.col(group_col)] if group_col else []
+    counted = (
+        rows.join(
+            F.broadcast(bounds),
+            (F.col("lo").isNull() | (ts >= F.col("lo")))
+            & (F.col("hi").isNull() | (ts < F.col("hi"))),
+        )
+        .groupBy(*keys, F.col("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    groups = (
+        rows.select(group_col).distinct() if group_col
+        else spark.range(1).select(F.lit(0).alias("_g"))
+    )
+    join_keys = ([group_col] if group_col else []) + ["bucket"]
+    out_cols = ([group_col] if group_col else []) + [
+        "bucket",
+        F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("from_ts"),
+        F.date_format("hi", "yyyy-MM-dd HH:mm:ss").alias("to_ts"),
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+    ]
+    return (
+        groups.crossJoin(F.broadcast(bounds))
+        .join(counted, join_keys, "left")
+        .select(*out_cols)
+    )
+
+
+def variable_width_histogram_agg(
+    rows: DataFrame,
+    col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: dynamic-width 1D clustering of a
+    numeric field. ES's version is approximate and shard-order-dependent
+    (its docs say so); this is the DETERMINISTIC analogue — split the
+    sorted distinct-value axis at the ``buckets - 1`` largest gaps
+    (ties broken by lower value), which is the exact 1D k-cluster
+    objective for complete-linkage. Emits per cluster: min, max,
+    centroid (avg) and doc_count, bucket-numbered left to right.
+
+    Shape: the gap scan runs over the DISTINCT value set (one global
+    sort window over distinct values — bounded by value cardinality,
+    not row count; pre-quantize continuous data to keep it small). The
+    (buckets-1) boundaries then ride as ONE collected array literal into
+    a map-only assignment pass — rows never shuffle for assignment,
+    only for the final per-bucket aggregation."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    from pyspark.sql import Window
+
+    v = rows.select(F.col(col).alias("_v")).distinct()
+    w = Window.orderBy("_v")
+    gaps = (
+        v.withColumn("_gap", F.col("_v") - F.lag("_v").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    # a cluster STARTS at each chosen boundary value
+    bnd = [
+        r._v
+        for r in gaps.orderBy(F.desc("_gap"), F.asc("_v"))
+        .limit(buckets - 1).collect()
+    ] if buckets > 1 else []
+    if bnd:
+        bnd_arr = F.array(*[F.lit(float(b)) for b in sorted(bnd)])
+        bucket = F.size(F.filter(bnd_arr, lambda b: b <= F.col(col)))
+    else:  # fewer distinct values than buckets, or buckets == 1
+        bucket = F.lit(0)
+    assigned = rows.select(
+        F.col(col).alias("_v"), bucket.alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.avg("_v").alias("centroid"),
+            F.count("*").alias("doc_count"),
+        )
+    )
+
+
+def categorize_text_agg(
+    rows: DataFrame,
+    text_col: str,
+    max_tokens: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ML ``categorize_text``: cluster semi-structured log messages
+    by their token pattern. ES drains messages through a token tree
+    dropping numeric/variable parts; the deterministic analogue here:
+    the category key is the first ``max_tokens`` lowercased tokens that
+    contain NO digit (timestamps, ids, counters drop out), joined by a
+    single space. Emits per category: doc_count and the lexicographically
+    first raw message as the representative example. Map-only signature
+    derivation (split + filter + slice array-side), one partial-aggregated
+    groupBy on the signature."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    sig = F.array_join(
+        F.slice(
+            F.filter(toks, lambda x: ~x.rlike("[0-9]")),
+            1, max_tokens,
+        ),
+        " ",
+    )
+    keys = [F.col(group_col)] if group_col else []
+    return (
+        rows.select(*keys, sig.alias("category"),
+                    F.col(text_col).alias("_t"))
+        .groupBy(*keys, F.col("category"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min("_t").alias("example"),
+        )
+    )
