@@ -371,6 +371,15 @@ def main() -> None:
         sm_times.append(time.time() - t0)
     timings["span_multi"] = statistics.median(sm_times)
 
+    # --- round-4j op: ExactSubstr repeated-passage dedup ---
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    t0 = time.time()
+    duplicate_spans(docs, text_col=text_col, window=4).count()
+    timings["dup_spans"] = time.time() - t0
+
     total = sum(timings.values())
     result = {
         "metric": "pipeline_bench_total",

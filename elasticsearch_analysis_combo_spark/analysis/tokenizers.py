@@ -905,6 +905,38 @@ def make_english_tokenizer(
     return english_custom_tok
 
 
+def make_keyword_repeat_tokenizer(
+    base: TokenizerFn | str = "lowercase",
+    stem: Callable[[str], str] = porter_stem,
+    name: str | None = None,
+) -> TokenizerFn:
+    """The ES ``keyword_repeat`` -> ``stemmer`` -> ``remove_duplicates``
+    chain in one filter: every base token is emitted UNSTEMMED, and its
+    stem is stacked at the SAME absolute position (posInc 0, type
+    ``stem``) when it differs — the same-position stacking the
+    reference's combo merge exists to host (its dedup-keep-first then
+    collapses identical pairs, which is exactly remove_duplicates).
+    Indexing with this analyzer lets queries match BOTH the exact
+    surface form and the stem class without a second field."""
+
+    def kr_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            out.append(t)
+            stemmed = stem(t.term)
+            if stemmed and stemmed != t.term:
+                out.append(Token(stemmed, t.start, t.end, t.pos, "stem"))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(kr_tok, name, f"keyword_repeat|{base_id}|porter")
+    return kr_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.
@@ -943,6 +975,7 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "apostrophe": make_apostrophe_tokenizer("whitespace"),
     "decimal_digit": make_decimal_digit_tokenizer("whitespace"),
     "fingerprint": make_fingerprint_analyzer(),
+    "keyword_repeat": make_keyword_repeat_tokenizer("lowercase"),
 }
 
 

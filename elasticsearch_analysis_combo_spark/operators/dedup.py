@@ -672,6 +672,90 @@ def dedup_lines(
     )
 
 
+# polynomial rolling hash over per-token hashes, all arithmetic mod 2^64
+_RH_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd -> invertible mod 2^64
+
+
+def _uint64_inverse(b: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd b modulo 2^64 (Newton iteration:
+    correct bits double each step; odd^2 === 1 mod 8 seeds 3 bits).
+    Python ints avoid numpy's scalar-overflow warnings."""
+    bi, x, mask = int(b), int(b), (1 << 64) - 1
+    for _ in range(5):
+        x = (x * (2 - bi * x)) & mask
+    return np.uint64(x)
+
+
+_RH_BASE_INV = _uint64_inverse(_RH_BASE)
+
+
+def _rolling_hash_sites(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(doc_id, pos, _h): 64-bit polynomial rolling hash of every
+    ``window``-token sequence, O(tokens) per doc — window STRINGS are
+    never materialized (the naive concat-per-window path copies each
+    token ``window`` times: a 20x write amplification that dominated at
+    200M tokens). Per-token hashes come from pandas' deterministic
+    hash_array; window hash H_i = sum T[i+j] * B^(w-1-j) computed with
+    one cumsum of T[j] * B^(-j) and a power rescale — three vectorized
+    passes per doc, uint64 wraparound IS the mod-2^64 arithmetic."""
+    w = window
+
+    def gen(batches):
+        state = {
+            "bp": np.ones(1, dtype=np.uint64),
+            "binvp": np.ones(1, dtype=np.uint64),
+        }
+
+        def powers(n):
+            if len(state["bp"]) < n:
+                m = n - len(state["bp"])
+                ext = np.cumprod(np.full(m, _RH_BASE), dtype=np.uint64)
+                state["bp"] = np.concatenate(
+                    [state["bp"], state["bp"][-1] * ext]
+                )
+                ext_i = np.cumprod(
+                    np.full(m, _RH_BASE_INV), dtype=np.uint64
+                )
+                state["binvp"] = np.concatenate(
+                    [state["binvp"], state["binvp"][-1] * ext_i]
+                )
+            return state["bp"], state["binvp"]
+
+        for pdf in batches:
+            ids_out, pos_out, h_out = [], [], []
+            for did, txt in zip(
+                pdf[id_col].to_numpy(), pdf[text_col].to_numpy()
+            ):
+                toks = txt.split()
+                n = len(toks)
+                if n < w:
+                    continue
+                bp, binvp = powers(n)
+                t = pd.util.hash_array(np.asarray(toks, dtype=object))
+                cs = np.cumsum(t * binvp[:n], dtype=np.uint64)
+                upper = cs[w - 1:]
+                lower = np.concatenate(
+                    [np.zeros(1, dtype=np.uint64), cs[: n - w]]
+                )
+                h = (upper - lower) * bp[w - 1: n]
+                m = n - w + 1
+                ids_out.append(np.full(m, did, dtype=np.int64))
+                pos_out.append(np.arange(m, dtype=np.int32))
+                h_out.append(h.view(np.int64))
+            if ids_out:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_out),
+                    "pos": np.concatenate(pos_out),
+                    "_h": np.concatenate(h_out),
+                })
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(gen, schema="doc_id long, pos int, _h long")
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -694,51 +778,54 @@ def duplicate_spans(
     tokens (every such range is a union of duplicated windows) and is
     embarrassingly parallel.
 
-    Shape at 100 TB: one explode to (hash, doc, pos) triples — the text
-    itself never shuffles (hash is xxhash64 long by default; ``portable``
-    switches to md5 for cross-engine replay), one hash-keyed groupBy for
-    the canonical-site ledger, a hash join back, then a per-doc window
-    merge — the dedup_lines shuffle discipline at window granularity."""
-    tok_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), r"\s+").alias("_toks"),
-    )
-    # split materialized BEFORE the HOF lambda (interpreted HOFs re-eval
-    # captured expressions per element — the shingles() lesson)
-    toks = F.col("_toks")
-    n = F.size(toks)
-    win_text = F.transform(
-        F.sequence(F.lit(0), n - window),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
-    )
-    hash_fn = (lambda c: F.md5(c)) if portable else (
-        lambda c: F.xxhash64(c)
-    )
-    sites = (
-        tok_df.filter(n >= window)
-        .select("doc_id", F.posexplode(win_text).alias("pos", "_w"))
-        .select("doc_id", "pos", hash_fn(F.col("_w")).alias("_h"))
-    )
-    canon = (
-        sites.groupBy("_h")
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("_w0"),
-            F.count("*").alias("_c"),
+    Shape at 100 TB: one Arrow pass to (hash, doc, pos) triples via an
+    O(tokens) rolling polynomial hash (window strings are NEVER built —
+    the concat-per-window alternative writes every token ``window``
+    times; both flag via 64-bit hash equality, same collision space),
+    one hash-keyed groupBy for the canonical-site ledger, a hash join
+    back, then a per-doc window merge — the dedup_lines shuffle
+    discipline at window granularity. ``portable`` switches site
+    hashing to md5 over the window text (JVM-side, slower, cross-engine
+    replayable — the DuckDB oracle path; int ids only either way)."""
+    if portable:
+        tok_df = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.col(text_col), r"\s+").alias("_toks"),
         )
-        .filter(F.col("_c") >= 2)
-        .select(F.col("_h").alias("_ch"), "_w0")
-    )
+        # split materialized BEFORE the HOF lambda (interpreted HOFs
+        # re-eval captured expressions per element — the shingles() lesson)
+        toks = F.col("_toks")
+        n = F.size(toks)
+        win_text = F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        )
+        sites = (
+            tok_df.filter(n >= window)
+            .select("doc_id", F.posexplode(win_text).alias("pos", "_w"))
+            .select("doc_id", "pos", F.md5(F.col("_w")).alias("_h"))
+        )
+    else:
+        sites = _rolling_hash_sites(df, text_col, id_col, window)
+    from pyspark.sql import Window
+
+    # canonical ledger as ONE hash-partitioned window pass: count + min
+    # site within each hash group, no second shuffle and no join-back
+    # (the agg + join-back formulation re-shuffles all 200M+ sites a
+    # second time; measured 2x wall on a 206M-token corpus)
+    w_h = Window.partitionBy("_h")
     dup = (
-        sites.join(canon, F.col("_h") == F.col("_ch"))
+        sites.withColumn("_c", F.count("*").over(w_h))
+        .withColumn("_w0", F.min(F.struct("doc_id", "pos")).over(w_h))
         .filter(
-            ~(
+            (F.col("_c") >= 2)
+            & ~(
                 (F.col("_w0.doc_id") == F.col("doc_id"))
                 & (F.col("_w0.pos") == F.col("pos"))
             )
         )
         .select("doc_id", "pos")
     )
-    from pyspark.sql import Window
 
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(

@@ -192,3 +192,31 @@ class TestEnglishCustom:
         custom = make_english_tokenizer()
         text = "just a little test of the engine's stemming"
         assert custom(text) == base(text)
+
+
+class TestKeywordRepeat:
+    def test_original_and_stem_stack_same_position(self):
+        from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+            make_keyword_repeat_tokenizer,
+        )
+        kr = make_keyword_repeat_tokenizer("lowercase")
+        out = kr("running tests run")
+        assert [(t.term, t.pos, t.type) for t in out] == [
+            ("running", 1, "word"), ("run", 1, "stem"),
+            ("tests", 2, "word"), ("test", 2, "stem"),
+            ("run", 3, "word"),   # stem == surface -> no duplicate
+        ]
+        # offsets of the stem copy mirror the original token
+        assert (out[1].start, out[1].end) == (out[0].start, out[0].end)
+
+    def test_combo_merge_dedups_identical_pairs(self):
+        # keyword_repeat + a second plain analyzer through the combo
+        # merge: same-position dedup keeps the first emission only
+        from elasticsearch_analysis_combo_spark.analysis.combo import (
+            ComboConfig, analyze_text,
+        )
+        cfg = ComboConfig(
+            ["keyword_repeat", "lowercase"], deduplication=True
+        )
+        terms = [(t.term, t.pos) for t in analyze_text("Caches", cfg)]
+        assert terms == [("caches", 1), ("cach", 1)]

@@ -80,10 +80,25 @@ def test_short_docs_never_flagged(spark):
     ]
 
 
-def test_portable_md5_mode_matches_default(corpus):
+def test_portable_md5_mode_matches_rolling_default(corpus):
+    # the O(n) rolling-hash path and the md5 window-string oracle path
+    # must flag identical spans
     a = duplicate_spans(corpus, window=5, portable=False)
     b = duplicate_spans(corpus, window=5, portable=True)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rolling_hash_no_false_positives_on_near_miss(spark):
+    # windows differing in ONE token must not collide
+    d = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),
+        (2, "alpha beta GAMMA delta epsilon"),
+    ])
+    assert duplicate_spans(d, window=5).count() == 0
+    # token order matters (polynomial hash is position-weighted)
+    d2 = _docs(spark, [(0, "a b c d e"), (1, "e d c b a")])
+    assert duplicate_spans(d2, window=5).count() == 0
 
 
 def test_fully_covered_doc_becomes_empty(spark):

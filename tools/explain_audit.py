@@ -458,20 +458,20 @@ def main() -> None:
         and check("scripted_metric reduce stage", p, "FlatMapGroupsInPandas")
     )
 
-    # 25. duplicate_spans: the hash-keyed canonical ledger must partial-
-    # aggregate map-side, and no per-row Python runs anywhere — the
-    # window text itself must never be a shuffle key (only its hash is;
-    # asserted by the projected schema of the exchange input)
+    # 25. duplicate_spans: sites come from ONE Arrow rolling-hash pass
+    # (never a per-row Python UDF, never window strings), and the
+    # canonical ledger is a single hash-partitioned window pass — no
+    # agg + join-back (that re-shuffles the full site stream twice)
     from elasticsearch_analysis_combo_spark.operators.dedup import (
         duplicate_spans,
     )
 
     p = plan_text(duplicate_spans(docs_df, window=8))
     failures += not (
-        check("duplicate_spans partial ledger agg", p, "partial_min",
-              forbid="BatchEvalPython")
-        and check("duplicate_spans hash-only shuffle", p,
-                  "xxhash64", forbid="CartesianProduct")
+        check("duplicate_spans single-shuffle ledger", p, "Window",
+              forbid="SortMergeJoin")
+        and check("duplicate_spans Arrow rolling-hash pass", p,
+                  "MapInPandas", forbid="BatchEvalPython")
     )
 
     print("FAILURES:", failures)
