@@ -724,32 +724,51 @@ def _rolling_hash_sites(
             return state["bp"], state["binvp"]
 
         for pdf in batches:
-            ids_out, pos_out, h_out = [], [], []
-            for did, txt in zip(
-                pdf[id_col].to_numpy(), pdf[text_col].to_numpy()
-            ):
-                toks = txt.split()
-                n = len(toks)
-                if n < w:
-                    continue
-                bp, binvp = powers(n)
-                t = pd.util.hash_array(np.asarray(toks, dtype=object))
-                cs = np.cumsum(t * binvp[:n], dtype=np.uint64)
-                upper = cs[w - 1:]
-                lower = np.concatenate(
-                    [np.zeros(1, dtype=np.uint64), cs[: n - w]]
-                )
-                h = (upper - lower) * bp[w - 1: n]
-                m = n - w + 1
-                ids_out.append(np.full(m, did, dtype=np.int64))
-                pos_out.append(np.arange(m, dtype=np.int32))
-                h_out.append(h.view(np.int64))
-            if ids_out:
-                yield pd.DataFrame({
-                    "doc_id": np.concatenate(ids_out),
-                    "pos": np.concatenate(pos_out),
-                    "_h": np.concatenate(h_out),
-                })
+            # ONE flat token stream per Arrow batch, zero per-doc Python:
+            # the range-sum hash (C[i..i+w-1] * B^(end)) depends only on
+            # the tokens and their distance from the window END, so a
+            # GLOBAL cumsum hashes identical windows identically in any
+            # doc at any offset; windows crossing a doc boundary are
+            # masked out by comparing doc ordinals w-1 apart.
+            texts = pdf[text_col].to_numpy()
+            tok_lists = [t.split() for t in texts]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64,
+                count=len(tok_lists),
+            )
+            n_total = int(lens.sum())
+            if n_total < w:
+                continue
+            flat = np.empty(n_total, dtype=object)
+            off = 0
+            for tl in tok_lists:
+                flat[off:off + len(tl)] = tl
+                off += len(tl)
+            starts = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(lens)]
+            )
+            ords = np.repeat(np.arange(len(lens)), lens)
+
+            bp, binvp = powers(n_total)
+            t = pd.util.hash_array(flat)
+            cs = np.cumsum(t * binvp[:n_total], dtype=np.uint64)
+            m = n_total - w + 1
+            upper = cs[w - 1:]
+            lower = np.concatenate(
+                [np.zeros(1, dtype=np.uint64), cs[:m - 1]]
+            )
+            h = (upper - lower) * bp[w - 1:n_total]
+            valid = ords[:m] == ords[w - 1:]
+            if not valid.any():
+                continue
+            idx = np.nonzero(valid)[0]
+            d = ords[idx]
+            ids = pdf[id_col].to_numpy()[d]
+            yield pd.DataFrame({
+                "doc_id": ids.astype(np.int64),
+                "pos": (idx - starts[d]).astype(np.int32),
+                "_h": h[idx].view(np.int64),
+            })
 
     return df.select(
         F.col(id_col).cast("long").alias(id_col), text_col
