@@ -1574,6 +1574,101 @@ def q_dsl_extras(spark, sf_dir):
     )
 
 
+DSL_EXTRA2_QUERIES = [
+    (0, {"wrapper": {"query":  # base64 of {"match": {"content": "spark query"}}
+         "eyJtYXRjaCI6IHsiY29udGVudCI6ICJzcGFyayBxdWVyeSJ9fQ=="}}),
+    (1, {"bool": {
+        "must": [{"match": {"content": "customer value"}},
+                 {"term": {"lang": {"value": "en", "boost": 2.0}}}],
+    }}),
+    (2, {"bool": {"should": [
+        {"term": {"lang": {"value": "en", "boost": 1.0}}},
+        {"term": {"source": {"value": "web", "boost": 0.5}}},
+        {"range": {"n_chars": {"gte": 400, "boost": 0.25}}},
+    ]}}),
+    (3, {"dis_max": {"queries": [
+        {"match": {"content": "spark"}},
+        {"match": {"content": "window batch"}},
+    ]}}),
+    (4, {"match_none": {}}),
+    (5, {"bool": {"must": [
+        {"ids": {"values": [1, 2, 3], "boost": 1.5}},
+    ]}}),
+]
+
+
+def q_dsl_extras2(spark, sf_dir):
+    """Round-4k DSL additions: wrapper (base64-wrapped query),
+    constant-scoring term/range/ids leaves in query context (must =
+    filter + uniform boost; pure should = sum-of-matched-boosts in one
+    metadata scan), dis_max at tie_breaker 0 (per-doc max over subs),
+    and match_none."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_EXTRA2_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_extras2_oracle_sql() -> str:
+    """Replay: q0/q1 through the shared clause oracle (q1 with its
+    uniform +2.0 const offset — rank-neutral), q3 as a max-combine over
+    the two sub-queries' clause-oracle top-ks (exact by the
+    union-of-subs containment at tie_breaker 0), q2/q5 constructively
+    over the documents metadata. q4 (match_none) contributes no rows."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    sub_specs = []
+    for qid, node in [(0, DSL_EXTRA2_QUERIES[0][1]),
+                      (1, DSL_EXTRA2_QUERIES[1][1]),
+                      (90, DSL_EXTRA2_QUERIES[3][1]["dis_max"]["queries"][0]),
+                      (91, DSL_EXTRA2_QUERIES[3][1]["dis_max"]["queries"][1])]:
+        kind = next(iter(node))
+        if kind == "wrapper":
+            import base64 as _b64
+            import json as _json
+            node = _json.loads(_b64.b64decode(node["wrapper"]["query"]))
+        cq = compile_dsl(node)
+        sub_specs.append((qid, cq.parsed, cq.filter_sql))
+    co = _clause_oracle_sql(sub_specs, QS_MAX_EXP)
+    return f"""
+WITH co AS ({co})
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score + CASE query_id WHEN 1 THEN 2.0 ELSE 0 END, 6) AS score
+FROM co WHERE query_id IN (0, 1)
+UNION ALL
+SELECT 2, row_number() OVER (ORDER BY score DESC, doc_id), doc_id, score
+FROM (
+  SELECT doc_id,
+         (1.0 + CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END
+              + CASE WHEN source = 'web' THEN 0.5 ELSE 0 END
+              + CASE WHEN n_chars >= 400 THEN 0.25 ELSE 0 END
+         )::DOUBLE AS score,
+         (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        + CASE WHEN source = 'web' THEN 1 ELSE 0 END
+        + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS m
+  FROM documents
+) WHERE m >= 1
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {TOPK}
+UNION ALL
+SELECT 3, row_number() OVER (ORDER BY score DESC, doc_id), doc_id, score
+FROM (
+  SELECT doc_id, max(score) AS score FROM co
+  WHERE query_id IN (90, 91) GROUP BY 1
+)
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {TOPK}
+UNION ALL
+SELECT 5, row_number() OVER (ORDER BY doc_id), doc_id, 1.5::DOUBLE
+FROM documents WHERE doc_id IN (1, 2, 3)
+"""
+
+
 def _dsl_extras_oracle_sql() -> str:
     return f"""
 WITH cs0 AS (
@@ -1602,8 +1697,8 @@ def _dsl_oracle_sql() -> str:
 
     specs = []
     for qid, node in DSL_QUERIES:
-        pq, fsql = compile_dsl(node)
-        specs.append((qid, pq, fsql))
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql))
     return _clause_oracle_sql(specs, QS_MAX_EXP)
 
 
@@ -5394,6 +5489,79 @@ def q_analysis_filters2(spark, sf_dir):
     )
 
 
+def q_analysis_filters3(spark, sf_dir):
+    """Round-4k analysis additions merged kind-tagged: letter /
+    char_group / path_hierarchy (fwd+rev) / uax_url_email tokenizers,
+    limit / trim / uppercase / common_grams / pattern_capture /
+    phonetic(soundex) filters. Inputs are SYNTHESIZED deterministically
+    from the corpus words with engine-portable expressions so the
+    DuckDB oracle can replay each component's rules (constructively
+    where the synthesis pins the token stream, relationally where the
+    rule has real state — common_grams adjacency and the Soundex
+    H/W-transparent adjacent-code collapse)."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import (
+        ComboConfig,
+    )
+    from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
+
+    d = _docs(spark, sf_dir)
+
+    def ucfirst(c):
+        return F.concat(F.upper(c.substr(1, 1)),
+                        c.substr(F.lit(2), F.length(c)))
+
+    sp = F.split("text", " ")
+    w1, w2, w3 = (F.element_at(sp, i) for i in (1, 2, 3))
+    digits = F.pmod("doc_id", F.lit(1000)).cast("string")
+    inp = d.select(
+        "doc_id", "text",
+        F.concat(ucfirst(w1), digits, F.upper(w2), F.lit("-"), w3)
+        .alias("lt_in"),
+        F.concat(w1, F.lit("-"), w2, F.lit(","), w3, F.lit(" "), digits)
+        .alias("cg_in"),
+        F.concat(F.lit("/"), w1, F.lit("/"), w2, F.lit("/"), w3)
+        .alias("ph_in"),
+        F.concat(w1, F.lit("/"), w2, F.lit("/"), w3).alias("pr_in"),
+        F.concat(F.lit("Mail "), w1, F.lit("."), w2, F.lit("@"), w3,
+                 F.lit(".com or https://"), w1, F.lit(".io/"), w2,
+                 F.lit(" End")).alias("ux_in"),
+        F.concat(w1, F.lit(" "), w2).alias("up_in"),
+        F.concat(F.lit("  "), w1, F.lit(" "), w2, F.lit("  "))
+        .alias("tr_in"),
+        F.concat(w1, F.lit("-"), w2, F.lit("_"), digits).alias("pc_in"),
+        w1.alias("sx_in"),
+    )
+
+    def toks(col, analyzer, kind):
+        t = analyze(
+            inp.select("doc_id", F.col(col).alias("content")),
+            ComboConfig([analyzer]), content_col="content",
+        )
+        return t.select(
+            "doc_id", F.explode("tokens").alias("tok")
+        ).select(
+            F.lit(kind).alias("kind"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tok.pos").cast("long").alias("pos"),
+            F.col("tok.term").alias("term"),
+        )
+
+    return (
+        toks("lt_in", "letter", "letter")
+        .unionByName(toks("cg_in", "char_group", "char_group"))
+        .unionByName(toks("ph_in", "path_hierarchy", "path_hierarchy"))
+        .unionByName(toks("pr_in", "path_hierarchy_rev",
+                          "path_hierarchy_rev"))
+        .unionByName(toks("ux_in", "uax_url_email", "uax_url_email"))
+        .unionByName(toks("text", "limit", "limit"))
+        .unionByName(toks("up_in", "uppercase", "uppercase"))
+        .unionByName(toks("tr_in", "trim", "trim"))
+        .unionByName(toks("text", "common_grams", "common_grams"))
+        .unionByName(toks("pc_in", "pattern_capture", "pattern_capture"))
+        .unionByName(toks("sx_in", "phonetic", "phonetic"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -5403,6 +5571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-4k new/changed surfaces ---
+        # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
+        # uppercase/common_grams/pattern_capture/phonetic(soundex)
+        "analysis_filters3": q_analysis_filters3,
+        # DSL wrapper/match_none/dis_max/constant-scoring leaves
+        "dsl_extras2": q_dsl_extras2,
         # --- round-4j new/changed surfaces ---
         # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
         "analysis_filters2": q_analysis_filters2,
@@ -6579,6 +6753,176 @@ FROM (
     # the word_delimiter chain mirrors word_delimiter_parts() rule for
     # rule (RE2 'g' flag = re.sub replace-all; \b works in both engines);
     # the synthesized inputs replay the gate's concat/upper/translate
+    # Round-4k analysis components. Constructive replay where the
+    # synthesized input pins the token stream; relational replay for the
+    # stateful rules (common_grams adjacency, Soundex collapse).
+    sqls["analysis_filters3"] = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2,
+         string_split(text, ' ')[3] AS w3,
+         CAST(doc_id % 1000 AS VARCHAR) AS dg
+  FROM documents
+),
+lt AS (  -- letter runs of ucfirst(w1)||dg||UPPER(w2)||'-'||w3
+  SELECT 'letter' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(regexp_extract_all(
+             concat(upper(substr(w1, 1, 1)), substr(w1, 2), dg,
+                    upper(w2), '-', w3), '[A-Za-z]+'),
+             (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM base
+  )
+),
+cg AS (  -- char_group split on whitespace/'-'/','
+  SELECT 'char_group' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(t := w1, p := 1),
+                   struct_pack(t := w2, p := 2),
+                   struct_pack(t := w3, p := 3),
+                   struct_pack(t := dg, p := 4)]) AS u
+    FROM base
+  )
+),
+ph AS (  -- path prefixes of /w1/w2/w3, all at position 1
+  SELECT 'path_hierarchy' AS kind, doc_id, 1::BIGINT AS pos,
+         unnest([concat('/', w1), concat('/', w1, '/', w2),
+                 concat('/', w1, '/', w2, '/', w3)]) AS term
+  FROM base
+),
+pr AS (  -- path suffixes of w1/w2/w3, all at position 1
+  SELECT 'path_hierarchy_rev' AS kind, doc_id, 1::BIGINT AS pos,
+         unnest([concat(w1, '/', w2, '/', w3),
+                 concat(w2, '/', w3), w3]) AS term
+  FROM base
+),
+ux AS (  -- uax_url_email: word, email, word, url, word (lowercased)
+  SELECT 'uax_url_email' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(t := 'mail', p := 1),
+                   struct_pack(t := concat(w1, '.', w2, '@', w3,
+                                           '.com'), p := 2),
+                   struct_pack(t := 'or', p := 3),
+                   struct_pack(t := concat('https://', w1, '.io/',
+                                           w2), p := 4),
+                   struct_pack(t := 'end', p := 5)]) AS u
+    FROM base
+  )
+),
+lim AS (  -- limit(whitespace, 2): first two words of text
+  SELECT 'limit' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(t := w1, p := 1),
+                   struct_pack(t := w2, p := 2)]) AS u
+    FROM base
+  )
+),
+up AS (  -- uppercase(whitespace) over 'w1 w2'
+  SELECT 'uppercase' AS kind, doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(t := upper(w1), p := 1),
+                   struct_pack(t := upper(w2), p := 2)]) AS u
+    FROM base
+  )
+),
+tr AS (  -- trim(keyword) over '  w1 w2  '
+  SELECT 'trim' AS kind, doc_id, 1::BIGINT AS pos,
+         concat(w1, ' ', w2) AS term
+  FROM base
+),
+toks AS (  -- indexed word stream of text for common_grams
+  SELECT doc_id, u.p AS pos, u.t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+             (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM base
+  )
+),
+stopset AS (
+  SELECT unnest(['a','an','and','are','as','at','be','but','by','for',
+                 'if','in','into','is','it','no','not','of','on','or',
+                 'such','that','the','their','then','there','these',
+                 'they','this','to','was','will','with']) AS sw
+),
+cgrams AS (  -- unigrams + stacked bigram when either side is common
+  SELECT 'common_grams' AS kind, doc_id, pos, term FROM toks
+  UNION ALL
+  SELECT 'common_grams', a.doc_id, a.pos,
+         concat(a.term, '_', b.term)
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN (SELECT sw FROM stopset)
+     OR b.term IN (SELECT sw FROM stopset)
+),
+pc AS (  -- pattern_capture(keyword): original + captures, deduped
+  SELECT DISTINCT 'pattern_capture' AS kind, doc_id, 1::BIGINT AS pos,
+         term
+  FROM (
+    SELECT doc_id, concat(w1, '-', w2, '_', dg) AS term FROM base
+    UNION ALL SELECT doc_id, w1 FROM base
+    UNION ALL SELECT doc_id, w2 FROM base
+    UNION ALL SELECT doc_id, dg FROM base
+  )
+),
+sx_chars AS (  -- soundex(w1): letters with index, H/W removed past 1st
+  SELECT doc_id, u.i, u.c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(regexp_extract_all(upper(w1), '[A-Z]'),
+             (x, i) -> struct_pack(c := x, i := i))) AS u
+    FROM base
+  )
+  WHERE u.i = 1 OR u.c NOT IN ('H', 'W')
+),
+sx_coded AS (
+  SELECT doc_id, i,
+         CASE WHEN c IN ('B','F','P','V') THEN '1'
+              WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+              WHEN c IN ('D','T') THEN '3'
+              WHEN c = 'L' THEN '4'
+              WHEN c IN ('M','N') THEN '5'
+              WHEN c = 'R' THEN '6'
+              ELSE '' END AS code,
+         c
+  FROM sx_chars
+),
+sx_adj AS (
+  SELECT doc_id, i, code, c,
+         lag(code) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM sx_coded
+),
+sx AS (
+  SELECT 'phonetic' AS kind, f.doc_id, 1::BIGINT AS pos,
+         concat(f.c, substr(concat(coalesce(d.ds, ''), '000'), 1, 3))
+           AS term
+  FROM (SELECT doc_id, c FROM sx_adj WHERE i = 1) f
+  LEFT JOIN (
+    SELECT doc_id, string_agg(code, '' ORDER BY i) AS ds
+    FROM sx_adj
+    WHERE i > 1 AND code <> '' AND (prev IS NULL OR code <> prev)
+    GROUP BY doc_id
+  ) d ON f.doc_id = d.doc_id
+)
+SELECT * FROM lt
+UNION ALL SELECT * FROM cg
+UNION ALL SELECT * FROM ph
+UNION ALL SELECT * FROM pr
+UNION ALL SELECT * FROM ux
+UNION ALL SELECT * FROM lim
+UNION ALL SELECT * FROM up
+UNION ALL SELECT * FROM tr
+UNION ALL SELECT * FROM cgrams
+UNION ALL SELECT * FROM pc
+UNION ALL SELECT * FROM sx
+"""
+
     sqls["analysis_filters2"] = r"""
 WITH base AS (
   SELECT doc_id, text,
@@ -6766,6 +7110,7 @@ GROUP BY 1
     sqls["intervals"] = _intervals_oracle_sql()
     sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
     sqls["dsl_extras"] = _dsl_extras_oracle_sql()
+    sqls["dsl_extras2"] = _dsl_extras2_oracle_sql()
     sqls["combined_fields"] = _combined_fields_oracle_sql()
     sqls["significant_text"] = _significant_text_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()

@@ -937,6 +937,397 @@ def make_keyword_repeat_tokenizer(
     return kr_tok
 
 
+def letter_tokenizer(text: str) -> list[Token]:
+    """Lucene LetterTokenizer: maximal letter runs, case PRESERVED
+    (``simple`` is exactly this + lowercase)."""
+    return [
+        Token(m.group(), m.start(), m.end(), i + 1, "word")
+        for i, m in enumerate(_LETTER_RE.finditer(text))
+    ]
+
+
+_CHAR_GROUP_SPECIALS = {
+    "whitespace": lambda c: c.isspace(),
+    "letter": lambda c: c.isalpha(),
+    "digit": lambda c: c.isdigit(),
+    "punctuation": lambda c: unicodedata.category(c).startswith("P"),
+    "symbol": lambda c: unicodedata.category(c).startswith("S"),
+}
+
+
+def make_char_group_tokenizer(
+    tokenize_on_chars: list[str],
+    max_token_length: int = 255,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``char_group`` tokenizer: split on any char in the set; entries
+    are literal chars or the ES class names ``whitespace`` / ``letter`` /
+    ``digit`` / ``punctuation`` / ``symbol``. Tokens longer than
+    ``max_token_length`` are SPLIT at that length (ES behavior, not
+    truncated). No lowercasing — it is a bare tokenizer."""
+    classes = [
+        _CHAR_GROUP_SPECIALS[e]
+        for e in tokenize_on_chars if e in _CHAR_GROUP_SPECIALS
+    ]
+    literals = {
+        e for e in tokenize_on_chars if e not in _CHAR_GROUP_SPECIALS
+    }
+
+    def is_break(c: str) -> bool:
+        return c in literals or any(f(c) for f in classes)
+
+    def cg_tok(text: str) -> list[Token]:
+        out: list[Token] = []
+        start = None
+        pos = 0
+
+        def emit(a: int, b: int) -> None:
+            nonlocal pos
+            for s in range(a, b, max_token_length):
+                e = min(s + max_token_length, b)
+                pos += 1
+                out.append(Token(text[s:e], s, e, pos, "word"))
+
+        for i, c in enumerate(text):
+            if is_break(c):
+                if start is not None:
+                    emit(start, i)
+                    start = None
+            elif start is None:
+                start = i
+        if start is not None:
+            emit(start, len(text))
+        return out
+
+    if name:
+        _stamp_factory(
+            cg_tok, name,
+            f"char_group|{sorted(tokenize_on_chars)}|{max_token_length}",
+        )
+    return cg_tok
+
+
+def make_path_hierarchy_tokenizer(
+    delimiter: str = "/",
+    replacement: str | None = None,
+    reverse: bool = False,
+    skip: int = 0,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``path_hierarchy`` tokenizer. Forward: progressive prefixes at
+    each delimiter boundary ('/one/two/three' -> '/one', '/one/two',
+    '/one/two/three'), ALL stacked at position 1 (Lucene emits posInc 1
+    then 0s) so a path field filters by any ancestor directory with a
+    plain term query. ``reverse``: progressive suffixes ('one/two/three',
+    'two/three', 'three') — the file-extension/domain use. ``skip`` drops
+    that many leading (trailing, when reversed) path components before
+    emitting. ``replacement`` substitutes the delimiter in emitted terms
+    only; offsets always index the ORIGINAL text."""
+
+    def ph_tok(text: str) -> list[Token]:
+        if not text:
+            return []
+        # boundary offsets of each delimiter occurrence
+        cuts = []
+        i = text.find(delimiter)
+        while i != -1:
+            cuts.append(i)
+            i = text.find(delimiter, i + len(delimiter))
+        out: list[Token] = []
+        if not reverse:
+            # prefixes end at each delimiter that FOLLOWS content, plus
+            # the full string; a leading delimiter attaches to the first
+            # component rather than emitting an empty-ish token
+            ends = [c for c in cuts if c > (len(delimiter) if
+                    text.startswith(delimiter) else 0)]
+            ends.append(len(text))
+            for k, e in enumerate(ends):
+                if k < skip:
+                    continue
+                term = text[:e]
+                if replacement is not None:
+                    term = term.replace(delimiter, replacement)
+                out.append(Token(term, 0, e, 1, "word"))
+        else:
+            starts = [0] + [c + len(delimiter) for c in cuts
+                            if c + len(delimiter) < len(text)]
+            for k, s in enumerate(starts):
+                if skip and k >= len(starts) - skip:
+                    continue
+                term = text[s:]
+                if replacement is not None:
+                    term = term.replace(delimiter, replacement)
+                out.append(Token(term, s, len(text), 1, "word"))
+        return out
+
+    if name:
+        _stamp_factory(
+            ph_tok, name,
+            f"path_hierarchy|{delimiter}|{replacement}|{reverse}|{skip}",
+        )
+    return ph_tok
+
+
+# URL first (leftmost-first alternation keeps it whole), then email, then
+# plain word runs. Explicit ASCII classes so the SAME pattern replays
+# identically under DuckDB's RE2 in the gate oracle.
+_UAX_RE = re.compile(
+    r"(https?://[A-Za-z0-9./_%+&=?#:~-]+)"
+    r"|([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+    r"|([A-Za-z0-9_]+)"
+)
+
+
+def uax_url_email_tokenizer(text: str) -> list[Token]:
+    """ES ``uax_url_email`` tokenizer (+ lowercase, the usual analyzer
+    chain): like ``standard`` but URLs and emails survive as single
+    tokens typed <URL> / <EMAIL> instead of shattering at punctuation."""
+    out = []
+    for i, m in enumerate(_UAX_RE.finditer(text)):
+        kind = "<URL>" if m.group(1) else (
+            "<EMAIL>" if m.group(2) else _token_type(m.group())
+        )
+        out.append(
+            Token(m.group().lower(), m.start(), m.end(), i + 1, kind)
+        )
+    return out
+
+
+def make_limit_tokenizer(
+    base: TokenizerFn | str,
+    max_token_count: int = 1,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``limit`` token filter: keep only the first
+    ``max_token_count`` tokens (the index-time guard against
+    pathological documents)."""
+    if max_token_count < 1:
+        raise ValueError(f"max_token_count must be >= 1: {max_token_count}")
+
+    def limit_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return fn(text)[:max_token_count]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(limit_tok, name, f"limit|{base_id}|{max_token_count}")
+    return limit_tok
+
+
+def make_trim_tokenizer(
+    base: TokenizerFn | str, name: str | None = None
+) -> TokenizerFn:
+    """ES ``trim`` token filter: strip leading/trailing whitespace from
+    each term (relevant after ``keyword``/``pattern`` tokenization;
+    offsets unchanged, as in Lucene). Terms that trim to empty are kept
+    as Lucene keeps them — chain ``length`` with min 1 to drop them."""
+
+    def trim_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            Token(t.term.strip(), t.start, t.end, t.pos, t.type)
+            for t in fn(text)
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(trim_tok, name, f"trim|{base_id}")
+    return trim_tok
+
+
+def make_uppercase_tokenizer(
+    base: TokenizerFn | str, name: str | None = None
+) -> TokenizerFn:
+    """ES ``uppercase`` token filter."""
+
+    def upper_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        return [
+            Token(t.term.upper(), t.start, t.end, t.pos, t.type)
+            for t in fn(text)
+        ]
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(upper_tok, name, f"uppercase|{base_id}")
+    return upper_tok
+
+
+def make_common_grams_tokenizer(
+    base: TokenizerFn | str,
+    common_words: frozenset[str] | set[str],
+    ignore_case: bool = False,
+    query_mode: bool = False,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``common_grams`` token filter (Lucene CommonGramsFilter): for
+    every adjacent pair where EITHER side is a common word, a bigram
+    ``a_b`` is stacked at the FIRST word's position (posInc 0, type
+    ``gram``, offsets spanning both) alongside the unigrams — the
+    index-side fix for stopword phrases ('the who') without paying
+    stopword postings at query time. ``query_mode`` (CommonGramsQuery-
+    Filter) additionally DROPS common unigrams that participated in a
+    bigram, so queries match through the grams only."""
+    cw = {w.lower() for w in common_words} if ignore_case else set(
+        common_words
+    )
+
+    def is_common(term: str) -> bool:
+        return (term.lower() if ignore_case else term) in cw
+
+    def cg_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        toks = fn(text)
+        out: list[Token] = []
+        in_gram: set[int] = set()
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i + 1 < len(toks):
+                nxt = toks[i + 1]
+                if is_common(t.term) or is_common(nxt.term):
+                    out.append(Token(
+                        f"{t.term}_{nxt.term}", t.start, nxt.end,
+                        t.pos, "gram",
+                    ))
+                    in_gram.update((i, i + 1))
+        if query_mode:
+            drop = {
+                id(t) for i, t in enumerate(toks)
+                if is_common(t.term) and i in in_gram
+            }
+            out = [t for t in out if id(t) not in drop]
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            cg_tok, name,
+            f"common_grams|{base_id}|{sorted(cw)}|{ignore_case}|"
+            f"{query_mode}",
+        )
+    return cg_tok
+
+
+def make_pattern_capture_tokenizer(
+    base: TokenizerFn | str,
+    patterns: list[str],
+    preserve_original: bool = True,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``pattern_capture`` token filter: every capture group of every
+    pattern match emits a token STACKED at the original term's position
+    (posInc 0) with the ORIGINAL token's offsets — Lucene's documented
+    behavior, because sub-token offsets would break highlighting. Empty
+    captures and captures equal to the original are skipped; the
+    original itself leads when ``preserve_original``. The ES docs' use:
+    splitting 'foo-bar@example.com'-shaped identifiers into searchable
+    parts without losing the exact form."""
+    rxs = [re.compile(p) for p in patterns]
+
+    def pc_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            if preserve_original:
+                out.append(t)
+            seen = {t.term} if preserve_original else set()
+            for rx in rxs:
+                for m in rx.finditer(t.term):
+                    groups = m.groups() if m.groups() else (m.group(),)
+                    for g in groups:
+                        if g and g not in seen:
+                            seen.add(g)
+                            out.append(
+                                Token(g, t.start, t.end, t.pos, "word")
+                            )
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(
+            pc_tok, name,
+            f"pattern_capture|{base_id}|{patterns}|{preserve_original}",
+        )
+    return pc_tok
+
+
+_SOUNDEX_CODES = str.maketrans({
+    "B": "1", "F": "1", "P": "1", "V": "1",
+    "C": "2", "G": "2", "J": "2", "K": "2", "Q": "2", "S": "2",
+    "X": "2", "Z": "2",
+    "D": "3", "T": "3", "L": "4", "M": "5", "N": "5", "R": "6",
+})
+
+
+def soundex(term: str) -> str:
+    """American Soundex (the census rules Lucene's SoundexEncoder
+    implements): first letter kept, consonants coded 1-6, adjacent same
+    codes collapsed, H/W transparent (codes equal ACROSS them still
+    collapse), vowels separate, padded/cut to 4. Returns '' for terms
+    with no ASCII letter."""
+    letters = [c for c in term.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    out = letters[0]
+    last = letters[0].translate(_SOUNDEX_CODES)
+    last = last if last.isdigit() else ""
+    for c in letters[1:]:
+        if c in "HW":
+            continue
+        code = c.translate(_SOUNDEX_CODES)
+        code = code if code.isdigit() else ""
+        if code and code != last:
+            out += code
+            if len(out) == 4:
+                break
+        last = code
+    return (out + "000")[:4]
+
+
+def make_phonetic_tokenizer(
+    base: TokenizerFn | str,
+    replace: bool = True,
+    name: str | None = None,
+) -> TokenizerFn:
+    """ES ``phonetic`` token filter, soundex encoder: terms become their
+    soundex codes so name variants collide ('Robert' and 'Rupert' both
+    index R163). ``replace=False`` (ES's replace: false / Lucene
+    inject) keeps the original AND stacks the code at the same position
+    (type ``phonetic``). Terms with no letters pass through unencoded."""
+
+    def ph_tok(text: str) -> list[Token]:
+        fn = resolve_analyzer(base) if isinstance(base, str) else base
+        out: list[Token] = []
+        for t in fn(text):
+            code = soundex(t.term)
+            if not code or code == t.term:
+                out.append(t)
+                continue
+            if replace:
+                out.append(Token(code, t.start, t.end, t.pos, "phonetic"))
+            else:
+                out.append(t)
+                out.append(Token(code, t.start, t.end, t.pos, "phonetic"))
+        return out
+
+    if name:
+        base_id = base if isinstance(base, str) else getattr(
+            base, "analyzer_name", "<callable>"
+        )
+        _stamp_factory(ph_tok, name, f"phonetic|{base_id}|{replace}")
+    return ph_tok
+
+
 # language -> analyzer name used by the `lang` dispatch analyzer
 # (north_star: "language-aware per the lang column"). Code languages get the
 # identifier splitter; natural language gets english/standard.
@@ -976,6 +1367,25 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "decimal_digit": make_decimal_digit_tokenizer("whitespace"),
     "fingerprint": make_fingerprint_analyzer(),
     "keyword_repeat": make_keyword_repeat_tokenizer("lowercase"),
+    "letter": letter_tokenizer,
+    "uax_url_email": uax_url_email_tokenizer,
+    "char_group": make_char_group_tokenizer(
+        ["whitespace", "-", ","]
+    ),
+    "path_hierarchy": make_path_hierarchy_tokenizer("/"),
+    "path_hierarchy_rev": make_path_hierarchy_tokenizer(
+        "/", reverse=True
+    ),
+    "common_grams": make_common_grams_tokenizer(
+        "lowercase", ENGLISH_STOPWORDS
+    ),
+    "phonetic": make_phonetic_tokenizer("lowercase"),
+    "limit": make_limit_tokenizer("whitespace", 2),
+    "trim": make_trim_tokenizer("keyword"),
+    "uppercase": make_uppercase_tokenizer("whitespace"),
+    "pattern_capture": make_pattern_capture_tokenizer(
+        "keyword", [r"([a-z]+)", r"([0-9]+)"]
+    ),
 }
 
 

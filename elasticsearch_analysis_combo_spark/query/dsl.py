@@ -26,6 +26,25 @@ On top: ``constant_score`` (filter membership at a fixed boost) and
 operators (:func:`knn_search`, pre-filter semantics) and fuses with
 BM25 legs via :func:`rrf_hybrid` (reciprocal rank fusion).
 
+Round-4k additions: ``wrapper`` (base64-wrapped query, decoded and
+re-dispatched), ``match_none``, ``dis_max`` at ``tie_breaker`` 0 (the
+final top-k of a per-doc max over sub-queries is provably contained in
+the union of the per-sub top-ks — the same argument the multi_match
+best_fields WAND path relies on; ``tie_breaker > 0`` raises, use
+engine.multi_match), and CONSTANT-SCORING leaves in query context:
+``term`` / ``terms`` / ``range`` / ``exists`` / ``ids``
+inside a scoring ``bool`` (``prefix``/``wildcard`` stay BM25-scored
+text expansions as before). In ``must`` they compile into
+the filter predicate plus a constant ``boost`` added to every hit's
+score (uniform, so ranking is unchanged — documented divergence from
+ES's TermQuery idf scoring on keyword fields, which this engine's
+metadata columns don't carry); in ``must_not`` they negate into the
+filter (score-neutral, exactly ES); in ``should`` they are supported
+only when the query has NO text-scoring clauses — the pure-constant
+path scores ``sum(boost per matching should)`` in one metadata scan
+(a should-const next to BM25 clauses would need full-corpus scoring to
+stay exact, so it raises instead).
+
 Documented subset divergences — everything UNSUPPORTED raises rather
 than silently mis-executing; the one documented SCORING approximation:
 ``match_phrase`` with ``slop > 0`` filters exactly (Lucene matchLength
@@ -47,7 +66,10 @@ the host's Query DSL entry point.
 
 from __future__ import annotations
 
+import base64
+import json
 import re
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -235,20 +257,67 @@ def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
     raise ValueError(f"unsupported scoring query: {kind}")
 
 
-def compile_dsl(dsl: dict) -> tuple[ParsedQuery, str | None]:
-    """Full DSL request ``query`` node -> (clause set for the shared
-    evaluator, filter-context SQL predicate or None)."""
+# scoring-context leaves that carry no text statistics: they compile to
+# filter predicates + a constant boost instead of evaluator clauses.
+# prefix/wildcard are NOT here — on the text field they stay BM25-scored
+# expansion clauses (the pre-existing behavior); their filter-context
+# forms live under bool.filter.
+CONST_KINDS = frozenset(("term", "terms", "range", "exists", "ids"))
+
+
+@dataclass
+class CompiledQuery:
+    """compile_dsl output: evaluator clauses + filter predicate + the
+    constant-scoring parts (see module docstring, round-4k block)."""
+    parsed: ParsedQuery
+    filter_sql: str | None = None
+    const_offset: float = 0.0  # uniform score add from must-role consts
+    should_consts: list[tuple[str, float]] = field(default_factory=list)
+
+
+def _split_boost(kind: str, body: dict) -> tuple[dict, float]:
+    """Pop an ES ``boost`` off a constant leaf (either placement:
+    ``{"terms": {f: [...], "boost": 2}}`` or
+    ``{"term": {f: {"value": v, "boost": 2}}}``) -> (clean node, boost)."""
+    body = dict(body)
+    boost = float(body.pop("boost", 1.0))
+    if len(body) == 1:
+        (f, v), = body.items()
+        if isinstance(v, dict) and "boost" in v:
+            v = dict(v)
+            boost = float(v.pop("boost"))
+            body = {f: v}
+    return {kind: body}, boost
+
+
+def compile_dsl(dsl: dict) -> CompiledQuery:
+    """Full DSL request ``query`` node -> :class:`CompiledQuery` (clause
+    set for the shared evaluator + filter-context SQL predicate +
+    constant-score parts)."""
     if not isinstance(dsl, dict) or len(dsl) != 1:
         raise ValueError(f"query node must have exactly one key: {dsl!r}")
     kind, body = next(iter(dsl.items()))
+    if kind in CONST_KINDS:
+        # a lone constant leaf in query position: pure membership at
+        # its boost (ES scores keyword TermQuery by idf; this engine's
+        # metadata columns carry no term stats — documented divergence)
+        clean, boost = _split_boost(kind, body)
+        return CompiledQuery(
+            ParsedQuery(), compile_filter(clean), const_offset=boost
+        )
     if kind != "bool":
-        return ParsedQuery(clauses=_leaf_clauses(kind, body, "should")), None
+        return CompiledQuery(
+            ParsedQuery(clauses=_leaf_clauses(kind, body, "should"))
+        )
     if "minimum_should_match" in body:
         raise ValueError(
             "minimum_should_match unsupported in scoring bool "
             "(see engine.search_boolean)"
         )
     clauses: list[Clause] = []
+    const_filters: list[str] = []
+    const_offset = 0.0
+    should_consts: list[tuple[str, float]] = []
     for role, key in (
         ("must", "must"), ("should", "should"), ("must_not", "must_not"),
     ):
@@ -259,14 +328,33 @@ def compile_dsl(dsl: dict) -> tuple[ParsedQuery, str | None]:
             (lk, lb), = part.items()
             if lk == "bool":
                 raise ValueError("nested scoring bool unsupported")
+            if lk in CONST_KINDS:
+                clean, boost = _split_boost(lk, lb)
+                pred = compile_filter(clean)
+                if role == "must":
+                    const_filters.append(pred)
+                    const_offset += boost
+                elif role == "must_not":
+                    const_filters.append(f"NOT ({pred})")
+                else:
+                    should_consts.append((pred, boost))
+                continue
             clauses.extend(_leaf_clauses(lk, lb, role))
+    if should_consts and clauses:
+        raise ValueError(
+            "constant should clauses next to text clauses are "
+            "unsupported (exactness would need full-corpus scoring); "
+            "move them to filter, or drop the text clauses"
+        )
     filters = body.get("filter", [])
     if isinstance(filters, dict):
         filters = [filters]
-    filter_sql = (
-        " AND ".join(compile_filter(f) for f in filters) if filters else None
+    all_filters = [compile_filter(f) for f in filters] + const_filters
+    filter_sql = " AND ".join(all_filters) if all_filters else None
+    return CompiledQuery(
+        ParsedQuery(clauses=clauses), filter_sql,
+        const_offset=const_offset, should_consts=should_consts,
     )
-    return ParsedQuery(clauses=clauses), filter_sql
 
 
 def knn_search(
@@ -390,20 +478,48 @@ def dsl_topk(
     pinned docs removed."""
     const_boosts: dict[int, float] = {}
     pinned_specs: dict[int, list[int]] = {}
+    # dis_max sub-queries evaluate under synthetic qids allocated above
+    # the user's range (evaluate_parsed packs qids into 21 bits), then
+    # max-combine per parent
+    dismax_subs: dict[int, int] = {}  # synthetic qid -> parent qid
+    none_qids: list[int] = []
     norm: list[tuple[int, dict]] = []
+    next_synth = max((q for q, _ in queries), default=-1) + 1
     for qid, node in queries:
         kind, body = next(iter(node.items()))
+        while kind == "wrapper":
+            node = json.loads(base64.b64decode(body["query"]))
+            kind, body = next(iter(node.items()))
         if kind == "pinned":
             pinned_specs[qid] = [int(i) for i in body["ids"]]
             node = body["organic"]
             kind, body = next(iter(node.items()))
+        if kind == "match_none":
+            none_qids.append(qid)
+            continue
         if kind == "constant_score":
             const_boosts[qid] = float(body.get("boost", 1.0))
             node = {"bool": {"filter": [body["filter"]]}}
+        if kind == "dis_max":
+            if float(body.get("tie_breaker", 0.0)) != 0.0:
+                raise ValueError(
+                    "dis_max tie_breaker > 0 unsupported (the top-k "
+                    "union-of-subs argument only holds at 0; use "
+                    "engine.multi_match for tie-broken dis-max)"
+                )
+            for sub in body["queries"]:
+                if next_synth >= 1 << 21:
+                    raise ValueError("too many dis_max sub-queries")
+                dismax_subs[next_synth] = qid
+                norm.append((next_synth, sub))
+                next_synth += 1
+            continue
         norm.append((qid, node))
     queries = norm
     compiled = {qid: compile_dsl(node) for qid, node in queries}
-    if any(f for _, f in compiled.values()) and doc_meta is None:
+    if doc_meta is None and any(
+        c.filter_sql or c.should_consts for c in compiled.values()
+    ):
         raise ValueError("filter context requires doc_meta")
 
     empty = spark.createDataFrame(
@@ -414,13 +530,46 @@ def dsl_topk(
     # ONE shared filter plan per distinct predicate (repeated tenant
     # filters across a query batch scan the metadata once via reuse)
     filter_frames: dict[str, DataFrame] = {}
-    for qid, (pq, fsql) in compiled.items():
+    for qid, cq in compiled.items():
+        pq, fsql = cq.parsed, cq.filter_sql
         if fsql is not None and fsql not in filter_frames:
             filter_frames[fsql] = doc_meta.filter(F.expr(fsql)).select(
                 "doc_id"
             )
         if pq.clauses:
             scored_parsed[qid] = pq
+        elif cq.should_consts:
+            # pure-constant scoring: sum(boost per matching should) in
+            # ONE metadata scan; membership = filter AND (>=1 should
+            # when no must/filter narrows the universe — ES's default
+            # minimum_should_match for a should-only bool)
+            base = doc_meta.filter(F.expr(fsql)) if fsql else doc_meta
+            score = F.lit(const_boosts.get(qid, cq.const_offset or 1.0))
+            matched = F.lit(0)
+            for pred, boost in cq.should_consts:
+                hit = F.expr(pred)
+                score = score + F.when(hit, F.lit(boost)).otherwise(0.0)
+                matched = matched + F.when(hit, 1).otherwise(0)
+            scored = base.select(
+                "doc_id", score.alias("score"), matched.alias("_m")
+            )
+            if fsql is None:
+                scored = scored.filter(F.col("_m") >= 1)
+            topk = scored.orderBy(
+                F.col("score").desc(), "doc_id"
+            ).limit(k)
+            w = Window.partitionBy(F.lit(1)).orderBy(
+                F.col("score").desc(), "doc_id"
+            )
+            out.append(
+                topk.withColumn("rank", F.row_number().over(w))
+                .select(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    F.col("rank").cast("int"),
+                    F.col("doc_id").cast("long"),
+                    F.col("score").cast("double"),
+                )
+            )
         else:
             base = (
                 filter_frames[fsql]
@@ -440,13 +589,16 @@ def dsl_topk(
             # the whole filtered membership
             topk = base.orderBy("doc_id").limit(k)
             w = Window.partitionBy(F.lit(1)).orderBy("doc_id")
+            score_const = const_boosts.get(
+                qid, cq.const_offset if cq.const_offset else 1.0
+            )
             out.append(
                 topk.withColumn("rank", F.row_number().over(w))
                 .select(
                     F.lit(qid).cast("int").alias("query_id"),
                     F.col("rank").cast("int"),
                     F.col("doc_id").cast("long"),
-                    F.lit(const_boosts.get(qid, 1.0)).alias("score"),
+                    F.lit(score_const).alias("score"),
                 )
             )
     if scored_parsed:
@@ -454,7 +606,7 @@ def dsl_topk(
         # evaluates in ONE evaluator pass with a shared doc_filter
         by_filter: dict[str | None, dict[int, ParsedQuery]] = {}
         for qid, pq in scored_parsed.items():
-            by_filter.setdefault(compiled[qid][1], {})[qid] = pq
+            by_filter.setdefault(compiled[qid].filter_sql, {})[qid] = pq
         for fsql, group in sorted(
             by_filter.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
         ):
@@ -470,6 +622,43 @@ def dsl_topk(
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
+    offsets = {
+        qid: cq.const_offset
+        for qid, cq in compiled.items()
+        if cq.const_offset and qid in scored_parsed
+    }
+    if offsets:
+        # uniform per-query constant from must-role const leaves:
+        # shifts every hit's score equally, ranks untouched
+        omap = F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        )
+        res = res.withColumn(
+            "score",
+            F.col("score")
+            + F.coalesce(F.element_at(omap, F.col("query_id")), F.lit(0.0)),
+        )
+    if dismax_subs:
+        synth_ids = list(dismax_subs)
+        subs = res.filter(F.col("query_id").isin(synth_ids))
+        res = res.filter(~F.col("query_id").isin(synth_ids))
+        pmap = F.create_map(
+            *[F.lit(v) for kv in sorted(dismax_subs.items()) for v in kv]
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+        combined = (
+            subs.withColumn(
+                "query_id", F.element_at(pmap, F.col("query_id"))
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("score").alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+        res = res.unionByName(combined)
     if pinned_specs:
         pin_rows = [
             (qid, i + 1, did)

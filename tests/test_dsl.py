@@ -83,12 +83,13 @@ def test_compile_filter_bool_and_errors():
 
 
 def test_compile_dsl_roles():
-    pq, fsql = compile_dsl({"bool": {
+    cq = compile_dsl({"bool": {
         "must": [{"match": {"content": "alpha"}}],
         "should": [{"match_phrase": {"content": {"query": "a b", "slop": 2}}}],
         "must_not": [{"fuzzy": {"content": {"value": "beta", "fuzziness": 1}}}],
         "filter": [{"term": {"lang": "en"}}, {"range": {"doc_id": {"lt": 9}}}],
     }})
+    pq, fsql = cq.parsed, cq.filter_sql
     got = [(c.kind, c.role, c.text, c.fuzz, c.slop) for c in pq.clauses]
     assert got == [
         ("term", "must", "alpha", 0, 0),
@@ -97,9 +98,9 @@ def test_compile_dsl_roles():
     ]
     assert fsql == "lang = 'en' AND (doc_id < 9)"
     # match operator=and splits to per-token musts
-    pq2, _ = compile_dsl({"bool": {"must": [
+    pq2 = compile_dsl({"bool": {"must": [
         {"match": {"content": {"query": "x y", "operator": "and"}}}
-    ]}})
+    ]}}).parsed
     assert [(c.role, c.text) for c in pq2.clauses] == [
         ("must", "x"), ("must", "y")
     ]
@@ -306,3 +307,87 @@ def test_pinned_query(spark, fixture):
     assert got_ids == pin + [d for d in org_ids if d not in pin]
     assert got[0]["score"] > got[1]["score"] > got[2]["score"]
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_compile_const_leaves_in_scoring_bool():
+    cq = compile_dsl({"bool": {
+        "must": [{"match": {"content": "alpha"}},
+                 {"term": {"lang": {"value": "en", "boost": 2.0}}}],
+        "must_not": [{"exists": {"field": "source"}}],
+    }})
+    assert [c.text for c in cq.parsed.clauses] == ["alpha"]
+    assert cq.filter_sql == "lang = 'en' AND NOT (source IS NOT NULL)"
+    assert cq.const_offset == 2.0
+    # lone constant leaf in query position: pure membership at boost
+    lone = compile_dsl({"terms": {"source": ["web", "book"], "boost": 3.0}})
+    assert not lone.parsed.clauses
+    assert lone.filter_sql == "source IN ('web', 'book')"
+    assert lone.const_offset == 3.0
+    # should-consts next to text clauses must raise (exactness)
+    with pytest.raises(ValueError):
+        compile_dsl({"bool": {
+            "must": [{"match": {"content": "alpha"}}],
+            "should": [{"term": {"lang": "en"}}],
+        }})
+
+
+def test_wrapper_and_match_none(spark, fixture):
+    import base64
+    import json as _json
+
+    inner = {"match": {"content": "gamma"}}
+    wrapped = {"wrapper": {"query": base64.b64encode(
+        _json.dumps(inner).encode()).decode()}}
+    assert _rows(_run(spark, fixture, wrapped)) == _rows(
+        _run(spark, fixture, inner))
+    assert _run(spark, fixture, {"match_none": {}}).count() == 0
+
+
+def test_const_must_offset_shifts_scores_not_ranks(spark, fixture):
+    plain = _run(spark, fixture, {"bool": {
+        "must": [{"match": {"content": "gamma"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}).orderBy("rank").collect()
+    boosted = _run(spark, fixture, {"bool": {
+        "must": [{"match": {"content": "gamma"}},
+                 {"term": {"lang": {"value": "en", "boost": 2.0}}}],
+    }}).orderBy("rank").collect()
+    assert [r["doc_id"] for r in boosted] == [r["doc_id"] for r in plain]
+    for pb, pp in zip(boosted, plain):
+        assert pb["score"] == pytest.approx(pp["score"] + 2.0)
+
+
+def test_pure_should_const_scoring(spark, fixture):
+    got = _run(spark, fixture, {"bool": {"should": [
+        {"term": {"lang": {"value": "en", "boost": 1.0}}},
+        {"term": {"source": {"value": "web", "boost": 0.5}}},
+    ]}}).orderBy("rank").collect()
+    # en+web docs (0,3,5) score 2.5; en-only (1) 2.0; web-only (2) 1.5;
+    # doc 4 (de book) matches neither should -> excluded
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (0, 2.5), (3, 2.5), (5, 2.5), (1, 2.0), (2, 1.5),
+    ]
+
+
+def test_dis_max_takes_max_of_subqueries(spark, fixture):
+    got = _run(spark, fixture, {"dis_max": {"queries": [
+        {"match": {"content": "alpha"}},
+        {"match": {"content": "delta"}},
+    ]}})
+    a = _run(spark, fixture, {"match": {"content": "alpha"}})
+    d = _run(spark, fixture, {"match": {"content": "delta"}})
+    best = {}
+    for df in (a, d):
+        for r in df.collect():
+            best[r["doc_id"]] = max(
+                best.get(r["doc_id"], 0.0), r["score"])
+    want = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = got.orderBy("rank").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (did, round(s, 9)) for did, s in want
+    ]
+    with pytest.raises(ValueError):
+        _run(spark, fixture, {"dis_max": {
+            "queries": [{"match": {"content": "alpha"}}],
+            "tie_breaker": 0.3,
+        }})
