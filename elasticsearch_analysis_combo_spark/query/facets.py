@@ -134,13 +134,28 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     term_df: DataFrame | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES ``significant_terms``: vocabulary terms unusually frequent in
-    the query's match set versus the whole corpus, scored with the JLH
-    heuristic ``(fg% - bg%) * (fg% / bg%)`` (fg% = share of matching docs
-    containing the term, bg% = share of all docs). The query's own terms
-    trivially top the list and are excluded, as ES effectively does by
-    interest.
+    the query's match set versus the whole corpus. ``heuristic`` picks
+    the ES scoring heuristic (all pure column arithmetic over the same
+    fg/bg counts — identical plan, different score expression):
+
+    * ``jlh`` (default): ``(fg% - bg%) * (fg% / bg%)``.
+    * ``chi_square``: Pearson chi-square over the 2x2 contingency table
+      (term-in/out x matchset-in/out; ES cites the same test, with
+      ``include_negatives``: anti-correlated terms get a NEGATIVE
+      score, as ES's default does).
+    * ``mutual_information``: expected mutual information of the 2x2
+      table (the Manning/Raghavan/Schuetze IR-book eq. 13.17 that ES's
+      docs cite), signed like chi_square.
+    * ``gnd``: Google Normalized Distance (Cilibrasi & Vitanyi 2007,
+      ES's cited source) with f(x)=matchset size, f(y)=bg_df,
+      f(x,y)=fg_df, reported as the similarity ``exp(-ngd)`` (monotone
+      in the paper's distance, so ranking is distance-faithful).
+
+    The query's own terms trivially top the list and are excluded, as
+    ES effectively does by interest.
 
     Plan: match set (distinct (query, doc)) joins back to the per-doc term
     stats — the one inherently match-set-sized shuffle (ES samples shard
@@ -148,6 +163,8 @@ def significant_terms(
     per (query, term) partial-aggregate before the window cut. Pass the
     index's precomputed ``term_df`` (term, df) as the background table —
     deriving it per call re-shuffles the whole stats table."""
+    if heuristic not in ("jlh", "chi_square", "mutual_information", "gnd"):
+        raise ValueError(f"unknown heuristic: {heuristic!r}")
     qterms = set(analyze_queries(queries, config))
     matches = _match_set(spark, term_stats, queries, config)
     n_match = (
@@ -173,12 +190,47 @@ def significant_terms(
         .filter(F.col("_isq").isNull())
         .withColumn("fg_pct", F.col("fg_df") / F.col("n_fg"))
         .withColumn("bg_pct", F.col("bg_df") / F.lit(float(n_docs)))
-        .withColumn(
-            "score",
-            (F.col("fg_pct") - F.col("bg_pct"))
-            * (F.col("fg_pct") / F.col("bg_pct")),
-        )
     )
+    if heuristic == "jlh":
+        score = (F.col("fg_pct") - F.col("bg_pct")) * (
+            F.col("fg_pct") / F.col("bg_pct")
+        )
+    else:
+        # 2x2 contingency cells (background is a superset, ES default):
+        # a = term & in-set, b = term & out-set, c/d = no-term rows
+        N = F.lit(float(n_docs))
+        a = F.col("fg_df").cast("double")
+        b = (F.col("bg_df") - F.col("fg_df")).cast("double")
+        c = (F.col("n_fg") - F.col("fg_df")).cast("double")
+        d = N - F.col("n_fg") - b
+        sign = F.when(
+            a / (a + c) >= b / (b + d), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        if heuristic == "chi_square":
+            score = sign * (
+                N * F.pow(a * d - b * c, 2.0)
+                / ((a + b) * (c + d) * (a + c) * (b + d))
+            )
+        elif heuristic == "mutual_information":
+            def _cell(n_xy, p_x, p_y):
+                p = n_xy / N
+                return F.when(
+                    n_xy > 0, p * F.log2(p / (p_x * p_y))
+                ).otherwise(F.lit(0.0))
+
+            p_t, p_nt = (a + b) / N, (c + d) / N
+            p_in, p_out = (a + c) / N, (b + d) / N
+            score = sign * (
+                _cell(a, p_t, p_in) + _cell(b, p_t, p_out)
+                + _cell(c, p_nt, p_in) + _cell(d, p_nt, p_out)
+            )
+        else:  # gnd
+            fx = F.log(F.col("n_fg").cast("double"))
+            fy = F.log(F.col("bg_df").cast("double"))
+            fxy = F.log(a)
+            ngd = (F.greatest(fx, fy) - fxy) / (F.log(N) - F.least(fx, fy))
+            score = F.exp(-ngd)
+    scored = scored.withColumn("score", score)
     # rank on the 6-rounded score (term tiebreak): near-tied floats must
     # not flip rank order across engines (same policy as _rerank_rounded)
     w = Window.partitionBy("query_id").orderBy(
@@ -829,6 +881,65 @@ def diversified_sampler_agg(
     return sample.groupBy("query_id", F.col(agg_col)).agg(
         F.count("*").alias("doc_count"),
         F.avg("_s6").alias("avg_score"),
+    )
+
+
+def sampler_agg(
+    hits: DataFrame,
+    doc_meta: DataFrame,
+    agg_col: str,
+    shard_size: int = 100,
+) -> DataFrame:
+    """ES ``sampler`` aggregation: sub-aggregate only the best
+    ``shard_size`` hits per query (the cheap cousin of
+    :func:`diversified_sampler_agg`, no per-value cap). Order is the
+    engine's deterministic (rounded score desc, doc_id) rank; the
+    row_number filter triggers WindowGroupLimit rank pushdown, so the
+    shuffle carries at most ``shard_size`` rows per query per task."""
+    scored = hits.join(doc_meta, "doc_id").withColumn(
+        "_s6", F.round("score", 6)
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("_s6"), F.asc("doc_id")
+    )
+    sample = scored.withColumn("_rk", F.row_number().over(w_top)).filter(
+        F.col("_rk") <= shard_size
+    )
+    return sample.groupBy("query_id", F.col(agg_col)).agg(
+        F.count("*").alias("doc_count"),
+        F.avg("_s6").alias("avg_score"),
+    )
+
+
+def random_sampler_agg(
+    df: DataFrame,
+    probability: float,
+    group_col: str,
+    value_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation: metrics over a Bernoulli
+    sample of the table, with ``doc_count``/``sum`` scaled back by
+    ``1/probability`` (ES reports sampled aggs in original-scale units;
+    ``avg`` needs no rescale). The sample is the engine-portable keyed
+    md5 filter from operators.sampling — a pure map-side predicate, so
+    at 100 TB the scan reads everything once but the shuffle carries
+    only ``probability`` of the rows; the SAME rows are picked on any
+    cluster, making the agg reproducible and DuckDB-replayable."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    inv = 1.0 / probability
+    return (
+        hash_sample(df, probability, key_col=key_col, seed=seed)
+        .groupBy(group_col)
+        .agg(
+            (F.count("*") * inv).alias("doc_count"),
+            (F.sum(value_col) * inv).alias("sum_scaled"),
+            F.avg(value_col).alias("avg_value"),
+        )
     )
 
 

@@ -474,6 +474,60 @@ def main() -> None:
                   "MapInPandas", forbid="BatchEvalPython")
     )
 
+    # 26. geohash_grid: the base-32 encode is pure codegen arithmetic
+    # (no Python), and the agg partial-aggregates map-side before the
+    # ONE exchange — at 100 TB each task forwards <= 32^p rows
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geohash_grid_agg,
+    )
+
+    pts = spark.range(1000).selectExpr(
+        "cast(id % 180 as double) - 90.0 as lat",
+        "cast((id * 7) % 360 as double) - 180.0 as lon",
+    )
+    p = plan_text(geohash_grid_agg(pts, "lat", "lon", precision=4))
+    failures += not check(
+        "geohash_grid codegen partial agg", p, "partial_count",
+        forbid="BatchEvalPython",
+    )
+
+    # 27. random_sampler: the Bernoulli predicate is a map-side filter
+    # BEFORE the group-by exchange (the scan reads everything once, the
+    # shuffle carries only p of the rows), all JVM-side
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        random_sampler_agg,
+    )
+
+    meta = spark.range(1000).selectExpr(
+        "id as doc_id", "cast(id % 5 as string) as lang",
+        "cast(id % 97 as double) as n",
+    )
+    p = plan_text(random_sampler_agg(meta, 0.25, "lang", "n"))
+    failures += not check(
+        "random_sampler map-side md5 filter", p, "Filter",
+        forbid="BatchEvalPython",
+    )
+
+    # 28. multi_index_topk: every per-index leg broadcasts its query
+    # dimension (never shuffles the stats table on the query join)
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        multi_index_topk,
+    )
+
+    midx = {
+        n: (stats.filter(F.pmod("doc_id", F.lit(2)) == i),
+            stats.groupBy("term").agg(F.count("*").alias("df")),
+            50, 10.0)
+        for i, n in enumerate(("a", "b"))
+    }
+    p = plan_text(multi_index_topk(
+        spark, midx, [(0, "value")], ComboConfig(["whitespace"])
+    ))
+    failures += not check(
+        "multi_index broadcast query dim", p, "BroadcastHashJoin",
+        forbid="SortMergeJoin",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
