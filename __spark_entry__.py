@@ -5683,6 +5683,92 @@ def q_multi_index_search(spark, sf_dir):
     )
 
 
+TSHARD_SIZE, TSHARD_SHARDS, TSHARD_SHARD_SIZE = 8, 4, 3
+IPR_RANGES = [
+    (None, "10.0.0.128"), ("10.0.0.128", "10.0.1.0"), ("10.0.0.64", None),
+]
+CAP_PER_LANG = 20
+STEMPLATE = {
+    "bool": {
+        "must": [{"match": {"content": "{{q}}"}}],
+        "filter": [{"terms": {"lang": "{{langs}}"}},
+                   {"range": {"n_chars": {"gte": "{{min_chars}}"}}}],
+    }
+}
+STEMPLATE_PARAMS = [
+    (0, {"q": "spark query", "langs": ["en", "de"], "min_chars": 100}),
+    (1, {"q": "customer value", "langs": ["en"], "min_chars": 200}),
+]
+
+
+def q_curation_aggs(spark, sf_dir):
+    """Round-4l curation/agg additions merged kind-tagged: sharded
+    terms agg with ES doc_count_error_upper_bound accounting (shard =
+    portable md5 route; per-shard top-N truncation), ip_range buckets
+    (IPs synthesized deterministically from user_id), and cap_per_key
+    (C4-style per-key document caps; survivors proven by bit_xor of
+    doc_ids — exact membership, overflow-safe under ANSI)."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        cap_per_key,
+    )
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        ip_range_agg,
+        terms_agg_sharded,
+    )
+
+    d = _docs(spark, sf_dir)
+    ts = terms_agg_sharded(
+        d, "lang", size=TSHARD_SIZE, shard_size=TSHARD_SHARD_SIZE,
+        n_shards=TSHARD_SHARDS,
+    ).select(
+        F.lit("terms_sharded").alias("kind"), F.col("value").alias("key"),
+        F.col("doc_count").cast("long").alias("c1"),
+        F.col("doc_count_error_upper_bound").cast("long").alias("c2"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "concat('10.0.', cast(pmod(user_id, 2) as string), '.', "
+        "cast(pmod(user_id * 13, 256) as string)) as ip"
+    )
+    ipr = ip_range_agg(ev, "ip", IPR_RANGES).select(
+        F.lit("ip_range").alias("kind"), F.col("key"),
+        F.col("doc_count").cast("long").alias("c1"),
+        F.col("bucket_idx").cast("long").alias("c2"),
+    )
+    capped = cap_per_key(d, "lang", CAP_PER_LANG)
+    cap = capped.groupBy("lang").agg(
+        F.count("*").alias("c1"),
+        F.expr("bit_xor(doc_id)").alias("c2"),
+    ).select(
+        F.lit("cap_per_key").alias("kind"), F.col("lang").alias("key"),
+        F.col("c1").cast("long"), F.col("c2").cast("long"),
+    )
+    return ts.unionByName(ipr).unionByName(cap)
+
+
+def q_search_template(spark, sf_dir):
+    """ES search_template: mustache-subset parameter substitution
+    rendered into the DSL compiler — whole-value substitution keeps the
+    parameter's JSON type (the terms list, the numeric range bound)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        dsl_topk,
+        render_search_template,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    rendered = [
+        (qid, render_search_template(STEMPLATE, params))
+        for qid, params in STEMPLATE_PARAMS
+    ]
+    out = dsl_topk(
+        spark, stats, term_df, None, rendered, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )
+    return _rerank_rounded(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -5706,6 +5792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid_agg": q_geohash_grid,
         # multi-index search (per-index stats, merged ranking)
         "multi_index_search": q_multi_index_search,
+        # sharded terms agg w/ error bounds + ip_range + cap_per_key
+        "curation_aggs": q_curation_aggs,
+        # mustache-subset search templates through the DSL compiler
+        "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
         # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
         "analysis_filters2": q_analysis_filters2,
@@ -5745,7 +5835,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_mad": q_string_stats_mad,
         "repetition_stats": q_repetition_stats,
         "semantic_dedup": q_semantic_dedup,
-        "geotile_grid": q_geotile_grid,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
         "span_family": q_span_family,
@@ -5758,7 +5847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
-        "pipeline_aggs": q_pipeline_aggs,
         "percentile_family": q_percentile_family,
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
@@ -5767,7 +5855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": q_completion_suggest,
         "sort_search_after": q_sort_search_after,
         "clean_text": q_clean_text,
-        # --- engine core ---
+        # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # r3 surfaces, unchanged since; displaced from the window by
         # es_dsl/nested_query and the round-4k additions (all were
@@ -5777,6 +5865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (kept in-window above) and combo_analyze is unchanged-since-r1,
         # driver-green in r1-r3; both moved past 50 so every round-4
         # surface gets a driver oracle row
+        "pipeline_aggs": q_pipeline_aggs,
+        "geotile_grid": q_geotile_grid,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7335,6 +7425,97 @@ rnd AS (
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
 """
+
+    # sharded terms agg (ES error-bound accounting) + ip_range +
+    # cap_per_key, replayed with the portable md5 route/rank
+    import ipaddress as _ipa
+
+    _ipr_parts = []
+    for _i, (_lo, _hi) in enumerate(IPR_RANGES):
+        _conds = []
+        if _lo is not None:
+            _conds.append(f"ipn >= {int(_ipa.IPv4Address(_lo))}")
+        if _hi is not None:
+            _conds.append(f"ipn < {int(_ipa.IPv4Address(_hi))}")
+        _key = f"{_lo or '*'}-{_hi or '*'}"
+        _ipr_parts.append(
+            f"SELECT 'ip_range' AS kind, '{_key}' AS key, "
+            f"(SELECT count(*) FROM ips WHERE {' AND '.join(_conds)})"
+            f"::BIGINT AS c1, {_i}::BIGINT AS c2"
+        )
+    sqls["curation_aggs"] = f"""
+WITH routed AS (
+  SELECT lang,
+         ('0x' || substr(md5(concat('0', ':',
+           cast(doc_id AS VARCHAR))), 1, 15))::BIGINT
+           % {TSHARD_SHARDS} AS sh
+  FROM documents
+),
+per AS (SELECT sh, lang AS value, count(*) AS cnt FROM routed GROUP BY 1, 2),
+kept AS (
+  SELECT * FROM per
+  QUALIFY row_number() OVER (PARTITION BY sh ORDER BY cnt DESC, value)
+          <= {TSHARD_SHARD_SIZE}
+),
+mins AS (
+  SELECT sh, CASE WHEN count(*) = {TSHARD_SHARD_SIZE} THEN min(cnt)
+                  ELSE 0 END AS shard_min
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT sum(shard_min) AS t FROM mins),
+rep AS (
+  SELECT value, sum(cnt) AS doc_count, sum(shard_min) AS seen
+  FROM kept JOIN mins USING (sh) GROUP BY 1
+),
+ts AS (
+  SELECT 'terms_sharded' AS kind, value AS key,
+         doc_count::BIGINT AS c1, (tot.t - seen)::BIGINT AS c2
+  FROM rep CROSS JOIN tot
+  QUALIFY row_number() OVER (ORDER BY doc_count DESC, value)
+          <= {TSHARD_SIZE}
+),
+ips AS (
+  SELECT (string_split(ip, '.')[1]::BIGINT * 16777216
+        + string_split(ip, '.')[2]::BIGINT * 65536
+        + string_split(ip, '.')[3]::BIGINT * 256
+        + string_split(ip, '.')[4]::BIGINT) AS ipn
+  FROM (
+    SELECT concat('10.0.', cast(user_id % 2 AS VARCHAR), '.',
+                  cast((user_id * 13) % 256 AS VARCHAR)) AS ip
+    FROM events
+  )
+),
+capped AS (
+  SELECT lang, doc_id FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(md5(concat('42', ':',
+      cast(doc_id AS VARCHAR))), 1, 15))::BIGINT, doc_id
+  ) <= {CAP_PER_LANG}
+),
+cap AS (
+  SELECT 'cap_per_key' AS kind, lang AS key, count(*)::BIGINT AS c1,
+         bit_xor(doc_id)::BIGINT AS c2
+  FROM capped GROUP BY 2
+)
+SELECT * FROM ts
+UNION ALL {' UNION ALL '.join(_ipr_parts)}
+UNION ALL SELECT * FROM cap
+"""
+
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        render_search_template as _render_tpl,
+    )
+
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        compile_dsl as _compile_dsl_tpl,
+    )
+
+    _tpl_specs = []
+    for _qid, _params in STEMPLATE_PARAMS:
+        _cq = _compile_dsl_tpl(_render_tpl(STEMPLATE, _params))
+        _tpl_specs.append((_qid, _cq.parsed, _cq.filter_sql))
+    sqls["search_template"] = _clause_oracle_sql(_tpl_specs, QS_MAX_EXP)
 
     from elasticsearch_analysis_combo_spark.query.geo import (
         geohash_sql_expr as _gh_expr,

@@ -129,3 +129,31 @@ def oracle_hash_sql(key_col: str, seed: int) -> str:
         f"('0x' || substr(md5('{int(seed)}' || ':' || "
         f"CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT"
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_per_key: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """C4/RefinedWeb-style per-key document cap: keep at most
+    ``max_per_key`` rows per ``key_col`` value (per-host/per-domain
+    caps — the anti-boilerplate knob of web-scale corpus curation),
+    chosen DETERMINISTICALLY by the portable md5 order of ``id_col``
+    (so the same rows survive on any cluster and the cap is
+    engine-replayable, unlike a first-N-seen race). One window rank
+    per key — the row_number filter triggers WindowGroupLimit rank
+    pushdown, so each map task forwards at most ``max_per_key`` rows
+    per key before the shuffle."""
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key must be >= 1: {max_per_key}")
+    w = Window.partitionBy(key_col).orderBy(
+        _u60(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= max_per_key)
+        .drop("_cap_rk")
+    )

@@ -701,3 +701,46 @@ def dsl_topk(
             org.select("query_id", "rank", "doc_id", "score")
         ).filter(F.col("rank") <= k)
     return res
+
+
+def render_search_template(template, params: dict) -> dict:
+    """ES ``search_template`` (the mustache subset real requests use):
+    substitute ``{{var}}`` through a JSON query template. A string
+    value that IS exactly one ``{{var}}`` takes the parameter's JSON
+    value (number, list, dict — ES's non-string substitution); ``{{var}}``
+    inside a longer string splices in ``str(value)``. Missing
+    parameters raise (ES renders empty, which silently corrupts
+    queries — raising is the safe divergence, documented). Sections,
+    partials and ``{{#toJson}}`` are out of scope and raise."""
+    import copy
+
+    token = re.compile(r"\{\{([#/^>&!]?)\s*([\w.]+)\s*\}\}")
+
+    def sub(node):
+        if isinstance(node, dict):
+            return {sub(k): sub(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [sub(v) for v in node]
+        if not isinstance(node, str):
+            return node
+        m = token.fullmatch(node)
+        if m:
+            _check(m)
+            return copy.deepcopy(params[m.group(2)])
+
+        def repl(mm):
+            _check(mm)
+            return str(params[mm.group(2)])
+
+        return token.sub(repl, node)
+
+    def _check(m):
+        if m.group(1):
+            raise ValueError(
+                f"unsupported mustache construct: {m.group(0)!r} "
+                "(sections/partials/toJson are out of scope)"
+            )
+        if m.group(2) not in params:
+            raise ValueError(f"missing template parameter: {m.group(2)!r}")
+
+    return sub(template)

@@ -943,6 +943,125 @@ def random_sampler_agg(
     )
 
 
+def terms_agg_sharded(
+    df: DataFrame,
+    col: str,
+    size: int = 10,
+    shard_size: int | None = None,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """ES ``terms`` aggregation the way a SHARDED cluster computes it,
+    including ES's ``doc_count_error_upper_bound``: rows route to
+    ``n_shards`` deterministic shards (portable md5 of ``key_col`` —
+    the stand-in for ES's routing hash), each shard contributes only
+    its local top ``shard_size`` values (default ``size*1.5+10``, ES's
+    default), and the coordinator sums the reported counts. A value's
+    error bound is the sum, over shards that did NOT report it, of that
+    shard's smallest reported count (a shard that returned fewer than
+    shard_size values returned everything, so it contributes 0) —
+    exactly ES's accounting.
+
+    This is the 100 TB terms-agg shape: the exact agg shuffles every
+    distinct (value) group; the sharded form shuffles at most
+    ``n_shards * shard_size`` rows past the per-shard partial top-k
+    (WindowGroupLimit), and the error bound keeps the approximation
+    honest. Deterministic routing makes the result engine-replayable.
+
+    Returns (value, doc_count, doc_count_error_upper_bound) — top
+    ``size`` by (doc_count desc, value)."""
+    if shard_size is None:
+        shard_size = int(size * 1.5) + 10
+    from elasticsearch_analysis_combo_spark.operators.sampling import _u60
+
+    shard = F.pmod(_u60(key_col, seed), F.lit(n_shards))
+    per = (
+        df.withColumn("_sh", shard)
+        .groupBy("_sh", F.col(col).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("_sh").orderBy(F.desc("cnt"), F.asc("value"))
+    kept = per.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= shard_size
+    )
+    # a shard's worst-case missed count: its smallest REPORTED count,
+    # but only when the shard was truncated (returned exactly
+    # shard_size values)
+    mins = kept.groupBy("_sh").agg(
+        F.when(F.count("*") == shard_size, F.min("cnt"))
+        .otherwise(F.lit(0)).alias("shard_min")
+    )
+    total_min = mins.agg(F.sum("shard_min").alias("_tot"))
+    reported = kept.join(mins, "_sh").groupBy("value").agg(
+        F.sum("cnt").alias("doc_count"),
+        F.sum("shard_min").alias("_seen_min"),
+    )
+    w_top = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("doc_count"), F.asc("value")
+    )
+    return (
+        reported.crossJoin(F.broadcast(total_min))
+        .withColumn(
+            "doc_count_error_upper_bound",
+            F.col("_tot") - F.col("_seen_min"),
+        )
+        .withColumn("_r", F.row_number().over(w_top))
+        .filter(F.col("_r") <= size)
+        .select("value", "doc_count", "doc_count_error_upper_bound")
+    )
+
+
+def ip_to_long(col) -> "F.Column":
+    """Dotted-quad IPv4 string -> uint32-as-long, pure codegen (split +
+    arithmetic; no UDF)."""
+    part = lambda i: F.split(col, r"\.")[i].cast("long")  # noqa: E731
+    return (
+        part(0) * 16777216 + part(1) * 65536 + part(2) * 256 + part(3)
+    )
+
+
+def ip_range_agg(
+    df: DataFrame,
+    ip_col: str,
+    ranges: list[tuple[str | None, str | None]],
+) -> DataFrame:
+    """ES ``ip_range`` aggregation: explicit [from, to) IPv4 buckets
+    (open ends allowed, overlap allowed, empty buckets kept with count
+    0 — the date_range contract on the IP axis). Addresses compare as
+    uint32 integers via :func:`ip_to_long`; the bucket dimension is a
+    broadcast literal array and the whole agg is ONE partial-aggregated
+    groupBy."""
+    import ipaddress
+
+    def lit_ip(s):
+        return int(ipaddress.IPv4Address(s))
+
+    ip = ip_to_long(F.col(ip_col))
+    aggs, keys = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        keys.append(f"{lo or '*'}-{hi or '*'}")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ip >= lit_ip(lo))
+        if hi is not None:
+            cond = cond & (ip < lit_ip(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}")
+        )
+    # ONE conditional-aggregation pass (map-side partials -> 1 row);
+    # the row then unfolds to one output row per bucket, zeros kept
+    row = df.agg(*aggs)
+    out = row.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("bucket_idx"), F.lit(k).alias("key"),
+            F.col(f"_b{i}").alias("doc_count"),
+        )
+        for i, k in enumerate(keys)
+    ])).alias("b"))
+    return out.select("b.bucket_idx", "b.key", "b.doc_count")
+
+
 def with_runtime_field(df: DataFrame, name: str, sql_expr: str) -> DataFrame:
     """ES runtime mappings (runtime fields): a query-time derived field
     defined by an expression, immediately usable by every agg/filter in
