@@ -870,14 +870,29 @@ def make_english_tokenizer(
     protected: frozenset[str] | set[str] = frozenset(),
     overrides: dict[str, str] | None = None,
     name: str | None = None,
+    stemmer: str = "porter",
 ) -> TokenizerFn:
     """The english analyzer with ES ``keyword_marker`` (``protected``
     terms bypass stemming) and ``stemmer_override`` (``overrides`` map
-    wins over Porter, and — as in Lucene — marks the term as keyword so
-    no further stemming applies). Both operate on the lowercased,
-    possessive-stripped form, before stop removal, matching ES's usual
-    filter chain order."""
+    wins over the stemmer, and — as in Lucene — marks the term as
+    keyword so no further stemming applies). Both operate on the
+    lowercased, possessive-stripped form, before stop removal, matching
+    ES's usual filter chain order. ``stemmer`` picks ES's two English
+    algorithmic stemmers: ``porter`` (Lucene PorterStemFilter — this
+    repo's default since r1, kept for index-fingerprint stability) or
+    ``english`` (Porter2/Snowball — what ES's default english analyzer
+    actually runs; see analysis/porter2.py)."""
     ov = dict(overrides or {})
+    if stemmer == "porter":
+        stem_fn = porter_stem
+    elif stemmer in ("english", "porter2", "snowball"):
+        from elasticsearch_analysis_combo_spark.analysis.porter2 import (
+            porter2_stem,
+        )
+
+        stem_fn = porter2_stem
+    else:
+        raise ValueError(f"unknown stemmer: {stemmer!r}")
 
     def english_custom_tok(text: str) -> list[Token]:
         out = []
@@ -890,7 +905,7 @@ def make_english_tokenizer(
             if term in ov:
                 term = ov[term]
             elif term not in protected:
-                term = porter_stem(term)
+                term = stem_fn(term)
             if term:
                 out.append(
                     Token(term, m.start(), m.end(), i + 1, _token_type(term))
@@ -900,7 +915,8 @@ def make_english_tokenizer(
     if name:
         _stamp_factory(
             english_custom_tok, name,
-            f"english_custom|{sorted(protected)}|{sorted(ov.items())}",
+            f"english_custom|{sorted(protected)}|{sorted(ov.items())}"
+            f"|{stemmer}",
         )
     return english_custom_tok
 
@@ -1386,6 +1402,10 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "pattern_capture": make_pattern_capture_tokenizer(
         "keyword", [r"([a-z]+)", r"([0-9]+)"]
     ),
+    # ES's default english analyzer stems with Porter2 ("english"
+    # stemmer); registered separately so existing "english" (porter)
+    # index fingerprints stay stable
+    "english_snowball": make_english_tokenizer(stemmer="english"),
 }
 
 
