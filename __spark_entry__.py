@@ -7353,13 +7353,15 @@ cells AS (
   FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nn
 ),
 sgn AS (
-  SELECT *, CASE WHEN a/(a+c) >= b/(b+d) THEN 1.0 ELSE -1.0 END AS sign
+  SELECT *, CASE WHEN a*(b+d) >= b*(a+c) THEN 1.0 ELSE -1.0 END AS sign
   FROM cells
 ),
 scores AS (
   SELECT 'chi_square' AS kind, term, a, bgdf,
-         sign * n * pow(a*d - b*c, 2)
-              / ((a+b) * (c+d) * (a+c) * (b+d)) AS score
+         CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+              THEN sign * n * pow(a*d - b*c, 2)
+                   / ((a+b) * (c+d) * (a+c) * (b+d))
+              ELSE 0.0 END AS score
   FROM sgn
   UNION ALL
   SELECT 'mutual_information', term, a, bgdf,
@@ -7371,8 +7373,11 @@ scores AS (
   FROM sgn
   UNION ALL
   SELECT 'gnd', term, a, bgdf,
-         exp(-((greatest(ln(n_fg), ln(bgdf)) - ln(a))
-               / (ln(n) - least(ln(n_fg), ln(bgdf)))))
+         CASE WHEN ln(n) - least(ln(n_fg), ln(bgdf)) > 0
+              THEN exp(-((greatest(ln(n_fg), ln(bgdf)) - ln(a))
+                         / (ln(n) - least(ln(n_fg), ln(bgdf)))))
+              WHEN greatest(ln(n_fg), ln(bgdf)) = ln(a) THEN 1.0
+              ELSE 0.0 END
   FROM sgn
 )
 SELECT kind, 0::BIGINT AS query_id,

@@ -962,6 +962,166 @@ class ComboSearchEngine:
         ids = [doc_id] if isinstance(doc_id, int) else list(doc_id)
         return termvectors(self.spark, self.idx.term_stats(), ids)
 
+    def count(
+        self,
+        query: str | None = None,
+        doc_meta: DataFrame | None = None,
+        filter_dsl: dict | None = None,
+    ) -> int:
+        """ES ``_count``: how many docs match, no ranking — a distinct
+        doc_id count over the term-matched stats rows (OR semantics,
+        like the default match query), optionally intersected with a
+        compiled ``bool.filter`` predicate pushed into the metadata
+        scan. ``query=None`` counts the filtered universe (match_all).
+        No top-k machinery runs, so this stays two scans at any corpus
+        size."""
+        from pyspark.sql import functions as F
+
+        from elasticsearch_analysis_combo_spark.query.bm25 import (
+            analyze_queries,
+        )
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            compile_filter,
+        )
+
+        idx = self.idx
+        base = None
+        if query is not None:
+            terms = sorted(
+                {t for _, t in analyze_queries(
+                    [(0, query)], self._query_config()
+                )}
+            )
+            base = (
+                idx.term_stats()
+                .filter(F.col("term").isin(terms))
+                .select("doc_id")
+                .distinct()
+            )
+        if filter_dsl is not None:
+            if doc_meta is None:
+                raise ValueError("filter_dsl requires doc_meta")
+            survivors = doc_meta.filter(
+                F.expr(compile_filter(filter_dsl))
+            ).select("doc_id")
+            base = (
+                survivors if base is None
+                else base.join(survivors, "doc_id", "left_semi")
+            )
+        if base is None:
+            return idx.meta.n_docs
+        return base.count()
+
+    def field_caps(self, doc_meta: DataFrame | None = None) -> dict:
+        """ES ``_field_caps``: per-field type/searchable/aggregatable.
+        The indexed text field reports as ``text`` (searchable, not
+        aggregatable — ES fielddata semantics); ``doc_meta`` columns
+        report as keyword/long/double/etc. mapped from the Spark
+        schema (searchable via filter context, aggregatable)."""
+        caps = {
+            "content": {
+                "type": "text", "searchable": True, "aggregatable": False,
+            }
+        }
+        if doc_meta is not None:
+            type_map = {
+                "string": "keyword", "long": "long", "int": "integer",
+                "double": "double", "float": "float",
+                "boolean": "boolean", "timestamp": "date",
+                "timestamp_ntz": "date", "date": "date",
+            }
+            for f_ in doc_meta.schema.fields:
+                caps[f_.name] = {
+                    "type": type_map.get(
+                        f_.dataType.typeName(), f_.dataType.typeName()
+                    ),
+                    "searchable": True,
+                    "aggregatable": True,
+                }
+        return caps
+
+    # ---- index aliases (ES filtered aliases) ----
+
+    def _aliases_path(self) -> str:
+        import os
+
+        return os.path.join(self.index_dir, "aliases.json")
+
+    def add_alias(self, name: str, filter_dsl: dict | None = None) -> None:
+        """ES ``_aliases`` add action: register ``name`` for this index,
+        optionally with a FILTERED alias (a ``bool.filter``-compilable
+        DSL node applied to every search through the alias — the ES
+        multi-tenancy idiom). Persisted atomically next to the index
+        (aliases are index metadata, not session state); the filter is
+        compile-checked NOW so a bad alias fails at registration, not
+        at query time."""
+        import json as _json
+        import os
+
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            compile_filter,
+        )
+
+        if filter_dsl is not None:
+            compile_filter(filter_dsl)  # validate eagerly
+        path = self._aliases_path()
+        aliases = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                aliases = _json.load(fh)
+        aliases[name] = {"filter": filter_dsl}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(aliases, fh, indent=1)
+        os.replace(tmp, path)
+
+    def aliases(self) -> dict:
+        import json as _json
+        import os
+
+        path = self._aliases_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return _json.load(fh)
+
+    def remove_alias(self, name: str) -> None:
+        import json as _json
+        import os
+
+        aliases = self.aliases()
+        aliases.pop(name, None)
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(aliases, fh, indent=1)
+        os.replace(tmp, self._aliases_path())
+
+    def search_alias(
+        self,
+        alias: str,
+        query: str,
+        doc_meta: DataFrame | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Search THROUGH an alias: a filtered alias injects its stored
+        predicate as filter context (pre-rank semi-join, pushed into
+        the metadata scan); an unfiltered alias is a plain search."""
+        aliases = self.aliases()
+        if alias not in aliases:
+            raise KeyError(
+                f"unknown alias {alias!r}; registered: {sorted(aliases)}"
+            )
+        filt = aliases[alias].get("filter")
+        if filt is None:
+            return self.search(query, k=k)
+        if doc_meta is None:
+            raise ValueError("filtered alias requires doc_meta")
+        return self.search_dsl(
+            {"bool": {"must": [{"match": {"content": query}}],
+                      "filter": [filt]}},
+            doc_meta=doc_meta, k=k,
+        )
+
     def stats(self) -> dict:
         """ES ``_stats``-style index statistics: doc count, avgdl,
         vocabulary size, posting rows/blocks/bytes, recorded config."""

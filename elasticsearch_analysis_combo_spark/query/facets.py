@@ -203,14 +203,18 @@ def significant_terms(
         b = (F.col("bg_df") - F.col("fg_df")).cast("double")
         c = (F.col("n_fg") - F.col("fg_df")).cast("double")
         d = N - F.col("n_fg") - b
+        # rate comparison by cross-multiplication: division-free, so a
+        # match set covering the whole corpus (b+d = 0) stays defined
+        # under ANSI mode (found by the 200k-doc validation run)
         sign = F.when(
-            a / (a + c) >= b / (b + d), F.lit(1.0)
+            a * (b + d) >= b * (a + c), F.lit(1.0)
         ).otherwise(F.lit(-1.0))
         if heuristic == "chi_square":
-            score = sign * (
-                N * F.pow(a * d - b * c, 2.0)
-                / ((a + b) * (c + d) * (a + c) * (b + d))
-            )
+            denom = (a + b) * (c + d) * (a + c) * (b + d)
+            score = F.when(
+                denom > 0,
+                sign * N * F.pow(a * d - b * c, 2.0) / denom,
+            ).otherwise(F.lit(0.0))
         elif heuristic == "mutual_information":
             def _cell(n_xy, p_x, p_y):
                 p = n_xy / N
@@ -228,8 +232,16 @@ def significant_terms(
             fx = F.log(F.col("n_fg").cast("double"))
             fy = F.log(F.col("bg_df").cast("double"))
             fxy = F.log(a)
-            ngd = (F.greatest(fx, fy) - fxy) / (F.log(N) - F.least(fx, fy))
-            score = F.exp(-ngd)
+            denom = F.log(N) - F.least(fx, fy)
+            # degenerate: term and match set both cover the corpus ->
+            # distance 0 (identical) if co-occurrence is total, else
+            # maximal distance (score 0)
+            score = F.when(
+                denom > 0,
+                F.exp(-((F.greatest(fx, fy) - fxy) / denom)),
+            ).when(F.greatest(fx, fy) == fxy, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
     scored = scored.withColumn("score", score)
     # rank on the 6-rounded score (term tiebreak): near-tied floats must
     # not flip rank order across engines (same policy as _rerank_rounded)

@@ -147,3 +147,57 @@ def test_engine_round4_surfaces(spark, tmp_path):
 
     hl = eng.highlight("the if", corpus, k=3).collect()
     assert all("<em>" in r["fragment"] for r in hl)
+
+
+def test_count_field_caps_and_aliases(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    corpus = ingest(generate_corpus(spark, 80))
+    cfg = ComboConfig(["whitespace"], deduplication=True)
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idx2"), salt_shards=2)
+    eng.index(corpus)
+    meta = corpus.select(
+        "doc_id", F.length("content").alias("n_chars"),
+        F.pmod("doc_id", F.lit(2)).alias("tenant"),
+    )
+
+    # _count: match_all == n_docs; OR-match counts distinct docs; the
+    # filter intersects
+    assert eng.count() == 80
+    n_q = eng.count("the class")
+    assert 0 < n_q <= 80
+    n_f = eng.count("the class", doc_meta=meta,
+                    filter_dsl={"term": {"tenant": 0}})
+    assert 0 < n_f <= n_q
+    assert eng.count(None, meta, {"term": {"tenant": 0}}) == meta.filter(
+        "tenant = 0").count()
+    with pytest.raises(ValueError):
+        eng.count("x", filter_dsl={"term": {"tenant": 0}})
+
+    # field_caps maps Spark types to ES-ish capabilities
+    caps = eng.field_caps(meta)
+    assert caps["content"]["type"] == "text"
+    assert caps["content"]["aggregatable"] is False
+    assert caps["tenant"]["type"] == "long"
+    assert caps["n_chars"]["aggregatable"] is True
+
+    # aliases: filtered alias injects pre-rank filter context and
+    # persists across facade reopen
+    eng.add_alias("all")
+    eng.add_alias("tenant0", {"term": {"tenant": 0}})
+    with pytest.raises(ValueError):
+        eng.add_alias("bad", {"nope": {}})
+    eng2 = ComboSearchEngine(spark, cfg, str(tmp_path / "idx2"))
+    assert set(eng2.aliases()) == {"all", "tenant0"}
+    # k > n_docs so both sides return their COMPLETE match sets (at a
+    # small k the filtered alias legitimately surfaces docs outside the
+    # unfiltered top-k — that's what pre-rank filtering is for)
+    full = eng2.search_alias("all", "the class", k=200).collect()
+    t0 = eng2.search_alias("tenant0", "the class", doc_meta=meta,
+                           k=200).collect()
+    assert {r["doc_id"] for r in t0} <= {r["doc_id"] for r in full}
+    assert all(r["doc_id"] % 2 == 0 for r in t0)
+    with pytest.raises(KeyError):
+        eng2.search_alias("missing", "x")
+    eng2.remove_alias("tenant0")
+    assert set(eng2.aliases()) == {"all"}
