@@ -5701,6 +5701,45 @@ STEMPLATE_PARAMS = [
 ]
 
 
+RANKEVAL_QUERIES = [(0, "spark query"), (1, "customer value")]
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval: precision@k / recall@k / MRR / DCG / NDCG of the
+    BM25 ranking against deterministic synthesized ratings (docs with
+    pmod(doc_id,7) < 3 rated pmod(doc_id,3)) — the relevance
+    regression-test workflow the reference's combo analyzers feed."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
+    from elasticsearch_analysis_combo_spark.query.rankeval import rank_eval
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    scored = bm25_scored(
+        spark, stats, term_df, RANKEVAL_QUERIES, _ws_config(),
+        n_docs, avgdl,
+    )
+    hits = _rerank_rounded(scored.withColumn("rank", F.lit(0)))
+    d = _docs(spark, sf_dir)
+    qids = spark.createDataFrame(
+        [(q,) for q, _ in RANKEVAL_QUERIES], "query_id int"
+    )
+    ratings = (
+        d.filter(F.pmod("doc_id", F.lit(7)) < 3)
+        .select("doc_id", F.pmod("doc_id", F.lit(3)).alias("rating"))
+        .crossJoin(F.broadcast(qids))
+    )
+    out = rank_eval(hits, ratings, k=TOPK)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
 def q_curation_aggs(spark, sf_dir):
     """Round-4l curation/agg additions merged kind-tagged: sharded
     terms agg with ES doc_count_error_upper_bound accounting (shard =
@@ -5794,6 +5833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_index_search": q_multi_index_search,
         # sharded terms agg w/ error bounds + ip_range + cap_per_key
         "curation_aggs": q_curation_aggs,
+        # ES _rank_eval relevance metrics over the BM25 ranking
+        "rank_eval": q_rank_eval,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -5839,7 +5880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remain as individual gates past the window)
         "span_family": q_span_family,
         "compound_queries": q_compound_queries,
-        "samples": q_samples,
         # --- round-4 new/changed surfaces (driver must oracle these) ---
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
@@ -5867,6 +5907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface gets a driver oracle row
         "pipeline_aggs": q_pipeline_aggs,
         "geotile_grid": q_geotile_grid,
+        # sampling ops stay in-window via sampler_aggs/curation_aggs;
+        # this merged family keeps its members as tail gates below
+        "samples": q_samples,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7429,6 +7472,87 @@ rnd AS (
   GROUP BY 2
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    # _rank_eval: the full BM25 ranking replay + the ES metric formulas
+    sqls["rank_eval"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tfx AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tfx GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'spark'), (0, 'query'), (1, 'customer'), (1, 'value')),
+scored AS (
+  SELECT q.query_id, tfx.doc_id,
+         sum(ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+             * tfx.tf * ({K1} + 1.0)
+             / (tfx.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)))
+           AS score
+  FROM tfx JOIN q ON tfx.term = q.term
+  JOIN dfx ON dfx.term = tfx.term
+  JOIN dl ON dl.doc_id = tfx.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS rnk
+  FROM scored
+  QUALIFY rnk <= {TOPK}
+),
+ratings AS (
+  SELECT q2.query_id, d.doc_id, (d.doc_id % 3)::DOUBLE AS rating
+  FROM documents d CROSS JOIN (SELECT DISTINCT query_id FROM q) q2
+  WHERE d.doc_id % 7 < 3
+),
+joined AS (
+  SELECT h.query_id, h.rnk, coalesce(r.rating, 0.0) AS rating
+  FROM hits h LEFT JOIN ratings r
+    ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+),
+per_q AS (
+  SELECT query_id, count(*) AS retrieved,
+         sum(CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END) AS rel_ret,
+         min(CASE WHEN rating >= 1 THEN rnk END) AS first_rel,
+         sum((pow(2.0, rating) - 1.0) / log2(rnk + 1.0)) AS dcg
+  FROM joined GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, rating) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, rating,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rating DESC, doc_id
+           ) AS irank
+    FROM ratings
+  ) WHERE irank <= {TOPK}
+  GROUP BY 1
+),
+totals AS (
+  SELECT query_id,
+         sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS total_rel
+  FROM ratings GROUP BY 1
+)
+SELECT t.query_id::BIGINT AS query_id,
+       round(coalesce(p.rel_ret, 0.0)
+             / greatest(coalesce(p.retrieved, 0), 1), 6)
+         AS precision_at_k,
+       round(CASE WHEN t.total_rel > 0
+                  THEN coalesce(p.rel_ret, 0.0) / t.total_rel
+                  ELSE 0.0 END, 6) AS recall_at_k,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+       round(coalesce(p.dcg, 0.0), 6) AS dcg,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                  THEN coalesce(p.dcg, 0.0) / i.idcg
+                  ELSE 0.0 END, 6) AS ndcg
+FROM totals t
+LEFT JOIN per_q p ON t.query_id = p.query_id
+LEFT JOIN ideal i ON t.query_id = i.query_id
 """
 
     # sharded terms agg (ES error-bound accounting) + ip_range +
