@@ -5702,6 +5702,53 @@ STEMPLATE_PARAMS = [
 
 
 RANKEVAL_QUERIES = [(0, "spark query"), (1, "customer value")]
+CHUNK_SIZE, CHUNK_OVERLAP = 16, 4
+
+
+def q_passages_changepoint(spark, sf_dir):
+    """Round-4m ops merged kind-tagged: chunk_passages (overlapping
+    token-window passage chunking — the RAG/embedding pipeline step;
+    map-only array algebra) and change_point_agg (CUSUM level-shift
+    detection per event_type over daily event counts; the cusum rows
+    carry the max-|S| statistic, the change_point rows the boundary key
+    and mean shift)."""
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        chunk_passages,
+    )
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        change_point_agg,
+    )
+
+    d = _docs(spark, sf_dir)
+    ch = chunk_passages(
+        d, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    ).select(
+        F.lit("passage").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("chunk_id").alias("a"), F.col("start_tok").alias("b"),
+        F.col("n_tokens").cast("double").alias("v"),
+        F.col("text").alias("s"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt")
+    ).withColumn("k", F.datediff("day", F.lit("2020-01-01")).cast("long"))
+    cp = change_point_agg(daily, "k", "cnt", group_col="event_type")
+    cp_rows = cp.select(
+        F.lit("change_point").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("change_point").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.round("shift", 6).alias("v"), F.lit("").alias("s"),
+    ).unionByName(cp.select(
+        F.lit("cusum").alias("kind"), F.col("event_type").alias("key"),
+        F.col("change_point").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.round("cusum_score", 6).alias("v"), F.lit("").alias("s"),
+    ))
+    return ch.unionByName(cp_rows)
 
 
 def q_rank_eval(spark, sf_dir):
@@ -5835,6 +5882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_aggs": q_curation_aggs,
         # ES _rank_eval relevance metrics over the BM25 ranking
         "rank_eval": q_rank_eval,
+        # passage chunking + CUSUM change_point
+        "passages_changepoint": q_passages_changepoint,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -5872,7 +5921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
         "span_within_containing": q_span_within_containing,
-        "stats_bucket": q_stats_bucket,
         "string_stats_mad": q_string_stats_mad,
         "repetition_stats": q_repetition_stats,
         "semantic_dedup": q_semantic_dedup,
@@ -5910,6 +5958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling ops stay in-window via sampler_aggs/curation_aggs;
         # this merged family keeps its members as tail gates below
         "samples": q_samples,
+        # sibling-agg shape stays in-window via pipeline_aggs2/
+        # percentiles_bucket; r4e-stable, replica-covered
+        "stats_bucket": q_stats_bucket,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7472,6 +7523,79 @@ rnd AS (
   GROUP BY 2
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    # passage chunking (constructive list replay; DuckDB list_slice has
+    # an INCLUSIVE end, Spark slice takes a length) + CUSUM change
+    # point (the window accumulations mirror the Spark expressions
+    # term for term so argmax ties cannot diverge)
+    _stride = CHUNK_SIZE - CHUNK_OVERLAP
+    sqls["passages_changepoint"] = f"""
+WITH toksc AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE length(text) > 0
+),
+ch AS (
+  SELECT 'passage' AS kind, cast(doc_id AS VARCHAR) AS key,
+         u.i AS a, u.st AS b, u.nt::DOUBLE AS v, u.tx AS s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CASE WHEN len(t) <= {CHUNK_SIZE} THEN 1
+                    ELSE cast(ceil((len(t) - {CHUNK_SIZE})
+                              / {_stride}.0) AS INT) + 1 END),
+             i -> struct_pack(
+               i := i, st := i * {_stride},
+               nt := least(len(t) - i * {_stride}, {CHUNK_SIZE}),
+               tx := array_to_string(list_slice(
+                 t, i * {_stride} + 1,
+                 i * {_stride} + {CHUNK_SIZE}), ' ')))) AS u
+    FROM toksc
+  )
+),
+daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type,
+         date_diff('day', DATE '2020-01-01', day)::BIGINT AS k, x
+  FROM daily
+),
+cus AS (
+  SELECT event_type, k, x,
+         avg(x) OVER (PARTITION BY event_type) AS m,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY k) AS i,
+         sum(x) OVER (PARTITION BY event_type ORDER BY k) AS cum
+  FROM keyed
+),
+cus2 AS (
+  SELECT *, sum(x - m) OVER (PARTITION BY event_type ORDER BY k) AS s
+  FROM cus
+),
+best AS (
+  SELECT * FROM cus2 WHERE i < n
+  QUALIFY row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(s) DESC, i
+  ) = 1
+),
+tot AS (
+  SELECT event_type, sum(x) AS totv, count(*) AS cnt
+  FROM keyed GROUP BY 1
+),
+cp AS (
+  SELECT b.event_type, b.k AS a, abs(b.s) AS score,
+         (t.totv - b.cum) / (t.cnt - b.i) - b.cum / b.i AS shift
+  FROM best b JOIN tot t USING (event_type)
+)
+SELECT * FROM ch
+UNION ALL
+SELECT 'change_point', event_type, a, 0::BIGINT, round(shift, 6), ''
+FROM cp
+UNION ALL
+SELECT 'cusum', event_type, a, 0::BIGINT, round(score, 6), ''
+FROM cp
 """
 
     # _rank_eval: the full BM25 ranking replay + the ES metric formulas

@@ -196,3 +196,55 @@ def scrub_pii(
     for _, pat, repl in patterns or PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(text_col, col)
+
+
+def chunk_passages(
+    df: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window passages — the
+    retrieval/embedding chunking step of a RAG or training-data
+    pipeline (ES 8's semantic_text chunking strategy: fixed ``size``
+    windows advancing by ``size - overlap``). Returns (id, chunk_id,
+    start_tok, n_tokens, text); the final window is the remainder (no
+    padding), a doc shorter than ``size`` yields one chunk, empty text
+    yields none. Map-only array algebra (split + sequence + slice per
+    row), so chunking 100 TB is scan-bound with zero shuffle; chunk_id
+    is deterministic (start offset order) on any cluster."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size: {overlap}, {size}")
+    stride = size - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n AND the
+    # previous chunk did not already cover the tail
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start_tok"),
+            F.least(n - i * stride, F.lit(size)).alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, size), " "
+            ).alias("text"),
+        ),
+    )
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start_tok").cast("long").alias("start_tok"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.text").alias("text"),
+        )
+    )

@@ -125,6 +125,123 @@ def collapse_topk(
     )
 
 
+def collapse_inner_hits_topk(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    doc_meta: DataFrame,
+    collapse_field: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    inner_size: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``collapse`` WITH ``inner_hits``: the top-k groups (ranked by
+    their best hit, exactly :func:`collapse_topk`) each carry their own
+    top ``inner_size`` members — the "best N results per domain" shape.
+    Inner hits come back EXPLODED as rows (query_id, outer_rank,
+    collapse_value, inner_rank, doc_id, score): outer_rank 1..k orders
+    groups, inner_rank 1..inner_size orders docs within the group, and
+    the (outer_rank, inner_rank=1) rows ARE the plain collapse result.
+    Both window cuts trigger WindowGroupLimit rank pushdown, so tasks
+    forward at most inner_size rows per group before the final rank."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import bm25_scored
+
+    scored = bm25_scored(
+        spark, term_stats, term_df, queries, config, n_docs, avgdl,
+        k1=k1, b=b,
+    ).join(doc_meta.select("doc_id", collapse_field), "doc_id", "left")
+    wg = Window.partitionBy("query_id", collapse_field).orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    inner = scored.withColumn("_in", F.row_number().over(wg)).filter(
+        F.col("_in") <= inner_size
+    )
+    # group rank = rank of each group's WINNER among winners
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    winners = (
+        inner.filter(F.col("_in") == 1)
+        .withColumn("outer_rank", F.row_number().over(w))
+        .filter(F.col("outer_rank") <= k)
+        .select("query_id", collapse_field, "outer_rank")
+    )
+    return (
+        inner.join(winners, ["query_id", collapse_field])
+        .select(
+            "query_id", "outer_rank",
+            F.col(collapse_field).alias("collapse_value"),
+            F.col("_in").alias("inner_rank"), "doc_id", "score",
+        )
+    )
+
+
+def change_point_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``change_point`` aggregation, deterministic analogue: locate
+    the single most likely level shift in a (key-ordered) metric series
+    with the classic CUSUM statistic — S_k = cumsum(x_i - mean), change
+    point = argmax |S_k| (the split maximizing the between-segment mean
+    difference weighted by size), magnitude = mean(after) -
+    mean(before). ES's ML implementation tests several change types;
+    this reports the level-shift case with the raw max-|CUSUM| score so
+    callers can threshold. Pure window arithmetic: two passes over each
+    group's series, no driver collection — at scale the series per
+    group is the bucket list of an upstream date_histogram (small), not
+    raw rows."""
+    gcols = [group_col] if group_col else []
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy(
+        F.lit(1)
+    )
+    w_all = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = part.orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = F.col(value_col).cast("double")
+    cum = (
+        df.withColumn("_mean", F.avg(x).over(w_all))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn("_i", F.row_number().over(part.orderBy(key_col)))
+        .withColumn("_s", F.sum(x - F.col("_mean")).over(w_cum))
+        .withColumn("_cum", F.sum(x).over(w_cum))
+    )
+    # argmax |S_k| over k < n (a split needs a non-empty right segment),
+    # ties to the earliest key — deterministic cross-engine
+    w_pick = part.orderBy(F.desc(F.abs(F.col("_s"))), F.asc("_i"))
+    best = (
+        cum.filter(F.col("_i") < F.col("_n"))
+        .withColumn("_r", F.row_number().over(w_pick))
+        .filter(F.col("_r") == 1)
+    )
+    tot = df.groupBy(*gcols).agg(
+        F.sum(x).alias("_tot"), F.count("*").alias("_cnt")
+    )
+    joined = best.join(tot, gcols) if gcols else best.crossJoin(
+        F.broadcast(tot)
+    )
+    out_cols = gcols + [
+        F.col(key_col).alias("change_point"),
+        F.abs(F.col("_s")).alias("cusum_score"),
+        (
+            (F.col("_tot") - F.col("_cum"))
+            / (F.col("_cnt") - F.col("_i"))
+            - F.col("_cum") / F.col("_i")
+        ).alias("shift"),
+    ]
+    return joined.select(*out_cols)
+
+
 def significant_terms(
     spark: SparkSession,
     term_stats: DataFrame,

@@ -163,3 +163,125 @@ class TestCapPerKey:
         assert cap_per_key(df, "host", 10).count() == 2
         with pytest.raises(ValueError):
             cap_per_key(df, "host", 0)
+
+
+class TestChunkPassages:
+    def test_coverage_and_overlap(self, spark):
+        from elasticsearch_analysis_combo_spark.operators.pipeline import (
+            chunk_passages,
+        )
+
+        toks = [f"t{i}" for i in range(11)]
+        df = spark.createDataFrame(
+            [(1, " ".join(toks)), (2, "a b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = chunk_passages(df, size=4, overlap=1)
+        rows = sorted(
+            ((r["doc_id"], r["chunk_id"], r["start_tok"],
+              r["n_tokens"], r["text"]) for r in out.collect())
+        )
+        # doc 1: stride 3 -> starts 0,3,6,9; final is the remainder
+        d1 = [r for r in rows if r[0] == 1]
+        assert [(r[2], r[3]) for r in d1] == [(0, 4), (3, 4), (6, 4), (9, 2)]
+        assert d1[0][4] == "t0 t1 t2 t3"
+        assert d1[1][4] == "t3 t4 t5 t6"  # overlap of 1 token
+        assert d1[3][4] == "t9 t10"
+        # short doc -> one chunk; empty doc -> none
+        assert [(r[2], r[3]) for r in rows if r[0] == 2] == [(0, 3)]
+        assert not [r for r in rows if r[0] == 3]
+        # every token appears in some chunk (coverage)
+        covered = set()
+        for _, _, s, n, _ in d1:
+            covered.update(range(s, s + n))
+        assert covered == set(range(11))
+
+    def test_validation(self, spark):
+        from elasticsearch_analysis_combo_spark.operators.pipeline import (
+            chunk_passages,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            chunk_passages(df, size=4, overlap=4)
+
+
+class TestChangePoint:
+    def test_level_shift(self, spark):
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            change_point_agg,
+        )
+
+        rows = [(k, 1.0) for k in range(1, 5)] + [
+            (k, 5.0) for k in range(5, 8)
+        ]
+        df = spark.createDataFrame(rows, "k int, v double")
+        out = change_point_agg(df, "k", "v").collect()
+        assert len(out) == 1
+        r = out[0]
+        # CUSUM peaks at the last pre-shift key; shift = 5 - 1
+        assert r["change_point"] == 4
+        assert r["shift"] == pytest.approx(4.0)
+        assert r["cusum_score"] > 0
+
+    def test_grouped(self, spark):
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            change_point_agg,
+        )
+
+        rows = [("a", k, 0.0 if k < 6 else 10.0) for k in range(1, 11)]
+        rows += [("b", k, float(k % 2)) for k in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, k int, v double")
+        out = {r["g"]: r for r in change_point_agg(
+            df, "k", "v", group_col="g").collect()}
+        assert out["a"]["change_point"] == 5
+        assert out["a"]["shift"] == pytest.approx(10.0)
+        # the alternating series has no real shift: tiny score vs a's
+        assert out["b"]["cusum_score"] < out["a"]["cusum_score"] / 5
+
+
+class TestCollapseInnerHits:
+    def test_groups_and_inner_ranks(self, spark):
+        from elasticsearch_analysis_combo_spark.analysis.combo import (
+            ComboConfig,
+        )
+        from elasticsearch_analysis_combo_spark.analysis.udfs import (
+            build_term_stats,
+        )
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            collapse_inner_hits_topk,
+            collapse_topk,
+        )
+        from pyspark.sql import functions as F
+
+        cfg = ComboConfig(["whitespace"])
+        rows = [
+            (0, "cold cold cold", "en"), (1, "cold cold", "en"),
+            (2, "cold", "en"), (3, "cold cold cold cold", "de"),
+            (4, "cold", "de"), (5, "warm", "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        stats = build_term_stats(
+            df.select("doc_id", F.col("text").alias("content")), cfg
+        ).cache()
+        tdf = stats.groupBy("term").agg(F.count("*").alias("df"))
+        avgdl = stats.select("doc_id", "dl").distinct().agg(
+            F.avg("dl")).collect()[0][0]
+        meta = df.select("doc_id", "lang")
+        args = (spark, stats, tdf, [(0, "cold")], cfg, meta, "lang",
+                6, float(avgdl))
+        inner = collapse_inner_hits_topk(*args, k=5, inner_size=2).collect()
+        plain = collapse_topk(*args, k=5).collect()
+        # inner_rank==1 rows ARE the plain collapse result
+        lead = {(r["query_id"], r["collapse_value"], r["doc_id"])
+                for r in inner if r["inner_rank"] == 1}
+        assert lead == {(r["query_id"], r["collapse_value"], r["doc_id"])
+                        for r in plain}
+        # at most inner_size per group, ranks consecutive
+        from collections import Counter
+        per_group = Counter(r["collapse_value"] for r in inner)
+        assert all(v <= 2 for v in per_group.values())
+        en = sorted(r["inner_rank"] for r in inner
+                    if r["collapse_value"] == "en")
+        assert en == [1, 2]
