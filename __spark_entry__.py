@@ -5703,6 +5703,54 @@ STEMPLATE_PARAMS = [
 
 RANKEVAL_QUERIES = [(0, "spark query"), (1, "customer value")]
 CHUNK_SIZE, CHUNK_OVERLAP = 16, 4
+RETRIEVER_SRC_VEC, RETRIEVER_LABEL_LT, RETRIEVER_NCHARS = 7, 5, 200
+
+
+def q_retriever_tree(spark, sf_dir):
+    """ES 8.14 retriever tree: rrf of a standard retriever (bool match
+    + metadata filter context) and a knn retriever (pre-filtered exact
+    cosine) — the composable request shape replacing query/knn/rank.
+    Both legs carry their own filters, distinguishing this from the
+    plain knn_rrf_hybrid gate."""
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        retriever_search,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        float(x) for x in emb.filter(
+            F.col("vec_id") == RETRIEVER_SRC_VEC
+        ).select("embedding").collect()[0][0]
+    ]
+    tree = {"rrf": {
+        "rank_constant": 60,
+        "rank_window_size": TOPK,
+        "retrievers": [
+            {"standard": {"query": {"bool": {
+                "must": [{"match": {"content": "spark query"}}],
+                "filter": [{"range": {
+                    "n_chars": {"gte": RETRIEVER_NCHARS}}}],
+            }}}},
+            {"knn": {"field": "embedding", "query_vector": qv,
+                     "k": TOPK,
+                     "filter": {"range": {
+                         "label": {"lt": RETRIEVER_LABEL_LT}}}}},
+        ],
+    }}
+    out = retriever_search(
+        spark, stats, term_df, None, tree, _ws_config(), n_docs, avgdl,
+        emb=emb, doc_meta=meta, k=TOPK,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_passages_changepoint(spark, sf_dir):
@@ -5884,6 +5932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         # passage chunking + CUSUM change_point
         "passages_changepoint": q_passages_changepoint,
+        # ES 8.14 retriever tree (rrf of filtered standard + knn legs)
+        "retriever_tree": q_retriever_tree,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -5921,7 +5971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
         "span_within_containing": q_span_within_containing,
-        "string_stats_mad": q_string_stats_mad,
         "repetition_stats": q_repetition_stats,
         "semantic_dedup": q_semantic_dedup,
         # merged families (window-slot consolidation; members also
@@ -5958,9 +6007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling ops stay in-window via sampler_aggs/curation_aggs;
         # this merged family keeps its members as tail gates below
         "samples": q_samples,
-        # sibling-agg shape stays in-window via pipeline_aggs2/
-        # percentiles_bucket; r4e-stable, replica-covered
+        # sibling/metric-agg shapes stay in-window via pipeline_aggs2/
+        # agg families; r4e-stable, replica-covered
         "stats_bucket": q_stats_bucket,
+        "string_stats_mad": q_string_stats_mad,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7523,6 +7573,66 @@ rnd AS (
   GROUP BY 2
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    # retriever tree: both legs replayed with their filters, fused with
+    # the same rrf sum and rounded-rank policy
+    sqls["retriever_tree"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)))
+           AS score
+  FROM tf JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  WHERE tf.term IN ('spark', 'query')
+  GROUP BY 1
+),
+bm AS (
+  SELECT rank, doc_id FROM (
+    SELECT row_number() OVER (
+             ORDER BY round(s.score, 6) DESC, s.doc_id) AS rank,
+           s.doc_id
+    FROM scored s
+    WHERE s.doc_id IN (SELECT doc_id FROM documents
+                       WHERE n_chars >= {RETRIEVER_NCHARS})
+  ) WHERE rank <= {TOPK}
+),
+kscored AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings s, embeddings e
+  WHERE s.vec_id = {RETRIEVER_SRC_VEC}
+    AND e.label < {RETRIEVER_LABEL_LT}
+),
+kn AS (
+  SELECT rank, vec_id AS doc_id FROM (
+    SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+           vec_id
+    FROM kscored
+  ) WHERE rank <= {TOPK}
+),
+u AS (
+  SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM kn
+),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf FROM u GROUP BY 1
+)
+SELECT 0::BIGINT AS query_id,
+       row_number() OVER (
+         ORDER BY round(rrf, 9) DESC, doc_id)::BIGINT AS rank,
+       doc_id, round(rrf, 6) AS score
+FROM fused
+QUALIFY rank <= {TOPK}
 """
 
     # passage chunking (constructive list replay; DuckDB list_slice has

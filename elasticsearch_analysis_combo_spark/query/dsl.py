@@ -744,3 +744,92 @@ def render_search_template(template, params: dict) -> dict:
             raise ValueError(f"missing template parameter: {m.group(2)!r}")
 
     return sub(template)
+
+
+def retriever_search(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    postings: DataFrame | None,
+    retriever: dict,
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    emb: DataFrame | None = None,
+    doc_meta: DataFrame | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_mode: str = "exact",
+) -> DataFrame:
+    """ES 8.14 ``retriever`` tree: the composable replacement for the
+    query/knn/rank request sections. Supported nodes —
+
+    * ``standard``: ``{"query": <DSL query node>}`` -> :func:`dsl_topk`
+      (full filter-context / clause-evaluator support).
+    * ``knn``: the ES knn section -> :func:`knn_search` (pre-filter
+      semantics), vec ids doubling as doc ids as in the hybrid gate.
+    * ``rrf``: ``{"retrievers": [...], "rank_constant": 60,
+      "rank_window_size": K}`` — children evaluate RECURSIVELY at the
+      window size, then fuse with :func:`rrf_hybrid`; nesting rrf
+      inside rrf works (it's just another ranked leg).
+
+    Every leg ranks on 6-rounded scores (the repo's cross-engine
+    determinism policy), so a retriever tree is replayable leg by leg.
+    Returns (query_id=0, rank, doc_id, score) — score is the leg's own
+    scale (BM25 sum / cosine / rrf sum), as in ES."""
+    def _eval(node: dict, k_eff: int) -> DataFrame:
+        if not isinstance(node, dict) or len(node) != 1:
+            raise ValueError(
+                f"retriever node must have exactly one key: {node!r}"
+            )
+        kind, body = next(iter(node.items()))
+        if kind == "standard":
+            out = dsl_topk(
+                spark, term_stats, term_df, postings,
+                [(0, body["query"])], config, n_docs, avgdl,
+                doc_meta=doc_meta, k=k_eff, k1=k1, b=b,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc(F.round("score", 6)), F.asc("doc_id")
+            )
+            return (
+                out.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k_eff)
+                .select("query_id", "rank", "doc_id", "score")
+            )
+        if kind == "knn":
+            if emb is None:
+                raise ValueError("knn retriever requires emb")
+            res = knn_search(
+                emb, dict(body, k=k_eff), vec_col=vec_col,
+                id_col=vec_id_col, mode=knn_mode,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc(F.round("cosine", 6)), F.asc(vec_id_col)
+            )
+            return (
+                res.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k_eff)
+                .select(
+                    "query_id", "rank",
+                    F.col(vec_id_col).alias("doc_id"),
+                    F.col("cosine").alias("score"),
+                )
+            )
+        if kind == "rrf":
+            window = int(body.get("rank_window_size", k_eff))
+            legs = [_eval(child, window) for child in body["retrievers"]]
+            fused = rrf_hybrid(
+                legs, k=k_eff,
+                rank_constant=int(body.get("rank_constant", 60)),
+            )
+            return fused.select(
+                "query_id", "rank", "doc_id",
+                F.col("rrf_score").alias("score"),
+            )
+        raise ValueError(f"unsupported retriever: {kind}")
+
+    return _eval(retriever, k)

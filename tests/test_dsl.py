@@ -391,3 +391,53 @@ def test_dis_max_takes_max_of_subqueries(spark, fixture):
             "queries": [{"match": {"content": "alpha"}}],
             "tie_breaker": 0.3,
         }})
+
+
+def test_retriever_tree(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        retriever_search,
+    )
+
+    stats, term_df, post, n_docs, avgdl, meta = fixture
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)], i % 2)
+         for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tree = {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"content": "gamma"}}}},
+        {"knn": {"field": "embedding",
+                 "query_vector": [1.0, 0.0, 0.0, 0.0], "k": 5}},
+    ]}}
+    out = retriever_search(
+        spark, stats, term_df, post, tree, CFG, n_docs, avgdl,
+        emb=emb, doc_meta=meta, k=5,
+    ).collect()
+    assert out and [r["rank"] for r in sorted(
+        out, key=lambda r: r["rank"])] == list(range(1, len(out) + 1))
+    # doc 0: knn rank 1 AND a bm25 gamma hit -> fused by two rankers
+    bm = retriever_search(
+        spark, stats, term_df, post,
+        {"standard": {"query": {"match": {"content": "gamma"}}}},
+        CFG, n_docs, avgdl, doc_meta=meta, k=5,
+    ).collect()
+    bm_rank = {r["doc_id"]: r["rank"] for r in bm}
+    if 0 in bm_rank:
+        want0 = 1.0 / 61 + 1.0 / (60 + bm_rank[0])
+        got0 = [r["score"] for r in out if r["doc_id"] == 0][0]
+        assert got0 == pytest.approx(want0)
+    # a knn-only doc scores exactly one reciprocal term
+    knn_only = [r for r in out if r["doc_id"] not in bm_rank]
+    for r in knn_only:
+        assert r["score"] == pytest.approx(1.0 / (60 + 1), abs=0.02)
+    with pytest.raises(ValueError):
+        retriever_search(
+            spark, stats, term_df, post, {"nope": {}}, CFG, n_docs,
+            avgdl, k=5,
+        )
+    with pytest.raises(ValueError):
+        retriever_search(
+            spark, stats, term_df, post,
+            {"knn": {"query_vector": [1.0], "field": "embedding"}},
+            CFG, n_docs, avgdl, k=5,
+        )
