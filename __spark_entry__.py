@@ -2763,6 +2763,39 @@ def _fuzzy_oracle_sql() -> str:
     return _expansion_oracle_sql(cases)
 
 
+FUZZY_OSA = [(0, "tbale"), (1, "vlaue"), (2, "spakr")]
+
+
+def q_bm25_fuzzy_osa(spark, sf_dir):
+    """ES-default fuzzy (transpositions: true — OSA distance): each
+    query is an adjacent-swap typo of a corpus term (tbale/vlaue/spakr),
+    1 OSA edit but 2 plain-Levenshtein edits, so the plain fuzzy path
+    would MISS the intended term. Oracle: DuckDB's independent
+    damerau_levenshtein (provably == OSA at threshold 1)."""
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        bm25_fuzzy_topk,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = bm25_fuzzy_topk(
+        spark, stats, term_df, FUZZY_OSA, n_docs, avgdl, max_edits=1,
+        k=TOPK, k1=K1, b=B, transpositions=True,
+    )
+    return _rerank_rounded(out)
+
+
+def _fuzzy_osa_oracle_sql() -> str:
+    cases = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfx "
+        f"WHERE damerau_levenshtein(term, '{t}') <= 1 "
+        f"AND abs(length(term) - {len(t)}) <= 1"
+        for qid, t in FUZZY_OSA
+    )
+    return _expansion_oracle_sql(cases)
+
+
 def _conjunctive_oracle_sql() -> str:
     from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
 
@@ -5934,6 +5967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passages_changepoint": q_passages_changepoint,
         # ES 8.14 retriever tree (rrf of filtered standard + knn legs)
         "retriever_tree": q_retriever_tree,
+        # ES-default fuzzy transpositions (OSA; DL oracle at k=1)
+        "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -5971,7 +6006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
         "span_within_containing": q_span_within_containing,
-        "repetition_stats": q_repetition_stats,
         "semantic_dedup": q_semantic_dedup,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
@@ -6011,6 +6045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg families; r4e-stable, replica-covered
         "stats_bucket": q_stats_bucket,
         "string_stats_mad": q_string_stats_mad,
+        # text-quality shape stays in-window via quality_classifier/
+        # lm_perplexity; r4e-stable, replica-covered
+        "repetition_stats": q_repetition_stats,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7461,6 +7498,7 @@ GROUP BY 1
     sqls["bm25_prefix"] = _prefix_oracle_sql()
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
+    sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
     sqls["multi_match_best"] = _multi_match_oracle_sql("best_fields", 0.0)
     sqls["multi_match_dismax"] = _multi_match_oracle_sql(
         "best_fields", MM_TIE_BREAKER

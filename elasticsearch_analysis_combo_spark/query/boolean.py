@@ -349,12 +349,25 @@ def bm25_fuzzy_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    transpositions: bool = False,
 ) -> DataFrame:
     """ES fuzzy query: a term expands to every vocabulary term within
-    ``max_edits`` Levenshtein edits (JVM-side levenshtein over the term
+    ``max_edits`` edits (JVM-side levenshtein over the term
     dictionary; production engines use FST automata — the dictionary scan
     is the Spark-native equivalent and is vocabulary-, not posting-,
-    sized). Docs rank by the BM25 sum over the expansion."""
+    sized). Docs rank by the BM25 sum over the expansion.
+
+    ``transpositions`` switches the metric to OSA (optimal string
+    alignment — Lucene's fuzzy ``transpositions: true``, ES's DEFAULT:
+    an adjacent swap costs 1 edit, not 2). OSA <= plain Levenshtein, so
+    the JVM levenshtein at ``2 * max_edits`` stays the in-plan
+    pre-filter (a transposition costs <= 2 plain edits) and the exact
+    OSA test runs as an Arrow-batched kernel over the surviving
+    dictionary slice only. At ``max_edits = 1`` OSA coincides with full
+    Damerau-Levenshtein (no room for compound edits), which is what the
+    gate's independent DuckDB ``damerau_levenshtein`` oracle relies on.
+    Default stays ``False`` (plain Levenshtein) so pre-existing index
+    oracles are unchanged; pass ``True`` for ES-default semantics."""
     if not queries:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
@@ -368,11 +381,65 @@ def bm25_fuzzy_topk(
                 (F.length("term") >= len(term) - max_edits)
                 & (F.length("term") <= len(term) + max_edits)
             )
-            .filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
-            .select(F.lit(qid).alias("query_id"), "term", "df")
         )
+        if transpositions:
+            part = part.filter(
+                F.levenshtein(F.col("term"), F.lit(term))
+                <= 2 * max_edits
+            ).filter(_osa_leq_udf(term, max_edits)(F.col("term")))
+        else:
+            part = part.filter(
+                F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            )
+        part = part.select(F.lit(qid).alias("query_id"), "term", "df")
         expansions = part if expansions is None else expansions.unionByName(part)
     return _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b)
+
+
+def osa_distance_leq(s: str, t: str, k: int) -> bool:
+    """OSA (restricted Damerau-Levenshtein) distance <= k, banded DP
+    with early exit — each string position only examines the 2k+1
+    diagonal band, so the test is O(len * k) per candidate."""
+    n, m = len(s), len(t)
+    if abs(n - m) > k:
+        return False
+    big = k + 1
+    prev2: list[int] = []
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [big] * m
+        lo, hi = max(1, i - k), min(m, i + k)
+        for j in range(lo, hi + 1):
+            cost = 0 if s[i - 1] == t[j - 1] else 1
+            best = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost
+            )
+            if (
+                i > 1 and j > 1
+                and s[i - 1] == t[j - 2] and s[i - 2] == t[j - 1]
+            ):
+                best = min(best, prev2[j - 2] + 1)
+            cur[j] = best
+        if min(cur[max(0, lo - 1):hi + 1]) > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[m] <= k
+
+
+def _osa_leq_udf(target: str, max_edits: int):
+    # `from __future__ import annotations` stringifies hints, so the
+    # pandas_udf type resolver needs `pd` importable from globals
+    import pandas as pd
+
+    globals().setdefault("pd", pd)
+
+    @F.pandas_udf("boolean")
+    def osa(terms: "pd.Series") -> "pd.Series":
+        return terms.map(
+            lambda s: osa_distance_leq(s, target, max_edits)
+        )
+
+    return osa
 
 
 def bm25_filtered_topk(

@@ -285,3 +285,49 @@ class TestCollapseInnerHits:
         en = sorted(r["inner_rank"] for r in inner
                     if r["collapse_value"] == "en")
         assert en == [1, 2]
+
+
+class TestFuzzyTranspositions:
+    def test_osa_distance_vectors(self):
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            osa_distance_leq,
+        )
+
+        assert osa_distance_leq("table", "tbale", 1)   # one swap
+        assert not osa_distance_leq("table", "tbale", 0)
+        assert osa_distance_leq("abc", "abc", 0)
+        assert osa_distance_leq("abc", "abd", 1)
+        assert not osa_distance_leq("abcd", "dcba", 2)
+        # OSA forbids edits inside a transposed pair: CA -> ABC is 3
+        # (full Damerau-Levenshtein would say 2)
+        assert not osa_distance_leq("ca", "abc", 2)
+        assert osa_distance_leq("ca", "abc", 3)
+
+    def test_fuzzy_transpositions_end_to_end(self, spark):
+        from elasticsearch_analysis_combo_spark.analysis.combo import (
+            ComboConfig,
+        )
+        from elasticsearch_analysis_combo_spark.analysis.udfs import (
+            build_term_stats,
+        )
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            bm25_fuzzy_topk,
+        )
+
+        cfg = ComboConfig(["whitespace"])
+        df = spark.createDataFrame(
+            [(0, "table scan"), (1, "table table"), (2, "other words")],
+            "doc_id long, content string",
+        )
+        stats = build_term_stats(df, cfg).cache()
+        tdf = stats.groupBy("term").agg(F.count("*").alias("df"))
+        avgdl = stats.select("doc_id", "dl").distinct().agg(
+            F.avg("dl")).collect()[0][0]
+        args = (spark, stats, tdf, [(0, "tbale")], 3, float(avgdl))
+        # plain Levenshtein misses the swap (distance 2)
+        plain = bm25_fuzzy_topk(*args, max_edits=1).collect()
+        assert plain == []
+        osa = bm25_fuzzy_topk(
+            *args, max_edits=1, transpositions=True
+        ).collect()
+        assert {r["doc_id"] for r in osa} == {0, 1}
