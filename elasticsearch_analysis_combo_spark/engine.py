@@ -212,8 +212,16 @@ class ComboSearchEngine:
             idx.meta.n_docs, idx.meta.avgdl, k=k, k1=idx.meta.k1, b=idx.meta.b,
         )
 
-    def search_fuzzy(self, term: str, max_edits: int = 1, k: int = 10) -> DataFrame:
-        """ES fuzzy query (Levenshtein <= max_edits) over the vocabulary."""
+    def search_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        k: int = 10,
+        transpositions: bool = False,
+    ) -> DataFrame:
+        """ES fuzzy query over the vocabulary: plain Levenshtein by
+        default, OSA (adjacent swap = 1 edit, ES's default metric) with
+        ``transpositions=True``."""
         from elasticsearch_analysis_combo_spark.query.boolean import (
             bm25_fuzzy_topk,
         )
@@ -222,7 +230,29 @@ class ComboSearchEngine:
         return bm25_fuzzy_topk(
             self.spark, idx.term_stats(), idx.term_df(), [(0, term)],
             idx.meta.n_docs, idx.meta.avgdl, max_edits=max_edits, k=k,
-            k1=idx.meta.k1, b=idx.meta.b,
+            k1=idx.meta.k1, b=idx.meta.b, transpositions=transpositions,
+        )
+
+    def retriever(
+        self,
+        tree: dict,
+        emb: DataFrame | None = None,
+        doc_meta: DataFrame | None = None,
+        k: int = 10,
+        knn_mode: str = "exact",
+    ) -> DataFrame:
+        """ES 8.14 retriever tree (standard / knn / rrf, recursive) over
+        this index — see query/dsl.py::retriever_search."""
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            retriever_search,
+        )
+
+        idx = self.idx
+        return retriever_search(
+            self.spark, idx.term_stats(), idx.term_df(), idx.postings(),
+            tree, self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            emb=emb, doc_meta=doc_meta, k=k, k1=idx.meta.k1,
+            b=idx.meta.b, knn_mode=knn_mode,
         )
 
     def search_query_string(

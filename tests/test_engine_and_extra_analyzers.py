@@ -201,3 +201,26 @@ def test_count_field_caps_and_aliases(spark, tmp_path):
         eng2.search_alias("missing", "x")
     eng2.remove_alias("tenant0")
     assert set(eng2.aliases()) == {"all"}
+
+
+def test_engine_fuzzy_transpositions_and_retriever(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "table scan fast" if i % 2 else "other words here")
+            for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, content string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    cfg = ComboConfig(["whitespace"])
+    eng = ComboSearchEngine(spark, cfg, str(tmp_path / "idx3"), salt_shards=2)
+    eng.index(corpus)
+    # swap typo: plain misses, OSA hits
+    assert eng.search_fuzzy("tbale", max_edits=1).count() == 0
+    osa = eng.search_fuzzy("tbale", max_edits=1, transpositions=True)
+    assert osa.count() > 0
+    # retriever facade: standard leg end-to-end
+    out = eng.retriever(
+        {"standard": {"query": {"match": {"content": "table"}}}},
+        doc_meta=corpus.select("doc_id"), k=5,
+    ).collect()
+    assert len(out) == 5 and out[0]["rank"] == 1
