@@ -5868,6 +5868,31 @@ def q_rank_eval(spark, sf_dir):
     )
 
 
+FIS_MIN_SUPPORT, FIS_SIZE = 150, 10
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets (Apriori level-2): distinct per-doc tokens
+    as items, singletons support-pruned, pairs generated only from
+    surviving singletons (anti-monotone prune) — items keyed as a
+    '|'-joined string for cross-engine value hashing."""
+    from elasticsearch_analysis_combo_spark.query.facets import (
+        frequent_item_sets_agg,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("items")
+    )
+    out = frequent_item_sets_agg(
+        d, "items", min_support_docs=FIS_MIN_SUPPORT, size=FIS_SIZE,
+    )
+    return out.select(
+        F.col("set_size").cast("long").alias("set_size"),
+        F.array_join("items", "|").alias("item_key"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_curation_aggs(spark, sf_dir):
     """Round-4l curation/agg additions merged kind-tagged: sharded
     terms agg with ES doc_count_error_upper_bound accounting (shard =
@@ -5969,6 +5994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retriever_tree": q_retriever_tree,
         # ES-default fuzzy transpositions (OSA; DL oracle at k=1)
         "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
+        # frequent_item_sets (Apriori level-2, support-pruned)
+        "frequent_item_sets": q_frequent_item_sets,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -6005,7 +6032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
-        "span_within_containing": q_span_within_containing,
         "semantic_dedup": q_semantic_dedup,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
@@ -6048,6 +6074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-quality shape stays in-window via quality_classifier/
         # lm_perplexity; r4e-stable, replica-covered
         "repetition_stats": q_repetition_stats,
+        # span coverage stays in-window via span_family/phrase_family
+        "span_within_containing": q_span_within_containing,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7611,6 +7639,41 @@ rnd AS (
   GROUP BY 2
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    # frequent_item_sets: relational Apriori replay (distinct per-doc
+    # items, support-pruned singles, a<b pairs from frequent items)
+    sqls["frequent_item_sets"] = f"""
+WITH it AS (
+  SELECT DISTINCT doc_id, u AS item FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
+  )
+),
+singles AS (
+  SELECT item, count(*)::BIGINT AS doc_count FROM it GROUP BY 1
+  HAVING count(*) >= {FIS_MIN_SUPPORT}
+),
+s_top AS (
+  SELECT 1::BIGINT AS set_size, item AS item_key, doc_count FROM singles
+  QUALIFY row_number() OVER (ORDER BY doc_count DESC, item)
+          <= {FIS_SIZE}
+),
+freq AS (SELECT it.doc_id, it.item FROM it JOIN singles USING (item)),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS doc_count
+  FROM freq a JOIN freq b
+    ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {FIS_MIN_SUPPORT}
+),
+p_top AS (
+  SELECT 2::BIGINT AS set_size, concat(ia, '|', ib) AS item_key,
+         doc_count
+  FROM pairs
+  QUALIFY row_number() OVER (ORDER BY doc_count DESC, ia, ib)
+          <= {FIS_SIZE}
+)
+SELECT * FROM s_top UNION ALL SELECT * FROM p_top
 """
 
     # retriever tree: both legs replayed with their filters, fused with

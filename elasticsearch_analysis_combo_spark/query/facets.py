@@ -1191,6 +1191,75 @@ def ip_range_agg(
     return out.select("b.bucket_idx", "b.key", "b.doc_count")
 
 
+def frequent_item_sets_agg(
+    df: DataFrame,
+    items_col: str,
+    min_support_docs: int = 3,
+    size: int = 10,
+    max_set_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (the log/market-basket
+    miner), deterministic Apriori analogue for set sizes 1 and 2:
+    items are the DISTINCT values of an array column per document,
+    singletons below ``min_support_docs`` docs are pruned, and pairs
+    are generated only FROM surviving singletons (the Apriori
+    anti-monotone property — a pair can't be frequent if a member
+    isn't), so the self-join explodes frequent items only, never the
+    raw vocabulary. Returns (set_size, items sorted-array, doc_count),
+    top ``size`` per set size by (doc_count desc, items). ES's version
+    samples and approximates; this is exact at the same semantics."""
+    if max_set_size not in (1, 2):
+        raise ValueError("max_set_size must be 1 or 2")
+    items = (
+        df.select(F.col(id_col).alias("_d"),
+                  F.explode(F.array_distinct(items_col)).alias("item"))
+    )
+    singles = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_support_docs)
+    )
+    w1 = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("doc_count"), F.asc("item")
+    )
+    out = (
+        singles.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= size)
+        .select(
+            F.lit(1).alias("set_size"),
+            F.array("item").alias("items"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
+    )
+    if max_set_size == 2:
+        freq = items.join(
+            F.broadcast(singles.select("item")), "item"
+        )
+        a = freq.select("_d", F.col("item").alias("a"))
+        b_ = freq.select("_d", F.col("item").alias("b"))
+        pairs = (
+            a.join(b_, "_d")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") >= min_support_docs)
+        )
+        w2 = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("doc_count"), F.asc("a"), F.asc("b")
+        )
+        out = out.unionByName(
+            pairs.withColumn("_r", F.row_number().over(w2))
+            .filter(F.col("_r") <= size)
+            .select(
+                F.lit(2).alias("set_size"),
+                F.array("a", "b").alias("items"),
+                F.col("doc_count").cast("long").alias("doc_count"),
+            )
+        )
+    return out
+
+
 def with_runtime_field(df: DataFrame, name: str, sql_expr: str) -> DataFrame:
     """ES runtime mappings (runtime fields): a query-time derived field
     defined by an expression, immediately usable by every agg/filter in

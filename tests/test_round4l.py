@@ -331,3 +331,41 @@ class TestFuzzyTranspositions:
             *args, max_edits=1, transpositions=True
         ).collect()
         assert {r["doc_id"] for r in osa} == {0, 1}
+
+
+class TestFrequentItemSets:
+    def test_apriori_pruning_and_counts(self, spark):
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            frequent_item_sets_agg,
+        )
+
+        rows = [
+            (0, ["a", "b", "x"]), (1, ["a", "b"]), (2, ["a", "b", "c"]),
+            (3, ["a", "c"]), (4, ["b", "c", "y"]),
+            (5, ["a", "a", "b"]),  # duplicate item counts ONCE per doc
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+        out = frequent_item_sets_agg(
+            df, "items", min_support_docs=3, size=10
+        ).collect()
+        got = {(r["set_size"], tuple(r["items"])): r["doc_count"]
+               for r in out}
+        assert got[(1, ("a",))] == 5
+        assert got[(1, ("b",))] == 5
+        assert got[(1, ("c",))] == 3
+        assert got[(2, ("a", "b"))] == 4
+        # a-c co-occurs only twice -> pruned; x/y below single support
+        assert (2, ("a", "c")) not in got
+        assert (1, ("x",)) not in got
+
+    def test_validation(self, spark):
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            frequent_item_sets_agg,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ["a"])], "doc_id long, items array<string>"
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            frequent_item_sets_agg(df, "items", max_set_size=3)
