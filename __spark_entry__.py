@@ -5869,6 +5869,29 @@ def q_rank_eval(spark, sf_dir):
 
 
 FIS_MIN_SUPPORT, FIS_SIZE = 150, 10
+MIX_BUDGETS = {"en": 5000, "de": 1200, "zh": 999999}
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture sampling: per-lang token quotas taken in
+    the deterministic portable-md5 order (the crossing doc included —
+    budgets met, never undershot); 'fr'/'es' get no budget and drop,
+    'zh' has slack beyond its corpus so it survives whole. Emits the
+    per-lang survivor ledger (count, token sum, bit_xor membership)."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    out = sample_to_token_budget(d, "lang", MIX_BUDGETS, "n_tok")
+    return out.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("bit_xor(doc_id)").cast("long").alias("member_xor"),
+    )
 
 
 def q_frequent_item_sets(spark, sf_dir):
@@ -5996,6 +6019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
         # frequent_item_sets (Apriori level-2, support-pruned)
         "frequent_item_sets": q_frequent_item_sets,
+        # token-budget mixture sampling (per-source quotas, md5 order)
+        "token_budget_mix": q_token_budget_mix,
         # mustache-subset search templates through the DSL compiler
         "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
@@ -6006,7 +6031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4i new/changed surfaces ---
         "lm_perplexity": q_lm_perplexity,
         "pipeline_aggs2": q_pipeline_aggs2,
-        "scripted_metric": q_scripted_metric,
         # geo_family merges geo_distance + NEW geo_polygon/geo_bounds
         # (geo_distance stays as a tail member gate)
         "geo_family": q_geo_family,
@@ -6076,6 +6100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         # span coverage stays in-window via span_family/phrase_family
         "span_within_containing": q_span_within_containing,
+        # agg breadth stays in-window via the agg families; the
+        # map+combine/reduce split is plan-audited each round
+        "scripted_metric": q_scripted_metric,
         "index_stats": q_index_stats,
         "nested_aggs": q_nested_aggs,
         "bucket_script": q_bucket_script,
@@ -7639,6 +7666,32 @@ rnd AS (
   GROUP BY 2
 )
 SELECT * FROM samp UNION ALL SELECT * FROM rnd
+"""
+
+    # token-budget mixture: md5-ordered running sum, crossing doc kept
+    _mix_case = " ".join(
+        f"WHEN '{s}' THEN {b_}" for s, b_ in sorted(MIX_BUDGETS.items())
+    )
+    sqls["token_budget_mix"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         ('0x' || substr(md5(concat('42', ':',
+           cast(doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
+  FROM documents
+),
+b AS (
+  SELECT *, CASE lang {_mix_case} ELSE 0 END AS budget FROM d
+),
+r AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id)
+         AS run
+  FROM b
+),
+kept AS (SELECT * FROM r WHERE budget > 0 AND run - n_tok < budget)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       bit_xor(doc_id)::BIGINT AS member_xor
+FROM kept GROUP BY 1
 """
 
     # frequent_item_sets: relational Apriori replay (distinct per-doc

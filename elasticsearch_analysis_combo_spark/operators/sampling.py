@@ -157,3 +157,48 @@ def cap_per_key(
         .filter(F.col("_cap_rk") <= max_per_key)
         .drop("_cap_rk")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not doc count — the shape a
+    training-data mixture actually executes (per-source token quotas
+    from a mixing recipe, e.g. DoReMi-style weights x total budget):
+    within each ``strata_col`` value, documents are taken in the
+    deterministic portable-md5 order until the stratum's cumulative
+    ``token_col`` reaches its budget. The document that CROSSES the
+    budget is included (budgets are met, never silently undershot by a
+    boundary doc), matching the usual pack-then-truncate pipelines.
+    Strata missing from ``budgets`` get ``default_budget`` (0 = drop).
+
+    One rank + running-sum window per stratum — no collects, no
+    iteration, and the same documents survive at any partitioning or
+    cluster size, so a 100 TB mixture is reproducible and auditable."""
+    for s, b_ in budgets.items():
+        if b_ < 0:
+            raise ValueError(f"budget must be >= 0: {s}={b_}")
+    budget_expr = F.lit(default_budget)
+    for s, b_ in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col(strata_col) == s, F.lit(b_)
+        ).otherwise(budget_expr)
+    w = Window.partitionBy(strata_col).orderBy(
+        _u60(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    run = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("_run", run)
+        .withColumn("_budget", budget_expr)
+        .filter(
+            (F.col("_budget") > 0)
+            & (F.col("_run") - F.col(token_col) < F.col("_budget"))
+        )
+        .drop("_run", "_budget")
+    )

@@ -369,3 +369,47 @@ class TestFrequentItemSets:
         import pytest as _pt
         with _pt.raises(ValueError):
             frequent_item_sets_agg(df, "items", max_set_size=3)
+
+
+class TestTokenBudgetSampling:
+    def test_budget_met_and_deterministic(self, spark):
+        from elasticsearch_analysis_combo_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+
+        rows = [(i, "a" if i < 20 else "b", 10) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, src string, n_tok int"
+        )
+        out = sample_to_token_budget(
+            df, "src", {"a": 55, "b": 200}, "n_tok"
+        )
+        got = {r["src"]: [] for r in out.collect()}
+        for r in out.collect():
+            got[r["src"]].append(r["doc_id"])
+        # a: docs of 10 tokens -> 6th doc CROSSES 55 and is included
+        assert len(got["a"]) == 6
+        assert sum(10 for _ in got["a"]) >= 55
+        # b: budget 200 == exactly 20 docs
+        assert len(got["b"]) == 20
+        # partitioning invariance
+        again = sample_to_token_budget(
+            df.repartition(7), "src", {"a": 55, "b": 200}, "n_tok"
+        )
+        assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+            r["doc_id"] for r in out.collect()
+        )
+
+    def test_missing_stratum_dropped_and_validation(self, spark):
+        from elasticsearch_analysis_combo_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x", 5)], "doc_id long, src string, n_tok int"
+        )
+        assert sample_to_token_budget(df, "src", {"y": 10}, "n_tok"
+                                      ).count() == 0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            sample_to_token_budget(df, "src", {"x": -1}, "n_tok")
