@@ -167,6 +167,7 @@ def sample_to_token_budget(
     id_col: str = "doc_id",
     seed: int = 42,
     default_budget: int = 0,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Mixture sampling by TOKEN budget, not doc count — the shape a
     training-data mixture actually executes (per-source token quotas
@@ -178,27 +179,67 @@ def sample_to_token_budget(
     boundary doc), matching the usual pack-then-truncate pipelines.
     Strata missing from ``budgets`` get ``default_budget`` (0 = drop).
 
-    One rank + running-sum window per stratum — no collects, no
-    iteration, and the same documents survive at any partitioning or
-    cluster size, so a 100 TB mixture is reproducible and auditable."""
+    Scale shape — two-phase bucketed prefix sum, never one task per
+    stratum: the uniform 60-bit hash is RANGE-bucketed into
+    ``n_buckets`` slices by its high bits (bucket i's rows all precede
+    bucket i+1's in the global (hash, id) order, so per-bucket cumsums
+    compose exactly). Phase 1 aggregates per-(stratum, bucket) token
+    subtotals — a strata x n_buckets frame — whose exclusive running
+    sum over buckets is each bucket's base offset; phase 2 broadcasts
+    the offsets back and runs the cumsum window per (stratum, bucket),
+    so the widest window partition is ~1/n_buckets of a stratum
+    instead of the whole stratum. Identical survivors to the
+    single-window definition (the DuckDB oracle replays that form) at
+    any ``n_buckets``; no collects, no iteration, and the same
+    documents survive at any partitioning or cluster size, so a 100 TB
+    mixture is reproducible and auditable."""
     for s, b_ in budgets.items():
         if b_ < 0:
             raise ValueError(f"budget must be >= 0: {s}={b_}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
     budget_expr = F.lit(default_budget)
     for s, b_ in sorted(budgets.items()):
         budget_expr = F.when(
             F.col(strata_col) == s, F.lit(b_)
         ).otherwise(budget_expr)
-    w = Window.partitionBy(strata_col).orderBy(
-        _u60(id_col, seed).asc(), F.col(id_col).asc()
+    # ceil-width integer division keeps bucket ids in [0, n_buckets)
+    # and monotone in _h even when n_buckets doesn't divide 2^60;
+    # `div` (not `/`) because double division loses bits at 2^60.
+    width = (_TWO60 + n_buckets - 1) // n_buckets
+    keyed = (
+        df.withColumn("_budget", budget_expr)
+        # zero-budget strata drop BEFORE any shuffle — the predicate
+        # fuses into the scan, so dropped sources never move.
+        .filter(F.col("_budget") > 0)
+        .withColumn("_h", _u60(id_col, seed))
+        .withColumn("_bk", F.expr(f"_h div {width}").cast("int"))
     )
-    run = F.sum(F.col(token_col)).over(w)
-    return (
-        df.withColumn("_run", run)
-        .withColumn("_budget", budget_expr)
-        .filter(
-            (F.col("_budget") > 0)
-            & (F.col("_run") - F.col(token_col) < F.col("_budget"))
+    bases = (
+        keyed.groupBy(strata_col, "_bk")
+        .agg(F.sum(F.col(token_col)).alias("_sub"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_sub").over(
+                    Window.partitionBy(strata_col)
+                    .orderBy(F.asc("_bk"))
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
         )
-        .drop("_run", "_budget")
+        .select(strata_col, "_bk", "_base")
+    )
+    w = Window.partitionBy(strata_col, "_bk").orderBy(
+        F.asc("_h"), F.asc(id_col)
+    )
+    local = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(bases), [strata_col, "_bk"])
+        .withColumn("_run", F.col("_base") + local)
+        .filter(F.col("_run") - F.col(token_col) < F.col("_budget"))
+        .drop("_h", "_bk", "_base", "_run", "_budget")
     )

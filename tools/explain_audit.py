@@ -528,6 +528,33 @@ def main() -> None:
         forbid="SortMergeJoin",
     )
 
+    # 29. sample_to_token_budget: the row-level cumsum window must
+    # partition by (stratum, bucket) — a stratum-only window puts a
+    # whole 100 TB source in ONE task (r4 verdict finding) — and the
+    # per-bucket base offsets come back via broadcast, not a shuffle
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    mix = spark.range(1000).selectExpr(
+        "id as doc_id", "cast(id % 4 as string) as src",
+        "cast(id % 37 + 1 as int) as n_tok",
+    )
+    p = plan_text(sample_to_token_budget(mix, "src", {"0": 500, "1": 300}, "n_tok"))
+    failures += not check(
+        "token_budget base offsets broadcast back", p, "BroadcastHashJoin",
+        forbid="SortMergeJoin",
+    )
+    bad_windows = [
+        ln for ln in p.splitlines()
+        if "windowspecdefinition" in ln and "_bk" not in ln
+        and "_sub" not in ln  # tiny (strata x buckets) base-offset pass
+    ]
+    ok = not bad_windows
+    print(("OK " if ok else "FAIL")
+          + " token_budget cumsum is bucketed (no stratum-only window)")
+    failures += not ok
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
