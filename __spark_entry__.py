@@ -1702,7 +1702,7 @@ def _dsl_oracle_sql() -> str:
     return _clause_oracle_sql(specs, QS_MAX_EXP)
 
 
-def _clause_oracle_sql(specs, max_exp) -> str:
+def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     """Replays the documented clause-evaluator semantics per query
     (shared by the simple_query_string and es_dsl gates): scoring = BM25
     over term-clause terms + capped prefix/fuzzy expansions
@@ -1711,7 +1711,12 @@ def _clause_oracle_sql(specs, max_exp) -> str:
     / capped expansion / positional adjacency), must_not as NOT EXISTS;
     a compiled filter-context predicate (already portable SQL over the
     documents columns) as a pre-rank doc_id IN (...) semi-join.
-    ``specs`` = [(qid, ParsedQuery, filter_sql | None)]."""
+    ``specs`` = [(qid, ParsedQuery, filter_sql | None)] — or 4-tuples
+    with a trailing minimum_should_match int (docs must satisfy >= msm
+    DISTINCT should clauses, counted by a CASE-summed EXISTS per
+    clause). ``ranked=False`` returns the UNRANKED (query_id, doc_id,
+    raw score) set — callers blending scores across sub-queries
+    (dis_max tie_breaker, const-should boosts) round and rank after."""
     from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
 
     def terms_of(text):
@@ -1767,8 +1772,17 @@ def _clause_oracle_sql(specs, max_exp) -> str:
         return f"{pre} (SELECT 1 FROM {', '.join(tables)} WHERE {' AND '.join(conds)})"
 
     parts = []
-    for qid, pq, fsql in specs:
+    for spec in specs:
+        qid, pq, fsql = spec[0], spec[1], spec[2]
+        msm = spec[3] if len(spec) > 3 else None
         fixed, exp_clauses, filters, ph_scores = set(), [], [], []
+        if msm is not None and msm > 0:
+            shoulds = [cl for cl in pq.clauses if cl.role == "should"]
+            cases = " + ".join(
+                f"(CASE WHEN {clause_exists(cl)} THEN 1 ELSE 0 END)"
+                for cl in shoulds
+            )
+            filters.append(f"({cases or '0'}) >= {msm}")
         if fsql is not None:
             filters.append(
                 f"s.doc_id IN (SELECT doc_id FROM documents WHERE {fsql})"
@@ -1839,7 +1853,10 @@ tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2)
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-allq AS ({body}),
+allq AS ({body}){
+    '''
+SELECT query_id::BIGINT AS query_id, doc_id, score FROM allq'''
+    if not ranked else f''',
 ranked AS (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rank,
@@ -1847,7 +1864,7 @@ ranked AS (
   FROM allq
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
-FROM ranked WHERE rank <= {TOPK}
+FROM ranked WHERE rank <= {TOPK}'''}
 """
 
 
@@ -5984,6 +6001,184 @@ def q_search_template(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+DSL_MSM_QUERIES = [
+    # three OR shoulds, msm=2: docs must hit >= 2 distinct clauses
+    (0, {"bool": {"should": [
+        {"match": {"content": "spark"}},
+        {"match": {"content": "query"}},
+        {"match": {"content": "window"}},
+    ], "minimum_should_match": 2}}),
+    # must gates AND >= 1 should, with a filter context on top
+    (1, {"bool": {
+        "must": [{"match": {"content": "value"}}],
+        "should": [{"match": {"content": "batch"}},
+                   {"match_phrase": {"content": "value table"}}],
+        "minimum_should_match": 1,
+        "filter": [{"term": {"lang": "en"}}],
+    }}),
+    # pure-constant shoulds with msm=2 (metadata-scan path)
+    (2, {"bool": {"should": [
+        {"term": {"lang": {"value": "en", "boost": 1.0}}},
+        {"term": {"source": {"value": "src1", "boost": 0.5}}},
+        {"range": {"n_chars": {"gte": 400, "boost": 0.25}}},
+    ], "minimum_should_match": 2}}),
+]
+
+
+def q_dsl_msm(spark, sf_dir):
+    """Round-5: integer minimum_should_match inside a SCORING bool —
+    docs must match >= msm DISTINCT should clauses (multi-term match =
+    one clause), counted by the evaluator's bounded indicator probe;
+    also the explicit-msm override on the pure-constant should path
+    (query/dsl.py round-5 block)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_MSM_QUERIES, _ws_config(), n_docs, avgdl, doc_meta=meta,
+        k=TOPK, k1=K1, b=B, max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_msm_oracle_sql() -> str:
+    """q0/q1 replay through the clause oracle with its msm CASE-sum
+    filter; q2 constructively over the documents metadata (sum of
+    matched boosts, membership >= 2 matched shoulds)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, node in DSL_MSM_QUERIES[:2]:
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql, cq.msm))
+    co = _clause_oracle_sql(specs, QS_MAX_EXP)
+    return f"""
+WITH co AS ({co})
+SELECT query_id, rank, doc_id, score FROM co
+UNION ALL
+SELECT 2, row_number() OVER (ORDER BY score DESC, doc_id), doc_id, score
+FROM (
+  SELECT doc_id,
+         (1.0 + CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END
+              + CASE WHEN source = 'src1' THEN 0.5 ELSE 0 END
+              + CASE WHEN n_chars >= 400 THEN 0.25 ELSE 0 END
+         )::DOUBLE AS score,
+         (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        + CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+        + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS m
+  FROM documents
+) WHERE m >= 2
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {TOPK}
+"""
+
+
+DSL_DISMAX_TB = 0.3
+DSL_DISMAX_TB_QUERIES = [
+    # tie-broken dis_max: max + tb * sum(others) over FULL sub hit sets
+    (0, {"dis_max": {"queries": [
+        {"match": {"content": "spark query"}},
+        {"match": {"content": "window batch"}},
+        {"match_phrase": {"content": "value table"}},
+    ], "tie_breaker": DSL_DISMAX_TB}}),
+    # const should NEXT TO must-text: boost left-joins onto text hits
+    (1, {"bool": {
+        "must": [{"match": {"content": "value"}}],
+        "should": [{"term": {"lang": {"value": "en", "boost": 1.5}}},
+                   {"range": {"n_chars": {"gte": 300, "boost": 0.5}}}],
+    }}),
+    # const should with should-only text: const-matching docs join the
+    # membership at their boost sum (ES's >=1-should rule)
+    (2, {"bool": {"should": [
+        {"match": {"content": "partition"}},
+        {"term": {"source": {"value": "src2", "boost": 0.75}}},
+    ]}}),
+]
+
+
+def q_dsl_dismax_tb(spark, sf_dir):
+    """Round-5: dis_max with tie_breaker > 0 (subs evaluate UNRANKED,
+    blend max + tb * (sum - max) pre-rank) and constant should clauses
+    next to BM25 text clauses (bounded metadata indicator join; union
+    membership for should-only text) — query/dsl.py round-5 block."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_DISMAX_TB_QUERIES, _ws_config(), n_docs, avgdl, doc_meta=meta,
+        k=TOPK, k1=K1, b=B, max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_dismax_tb_oracle_sql() -> str:
+    """q0: UNRANKED clause-oracle sub scores (qids 90-92) blended as
+    max + tb * (sum - max), rounded then ranked. q1: text scores (qid 1)
+    plus a metadata CASE-sum left join. q2: FULL OUTER of the text
+    scores (qid 2) with the const indicator — const-only docs join at
+    their boost sum."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, sub in enumerate(
+        DSL_DISMAX_TB_QUERIES[0][1]["dis_max"]["queries"], start=90
+    ):
+        cq = compile_dsl(sub)
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    for qid, node in DSL_DISMAX_TB_QUERIES[1:]:
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    co = _clause_oracle_sql(specs, QS_MAX_EXP, ranked=False)
+    tb = DSL_DISMAX_TB
+    return f"""
+WITH co AS ({co}),
+ind1 AS (
+  SELECT doc_id,
+         (CASE WHEN lang = 'en' THEN 1.5 ELSE 0 END
+        + CASE WHEN n_chars >= 300 THEN 0.5 ELSE 0 END)::DOUBLE AS cb
+  FROM documents
+  WHERE lang = 'en' OR n_chars >= 300
+),
+ind2 AS (
+  SELECT doc_id, 0.75::DOUBLE AS cb FROM documents WHERE source = 'src2'
+),
+q0 AS (
+  SELECT doc_id,
+         max(score) + {tb} * (sum(score) - max(score)) AS score
+  FROM co WHERE query_id BETWEEN 90 AND 92 GROUP BY 1
+),
+q1 AS (
+  SELECT co.doc_id, co.score + coalesce(ind1.cb, 0) AS score
+  FROM co LEFT JOIN ind1 USING (doc_id) WHERE co.query_id = 1
+),
+q2 AS (
+  SELECT coalesce(t.doc_id, ind2.doc_id) AS doc_id,
+         coalesce(t.score, 0) + coalesce(ind2.cb, 0) AS score
+  FROM (SELECT doc_id, score FROM co WHERE query_id = 2) t
+  FULL OUTER JOIN ind2 ON t.doc_id = ind2.doc_id
+),
+lab AS (
+  SELECT 0 AS query_id, doc_id, score FROM q0
+  UNION ALL SELECT 1, doc_id, score FROM q1
+  UNION ALL SELECT 2, doc_id, score FROM q2
+)
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, doc_id)::BIGINT
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM lab
+QUALIFY rank <= {TOPK}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -5993,6 +6188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the full breadth, (3) near-duplicate/stable-since-r1 variants sit
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
+        # --- round-5 new/changed surfaces ---
+        # scoring-bool minimum_should_match (text + pure-const paths)
+        "dsl_msm": q_dsl_msm,
+        # dis_max tie_breaker>0 blend + const shoulds next to text
+        "dsl_dismax_tb": q_dsl_dismax_tb,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -6074,10 +6274,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "multi_match_cross": q_multi_match_cross,
         "completion_suggest": q_completion_suggest,
-        "sort_search_after": q_sort_search_after,
-        "clean_text": q_clean_text,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
+        # sort_search_after/clean_text: r3 surfaces unchanged since,
+        # displaced past the window by the round-5 DSL gates (driver-
+        # green in r3/r4, still replica-covered every round)
+        "sort_search_after": q_sort_search_after,
+        "clean_text": q_clean_text,
         # r3 surfaces, unchanged since; displaced from the window by
         # es_dsl/nested_query and the round-4k additions (all were
         # driver-oracled green in earlier rounds and stay covered by
@@ -7561,6 +7764,8 @@ GROUP BY 1
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
+    sqls["dsl_msm"] = _dsl_msm_oracle_sql()
+    sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["intervals"] = _intervals_oracle_sql()
     sqls["knn_rrf_hybrid"] = _rrf_oracle_sql()
     sqls["dsl_extras"] = _dsl_extras_oracle_sql()

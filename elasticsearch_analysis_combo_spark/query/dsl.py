@@ -27,23 +27,32 @@ operators (:func:`knn_search`, pre-filter semantics) and fuses with
 BM25 legs via :func:`rrf_hybrid` (reciprocal rank fusion).
 
 Round-4k additions: ``wrapper`` (base64-wrapped query, decoded and
-re-dispatched), ``match_none``, ``dis_max`` at ``tie_breaker`` 0 (the
-final top-k of a per-doc max over sub-queries is provably contained in
-the union of the per-sub top-ks — the same argument the multi_match
-best_fields WAND path relies on; ``tie_breaker > 0`` raises, use
-engine.multi_match), and CONSTANT-SCORING leaves in query context:
-``term`` / ``terms`` / ``range`` / ``exists`` / ``ids``
-inside a scoring ``bool`` (``prefix``/``wildcard`` stay BM25-scored
-text expansions as before). In ``must`` they compile into
+re-dispatched), ``match_none``, ``dis_max`` (``tie_breaker`` 0
+combines the subs' ranked top-ks — the final top-k of a per-doc max is
+provably contained in the union of the per-sub top-ks; ``tie_breaker``
+> 0 blends ``max + tb * sum(others)`` over the subs' UNRANKED full hit
+sets pre-rank, so it requires text-scoring subs), and CONSTANT-SCORING
+leaves in query context: ``term`` / ``terms`` / ``range`` / ``exists``
+/ ``ids`` inside a scoring ``bool`` (``prefix``/``wildcard`` stay
+BM25-scored text expansions as before). In ``must`` they compile into
 the filter predicate plus a constant ``boost`` added to every hit's
 score (uniform, so ranking is unchanged — documented divergence from
 ES's TermQuery idf scoring on keyword fields, which this engine's
 metadata columns don't carry); in ``must_not`` they negate into the
-filter (score-neutral, exactly ES); in ``should`` they are supported
-only when the query has NO text-scoring clauses — the pure-constant
-path scores ``sum(boost per matching should)`` in one metadata scan
-(a should-const next to BM25 clauses would need full-corpus scoring to
-stay exact, so it raises instead).
+filter (score-neutral, exactly ES); in ``should`` they score
+``sum(boost per matching should)`` from a filter-pruned metadata
+indicator scan — standalone (the pure-constant path, one metadata
+scan) or NEXT TO text clauses (round 5): with must-role text the boost
+left-joins onto the text membership, with should-only text the
+const-matching docs union in as members (ES's >=1-should rule; the
+must_not + should-only-const combination raises, documented).
+
+Round-5 additions: integer ``minimum_should_match`` in a scoring
+``bool`` — docs must match >= msm DISTINCT should clauses (a
+multi-term ``match`` counts as one clause, as in ES), counted by the
+evaluator's bounded indicator probe; percentage forms raise, and
+msm combined with const-should-next-to-text raises (the const
+indicator can't feed the evaluator's counting).
 
 Documented subset divergences — everything UNSUPPORTED raises rather
 than silently mis-executing; the one documented SCORING approximation:
@@ -51,9 +60,7 @@ than silently mis-executing; the one documented SCORING approximation:
 window) but scores each matching doc by its anchor-match count rather
 than Lucene's per-match ``1/(matchLength+1)`` sloppyFreq weighting
 (at slop 0 the two coincide, and that path is oracle-verified).
-Unsupported constructs:
-``minimum_should_match`` inside a scoring ``bool`` is unsupported (use
-``simple_query_string``/engine.search_boolean); ``match`` with
+Unsupported constructs: ``match`` with
 ``operator: and`` is only valid in must position (ES's optional-but-
 all-terms should-AND has no counterpart in the clause evaluator) and
 splits on whitespace before analysis; nested scoring ``bool``s are one
@@ -75,6 +82,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.query.boolean import _rank_topk
 from elasticsearch_analysis_combo_spark.query.querystring import (
     Clause,
     ParsedQuery,
@@ -273,6 +281,8 @@ class CompiledQuery:
     filter_sql: str | None = None
     const_offset: float = 0.0  # uniform score add from must-role consts
     should_consts: list[tuple[str, float]] = field(default_factory=list)
+    msm: int | None = None  # scoring-bool minimum_should_match
+    has_must_text: bool = False  # >=1 must-role text clause survived
 
 
 def _split_boost(kind: str, body: dict) -> tuple[dict, float]:
@@ -309,11 +319,13 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
         return CompiledQuery(
             ParsedQuery(clauses=_leaf_clauses(kind, body, "should"))
         )
-    if "minimum_should_match" in body:
-        raise ValueError(
-            "minimum_should_match unsupported in scoring bool "
-            "(see engine.search_boolean)"
-        )
+    msm = body.get("minimum_should_match")
+    if msm is not None:
+        if not isinstance(msm, int) or msm < 0:
+            raise ValueError(
+                "minimum_should_match must be a non-negative int "
+                f"(percentages unsupported): {msm!r}"
+            )
     clauses: list[Clause] = []
     const_filters: list[str] = []
     const_offset = 0.0
@@ -341,11 +353,20 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
                 continue
             clauses.extend(_leaf_clauses(lk, lb, role))
     if should_consts and clauses:
-        raise ValueError(
-            "constant should clauses next to text clauses are "
-            "unsupported (exactness would need full-corpus scoring); "
-            "move them to filter, or drop the text clauses"
-        )
+        if msm is not None:
+            raise ValueError(
+                "minimum_should_match combined with constant should "
+                "clauses next to text clauses is unsupported (the const "
+                "indicator can't feed the evaluator's should counting)"
+            )
+        if not any(c.role == "must" for c in clauses) and any(
+            c.role == "must_not" for c in clauses
+        ):
+            raise ValueError(
+                "constant should clauses with should-only text plus "
+                "must_not are unsupported (const-only members would "
+                "bypass the must_not exclusion)"
+            )
     filters = body.get("filter", [])
     if isinstance(filters, dict):
         filters = [filters]
@@ -354,6 +375,8 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
     return CompiledQuery(
         ParsedQuery(clauses=clauses), filter_sql,
         const_offset=const_offset, should_consts=should_consts,
+        msm=msm,
+        has_must_text=any(c.role == "must" for c in clauses),
     )
 
 
@@ -480,8 +503,14 @@ def dsl_topk(
     pinned_specs: dict[int, list[int]] = {}
     # dis_max sub-queries evaluate under synthetic qids allocated above
     # the user's range (evaluate_parsed packs qids into 21 bits), then
-    # max-combine per parent
-    dismax_subs: dict[int, int] = {}  # synthetic qid -> parent qid
+    # max-combine per parent. tie_breaker 0 combines the subs' ranked
+    # top-ks (the union-of-top-ks containment argument); tie_breaker > 0
+    # must blend max + tb * sum(others) BEFORE any top-k cut, so those
+    # subs evaluate UNRANKED over their full hit sets (bounded by the
+    # clause posting lists) and combine pre-rank.
+    dismax_subs: dict[int, int] = {}  # synthetic qid -> parent qid (tb=0)
+    dismax_tb_subs: dict[int, int] = {}  # synthetic qid -> parent (tb>0)
+    dismax_tb: dict[int, float] = {}  # parent qid -> tie_breaker
     none_qids: list[int] = []
     norm: list[tuple[int, dict]] = []
     next_synth = max((q for q, _ in queries), default=-1) + 1
@@ -501,16 +530,18 @@ def dsl_topk(
             const_boosts[qid] = float(body.get("boost", 1.0))
             node = {"bool": {"filter": [body["filter"]]}}
         if kind == "dis_max":
-            if float(body.get("tie_breaker", 0.0)) != 0.0:
-                raise ValueError(
-                    "dis_max tie_breaker > 0 unsupported (the top-k "
-                    "union-of-subs argument only holds at 0; use "
-                    "engine.multi_match for tie-broken dis-max)"
-                )
+            tb = float(body.get("tie_breaker", 0.0))
+            if not 0.0 <= tb <= 1.0:
+                raise ValueError(f"tie_breaker must be in [0,1]: {tb}")
+            if tb > 0.0:
+                dismax_tb[qid] = tb
             for sub in body["queries"]:
                 if next_synth >= 1 << 21:
                     raise ValueError("too many dis_max sub-queries")
-                dismax_subs[next_synth] = qid
+                if tb > 0.0:
+                    dismax_tb_subs[next_synth] = qid
+                else:
+                    dismax_subs[next_synth] = qid
                 norm.append((next_synth, sub))
                 next_synth += 1
             continue
@@ -521,6 +552,13 @@ def dsl_topk(
         c.filter_sql or c.should_consts for c in compiled.values()
     ):
         raise ValueError("filter context requires doc_meta")
+    for sq in dismax_tb_subs:
+        if not compiled[sq].parsed.clauses:
+            raise ValueError(
+                "dis_max with tie_breaker > 0 requires text-scoring "
+                "sub-queries (a constant sub's membership is top-k-cut, "
+                "so its blend contribution would be inexact)"
+            )
 
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double"
@@ -553,8 +591,13 @@ def dsl_topk(
             scored = base.select(
                 "doc_id", score.alias("score"), matched.alias("_m")
             )
-            if fsql is None:
-                scored = scored.filter(F.col("_m") >= 1)
+            # explicit minimum_should_match overrides ES's default
+            # (1 when nothing else narrows the universe, else 0)
+            required = (
+                cq.msm if cq.msm is not None else (0 if fsql else 1)
+            )
+            if required > 0:
+                scored = scored.filter(F.col("_m") >= required)
             topk = scored.orderBy(
                 F.col("score").desc(), "doc_id"
             ).limit(k)
@@ -603,41 +646,145 @@ def dsl_topk(
             )
     if scored_parsed:
         # group scored queries by their filter predicate so each group
-        # evaluates in ONE evaluator pass with a shared doc_filter
+        # evaluates in ONE evaluator pass with a shared doc_filter;
+        # every pass runs UNRANKED and one shared _rank_topk applies
+        # after the pre-rank score adjustments (const offsets, should-
+        # const boosts, tie-broken dis_max blends) — identical to
+        # ranking inside for queries needing none of them
         by_filter: dict[str | None, dict[int, ParsedQuery]] = {}
         for qid, pq in scored_parsed.items():
             by_filter.setdefault(compiled[qid].filter_sql, {})[qid] = pq
+        scored_parts = []
         for fsql, group in sorted(
             by_filter.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
         ):
-            out.append(evaluate_parsed(
+            scored_parts.append(evaluate_parsed(
                 spark, term_stats, term_df, postings, group, config,
                 n_docs, avgdl, k=k, k1=k1, b=b,
                 partitioned_phrases=partitioned_phrases,
                 range_bits=range_bits, max_expansions=max_expansions,
                 doc_filter=None if fsql is None else filter_frames[fsql],
+                rank=False,
+                min_should={
+                    qid: compiled[qid].msm
+                    for qid in group
+                    if compiled[qid].msm is not None
+                } or None,
             ))
+        scored_all = scored_parts[0]
+        for part in scored_parts[1:]:
+            scored_all = scored_all.unionByName(part)
+        offsets = {
+            qid: cq.const_offset
+            for qid, cq in compiled.items()
+            if cq.const_offset and qid in scored_parsed
+        }
+        if offsets:
+            # uniform per-query constant from must-role const leaves:
+            # shifts every hit's score equally, ranks untouched
+            omap = F.create_map(
+                *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+            )
+            scored_all = scored_all.withColumn(
+                "score",
+                F.col("score")
+                + F.coalesce(
+                    F.element_at(omap, F.col("query_id")), F.lit(0.0)
+                ),
+            )
+        # constant should clauses NEXT TO text clauses: per-doc boost
+        # sum from a filter-pruned metadata scan (bounded indicator,
+        # never full-corpus scoring). With must-role text clauses the
+        # scored set already IS the membership (left-join add); for
+        # should-only text the const-matching docs are members too
+        # (ES's >=1-should rule), so they union in at their const sum —
+        # gated by the query's filter context when present.
+        boost_qids = [
+            qid for qid, cq in compiled.items()
+            if cq.should_consts and qid in scored_parsed
+        ]
+        if boost_qids:
+            ind_parts = []
+            for qid in boost_qids:
+                cq = compiled[qid]
+                score = F.lit(0.0)
+                matched = F.lit(False)
+                for pred, boost in cq.should_consts:
+                    hit = F.expr(pred)
+                    score = score + F.when(hit, F.lit(boost)).otherwise(0.0)
+                    matched = matched | hit
+                base = doc_meta
+                if cq.filter_sql is not None:
+                    base = doc_meta.filter(F.expr(cq.filter_sql))
+                ind_parts.append(
+                    base.filter(matched).select(
+                        F.lit(qid).cast("int").alias("query_id"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        score.alias("_cboost"),
+                    )
+                )
+            inds = ind_parts[0]
+            for part in ind_parts[1:]:
+                inds = inds.unionByName(part)
+            union_qids = [
+                qid for qid in boost_qids if not compiled[qid].has_must_text
+            ]
+            joined = scored_all.withColumnRenamed("score", "_tscore").join(
+                inds, ["query_id", "doc_id"],
+                "full_outer" if union_qids else "left",
+            )
+            if union_qids:
+                # const-only rows (no text score) are members only for
+                # should-only-text queries (ES's >=1-should rule);
+                # must-text queries keep exactly the text membership
+                joined = joined.filter(
+                    F.col("_tscore").isNotNull()
+                    | F.col("query_id").isin(union_qids)
+                )
+            scored_all = joined.select(
+                "query_id", "doc_id",
+                (
+                    F.coalesce(F.col("_tscore"), F.lit(0.0))
+                    + F.coalesce(F.col("_cboost"), F.lit(0.0))
+                ).alias("score"),
+            )
+        if dismax_tb:
+            synth_ids = list(dismax_tb_subs)
+            subs = scored_all.filter(F.col("query_id").isin(synth_ids))
+            scored_all = scored_all.filter(
+                ~F.col("query_id").isin(synth_ids)
+            )
+            pmap = F.create_map(
+                *[F.lit(v) for kv in sorted(dismax_tb_subs.items())
+                  for v in kv]
+            )
+            tbmap = F.create_map(
+                *[F.lit(v) for kv in sorted(dismax_tb.items()) for v in kv]
+            )
+            blended = (
+                subs.withColumn(
+                    "query_id", F.element_at(pmap, F.col("query_id"))
+                )
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.max("score").alias("_mx"),
+                    F.sum("score").alias("_sm"),
+                )
+                .withColumn(
+                    "score",
+                    F.col("_mx")
+                    + F.element_at(tbmap, F.col("query_id"))
+                    * (F.col("_sm") - F.col("_mx")),
+                )
+                .select("query_id", "doc_id", "score")
+            )
+            scored_all = scored_all.unionByName(blended)
+        out.append(_rank_topk(scored_all, k))
     if not out:
         return empty
     res = out[0]
     for part in out[1:]:
         res = res.unionByName(part)
-    offsets = {
-        qid: cq.const_offset
-        for qid, cq in compiled.items()
-        if cq.const_offset and qid in scored_parsed
-    }
-    if offsets:
-        # uniform per-query constant from must-role const leaves:
-        # shifts every hit's score equally, ranks untouched
-        omap = F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-        )
-        res = res.withColumn(
-            "score",
-            F.col("score")
-            + F.coalesce(F.element_at(omap, F.col("query_id")), F.lit(0.0)),
-        )
     if dismax_subs:
         synth_ids = list(dismax_subs)
         subs = res.filter(F.col("query_id").isin(synth_ids))

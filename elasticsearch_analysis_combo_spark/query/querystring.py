@@ -223,6 +223,8 @@ def evaluate_parsed(
     range_bits: int = 4,
     max_expansions: int = 50,
     doc_filter: DataFrame | None = None,
+    rank: bool = True,
+    min_should: dict[int, int] | None = None,
 ) -> DataFrame:
     """Shared clause-set evaluator: the engine behind both
     ``simple_query_string`` (parsed from the one-box syntax) and the ES
@@ -233,9 +235,21 @@ def evaluate_parsed(
     frame — the compiled ES FILTER CONTEXT — semi-joined onto the scored
     set BEFORE the top-k cut, so filtering never loses hits the way a
     post-rank filter would; the filter frame comes from a pruned
-    metadata scan, the scale-right side of the semi join."""
+    metadata scan, the scale-right side of the semi join.
+
+    ``rank=False`` returns the full membership (query_id, doc_id,
+    score) WITHOUT the top-k cut — the DSL compiler uses it when scores
+    still need post-adjustment (dis_max tie_breaker blends, constant
+    should boosts) before ranking; the set is bounded by the union of
+    clause posting lists, never the corpus. ``min_should`` maps qid ->
+    ES ``minimum_should_match``: docs must match at least that many
+    DISTINCT should clauses (a multi-term ``match`` counts as ONE
+    clause, as in ES); qids absent from the map keep the default
+    membership rule."""
     empty = spark.createDataFrame(
-        [], "query_id int, rank int, doc_id long, score double"
+        [],
+        "query_id int, rank int, doc_id long, score double"
+        if rank else "query_id int, doc_id long, score double",
     )
     for qid, pq in parsed.items():
         # composite phrase ids pack (qid, clause_id) into int32
@@ -251,6 +265,8 @@ def evaluate_parsed(
     must_specs: list[tuple[int, int, Clause]] = []
     not_specs: list[tuple[int, int, Clause]] = []
     phrase_specs: list[tuple[int, int, Clause]] = []
+    should_specs: list[tuple[int, int, Clause]] = []  # min_should qids only
+    min_should = min_should or {}
     for qid, pq in parsed.items():
         for cid, cl in enumerate(pq.clauses):
             if cl.kind in ("term", "phrase") and not _clause_terms(cl, config):
@@ -270,6 +286,8 @@ def evaluate_parsed(
                 must_specs.append((qid, cid, cl))
             elif cl.role == "must_not":
                 not_specs.append((qid, cid, cl))
+            elif qid in min_should:
+                should_specs.append((qid, cid, cl))
     if not score_rows and not exp_specs and not any(
         cl.role != "must_not" for _, _, cl in phrase_specs
     ):
@@ -349,6 +367,7 @@ def evaluate_parsed(
             ) else 0)
             + (1 if any(cl.kind == "phrase" for _, _, cl in must_specs) else 0)
             + (1 if any(cl.kind == "phrase" for _, _, cl in not_specs) else 0)
+            + (1 if any(cl.kind == "phrase" for _, _, cl in should_specs) else 0)
         )
         if n_phrase_consumers >= 2:
             phrase_hits = phrase_hits.localCheckpoint(eager=True)
@@ -526,6 +545,32 @@ def evaluate_parsed(
             )
             .select("query_id", "doc_id", "score")
         )
+    if min_should:
+        # ES minimum_should_match: count DISTINCT matching should
+        # clauses per (query, doc) — the indicator union is the same
+        # bounded posting probe the must counting uses — and require
+        # >= the query's msm; queries absent from the map need 0.
+        need_map = F.create_map(
+            *[F.lit(v) for q_n in sorted(min_should.items()) for v in q_n]
+        )
+        sh_ind = _indicators(should_specs)
+        counts = (
+            sh_ind.groupBy("qid", "doc_id")
+            .agg(F.countDistinct("cid").alias("n_should"))
+            .withColumnRenamed("qid", "query_id")
+            if sh_ind is not None
+            else None
+        )
+        if counts is not None:
+            scored = scored.join(counts, ["query_id", "doc_id"], "left")
+        else:
+            scored = scored.withColumn("n_should", F.lit(0))
+        scored = scored.filter(
+            F.coalesce(F.col("n_should"), F.lit(0))
+            >= F.coalesce(
+                F.element_at(need_map, F.col("query_id")), F.lit(0)
+            )
+        ).select("query_id", "doc_id", "score")
     not_ind = _indicators(not_specs)
     if not_ind is not None:
         # anti join is duplicate-insensitive — no dedup pass needed
@@ -535,4 +580,4 @@ def evaluate_parsed(
         scored = scored.join(
             doc_filter.select("doc_id"), "doc_id", "left_semi"
         )
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k) if rank else scored

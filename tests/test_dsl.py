@@ -110,8 +110,13 @@ def test_compile_dsl_roles():
         ]}})
     with pytest.raises(ValueError):
         compile_dsl({"bool": {"must": [{"bool": {}}]}})
+    # integer msm compiles through; percentage forms raise
+    assert compile_dsl({"bool": {
+        "should": [{"match": {"content": "x"}}],
+        "minimum_should_match": 1,
+    }}).msm == 1
     with pytest.raises(ValueError):
-        compile_dsl({"bool": {"minimum_should_match": 1}})
+        compile_dsl({"bool": {"minimum_should_match": "75%"}})
 
 
 # --------------------------------------------------------------- evaluation
@@ -323,11 +328,26 @@ def test_compile_const_leaves_in_scoring_bool():
     assert not lone.parsed.clauses
     assert lone.filter_sql == "source IN ('web', 'book')"
     assert lone.const_offset == 3.0
-    # should-consts next to text clauses must raise (exactness)
-    with pytest.raises(ValueError):
+    # should-consts next to text clauses compile (round 5); the two
+    # combinations that would break exactness still raise
+    mixed = compile_dsl({"bool": {
+        "must": [{"match": {"content": "alpha"}}],
+        "should": [{"term": {"lang": "en"}}],
+    }})
+    assert mixed.should_consts == [("lang = 'en'", 1.0)]
+    assert mixed.has_must_text
+    with pytest.raises(ValueError):  # msm + const-should-next-to-text
         compile_dsl({"bool": {
             "must": [{"match": {"content": "alpha"}}],
-            "should": [{"term": {"lang": "en"}}],
+            "should": [{"term": {"lang": "en"}},
+                       {"match": {"content": "beta"}}],
+            "minimum_should_match": 1,
+        }})
+    with pytest.raises(ValueError):  # should-only text + const + must_not
+        compile_dsl({"bool": {
+            "should": [{"match": {"content": "alpha"}},
+                       {"term": {"lang": "en"}}],
+            "must_not": [{"match": {"content": "beta"}}],
         }})
 
 
@@ -386,9 +406,32 @@ def test_dis_max_takes_max_of_subqueries(spark, fixture):
     assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
         (did, round(s, 9)) for did, s in want
     ]
+    # tie_breaker > 0 blends max + tb * sum(others) over the full sub
+    # hit sets — replayed here from the subs' own unranked scores
+    tb = 0.3
+    got_tb = _run(spark, fixture, {"dis_max": {"queries": [
+        {"match": {"content": "alpha"}},
+        {"match": {"content": "delta"}},
+    ], "tie_breaker": tb}})
+    per_doc: dict[int, list[float]] = {}
+    for df in (a, d):
+        for r in df.collect():
+            per_doc.setdefault(r["doc_id"], []).append(r["score"])
+    blend = {
+        did: max(ss) + tb * (sum(ss) - max(ss))
+        for did, ss in per_doc.items()
+    }
+    want_tb = sorted(blend.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows_tb = got_tb.orderBy("rank").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows_tb] == [
+        (did, round(s, 9)) for did, s in want_tb
+    ]
+    # a constant sub under tb > 0 is rejected (top-k-cut membership
+    # would make the blend inexact)
     with pytest.raises(ValueError):
         _run(spark, fixture, {"dis_max": {
-            "queries": [{"match": {"content": "alpha"}}],
+            "queries": [{"match": {"content": "alpha"}},
+                        {"term": {"lang": "en"}}],
             "tie_breaker": 0.3,
         }})
 
@@ -441,3 +484,75 @@ def test_retriever_tree(spark, fixture):
             {"knn": {"query_vector": [1.0], "field": "embedding"}},
             CFG, n_docs, avgdl, k=5,
         )
+
+
+def test_minimum_should_match_scoring_bool(spark, fixture):
+    # shoulds: alpha (docs 0,1,3,5), delta (2,4), epsilon (4)
+    q = {"bool": {"should": [
+        {"match": {"content": "alpha"}},
+        {"match": {"content": "delta"}},
+        {"match": {"content": "epsilon"}},
+    ]}}
+    base = {r["doc_id"] for r in _run(spark, fixture, q).collect()}
+    assert base == {0, 1, 2, 3, 4, 5}
+    q2 = dict(q)
+    q2 = {"bool": dict(q["bool"], minimum_should_match=2)}
+    got2 = {r["doc_id"] for r in _run(spark, fixture, q2).collect()}
+    assert got2 == {4}  # only doc 4 matches delta AND epsilon
+    q3 = {"bool": dict(q["bool"], minimum_should_match=3)}
+    assert _run(spark, fixture, q3).count() == 0
+    # a multi-term OR match counts as ONE should clause (ES semantics)
+    q4 = {"bool": {"should": [
+        {"match": {"content": "alpha delta"}},
+        {"match": {"content": "epsilon"}},
+    ], "minimum_should_match": 2}}
+    got4 = {r["doc_id"] for r in _run(spark, fixture, q4).collect()}
+    assert got4 == {4}  # delta (via clause 1) + epsilon (clause 2)
+    # msm with must: must gates AND >= msm shoulds must hit
+    q5 = {"bool": {
+        "must": [{"match": {"content": "gamma"}}],
+        "should": [{"match": {"content": "alpha"}},
+                   {"match": {"content": "delta"}}],
+        "minimum_should_match": 1,
+    }}
+    got5 = {r["doc_id"] for r in _run(spark, fixture, q5).collect()}
+    # gamma docs: 0,1,2,4; of those, alpha|delta: 0,1,2,4 all match >=1
+    assert got5 == {0, 1, 2, 4}
+
+
+def test_should_const_next_to_text(spark, fixture):
+    # must-text + const should: membership = text hits; en docs +1.0
+    plain = {r["doc_id"]: r["score"] for r in _run(spark, fixture, {
+        "bool": {"must": [{"match": {"content": "gamma"}}]}
+    }).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in _run(spark, fixture, {
+        "bool": {"must": [{"match": {"content": "gamma"}}],
+                 "should": [{"term": {"lang": {"value": "en",
+                                               "boost": 1.0}}}]}
+    }).collect()}
+    assert set(boosted) == set(plain)  # membership unchanged
+    for did, s in boosted.items():
+        want = plain[did] + (1.0 if did in (0, 1, 3, 5) else 0.0)
+        assert s == pytest.approx(want)
+    # should-only text + const should: const-only docs join membership
+    got = {r["doc_id"]: r["score"] for r in _run(spark, fixture, {
+        "bool": {"should": [
+            {"match": {"content": "epsilon"}},
+            {"term": {"source": {"value": "book", "boost": 0.5}}},
+        ]}
+    }).collect()}
+    eps = {r["doc_id"]: r["score"] for r in _run(spark, fixture, {
+        "match": {"content": "epsilon"}
+    }).collect()}
+    # epsilon: doc 4 (book -> +0.5); const-only members: doc 1 (book)
+    assert set(got) == {1, 4}
+    assert got[4] == pytest.approx(eps[4] + 0.5)
+    assert got[1] == pytest.approx(0.5)
+    # filter context still gates const-only members
+    got_f = {r["doc_id"] for r in _run(spark, fixture, {
+        "bool": {"should": [
+            {"match": {"content": "epsilon"}},
+            {"term": {"source": {"value": "book", "boost": 0.5}}},
+        ], "filter": [{"term": {"lang": "de"}}]}
+    }).collect()}
+    assert got_f == {4}  # doc 1 is en -> filtered out
