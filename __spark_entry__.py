@@ -3161,6 +3161,78 @@ WITH toks AS (
 """
 
 
+PHRASE_SLOP_SCORED = 2
+
+
+def q_phrase_sloppy_scored(spark, sf_dir):
+    """Sloppy phrase with Lucene sloppyFreq scoring (round 5): each
+    matching anchor weighted 1/(matchLength+1) where matchLength is its
+    MINIMAL assignment span (phrase.py _match_phrase want_weights);
+    score = per-doc sum. slop=2 so windows of span 0/1/2 all occur."""
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_match
+
+    out = phrase_match(
+        spark, _phrase_postings(spark, sf_dir), PHRASES_SLOP, _ws_config(),
+        slop=PHRASE_SLOP_SCORED, with_dl=True, with_weights=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "n_matches",
+        F.round("sloppy_freq", 6).alias("score"),
+    )
+
+
+def _phrase_sloppy_scored_oracle_sql() -> str:
+    """Replay of the sloppyFreq weighting: per anchor the minimal span s
+    in 0..slop such that some window [p0+m, p0+m+s] (m in [-s, 0]) holds
+    every slot's term at a phrase-position inside it; per-doc score =
+    sum(1/(min_s+1)) over matching anchors."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    s = PHRASE_SLOP_SCORED
+    parts = []
+    for qid, text in PHRASES_SLOP:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        exists = []
+        for i, term in enumerate(terms[1:], start=1):
+            exists.append(
+                f"EXISTS (SELECT 1 FROM toks t{i} WHERE t{i}.doc_id = a.doc_id "
+                f"AND t{i}.t = '{term}' "
+                f"AND t{i}.p - {i} BETWEEN a.p0 + g.m AND a.p0 + g.m + g.s)"
+            )
+        cond = " AND ".join(exists) if exists else "TRUE"
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id,
+       count(*)::BIGINT AS n_matches,
+       round(sum(1.0 / (ml + 1)), 6) AS score
+FROM (
+  SELECT a.doc_id, a.p0, min(g.s) AS ml
+  FROM (SELECT doc_id, p AS p0 FROM toks WHERE t = '{terms[0]}') a
+  CROSS JOIN grid g
+  WHERE {cond}
+  GROUP BY a.doc_id, a.p0
+)
+GROUP BY doc_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+grid AS (
+  SELECT s, m
+  FROM (SELECT unnest(range(0, {s + 1})) AS s)
+  CROSS JOIN (SELECT unnest(range(-{s}, 1)) AS m)
+  WHERE m >= -s
+)
+{body}
+"""
+
+
 SPANS = [(0, "value table"), (1, "merge fast batch"), (2, "the customer")]
 SPAN_SLOP = 3
 
@@ -4771,9 +4843,10 @@ def q_phrase_shingle_accel(spark, sf_dir):
 
 def q_phrase_family(spark, sf_dir):
     """Every phrase surface merged into one gate (same (query_id, doc_id,
-    n_matches) schema, tagged by kind): single-task, range-partitioned,
-    sloppy, and the round-4f shingle-index accelerated path — one window
-    slot oracles all four evaluators."""
+    n_matches, score) schema, tagged by kind): single-task,
+    range-partitioned, sloppy, the round-4f shingle-index accelerated
+    path, and (round 5) the sloppyFreq-SCORED slop-2 member — filter-only
+    members carry score = n_matches (the slop-0 identity)."""
     m = q_phrase_match(spark, sf_dir).withColumn("kind", F.lit("match"))
     p = q_phrase_partitioned(spark, sf_dir).withColumn(
         "kind", F.lit("partitioned")
@@ -4782,8 +4855,14 @@ def q_phrase_family(spark, sf_dir):
     g = q_phrase_shingle_accel(spark, sf_dir).withColumn(
         "kind", F.lit("shingle")
     )
-    return m.unionByName(p).unionByName(s).unionByName(g).select(
-        "kind", "query_id", "doc_id", "n_matches"
+    base = m.unionByName(p).unionByName(s).unionByName(g).withColumn(
+        "score", F.col("n_matches").cast("double")
+    )
+    w = q_phrase_sloppy_scored(spark, sf_dir).withColumn(
+        "kind", F.lit("slop_scored")
+    )
+    return base.unionByName(w).select(
+        "kind", "query_id", "doc_id", "n_matches", "score"
     )
 
 
@@ -6400,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "doc_stats": q_doc_stats,
         "phrase_slop": q_phrase_slop,
+        "phrase_sloppy_scored": q_phrase_sloppy_scored,
         "phrase_prefix": q_phrase_prefix,
         "more_like_this": q_more_like_this,
         "bm25_conjunctive": q_bm25_conjunctive,
@@ -7738,15 +7818,20 @@ GROUP BY 1
     # shingle-accelerated exact phrase is row-identical to phrase_match —
     # the unigram adjacency oracle replays it directly
     sqls["phrase_shingle_accel"] = _phrase_oracle_sql()
+    _fam_cols = ", query_id, doc_id, n_matches, n_matches::DOUBLE AS score"
     sqls["phrase_family"] = (
-        "SELECT 'match' AS kind, * FROM (" + _phrase_oracle_sql() + ")\n"
-        "UNION ALL\nSELECT 'partitioned' AS kind, * FROM ("
-        + _phrase_oracle_sql() + ")\n"
-        "UNION ALL\nSELECT 'slop' AS kind, * FROM ("
-        + _phrase_slop_oracle_sql() + ")\n"
-        "UNION ALL\nSELECT 'shingle' AS kind, * FROM ("
-        + _phrase_oracle_sql() + ")"
+        "SELECT 'match' AS kind" + _fam_cols
+        + " FROM (" + _phrase_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'partitioned' AS kind" + _fam_cols
+        + " FROM (" + _phrase_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'slop' AS kind" + _fam_cols
+        + " FROM (" + _phrase_slop_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'shingle' AS kind" + _fam_cols
+        + " FROM (" + _phrase_oracle_sql() + ")\n"
+        "UNION ALL\nSELECT 'slop_scored' AS kind, * FROM ("
+        + _phrase_sloppy_scored_oracle_sql() + ")"
     )
+    sqls["phrase_sloppy_scored"] = _phrase_sloppy_scored_oracle_sql()
     sqls["phrase_prefix"] = _phrase_prefix_oracle_sql()
     sqls["phrase_ranked"] = _phrase_ranked_oracle_sql()
     sqls["more_like_this"] = _mlt_oracle_sql()

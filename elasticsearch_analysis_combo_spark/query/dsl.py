@@ -55,11 +55,15 @@ msm combined with const-should-next-to-text raises (the const
 indicator can't feed the evaluator's counting).
 
 Documented subset divergences — everything UNSUPPORTED raises rather
-than silently mis-executing; the one documented SCORING approximation:
-``match_phrase`` with ``slop > 0`` filters exactly (Lucene matchLength
-window) but scores each matching doc by its anchor-match count rather
-than Lucene's per-match ``1/(matchLength+1)`` sloppyFreq weighting
-(at slop 0 the two coincide, and that path is oracle-verified).
+than silently mis-executing. ``match_phrase`` with ``slop > 0`` filters
+exactly (Lucene matchLength window) and scores by Lucene's
+``1/(matchLength+1)`` sloppyFreq weighting (round 5: each anchor match
+weighted by its MINIMAL assignment span; at slop 0 this is the
+anchor-match count, and both paths are oracle-verified). Remaining
+divergence vs Lucene's SloppyPhraseMatcher: matches are enumerated per
+distinct first-slot anchor rather than by Lucene's greedy
+advance-the-minimum scan, so pathological overlapping-repeat phrases
+can count differently (documented in query/phrase.py).
 Unsupported constructs: ``match`` with
 ``operator: and`` is only valid in must position (ES's optional-but-
 all-terms should-AND has no counterpart in the clause evaluator) and

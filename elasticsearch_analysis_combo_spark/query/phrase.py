@@ -73,6 +73,14 @@ PHRASE_DL_SCHEMA = T.StructType(
     PHRASE_SCHEMA.fields + [T.StructField("dl", T.LongType())]
 )
 
+# with_weights=True variant (requires with_dl): adds the Lucene
+# sloppyFreq column — sum over matching anchors of 1/(matchLength+1),
+# matchLength the anchor's minimal assignment span (see _match_phrase).
+# At slop=0 sloppy_freq == n_matches exactly.
+PHRASE_DL_W_SCHEMA = T.StructType(
+    PHRASE_DL_SCHEMA.fields + [T.StructField("sloppy_freq", T.DoubleType())]
+)
+
 # key packing: doc-index band of 2^31, positions biased by 2^30 so pp
 # (position minus slot) stays positive. Bounds asserted in _match_phrase.
 _POS_BIAS = 1 << 30
@@ -135,13 +143,25 @@ def _match_phrase(
     slots: list[tuple[int, object]],
     slop: int = 0,
     want_dl: bool = False,
+    want_weights: bool = False,
 ):
     """Batch phrase evaluation. ``decoded``: term -> (docs, offs, pos_flat,
     dls) with docs sorted unique, offs the per-doc prefix offsets into
     pos_flat, dls the per-doc lengths. A slot's term spec may be a GROUP
     (tuple of terms): any member occurrence fills the slot. Returns
-    (doc_ids, n_matches[, dls]) for matching docs."""
-    empty = (np.zeros(0, dtype=np.int64),) * (3 if want_dl else 2)
+    (doc_ids, n_matches[, dls][, sloppy_freq]) for matching docs.
+
+    With ``want_weights`` each anchor additionally gets its MINIMAL
+    matchLength (the smallest max(pp)-min(pp) over valid slot
+    assignments anchored at that first-slot occurrence, found by probing
+    window spans s=0..slop in ascending order — the first s that covers
+    every slot is the minimum, because any assignment of span s fits a
+    size-s window containing the anchor) and the per-doc ``sloppy_freq``
+    is ``sum over anchors of 1/(matchLength+1)`` — Lucene's sloppyFreq
+    weighting (SloppyPhraseMatcher slop factor) applied to this
+    evaluator's anchor-based match set. At slop=0 every matchLength is 0
+    and sloppy_freq == n_matches."""
+    empty = (np.zeros(0, dtype=np.int64),) * (2 + want_dl + want_weights)
     groups = [_group(t) for _, t in sorted(slots)]
     slot_ids = [s for s, _ in sorted(slots)]
     # per-slot doc sets: union over the group's members
@@ -192,28 +212,62 @@ def _match_phrase(
     anchors = keys_by_slot[0]
     if anchors.size == 0:
         return empty
-    valid = np.zeros(anchors.size, dtype=bool)
-    for m in range(-slop, 1):
-        ok = np.ones(anchors.size, dtype=bool)
-        for keys in keys_by_slot[1:]:
-            lo = anchors + m
-            hi = anchors + m + slop
-            left = np.searchsorted(keys, lo, side="left")
-            right = np.searchsorted(keys, hi, side="right")
-            ok &= left < right
-            if not ok.any():
+    if want_weights:
+        # ascending-span probe: best[i] = minimal matchLength for anchor i
+        # (slop+1 = no valid assignment). O(slop^2/2) searchsorted passes
+        # over the anchor batch — slop is a small query constant.
+        best = np.full(anchors.size, slop + 1, dtype=np.int64)
+        for s in range(0, slop + 1):
+            pending = best > slop  # unmatched so far (any earlier s < this s)
+            if not pending.any():
                 break
-        valid |= ok
-        if valid.all():
-            break
+            for m in range(-s, 1):
+                ok = pending.copy()
+                for keys in keys_by_slot[1:]:
+                    lo = anchors + m
+                    hi = anchors + m + s
+                    left = np.searchsorted(keys, lo, side="left")
+                    right = np.searchsorted(keys, hi, side="right")
+                    ok &= left < right
+                    if not ok.any():
+                        break
+                best[ok] = s
+                pending &= ~ok
+                if not pending.any():
+                    break
+        valid = best <= slop
+    else:
+        valid = np.zeros(anchors.size, dtype=bool)
+        for m in range(-slop, 1):
+            ok = np.ones(anchors.size, dtype=bool)
+            for keys in keys_by_slot[1:]:
+                lo = anchors + m
+                hi = anchors + m + slop
+                left = np.searchsorted(keys, lo, side="left")
+                right = np.searchsorted(keys, hi, side="right")
+                ok &= left < right
+                if not ok.any():
+                    break
+            valid |= ok
+            if valid.all():
+                break
     if not valid.any():
         return empty
     cidx = (anchors[valid] // _BAND).astype(np.int64)
     counts = np.bincount(cidx, minlength=common.size)
     hit = counts > 0
     out_docs, out_counts = common[hit], counts[hit]
+    freq_out = None
+    if want_weights:
+        freq = np.bincount(
+            cidx, weights=1.0 / (best[valid] + 1.0), minlength=common.size
+        )
+        freq_out = freq[hit]
     if not want_dl:
-        return out_docs, out_counts
+        return (
+            (out_docs, out_counts, freq_out) if want_weights
+            else (out_docs, out_counts)
+        )
     # dl per matched doc, from whichever slot-0 member carries it
     dls_out = np.zeros(out_docs.size, dtype=np.int64)
     for t in groups[0]:
@@ -224,6 +278,8 @@ def _match_phrase(
         idx_c = np.minimum(idx, docs.size - 1)
         present = docs[idx_c] == out_docs
         dls_out[present] = dls[idx_c[present]]
+    if want_weights:
+        return out_docs, out_counts, dls_out, freq_out
     return out_docs, out_counts, dls_out
 
 
@@ -246,12 +302,20 @@ def phrase_match(
     config: ComboConfig,
     slop: int = 0,
     with_dl: bool = False,
+    with_weights: bool = False,
 ) -> DataFrame:
-    """(query_id, doc_id, n_matches[, dl]) for every doc containing the
-    phrase (within ``slop`` position moves — see module docstring). One
-    task per query; use :func:`phrase_match_partitioned` for stop-word
-    phrases over very large indexes."""
-    schema = PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA
+    """(query_id, doc_id, n_matches[, dl][, sloppy_freq]) for every doc
+    containing the phrase (within ``slop`` position moves — see module
+    docstring). ``with_weights`` (requires ``with_dl``) adds Lucene's
+    sloppyFreq (1/(matchLength+1) per anchor, summed). One task per
+    query; use :func:`phrase_match_partitioned` for stop-word phrases
+    over very large indexes."""
+    if with_weights and not with_dl:
+        raise ValueError("with_weights requires with_dl")
+    schema = (
+        PHRASE_DL_W_SCHEMA if with_weights
+        else PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA
+    )
     qrows = analyze_phrases(queries, config)
     if not qrows:
         return spark.createDataFrame([], schema)
@@ -271,7 +335,10 @@ def phrase_match(
         for term, ri, blocks in zip(pdf["term"], pdf["run_idx"], pdf["blocks"]):
             rows_by_term.setdefault(term, {})[int(ri)] = blocks
         decoded = _decode_rows(rows_by_term)
-        res = _match_phrase(decoded, slots_by_q[qid], slop, want_dl=with_dl)
+        res = _match_phrase(
+            decoded, slots_by_q[qid], slop,
+            want_dl=with_dl, want_weights=with_weights,
+        )
         docs, counts = res[0], res[1]
         out = {
             "query_id": pd.Series(np.full(docs.size, qid), dtype="int32"),
@@ -280,6 +347,8 @@ def phrase_match(
         }
         if with_dl:
             out["dl"] = pd.Series(res[2], dtype="int64")
+        if with_weights:
+            out["sloppy_freq"] = pd.Series(res[3], dtype="float64")
         return pd.DataFrame(out)
 
     return joined.groupBy("query_id").applyInPandas(run_query, schema)
@@ -361,6 +430,7 @@ def range_partitioned_positional_eval(
     match_fn,
     range_bits: int = 4,
     want_dl: bool = False,
+    want_weights: bool = False,
 ) -> DataFrame:
     """Shared doc-range fan-out for positional matchers (phrase, span).
 
@@ -374,8 +444,16 @@ def range_partitioned_positional_eval(
     union of per-range results is the exact global answer. With
     ``want_dl`` the matcher must return ``(docs, counts, dls)`` and the
     output gains a ``dl`` column (docs partition across ranges, so per-doc
-    lengths are emitted exactly once)."""
-    schema = PHRASE_DL_SCHEMA if want_dl else PHRASE_SCHEMA
+    lengths are emitted exactly once). ``want_weights`` (requires
+    ``want_dl``) expects ``(docs, counts, dls, freq)`` and adds the
+    ``sloppy_freq`` column — per-doc sums are exact because each doc's
+    anchors all live in its own range."""
+    if want_weights and not want_dl:
+        raise ValueError("want_weights requires want_dl")
+    schema = (
+        PHRASE_DL_W_SCHEMA if want_weights
+        else PHRASE_DL_SCHEMA if want_dl else PHRASE_SCHEMA
+    )
     shift = 64 - range_bits
     if not qterm_rows:
         return spark.createDataFrame([], schema)
@@ -443,6 +521,8 @@ def range_partitioned_positional_eval(
         }
         if want_dl:
             out["dl"] = pd.Series(res[2], dtype="int64")
+        if want_weights:
+            out["sloppy_freq"] = pd.Series(res[3], dtype="float64")
         return pd.DataFrame(out)
 
     return joined.groupBy("query_id", "range_id").applyInPandas(
@@ -458,6 +538,7 @@ def phrase_match_partitioned(
     slop: int = 0,
     range_bits: int = 4,
     with_dl: bool = False,
+    with_weights: bool = False,
 ) -> DataFrame:
     """Range-partitioned phrase matching: one task per (query, doc-range),
     identical rows to :func:`phrase_match` (see
@@ -466,7 +547,9 @@ def phrase_match_partitioned(
     qrows = analyze_phrases(queries, config)
     if not qrows:
         return spark.createDataFrame(
-            [], PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA
+            [],
+            PHRASE_DL_W_SCHEMA if with_weights
+            else PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA,
         )
     slots_by_q: dict[int, list[tuple[int, str]]] = {}
     for qid, slot, term in qrows:
@@ -475,10 +558,12 @@ def phrase_match_partitioned(
         spark, postings,
         [(qid, t) for qid, _, t in qrows],
         lambda qid, decoded: _match_phrase(
-            decoded, slots_by_q[qid], slop, want_dl=with_dl
+            decoded, slots_by_q[qid], slop,
+            want_dl=with_dl, want_weights=with_weights,
         ),
         range_bits=range_bits,
         want_dl=with_dl,
+        want_weights=with_weights,
     )
 
 

@@ -9,8 +9,12 @@ subset (documented; no grouping parens, no phrase slop suffix):
 * ``-term``     — must_not
 * ``"a b c"``   — phrase clause (optionally ``+``/``-`` prefixed):
                   exact-adjacency filter over the positional postings,
-                  SCORED by phrase frequency (Lucene sloppyFreq at
-                  slop 0: distinct anchor positions)
+                  SCORED by Lucene sloppyFreq — each anchor match
+                  weighted 1/(matchLength+1), its minimal assignment
+                  span; at slop 0 (the only slop this parser emits)
+                  that is exactly the distinct-anchor count. The DSL
+                  path (``match_phrase`` with ``slop``) feeds slop > 0
+                  clauses through the same scorer.
 * ``term*``     — prefix clause: expands to at most ``max_expansions``
                   vocabulary terms in dictionary order (the ES cap)
 * ``term~N``    — fuzzy clause: expands to at most ``max_expansions``
@@ -336,11 +340,12 @@ def evaluate_parsed(
             if partitioned_phrases:
                 ph_parts.append(phrase_match_partitioned(
                     spark, postings, comp, config, slop=slop_v,
-                    range_bits=range_bits, with_dl=True,
+                    range_bits=range_bits, with_dl=True, with_weights=True,
                 ))
             else:
                 ph_parts.append(phrase_match(
-                    spark, postings, comp, config, slop=slop_v, with_dl=True,
+                    spark, postings, comp, config, slop=slop_v,
+                    with_dl=True, with_weights=True,
                 ))
         ph = reduce(lambda a, c: a.unionByName(c), ph_parts)
         phrase_hits = ph.select(
@@ -349,6 +354,7 @@ def evaluate_parsed(
             "doc_id",
             "n_matches",
             "dl",
+            "sloppy_freq",
         )
         # the hit set can feed scoring plus up to two indicator joins
         # (must counting, must_not exclusion) — without materialization
@@ -494,7 +500,10 @@ def evaluate_parsed(
         sel = spark.createDataFrame(
             sel_rows, "qid int, cid int, idf_sum double"
         )
-        f = F.col("n_matches").cast("double")
+        # Lucene sloppyFreq: each match weighted 1/(matchLength+1)
+        # (phrase.py _match_phrase want_weights). At slop 0 this equals
+        # n_matches, so exact phrases score as before.
+        f = F.col("sloppy_freq")
         score_parts.append(
             phrase_hits.join(F.broadcast(sel), ["qid", "cid"])
             .withColumn(

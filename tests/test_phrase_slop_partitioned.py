@@ -235,3 +235,78 @@ def test_phrase_topk_scoring(spark):
     got = {r["doc_id"]: r["score"] for r in out}
     assert abs(got[0] - score(2, 5)) < 1e-9
     assert abs(got[1] - score(1, 8)) < 1e-9
+
+
+# ------------------------------------------------ sloppyFreq (round 5)
+
+def _freqs(out):
+    return {
+        (r["query_id"], r["doc_id"]): round(r["sloppy_freq"], 9)
+        for r in out.collect()
+    }
+
+
+def test_sloppy_freq_hand_vectors(spark, tiny_postings):
+    """Lucene sloppyFreq: each anchor weighted 1/(matchLength+1) with
+    matchLength its MINIMAL assignment span. 'a b' at slop 2: exact
+    adjacency weighs 1, one gap 1/2, transposition 1/3."""
+    out = phrase_match(
+        spark, tiny_postings, [(0, "a b")], CFG, slop=2,
+        with_dl=True, with_weights=True,
+    )
+    got = _freqs(out)
+    assert got == {
+        (0, 0): 1.0,                     # "a b c": span 0
+        (0, 1): round(1.0 / 3.0, 9),     # "b a": span 2
+        (0, 2): 0.5,                     # "a x b": span 1
+        (0, 3): 2.0,                     # both anchors have a span-0 pick
+    }
+
+
+def test_sloppy_freq_slop0_equals_count(spark, tiny_postings):
+    out = phrase_match(
+        spark, tiny_postings, [(0, "a b")], CFG, slop=0,
+        with_dl=True, with_weights=True,
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["sloppy_freq"] == float(r["n_matches"])
+
+
+def test_sloppy_freq_partitioned_identical(spark, tiny_postings):
+    single = _freqs(phrase_match(
+        spark, tiny_postings, [(0, "a b"), (1, "b c")], CFG, slop=2,
+        with_dl=True, with_weights=True,
+    ))
+    part = _freqs(phrase_match_partitioned(
+        spark, tiny_postings, [(0, "a b"), (1, "b c")], CFG, slop=2,
+        range_bits=3, with_dl=True, with_weights=True,
+    ))
+    assert single == part
+
+
+def test_sloppy_freq_scores_dsl_phrase(spark):
+    """End-to-end: a DSL match_phrase with slop ranks the tighter match
+    above the looser one even when counts tie (1/(ml+1) weighting) —
+    same dl and idf for all three docs, so only sloppy_freq separates."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    rows = [
+        (0, "alpha beta pad pad pad pad"),        # span 0 -> freq 1
+        (1, "alpha gap beta pad pad pad"),        # span 1 -> freq 1/2
+        (2, "beta alpha pad pad pad pad"),        # span 2 -> freq 1/3
+        (3, "pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    post = _postings(spark, rows)
+    out = dsl_topk(
+        spark, stats, term_df, post,
+        [(0, {"match_phrase": {"content": {"query": "alpha beta",
+                                           "slop": 2}}})],
+        CFG, n_docs=4, avgdl=6.0, k=10,
+    ).collect()
+    out.sort(key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+    assert out[0]["score"] > out[1]["score"] > out[2]["score"]
