@@ -5965,6 +5965,7 @@ def q_rank_eval(spark, sf_dir):
 
 
 FIS_MIN_SUPPORT, FIS_SIZE = 150, 10
+FIS_DOC_CAP = 4
 MIX_BUDGETS = {"en": 5000, "de": 1200, "zh": 999999}
 
 
@@ -6002,13 +6003,25 @@ def q_frequent_item_sets(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         "doc_id", F.split("text", " ").alias("items")
     )
-    out = frequent_item_sets_agg(
+    def _fmt(out):
+        return out.select(
+            F.col("set_size").cast("long").alias("set_size"),
+            F.array_join("items", "|").alias("item_key"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
+
+    exact = _fmt(frequent_item_sets_agg(
         d, "items", min_support_docs=FIS_MIN_SUPPORT, size=FIS_SIZE,
-    )
-    return out.select(
-        F.col("set_size").cast("long").alias("set_size"),
-        F.array_join("items", "|").alias("item_key"),
-        F.col("doc_count").cast("long").alias("doc_count"),
+    )).withColumn("kind", F.lit("exact"))
+    # round 5: per-doc frequent-item cap (top-n by global support,
+    # deterministic tie-break) bounds the pair self-join blowup — the
+    # analogue of ES's sampled semantics knob
+    capped = _fmt(frequent_item_sets_agg(
+        d, "items", min_support_docs=FIS_MIN_SUPPORT, size=FIS_SIZE,
+        max_items_per_doc=FIS_DOC_CAP,
+    )).withColumn("kind", F.lit("capped"))
+    return exact.unionByName(capped).select(
+        "kind", "set_size", "item_key", "doc_count"
     )
 
 
@@ -7985,8 +7998,16 @@ FROM kept GROUP BY 1
 """
 
     # frequent_item_sets: relational Apriori replay (distinct per-doc
-    # items, support-pruned singles, a<b pairs from frequent items)
-    sqls["frequent_item_sets"] = f"""
+    # items, support-pruned singles, a<b pairs from frequent items);
+    # the 'capped' kind additionally keeps only each doc's top-n
+    # frequent items (global doc_count desc, item asc) before pairing
+    def _fis_sql(doc_cap: int | None) -> str:
+        cap_filter = (
+            "" if doc_cap is None else f"""
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY doc_count DESC, item) <= {doc_cap}"""
+        )
+        return f"""
 WITH it AS (
   SELECT DISTINCT doc_id, u AS item FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
@@ -8001,7 +8022,9 @@ s_top AS (
   QUALIFY row_number() OVER (ORDER BY doc_count DESC, item)
           <= {FIS_SIZE}
 ),
-freq AS (SELECT it.doc_id, it.item FROM it JOIN singles USING (item)),
+freq AS (
+  SELECT it.doc_id, it.item FROM it JOIN singles USING (item){cap_filter}
+),
 pairs AS (
   SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS doc_count
   FROM freq a JOIN freq b
@@ -8018,6 +8041,12 @@ p_top AS (
 )
 SELECT * FROM s_top UNION ALL SELECT * FROM p_top
 """
+
+    sqls["frequent_item_sets"] = (
+        "SELECT 'exact' AS kind, * FROM (" + _fis_sql(None) + ")\n"
+        "UNION ALL\nSELECT 'capped' AS kind, * FROM ("
+        + _fis_sql(FIS_DOC_CAP) + ")"
+    )
 
     # retriever tree: both legs replayed with their filters, fused with
     # the same rrf sum and rounded-rank policy

@@ -1198,6 +1198,7 @@ def frequent_item_sets_agg(
     size: int = 10,
     max_set_size: int = 2,
     id_col: str = "doc_id",
+    max_items_per_doc: int | None = None,
 ) -> DataFrame:
     """ES ``frequent_item_sets`` aggregation (the log/market-basket
     miner), deterministic Apriori analogue for set sizes 1 and 2:
@@ -1208,9 +1209,20 @@ def frequent_item_sets_agg(
     isn't), so the self-join explodes frequent items only, never the
     raw vocabulary. Returns (set_size, items sorted-array, doc_count),
     top ``size`` per set size by (doc_count desc, items). ES's version
-    samples and approximates; this is exact at the same semantics."""
+    samples and approximates; this is exact at the same semantics.
+
+    ``max_items_per_doc`` caps the frequent items each DOCUMENT
+    contributes to pair generation — top-n by (global doc_count desc,
+    item asc), deterministic — bounding the per-doc pair blowup at
+    n^2/2: a pathological doc carrying 10k frequent tags would
+    otherwise emit 5e7 pair rows into one skew cell. The analogue of
+    ES's sampled semantics knob; singleton counts are never capped,
+    and pair counts are exact whenever every doc holds <= n frequent
+    items (pinned by tests)."""
     if max_set_size not in (1, 2):
         raise ValueError("max_set_size must be 1 or 2")
+    if max_items_per_doc is not None and max_items_per_doc < 2:
+        raise ValueError("max_items_per_doc must be >= 2")
     items = (
         df.select(F.col(id_col).alias("_d"),
                   F.explode(F.array_distinct(items_col)).alias("item"))
@@ -1234,8 +1246,17 @@ def frequent_item_sets_agg(
     )
     if max_set_size == 2:
         freq = items.join(
-            F.broadcast(singles.select("item")), "item"
+            F.broadcast(singles.select("item", "doc_count")), "item"
         )
+        if max_items_per_doc is not None:
+            wd = Window.partitionBy("_d").orderBy(
+                F.desc("doc_count"), F.asc("item")
+            )
+            freq = (
+                freq.withColumn("_dr", F.row_number().over(wd))
+                .filter(F.col("_dr") <= max_items_per_doc)
+            )
+        freq = freq.select("_d", "item")
         a = freq.select("_d", F.col("item").alias("a"))
         b_ = freq.select("_d", F.col("item").alias("b"))
         pairs = (

@@ -369,6 +369,80 @@ class TestFrequentItemSets:
         import pytest as _pt
         with _pt.raises(ValueError):
             frequent_item_sets_agg(df, "items", max_set_size=3)
+        with _pt.raises(ValueError):
+            frequent_item_sets_agg(df, "items", max_items_per_doc=1)
+
+    def test_doc_cap_identity_when_loose(self, spark):
+        """A cap >= every doc's frequent-item count changes nothing."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            frequent_item_sets_agg,
+        )
+
+        rows = [
+            (0, ["a", "b", "x"]), (1, ["a", "b"]), (2, ["a", "b", "c"]),
+            (3, ["a", "c"]), (4, ["b", "c", "y"]), (5, ["a", "a", "b"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+
+        def rows_of(out):
+            return sorted(
+                (r["set_size"], tuple(r["items"]), r["doc_count"])
+                for r in out.collect()
+            )
+
+        exact = rows_of(frequent_item_sets_agg(
+            df, "items", min_support_docs=3, size=10
+        ))
+        capped = rows_of(frequent_item_sets_agg(
+            df, "items", min_support_docs=3, size=10, max_items_per_doc=10
+        ))
+        assert capped == exact
+
+    def test_doc_cap_deterministic_top_by_support(self, spark):
+        """The cap keeps each doc's top-n by GLOBAL support, ties by
+        item asc — so the kept pairs are predictable."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            frequent_item_sets_agg,
+        )
+
+        # support: a=4, b=3, c=3 -> doc 0's top-2 = (a, b); pair (a,c)
+        # and (b,c) lose doc 0's contribution under cap=2
+        rows = [
+            (0, ["a", "b", "c"]), (1, ["a", "b", "c"]), (2, ["a", "b", "c"]),
+            (3, ["a"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+        out = frequent_item_sets_agg(
+            df, "items", min_support_docs=3, size=10, max_items_per_doc=2
+        ).collect()
+        got = {(r["set_size"], tuple(r["items"])): r["doc_count"]
+               for r in out}
+        assert got[(2, ("a", "b"))] == 3
+        assert (2, ("a", "c")) not in got  # capped out of every doc
+        assert (2, ("b", "c")) not in got
+
+    def test_doc_cap_bounds_pathological_doc(self, spark):
+        """Torture: one doc carrying 10k frequent items must finish —
+        uncapped it would emit 5e7 pair rows into one skew cell; the
+        cap bounds it at n^2/2 per doc."""
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            frequent_item_sets_agg,
+        )
+
+        big = [f"t{i:05d}" for i in range(10_000)]
+        rows = [(d, big) for d in range(3)]  # all 10k items frequent
+        df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+        out = frequent_item_sets_agg(
+            df, "items", min_support_docs=3, size=5, max_items_per_doc=8
+        ).collect()
+        got = {(r["set_size"], tuple(r["items"])): r["doc_count"]
+               for r in out}
+        # every kept pair is among the lexicographically-first 8 items
+        # (equal support -> item asc tie-break) and counts all 3 docs
+        assert got[(2, ("t00000", "t00001"))] == 3
+        assert all(
+            items[-1] <= "t00007" for (sz, items) in got if sz == 2
+        )
 
 
 class TestTokenBudgetSampling:
