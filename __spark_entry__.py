@@ -612,6 +612,38 @@ def q_ivf_knn_filtered(spark, sf_dir):
     )
 
 
+IVF_RERANK_FACTOR = 3
+
+
+def q_ivf_quantized_topk(spark, sf_dir):
+    """IVF ANN with int8-quantized candidate scoring (round 5): unit
+    vectors quantized floor(u*127+0.5), candidates scored by the
+    SYMMETRIC integer dot product (bit-identical ordering across
+    engines), only the top k*factor per query reranked from raw
+    floats."""
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = ivf_quantized_topk(
+        emb, queries, k=TOPK, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        seed=LSH_COS_SEED, rerank_factor=IVF_RERANK_FACTOR,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     """IVF with spherical-k-means-REFINED centroids (kmeans_iters=2 —
     the mapInPandas partial-sum refinement runs for real) probing ALL
@@ -6285,6 +6317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
         "dsl_dismax_tb": q_dsl_dismax_tb,
+        # int8-quantized IVF candidate scoring + exact top rerank
+        "ivf_quantized_topk": q_ivf_quantized_topk,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -6800,6 +6834,87 @@ scored AS (
   SELECT c.query_id, c.vec_id,
          list_cosine_similarity(qv.v, e.embedding::DOUBLE[]) AS cosine
   FROM cand c JOIN qv USING (query_id)
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _ivf_quantized_oracle_sql() -> str:
+    """ivf_quantized_topk replay: same centroids/assignment/probes as
+    the ivf oracle, then int8 quantization qv = floor(u*127+0.5) of each
+    UNIT vector, symmetric integer dot-product candidate ordering, cut
+    at k*rerank_factor per query (qscore desc, vec_id), exact-cosine
+    rerank of the survivors."""
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH ranked_c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (
+           ORDER BY ('0x'||substr(md5(vec_id::VARCHAR || '#{LSH_COS_SEED}'),1,15))::BIGINT,
+                    vec_id) AS rn
+  FROM embeddings
+),
+cent AS (SELECT rn - 1 AS cell, v FROM ranked_c WHERE rn <= {IVF_CELLS}),
+unit AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           greatest(sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])), 1e-30) AS nrm
+    FROM embeddings
+  )
+),
+qvec AS (
+  SELECT vec_id,
+         list_transform(u, x -> floor(x * 127 + 0.5)::BIGINT) AS qv
+  FROM unit
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.v) DESC, c.cell) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id IN ({ann_ids})),
+qquant AS (SELECT vec_id AS query_id, qv FROM qvec
+           WHERE vec_id IN ({ann_ids})),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.cell) AS r
+    FROM qv q CROSS JOIN cent c
+  ) WHERE r <= {IVF_PROBE}
+),
+cand0 AS (
+  SELECT p.query_id, a.vec_id,
+         list_inner_product(qd.qv, qc.qv) AS qscore
+  FROM probe p
+  JOIN assign a USING (cell)
+  JOIN qvec qd ON qd.vec_id = a.vec_id
+  JOIN qquant qc ON qc.query_id = p.query_id
+),
+cut AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY qscore DESC, vec_id) AS r
+    FROM cand0
+  ) WHERE r <= {TOPK * IVF_RERANK_FACTOR}
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qv.v, e.embedding::DOUBLE[]) AS cosine
+  FROM cut c JOIN qv USING (query_id)
   JOIN embeddings e ON e.vec_id = c.vec_id
 ),
 ranked AS (
@@ -8827,6 +8942,7 @@ FROM msgs GROUP BY 1
     sqls["lsh_ann_topk"] = _lsh_ann_topk_oracle_sql()
     sqls["ivf_ann_topk"] = _ivf_ann_topk_oracle_sql()
     sqls["ivf_knn_filtered"] = _ivf_ann_topk_oracle_sql(where=KNN_FILTER)
+    sqls["ivf_quantized_topk"] = _ivf_quantized_oracle_sql()
     sqls["multimodal_frames"] = _multimodal_frames_oracle_sql()
 
     sqls["combo_analyze"] = """

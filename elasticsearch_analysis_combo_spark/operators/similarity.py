@@ -241,6 +241,34 @@ def _exact_rerank(cand_emb: DataFrame, qids: np.ndarray, qnorm: np.ndarray) -> D
     return cand_emb.mapInPandas(score, schema=SIM_SCHEMA)
 
 
+def _seeded_unit_centroids(
+    emb: DataFrame, n_cells: int, seed: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """n_cells L2-normalized centroid rows picked by deterministic md5
+    hash order — cheap, seedable, and replayable in other engines (the
+    DuckDB gate oracles re-derive the same centroid set); orderBy+limit
+    compiles to TakeOrderedAndProject (no full sort)."""
+    # key on the post-alias "vec_id" column (id_col is renamed below)
+    cent_key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "#", F.col("vec_id").cast("string"), F.lit(str(seed))
+            )),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    cents = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .orderBy(cent_key, F.col("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cmat = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in cents])
+    return cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+    )
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -280,26 +308,10 @@ def ivf_cosine_topk(
         # rerank needs no post-filter. Query vectors are caller-supplied
         # and unaffected.
         emb = emb.filter(F.expr(filter_expr))
-    # md5-derived hash order: deterministic, seedable, and replayable in
-    # other engines (the DuckDB oracle re-derives the same centroid set);
-    # orderBy+limit compiles to TakeOrderedAndProject (no full sort)
-    cent_key = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("#", F.col("vec_id").cast("string"), F.lit(str(seed)))),
-            1, 15,
-        ), 16, 10,
-    ).cast("long")
-    cents = (
-        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .orderBy(cent_key, F.col("vec_id"))
-        .limit(n_cells)
-        .collect()
-    )
-    cmat = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in cents])
-    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+    cnorm = _seeded_unit_centroids(emb, n_cells, seed, id_col, vec_col)
 
     src0 = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
-    dim = cmat.shape[1]
+    dim = cnorm.shape[1]
     for _ in range(kmeans_iters):
         cn = cnorm  # bind current centroids into the closure
 
@@ -385,6 +397,111 @@ def ivf_cosine_topk(
         .select("query_id", "vec_id")
     )
     cand_emb = src.join(cand, "vec_id")
+    return _topk_window(_exact_rerank(cand_emb, qids, qnorm), k)
+
+
+def ivf_quantized_topk(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """IVF ANN with int8-quantized candidate scoring and exact rerank of
+    only the final ``k * rerank_factor`` survivors per query — the raw
+    float vectors never feed the hot scoring path.
+
+    At 10^9+ embeddings :func:`ivf_cosine_topk`'s exact rerank reads the
+    raw float vectors of EVERY vector in a probed cell (~n_probe/n_cells
+    of the corpus per query). Here the scan quantizes each unit vector to
+    int8 (``floor(u * 127 + 0.5)`` per component — deterministic,
+    replayable in plain SQL) and scores candidates with the SYMMETRIC
+    integer dot product qv . qq: integer arithmetic, so the candidate
+    ordering is bit-identical across engines (no float-sum tie
+    ambiguity at the cut boundary). Only the top ``k * rerank_factor``
+    per query by (qscore desc, vec_id) are re-scored exactly from their
+    raw floats — a bounded gather, not a cell scan. In a persisted
+    deployment the (cell, int8 vector) table is written once at index
+    build, shrinking the per-query scan 4-8x vs raw floats.
+
+    One fused corpus pass does assignment + quantization + masked
+    per-query scoring (a vector is scored only for queries probing its
+    cell — no cells/probes join materializes); the only shuffles are the
+    two bounded top-k windows. Same hash-seeded centroids as
+    :func:`ivf_cosine_topk`; ``filter_expr`` keeps ES pre-filter
+    semantics."""
+    if rerank_factor < 1:
+        raise ValueError("rerank_factor must be >= 1")
+    if filter_expr is not None:
+        emb = emb.filter(F.expr(filter_expr))
+    cnorm = _seeded_unit_centroids(emb, n_cells, seed, id_col, vec_col)
+    n_cells_eff = cnorm.shape[0]
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qnorm = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30
+    )
+    qq = np.floor(qnorm * 127.0 + 0.5).astype(np.int64)  # Q x d int8 range
+    # probe mask[q, cell]: stable argsort == cosine DESC, cell ASC
+    qsims = qnorm @ cnorm.T
+    probe_mask = np.zeros((qids.size, n_cells_eff), dtype=bool)
+    for qi in range(qids.size):
+        probe_mask[qi, np.argsort(-qsims[qi], kind="stable")[:n_probe]] = True
+
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+    qs_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qscore", T.LongType()),
+        ]
+    )
+
+    def qscore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            u = mat / norms
+            cells = np.argmax(u @ cnorm.T, axis=1)
+            qv = np.floor(u * 127.0 + 0.5).astype(np.int64)
+            s = qv @ qq.T  # B x Q integer scores
+            keep = probe_mask[:, cells].T  # B x Q: query probes this cell
+            bi, qi = np.nonzero(keep)
+            if bi.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "vec_id": pdf["vec_id"].to_numpy()[bi],
+                    "qscore": s[bi, qi],
+                }
+            )
+
+    cand = (
+        src.mapInPandas(qscore, schema=qs_schema)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("qscore"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "vec_id")
+    )
+    # bounded gather: broadcast the k*c*Q survivors against the raw scan
+    cand_emb = src.join(F.broadcast(cand), "vec_id")
     return _topk_window(_exact_rerank(cand_emb, qids, qnorm), k)
 
 
