@@ -5276,6 +5276,78 @@ def q_global_agg(spark, sf_dir):
 # round-4i gates
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """REAL BPE token accounting (round 5): pre-tokenize, apply the
+    embedded deterministic merge table (learned Sennrich-style from the
+    fixed seed text at import), count subwords per doc. The oracle
+    replays the merges with a recursive CTE: one left-to-right
+    non-overlapping replace pass of the lowest-ranked present pair per
+    step — provably the same order as the kernel because a merge's
+    parts always precede it in a valid BPE table."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "pre_tokens", "bpe_tokens"
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """Recursive-CTE replay of the BPE apply: each pre-token becomes a
+    chr(31)-delimited char sequence ('\\x1fa\\x1fb\\x1f'); per recursion
+    step the lowest-ranked pair whose '\\x1fa\\x1fb\\x1f' pattern occurs is
+    replaced (DuckDB replace = left-to-right non-overlapping, exactly
+    the kernel's merge pass); rows exit recursion when no pattern
+    matches, and the final rows' separator counts give the subword
+    counts."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        BPE_MERGES,
+    )
+
+    sep = "\x1f"
+    vals = ", ".join(
+        f"({r + 1}, '{sep}{a}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+        for r, (a, b) in enumerate(BPE_MERGES)
+    )
+    return f"""
+WITH RECURSIVE
+m(rnk, pat, rep) AS (VALUES {vals}),
+pre AS (
+  SELECT doc_id, pt.i AS pt_idx,
+         chr(31) || regexp_replace(pt.tok, '(.)', '\\1' || chr(31), 'g') AS seq
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+             (x, i) -> struct_pack(tok := x, i := i))) AS pt
+    FROM documents
+  )
+),
+bpe AS (
+  SELECT doc_id, pt_idx, seq FROM pre
+  UNION ALL
+  SELECT b.doc_id, b.pt_idx, replace(b.seq, mm.pat, mm.rep) AS seq
+  FROM bpe b JOIN m mm ON mm.rnk = (
+    SELECT min(m2.rnk) FROM m m2 WHERE contains(b.seq, m2.pat)
+  )
+),
+final AS (
+  SELECT doc_id, pt_idx, seq FROM bpe b
+  WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(b.seq, m.pat))
+),
+counts AS (
+  SELECT doc_id, count(*)::BIGINT AS pre_tokens,
+         sum(len(string_split(seq, chr(31))) - 2)::BIGINT AS bpe_tokens
+  FROM final GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(c.pre_tokens, 0)::BIGINT AS pre_tokens,
+       coalesce(c.bpe_tokens, 0)::BIGINT AS bpe_tokens
+FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style n-gram LM quality scoring: add-k-smoothed bigram model
     trained on the corpus itself, every doc scored by mean log-prob +
@@ -6319,6 +6391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_dismax_tb": q_dsl_dismax_tb,
         # int8-quantized IVF candidate scoring + exact top rerank
         "ivf_quantized_topk": q_ivf_quantized_topk,
+        # real BPE token accounting (embedded deterministic merge table)
+        "bpe_token_counts": q_bpe_token_counts,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -8715,6 +8789,7 @@ SELECT 'reverse_nested', l_linenumber::VARCHAR,
        count(DISTINCT l_orderkey)::BIGINT, NULL::DOUBLE
 FROM lineitem WHERE l_quantity >= 45 GROUP BY 2
 """
+    sqls["bpe_token_counts"] = _bpe_oracle_sql()
     sqls["lm_perplexity"] = f"""
 WITH toks AS (
   SELECT doc_id,

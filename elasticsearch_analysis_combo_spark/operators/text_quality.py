@@ -145,6 +145,173 @@ def token_counts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Real BPE token accounting (round 5). Classic byte-pair-encoding
+# (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+# Words with Subword Units"): pre-tokenize with the same letter-run /
+# digit-run / punct-singleton regex as token_counts, split each
+# pre-token to characters, then repeatedly merge the highest-priority
+# adjacent pair per a FIXED embedded merge table. The table is learned
+# deterministically at import from an embedded seed text (max pair
+# count, ties broken lexicographically), so counts are reproducible
+# anywhere and the DuckDB gate oracle replays the merges exactly.
+# Validity invariant (asserted): a merge's parts always precede it,
+# which guarantees the oracle's one-replace-pass-per-step recursion
+# picks pairs in the same order as the one-pass-per-step kernel here.
+
+import re as _re
+from collections import Counter as _Counter
+
+_PRETOK_RE = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# Embedded seed: common English function words plus the synthetic
+# corpus' vocabulary, repeated in plain sentences — enough statistics
+# for ~substantial merges without shipping any external artifact.
+BPE_SEED_TEXT = (
+    "the query scans the table and the filter pushes down to the scan "
+    "a fast merge of sorted batches makes the window agg stream fast "
+    "the customer orders a part and the order lines join the customer "
+    "hash the key and sort the values then group the rows by the key "
+    "big data batches stream through the spark query plan every day "
+    "small values sort fast and large tables merge in sorted order "
+    "the index stores a posting list for every term in the corpus "
+    "tokens merge into subwords and subwords merge into whole words "
+    "counting tokens with the same merges the trainer uses keeps the "
+    "budget and the packing honest for the training data pipeline"
+)
+BPE_N_MERGES = 96
+
+
+def _merge_pass(seq: list, a: str, b: str) -> list:
+    """One left-to-right non-overlapping merge pass of pair (a, b)."""
+    out, i = [], 0
+    while i < len(seq):
+        if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def learn_bpe_merges(text: str, n_merges: int) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from ``text``: per round, count adjacent
+    pairs over the (weighted) word vocabulary and merge the most
+    frequent (ties -> lexicographically smallest pair). Deterministic;
+    standard Sennrich et al. learning over word counts."""
+    words = _Counter(_PRETOK_RE.findall(text))
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: _Counter = _Counter()
+        for w, cnt in words.items():
+            seq = vocab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in vocab:
+            vocab[w] = _merge_pass(vocab[w], *best)
+    return merges
+
+
+BPE_MERGES: list[tuple[str, str]] = learn_bpe_merges(
+    BPE_SEED_TEXT, BPE_N_MERGES
+)
+# validity: every merge's parts are single chars or earlier merge outputs
+_seen = {a for a, _ in BPE_MERGES} | {b for _, b in BPE_MERGES}
+for _i, (_a, _b) in enumerate(BPE_MERGES):
+    _earlier = {x + y for x, y in BPE_MERGES[:_i]}
+    assert len(_a) == 1 or _a in _earlier, (_i, _a)
+    assert len(_b) == 1 or _b in _earlier, (_i, _b)
+del _seen, _i, _a, _b
+
+_BPE_RANK = {p: r for r, p in enumerate(BPE_MERGES)}
+
+
+def bpe_segment(
+    word: str,
+    merges: list[tuple[str, str]] | None = None,
+    _rank: dict | None = None,
+) -> list:
+    """Apply the merge table to one pre-token (chars -> subwords): per
+    step, the lowest-ranked pair present merges in one left-to-right
+    non-overlapping pass; repeats until no table pair remains.
+    ``_rank`` lets batch callers pass a prebuilt pair->rank dict."""
+    table = BPE_MERGES if merges is None else merges
+    rank = (
+        _rank if _rank is not None
+        else _BPE_RANK if merges is None
+        else {p: r for r, p in enumerate(merges)}
+    )
+    seq = list(word)
+    while len(seq) > 1:
+        best = None
+        for i in range(len(seq) - 1):
+            r = rank.get((seq[i], seq[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        seq = _merge_pass(seq, *table[best])
+    return seq
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, pre_tokens, bpe_tokens) — REAL BPE token accounting:
+    pre-tokenize, apply the embedded merge table per pre-token, count
+    the resulting subwords. Replaces the ``token_counts`` "BPE-ish"
+    unit estimate wherever budgets must match trainer tokens — the
+    output column feeds :func:`operators.sampling.sample_to_token_budget`
+    and :func:`operators.pipeline.pack_sequences` unchanged.
+
+    Map-only Arrow kernel (mapInPandas, zero shuffle). The per-worker
+    memo is vocabulary-sized: distinct pre-tokens, not corpus tokens —
+    the same reason grouped.py streams vocabulary-sized group counts."""
+    import pandas as pd
+
+    table = BPE_MERGES if merges is None else list(merges)
+    rank = {p: r for r, p in enumerate(table)}
+    spark_cols = [id_col, text_col]
+    memo: dict = {}
+
+    def count(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pre_n, bpe_n = [], []
+            for txt in pdf[text_col]:
+                toks = _PRETOK_RE.findall(txt or "")
+                total = 0
+                for t in toks:
+                    n = memo.get(t)
+                    if n is None:
+                        n = len(bpe_segment(t, table, _rank=rank))
+                        memo[t] = n
+                    total += n
+                pre_n.append(len(toks))
+                bpe_n.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "pre_tokens": pd.Series(pre_n, dtype="int64"),
+                    "bpe_tokens": pd.Series(bpe_n, dtype="int64"),
+                }
+            )
+
+    return df.select(*spark_cols).mapInPandas(
+        count, schema="doc_id long, pre_tokens long, bpe_tokens long"
+    )
+
+
 # Deterministic logistic quality model: fixed, documented weights over
 # the quality_score feature vector (the CCNet/DCLM-style "model-based
 # quality filter" shape, with a transparent linear model standing in for

@@ -114,3 +114,81 @@ def test_quantized_prefilter_semantics(loaded):
     ).collect()
     assert len(out) > 0
     assert all(r["vec_id"] % 2 == 0 for r in out)
+
+
+# ------------------------------------------- real BPE token accounting
+
+class TestBpeTokenCounts:
+    def test_segment_hand_vectors(self):
+        from elasticsearch_analysis_combo_spark.operators.text_quality import (
+            BPE_MERGES,
+            bpe_segment,
+        )
+
+        # seed words merge fully; unseen letters stay near char level
+        assert bpe_segment("the") == ["the"]
+        assert bpe_segment("merge") == ["merge"]
+        assert "".join(bpe_segment("zzqjxv")) == "zzqjxv"
+        assert len(bpe_segment("zzqjxv")) >= 4
+        # valid table: every merge's parts are chars or earlier outputs
+        for i, (a, b) in enumerate(BPE_MERGES):
+            earlier = {x + y for x, y in BPE_MERGES[:i]}
+            assert len(a) == 1 or a in earlier
+            assert len(b) == 1 or b in earlier
+
+    def test_counts_match_local_apply(self, spark):
+        from elasticsearch_analysis_combo_spark.operators.text_quality import (
+            _PRETOK_RE,
+            bpe_segment,
+            bpe_token_counts,
+        )
+
+        rows = [
+            (0, "the query scans the table"),
+            (1, "big-data batches, stream fast!"),
+            (2, ""),
+            (3, "unseen zzqjxv words 12345"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["pre_tokens"], r["bpe_tokens"])
+            for r in bpe_token_counts(df).collect()
+        }
+        for did, txt in rows:
+            toks = _PRETOK_RE.findall(txt)
+            want = (len(toks), sum(len(bpe_segment(t)) for t in toks))
+            assert got[did] == want
+        assert got[2] == (0, 0)
+
+    def test_feeds_budget_and_packing_unchanged(self, spark):
+        """The bpe_tokens column drops straight into
+        sample_to_token_budget and pack_sequences (the verdict's 'accept
+        it unchanged' criterion)."""
+        from elasticsearch_analysis_combo_spark.operators.pipeline import (
+            pack_sequences,
+        )
+        from elasticsearch_analysis_combo_spark.operators.sampling import (
+            sample_to_token_budget,
+        )
+        from elasticsearch_analysis_combo_spark.operators.text_quality import (
+            bpe_token_counts,
+        )
+
+        rows = [
+            (i, "the query scans the table " * (1 + i % 3),
+             "en" if i % 2 == 0 else "de")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        counted = df.join(bpe_token_counts(df), "doc_id")
+        sampled = sample_to_token_budget(
+            counted, "src", {"en": 40, "de": 25}, "bpe_tokens"
+        )
+        sums = {
+            r["src"]: r["s"] for r in sampled.groupBy("src")
+            .agg(F.sum("bpe_tokens").alias("s")).collect()
+        }
+        assert sums["en"] >= 40 and sums["de"] >= 25
+        packed = pack_sequences(counted, "bpe_tokens", budget=64)
+        assert packed.count() == 30
+        assert {"seq_id", "start_offset"} <= set(packed.columns)
