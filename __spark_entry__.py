@@ -5763,6 +5763,14 @@ def q_analysis_filters3(spark, sf_dir):
         .alias("tr_in"),
         F.concat(w1, F.lit("-"), w2, F.lit("_"), digits).alias("pc_in"),
         w1.alias("sx_in"),
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(w1, "a", "ä"), "o", "ö"
+                ), "u", "ü"
+            ),
+            F.lit(" "), w2, F.lit("ß"),
+        ).alias("g2_in"),
     )
 
     def toks(col, analyzer, kind):
@@ -5792,6 +5800,7 @@ def q_analysis_filters3(spark, sf_dir):
         .unionByName(toks("text", "common_grams", "common_grams"))
         .unionByName(toks("pc_in", "pattern_capture", "pattern_capture"))
         .unionByName(toks("sx_in", "phonetic", "phonetic"))
+        .unionByName(toks("g2_in", "german2_fold", "german2"))
     )
 
 
@@ -7847,6 +7856,18 @@ sx AS (
     WHERE i > 1 AND code <> '' AND (prev IS NULL OR code <> prev)
     GROUP BY doc_id
   ) d ON f.doc_id = d.doc_id
+),
+g2 AS (  -- German2 umlaut expansion: input umlautizes w1's vowels and
+         -- suffixes w2 with ß; the fold turns a/o/u-umlauts into
+         -- ae/oe/ue and ß into ss (round 5)
+  SELECT 'german2' AS kind, doc_id, p::BIGINT AS pos, t AS term FROM (
+    SELECT doc_id, 1 AS p,
+           replace(replace(replace(w1, 'a', 'ae'), 'o', 'oe'),
+                   'u', 'ue') AS t
+    FROM base
+    UNION ALL
+    SELECT doc_id, 2 AS p, w2 || 'ss' AS t FROM base
+  )
 )
 SELECT * FROM lt
 UNION ALL SELECT * FROM cg
@@ -7859,6 +7880,7 @@ UNION ALL SELECT * FROM tr
 UNION ALL SELECT * FROM cgrams
 UNION ALL SELECT * FROM pc
 UNION ALL SELECT * FROM sx
+UNION ALL SELECT * FROM g2
 """
 
     sqls["analysis_filters2"] = r"""

@@ -175,6 +175,30 @@ def asciifold_tokenizer(text: str) -> list[Token]:
     ]
 
 
+_GERMAN2_MAP = {"ä": "ae", "ö": "oe", "ü": "ue"}
+
+
+def german2_fold_text(s: str) -> str:
+    """Snowball German2-style folding (reference README.md:92-96, the
+    plugin's own motivating example): umlauts EXPAND (ä->ae, ö->oe,
+    ü->ue) instead of NFKD-stripping to the bare vowel, then the
+    standard ASCII fold handles ß->ss and de-accenting of everything
+    else. Same positions/offsets as german_fold; only umlaut words
+    fold differently."""
+    return fold_text("".join(_GERMAN2_MAP.get(ch, ch) for ch in s))
+
+
+def german2_fold_tokenizer(text: str) -> list[Token]:
+    """Standard tokenize + lowercase + German2 umlaut expansion + ASCII
+    fold — the "default" analyzer of the README's German combo example
+    (snowball German2 + icu_folding), minus the stemming half."""
+    return [
+        Token(german2_fold_text(m.group().lower()), m.start(), m.end(),
+              i + 1, _token_type(m.group()))
+        for i, m in enumerate(_WORD_RE.finditer(text))
+    ]
+
+
 def make_ngram_tokenizer(min_gram: int = 2, max_gram: int = 3) -> TokenizerFn:
     """Lucene NGramTokenizer semantics: all char n-grams of each length in
     [min_gram, max_gram] over the whole input, offsets = gram span. Grams
@@ -1371,6 +1395,7 @@ ANALYZER_REGISTRY: dict[str, TokenizerFn] = {
     "identifier": identifier_tokenizer,
     "asciifold": asciifold_tokenizer,
     "german_fold": asciifold_tokenizer,
+    "german2_fold": german2_fold_tokenizer,
     "lowercase": lowercase_tokenizer,
     "cjk": cjk_tokenizer,
     "pattern": make_pattern_tokenizer(),
@@ -1504,6 +1529,12 @@ def _fast_asciifold(text):
     return [fold_text(w.lower()) for w in _WORD_RE.findall(text)], None
 
 
+def _fast_german2_fold(text):
+    return [
+        german2_fold_text(w.lower()) for w in _WORD_RE.findall(text)
+    ], None
+
+
 FAST_TERM_POS_REGISTRY = {
     "whitespace": _fast_whitespace,
     "lowercase": _fast_lowercase,
@@ -1515,6 +1546,7 @@ FAST_TERM_POS_REGISTRY = {
     "identifier": _fast_identifier,
     "asciifold": _fast_asciifold,
     "german_fold": _fast_asciifold,
+    "german2_fold": _fast_german2_fold,
 }
 
 

@@ -156,6 +156,29 @@ def test_german_folding():
     assert got.count(("ein", 1)) == 1  # folded double deduplicated
 
 
+def test_german2_umlaut_expansion():
+    # README.md:92-96: snowball German2 EXPANDS umlauts (ä->ae, ö->oe,
+    # ü->ue) rather than stripping to the bare vowel; ß folds to ss.
+    # Same combo shape as the README example: originals + expanded forms
+    # merged per position.
+    cfg = ComboConfig(["lowercase", "german2_fold"], deduplication=True)
+    toks = analyze_text("Ein schöner Tag in Köln", cfg)
+    got = [(t.term, t.pos) for t in toks]
+    assert ("schöner", 2) in got and ("schoener", 2) in got
+    assert ("köln", 5) in got and ("koeln", 5) in got
+    assert ("schoner", 2) not in got  # NOT the NFKD strip
+    assert got.count(("ein", 1)) == 1
+    # ß and the three umlauts, uppercase included
+    from elasticsearch_analysis_combo_spark.analysis.tokenizers import (
+        german2_fold_text,
+    )
+    assert german2_fold_text("größe") == "groesse"
+    assert german2_fold_text("über") == "ueber"
+    assert german2_fold_text("Äpfel".lower()) == "aepfel"
+    # non-German accents still de-accent like the ICU fold
+    assert german2_fold_text("café") == "cafe"
+
+
 def test_identifier_split():
     # FIXTURES.md §3 case 10 (engine extension, north_star code-awareness)
     toks = analyze_text("getFooBar snake_case_id", ComboConfig(["identifier"]))
