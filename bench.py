@@ -18,7 +18,9 @@ Steps:
 
 from __future__ import annotations
 
+import hashlib
 import json
+import multiprocessing as mp
 import os
 import statistics
 import sys
@@ -86,12 +88,50 @@ QUERIES_SYNTH = [
 CFG = ComboConfig(["whitespace"])
 
 
+def _burn(n: int) -> int:
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def host_calibration(cpus: int) -> dict:
+    """Quick shared-host ceiling probe, stamped into the bench JSON so
+    driver-day numbers self-normalize (VERDICT r4 #9): 64 equal sha256-burn
+    tasks at 8 procs vs `cpus` procs. ceiling_efficiency is the attainable
+    8->cpus efficiency for embarrassingly parallel pure-CPU work on THIS
+    host TODAY — Spark numbers recorded alongside it can be compared across
+    rounds by dividing out same-day host contention. ~4 s overhead."""
+    def run(procs: int) -> float:
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [200_000] * 64)
+        return time.time() - t0
+
+    n_small = min(8, cpus)
+    t_s, t_b = run(n_small), run(cpus)
+    speedup = t_s / t_b if t_b else 0.0
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "procs": [n_small, cpus],
+        "t_small": round(t_s, 2),
+        "t_big": round(t_b, 2),
+        "ceiling_efficiency": round(speedup / (cpus / n_small), 3)
+        if cpus > n_small else 1.0,
+        "load1_before": load1,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # SPARK_GRAFT_CORPUS=synthetic:<n> benchmarks the generated code corpus
     # (FIXTURES.md bench scale) instead of the sf documents table
     corpus_spec = os.environ.get("SPARK_GRAFT_CORPUS", "sf")
+    calibration = host_calibration(cpus)
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
@@ -393,6 +433,7 @@ def main() -> None:
         "index_files_per_sec": round(n_docs / timings["index_build"], 2),
         "wand_p50_sec": round(statistics.median(wand_times), 3),
         "wand_per_query_sec": round(statistics.median(wand_times) / len(queries), 4),
+        "host_calibration": calibration,
     }
     print(json.dumps(result))
     spark.stop()

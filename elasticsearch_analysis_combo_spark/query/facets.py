@@ -386,26 +386,49 @@ def significant_text_agg(
     exclude: list[str] | None = None,
     sample_fraction: float | None = None,
     seed: int = 42,
+    filter_duplicate_text: bool = False,
+    background_filter: str | None = None,
 ) -> DataFrame:
     """ES ``significant_text``: significant-terms straight over the RAW
     text of the match set (``match_pred``, a SQL predicate over the
     table) — no index required, ES's re-analyze-on-the-fly agg. Terms
-    are whitespace tokens counted ONCE per doc (ES's per-doc dedup —
-    its filter_duplicate_text defense in the same spirit), scored with
-    JLH ``(fg% - bg%) * (fg% / bg%)`` against the whole table as
-    background; ``exclude`` drops the query's own terms (ES excludes by
-    interest).
+    are whitespace tokens counted ONCE per doc (ES's per-doc dedup),
+    scored with JLH ``(fg% - bg%) * (fg% / bg%)`` against the whole
+    table as background; ``exclude`` drops the query's own terms (ES
+    excludes by interest).
+
+    ``filter_duplicate_text=True`` is ES's copy-paste defense: docs with
+    byte-identical ``text_col`` count ONCE (the min-doc_id copy
+    survives, deterministic). ES streams near-duplicate token sequences
+    through a DedupTokenFilter; this is the exact-text variant of that
+    defense — divergence documented, oracle replays it. The dedup
+    shuffles only (md5, doc_id) pairs, never the text, and prunes BOTH
+    sides so fg%/bg% stay comparable. ``background_filter`` (a SQL
+    predicate) narrows the background set, ES's background_filter knob
+    — bg_df and n_bg count only docs matching it (the foreground
+    predicate is NOT auto-intersected, as in ES); terms absent from
+    the background set drop out (JLH is undefined at bg_df=0).
 
     Plan: ONE tokenized projection feeds both sides — foreground =
     predicate-filtered docs (pushdown) -> distinct (doc, term) ->
-    per-term counts; background = the same projection unfiltered. Both
-    are partial-aggregated token-level shuffles; at 100 TB set
-    ``sample_fraction`` to sample the FOREGROUND docs before exploding
-    (ES's sampler-wrapped significant_text — the background stays
-    exact, fg/bg percentages stay unbiased in expectation)."""
+    per-term counts; background = the same projection (optionally
+    background-filtered). Both are partial-aggregated token-level
+    shuffles; at 100 TB set ``sample_fraction`` to sample the
+    FOREGROUND docs before exploding (ES's sampler-wrapped
+    significant_text — the background stays exact, fg/bg percentages
+    stay unbiased in expectation)."""
+    if filter_duplicate_text:
+        keep = (
+            docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+    bg_pred = F.expr(background_filter) if background_filter else F.lit(True)
     base = docs.select(
         "doc_id",
         F.expr(match_pred).alias("_m"),
+        bg_pred.alias("_bg"),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("term"),
@@ -417,12 +440,12 @@ def significant_text_agg(
         )
         base_fg = base.join(fg_docs, "doc_id").filter(F.col("_m"))
         n_fg = fg_docs.count()
-        n_bg = docs.count()
+        n_bg = docs.filter(bg_pred).count()
     else:
         base_fg = base.filter(F.col("_m"))
         # both totals in ONE counting pass over the pruned projection
         g = docs.agg(
-            F.count(F.lit(1)).alias("n_bg"),
+            F.count(F.when(bg_pred, 1)).alias("n_bg"),
             F.count(F.when(F.expr(match_pred), 1)).alias("n_fg"),
         ).collect()[0]
         n_fg, n_bg = int(g["n_fg"]), int(g["n_bg"])
@@ -435,7 +458,10 @@ def significant_text_agg(
         .agg(F.count(F.lit(1)).alias("fg_df"))
         .filter(F.col("fg_df") >= min_doc_count)
     )
-    bg = base.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    bg = (
+        base.filter(F.col("_bg"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    )
     scored = fg.join(bg, "term")
     if exclude:
         scored = scored.filter(~F.col("term").isin(list(exclude)))
@@ -1317,6 +1343,109 @@ def search_facet_histogram(
             F.col("bucket").cast("double").alias("bucket"),
             "doc_count",
         )
+    )
+
+
+def terms_agg_ordered(
+    rows: DataFrame,
+    key_col: str,
+    metric_exprs: dict[str, str],
+    order_by: str,
+    size: int = 10,
+    ascending: bool = False,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``terms`` aggregation with ``order`` by a SUB-AGGREGATION
+    metric (e.g. ``"order": {"avg_price": "desc"}``) instead of
+    doc_count: buckets rank by one of their own computed metrics.
+    ``metric_exprs`` maps output name -> SQL aggregate expression;
+    ``order_by`` names the ranking metric (or ``"doc_count"`` /
+    ``"_key"``, the ES built-in orders).
+
+    Plan: ONE partial-aggregated groupBy computes doc_count + every
+    metric, then the global top-``size`` is an ordered limit over the
+    already-reduced bucket set (TakeOrderedAndProject) — the ranking
+    never sees row-level data, so a billion docs with a thousand keys
+    rank over a thousand rows. Order metric rounds to 6 before
+    comparison (key-ascending tiebreak) so near-tied floats can't flip
+    cross-engine rank order."""
+    aggs = [F.count(F.lit(1)).alias("doc_count")] + [
+        F.expr(expr).alias(name) for name, expr in metric_exprs.items()
+    ]
+    buckets = (
+        rows.groupBy(F.col(key_col).alias("key"))
+        .agg(*aggs)
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+    if order_by == "_key":
+        order = [F.asc("key") if ascending else F.desc("key")]
+    else:
+        ocol = F.round(F.col(order_by), 6) if order_by in metric_exprs \
+            else F.col(order_by)
+        order = [ocol.asc() if ascending else ocol.desc(), F.asc("key")]
+    topk = buckets.orderBy(*order).limit(size)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        *metric_exprs.keys(),
+    )
+
+
+def histogram_bounded_agg(
+    rows: DataFrame,
+    value_col: str,
+    interval: float,
+    extended_bounds: tuple[float, float] | None = None,
+    min_doc_count: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ES ``histogram`` with ``extended_bounds`` + ``min_doc_count: 0``:
+    emits EMPTY buckets across the union of the data span and the
+    requested bounds (dashboards need the zero bars). With
+    ``min_doc_count >= 1`` and no bounds this degrades to the plain
+    histogram.
+
+    Plan: row-level data reduces ONCE to (group, bucket_idx, count);
+    the axis is generated from the per-group min/max indices (widened
+    by the bounds) via ``sequence`` + explode — a bucket-count-sized
+    table, never row-scale — then left-joins the counts. Null values
+    are excluded (ES drops docs missing the field unless ``missing``
+    maps them)."""
+    keys = [F.col(group_col).alias("grp")] if group_col else []
+    key_names = ["grp"] if group_col else []
+    idx = F.floor(F.col(value_col) / F.lit(float(interval))).alias("_idx")
+    counts = (
+        rows.filter(F.col(value_col).isNotNull())
+        .select(*keys, idx)
+        .groupBy(*key_names, "_idx")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    lo = F.min("_idx")
+    hi = F.max("_idx")
+    if extended_bounds is not None:
+        import math
+
+        lo = F.least(lo, F.lit(int(math.floor(extended_bounds[0] / interval))))
+        hi = F.greatest(
+            hi, F.lit(int(math.floor(extended_bounds[1] / interval)))
+        )
+    span = counts.groupBy(*key_names).agg(lo.alias("_lo"), hi.alias("_hi"))
+    axis = span.select(
+        *key_names,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_idx"),
+    )
+    out = (
+        axis.join(counts, key_names + ["_idx"], "left")
+        .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+        .filter(F.col("doc_count") >= min_doc_count)
+        .withColumn(
+            "bucket", (F.col("_idx") * F.lit(float(interval))).cast("double")
+        )
+    )
+    return out.select(
+        *key_names, "bucket", F.col("doc_count").cast("long").alias("doc_count")
     )
 
 
