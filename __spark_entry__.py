@@ -6573,6 +6573,165 @@ FROM axis LEFT JOIN counts USING (grp, idx)
 """
 
 
+ES_AGGS_BODY = {
+    "query": {"range": {"o_totalprice": {"gte": 10000}}},
+    "aggs": {
+        "by_status": {
+            "terms": {"field": "o_orderstatus", "size": 3,
+                      "order": {"avg_price": "desc"}},
+            "aggs": {
+                "avg_price": {"avg": {"field": "o_totalprice"}},
+                "by_prio": {
+                    "terms": {"field": "o_orderpriority", "size": 2},
+                    "aggs": {"max_price": {"max": {"field":
+                                                   "o_totalprice"}}},
+                },
+            },
+        },
+        "price_hist": {
+            "histogram": {"field": "o_totalprice", "interval": 100000.0,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": 0, "max": 700000}},
+        },
+        "price_ranges": {
+            "range": {"field": "o_totalprice",
+                      "ranges": [{"to": 100000},
+                                 {"from": 100000, "to": 300000},
+                                 {"from": 300000}]},
+            "aggs": {"sum_price": {"sum": {"field": "o_totalprice"}}},
+        },
+        "status_filters": {
+            "filters": {"filters": {"open": "o_orderstatus = 'O'",
+                                    "done": "o_orderstatus = 'F'"}},
+            "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+        },
+        "total_price": {"sum": {"field": "o_totalprice"}},
+    },
+}
+
+
+def q_es_aggs(spark, sf_dir):
+    """Round-5: the ES ``aggs`` half of the ``_search`` body — the JSON
+    aggs-tree compiler (query/aggcompiler.py) over a filter-context
+    query: nested terms>terms with order-by-sub-metric, histogram with
+    extended_bounds empty buckets, range buckets with metric sub-aggs,
+    named filters buckets (one conditional pass), and a global metric.
+    Values format as %.6e so double summation-order wobble can't flip
+    a rounded digit across engines."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = dsl_search_aggs(orders, ES_AGGS_BODY)
+    return out.select(
+        "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+
+def _es_aggs_oracle_sql() -> str:
+    return """
+WITH src AS (SELECT * FROM orders WHERE o_totalprice >= 10000),
+bs AS (
+  SELECT o_orderstatus::VARCHAR AS key, count(*)::DOUBLE AS doc_count,
+         avg(o_totalprice) AS avg_price
+  FROM src GROUP BY 1
+),
+bs_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY round(avg_price, 6) DESC, key)
+      AS rn FROM bs
+  ) WHERE rn <= 3
+),
+bs_rows AS (
+  SELECT 'by_status' AS agg, key, 'doc_count' AS metric,
+         doc_count AS value FROM bs_top
+  UNION ALL
+  SELECT 'by_status', key, 'avg_price', avg_price FROM bs_top
+),
+bp AS (
+  SELECT o_orderstatus::VARCHAR AS k1, o_orderpriority::VARCHAR AS k2,
+         count(*)::DOUBLE AS doc_count, max(o_totalprice) AS max_price
+  FROM src JOIN (SELECT key FROM bs_top) s ON o_orderstatus::VARCHAR = s.key
+  GROUP BY 1, 2
+),
+bp_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k1
+                                 ORDER BY doc_count DESC, k2) AS rn
+    FROM bp
+  ) WHERE rn <= 2
+),
+bp_rows AS (
+  SELECT 'by_status>by_prio' AS agg, k1 || '|' || k2 AS key,
+         'doc_count' AS metric, doc_count AS value FROM bp_top
+  UNION ALL
+  SELECT 'by_status>by_prio', k1 || '|' || k2, 'max_price', max_price
+  FROM bp_top
+),
+hc AS (
+  SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS idx,
+         count(*)::DOUBLE AS doc_count
+  FROM src GROUP BY 1
+),
+hspan AS (
+  SELECT least(min(idx), 0) AS lo, greatest(max(idx), 7) AS hi FROM hc
+),
+haxis AS (SELECT unnest(generate_series(lo, hi)) AS idx FROM hspan),
+h_rows AS (
+  SELECT 'price_hist' AS agg, printf('%.4f', idx * 100000.0) AS key,
+         'doc_count' AS metric, coalesce(doc_count, 0)::DOUBLE AS value
+  FROM haxis LEFT JOIN hc USING (idx)
+),
+rng AS (
+  SELECT CASE WHEN o_totalprice < 100000 THEN '*-100000'
+              WHEN o_totalprice < 300000 THEN '100000-300000'
+              ELSE '300000-*' END AS key,
+         o_totalprice
+  FROM src
+),
+rg AS (
+  SELECT key, count(*)::DOUBLE AS doc_count, sum(o_totalprice) AS sum_price
+  FROM rng GROUP BY 1
+),
+r_rows AS (
+  SELECT 'price_ranges' AS agg, key, 'doc_count' AS metric,
+         doc_count AS value FROM rg
+  UNION ALL SELECT 'price_ranges', key, 'sum_price', sum_price FROM rg
+),
+filt AS (
+  SELECT
+    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS c_open,
+    avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS x_open,
+    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS c_done,
+    avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS x_done
+  FROM src
+),
+f_rows AS (
+  SELECT 'status_filters' AS agg, 'open' AS key, 'doc_count' AS metric,
+         c_open AS value FROM filt
+  UNION ALL SELECT 'status_filters', 'open', 'avg_price', x_open FROM filt
+  UNION ALL SELECT 'status_filters', 'done', 'doc_count', c_done FROM filt
+  UNION ALL SELECT 'status_filters', 'done', 'avg_price', x_done FROM filt
+),
+tot AS (
+  SELECT count(*)::DOUBLE AS n, sum(o_totalprice) AS s FROM src
+),
+t_rows AS (
+  SELECT 'total_price' AS agg, '' AS key, 'doc_count' AS metric,
+         n AS value FROM tot
+  UNION ALL SELECT 'total_price', '', 'total_price', s FROM tot
+),
+allrows AS (
+  SELECT * FROM bs_rows UNION ALL SELECT * FROM bp_rows
+  UNION ALL SELECT * FROM h_rows UNION ALL SELECT * FROM r_rows
+  UNION ALL SELECT * FROM f_rows UNION ALL SELECT * FROM t_rows
+)
+SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -6597,6 +6756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_order_subagg": q_terms_order_subagg,
         # histogram extended_bounds + min_doc_count=0 empty buckets
         "hist_extended_bounds": q_hist_extended_bounds,
+        # ES _search aggs-tree compiler (nested buckets + metrics)
+        "es_aggs": q_es_aggs,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -6669,14 +6830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
-        # ------------- past the driver's 50-entry window -------------
-        # geohash_grid_agg/multi_index_search/rank_eval/
-        # passages_changepoint/percolate/multi_match_cross/
-        # completion_suggest/sort_search_after/clean_text: r3/r4
-        # surfaces unchanged this round, displaced past the window by
-        # the round-5 gates (driver-green in r3/r4, still
-        # replica-covered every round)
+        # geohash_grid_agg holds the remaining 50th slot (r4-stable)
         "geohash_grid_agg": q_geohash_grid,
+        # ------------- past the driver's 50-entry window -------------
+        # multi_index_search/rank_eval/passages_changepoint/percolate/
+        # multi_match_cross/completion_suggest/sort_search_after/
+        # clean_text: r3/r4 surfaces unchanged this round, displaced
+        # past the window by the round-5 gates (driver-green in r3/r4,
+        # still replica-covered every round)
         "multi_index_search": q_multi_index_search,
         "rank_eval": q_rank_eval,
         "passages_changepoint": q_passages_changepoint,
@@ -8270,6 +8431,7 @@ GROUP BY 1
     sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
+    sqls["es_aggs"] = _es_aggs_oracle_sql()
     sqls["sig_text_options"] = _sig_text_options_oracle_sql()
     sqls["terms_order_subagg"] = _terms_order_subagg_oracle_sql()
     sqls["hist_extended_bounds"] = _hist_extended_bounds_oracle_sql()

@@ -1,0 +1,368 @@
+"""ES ``_search`` body ``aggs`` section -> DataFrame plans.
+
+The reference plugin lives inside ES ``_search``
+(``AnalysisComboPlugin.java`` registers the analyzer the whole search
+request — query AND aggs — consumes); ``query/dsl.py`` compiles the
+``query`` half, this module compiles the ``aggs`` half onto any
+DataFrame, composing with the same filter context.
+
+Supported (v1, the Kibana-dashboard core):
+- bucket aggs: ``terms`` (size, min_doc_count, ``order`` by
+  _count/_key/any sibling metric), ``histogram`` (interval,
+  min_doc_count, extended_bounds at leaf level), ``date_histogram``
+  (calendar_interval hour/day/month/year), ``range`` (from/to, open
+  ends), ``filters`` (named predicate buckets), ``missing``
+- metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
+  rsd 0.005)
+- nesting: bucket > bucket > ... > metrics at any depth (keys
+  accumulate into a composite groupBy key — the whole sub-tree level
+  is ONE partial-aggregated shuffle, the repo's flatten-the-agg-tree
+  pattern from ``stats_agg(group_col=[...])``)
+
+Output is LONG format — one row per (bucket, metric) with
+``(agg, key, metric, value)``:
+- ``agg``: the tree path, e.g. ``"by_status>price_hist"``
+- ``key``: composite bucket key, parent-first, ``|``-joined; numeric
+  keys render as ``%.4f`` (C printf — identical in Spark/DuckDB),
+  timestamps as ``yyyy-MM-dd HH:mm:ss``
+- ``metric``: ``"doc_count"`` or the metric agg's name
+- ``value``: double
+
+Scale shape: every bucket node is one groupBy over the (already
+filter-pruned) input with map-side partials; terms' size cut is an
+ordered limit over the REDUCED bucket set; children of a size-limited
+terms agg semi-join the surviving keys (broadcast — at most ``size``
+rows) so sub-aggregations never aggregate buckets the parent dropped.
+Row data is never re-shuffled per metric — all of a node's metrics
+ride one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_KINDS = (
+    "terms", "histogram", "date_histogram", "range", "filters", "missing",
+)
+METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality")
+
+_CAL = {"hour": "hour", "day": "day", "month": "month", "year": "year"}
+
+
+def _metric_expr(kind: str, field: str):
+    if kind == "avg":
+        return F.avg(field)
+    if kind == "sum":
+        return F.sum(field)
+    if kind == "min":
+        return F.min(field)
+    if kind == "max":
+        return F.max(field)
+    if kind == "value_count":
+        return F.count(field)
+    if kind == "cardinality":
+        return F.approx_count_distinct(field, 0.005)
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def _split_node(node: dict):
+    """(kind, body, sub_aggs) for one named agg node."""
+    sub = node.get("aggs") or node.get("aggregations") or {}
+    kinds = [k for k in node if k not in ("aggs", "aggregations")]
+    if len(kinds) != 1:
+        raise ValueError(f"agg node needs exactly one type, got {kinds}")
+    return kinds[0], node[kinds[0]], sub
+
+
+def _key_expr(kind: str, body: dict):
+    """Bucket key column (string-rendered) for one bucket agg."""
+    field = body.get("field")
+    if kind == "terms":
+        return F.col(field).cast("string")
+    if kind == "histogram":
+        interval = float(body["interval"])
+        b = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+        # format_string renders NULL as the string 'null' — guard so
+        # null-field docs drop out of the bucket key like ES
+        return F.when(
+            F.col(field).isNotNull(),
+            F.format_string("%.4f", b.cast("double")),
+        )
+    if kind == "date_histogram":
+        cal = body.get("calendar_interval", body.get("interval", "day"))
+        if cal not in _CAL:
+            raise ValueError(f"unsupported calendar_interval: {cal}")
+        return F.date_format(
+            F.date_trunc(_CAL[cal], F.col(field)), "yyyy-MM-dd HH:mm:ss"
+        )
+    if kind == "range":
+        field_c = F.col(field)
+        expr = F.lit(None).cast("string")
+        # reversed so earlier ranges win ties (ES buckets are disjoint
+        # by construction; overlapping ranges need the filters agg)
+        for r in reversed(body["ranges"]):
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (field_c >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (field_c < F.lit(hi))
+            name = r.get(
+                "key", f"{lo if lo is not None else '*'}-"
+                       f"{hi if hi is not None else '*'}"
+            )
+            expr = F.when(cond, F.lit(name)).otherwise(expr)
+        return expr
+    if kind == "missing":
+        return F.when(F.col(field).isNull(), F.lit("_missing"))
+    raise ValueError(f"unsupported bucket agg: {kind}")
+
+
+def _unpivot(g: DataFrame, path: str, key_cols: list[str],
+             metric_names: list[str]) -> DataFrame:
+    """(agg, key, metric, value) rows from one aggregated bucket frame."""
+    key = (
+        F.concat_ws("|", *[F.col(c) for c in key_cols])
+        if key_cols else F.lit("")
+    )
+    pairs = [
+        F.struct(
+            F.lit("doc_count").alias("metric"),
+            F.col("doc_count").cast("double").alias("value"),
+        )
+    ] + [
+        F.struct(F.lit(m).alias("metric"),
+                 F.col(m).cast("double").alias("value"))
+        for m in metric_names
+    ]
+    return g.select(
+        F.lit(path).alias("agg"),
+        key.alias("key"),
+        F.explode(F.array(*pairs)).alias("_mv"),
+    ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+
+
+def _compile_node(
+    rows: DataFrame,
+    name: str,
+    node: dict,
+    path: str,
+    parent_keys: list[str],
+) -> list[DataFrame]:
+    kind, body, sub = _split_node(node)
+    mypath = f"{path}>{name}" if path else name
+
+    if kind in METRIC_KINDS:
+        # metric at top level / directly under a bucket is handled by
+        # the PARENT's groupBy pass; standalone (no bucket above) =
+        # global reduce
+        g = rows.groupBy(
+            *[F.col(c) for c in parent_keys]
+        ).agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            _metric_expr(kind, body["field"]).alias(name),
+        ) if parent_keys else rows.agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            _metric_expr(kind, body["field"]).alias(name),
+        )
+        return [_unpivot(g, mypath, parent_keys, [name])]
+
+    if kind == "filters":
+        outs = []
+        preds = body["filters"]
+        # ONE conditional-aggregation pass computes every named bucket's
+        # doc_count + metrics (plus nested buckets via recursion on the
+        # filtered frame — each nested bucket is its own node anyway)
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+        cond_fns = {
+            "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "value_count": F.count,
+            "cardinality": lambda c: F.approx_count_distinct(c, 0.005),
+        }
+        aggs, names = [], []
+        for bname, pred in preds.items():
+            cond = F.expr(pred)
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c_{bname}")
+            )
+            for mname, mnode in metric_sub.items():
+                mkind, mbody, _ = _split_node(mnode)
+                aggs.append(
+                    cond_fns[mkind](F.when(cond, F.col(mbody["field"])))
+                    .alias(f"_x_{bname}_{mname}")
+                )
+            names.append(bname)
+        row = (rows.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+               if parent_keys else rows.agg(*aggs))
+        for bname in names:
+            sel = row.select(
+                *parent_keys,
+                F.coalesce(F.col(f"_c_{bname}"), F.lit(0)).alias("doc_count"),
+                *[
+                    F.col(f"_x_{bname}_{m}").alias(m)
+                    for m in metric_sub
+                ],
+            ).withColumn("_fk", F.lit(bname))
+            outs.append(
+                _unpivot(sel, mypath, parent_keys + ["_fk"],
+                         list(metric_sub))
+            )
+        for bname, pred in preds.items():
+            for cname, cnode in bucket_sub.items():
+                filtered = rows.filter(F.expr(pred)).withColumn(
+                    f"_fk_{mypath.count('>')}", F.lit(bname)
+                )
+                outs.extend(
+                    _compile_node(
+                        filtered, cname, cnode, mypath,
+                        parent_keys + [f"_fk_{mypath.count('>')}"],
+                    )
+                )
+        return outs
+
+    # --- keyed bucket aggs (terms/histogram/date_histogram/range/missing)
+    keycol = f"_k{len(parent_keys)}"
+    keyed = rows.withColumn(keycol, _key_expr(kind, body)).filter(
+        F.col(keycol).isNotNull()
+    )
+    key_cols = parent_keys + [keycol]
+
+    metric_sub = {
+        n: s for n, s in sub.items() if _split_node(s)[0] in METRIC_KINDS
+    }
+    bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    for mname, mnode in metric_sub.items():
+        mkind, mbody, msub = _split_node(mnode)
+        if msub:
+            raise ValueError("metric aggs cannot have sub-aggs")
+        aggs.append(_metric_expr(mkind, mbody["field"]).alias(mname))
+    g = keyed.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
+
+    min_dc = int(body.get("min_doc_count", 1))
+    if min_dc > 0:
+        g = g.filter(F.col("doc_count") >= min_dc)
+
+    if kind == "terms":
+        size = int(body.get("size", 10))
+        order = body.get("order", {"_count": "desc"})
+        ((oname, odir),) = order.items()
+        if oname == "_count":
+            ocol = F.col("doc_count")
+        elif oname == "_key":
+            ocol = F.col(keycol)
+        elif oname in metric_sub:
+            ocol = F.round(F.col(oname), 6)
+        else:
+            raise ValueError(
+                f"terms order references unknown metric: {oname}"
+            )
+        order_cols = [
+            ocol.asc() if odir == "asc" else ocol.desc(),
+            F.asc(keycol),
+        ]
+        if parent_keys:
+            w = Window.partitionBy(
+                *[F.col(c) for c in parent_keys]
+            ).orderBy(*order_cols)
+            g = (
+                g.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= size).drop("_rn")
+            )
+        else:
+            g = g.orderBy(*order_cols).limit(size)
+
+    if kind == "histogram" and body.get("extended_bounds") and not \
+            parent_keys and not bucket_sub:
+        # leaf-level empty-bucket axis (the bounded-histogram pattern);
+        # doc_count=0 rows carry null metrics, matching ES's empty
+        # buckets
+        import math
+
+        interval = float(body["interval"])
+        eb = body["extended_bounds"]
+        loi = int(math.floor(float(eb["min"]) / interval))
+        hii = int(math.floor(float(eb["max"]) / interval))
+        # keys are exact interval multiples, so round() recovers the
+        # index without float-truncation wobble on negatives
+        idx_back = F.round(F.col(keycol).cast("double") / interval) \
+            .cast("long")
+        span = g.agg(
+            F.least(F.min(idx_back), F.lit(loi)).alias("_lo"),
+            F.greatest(F.max(idx_back), F.lit(hii)).alias("_hi"),
+        )
+        axis = span.select(
+            F.explode(F.sequence("_lo", "_hi")).alias("_i")
+        ).select(
+            F.format_string(
+                "%.4f", (F.col("_i") * F.lit(interval)).cast("double")
+            ).alias(keycol)
+        )
+        g = (
+            axis.join(g, keycol, "left")
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+        )
+        if min_dc > 0:
+            g = g.filter(F.col("doc_count") >= min_dc)
+
+    outs = [_unpivot(g, mypath, key_cols, list(metric_sub))]
+
+    for cname, cnode in bucket_sub.items():
+        child_rows = keyed
+        if kind == "terms":
+            # children aggregate only the parent's SURVIVING buckets
+            child_rows = keyed.join(
+                F.broadcast(g.select(*key_cols).distinct()),
+                key_cols, "left_semi",
+            )
+        outs.extend(
+            _compile_node(child_rows, cname, cnode, mypath, key_cols)
+        )
+    return outs
+
+
+def dsl_aggs(rows: DataFrame, aggs: dict) -> DataFrame:
+    """Compile an ES ``aggs`` tree over ``rows``; returns the long
+    ``(agg, key, metric, value)`` frame (one union of per-node plans —
+    each node one partial-aggregated pass)."""
+    outs: list[DataFrame] = []
+    for name, node in aggs.items():
+        outs.extend(_compile_node(rows, name, node, "", []))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def dsl_search_aggs(
+    rows: DataFrame,
+    body: dict,
+    match_doc_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_search`` with an ``aggs`` section: the ``query`` is applied
+    as FILTER CONTEXT (term/terms/range/exists/ids/bool-of-those —
+    compiled by :func:`query.dsl.compile_dsl`, pushed into the scan);
+    aggregations then run over the match set. For scoring/text queries
+    pass the matched ids as ``match_doc_ids`` (e.g. from
+    ``dsl_topk``/``bm25_filtered_topk``'s doc set) — they semi-join
+    PRE-aggregation, the same pre-rank composition the DSL ranker uses."""
+    q = body.get("query")
+    if q is not None:
+        from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+        cq = compile_dsl({"bool": {"filter": [q]}})
+        if cq.filter_sql:
+            rows = rows.filter(F.expr(cq.filter_sql))
+    if match_doc_ids is not None:
+        rows = rows.join(
+            match_doc_ids.select(F.col(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+    return dsl_aggs(rows, body.get("aggs", body.get("aggregations", {})))

@@ -1,0 +1,223 @@
+"""At-scale validation of the round-5 additions (200k docs / 100k vecs).
+
+* ivf_quantized_topk (int8 candidate scoring + exact top rerank) vs
+  brute-force exact cosine at 100k x 64d: recall@10 >= 0.95 across 20
+  queries, wall time vs ivf_cosine_topk (full-cell float rerank) and
+  brute force.
+* sample_to_token_budget two-phase bucketed prefix sum at 200k docs x 5
+  strata: survivors IDENTICAL to the n_buckets=1 single-window
+  definition AND under repartition(7) (engine replayability); budgets
+  met with exactly one crossing doc per stratum; wall time.
+* frequent_item_sets torture: 200k docs (5 tags each) + ONE doc
+  carrying 10k frequent tags — with max_items_per_doc=100 the pair
+  stage is bounded (no 5*10^7-row skew cell) and finishes; wall time.
+* bpe_token_counts: map-only Arrow BPE merge-table apply over 200k
+  docs; wall time + nonzero sanity.
+* histogram_bounded_agg over 20M rows: the empty-bucket axis stays
+  bucket-count-sized (wall time is the row reduce, not the axis).
+
+Run detached (~6-10 min), NEVER concurrently with another Spark job:
+  setsid nohup env PYTHONPATH=/root/repo python \
+      scripts/validate_r5_features.py > /tmp/r5_features.log 2>&1 &
+Writes BENCH/at_scale_r5_features.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elasticsearch_analysis_combo_spark.operators.sampling import (  # noqa: E402
+    sample_to_token_budget,
+)
+from elasticsearch_analysis_combo_spark.operators.similarity import (  # noqa: E402
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    ivf_quantized_topk,
+)
+from elasticsearch_analysis_combo_spark.operators.text_quality import (  # noqa: E402
+    bpe_token_counts,
+)
+from elasticsearch_analysis_combo_spark.query.facets import (  # noqa: E402
+    frequent_item_sets_agg,
+    histogram_bounded_agg,
+)
+from elasticsearch_analysis_combo_spark.session import get_spark  # noqa: E402
+
+N_DOCS = 200_000
+N_VECS = 100_000
+DIM = 64
+
+
+def main():
+    out = {"n_docs": N_DOCS, "n_vecs": N_VECS, "dim": DIM}
+    spark = get_spark("r5_val", cores=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---------- synthetic embeddings (deterministic: hash-derived) ----------
+    emb = (
+        spark.range(N_VECS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2001))
+                 / F.lit(1000.0) - F.lit(1.0)).cast("float")
+                for j in range(DIM)
+            ]).alias("embedding"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    emb.count()
+    qrows = emb.filter(F.col("vec_id") % 9973 == 0).limit(20).collect()
+    queries = [(int(r["vec_id"]) + 10_000_000,
+                [float(x) for x in r["embedding"]]) for r in qrows]
+
+    t0 = time.time()
+    exact = brute_force_cosine_topk(emb, queries, k=10).collect()
+    out["brute_force_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    ivf = ivf_cosine_topk(emb, queries, k=10, n_cells=64, n_probe=8).collect()
+    out["ivf_float_rerank_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    quant = ivf_quantized_topk(
+        emb, queries, k=10, n_cells=64, n_probe=8, rerank_factor=4
+    ).collect()
+    out["ivf_quantized_sec"] = round(time.time() - t0, 2)
+
+    def recall(approx):
+        truth = {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(
+            1 for r in approx if r["vec_id"] in truth.get(r["query_id"], ())
+        )
+        return hits / max(1, sum(len(v) for v in truth.values()))
+
+    out["ivf_float_recall_at_10"] = round(recall(ivf), 4)
+    out["ivf_quantized_recall_at_10"] = round(recall(quant), 4)
+    out["quantized_recall_ok"] = out["ivf_quantized_recall_at_10"] >= 0.95
+    emb.unpersist()
+
+    # ---------- token-budget mixture: bucketed == single-window ----------
+    docs = (
+        spark.range(N_DOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 5).cast("string"))
+              .alias("source"),
+            (F.pmod(F.xxhash64("id"), F.lit(900)) + 100).alias("n_tokens"),
+        )
+        .cache()
+    )
+    docs.count()
+    budgets = {f"src{i}": 2_000_000 + i * 500_000 for i in range(5)}
+
+    t0 = time.time()
+    bucketed = sample_to_token_budget(
+        docs, "source", budgets, "n_tokens", n_buckets=64
+    )
+    n_bucketed = bucketed.count()
+    out["token_budget_bucketed_sec"] = round(time.time() - t0, 2)
+    out["token_budget_rows"] = n_bucketed
+
+    single = sample_to_token_budget(
+        docs, "source", budgets, "n_tokens", n_buckets=1
+    )
+    ids_b = {r["doc_id"] for r in bucketed.select("doc_id").collect()}
+    ids_s = {r["doc_id"] for r in single.select("doc_id").collect()}
+    out["bucketed_equals_single_window"] = ids_b == ids_s
+
+    reparted = sample_to_token_budget(
+        docs.repartition(7), "source", budgets, "n_tokens", n_buckets=64
+    )
+    ids_r = {r["doc_id"] for r in reparted.select("doc_id").collect()}
+    out["partitioning_invariant"] = ids_r == ids_b
+
+    # budgets met with exactly one crossing doc: dropping each stratum's
+    # LAST taken doc (max hash order) must fall back under budget
+    sums = {
+        r["source"]: int(r["s"])
+        for r in bucketed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    maxtok = {
+        r["source"]: int(r["m"])
+        for r in bucketed.groupBy("source")
+        .agg(F.max("n_tokens").alias("m")).collect()
+    }
+    out["budgets_met"] = all(sums[s] >= budgets[s] for s in budgets)
+    out["no_overshoot_beyond_one_doc"] = all(
+        sums[s] - maxtok[s] < budgets[s] for s in budgets
+    )
+    docs.unpersist()
+
+    # ---------- frequent_item_sets skew torture ----------
+    base = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[
+            F.concat(F.lit("tag"),
+                     F.pmod(F.xxhash64("id", F.lit(j)), F.lit(200))
+                     .cast("string"))
+            for j in range(5)
+        ]).alias("items"),
+    )
+    monster = spark.createDataFrame(
+        [(10_000_001, [f"tag{i}" for i in range(200)] * 1
+          + [f"rare{i}" for i in range(10_000)])],
+        "doc_id long, items array<string>",
+    )
+    t0 = time.time()
+    fis = frequent_item_sets_agg(
+        base.unionByName(monster), "items", min_support_docs=50, size=10,
+        max_items_per_doc=100,
+    ).collect()
+    out["frequent_item_sets_sec"] = round(time.time() - t0, 2)
+    out["fis_rows"] = len(fis)
+    out["fis_bounded"] = out["frequent_item_sets_sec"] < 300
+
+    # ---------- BPE token accounting (map-only Arrow kernel) ----------
+    text_docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick spark engine builds index segment "),
+            F.xxhash64("id").cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    s = bpe_token_counts(text_docs, text_col="text").agg(
+        F.sum("bpe_tokens")
+    ).collect()[0][0]
+    out["bpe_token_counts_sec"] = round(time.time() - t0, 2)
+    out["bpe_tokens_total"] = int(s)
+
+    # ---------- histogram extended_bounds over 20M rows ----------
+    big = spark.range(20_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1000.0).alias("v")
+    )
+    t0 = time.time()
+    hb = histogram_bounded_agg(
+        big, "v", 50.0, extended_bounds=(-500.0, 2000.0), min_doc_count=0
+    ).collect()
+    out["hist_bounded_20m_sec"] = round(time.time() - t0, 2)
+    out["hist_buckets"] = len(hb)
+    out["hist_empty_buckets"] = sum(1 for r in hb if r["doc_count"] == 0)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "at_scale_r5_features.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
