@@ -555,6 +555,35 @@ def main() -> None:
           + " token_budget cumsum is bucketed (no stratum-only window)")
     failures += not ok
 
+    # 30. aggcompiler: a terms bucket with metric sub-aggs must be ONE
+    # hash-aggregate pass (map-side partial_count visible, no Python
+    # eval), and children of a size-limited terms agg must semi-join
+    # the surviving parent keys via BROADCAST, never a sort-merge join
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    rows = spark.range(2000).selectExpr(
+        "id as doc_id", "cast(id % 7 as string) as status",
+        "cast(id % 3 as string) as prio", "cast(id % 97 as double) as price",
+    )
+    p = plan_text(dsl_search_aggs(rows, {
+        "query": {"range": {"price": {"gte": 1}}},
+        "aggs": {"t": {"terms": {"field": "status", "size": 3,
+                                 "order": {"m": "desc"}},
+                       "aggs": {"m": {"avg": {"field": "price"}},
+                                "p": {"terms": {"field": "prio",
+                                                "size": 2}}}}},
+    }))
+    failures += not check(
+        "aggcompiler bucket pass is codegen partial agg", p,
+        "partial_count", forbid="BatchEvalPython",
+    )
+    failures += not check(
+        "aggcompiler nested-terms parent cut is broadcast semi-join", p,
+        "BroadcastHashJoin", forbid="SortMergeJoin",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
