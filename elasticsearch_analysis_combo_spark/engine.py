@@ -857,6 +857,93 @@ class ComboSearchEngine:
             max_expansions=max_expansions,
         )
 
+    def _aggs_membership(self, q: dict, doc_meta: DataFrame) -> DataFrame:
+        """Exact FULL match set (doc_id) of a DSL query node for
+        aggregation scoping: filter-context predicates push into the
+        metadata scan; ``match`` clauses resolve via the index's term
+        stats (docs holding >= 1 query term — ES operator-OR
+        membership); bool must/filter intersect, must_not anti-joins,
+        pure-should unions. Scoring shapes beyond ``match`` (phrases,
+        fuzzy, ...) raise — hits still support them via search_dsl."""
+        from pyspark.sql import functions as F
+
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            compile_filter,
+        )
+        from elasticsearch_analysis_combo_spark.query.facets import (
+            _match_set,
+        )
+
+        kind, body = next(iter(q.items()))
+        if kind == "match":
+            field, spec = next(iter(body.items()))
+            text = spec["query"] if isinstance(spec, dict) else spec
+            return _match_set(
+                self.spark, self.idx.term_stats(), [(0, text)],
+                self._query_config(),
+            ).select("doc_id")
+        if kind == "bool":
+            must = list(body.get("must", [])) + list(body.get("filter", []))
+            should = list(body.get("should", []))
+            must_not = list(body.get("must_not", []))
+            if must:
+                out = None
+                for node in must:
+                    m = self._aggs_membership(node, doc_meta)
+                    out = m if out is None else out.join(
+                        m, "doc_id", "left_semi"
+                    )
+            elif should:
+                out = self._aggs_membership(should[0], doc_meta)
+                for node in should[1:]:
+                    out = out.unionByName(
+                        self._aggs_membership(node, doc_meta)
+                    ).distinct()
+            else:
+                out = doc_meta.select("doc_id")
+            for node in must_not:
+                out = out.join(
+                    self._aggs_membership(node, doc_meta),
+                    "doc_id", "left_anti",
+                )
+            return out
+        # term-family leaf: one pushed-down predicate over the scan
+        return doc_meta.filter(F.expr(compile_filter(q))).select("doc_id")
+
+    def search_aggs(
+        self,
+        body: dict,
+        doc_meta: DataFrame,
+        k: int = 10,
+        partitioned: bool | None = None,
+    ) -> tuple[DataFrame | None, DataFrame]:
+        """ES ``_search`` with BOTH halves of the request body: hits are
+        the DSL top-``size`` ranking (:meth:`search_dsl`), aggregations
+        run over the FULL match set (ES semantics — aggs never see only
+        the top-k), computed exactly by :meth:`_aggs_membership` and
+        semi-joined into the metadata scan PRE-aggregation
+        (query/aggcompiler.py). Returns ``(hits, aggs)``; hits is None
+        for an aggs-only body (ES ``size: 0``)."""
+        from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+            dsl_search_aggs,
+        )
+
+        q = body.get("query")
+        size = int(body.get("size", k))
+        hits = (
+            self.search_dsl(q, doc_meta=doc_meta, k=size,
+                            partitioned=partitioned)
+            if q is not None and size > 0 else None
+        )
+        match_ids = (
+            self._aggs_membership(q, doc_meta) if q is not None else None
+        )
+        aggs = dsl_search_aggs(
+            doc_meta, {"aggs": body.get("aggs", {})},
+            match_doc_ids=match_ids,
+        )
+        return hits, aggs
+
     def rank_feature(
         self,
         query: str,

@@ -1,0 +1,95 @@
+"""Engine facade search_aggs: the full ES _search body — DSL hits plus
+aggregations over the exact FULL match set (never just the top-k)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    docs = [
+        (1, "spark merges the index segments", "en", 10),
+        (2, "the index holds spark postings", "en", 20),
+        (3, "nothing relevant here at all", "de", 30),
+        (4, "spark spark spark everywhere always", "en", 40),
+        (5, "segments compact under merge pressure", "de", 50),
+    ]
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, content string, lang string, n_chars long"
+    )
+    cfg = ComboConfig(["whitespace"])
+    e = ComboSearchEngine(
+        spark, cfg,
+        str(tmp_path_factory.mktemp("aggs") / "idx"), salt_shards=2,
+    )
+    e.index(corpus)
+    e._doc_meta = corpus.select("doc_id", "lang", "n_chars")
+    return e
+
+
+def _rows(df):
+    return {
+        (r["agg"], r["key"], r["metric"]): r["value"] for r in df.collect()
+    }
+
+
+def test_hits_and_full_match_set_aggs(eng):
+    body = {
+        "query": {"match": {"content": "spark index"}},
+        "size": 2,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                             "aggs": {"c": {"sum": {"field": "n_chars"}}}}},
+    }
+    hits, aggs = eng.search_aggs(body, eng._doc_meta)
+    h = hits.collect()
+    assert len(h) == 2 and h[0]["rank"] == 1
+    out = _rows(aggs)
+    # match set = docs with spark OR index = {1,2,4} — MORE than the
+    # 2 hits returned: aggs must cover the full set
+    assert out[("by_lang", "en", "doc_count")] == 3.0
+    assert out[("by_lang", "en", "c")] == 70.0
+    assert ("by_lang", "de", "doc_count") not in out
+
+
+def test_bool_membership_filter_and_must_not(eng):
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark merge"}}],
+            "filter": [{"range": {"n_chars": {"gte": 20}}}],
+            "must_not": [{"term": {"lang": {"value": "de"}}}],
+        }},
+        "size": 0,
+        "aggs": {"t": {"terms": {"field": "lang", "size": 5}}},
+    }
+    hits, aggs = eng.search_aggs(body, eng._doc_meta)
+    assert hits is None  # size 0 = aggs-only, ES semantics
+    out = _rows(aggs)
+    # spark|merge|merges docs: {1,2,4,5}; n_chars>=20 drops 1; de drops 5
+    assert out == {("t", "en", "doc_count"): 2.0}
+
+
+def test_pure_should_union_membership(eng):
+    body = {
+        "query": {"bool": {"should": [
+            {"term": {"lang": {"value": "de"}}},
+            {"match": {"content": "postings"}},
+        ]}},
+        "size": 0,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+    }
+    _, aggs = eng.search_aggs(body, eng._doc_meta)
+    out = _rows(aggs)
+    # de docs {3,5} union postings {2}
+    assert out[("n", "", "n")] == 3.0
+
+
+def test_aggs_only_no_query(eng):
+    _, aggs = eng.search_aggs(
+        {"aggs": {"m": {"max": {"field": "n_chars"}}}}, eng._doc_meta
+    )
+    out = _rows(aggs)
+    assert out[("m", "", "m")] == 50.0
+    assert out[("m", "", "doc_count")] == 5.0
