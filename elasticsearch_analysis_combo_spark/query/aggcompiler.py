@@ -13,7 +13,9 @@ Supported (v1, the Kibana-dashboard core):
   (calendar_interval hour/day/month/year), ``range`` (from/to, open
   ends), ``filters`` (named predicate buckets), ``missing``
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
-  rsd 0.005)
+  rsd 0.005), stats (count/min/max/avg/sum as ``name.count`` ...
+  rows), percentiles (exact interpolated, ``name.50`` rows; swap
+  approx_percentile at 100 TB)
 - nesting: bucket > bucket > ... > metrics at any depth (keys
   accumulate into a composite groupBy key — the whole sub-tree level
   is ONE partial-aggregated shuffle, the repo's flatten-the-agg-tree
@@ -45,24 +47,62 @@ from pyspark.sql import functions as F
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
 )
-METRIC_KINDS = ("avg", "sum", "min", "max", "value_count", "cardinality")
+METRIC_KINDS = (
+    "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+    "percentiles",
+)
 
 _CAL = {"hour": "hour", "day": "day", "month": "month", "year": "year"}
 
+_SIMPLE_METRICS = {
+    "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "value_count": F.count,
+    "cardinality": lambda c: F.approx_count_distinct(c, 0.005),
+}
 
-def _metric_expr(kind: str, field: str):
-    if kind == "avg":
-        return F.avg(field)
-    if kind == "sum":
-        return F.sum(field)
-    if kind == "min":
-        return F.min(field)
-    if kind == "max":
-        return F.max(field)
-    if kind == "value_count":
-        return F.count(field)
-    if kind == "cardinality":
-        return F.approx_count_distinct(field, 0.005)
+DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _metric_plan(kind: str, body: dict, name: str, field_col):
+    """(agg_exprs, emits) for one metric node: the aggregate columns to
+    ride the bucket's single groupBy pass, and the (label, column)
+    pairs to unpivot from the aggregated frame. ``field_col`` lets the
+    filters agg wrap the field in ``when(pred, ...)`` — every metric
+    kind stays a one-pass conditional aggregate."""
+    if kind in _SIMPLE_METRICS:
+        return (
+            [_SIMPLE_METRICS[kind](field_col).alias(name)],
+            [(name, F.col(name))],
+        )
+    if kind == "stats":
+        # ES stats = count/min/max/avg/sum, all in the same pass
+        return (
+            [
+                F.count(field_col).alias(f"{name}__count"),
+                F.min(field_col).alias(f"{name}__min"),
+                F.max(field_col).alias(f"{name}__max"),
+                F.avg(field_col).alias(f"{name}__avg"),
+                F.sum(field_col).alias(f"{name}__sum"),
+            ],
+            [
+                (f"{name}.{s}", F.col(f"{name}__{s}"))
+                for s in ("count", "min", "max", "avg", "sum")
+            ],
+        )
+    if kind == "percentiles":
+        # exact interpolated (percentile_cont semantics — DuckDB
+        # quantile_cont parity); swap approx_percentile at 100 TB
+        percents = [float(p) for p in body.get("percents",
+                                               DEFAULT_PERCENTS)]
+        arr = F.array(*[F.lit(p / 100.0) for p in percents])
+        return (
+            [F.percentile(field_col, arr).alias(f"{name}__pcts")],
+            [
+                (f"{name}.{p:g}",
+                 F.element_at(F.col(f"{name}__pcts"), i + 1))
+                for i, p in enumerate(percents)
+            ],
+        )
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
@@ -120,8 +160,9 @@ def _key_expr(kind: str, body: dict):
 
 
 def _unpivot(g: DataFrame, path: str, key_cols: list[str],
-             metric_names: list[str]) -> DataFrame:
-    """(agg, key, metric, value) rows from one aggregated bucket frame."""
+             emits: list[tuple]) -> DataFrame:
+    """(agg, key, metric, value) rows from one aggregated bucket frame;
+    ``emits`` = (label, column-over-the-aggregated-frame) pairs."""
     key = (
         F.concat_ws("|", *[F.col(c) for c in key_cols])
         if key_cols else F.lit("")
@@ -132,15 +173,33 @@ def _unpivot(g: DataFrame, path: str, key_cols: list[str],
             F.col("doc_count").cast("double").alias("value"),
         )
     ] + [
-        F.struct(F.lit(m).alias("metric"),
-                 F.col(m).cast("double").alias("value"))
-        for m in metric_names
+        F.struct(F.lit(label).alias("metric"),
+                 col.cast("double").alias("value"))
+        for label, col in emits
     ]
     return g.select(
         F.lit(path).alias("agg"),
         key.alias("key"),
         F.explode(F.array(*pairs)).alias("_mv"),
     ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+
+
+def _metric_sub_plans(metric_sub: dict, wrap=None):
+    """Aggregate columns + emit pairs for a bucket node's metric
+    sub-aggs (one combined groupBy pass). ``wrap`` optionally maps the
+    field column (the filters agg's ``when(pred, ...)``)."""
+    agg_cols, emits = [], []
+    for mname, mnode in metric_sub.items():
+        mkind, mbody, msub = _split_node(mnode)
+        if msub:
+            raise ValueError("metric aggs cannot have sub-aggs")
+        fcol = F.col(mbody["field"])
+        if wrap is not None:
+            fcol = wrap(fcol)
+        a, e = _metric_plan(mkind, mbody, mname, fcol)
+        agg_cols.extend(a)
+        emits.extend(e)
+    return agg_cols, emits
 
 
 def _compile_node(
@@ -157,16 +216,11 @@ def _compile_node(
         # metric at top level / directly under a bucket is handled by
         # the PARENT's groupBy pass; standalone (no bucket above) =
         # global reduce
-        g = rows.groupBy(
-            *[F.col(c) for c in parent_keys]
-        ).agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            _metric_expr(kind, body["field"]).alias(name),
-        ) if parent_keys else rows.agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            _metric_expr(kind, body["field"]).alias(name),
-        )
-        return [_unpivot(g, mypath, parent_keys, [name])]
+        agg_cols, emits = _metric_sub_plans({name: node})
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (rows.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+             if parent_keys else rows.agg(*aggs))
+        return [_unpivot(g, mypath, parent_keys, emits)]
 
     if kind == "filters":
         outs = []
@@ -179,38 +233,35 @@ def _compile_node(
             if _split_node(s)[0] in METRIC_KINDS
         }
         bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
-        cond_fns = {
-            "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
-            "value_count": F.count,
-            "cardinality": lambda c: F.approx_count_distinct(c, 0.005),
-        }
-        aggs, names = [], []
+        aggs, names, bemits = [], [], {}
         for bname, pred in preds.items():
             cond = F.expr(pred)
             aggs.append(
                 F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c_{bname}")
             )
-            for mname, mnode in metric_sub.items():
-                mkind, mbody, _ = _split_node(mnode)
-                aggs.append(
-                    cond_fns[mkind](F.when(cond, F.col(mbody["field"])))
-                    .alias(f"_x_{bname}_{mname}")
-                )
+            # prefix this bucket's metric aliases so every filter
+            # bucket's conditional metrics share the ONE agg pass
+            prefixed = {
+                f"_x_{bname}_{m}": s for m, s in metric_sub.items()
+            }
+            a, e = _metric_sub_plans(
+                prefixed, wrap=lambda c, cond=cond: F.when(cond, c)
+            )
+            aggs.extend(a)
+            bemits[bname] = [
+                (label.replace(f"_x_{bname}_", "", 1), col)
+                for label, col in e
+            ]
             names.append(bname)
         row = (rows.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
                if parent_keys else rows.agg(*aggs))
         for bname in names:
-            sel = row.select(
-                *parent_keys,
-                F.coalesce(F.col(f"_c_{bname}"), F.lit(0)).alias("doc_count"),
-                *[
-                    F.col(f"_x_{bname}_{m}").alias(m)
-                    for m in metric_sub
-                ],
+            sel = row.withColumn(
+                "doc_count", F.coalesce(F.col(f"_c_{bname}"), F.lit(0))
             ).withColumn("_fk", F.lit(bname))
             outs.append(
                 _unpivot(sel, mypath, parent_keys + ["_fk"],
-                         list(metric_sub))
+                         bemits[bname])
             )
         for bname, pred in preds.items():
             for cname, cnode in bucket_sub.items():
@@ -237,12 +288,8 @@ def _compile_node(
     }
     bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
 
-    aggs = [F.count(F.lit(1)).alias("doc_count")]
-    for mname, mnode in metric_sub.items():
-        mkind, mbody, msub = _split_node(mnode)
-        if msub:
-            raise ValueError("metric aggs cannot have sub-aggs")
-        aggs.append(_metric_expr(mkind, mbody["field"]).alias(mname))
+    agg_cols, emits = _metric_sub_plans(metric_sub)
+    aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
     g = keyed.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
     min_dc = int(body.get("min_doc_count", 1))
@@ -257,7 +304,8 @@ def _compile_node(
             ocol = F.col("doc_count")
         elif oname == "_key":
             ocol = F.col(keycol)
-        elif oname in metric_sub:
+        elif oname in metric_sub and \
+                _split_node(metric_sub[oname])[0] in _SIMPLE_METRICS:
             ocol = F.round(F.col(oname), 6)
         else:
             raise ValueError(
@@ -311,7 +359,7 @@ def _compile_node(
         if min_dc > 0:
             g = g.filter(F.col("doc_count") >= min_dc)
 
-    outs = [_unpivot(g, mypath, key_cols, list(metric_sub))]
+    outs = [_unpivot(g, mypath, key_cols, emits)]
 
     for cname, cnode in bucket_sub.items():
         child_rows = keyed

@@ -131,6 +131,29 @@ def test_filter_context_and_match_set(sales, spark):
                     ("t", "F", "doc_count"): 1.0}
 
 
+def test_stats_and_percentiles_metrics(sales):
+    out = _rows(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"s": {"stats": {"field": "price"}},
+                       "p": {"percentiles": {"field": "price",
+                                             "percents": [50, 100]}}}}
+    }))
+    assert out[("t", "O", "s.count")] == 3.0
+    assert out[("t", "O", "s.min")] == 10.0
+    assert out[("t", "O", "s.max")] == 50.0
+    assert out[("t", "O", "s.avg")] == 30.0
+    assert out[("t", "O", "s.sum")] == 90.0
+    assert out[("t", "O", "p.50")] == 30.0
+    assert out[("t", "F", "p.100")] == 200.0
+    # stats under filters rides the same conditional pass
+    out2 = _rows(dsl_aggs(sales, {
+        "f": {"filters": {"filters": {"rich": "price >= 100"}},
+              "aggs": {"s": {"stats": {"field": "price"}}}}
+    }))
+    assert out2[("f", "rich", "s.sum")] == 600.0
+    assert out2[("f", "rich", "s.count")] == 3.0
+
+
 def test_unknown_kinds_raise(sales):
     with pytest.raises(ValueError):
         dsl_aggs(sales, {"x": {"geo_centroid": {"field": "p"}}}).collect()
