@@ -922,24 +922,45 @@ class ComboSearchEngine:
         run over the FULL match set (ES semantics — aggs never see only
         the top-k), computed exactly by :meth:`_aggs_membership` and
         semi-joined into the metadata scan PRE-aggregation
-        (query/aggcompiler.py). Returns ``(hits, aggs)``; hits is None
-        for an aggs-only body (ES ``size: 0``)."""
+        (query/aggcompiler.py). ``post_filter`` cuts the hits only
+        (folded into the hits query's filter context — exact, since
+        filter context never changes scores) while aggs see the raw
+        match set, and ``runtime_mappings`` (``{name: {"script": <SQL
+        expr>}}``) are visible to the query, post_filter and aggs alike.
+        Returns ``(hits, aggs)``; hits is None for an aggs-only body
+        (ES ``size: 0``)."""
         from elasticsearch_analysis_combo_spark.query.aggcompiler import (
             dsl_search_aggs,
         )
 
+        from pyspark.sql import functions as F
+
         q = body.get("query")
         size = int(body.get("size", k))
+        meta_rt = doc_meta
+        for rname, spec in (body.get("runtime_mappings") or {}).items():
+            script = spec["script"] if isinstance(spec, dict) else spec
+            if isinstance(script, dict):
+                script = script.get("source", "")
+            meta_rt = meta_rt.withColumn(rname, F.expr(script))
+        hits_q = q
+        if body.get("post_filter") is not None and q is not None:
+            # ES post_filter: cuts the HITS only, aggs see the raw match
+            # set. Filter context never changes scores, so folding it
+            # into the hits query's bool.filter is exact.
+            hits_q = {"bool": {"must": [q],
+                               "filter": [body["post_filter"]]}}
         hits = (
-            self.search_dsl(q, doc_meta=doc_meta, k=size,
+            self.search_dsl(hits_q, doc_meta=meta_rt, k=size,
                             partitioned=partitioned)
             if q is not None and size > 0 else None
         )
         match_ids = (
-            self._aggs_membership(q, doc_meta) if q is not None else None
+            self._aggs_membership(q, meta_rt) if q is not None else None
         )
+        # meta_rt already carries the runtime fields — don't re-apply
         aggs = dsl_search_aggs(
-            doc_meta, {"aggs": body.get("aggs", {})},
+            meta_rt, {"aggs": body.get("aggs", {})},
             match_doc_ids=match_ids,
         )
         return hits, aggs

@@ -425,7 +425,13 @@ def ivf_quantized_topk(
     ordering is bit-identical across engines (no float-sum tie
     ambiguity at the cut boundary). Only the top ``k * rerank_factor``
     per query by (qscore desc, vec_id) are re-scored exactly from their
-    raw floats — a bounded gather, not a cell scan. In a persisted
+    raw floats — a bounded gather, not a cell scan. SIZE
+    ``rerank_factor`` past the int8 near-tie band: on clustered corpora
+    O(cluster-size) candidates sit within quantization noise of each
+    other, and a cut inside that band loses true neighbors (measured at
+    200k x 64d, 256 clusters: recall@10 0.84 at rerank_factor=4 vs 1.00
+    at 16 — BENCH/at_scale_r5_features.json); 16 still reads ~1% of the
+    probed cells. In a persisted
     deployment the (cell, int8 vector) table is written once at index
     build, shrinking the per-query scan 4-8x vs raw floats.
 

