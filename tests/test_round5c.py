@@ -192,3 +192,47 @@ class TestBpeTokenCounts:
         packed = pack_sequences(counted, "bpe_tokens", budget=64)
         assert packed.count() == 30
         assert {"seq_id", "start_offset"} <= set(packed.columns)
+
+
+def test_quantized_rerank_band_on_clustered_data(spark):
+    """The at-scale finding (BENCH/at_scale_r5_features.json): clustered
+    corpora put O(cluster-size) near-ties inside the int8 noise band, so
+    the candidate cut must out-size the band — a generous rerank_factor
+    recovers float-IVF recall on tight clusters."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_analysis_combo_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_quantized_topk,
+    )
+
+    def _u(a, b):
+        return (
+            F.pmod(F.xxhash64(a, b), F.lit(2001)) / F.lit(1000.0)
+            - F.lit(1.0)
+        )
+
+    cluster = F.pmod(F.xxhash64(F.col("id")), F.lit(16))
+    emb = spark.range(4000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (_u(cluster, F.lit(j))
+             + F.lit(0.15) * _u(F.col("id"), F.lit(j + 100_000)))
+            .cast("float")
+            for j in range(16)
+        ]).alias("embedding"),
+    ).cache()
+    qrows = emb.filter(F.col("vec_id") % 997 == 0).limit(4).collect()
+    queries = [
+        (int(r["vec_id"]) + 10_000, [float(x) for x in r["embedding"]])
+        for r in qrows
+    ]
+    want = _topk_ids(ivf_cosine_topk(
+        emb, queries, k=K, n_cells=8, n_probe=4, seed=SEED,
+    ))
+    got = _topk_ids(ivf_quantized_topk(
+        emb, queries, k=K, n_cells=8, n_probe=4, seed=SEED,
+        rerank_factor=16,
+    ))
+    assert _recall(got, want) >= 0.95
+    emb.unpersist()
