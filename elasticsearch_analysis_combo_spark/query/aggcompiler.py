@@ -388,6 +388,49 @@ def dsl_aggs(rows: DataFrame, aggs: dict) -> DataFrame:
     return res
 
 
+def es_response(rows) -> dict:
+    """Fold the long ``(agg, key, metric, value)`` frame (or its
+    collected rows) into the nested ES ``aggregations`` response shape:
+    ``{agg: {"buckets": [{"key": ..., "doc_count": n, metric:
+    {"value": v}}]}}``, with child aggs nested inside their parent
+    bucket via the ``parent>child`` path and ``pkey|ckey`` composite
+    keys. Driver-side convenience over the ALREADY-REDUCED bucket rows
+    (bucket-count-sized, never row-scale) — the distributed shape stays
+    the long frame."""
+    if hasattr(rows, "collect"):
+        rows = rows.collect()
+    buckets: dict = {}  # (path, key) -> bucket dict
+    out: dict = {}
+    for r in sorted(rows, key=lambda r: (r["agg"].count(">"), r["agg"],
+                                         r["key"] or "", r["metric"])):
+        path, key, metric, value = (
+            r["agg"], r["key"] or "", r["metric"], r["value"]
+        )
+        b = buckets.get((path, key))
+        if b is None:
+            b = {"key": key.rsplit("|", 1)[-1] if key else key}
+            buckets[(path, key)] = b
+            if ">" in path:
+                ppath, cname = path.rsplit(">", 1)
+                pkey = key.rsplit("|", 1)[0] if "|" in key else ""
+                parent = buckets.get((ppath, pkey), {})
+                parent.setdefault(cname, {"buckets": []})["buckets"] \
+                    .append(b)
+            else:
+                out.setdefault(path, {"buckets": []})["buckets"].append(b)
+        if metric == "doc_count":
+            b["doc_count"] = int(value) if value is not None else 0
+        else:
+            b[metric] = {"value": value}
+    # top-level metric-only aggs (single '' bucket) flatten like ES
+    for name, node in list(out.items()):
+        bs = node["buckets"]
+        if len(bs) == 1 and bs[0]["key"] == "":
+            flat = {k: v for k, v in bs[0].items() if k != "key"}
+            out[name] = flat
+    return out
+
+
 def dsl_search_aggs(
     rows: DataFrame,
     body: dict,

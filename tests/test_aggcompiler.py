@@ -154,6 +154,28 @@ def test_stats_and_percentiles_metrics(sales):
     assert out2[("f", "rich", "s.count")] == 3.0
 
 
+def test_es_response_folding(sales):
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        es_response,
+    )
+
+    resp = es_response(dsl_aggs(sales, {
+        "by_status": {"terms": {"field": "status", "size": 10},
+                      "aggs": {"a": {"avg": {"field": "price"}},
+                               "p": {"terms": {"field": "prio",
+                                               "size": 10}}}},
+        "total": {"sum": {"field": "price"}},
+    }))
+    by_key = {b["key"]: b for b in resp["by_status"]["buckets"]}
+    assert by_key["O"]["doc_count"] == 3
+    assert by_key["O"]["a"]["value"] == 30.0
+    inner = {b["key"]: b for b in by_key["O"]["p"]["buckets"]}
+    assert inner["HI"]["doc_count"] == 2
+    # top-level metric agg flattens like ES (no buckets wrapper)
+    assert resp["total"]["total"]["value"] == 690.0
+    assert resp["total"]["doc_count"] == 7
+
+
 def test_unknown_kinds_raise(sales):
     with pytest.raises(ValueError):
         dsl_aggs(sales, {"x": {"geo_centroid": {"field": "p"}}}).collect()
