@@ -6732,6 +6732,100 @@ SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
 """
 
 
+DSIR_BUCKETS, DSIR_SEED, DSIR_K = 1024, 7, 15
+
+
+def q_dsir_select(spark, sf_dir):
+    """Round-5: DSIR importance resampling (Xie et al. 2023) — select
+    raw docs whose hashed unigram+bigram distribution matches the
+    lang='en' target slice: bucket-count models p/q, per-doc
+    log-ratio sum, Gumbel-top-k by the portable (seed, doc_id) hash.
+    Fully deterministic, fully SQL-replayable."""
+    from elasticsearch_analysis_combo_spark.operators.dsir import (
+        dsir_resample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_resample(
+        docs, docs.filter("lang = 'en'"), k=DSIR_K,
+        num_buckets=DSIR_BUCKETS, seed=DSIR_SEED,
+    )
+    return out.select(
+        "rank", "doc_id", "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    b, seed, k = DSIR_BUCKETS, DSIR_SEED, DSIR_K
+    two60 = float(1 << 60)
+    grams = r"""
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(ts) AS g FROM {toks}
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM {toks}
+  ) WHERE g <> ''
+"""
+    return f"""
+WITH rtoks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents WHERE lang = 'en'
+),
+rgrams AS ({grams.format(toks="rtoks")}),
+tgrams AS ({grams.format(toks="ttoks")}),
+rb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {b} AS bucket
+  FROM rgrams
+),
+tb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {b} AS bucket
+  FROM tgrams
+),
+rawc AS (SELECT bucket, count(*)::DOUBLE AS rc FROM rb GROUP BY 1),
+tgtc AS (SELECT bucket, count(*)::DOUBLE AS tc FROM tb GROUP BY 1),
+rt AS (SELECT sum(rc) AS v FROM rawc),
+tt AS (SELECT sum(tc) AS v FROM tgtc),
+ratio AS (
+  SELECT bucket,
+         ln((coalesce(tc, 0) + 1.0) / (tt.v + 1.0 * {b}))
+           - ln((rc + 1.0) / (rt.v + 1.0 * {b})) AS log_ratio
+  FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN rt CROSS JOIN tt
+),
+w AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(log_ratio) AS log_weight
+  FROM rb JOIN ratio USING (bucket) GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_grams, log_weight,
+         log_weight - ln(-ln(
+           (('0x' || substr(md5('{seed}' || ':' ||
+              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+           / {two60})) AS gumbel_key
+  FROM w
+)
+SELECT row_number() OVER (ORDER BY round(gumbel_key, 6) DESC, doc_id)
+         ::BIGINT AS rank,
+       doc_id, n_grams, round(log_weight, 6) AS log_weight,
+       round(gumbel_key, 6) AS gumbel_key
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -6758,6 +6852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_extended_bounds": q_hist_extended_bounds,
         # ES _search aggs-tree compiler (nested buckets + metrics)
         "es_aggs": q_es_aggs,
+        # DSIR importance resampling vs the lang='en' target slice
+        "dsir_select": q_dsir_select,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -6830,14 +6926,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
-        # geohash_grid_agg holds the remaining 50th slot (r4-stable)
-        "geohash_grid_agg": q_geohash_grid,
         # ------------- past the driver's 50-entry window -------------
-        # multi_index_search/rank_eval/passages_changepoint/percolate/
-        # multi_match_cross/completion_suggest/sort_search_after/
-        # clean_text: r3/r4 surfaces unchanged this round, displaced
-        # past the window by the round-5 gates (driver-green in r3/r4,
-        # still replica-covered every round)
+        # geohash_grid_agg/multi_index_search/rank_eval/
+        # passages_changepoint/percolate/multi_match_cross/
+        # completion_suggest/sort_search_after/clean_text: r3/r4
+        # surfaces unchanged this round, displaced past the window by
+        # the round-5 gates (driver-green in r3/r4, still
+        # replica-covered every round)
+        "geohash_grid_agg": q_geohash_grid,
         "multi_index_search": q_multi_index_search,
         "rank_eval": q_rank_eval,
         "passages_changepoint": q_passages_changepoint,
@@ -8432,6 +8528,7 @@ GROUP BY 1
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()
+    sqls["dsir_select"] = _dsir_oracle_sql()
     sqls["sig_text_options"] = _sig_text_options_oracle_sql()
     sqls["terms_order_subagg"] = _terms_order_subagg_oracle_sql()
     sqls["hist_extended_bounds"] = _hist_extended_bounds_oracle_sql()
