@@ -4615,7 +4615,12 @@ INTERVALS_QUERIES = [
         {"match": {"query": "value table", "ordered": True,
                    "max_gaps": 0}},
         {"match": {"query": "spark join", "max_gaps": 2}}]}}),
+    # round-5: Lucene multi-term interval sources (capped expansion)
+    (4, {"prefix": {"prefix": "val"}}),
+    (5, {"any_of": {"intervals": [{"prefix": {"prefix": "spar"}},
+                                  {"match": {"query": "table"}}]}}),
 ]
+INTERVALS_MAX_EXP = 20
 
 
 def q_intervals(spark, sf_dir):
@@ -4629,7 +4634,7 @@ def q_intervals(spark, sf_dir):
 
     out = intervals_match(
         spark, _phrase_postings(spark, sf_dir), INTERVALS_QUERIES,
-        _ws_config(),
+        _ws_config(), max_expansions=INTERVALS_MAX_EXP,
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -4733,6 +4738,18 @@ WHERE sfx IS NULL OR e < sfx"""
                 for c in body["intervals"]
             )
             return minimalize(union)
+        if kind == "prefix":
+            # capped distributed expansion replay: top max_expansions
+            # matching terms by (df desc, term asc), every occurrence a
+            # width-1 interval (already minimal)
+            p = body["prefix"]
+            return f"""
+SELECT DISTINCT doc_id, p AS s, p AS e FROM toks WHERE t IN (
+  SELECT t FROM (
+    SELECT t, count(DISTINCT doc_id) AS df FROM toks
+    WHERE t LIKE '{p}%' GROUP BY 1
+    QUALIFY row_number() OVER (ORDER BY df DESC, t)
+      <= {INTERVALS_MAX_EXP}))"""
         raise AssertionError(kind)
 
     parts = [

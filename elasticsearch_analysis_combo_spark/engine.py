@@ -791,11 +791,14 @@ class ComboSearchEngine:
         rule: dict | list[tuple[int, dict]],
         partitioned: bool | None = None,
         range_bits: int = 4,
+        max_expansions: int = 20,
     ) -> DataFrame:
         """ES ``intervals`` query (minimal-interval semantics): a rule
-        tree of match / any_of / ordered all_of with max_gaps (see
-        query/intervals.py). Routes to the doc-range fan-out past
-        ``PARTITIONED_THRESHOLD`` docs, same as the span family."""
+        tree of match / any_of / ordered all_of with max_gaps, plus the
+        prefix / wildcard multi-term sources (capped distributed
+        expansion — see query/intervals.py). Routes to the doc-range
+        fan-out past ``PARTITIONED_THRESHOLD`` docs, same as the span
+        family."""
         from elasticsearch_analysis_combo_spark.query.intervals import (
             intervals_match,
         )
@@ -806,6 +809,7 @@ class ComboSearchEngine:
         return intervals_match(
             self.spark, self.idx.postings(), queries, self._query_config(),
             range_bits=range_bits if partitioned else None,
+            max_expansions=max_expansions,
         )
 
     def search_filtered(

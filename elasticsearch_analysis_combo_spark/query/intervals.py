@@ -19,6 +19,13 @@ Supported rule tree (the documented subset; all raise on anything else):
   term — this is provably equivalent to Lucene's filter-after-minimal
   order, since containment then implies gap ordering; for multi-term
   interval children the two orders can diverge on pathological inputs).
+* ``{"prefix": {"prefix": p}}`` / ``{"wildcard": {"pattern": w}}`` —
+  Lucene's multi-term interval sources: the dictionary expansion
+  (DISTRIBUTED over the posting term dictionary, row_number-capped at
+  ``max_expansions`` in ES's top_terms order df desc / term asc — the
+  same scale-safe shape as span_multi) acts as one single-position
+  disjunction source; each matched term occurrence is a width-1
+  minimal interval, composable under any_of/all_of like any leaf.
 
 Minimality (no returned interval contains another) is what separates
 this from ``span_near``: positions ``a=[1,2], b=[3]`` give span_near
@@ -93,13 +100,28 @@ def _analyzed(rule: dict, config: ComboConfig) -> dict:
             "children": kids,
             "max_gaps": int(body.get("max_gaps", -1)),
         }
+    if kind == "prefix":
+        return {"kind": "multi", "mkind": "prefix",
+                "pat": body["prefix"], "terms": []}
+    if kind == "wildcard":
+        return {"kind": "multi", "mkind": "wildcard",
+                "pat": body["pattern"], "terms": []}
     raise ValueError(f"unsupported intervals rule: {kind}")
 
 
 def _rule_terms(rule: dict) -> set[str]:
-    if rule["kind"] == "match":
+    if rule["kind"] in ("match", "multi"):
         return set(rule["terms"])
     return set().union(*(_rule_terms(c) for c in rule["children"]))
+
+
+def _multi_leaves(rule: dict, acc: list) -> list:
+    if rule["kind"] == "multi":
+        acc.append(rule)
+    elif rule["kind"] in ("any_of", "all_of"):
+        for c in rule["children"]:
+            _multi_leaves(c, acc)
+    return acc
 
 
 _EMPTY_IV = np.zeros((0, 2), dtype=np.int64)
@@ -193,6 +215,18 @@ def _all_of_ivs(rule: dict, keys: dict[str, np.ndarray]) -> np.ndarray:
 def _eval_rule(rule: dict, keys: dict[str, np.ndarray]) -> np.ndarray:
     if rule["kind"] == "match":
         return _match_ivs(rule, keys)
+    if rule["kind"] == "multi":
+        # every occurrence of any expanded term is a width-1 interval —
+        # all minimal by construction (equal-width intervals can't
+        # contain each other); positions dedupe across members
+        lists = [
+            keys[t] for t in rule["terms"]
+            if keys.get(t) is not None and keys[t].size
+        ]
+        if not lists:
+            return _EMPTY_IV
+        ks = np.unique(np.concatenate(lists))
+        return np.stack([ks, ks], axis=1)
     if rule["kind"] == "all_of":
         return _all_of_ivs(rule, keys)
     kids = [_eval_rule(c, keys) for c in rule["children"]]
@@ -215,6 +249,12 @@ def _candidate_docs(rule: dict, decoded: dict) -> np.ndarray:
                 docs, d[0], assume_unique=True
             )
         return empty if docs is None else docs
+    if rule["kind"] == "multi":
+        ds = [
+            decoded[t][0] for t in rule["terms"]
+            if t in decoded and decoded[t][0].size
+        ]
+        return np.unique(np.concatenate(ds)) if ds else empty
     kids = [_candidate_docs(c, decoded) for c in rule["children"]]
     if rule["kind"] == "all_of":
         docs = kids[0]
@@ -230,11 +270,50 @@ def intervals_match(
     queries: list[tuple[int, dict]],
     config: ComboConfig,
     range_bits: int | None = None,
+    max_expansions: int = 20,
 ) -> DataFrame:
     """(query_id, doc_id, n_matches) where ``n_matches`` counts the
     rule tree's minimal intervals in the doc. Same evaluation harness
-    (and doc-range fan-out scale path) as the span family."""
+    (and doc-range fan-out scale path) as the span family. prefix /
+    wildcard sources expand DISTRIBUTED over the posting term
+    dictionary (term-level df rides on every posting row), capped at
+    ``max_expansions`` per leaf in ES's top_terms order."""
     rules = {qid: _analyzed(rule, config) for qid, rule in queries}
+    multis: list = []
+    for rule in rules.values():
+        _multi_leaves(rule, multis)
+    if multis:
+        from functools import reduce
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            _wildcard_regex,
+        )
+
+        term_dict = postings.groupBy("term").agg(F.max("df").alias("df"))
+        parts = []
+        for li, leaf in enumerate(multis):
+            if leaf["mkind"] == "prefix":
+                cond = F.col("term").startswith(leaf["pat"])
+            else:
+                cond = F.col("term").rlike(_wildcard_regex(leaf["pat"]))
+            parts.append(
+                term_dict.filter(cond).select(
+                    F.lit(li).alias("li"), "term", "df"
+                )
+            )
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        w = Window.partitionBy("li").orderBy(F.desc("df"), F.asc("term"))
+        for r in (
+            u.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_expansions))
+            .select("li", "term").collect()
+        ):
+            multis[r["li"]]["terms"].append(r["term"])
+        for leaf in multis:
+            leaf["terms"] = sorted(set(leaf["terms"]))
     qid_terms = {
         qid: sorted(_rule_terms(rule)) for qid, rule in rules.items()
     }

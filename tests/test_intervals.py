@@ -128,3 +128,39 @@ def test_validation():
         _analyzed({"any_of": {"intervals": []}}, CFG)
     with pytest.raises(ValueError):
         _analyzed({"nope": {}}, CFG)
+
+
+def test_prefix_and_wildcard_sources(spark, postings):
+    # prefix 'a' expands to the one term 'a' -> its positions as
+    # width-1 intervals: doc0 a:[1,4] -> 2, doc1 a:[1,2] -> 2, doc2 -> 1
+    got = _run(spark, postings, {"prefix": {"prefix": "a"}})
+    assert got == {0: 2, 1: 2, 2: 1}
+    # wildcard over the x/y/z doc: '?' matches exactly-one-char terms —
+    # a, b, x, y, z all match; doc3 has x y z -> 3 positions
+    got = _run(spark, postings, {"wildcard": {"pattern": "?"}})
+    assert got[3] == 3 and got[0] == 5
+    # all_of(prefix, term-match) ordered: prefix-'a' interval then 'b'
+    got = _run(spark, postings, {"all_of": {
+        "ordered": True,
+        "intervals": [{"prefix": {"prefix": "a"}},
+                      {"match": {"query": "b"}}],
+    }})
+    # doc0: a@1->b@3, a@4->b@5 -> 2 (minimal); doc1: (2,3) only; doc2: none
+    assert got == {0: 2, 1: 1}
+    # expansion cap: max_expansions=1 keeps only the highest-df term
+    out = intervals_match(
+        spark, postings, [(0, {"wildcard": {"pattern": "?"}})], CFG,
+        max_expansions=1,
+    )
+    got1 = {r["doc_id"]: r["n_matches"] for r in out.collect()}
+    # highest-df single-char term is a or b (df 3 each; tie -> 'a')
+    assert got1 == {0: 2, 1: 2, 2: 1}
+
+
+def test_prefix_partitioned_identical(spark, postings):
+    a = _run(spark, postings, {"any_of": {"intervals": [
+        {"prefix": {"prefix": "a"}}, {"match": {"query": "z"}}]}})
+    b = _run(spark, postings, {"any_of": {"intervals": [
+        {"prefix": {"prefix": "a"}}, {"match": {"query": "z"}}]}},
+        range_bits=2)
+    assert a == b
