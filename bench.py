@@ -321,6 +321,36 @@ def main() -> None:
         dsl_times.append(time.time() - t0)
     timings["es_dsl"] = statistics.median(dsl_times)
 
+    # --- ES aggs-tree compiler over the corpus metadata ---
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    meta = corpus.select(
+        "doc_id", F.length("content").alias("n_chars"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(20)).cast("string")
+          .alias("shard"),
+    )
+    aggs_body = {
+        "query": {"range": {"n_chars": {"gte": 50}}},
+        "aggs": {
+            "by_shard": {
+                "terms": {"field": "shard", "size": 10,
+                          "order": {"avg_len": "desc"}},
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                         "len_hist": {"histogram": {"field": "n_chars",
+                                                    "interval": 200.0}}},
+            },
+            "len_stats": {"stats": {"field": "n_chars"}},
+        },
+    }
+    ag_times = []
+    for _ in range(3):
+        t0 = time.time()
+        dsl_search_aggs(meta, aggs_body).collect()
+        ag_times.append(time.time() - t0)
+    timings["es_aggs"] = statistics.median(ag_times)
+
     # --- training-data ops ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()

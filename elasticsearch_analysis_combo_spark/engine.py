@@ -969,6 +969,21 @@ class ComboSearchEngine:
         )
         return hits, aggs
 
+    def validate_query(self, dsl: dict) -> tuple[bool, str | None]:
+        """ES ``_validate/query``: compile the DSL body without
+        executing it — (True, None) if the tree compiles, else
+        (False, explanation). Pure driver-side compilation, no Spark
+        job."""
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            compile_dsl,
+        )
+
+        try:
+            compile_dsl(dsl)
+            return True, None
+        except (ValueError, KeyError, TypeError) as e:
+            return False, f"{type(e).__name__}: {e}"
+
     def rank_feature(
         self,
         query: str,

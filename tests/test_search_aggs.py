@@ -132,3 +132,10 @@ def test_aggs_only_no_query(eng):
     out = _rows(aggs)
     assert out[("m", "", "m")] == 50.0
     assert out[("m", "", "doc_count")] == 5.0
+
+
+def test_validate_query(eng):
+    ok, err = eng.validate_query({"match": {"content": "spark"}})
+    assert ok and err is None
+    ok, err = eng.validate_query({"not_a_query": {}})
+    assert not ok and "not_a_query" in err
