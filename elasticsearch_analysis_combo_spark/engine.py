@@ -914,12 +914,28 @@ class ComboSearchEngine:
         # term-family leaf: one pushed-down predicate over the scan
         return doc_meta.filter(F.expr(compile_filter(q))).select("doc_id")
 
+    def _match_texts(self, q: dict) -> list[str]:
+        """All ``match`` clause texts in a DSL tree (the highlightable
+        terms — ES highlights the scoring clauses' terms)."""
+        kind, body = next(iter(q.items()))
+        if kind == "match":
+            _, spec = next(iter(body.items()))
+            return [spec["query"] if isinstance(spec, dict) else spec]
+        if kind == "bool":
+            out: list[str] = []
+            for role in ("must", "should", "filter"):
+                for node in body.get(role, []):
+                    out.extend(self._match_texts(node))
+            return out
+        return []
+
     def search_aggs(
         self,
         body: dict,
         doc_meta: DataFrame,
         k: int = 10,
         partitioned: bool | None = None,
+        docs: DataFrame | None = None,
     ) -> tuple[DataFrame | None, DataFrame]:
         """ES ``_search`` with BOTH halves of the request body: hits are
         the DSL top-``size`` ranking (:meth:`search_dsl`), aggregations
@@ -932,7 +948,10 @@ class ComboSearchEngine:
         match set, and ``runtime_mappings`` (``{name: {"script": <SQL
         expr>}}``) are visible to the query, post_filter and aggs alike.
         Returns ``(hits, aggs)``; hits is None for an aggs-only body
-        (ES ``size: 0``)."""
+        (ES ``size: 0``). With a ``highlight`` section and the source
+        ``docs`` frame, hits gain a ``highlight`` array column —
+        <em>-tagged fragments of the query's match terms, hit-pruned
+        (the corpus is never rescanned), start-offset ordered."""
         from elasticsearch_analysis_combo_spark.query.aggcompiler import (
             dsl_search_aggs,
         )
@@ -959,6 +978,34 @@ class ComboSearchEngine:
                             partitioned=partitioned)
             if q is not None and size > 0 else None
         )
+        hl_spec = body.get("highlight")
+        if hl_spec is not None and hits is not None and docs is not None:
+            texts = self._match_texts(q)
+            if texts:
+                from elasticsearch_analysis_combo_spark.query.highlight \
+                    import highlight_fragments
+
+                field = next(iter(hl_spec.get("fields", {"text": {}})))
+                frags = highlight_fragments(
+                    self.spark, docs,
+                    hits.select("query_id", "doc_id"),
+                    [(0, " ".join(texts))], self._query_config(),
+                    content_col=field,
+                    window=max(1, int(hl_spec.get("fragment_size", 40))
+                               // 2),
+                )
+                hl = (
+                    frags.groupBy("query_id", "doc_id")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("start_off", "fragment"))).alias("_f"))
+                    .select(
+                        "query_id", "doc_id",
+                        F.transform(
+                            "_f", lambda s: s.getField("fragment")
+                        ).alias("highlight"),
+                    )
+                )
+                hits = hits.join(hl, ["query_id", "doc_id"], "left")
         match_ids = (
             self._aggs_membership(q, meta_rt) if q is not None else None
         )

@@ -139,3 +139,24 @@ def test_validate_query(eng):
     assert ok and err is None
     ok, err = eng.validate_query({"not_a_query": {}})
     assert not ok and "not_a_query" in err
+
+
+def test_highlight_section_on_hits(eng, spark):
+    docs = spark.createDataFrame(
+        [(1, "spark merges the index segments"),
+         (2, "the index holds spark postings"),
+         (3, "nothing relevant here at all"),
+         (4, "spark spark spark everywhere always"),
+         (5, "segments compact under merge pressure")],
+        "doc_id long, content string",
+    )
+    body = {
+        "query": {"match": {"content": "postings"}},
+        "size": 5,
+        "highlight": {"fields": {"content": {}}, "fragment_size": 20},
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+    }
+    hits, _ = eng.search_aggs(body, eng._doc_meta, docs=docs)
+    rows = {r["doc_id"]: r for r in hits.collect()}
+    # fragment_size 20 -> 10 chars of context each side
+    assert rows[2]["highlight"] == ["lds spark <em>postings</em>"]
