@@ -6749,6 +6749,54 @@ SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
 """
 
 
+def q_streaming_near_dup(spark, sf_dir):
+    """Round-5: streaming MinHash-LSH near-dup — map-only bucket rows
+    (lsh_bucket_rows, portable hashing) feed a per-(band, bucket)
+    stateful owner (applyInPandasWithState) that flags any doc larger
+    than the bucket's min and retroactively flags dethroned owners, so
+    the union of emissions equals the order-independent batch spec
+    {doc | exists bucket: doc_id > global bucket min} — fully
+    SQL-oracled via the shared portable banding CTE."""
+    from elasticsearch_analysis_combo_spark.operators.dedup import (
+        lsh_bucket_rows,
+    )
+    from elasticsearch_analysis_combo_spark.streaming.stateful import (
+        stateful_near_dup,
+    )
+
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(doc_schema).format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(sf_dir)
+    )
+    bucketed = lsh_bucket_rows(
+        stream, k=LSH_K, num_hashes=32, bands=8, portable=True
+    )
+    qname = "stream_neardup_tmp"
+    q = (
+        stateful_near_dup(bucketed)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select("doc_id").distinct()
+
+
+def _streaming_near_dup_oracle_sql() -> str:
+    return f"""
+WITH {_minhash_buckets_cte(LSH_K, 32, 8)}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS mn
+  FROM buckets
+) WHERE doc_id > mn
+"""
+
+
 DSIR_BUCKETS, DSIR_SEED, DSIR_K = 1024, 7, 15
 
 
@@ -6871,6 +6919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs": q_es_aggs,
         # DSIR importance resampling vs the lang='en' target slice
         "dsir_select": q_dsir_select,
+        # streaming MinHash-LSH near-dup (stateful bucket owners)
+        "streaming_near_dup": q_streaming_near_dup,
         # --- round-4k new/changed surfaces ---
         # letter/char_group/path_hierarchy/uax_url_email + limit/trim/
         # uppercase/common_grams/pattern_capture/phonetic(soundex)
@@ -6938,18 +6988,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
-        "percentile_family": q_percentile_family,
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # geohash_grid_agg/multi_index_search/rank_eval/
-        # passages_changepoint/percolate/multi_match_cross/
+        # percentile_family/geohash_grid_agg/multi_index_search/
+        # rank_eval/passages_changepoint/percolate/multi_match_cross/
         # completion_suggest/sort_search_after/clean_text: r3/r4
         # surfaces unchanged this round, displaced past the window by
         # the round-5 gates (driver-green in r3/r4, still
         # replica-covered every round)
+        "percentile_family": q_percentile_family,
         "geohash_grid_agg": q_geohash_grid,
         "multi_index_search": q_multi_index_search,
         "rank_eval": q_rank_eval,
@@ -8546,6 +8596,7 @@ GROUP BY 1
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()
     sqls["dsir_select"] = _dsir_oracle_sql()
+    sqls["streaming_near_dup"] = _streaming_near_dup_oracle_sql()
     sqls["sig_text_options"] = _sig_text_options_oracle_sql()
     sqls["terms_order_subagg"] = _terms_order_subagg_oracle_sql()
     sqls["hist_extended_bounds"] = _hist_extended_bounds_oracle_sql()

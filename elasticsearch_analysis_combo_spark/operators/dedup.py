@@ -285,6 +285,81 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_bucket_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH band buckets of every doc,
+    computed MAP-ONLY (per-row array expressions, zero shuffle): the
+    streaming-safe variant of the signature+banding stage. Buckets are
+    bit-identical to :func:`minhash_lsh_candidates`'s construction (same
+    per-hash min, same joined-band hash), so batch and stream agree.
+
+    The per-row sig is array_min over the shingle array per hash — the
+    same multiset-min as the exploded groupBy path, just evaluated
+    in-row (interpreted HOF; the work is identical, the shuffle is
+    gone). Short docs produce one truncated shingle exactly like the
+    batch :func:`shingles` path; only empty-text docs emit no rows."""
+    # PYSPARK PITFALL: closing over a loop variable with a default arg
+    # (lambda s, i=i: ...) turns the HOF lambda into the BINARY
+    # (element, index) form — i silently binds to the ELEMENT INDEX,
+    # not the loop value (verified: transform(arr, lambda s, i=7: lit(i))
+    # yields [0, 1]). SQL-parsed lambdas sidestep the trap entirely, so
+    # the kernel is built with selectExpr.
+    rows = num_hashes // bands
+    base = df.selectExpr(
+        f"{id_col} AS doc_id",
+        "filter(transform(sequence(0, "
+        f"greatest(size(split({text_col}, '\\\\s+')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), "
+        f"i + 1, {k}))), s -> length(s) > 0) AS _sh",
+    ).filter(F.size("_sh") > 0)
+
+    def h_sql(i: int) -> str:
+        if portable:
+            return (
+                f"cast(conv(substr(md5(concat(x, '#{i}')), 1, 15), "
+                f"16, 10) as long)"
+            )
+        return f"xxhash64(x, {i})"
+
+    hashed = base.selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(_sh, x -> {h_sql(i)})) AS _h{i}"
+            for i in range(num_hashes)
+        ],
+    )
+
+    def bucket_sql(bi: int) -> str:
+        joined = ", ".join(
+            f"cast(_h{bi * rows + ri} as string)" for ri in range(rows)
+        )
+        if portable:
+            return (
+                f"cast(conv(substr(md5(concat_ws(',', {joined})), 1, 15),"
+                f" 16, 10) as long)"
+            )
+        return f"xxhash64(concat_ws(',', {joined}))"
+
+    bucketed = hashed.selectExpr(
+        "doc_id",
+        "explode(array(" + ", ".join(
+            f"struct({bi} AS band, {bucket_sql(bi)} AS bucket)"
+            for bi in range(bands)
+        ) + ")) AS bb",
+    )
+    return bucketed.select(
+        "doc_id", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def near_duplicates(
     df: DataFrame,
     text_col: str = "text",

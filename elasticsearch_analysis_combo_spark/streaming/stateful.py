@@ -51,6 +51,68 @@ def _dedup_fn(
     yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [batch_min]})
 
 
+NEARDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+NEARDUP_STATE = T.StructType([T.StructField("min_doc", T.LongType())])
+
+
+def _neardup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ids: set[int] = set()
+    for pdf in pdfs:
+        ids.update(int(d) for d in pdf["doc_id"])
+    if not ids:
+        return
+    cur = int(state.get[0]) if state.exists else None
+    flagged = []
+    for d in sorted(ids):
+        if cur is None:
+            cur = d
+        elif d < cur:
+            flagged.append(cur)  # retroactive: the old owner loses
+            cur = d
+        elif d > cur:
+            flagged.append(d)
+    state.update((cur,))
+    if flagged:
+        yield pd.DataFrame(
+            {"band": int(key[0]), "bucket": int(key[1]),
+             "doc_id": flagged}
+        )
+
+
+def stateful_near_dup(bucketed: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: a
+    (doc_id, band, bucket) stream (:func:`operators.dedup.
+    lsh_bucket_rows` — map-only, streaming-safe) -> update-mode stream
+    of FLAGGED candidate rows. Per (band, bucket) the state is one
+    int64: the smallest doc_id seen so far (the bucket's owner). An
+    arriving doc larger than the owner is flagged; a doc that DETHRONES
+    the owner flags the previous owner retroactively — so the union of
+    emissions converges to exactly ``{doc | exists band: doc_id >
+    global bucket min}`` REGARDLESS of arrival order or micro-batch
+    boundaries, which is what makes the operator batch-oracle-checkable
+    (the batch spec: flag where doc_id > min over (band, bucket)).
+
+    State is O(distinct buckets) x 8 bytes; per-batch work is a grouped
+    scan. A doc may be flagged through several buckets/batches —
+    consumers dedupe with a distinct on doc_id (tiny: flagged rows
+    only)."""
+    return bucketed.groupBy("band", "bucket").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=NEARDUP_OUTPUT,
+        stateStructType=NEARDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_first_seen(keyed: DataFrame) -> DataFrame:
     """Streaming DataFrame (content_hash, doc_id) -> update-mode stream of
     improving per-hash minima; the last emission per hash is the global
