@@ -973,11 +973,44 @@ class ComboSearchEngine:
             # into the hits query's bool.filter is exact.
             hits_q = {"bool": {"must": [q],
                                "filter": [body["post_filter"]]}}
-        hits = (
-            self.search_dsl(hits_q, doc_meta=meta_rt, k=size,
-                            partitioned=partitioned)
-            if q is not None and size > 0 else None
-        )
+        sort_spec = body.get("sort")
+        if sort_spec and q is not None and size > 0:
+            # ES field sort + search_after: hits are pages of the FULL
+            # match set ordered by the sort keys (not the BM25 top-k) —
+            # sort_search_after appends the doc_id tiebreak and lowers
+            # the cursor to a strictly-after predicate. ``_score`` sort
+            # raises (omit ``sort`` for relevance ranking).
+            from elasticsearch_analysis_combo_spark.query.bm25 import (
+                sort_search_after,
+            )
+
+            keys = []
+            for s in sort_spec:
+                if isinstance(s, str):
+                    col, d = s, "asc"
+                else:
+                    ((col, d),) = s.items()
+                    if isinstance(d, dict):
+                        d = d.get("order", "asc")
+                if col == "_score":
+                    raise ValueError(
+                        "sort by _score = the default ranking; omit sort"
+                    )
+                keys.append((col, d))
+            members = self._aggs_membership(hits_q, meta_rt)
+            base = meta_rt.join(members, "doc_id", "left_semi") \
+                .withColumn("query_id", F.lit(0))
+            cursors = (
+                {0: tuple(body["search_after"])}
+                if body.get("search_after") else None
+            )
+            hits = sort_search_after(base, keys, cursors=cursors, k=size)
+        else:
+            hits = (
+                self.search_dsl(hits_q, doc_meta=meta_rt, k=size,
+                                partitioned=partitioned)
+                if q is not None and size > 0 else None
+            )
         hl_spec = body.get("highlight")
         if hl_spec is not None and hits is not None and docs is not None:
             texts = self._match_texts(q)

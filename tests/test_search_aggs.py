@@ -160,3 +160,27 @@ def test_highlight_section_on_hits(eng, spark):
     rows = {r["doc_id"]: r for r in hits.collect()}
     # fragment_size 20 -> 10 chars of context each side
     assert rows[2]["highlight"] == ["lds spark <em>postings</em>"]
+
+
+def test_sort_and_search_after_body(eng):
+    body = {
+        "query": {"match": {"content": "spark segments"}},
+        "sort": [{"n_chars": "desc"}],
+        "size": 2,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+    }
+    hits, aggs = eng.search_aggs(body, eng._doc_meta)
+    page1 = [(r["doc_id"], r["n_chars"]) for r in hits.collect()]
+    # match set {1,2,4,5} sorted by n_chars desc: 5(50), 4(40), 2(20), 1(10)
+    assert page1 == [(5, 50), (4, 40)]
+    # cursor = last row's sort values (n_chars, doc_id tiebreak)
+    body2 = dict(body, search_after=[40, 4])
+    hits2, _ = eng.search_aggs(body2, eng._doc_meta)
+    assert [(r["doc_id"], r["n_chars"]) for r in hits2.collect()] == \
+        [(2, 20), (1, 10)]
+    # aggs still cover the whole match set, not the page
+    assert _rows(aggs)[("n", "", "n")] == 4.0
+    # post_filter applies to the sorted hits too
+    body3 = dict(body, post_filter={"term": {"lang": {"value": "de"}}})
+    hits3, _ = eng.search_aggs(body3, eng._doc_meta)
+    assert [r["doc_id"] for r in hits3.collect()] == [5]
