@@ -116,17 +116,31 @@ def _split_node(node: dict):
 
 
 def _key_expr(kind: str, body: dict):
-    """Bucket key column (string-rendered) for one bucket agg."""
+    """Bucket key column (string-rendered) for one bucket agg. ES's
+    ``missing`` knob maps null field values to the given key instead of
+    dropping the doc; terms' ``include``/``exclude`` regexes filter the
+    key space (a null key drops the row downstream)."""
     field = body.get("field")
+    missing = body.get("missing")
     if kind == "terms":
-        return F.col(field).cast("string")
+        key = F.col(field).cast("string")
+        if missing is not None:
+            key = F.coalesce(key, F.lit(str(missing)))
+        if body.get("include") is not None:
+            key = F.when(key.rlike(str(body["include"])), key)
+        if body.get("exclude") is not None:
+            key = F.when(~key.rlike(str(body["exclude"])), key)
+        return key
     if kind == "histogram":
         interval = float(body["interval"])
-        b = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+        fcol = F.col(field)
+        if missing is not None:
+            fcol = F.coalesce(fcol, F.lit(float(missing)))
+        b = F.floor(fcol / F.lit(interval)) * F.lit(interval)
         # format_string renders NULL as the string 'null' — guard so
         # null-field docs drop out of the bucket key like ES
         return F.when(
-            F.col(field).isNotNull(),
+            fcol.isNotNull(),
             F.format_string("%.4f", b.cast("double")),
         )
     if kind == "date_histogram":

@@ -154,6 +154,27 @@ def test_stats_and_percentiles_metrics(sales):
     assert out2[("f", "rich", "s.count")] == 3.0
 
 
+def test_terms_missing_include_exclude(sales):
+    out = _rows(dsl_aggs(sales, {
+        "t": {"terms": {"field": "prio", "size": 10, "missing": "NONE"}}
+    }))
+    assert out[("t", "NONE", "doc_count")] == 1.0  # the null-prio doc
+    inc = _rows(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10, "include": "O|F"}}
+    }))
+    assert {k[1] for k in inc} == {"O", "F"}
+    exc = _rows(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10, "exclude": "O"}}
+    }))
+    assert {k[1] for k in exc} == {"F", "P"}
+    hm = _rows(dsl_aggs(sales, {
+        "h": {"histogram": {"field": "price", "interval": 100.0,
+                            "missing": 0.0}}
+    }))
+    # the null-price doc lands in bucket 0 via missing
+    assert hm[("h", "0.0000", "doc_count")] == 4.0
+
+
 def test_es_response_folding(sales):
     from elasticsearch_analysis_combo_spark.query.aggcompiler import (
         es_response,
