@@ -1049,6 +1049,20 @@ class ComboSearchEngine:
         )
         return hits, aggs
 
+    def msearch(
+        self,
+        bodies: list[dict],
+        doc_meta: DataFrame,
+        k: int = 10,
+        docs: DataFrame | None = None,
+    ) -> list[tuple[DataFrame | None, DataFrame]]:
+        """ES ``_msearch``: evaluate several ``_search`` bodies against
+        this index; returns one ``(hits, aggs)`` pair per body, in
+        order (each via :meth:`search_aggs` — lazy DataFrames, so
+        consumers can union/collect as they wish)."""
+        return [self.search_aggs(b, doc_meta, k=k, docs=docs)
+                for b in bodies]
+
     def validate_query(self, dsl: dict) -> tuple[bool, str | None]:
         """ES ``_validate/query``: compile the DSL body without
         executing it — (True, None) if the tree compiles, else

@@ -396,6 +396,10 @@ def dsl_aggs(rows: DataFrame, aggs: dict) -> DataFrame:
     outs: list[DataFrame] = []
     for name, node in aggs.items():
         outs.extend(_compile_node(rows, name, node, "", []))
+    if not outs:  # hits-only body: empty aggregations, ES-style
+        return rows.sparkSession.createDataFrame(
+            [], "agg string, key string, metric string, value double"
+        )
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

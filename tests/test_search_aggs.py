@@ -184,3 +184,14 @@ def test_sort_and_search_after_body(eng):
     body3 = dict(body, post_filter={"term": {"lang": {"value": "de"}}})
     hits3, _ = eng.search_aggs(body3, eng._doc_meta)
     assert [r["doc_id"] for r in hits3.collect()] == [5]
+
+
+def test_msearch(eng):
+    bodies = [
+        {"query": {"match": {"content": "postings"}}, "size": 3},
+        {"size": 0, "aggs": {"m": {"max": {"field": "n_chars"}}}},
+    ]
+    (h1, a1), (h2, a2) = eng.msearch(bodies, eng._doc_meta)
+    assert [r["doc_id"] for r in h1.collect()] == [2]
+    assert h2 is None
+    assert _rows(a2)[("m", "", "m")] == 50.0
