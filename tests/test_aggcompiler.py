@@ -203,3 +203,23 @@ def test_unknown_kinds_raise(sales):
     with pytest.raises(ValueError):
         dsl_aggs(sales, {"t": {"terms": {"field": "status",
                                          "order": {"nope": "desc"}}}})
+
+
+def test_filters_nested_under_terms_and_bucket_under_filters(sales):
+    out = _rows(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"f": {"filters": {"filters":
+                                         {"cheap": "price < 100",
+                                          "rich": "price >= 100"}},
+                             "aggs": {"a": {"avg": {"field": "price"}}}}}}
+    }))
+    assert out[("t>f", "O|cheap", "doc_count")] == 3.0
+    assert out[("t>f", "O|cheap", "a")] == 30.0
+    assert out[("t>f", "F|rich", "doc_count")] == 2.0
+    assert out[("t>f", "F|rich", "a")] == 150.0
+    # bucket agg nested under a filters bucket (the recursion path)
+    out2 = _rows(dsl_aggs(sales, {
+        "f": {"filters": {"filters": {"cheap": "price < 100"}},
+              "aggs": {"s": {"terms": {"field": "status", "size": 10}}}}
+    }))
+    assert out2[("f>s", "cheap|O", "doc_count")] == 3.0
