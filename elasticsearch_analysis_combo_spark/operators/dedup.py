@@ -312,12 +312,16 @@ def lsh_bucket_rows(
     # yields [0, 1]). SQL-parsed lambdas sidestep the trap entirely, so
     # the kernel is built with selectExpr.
     rows = num_hashes // bands
+    # token array materialized BEFORE the shingle lambda (an inlined
+    # split() re-evaluates per element in interpreted HOFs — O(len^2))
     base = df.selectExpr(
         f"{id_col} AS doc_id",
-        "filter(transform(sequence(0, "
-        f"greatest(size(split({text_col}, '\\\\s+')) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), "
-        f"i + 1, {k}))), s -> length(s) > 0) AS _sh",
+        f"split({text_col}, '\\\\s+') AS _toks",
+    ).selectExpr(
+        "doc_id",
+        f"filter(transform(sequence(0, greatest(size(_toks) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {k}))), "
+        "s -> length(s) > 0) AS _sh",
     ).filter(F.size("_sh") > 0)
 
     def h_sql(i: int) -> str:

@@ -237,6 +237,57 @@ def main():
     out["hist_buckets"] = len(hb)
     out["hist_empty_buckets"] = sum(1 for r in hb if r["doc_count"] == 0)
 
+    # ---------- DSIR importance resampling at 200k docs ----------
+    from elasticsearch_analysis_combo_spark.operators.dsir import (
+        dsir_resample,
+    )
+
+    dsir_docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64("id", F.lit(j)), F.lit(500))
+                    .cast("string"),
+                )
+                for j in range(30)
+            ],
+        ).alias("text"),
+    )
+    dsir_target = dsir_docs.filter(F.col("doc_id") % 17 == 0)
+    t0 = time.time()
+    sel = dsir_resample(
+        dsir_docs, dsir_target, k=1000, num_buckets=10_000
+    ).count()
+    out["dsir_200k_sec"] = round(time.time() - t0, 2)
+    out["dsir_rows"] = int(sel)
+
+    # ---------- aggs compiler: nested tree over 20M rows ----------
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    big_meta = spark.range(20_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(7)).cast("string").alias("grp"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)) / 100.0)
+        .alias("v"),
+    )
+    t0 = time.time()
+    n_agg = dsl_search_aggs(big_meta, {
+        "query": {"range": {"v": {"gte": 10}}},
+        "aggs": {"t": {"terms": {"field": "grp", "size": 5,
+                                 "order": {"a": "desc"}},
+                       "aggs": {"a": {"avg": {"field": "v"}},
+                                "h": {"histogram": {"field": "v",
+                                                    "interval": 100.0}}}},
+                 "s": {"stats": {"field": "v"}}},
+    }).count()
+    out["es_aggs_20m_sec"] = round(time.time() - t0, 2)
+    out["es_aggs_rows"] = int(n_agg)
+
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "at_scale_r5_features.json",
