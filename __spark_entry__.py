@@ -1734,6 +1734,54 @@ def _dsl_oracle_sql() -> str:
     return _clause_oracle_sql(specs, QS_MAX_EXP)
 
 
+DSL_MULTITERM_QUERIES = [
+    # mid-pattern wildcard (not expressible as a prefix)
+    (0, {"wildcard": {"content": "qu*y"}}),
+    # anchored regexp alternation over the vocabulary
+    (1, {"regexp": {"content": {"value": "jo.n|quer.*"}}}),
+    # must text + must_not wildcard exclusion
+    (2, {"bool": {"must": [{"match": {"content": "value"}}],
+                  "must_not": [{"wildcard": {"content": "slo?"}}]}}),
+    # broad wildcard where the max_expansions cap bites (s* has 6
+    # vocabulary expansions, cap 4 — same stressor as the qs gate),
+    # under a filter context
+    (3, {"bool": {"should": [{"wildcard": {"content": "s*"}}],
+                  "filter": [{"term": {"lang": "en"}}]}}),
+]
+
+
+def q_dsl_multiterm(spark, sf_dir):
+    """Round-5d: wildcard/regexp SCORING-context clauses through the ES
+    DSL compiler — each expands against the distributed term dictionary
+    (anchored rlike, startswith pushdown on the wildcard's literal
+    prefix, per-clause row_number cap) and BM25-sums through the shared
+    clause evaluator, exactly the prefix-clause treatment. Reference
+    host: the wildcard/regexp query parsers behind
+    AnalysisComboPlugin.java:37-42."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_MULTITERM_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK, k1=K1, b=B,
+        max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_multiterm_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, node in DSL_MULTITERM_QUERIES:
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    return _clause_oracle_sql(specs, QS_MAX_EXP)
+
+
 def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     """Replays the documented clause-evaluator semantics per query
     (shared by the simple_query_string and es_dsl gates): scoring = BM25
@@ -1750,6 +1798,9 @@ def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     raw score) set — callers blending scores across sub-queries
     (dis_max tie_breaker, const-should boosts) round and rank after."""
     from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+    from elasticsearch_analysis_combo_spark.query.querystring import (
+        wildcard_regex,
+    )
 
     def terms_of(text):
         return sorted({t.term for t in analyze_text(text, _ws_config())})
@@ -1762,6 +1813,19 @@ def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
                 f"SELECT term FROM (SELECT term, row_number() OVER "
                 f"(ORDER BY term) AS rn FROM dfx WHERE term LIKE "
                 f"'{cl.text}%') WHERE rn <= {max_exp}"
+            )
+        if cl.kind in ("wildcard", "regexp"):
+            # the Spark side filters rlike(<shared anchored regex>);
+            # wildcard_regex emits the RE2 ∩ Java-regex dialect so
+            # regexp_matches sees the identical language
+            rx = (
+                wildcard_regex(cl.text) if cl.kind == "wildcard"
+                else f"^(?:{cl.text})$"
+            )
+            return (
+                f"SELECT term FROM (SELECT term, row_number() OVER "
+                f"(ORDER BY term) AS rn FROM dfx WHERE "
+                f"regexp_matches(term, '{rx}')) WHERE rn <= {max_exp}"
             )
         return (
             f"SELECT term FROM (SELECT term, row_number() OVER "
@@ -1794,7 +1858,7 @@ def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
                 f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
                 f"AND x.term IN ({in_list}))"
             )
-        if cl.kind in ("prefix", "fuzzy"):
+        if cl.kind in ("prefix", "fuzzy", "wildcard", "regexp"):
             return (
                 f"{pre} (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id "
                 f"AND x.term IN ({exp_subquery(cl)}))"
@@ -1823,7 +1887,7 @@ def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
             if cl.role != "must_not":
                 if cl.kind == "term":
                     fixed.update(terms_of(cl.text))
-                elif cl.kind in ("prefix", "fuzzy"):
+                elif cl.kind in ("prefix", "fuzzy", "wildcard", "regexp"):
                     exp_clauses.append(cl)
                 else:  # phrase: Lucene PhraseQuery score part
                     tables, conds, cterms = phrase_parts(cl)
@@ -6749,6 +6813,203 @@ SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
 """
 
 
+ES_AGGS2_BODY = {
+    "query": {"range": {"o_totalprice": {"gte": 1000}}},
+    "aggs": {
+        "price_xstats": {"extended_stats": {"field": "o_totalprice"}},
+        "w_price": {"weighted_avg": {"value": {"field": "o_totalprice"},
+                                     "weight": {"field": "o_custkey"}}},
+        "status_prio": {"multi_terms": {
+            "terms": [{"field": "o_orderstatus"},
+                      {"field": "o_orderpriority"}],
+            "size": 4}},
+        "eras": {"date_range": {"field": "o_orderdate", "ranges": [
+            {"to": "1997-01-01 00:00:00", "key": "early"},
+            {"from": "1997-01-01 00:00:00",
+             "to": "1999-01-01 00:00:00", "key": "mid"},
+            {"from": "1999-01-01 00:00:00", "key": "late"}]}},
+        "hist": {
+            "histogram": {"field": "o_totalprice", "interval": 100000.0},
+            "aggs": {
+                "sum_p": {"sum": {"field": "o_totalprice"}},
+                "cum_n": {"cumulative_sum": {"buckets_path": "_count"}},
+                "d_sum": {"derivative": {"buckets_path": "sum_p"}},
+                "per_doc": {"bucket_script": {
+                    "buckets_path": {"s": "sum_p", "c": "_count"},
+                    "script": "s / c"}},
+            },
+        },
+        "busy": {"terms": {"field": "o_orderstatus", "size": 10},
+                 "aggs": {"s": {"sum": {"field": "o_totalprice"}},
+                          "keep": {"bucket_selector": {
+                              "buckets_path": {"c": "_count"},
+                              "script": "c >= 4950"}}}},
+        "avg_busy_sum": {"avg_bucket": {"buckets_path": "busy>s"}},
+        "prio_cstats": {"stats_bucket": {"buckets_path":
+                                         "status_prio>_count"}},
+        "all_docs": {"global": {},
+                     "aggs": {"mx": {"max": {"field": "o_totalprice"}}}},
+    },
+}
+
+
+def q_es_aggs2(spark, sf_dir):
+    """Round-5d: the widened aggs-tree compiler — extended_stats /
+    weighted_avg metrics, multi_terms / date_range buckets, parent
+    pipeline aggs (cumulative_sum, derivative, bucket_script,
+    bucket_selector — all over the REDUCED bucket frame), sibling
+    pipeline aggs (avg_bucket, stats_bucket via the sibling's long
+    frame), and the `global` bucket escaping the query's filter
+    context. Null pipeline values (the derivative's first bucket) drop
+    symmetrically in both engines."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = dsl_search_aggs(orders, ES_AGGS2_BODY)
+    return out.filter(F.col("value").isNotNull()).select(
+        "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+
+def _es_aggs2_oracle_sql() -> str:
+    return """
+WITH src AS (SELECT * FROM orders WHERE o_totalprice >= 1000),
+xs AS (
+  SELECT count(*)::DOUBLE AS doc_count,
+         count(o_totalprice)::DOUBLE AS cnt,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         avg(o_totalprice) AS av, sum(o_totalprice) AS sm,
+         sum(o_totalprice * o_totalprice) AS sos,
+         var_pop(o_totalprice) AS vr, stddev_pop(o_totalprice) AS sd
+  FROM src
+),
+xs_rows AS (
+  SELECT 'price_xstats' AS agg, '' AS key, 'doc_count' AS metric,
+         doc_count AS value FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.count', cnt FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.min', mn FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.max', mx FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.avg', av FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.sum', sm FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.sum_of_squares',
+    sos FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.variance', vr FROM xs
+  UNION ALL SELECT 'price_xstats', '', 'price_xstats.std_deviation',
+    sd FROM xs
+),
+wp AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(o_totalprice * o_custkey) / sum(o_custkey) AS w FROM src
+),
+wp_rows AS (
+  SELECT 'w_price' AS agg, '' AS key, 'doc_count' AS metric, n AS value
+  FROM wp
+  UNION ALL SELECT 'w_price', '', 'w_price', w FROM wp
+),
+mt AS (
+  SELECT o_orderstatus || '|' || o_orderpriority AS key,
+         count(*)::DOUBLE AS doc_count
+  FROM src
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1
+),
+mt_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY doc_count DESC, key) AS rn
+    FROM mt
+  ) WHERE rn <= 4
+),
+mt_rows AS (
+  SELECT 'status_prio' AS agg, key, 'doc_count' AS metric,
+         doc_count AS value FROM mt_top
+),
+er AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                THEN 'early'
+              WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                THEN 'mid'
+              ELSE 'late' END AS key,
+         count(*)::DOUBLE AS doc_count
+  FROM src GROUP BY 1
+),
+er_rows AS (
+  SELECT 'eras' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM er
+),
+h AS (
+  SELECT floor(o_totalprice / 100000.0) AS idx,
+         printf('%.4f', floor(o_totalprice / 100000.0) * 100000.0) AS key,
+         count(*)::DOUBLE AS doc_count, sum(o_totalprice) AS sum_p
+  FROM src GROUP BY 1, 2
+),
+hp AS (
+  SELECT key, doc_count, sum_p,
+         sum(doc_count) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+           AS cum_n,
+         sum_p - lag(sum_p) OVER (ORDER BY idx) AS d_sum,
+         sum_p / doc_count AS per_doc
+  FROM h
+),
+h_rows AS (
+  SELECT 'hist' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM hp
+  UNION ALL SELECT 'hist', key, 'sum_p', sum_p FROM hp
+  UNION ALL SELECT 'hist', key, 'cum_n', cum_n FROM hp
+  UNION ALL SELECT 'hist', key, 'd_sum', d_sum FROM hp
+  UNION ALL SELECT 'hist', key, 'per_doc', per_doc FROM hp
+),
+busy AS (
+  SELECT o_orderstatus::VARCHAR AS key, count(*)::DOUBLE AS doc_count,
+         sum(o_totalprice) AS s
+  FROM src GROUP BY 1 HAVING count(*) >= 4950
+),
+busy_rows AS (
+  SELECT 'busy' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM busy
+  UNION ALL SELECT 'busy', key, 's', s FROM busy
+),
+ab_rows AS (
+  SELECT 'avg_busy_sum' AS agg, '' AS key, 'avg_busy_sum' AS metric,
+         avg(s) AS value FROM busy
+),
+cs AS (
+  SELECT count(doc_count)::DOUBLE AS c, min(doc_count) AS mn,
+         max(doc_count) AS mx, avg(doc_count) AS av,
+         sum(doc_count) AS sm
+  FROM mt_top
+),
+cs_rows AS (
+  SELECT 'prio_cstats' AS agg, '' AS key, 'prio_cstats.count' AS metric,
+         c AS value FROM cs
+  UNION ALL SELECT 'prio_cstats', '', 'prio_cstats.min', mn FROM cs
+  UNION ALL SELECT 'prio_cstats', '', 'prio_cstats.max', mx FROM cs
+  UNION ALL SELECT 'prio_cstats', '', 'prio_cstats.avg', av FROM cs
+  UNION ALL SELECT 'prio_cstats', '', 'prio_cstats.sum', sm FROM cs
+),
+gl AS (
+  SELECT count(*)::DOUBLE AS n, max(o_totalprice) AS mx FROM orders
+),
+gl_rows AS (
+  SELECT 'all_docs' AS agg, '' AS key, 'doc_count' AS metric, n AS value
+  FROM gl
+  UNION ALL SELECT 'all_docs>mx', '', 'doc_count', n FROM gl
+  UNION ALL SELECT 'all_docs>mx', '', 'mx', mx FROM gl
+),
+allrows AS (
+  SELECT * FROM xs_rows UNION ALL SELECT * FROM wp_rows
+  UNION ALL SELECT * FROM mt_rows UNION ALL SELECT * FROM er_rows
+  UNION ALL SELECT * FROM h_rows UNION ALL SELECT * FROM busy_rows
+  UNION ALL SELECT * FROM ab_rows UNION ALL SELECT * FROM cs_rows
+  UNION ALL SELECT * FROM gl_rows
+)
+SELECT agg, key, metric, printf('%.6e', value) AS value
+FROM allrows WHERE value IS NOT NULL
+"""
+
+
 def q_streaming_near_dup(spark, sf_dir):
     """Round-5: streaming MinHash-LSH near-dup — map-only bucket rows
     (lsh_bucket_rows, portable hashing) feed a per-(band, bucket)
@@ -6901,6 +7162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # wildcard/regexp scoring clauses (capped dictionary expansion)
+        "dsl_multiterm": q_dsl_multiterm,
+        # aggs compiler v2: extended_stats/weighted_avg/multi_terms/
+        # date_range/pipeline/sibling/global
+        "es_aggs2": q_es_aggs2,
         # scoring-bool minimum_should_match (text + pure-const paths)
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
@@ -8592,6 +8858,8 @@ GROUP BY 1
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
+    sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
+    sqls["es_aggs2"] = _es_aggs2_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()

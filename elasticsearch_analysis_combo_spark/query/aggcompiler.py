@@ -6,16 +6,26 @@ request — query AND aggs — consumes); ``query/dsl.py`` compiles the
 ``query`` half, this module compiles the ``aggs`` half onto any
 DataFrame, composing with the same filter context.
 
-Supported (v1, the Kibana-dashboard core):
+Supported (v1, the Kibana-dashboard core; round-5d widened):
 - bucket aggs: ``terms`` (size, min_doc_count, ``order`` by
   _count/_key/any sibling metric), ``histogram`` (interval,
   min_doc_count, extended_bounds at leaf level), ``date_histogram``
   (calendar_interval hour/day/month/year), ``range`` (from/to, open
-  ends), ``filters`` (named predicate buckets), ``missing``
+  ends), ``date_range`` (timestamp bounds), ``multi_terms``
+  (composite field tuples, size/order as terms), ``filters`` (named
+  predicate buckets), ``missing``, ``global`` (top level of
+  ``dsl_search_aggs`` — escapes the query's filter context)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
-  rsd 0.005), stats (count/min/max/avg/sum as ``name.count`` ...
-  rows), percentiles (exact interpolated, ``name.50`` rows; swap
-  approx_percentile at 100 TB)
+  rsd 0.005), stats, extended_stats (+ sum_of_squares, population
+  variance/std_deviation), weighted_avg, percentiles (exact
+  interpolated, ``name.50`` rows; swap approx_percentile at 100 TB)
+- pipeline aggs: parent ``derivative`` / ``cumulative_sum`` (ordered
+  histogram/date_histogram axis) / ``bucket_script`` /
+  ``bucket_selector`` (all over the node's REDUCED bucket frame —
+  bucket-count-sized windows, never row data); sibling ``avg_bucket``
+  / ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` /
+  ``stats_bucket`` (reduce a sibling's per-bucket metric via its long
+  frame, grouped by the enclosing-bucket key prefix)
 - nesting: bucket > bucket > ... > metrics at any depth (keys
   accumulate into a composite groupBy key — the whole sub-tree level
   is ONE partial-aggregated shuffle, the repo's flatten-the-agg-tree
@@ -46,10 +56,21 @@ from pyspark.sql import functions as F
 
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
+    "multi_terms", "date_range",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
-    "percentiles",
+    "percentiles", "extended_stats", "weighted_avg",
+)
+# pipeline aggs UNDER a bucket node (computed over that node's reduced
+# bucket frame, ordered by bucket key — histogram/date_histogram parents)
+PARENT_PIPELINE_KINDS = (
+    "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
+)
+# pipeline aggs NEXT TO a bucket node (reduce a sibling's bucket metric
+# to one value per enclosing bucket)
+SIBLING_PIPELINE_KINDS = (
+    "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
 )
 
 _CAL = {"hour": "hour", "day": "day", "month": "month", "year": "year"}
@@ -87,6 +108,26 @@ def _metric_plan(kind: str, body: dict, name: str, field_col):
             [
                 (f"{name}.{s}", F.col(f"{name}__{s}"))
                 for s in ("count", "min", "max", "avg", "sum")
+            ],
+        )
+    if kind == "extended_stats":
+        # ES extended_stats = stats + sum_of_squares + population
+        # variance/std_deviation, all in the one pass
+        return (
+            [
+                F.count(field_col).alias(f"{name}__count"),
+                F.min(field_col).alias(f"{name}__min"),
+                F.max(field_col).alias(f"{name}__max"),
+                F.avg(field_col).alias(f"{name}__avg"),
+                F.sum(field_col).alias(f"{name}__sum"),
+                F.sum(field_col * field_col).alias(f"{name}__sum_of_squares"),
+                F.var_pop(field_col).alias(f"{name}__variance"),
+                F.stddev_pop(field_col).alias(f"{name}__std_deviation"),
+            ],
+            [
+                (f"{name}.{s}", F.col(f"{name}__{s}"))
+                for s in ("count", "min", "max", "avg", "sum",
+                          "sum_of_squares", "variance", "std_deviation")
             ],
         )
     if kind == "percentiles":
@@ -168,6 +209,36 @@ def _key_expr(kind: str, body: dict):
             )
             expr = F.when(cond, F.lit(name)).otherwise(expr)
         return expr
+    if kind == "date_range":
+        # range over a timestamp axis: from/to are timestamp strings
+        # ([from, to) half-open, as ES); keys default "from-to"
+        field_c = F.col(field).cast("timestamp")
+        expr = F.lit(None).cast("string")
+        for r in reversed(body["ranges"]):
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (field_c >= F.to_timestamp(F.lit(str(lo))))
+            if hi is not None:
+                cond = cond & (field_c < F.to_timestamp(F.lit(str(hi))))
+            name = r.get(
+                "key", f"{lo if lo is not None else '*'}-"
+                       f"{hi if hi is not None else '*'}"
+            )
+            expr = F.when(cond, F.lit(name)).otherwise(expr)
+        return expr
+    if kind == "multi_terms":
+        # composite key over a tuple of fields; docs missing ANY field
+        # drop, as ES. Components join with '|', the long format's
+        # composite-key separator.
+        fields = [t["field"] for t in body["terms"]]
+        nonnull = F.lit(True)
+        for f_ in fields:
+            nonnull = nonnull & F.col(f_).isNotNull()
+        return F.when(
+            nonnull,
+            F.concat_ws("|", *[F.col(f_).cast("string") for f_ in fields]),
+        )
     if kind == "missing":
         return F.when(F.col(field).isNull(), F.lit("_missing"))
     raise ValueError(f"unsupported bucket agg: {kind}")
@@ -207,6 +278,18 @@ def _metric_sub_plans(metric_sub: dict, wrap=None):
         mkind, mbody, msub = _split_node(mnode)
         if msub:
             raise ValueError("metric aggs cannot have sub-aggs")
+        if mkind == "weighted_avg":
+            # ES weighted_avg: sum(value*weight)/sum(weight) — both
+            # sides wrapped so the filters agg's conditional holds
+            vcol = F.col(mbody["value"]["field"])
+            wcol = F.col(mbody["weight"]["field"])
+            if wrap is not None:
+                vcol, wcol = wrap(vcol), wrap(wcol)
+            agg_cols.append(
+                (F.sum(vcol * wcol) / F.sum(wcol)).alias(mname)
+            )
+            emits.append((mname, F.col(mname)))
+            continue
         fcol = F.col(mbody["field"])
         if wrap is not None:
             fcol = wrap(fcol)
@@ -278,16 +361,17 @@ def _compile_node(
                          bemits[bname])
             )
         for bname, pred in preds.items():
-            for cname, cnode in bucket_sub.items():
-                filtered = rows.filter(F.expr(pred)).withColumn(
-                    f"_fk_{mypath.count('>')}", F.lit(bname)
+            if not bucket_sub:
+                continue
+            filtered = rows.filter(F.expr(pred)).withColumn(
+                f"_fk_{mypath.count('>')}", F.lit(bname)
+            )
+            outs.extend(
+                _compile_level(
+                    filtered, bucket_sub, mypath,
+                    parent_keys + [f"_fk_{mypath.count('>')}"],
                 )
-                outs.extend(
-                    _compile_node(
-                        filtered, cname, cnode, mypath,
-                        parent_keys + [f"_fk_{mypath.count('>')}"],
-                    )
-                )
+            )
         return outs
 
     # --- keyed bucket aggs (terms/histogram/date_histogram/range/missing)
@@ -300,7 +384,14 @@ def _compile_node(
     metric_sub = {
         n: s for n, s in sub.items() if _split_node(s)[0] in METRIC_KINDS
     }
-    bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+    pipe_sub = {
+        n: s for n, s in sub.items()
+        if _split_node(s)[0] in PARENT_PIPELINE_KINDS
+    }
+    bucket_sub = {
+        n: s for n, s in sub.items()
+        if n not in metric_sub and n not in pipe_sub
+    }
 
     agg_cols, emits = _metric_sub_plans(metric_sub)
     aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
@@ -310,7 +401,7 @@ def _compile_node(
     if min_dc > 0:
         g = g.filter(F.col("doc_count") >= min_dc)
 
-    if kind == "terms":
+    if kind in ("terms", "multi_terms"):
         size = int(body.get("size", 10))
         order = body.get("order", {"_count": "desc"})
         ((oname, odir),) = order.items()
@@ -373,18 +464,207 @@ def _compile_node(
         if min_dc > 0:
             g = g.filter(F.col("doc_count") >= min_dc)
 
+    has_selector = False
+    if pipe_sub:
+        g, emits, has_selector = _apply_parent_pipeline(
+            g, pipe_sub, kind, body, keycol, parent_keys, metric_sub, emits
+        )
+
     outs = [_unpivot(g, mypath, key_cols, emits)]
 
-    for cname, cnode in bucket_sub.items():
-        child_rows = keyed
-        if kind == "terms":
-            # children aggregate only the parent's SURVIVING buckets
-            child_rows = keyed.join(
-                F.broadcast(g.select(*key_cols).distinct()),
-                key_cols, "left_semi",
+    need_semi = kind in ("terms", "multi_terms") or has_selector
+    child_rows = keyed
+    if need_semi and bucket_sub:
+        # children aggregate only the parent's SURVIVING buckets
+        child_rows = keyed.join(
+            F.broadcast(g.select(*key_cols).distinct()),
+            key_cols, "left_semi",
+        )
+    outs.extend(_compile_level(child_rows, bucket_sub, mypath, key_cols))
+    return outs
+
+
+def _resolve_bucket_metric(path: str, metric_sub: dict):
+    """buckets_path leaf -> column name on the reduced bucket frame.
+    ``_count`` / ``doc_count`` map to the bucket count; otherwise the
+    path must name a SIMPLE metric sub-agg (or weighted_avg) whose
+    alias is a plain column."""
+    if path in ("_count", "doc_count"):
+        return "doc_count"
+    if path in metric_sub:
+        mkind = _split_node(metric_sub[path])[0]
+        if mkind in _SIMPLE_METRICS or mkind == "weighted_avg":
+            return path
+    raise ValueError(
+        f"buckets_path {path!r} must be _count or a simple metric sub-agg"
+    )
+
+
+def _script_expr(body: dict, metric_sub: dict):
+    """bucket_script / bucket_selector: substitute the buckets_path
+    variables into the (SQL-expression) script — each variable resolves
+    to a plain column of the reduced bucket frame, so the script runs as
+    codegen column algebra over bucket-count-sized data."""
+    import re as _re
+
+    bp = body["buckets_path"]
+    script = body["script"]
+    if isinstance(script, dict):  # ES {"script": {"source": ...}}
+        script = script.get("source", "")
+    for var, path in sorted(bp.items(), key=lambda kv: -len(kv[0])):
+        col = _resolve_bucket_metric(path, metric_sub)
+        script = _re.sub(rf"\b{_re.escape(var)}\b", col, script)
+    return F.expr(script)
+
+
+def _apply_parent_pipeline(
+    g: DataFrame,
+    pipe_sub: dict,
+    kind: str,
+    body: dict,
+    keycol: str,
+    parent_keys: list[str],
+    metric_sub: dict,
+    emits: list[tuple],
+):
+    """Parent pipeline aggs over one node's REDUCED bucket frame ``g``
+    (bucket-count-sized — the window sees buckets, never rows).
+    derivative/cumulative_sum need an ordered axis, so they require a
+    histogram/date_histogram parent; bucket_script emits a computed
+    metric; bucket_selector filters the buckets (children then semi-join
+    the survivors). Returns (g, emits, has_selector)."""
+    has_selector = False
+    ordered_kinds = ("derivative", "cumulative_sum")
+    if any(_split_node(s)[0] in ordered_kinds for s in pipe_sub.values()):
+        if kind == "histogram":
+            ocol = F.col(keycol).cast("double")
+        elif kind == "date_histogram":
+            ocol = F.col(keycol)  # yyyy-MM-dd HH:mm:ss sorts lexically
+        else:
+            raise ValueError(
+                "derivative/cumulative_sum need a histogram or "
+                f"date_histogram parent, got {kind}"
             )
-        outs.extend(
-            _compile_node(child_rows, cname, cnode, mypath, key_cols)
+        w = Window.partitionBy(*[F.col(c) for c in parent_keys]).orderBy(
+            ocol
+        )
+    for pname, pnode in pipe_sub.items():
+        pkind, pbody, psub = _split_node(pnode)
+        if psub:
+            raise ValueError("pipeline aggs cannot have sub-aggs")
+        if pkind == "derivative":
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            g = g.withColumn(f"_p_{pname}", src - F.lag(src).over(w))
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "cumulative_sum":
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            g = g.withColumn(
+                f"_p_{pname}",
+                F.sum(src).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "bucket_script":
+            g = g.withColumn(
+                f"_p_{pname}", _script_expr(pbody, metric_sub)
+            )
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "bucket_selector":
+            g = g.filter(_script_expr(pbody, metric_sub))
+            has_selector = True
+    return g, emits, has_selector
+
+
+def _sibling_rows(
+    frames: dict[str, DataFrame],
+    name: str,
+    kind: str,
+    body: dict,
+    path: str,
+    parent_keys: list[str],
+) -> DataFrame:
+    """Sibling pipeline agg (avg/min/max/sum/stats_bucket): reduce a
+    sibling bucket agg's per-bucket metric to ONE value per enclosing
+    bucket. Runs over the sibling's already-reduced LONG frame
+    (bucket-count-sized); the enclosing-bucket key is the first
+    ``len(parent_keys)`` components of the composite key."""
+    bp = body["buckets_path"]
+    if ">" in bp:
+        sib, metric = bp.split(">", 1)
+    else:
+        sib, metric = bp, "_count"
+    if metric == "_count":
+        metric = "doc_count"
+    if sib not in frames:
+        raise ValueError(
+            f"buckets_path references unknown sibling agg: {sib!r}"
+        )
+    src = frames[sib].filter(F.col("metric") == metric)
+    if parent_keys:
+        pkey = F.array_join(
+            F.slice(F.split(F.col("key"), "\\|"), 1, len(parent_keys)),
+            "|",
+        )
+    else:
+        pkey = F.lit("")
+    mypath = f"{path}>{name}" if path else name
+    grouped = src.groupBy(pkey.alias("_pk"))
+    if kind == "stats_bucket":
+        agg = grouped.agg(
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.avg("value").alias("avg"),
+            F.sum("value").alias("sum"),
+        )
+        pairs = [
+            F.struct(
+                F.lit(f"{name}.{s}").alias("metric"),
+                F.col(s).cast("double").alias("value"),
+            )
+            for s in ("count", "min", "max", "avg", "sum")
+        ]
+        return agg.select(
+            F.lit(mypath).alias("agg"),
+            F.col("_pk").alias("key"),
+            F.explode(F.array(*pairs)).alias("_mv"),
+        ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+    fn = {
+        "avg_bucket": F.avg, "min_bucket": F.min,
+        "max_bucket": F.max, "sum_bucket": F.sum,
+    }[kind]
+    return grouped.agg(fn("value").alias("_v")).select(
+        F.lit(mypath).alias("agg"),
+        F.col("_pk").alias("key"),
+        F.lit(name).alias("metric"),
+        F.col("_v").cast("double").alias("value"),
+    )
+
+
+def _compile_level(
+    rows: DataFrame, nodes: dict, path: str, parent_keys: list[str]
+) -> list[DataFrame]:
+    """Compile one level of the aggs tree: regular nodes first (each
+    node's OWN bucket frame recorded by name), then sibling pipeline
+    nodes referencing them."""
+    outs: list[DataFrame] = []
+    frames: dict[str, DataFrame] = {}
+    siblings: list[tuple[str, str, dict]] = []
+    for name, node in nodes.items():
+        kind, body, sub = _split_node(node)
+        if kind in SIBLING_PIPELINE_KINDS:
+            siblings.append((name, kind, body))
+            continue
+        child_outs = _compile_node(rows, name, node, path, parent_keys)
+        if child_outs:
+            frames[name] = child_outs[0]
+        outs.extend(child_outs)
+    for name, kind, body in siblings:
+        outs.append(
+            _sibling_rows(frames, name, kind, body, path, parent_keys)
         )
     return outs
 
@@ -393,9 +673,7 @@ def dsl_aggs(rows: DataFrame, aggs: dict) -> DataFrame:
     """Compile an ES ``aggs`` tree over ``rows``; returns the long
     ``(agg, key, metric, value)`` frame (one union of per-node plans —
     each node one partial-aggregated pass)."""
-    outs: list[DataFrame] = []
-    for name, node in aggs.items():
-        outs.extend(_compile_node(rows, name, node, "", []))
+    outs = _compile_level(rows, aggs, "", [])
     if not outs:  # hits-only body: empty aggregations, ES-style
         return rows.sparkSession.createDataFrame(
             [], "agg string, key string, metric string, value double"
@@ -470,6 +748,7 @@ def dsl_search_aggs(
         if isinstance(script, dict):  # ES {"script": {"source": ...}}
             script = script.get("source", "")
         rows = rows.withColumn(rname, F.expr(script))
+    rows0 = rows  # pre-query universe (the ES `global` bucket's scope)
     q = body.get("query")
     if q is not None:
         from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
@@ -482,4 +761,23 @@ def dsl_search_aggs(
             match_doc_ids.select(F.col(id_col)).distinct(),
             id_col, "left_semi",
         )
-    return dsl_aggs(rows, body.get("aggs", body.get("aggregations", {})))
+    aggs = dict(body.get("aggs", body.get("aggregations", {})))
+    # ES `global` buckets escape the query's filter context: their
+    # sub-tree compiles over the PRE-query universe, and the global
+    # node itself is one all-docs bucket
+    global_outs: list[DataFrame] = []
+    for name in [n for n in aggs if _split_node(aggs[n])[0] == "global"]:
+        _, _, sub = _split_node(aggs.pop(name))
+        global_outs.append(
+            rows0.agg(F.count(F.lit(1)).alias("doc_count")).select(
+                F.lit(name).alias("agg"),
+                F.lit("").alias("key"),
+                F.lit("doc_count").alias("metric"),
+                F.col("doc_count").cast("double").alias("value"),
+            )
+        )
+        global_outs.extend(_compile_level(rows0, sub, name, []))
+    res = dsl_aggs(rows, aggs)
+    for o in global_outs:
+        res = res.unionByName(o)
+    return res

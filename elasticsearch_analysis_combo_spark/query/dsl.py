@@ -255,6 +255,17 @@ def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
         else:
             val, fz = v, 2
         return [Clause("fuzzy", role, val, fuzz=fz)]
+    if kind in ("wildcard", "regexp"):
+        # scoring-context multi-term leaves on the TEXT field: capped
+        # dictionary expansion -> BM25 sum, the same treatment prefix
+        # gets (ES's default rewrite constant-scores these; this engine
+        # BM25-scores expansions uniformly — documented divergence, and
+        # the filter-context forms under bool.filter stay exact)
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            v = v.get("value", v.get("wildcard"))
+        return [Clause(kind, role, v)]
     if kind == "simple_query_string":
         if role != "should":
             raise ValueError(

@@ -75,11 +75,40 @@ _FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
 
 @dataclass
 class Clause:
-    kind: str  # term | phrase | prefix | fuzzy
+    kind: str  # term | phrase | prefix | fuzzy | wildcard | regexp
     role: str  # must | should | must_not
     text: str  # raw token / phrase body / prefix (without *) / fuzzy source
     fuzz: int = 0  # max edits (fuzzy only)
     slop: int = 0  # positional tolerance (phrase only; DSL match_phrase)
+
+
+# clause kinds that expand against the term dictionary (one distributed
+# job, per-clause row_number cap — see build_expansions)
+EXPANSION_KINDS = ("prefix", "fuzzy", "wildcard", "regexp")
+
+
+def wildcard_regex(pat: str) -> str:
+    """ES wildcard pattern -> anchored Java/RE2-safe regex (``*`` = any
+    run, ``?`` = one char; everything else literal). Shared with the
+    gate oracle so both engines expand the identical term set."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _wildcard_literal_prefix(pat: str) -> str:
+    """Literal run before the first wildcard char — a ``startswith``
+    pushdown that keeps parquet min/max pruning for anchored patterns."""
+    for i, ch in enumerate(pat):
+        if ch in "*?":
+            return pat[:i]
+    return pat
 
 
 @dataclass
@@ -150,6 +179,25 @@ def build_expansions(
         if cl.kind == "prefix":
             parts.append(
                 term_df.filter(F.col("term").startswith(cl.text))
+                .select(*base, F.lit(0).alias("_o1"), F.lit(0.0).alias("_o2"))
+            )
+        elif cl.kind in ("wildcard", "regexp"):
+            # anchored dictionary scan (vocabulary-, not posting-, sized);
+            # wildcard keeps a startswith pushdown on its literal prefix;
+            # expansions keep dictionary order under the cap, the same
+            # first-max_expansions rule as prefix
+            rx = (
+                wildcard_regex(cl.text)
+                if cl.kind == "wildcard"
+                else f"^(?:{cl.text})$"
+            )
+            src = term_df
+            if cl.kind == "wildcard":
+                lead = _wildcard_literal_prefix(cl.text)
+                if lead:
+                    src = src.filter(F.col("term").startswith(lead))
+            parts.append(
+                src.filter(F.col("term").rlike(rx))
                 .select(*base, F.lit(0).alias("_o1"), F.lit(0.0).alias("_o2"))
             )
         # df rides along so scoring never re-joins the dictionary
@@ -282,7 +330,7 @@ def evaluate_parsed(
                 all_literal_terms.update(_clause_terms(cl, config))
                 if cl.role != "must_not":
                     score_rows.update((qid, t) for t in _clause_terms(cl, config))
-            if cl.kind in ("prefix", "fuzzy"):
+            if cl.kind in EXPANSION_KINDS:
                 exp_specs.append((qid, cid, cl))
             if cl.kind == "phrase":
                 phrase_specs.append((qid, cid, cl))
@@ -307,6 +355,10 @@ def evaluate_parsed(
     for _, _, cl in exp_specs:
         if cl.kind == "prefix":
             prune_conds.append(F.col("term").startswith(cl.text))
+        elif cl.kind == "wildcard":
+            prune_conds.append(F.col("term").rlike(wildcard_regex(cl.text)))
+        elif cl.kind == "regexp":
+            prune_conds.append(F.col("term").rlike(f"^(?:{cl.text})$"))
         else:
             prune_conds.append(
                 (F.length("term") >= len(cl.text) - cl.fuzz)
@@ -395,7 +447,7 @@ def evaluate_parsed(
             )
         exp_ids = [
             (qid, cid) for qid, cid, cl in specs
-            if cl.kind in ("prefix", "fuzzy")
+            if cl.kind in EXPANSION_KINDS
         ]
         if exp_ids and exp_df is not None:
             sel = spark.createDataFrame(exp_ids, "qid int, cid int")

@@ -1,0 +1,280 @@
+"""Round-5d: wildcard/regexp SCORING-context clauses in the ES Query
+DSL — capped dictionary expansion -> BM25 sum through the shared clause
+evaluator (the same treatment prefix clauses get).
+
+Reference scope: the host behind AnalysisComboPlugin.java:37-42 parses
+wildcard/regexp query nodes; this engine re-expresses them over the
+distributed term dictionary.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl, dsl_topk
+from elasticsearch_analysis_combo_spark.query.querystring import (
+    wildcard_regex,
+)
+
+CFG = ComboConfig(["whitespace"])
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (1, "alpha gamma", "en"),
+        (2, "beta gamma delta", "de"),
+        (3, "alpha beta slowpoke", "en"),
+        (4, "gamma delta epsilon", "de"),
+        (5, "beta alpha", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string")
+    stats = build_term_stats(df, CFG).cache()
+    stats.count()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = stats.select("doc_id", "dl").distinct().agg(
+        F.avg("dl")
+    ).collect()[0][0]
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=2, block_size=16,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=avgdl, block_size=16,
+                          with_positions=True).cache()
+    meta = df.select("doc_id", "lang")
+    return stats, term_df, post, 6, avgdl, meta
+
+
+def _run(spark, fixture, dsl, k=10, **kw):
+    stats, term_df, post, n_docs, avgdl, meta = fixture
+    return dsl_topk(
+        spark, stats, term_df, post, [(0, dsl)], CFG, n_docs, avgdl,
+        doc_meta=meta, k=k, **kw,
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9)) for r in df.collect()
+    )
+
+
+def test_wildcard_regex_translation():
+    assert wildcard_regex("a*b?c") == "^a.*b.c$"
+    assert wildcard_regex("x.y") == "^x\\.y$"
+
+
+def test_wildcard_scoring_equals_prefix(spark, fixture):
+    # a trailing-* wildcard expands to the identical dictionary set as
+    # the prefix clause, so scores match exactly
+    wc = _rows(_run(spark, fixture, {"wildcard": {"content": "gamm*"}}))
+    pf = _rows(_run(spark, fixture, {"prefix": {"content": "gamm"}}))
+    assert wc == pf and wc  # non-empty
+
+
+def test_wildcard_single_term_equals_match(spark, fixture):
+    # "?amma" matches exactly the vocab term "gamma"
+    wc = _rows(_run(spark, fixture, {"wildcard": {"content": "?amma"}}))
+    m = _rows(_run(spark, fixture, {"match": {"content": "gamma"}}))
+    assert wc == m and wc
+
+
+def test_regexp_scoring_equals_term_sum(spark, fixture):
+    # "al.*|be.*" expands to {alpha, beta}; BM25 sum over the expansion
+    # equals the two-term OR match
+    rx = _rows(_run(
+        spark, fixture, {"regexp": {"content": {"value": "al.*|be.*"}}}
+    ))
+    m = _rows(_run(spark, fixture, {"match": {"content": "alpha beta"}}))
+    assert rx == m and rx
+
+
+def test_wildcard_must_not_excludes(spark, fixture):
+    got = _rows(_run(spark, fixture, {"bool": {
+        "must": [{"match": {"content": "alpha"}}],
+        "must_not": [{"wildcard": {"content": "slow*"}}],
+    }}))
+    docs = {d for d, _, _ in got}
+    assert docs == {0, 1, 5}  # doc 3 has slowpoke
+
+
+def test_wildcard_expansion_cap(spark, fixture):
+    # "*" matches the whole vocabulary; max_expansions=2 keeps the first
+    # 2 terms in dictionary order (alpha, beta) — score == match on them
+    capped = _rows(_run(
+        spark, fixture, {"wildcard": {"content": "*"}}, max_expansions=2
+    ))
+    m = _rows(_run(spark, fixture, {"match": {"content": "alpha beta"}}))
+    assert capped == m and capped
+
+
+def test_compile_dsl_accepts_multiterm_kinds():
+    cq = compile_dsl({"bool": {
+        "should": [
+            {"wildcard": {"content": "ga*"}},
+            {"regexp": {"content": {"value": "d.*a"}}},
+        ],
+    }})
+    kinds = sorted(c.kind for c in cq.parsed.clauses)
+    assert kinds == ["regexp", "wildcard"]
+
+
+# ---------------------------------------------------------------- aggs v2
+
+from elasticsearch_analysis_combo_spark.query.aggcompiler import (  # noqa: E402
+    dsl_aggs,
+    dsl_search_aggs,
+)
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    rows = [
+        # (doc_id, status, prio, price, qty, ts)
+        (1, "O", "HI", 10.0, 1, "2024-01-01 00:00:00"),
+        (2, "O", "HI", 30.0, 3, "2024-01-05 00:00:00"),
+        (3, "O", "LO", 50.0, 2, "2024-02-10 00:00:00"),
+        (4, "F", "HI", 100.0, 1, "2024-02-15 00:00:00"),
+        (5, "F", "LO", 200.0, 4, "2024-03-01 00:00:00"),
+        (6, "P", "LO", 300.0, 5, "2024-03-20 00:00:00"),
+        (7, "P", None, None, None, "2024-03-25 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, status string, prio string, price double, "
+        "qty long, ts string",
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _avals(df):
+    return {
+        (r["agg"], r["key"], r["metric"]): r["value"] for r in df.collect()
+    }
+
+
+def test_extended_stats_metric(sales):
+    out = _avals(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"es": {"extended_stats": {"field": "price"}}}},
+    }))
+    assert out[("t", "O", "es.count")] == 3.0
+    assert out[("t", "O", "es.sum")] == 90.0
+    assert out[("t", "O", "es.sum_of_squares")] == 3500.0
+    assert abs(out[("t", "O", "es.variance")] - (3500.0 / 3 - 900.0)) < 1e-9
+
+
+def test_weighted_avg_metric(sales):
+    out = _avals(dsl_aggs(sales, {
+        "w": {"weighted_avg": {"value": {"field": "price"},
+                               "weight": {"field": "qty"}}},
+    }))
+    assert abs(out[("w", "", "w")] - 2600.0 / 16.0) < 1e-9
+
+
+def test_multi_terms_bucket(sales):
+    out = _avals(dsl_aggs(sales, {
+        "mt": {"multi_terms": {"terms": [{"field": "status"},
+                                         {"field": "prio"}],
+                               "size": 2}},
+    }))
+    # doc 7 drops (null prio); top-2 by count desc, key asc: O|HI(2), F|HI(1)
+    assert set(out) == {("mt", "O|HI", "doc_count"),
+                        ("mt", "F|HI", "doc_count")}
+    assert out[("mt", "O|HI", "doc_count")] == 2.0
+
+
+def test_date_range_bucket(sales):
+    out = _avals(dsl_aggs(sales, {
+        "dr": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-02-01 00:00:00", "key": "jan"},
+            {"from": "2024-02-01 00:00:00", "to": "2024-03-10 00:00:00",
+             "key": "feb"},
+            {"from": "2024-03-10 00:00:00", "key": "mar"},
+        ]}},
+    }))
+    assert out[("dr", "jan", "doc_count")] == 2.0
+    assert out[("dr", "feb", "doc_count")] == 3.0
+    assert out[("dr", "mar", "doc_count")] == 2.0
+
+
+def test_derivative_and_cumulative_sum(sales):
+    out = _avals(dsl_aggs(sales, {
+        "h": {"histogram": {"field": "price", "interval": 100.0},
+              "aggs": {"cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                       "d": {"derivative": {"buckets_path": "_count"}}}},
+    }))
+    assert out[("h", "0.0000", "cum")] == 3.0
+    assert out[("h", "100.0000", "cum")] == 4.0
+    assert out[("h", "300.0000", "cum")] == 6.0
+    assert out[("h", "0.0000", "d")] is None
+    assert out[("h", "100.0000", "d")] == -2.0
+    assert out[("h", "300.0000", "d")] == 0.0
+
+
+def test_bucket_script_and_selector(sales):
+    out = _avals(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"total": {"sum": {"field": "price"}},
+                       "per_doc": {"bucket_script": {
+                           "buckets_path": {"s": "total", "c": "_count"},
+                           "script": "s / c"}}}},
+    }))
+    assert out[("t", "O", "per_doc")] == 30.0
+    assert out[("t", "P", "per_doc")] == 150.0  # 300 / 2 docs
+    sel = _avals(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"keep": {"bucket_selector": {
+                           "buckets_path": {"c": "_count"},
+                           "script": "c >= 3"}},
+                       "p": {"terms": {"field": "prio", "size": 10}}}},
+    }))
+    tops = {k[1] for k in sel if k[0] == "t"}
+    assert tops == {"O"}
+    # children semi-join the surviving buckets
+    inner = {k[1] for k in sel if k[0] == "t>p"}
+    assert inner == {"O|HI", "O|LO"}
+
+
+def test_sibling_pipeline_aggs(sales):
+    out = _avals(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {"s": {"sum": {"field": "price"}}}},
+        "avg_s": {"avg_bucket": {"buckets_path": "t>s"}},
+        "cstats": {"stats_bucket": {"buckets_path": "t>_count"}},
+    }))
+    assert abs(out[("avg_s", "", "avg_s")] - 230.0) < 1e-9  # (90+300+300)/3
+    assert out[("cstats", "", "cstats.min")] == 2.0
+    assert out[("cstats", "", "cstats.max")] == 3.0
+    assert out[("cstats", "", "cstats.sum")] == 7.0
+
+
+def test_nested_sibling_pipeline(sales):
+    out = _avals(dsl_aggs(sales, {
+        "t": {"terms": {"field": "status", "size": 10},
+              "aggs": {
+                  "p": {"terms": {"field": "prio", "size": 10}},
+                  "avg_p": {"avg_bucket": {"buckets_path": "p>_count"}},
+              }},
+    }))
+    assert abs(out[("t>avg_p", "O", "avg_p")] - 1.5) < 1e-9  # HI 2, LO 1
+    assert out[("t>avg_p", "F", "avg_p")] == 1.0
+    assert out[("t>avg_p", "P", "avg_p")] == 1.0
+
+
+def test_global_bucket_escapes_query(sales):
+    out = _avals(dsl_search_aggs(sales, {
+        "query": {"term": {"status": "O"}},
+        "aggs": {
+            "filtered_max": {"max": {"field": "price"}},
+            "all": {"global": {},
+                    "aggs": {"mx": {"max": {"field": "price"}}}},
+        },
+    }))
+    assert out[("filtered_max", "", "filtered_max")] == 50.0
+    assert out[("all", "", "doc_count")] == 7.0
+    assert out[("all>mx", "", "mx")] == 300.0
