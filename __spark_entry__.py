@@ -1782,6 +1782,113 @@ def _dsl_multiterm_oracle_sql() -> str:
     return _clause_oracle_sql(specs, QS_MAX_EXP)
 
 
+DSL_EXTRA3_QUERIES = [
+    # match_phrase_prefix: "value ta" — fixed constituent [value], the
+    # trailing "ta" expands alphabetically (capped) over the dictionary
+    (0, {"match_phrase_prefix": {"content": {"query": "value ta",
+                                             "max_expansions": 50}}}),
+    # more_like_this: seed doc 7's top tf*idf terms become the query
+    (1, {"more_like_this": {"like": {"_id": 7},
+                            "max_query_terms": 25, "min_doc_freq": 2}}),
+]
+
+
+def q_dsl_extras3(spark, sf_dir):
+    """Round-5d: match_phrase_prefix and more_like_this routed through
+    the ES DSL compiler (dsl_topk top-level nodes) onto the existing
+    evaluators. match_phrase_prefix scores idf_sum(fixed constituents)
+    * satu(anchor count) with dl riding from the first constituent's
+    pruned stats scan (documented divergence: Lucene MultiPhraseQuery
+    also idf-weights the expansion slot); more_like_this relabels the
+    seed-indexed ranking to the caller's query id."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_EXTRA3_QUERIES, _ws_config(), n_docs, avgdl, k=TOPK,
+        k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_extras3_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                  (x, i) -> struct_pack(t := x, p := i))) AS u
+    FROM documents
+  )
+),
+tf AS (SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+exp0 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY term) AS rn
+    FROM dfx WHERE term LIKE 'ta%'
+  ) WHERE rn <= 50
+),
+mpp AS (
+  SELECT t0.doc_id, count(*)::DOUBLE AS f
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+    AND t1.t IN (SELECT term FROM exp0)
+  WHERE t0.t = 'value'
+  GROUP BY 1
+),
+mpp_scored AS (
+  SELECT 0 AS query_id, m.doc_id,
+         (SELECT ln(1.0 + (gs.n - d.df + 0.5) / (d.df + 0.5))
+          FROM dfx d CROSS JOIN gs WHERE d.term = 'value')
+         * m.f * ({K1} + 1.0)
+         / (m.f + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS score
+  FROM mpp m JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN gs
+),
+sel AS (
+  SELECT tf.term, dfx.df,
+         round(tf.tf * ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5)),
+               6) AS sc
+  FROM tf JOIN dfx USING (term) CROSS JOIN gs
+  WHERE tf.doc_id = 7 AND tf.tf >= 1 AND dfx.df >= 2
+),
+q AS (
+  SELECT term, df FROM (
+    SELECT sel.*, row_number() OVER (ORDER BY sc DESC, term) AS rn
+    FROM sel
+  ) WHERE rn <= 25
+),
+mlt_scored AS (
+  SELECT 1 AS query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - q.df + 0.5) / (q.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) )
+           AS score
+  FROM q JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  WHERE tf.doc_id != 7
+  GROUP BY 1, 2
+),
+allq AS (
+  SELECT * FROM mpp_scored UNION ALL SELECT * FROM mlt_scored
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM allq
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     """Replays the documented clause-evaluator semantics per query
     (shared by the simple_query_string and es_dsl gates): scoring = BM25
@@ -7164,6 +7271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 new/changed surfaces ---
         # wildcard/regexp scoring clauses (capped dictionary expansion)
         "dsl_multiterm": q_dsl_multiterm,
+        # match_phrase_prefix + more_like_this routed through the DSL
+        "dsl_extras3": q_dsl_extras3,
         # aggs compiler v2: extended_stats/weighted_avg/multi_terms/
         # date_range/pipeline/sibling/global
         "es_aggs2": q_es_aggs2,
@@ -8859,6 +8968,7 @@ GROUP BY 1
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
+    sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()

@@ -527,6 +527,8 @@ def dsl_topk(
     dismax_tb_subs: dict[int, int] = {}  # synthetic qid -> parent (tb>0)
     dismax_tb: dict[int, float] = {}  # parent qid -> tie_breaker
     none_qids: list[int] = []
+    mpp_specs: dict[int, tuple[str, int, int]] = {}  # match_phrase_prefix
+    mlt_specs: dict[int, tuple[int, dict]] = {}  # more_like_this
     norm: list[tuple[int, dict]] = []
     next_synth = max((q for q, _ in queries), default=-1) + 1
     for qid, node in queries:
@@ -540,6 +542,36 @@ def dsl_topk(
             kind, body = next(iter(node.items()))
         if kind == "match_none":
             none_qids.append(qid)
+            continue
+        if kind == "match_phrase_prefix":
+            # top-level route onto the phrase-prefix evaluator
+            # (phrase.phrase_prefix_match): the last term expands as a
+            # capped alphabetical prefix; scoring = idf_sum over the
+            # FIXED constituents * satu(anchor count) — the prefix slot
+            # contributes membership, not idf (documented divergence
+            # from Lucene MultiPhraseQuery's per-expansion idf)
+            (f, v), = body.items()
+            _field(f)
+            if isinstance(v, dict):
+                text = v["query"]
+                mslop = int(v.get("slop", 0))
+                mexp = int(v.get("max_expansions", max_expansions))
+            else:
+                text, mslop, mexp = v, 0, max_expansions
+            mpp_specs[qid] = (text, mslop, mexp)
+            continue
+        if kind == "more_like_this":
+            # top-level route onto query/morelikethis.py: the seed doc's
+            # top tf*idf terms become the query (one like per node —
+            # multi-like union is not expressible in that evaluator)
+            like = body.get("like")
+            likes = like if isinstance(like, list) else [like]
+            ids = [int(l["_id"]) for l in likes]
+            if len(ids) != 1:
+                raise ValueError(
+                    "more_like_this supports exactly one like _id"
+                )
+            mlt_specs[qid] = (ids[0], body)
             continue
         if kind == "constant_score":
             const_boosts[qid] = float(body.get("boost", 1.0))
@@ -659,6 +691,122 @@ def dsl_topk(
                     F.lit(score_const).alias("score"),
                 )
             )
+    if mpp_specs:
+        if postings is None:
+            raise ValueError(
+                "match_phrase_prefix requires positional postings"
+            )
+        import math
+
+        from elasticsearch_analysis_combo_spark.analysis.combo import (
+            analyze_text,
+        )
+        from elasticsearch_analysis_combo_spark.query.phrase import (
+            phrase_prefix_match,
+        )
+
+        fixed_by_q: dict[int, list[str]] = {}
+        first_by_q: dict[int, str] = {}
+        for qid, (text, _, _) in mpp_specs.items():
+            toks = [t.term for t in analyze_text(text, config)]
+            if len(toks) < 2:
+                raise ValueError(
+                    "match_phrase_prefix needs >= 2 analyzed terms "
+                    "(a single term is a prefix query)"
+                )
+            fixed_by_q[qid] = toks[:-1]
+            first_by_q[qid] = toks[0]
+        # idf over the fixed constituents: one tiny dictionary probe
+        # (O(query text) rows, the WAND metadata-fetch class)
+        probe = sorted({t for ts in fixed_by_q.values() for t in ts})
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in term_df.filter(F.col("term").isin(probe))
+            .select("term", "df").collect()
+        }
+
+        def _idf(dfv: int) -> float:
+            return math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+
+        idf_df = spark.createDataFrame(
+            [
+                (qid, sum((_idf(df_map[t]) for t in ts if t in df_map),
+                          0.0))
+                for qid, ts in sorted(fixed_by_q.items())
+            ],
+            "query_id int, idf_sum double",
+        )
+        by_opt: dict[tuple[int, int], list[tuple[int, str]]] = {}
+        for qid, (text, mslop, mexp) in mpp_specs.items():
+            by_opt.setdefault((mslop, mexp), []).append((qid, text))
+        hit_parts = [
+            phrase_prefix_match(
+                spark, postings, term_df, sorted(qs), config,
+                slop=mslop, max_expansions=mexp,
+            )
+            for (mslop, mexp), qs in sorted(by_opt.items())
+        ]
+        hits = hit_parts[0]
+        for part in hit_parts[1:]:
+            hits = hits.unionByName(part)
+        # dl rides from the FIRST fixed constituent's stats row — every
+        # matching doc contains that term, and the isin filter keeps the
+        # stats scan pruned (no full-corpus distinct for dl)
+        first_rows = spark.createDataFrame(
+            sorted((q, t) for q, t in first_by_q.items()),
+            "query_id int, term string",
+        )
+        dl = (
+            term_stats.filter(
+                F.col("term").isin(sorted(set(first_by_q.values())))
+            )
+            .select("term", "doc_id", "dl")
+            .join(F.broadcast(first_rows), "term")
+            .select("query_id", "doc_id", "dl")
+        )
+        f_ = F.col("n_matches").cast("double")
+        scored = (
+            hits.join(F.broadcast(idf_df), "query_id")
+            .join(dl, ["query_id", "doc_id"])
+            .withColumn(
+                "score",
+                F.col("idf_sum") * f_ * (k1 + 1.0)
+                / (f_ + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+            )
+            .select("query_id", "doc_id", "score")
+        )
+        out.append(_rank_topk(scored, k))
+
+    if mlt_specs:
+        from elasticsearch_analysis_combo_spark.query.morelikethis import (
+            more_like_this,
+        )
+
+        mlt_by_opt: dict[tuple[int, int, int], list[tuple[int, int]]] = {}
+        for qid, (seed, mbody) in mlt_specs.items():
+            key = (
+                int(mbody.get("max_query_terms", 25)),
+                int(mbody.get("min_term_freq", 1)),
+                int(mbody.get("min_doc_freq", 2)),
+            )
+            mlt_by_opt.setdefault(key, []).append((qid, seed))
+        for (mqt, mtf, mdf), pairs in sorted(mlt_by_opt.items()):
+            pairs.sort()
+            res = more_like_this(
+                spark, term_stats, term_df, [s for _, s in pairs],
+                n_docs, avgdl, max_query_terms=mqt, min_term_freq=mtf,
+                min_doc_freq=mdf, k=k, k1=k1, b=b,
+            )
+            qmap = F.create_map(
+                *[F.lit(v)
+                  for i, (q, _) in enumerate(pairs) for v in (i, q)]
+            )
+            out.append(res.select(
+                F.element_at(qmap, F.col("query_id")).cast("int")
+                .alias("query_id"),
+                "rank", "doc_id", "score",
+            ))
+
     if scored_parsed:
         # group scored queries by their filter predicate so each group
         # evaluates in ONE evaluator pass with a shared doc_filter;

@@ -278,3 +278,48 @@ def test_global_bucket_escapes_query(sales):
     assert out[("filtered_max", "", "filtered_max")] == 50.0
     assert out[("all", "", "doc_count")] == 7.0
     assert out[("all>mx", "", "mx")] == 300.0
+
+
+# ------------------------------------------------- DSL mpp / mlt routing
+
+import math
+
+
+def test_dsl_match_phrase_prefix_scores(spark, fixture):
+    # "beta gamm*" -> fixed constituent [beta], prefix expands to {gamma};
+    # matches docs with adjacent "beta gamma": 0 and 2 (doc 1 has a gap)
+    got = _run(spark, fixture, {"match_phrase_prefix": {"content": "beta gamm"}})
+    rows = {r["doc_id"]: r["score"] for r in got.collect()}
+    assert set(rows) == {0, 2}
+    # score = idf(beta) * satu(n_matches=1) with dl of the doc
+    n, k1, b = 6, 1.2, 0.75
+    stats, term_df, post, n_docs, avgdl, meta = fixture
+    idf_beta = math.log(1.0 + (n - 4 + 0.5) / (4 + 0.5))  # beta in 4 docs
+    for d, dl in ((0, 3.0), (2, 3.0)):
+        want = idf_beta * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * dl / avgdl))
+        assert abs(rows[d] - want) < 1e-9
+
+
+def test_dsl_match_phrase_prefix_single_term_raises(spark, fixture):
+    with pytest.raises(ValueError):
+        _run(spark, fixture, {"match_phrase_prefix": {"content": "gamm"}})
+
+
+def test_dsl_more_like_this_matches_direct(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.morelikethis import (
+        more_like_this,
+    )
+
+    stats, term_df, post, n_docs, avgdl, meta = fixture
+    via_dsl = _rows(_run(spark, fixture, {"more_like_this": {
+        "like": {"_id": 0}, "min_doc_freq": 1}}))
+    direct = sorted(
+        (r["doc_id"], r["rank"], round(r["score"], 9))
+        for r in more_like_this(
+            spark, stats, term_df, [0], n_docs, avgdl, min_doc_freq=1,
+            k=10,
+        ).collect()
+    )
+    assert via_dsl == direct and via_dsl
+    # the seed never appears in its own results
+    assert 0 not in {d for d, _, _ in via_dsl}

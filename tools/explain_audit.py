@@ -584,6 +584,49 @@ def main() -> None:
         "BroadcastHashJoin", forbid="SortMergeJoin",
     )
 
+    # 31. wildcard SCORING clause (round-5d): the dictionary expansion
+    # must stay distributed — the wildcard's literal prefix pushes as a
+    # startswith into the dictionary scan, and the max_expansions cap is
+    # an in-plan map-side window (same shape as the prefix-clause check)
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    wq = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"wildcard": {"content": "sp*k"}})], cfg,
+        idx.meta.n_docs, idx.meta.avgdl, k=10,
+    )
+    p = plan_text(wq)
+    failures += not check(
+        "wildcard expansion literal-prefix pushdown", p,
+        "StringStartsWith(term",
+    )
+    failures += not check(
+        "wildcard expansion cap is an in-plan window", p,
+        "WindowGroupLimit",
+    )
+
+    # 32. aggcompiler pipeline aggs (round-5d): derivative/cumsum/
+    # bucket_script windows run over the REDUCED bucket frame — the
+    # only row-data pass is the partial-aggregated bucket groupBy, and
+    # everything stays JVM-side
+    p = plan_text(dsl_search_aggs(rows, {
+        "aggs": {"h": {"histogram": {"field": "price", "interval": 10.0},
+                       "aggs": {"s": {"sum": {"field": "price"}},
+                                "cum": {"cumulative_sum":
+                                        {"buckets_path": "_count"}},
+                                "d": {"derivative":
+                                      {"buckets_path": "s"}}}},
+                 "avg_s": {"avg_bucket": {"buckets_path": "h>s"}}},
+    }))
+    failures += not check(
+        "pipeline aggs window over reduced buckets, JVM-side", p,
+        "Window", forbid="BatchEvalPython",
+    )
+    failures += not check(
+        "pipeline aggs bucket pass is codegen partial agg", p,
+        "partial_count", forbid="InMemoryTableScan",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
