@@ -396,9 +396,12 @@ class ComboSearchEngine:
         slop: int = 0,
         k: int = 10,
         partitioned: bool | None = None,
+        rescore_query: str | None = None,
     ) -> DataFrame:
         """ES rescore: re-rank the top ``window_size`` BM25 hits with a
-        phrase boost (``score + weight * ln(1 + phrase matches)``)."""
+        phrase boost (``score + weight * ln(1 + phrase matches)``).
+        ``rescore_query`` optionally supplies a DIFFERENT phrase than the
+        base query text (the ES ``rescore_query`` body shape)."""
         from elasticsearch_analysis_combo_spark.query.functionscore import (
             rescore_phrase_topk,
         )
@@ -412,6 +415,9 @@ class ComboSearchEngine:
             idx.meta.avgdl, window_size=window_size,
             rescore_weight=rescore_weight, slop=slop, k=k,
             k1=idx.meta.k1, b=idx.meta.b, partitioned_phrases=partitioned,
+            phrase_queries=(
+                None if rescore_query is None else [(0, rescore_query)]
+            ),
         )
 
     def search_collapse(
@@ -1005,6 +1011,38 @@ class ComboSearchEngine:
                 if body.get("search_after") else None
             )
             hits = sort_search_after(base, keys, cursors=cursors, k=size)
+        elif body.get("rescore") is not None and q is not None and size > 0:
+            # ES rescore section: re-rank the top window_size hits of
+            # the base query with a phrase boost. Supported subset: the
+            # base query is a bare match (no filter context — the
+            # rescore window must see the unfiltered ranking ES sees)
+            # and the rescore_query is a match_phrase.
+            rs = body["rescore"]
+            spec = rs.get("query", rs)
+            (rk, rb), = spec["rescore_query"].items()
+            if rk != "match_phrase":
+                raise ValueError(
+                    "only match_phrase rescore_query is supported"
+                )
+            (_, v), = rb.items()
+            phrase = v["query"] if isinstance(v, dict) else v
+            rslop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+            (qk, qb), = hits_q.items()
+            if qk != "match":
+                raise ValueError(
+                    "rescore needs a bare match base query"
+                )
+            (_, mv), = qb.items()
+            base_text = mv["query"] if isinstance(mv, dict) else mv
+            hits = self.rescore(
+                base_text,
+                window_size=int(rs.get("window_size", 100)),
+                rescore_weight=float(
+                    spec.get("rescore_query_weight", 2.0)
+                ),
+                slop=rslop, k=size, partitioned=partitioned,
+                rescore_query=phrase,
+            )
         else:
             hits = (
                 self.search_dsl(hits_q, doc_meta=meta_rt, k=size,

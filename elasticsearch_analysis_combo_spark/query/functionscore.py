@@ -225,12 +225,16 @@ def rescore_phrase_topk(
     k1: float = 1.2,
     b: float = 0.75,
     partitioned_phrases: bool = False,
+    phrase_queries: list[tuple[int, str]] | None = None,
 ) -> DataFrame:
     """ES rescore with a phrase boost: the top ``window_size`` BM25 hits
     per query re-rank by ``score + rescore_weight * ln(1 + n_matches)``
     where n_matches counts the query text's phrase occurrences (0 for
     docs without the phrase — they keep their base score, exactly ES's
     ``score_mode: total`` with an unmatched rescore query).
+    ``phrase_queries`` optionally supplies a DIFFERENT rescore phrase per
+    query id (the ES ``rescore_query`` body shape); default is the base
+    query text itself.
 
     The positional evaluation is CANDIDATE-RESTRICTED: only the window's
     (query, doc) pairs fetch and decode positions (phrase_match_docs over
@@ -258,15 +262,18 @@ def rescore_phrase_topk(
         ),
         window_size,
     ).withColumn("score", F.round("score", 6)).localCheckpoint(eager=True)
+    pqueries = phrase_queries if phrase_queries is not None else queries
     if "pos_data" in term_stats.columns:
         ph = phrase_match_docs(
-            spark, term_stats, queries, config,
+            spark, term_stats, pqueries, config,
             allowed=base.select("query_id", "doc_id"), slop=slop,
         )
     elif partitioned_phrases:
-        ph = phrase_match_partitioned(spark, postings, queries, config, slop=slop)
+        ph = phrase_match_partitioned(
+            spark, postings, pqueries, config, slop=slop
+        )
     else:
-        ph = phrase_match(spark, postings, queries, config, slop=slop)
+        ph = phrase_match(spark, postings, pqueries, config, slop=slop)
     combined = (
         base.join(ph, ["query_id", "doc_id"], "left")
         .withColumn(

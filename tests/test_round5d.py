@@ -323,3 +323,83 @@ def test_dsl_more_like_this_matches_direct(spark, fixture):
     assert via_dsl == direct and via_dsl
     # the seed never appears in its own results
     assert 0 not in {d for d, _, _ in via_dsl}
+
+
+# ------------------------------------------------ body rescore + global
+
+from elasticsearch_analysis_combo_spark.engine import ComboSearchEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    docs = [
+        (1, "spark merges the index segments", "en", 10),
+        (2, "the index holds spark postings", "en", 20),
+        (3, "nothing relevant here at all", "de", 30),
+        (4, "spark index spark index always", "en", 40),
+        (5, "segments compact under merge pressure", "de", 50),
+    ]
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, content string, lang string, n_chars long"
+    )
+    e = ComboSearchEngine(
+        spark, ComboConfig(["whitespace"]),
+        str(tmp_path_factory.mktemp("r5d") / "idx"), salt_shards=2,
+    )
+    e.index(corpus)
+    e._doc_meta = corpus.select("doc_id", "lang", "n_chars")
+    return e
+
+
+def test_search_aggs_rescore_section_matches_facade(eng):
+    body = {
+        "query": {"match": {"content": "spark index"}},
+        "size": 5,
+        "rescore": {
+            "window_size": 10,
+            "query": {"rescore_query":
+                      {"match_phrase": {"content": "spark index"}},
+                      "rescore_query_weight": 3.0},
+        },
+    }
+    hits, _ = eng.search_aggs(body, eng._doc_meta)
+    direct = eng.rescore(
+        "spark index", window_size=10, rescore_weight=3.0, k=5,
+        rescore_query="spark index",
+    )
+    got = sorted((r["doc_id"], r["rank"]) for r in hits.collect())
+    want = sorted((r["doc_id"], r["rank"]) for r in direct.collect())
+    assert got == want and got
+    # doc 4 has "spark index" twice adjacent -> the phrase boost keeps
+    # it on top
+    top = min(hits.collect(), key=lambda r: r["rank"])
+    assert top["doc_id"] == 4
+
+
+def test_rescore_distinct_phrase_changes_ranking(eng):
+    # same base query, rescoring by a phrase only doc 1 contains
+    boosted = eng.rescore(
+        "index segments", window_size=10, rescore_weight=5.0, k=5,
+        rescore_query="index segments",
+    )
+    top = min(boosted.collect(), key=lambda r: r["rank"])
+    assert top["doc_id"] == 1
+
+
+def test_search_aggs_global_agg_through_facade(eng):
+    body = {
+        "query": {"match": {"content": "spark"}},
+        "size": 0,
+        "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 5}},
+            "all": {"global": {},
+                    "aggs": {"n": {"value_count": {"field": "doc_id"}}}},
+        },
+    }
+    hits, aggs = eng.search_aggs(body, eng._doc_meta)
+    out = {(r["agg"], r["key"], r["metric"]): r["value"]
+           for r in aggs.collect()}
+    assert out[("langs", "en", "doc_count")] == 3.0  # spark docs 1,2,4
+    assert ("langs", "de", "doc_count") not in out
+    assert out[("all", "", "doc_count")] == 5.0  # global escapes query
+    assert out[("all>n", "", "n")] == 5.0
