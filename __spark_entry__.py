@@ -7117,6 +7117,72 @@ FROM allrows WHERE value IS NOT NULL
 """
 
 
+SIG_FIELD_BODY = {
+    # F/O statuses correlate with order date in TPC-H-ish data, so the
+    # pre-1997 match set makes completed orders significantly frequent
+    "query": {"range": {"o_orderdate": {"lt": "1997-01-01 00:00:00"}}},
+    "aggs": {"sig_status": {"significant_terms": {
+        "field": "o_orderstatus", "size": 5, "min_doc_count": 3}}},
+}
+
+
+def q_sig_terms_field(spark, sf_dir):
+    """Round-5d: keyword-field significant_terms through the aggs
+    compiler — JLH score of per-value doc counts in the query's match
+    set vs the PRE-query universe (the compiler's `global`-style scope
+    split); totals ride as broadcast 1-row cross joins."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = dsl_search_aggs(orders, SIG_FIELD_BODY)
+    return out.select(
+        "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+
+def _sig_terms_field_oracle_sql() -> str:
+    return """
+WITH fg AS (
+  SELECT * FROM orders WHERE o_orderdate < '1997-01-01 00:00:00'
+),
+fgc AS (
+  SELECT o_orderstatus::VARCHAR AS k, count(*)::DOUBLE AS fg_count
+  FROM fg WHERE o_orderstatus IS NOT NULL GROUP BY 1
+),
+bgc AS (
+  SELECT o_orderstatus::VARCHAR AS k, count(*)::DOUBLE AS bg_count
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT count(*)::DOUBLE FROM fg) AS fgn,
+         (SELECT count(*)::DOUBLE FROM orders) AS bgn
+),
+j AS (
+  SELECT k, fg_count, bg_count,
+         (fg_count / fgn - bg_count / bgn)
+         * ((fg_count / fgn) / (bg_count / bgn)) AS score
+  FROM fgc JOIN bgc USING (k) CROSS JOIN tots
+  WHERE fg_count >= 3
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY round(score, 9) DESC, k) AS rn
+    FROM j
+  ) WHERE rn <= 5
+),
+allrows AS (
+  SELECT 'sig_status' AS agg, k AS key, 'doc_count' AS metric,
+         fg_count AS value FROM top
+  UNION ALL SELECT 'sig_status', k, 'bg_count', bg_count FROM top
+  UNION ALL SELECT 'sig_status', k, 'score', score FROM top
+)
+SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
+"""
+
+
 def q_streaming_near_dup(spark, sf_dir):
     """Round-5: streaming MinHash-LSH near-dup — map-only bucket rows
     (lsh_bucket_rows, portable hashing) feed a per-(band, bucket)
@@ -7276,6 +7342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggs compiler v2: extended_stats/weighted_avg/multi_terms/
         # date_range/pipeline/sibling/global
         "es_aggs2": q_es_aggs2,
+        # keyword-field significant_terms through the aggs compiler
+        "sig_terms_field": q_sig_terms_field,
         # scoring-bool minimum_should_match (text + pure-const paths)
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
@@ -7361,13 +7429,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
         "decontaminate": q_decontaminate,
+        # --- engine core (one representative stays in-window) ---
+        "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
+        # ------------- past the driver's 50-entry window -------------
+        # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk:
+        # r4 surfaces unchanged in r5, displaced past the window by the
+        # round-5 gates (driver-green in r4, replica-covered each round)
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "query_string": q_query_string,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        # --- engine core (one representative stays in-window) ---
-        "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
-        # ------------- past the driver's 50-entry window -------------
         # percentile_family/geohash_grid_agg/multi_index_search/
         # rank_eval/passages_changepoint/percolate/multi_match_cross/
         # completion_suggest/sort_search_after/clean_text: r3/r4
@@ -8970,6 +9041,7 @@ GROUP BY 1
     sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
+    sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()

@@ -14,7 +14,9 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   ends), ``date_range`` (timestamp bounds), ``multi_terms``
   (composite field tuples, size/order as terms), ``filters`` (named
   predicate buckets), ``missing``, ``global`` (top level of
-  ``dsl_search_aggs`` — escapes the query's filter context)
+  ``dsl_search_aggs`` — escapes the query's filter context),
+  ``significant_terms`` (top level of ``dsl_search_aggs`` — keyword
+  JLH significance of the match set vs the pre-query universe)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
   rsd 0.005), stats, extended_stats (+ sum_of_squares, population
   variance/std_deviation), weighted_avg, percentiles (exact
@@ -644,6 +646,58 @@ def _sibling_rows(
     )
 
 
+def _significant_terms_rows(
+    fg: DataFrame, bg: DataFrame, name: str, body: dict
+) -> DataFrame:
+    """ES ``significant_terms`` over a KEYWORD field: values unusually
+    frequent in the query's match set (foreground) vs the whole index
+    (background) — JLH score ``(fg% - bg%) * (fg% / bg%)`` over
+    per-value doc counts (the text variant over the inverted index
+    lives in query/facets.py::significant_terms). Two partial-aggregated
+    passes; the totals ride as broadcast 1-row cross joins, never a
+    driver collect; the size cut is an ordered limit over the REDUCED
+    value set."""
+    field = body["field"]
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    key = F.col(field).cast("string")
+    fgc = fg.filter(key.isNotNull()).groupBy(key.alias("_k")).agg(
+        F.count(F.lit(1)).alias("fg_count")
+    )
+    bgc = bg.filter(key.isNotNull()).groupBy(key.alias("_k")).agg(
+        F.count(F.lit(1)).alias("bg_count")
+    )
+    fgt = fg.agg(F.count(F.lit(1)).alias("_fgn"))
+    bgt = bg.agg(F.count(F.lit(1)).alias("_bgn"))
+    j = (
+        fgc.join(bgc, "_k")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .filter(F.col("fg_count") >= min_dc)
+        .withColumn("_fgp", F.col("fg_count") / F.col("_fgn"))
+        .withColumn("_bgp", F.col("bg_count") / F.col("_bgn"))
+        .withColumn(
+            "score",
+            (F.col("_fgp") - F.col("_bgp"))
+            * (F.col("_fgp") / F.col("_bgp")),
+        )
+    )
+    top = j.orderBy(F.desc(F.round("score", 9)), F.asc("_k")).limit(size)
+    pairs = [
+        F.struct(F.lit(m).alias("metric"), c.cast("double").alias("value"))
+        for m, c in (
+            ("doc_count", F.col("fg_count")),
+            ("bg_count", F.col("bg_count")),
+            ("score", F.col("score")),
+        )
+    ]
+    return top.select(
+        F.lit(name).alias("agg"),
+        F.col("_k").alias("key"),
+        F.explode(F.array(*pairs)).alias("_mv"),
+    ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+
+
 def _compile_level(
     rows: DataFrame, nodes: dict, path: str, parent_keys: list[str]
 ) -> list[DataFrame]:
@@ -766,6 +820,15 @@ def dsl_search_aggs(
     # sub-tree compiles over the PRE-query universe, and the global
     # node itself is one all-docs bucket
     global_outs: list[DataFrame] = []
+    for name in [
+        n for n in aggs if _split_node(aggs[n])[0] == "significant_terms"
+    ]:
+        _, sbody, ssub = _split_node(aggs.pop(name))
+        if ssub:
+            raise ValueError("significant_terms sub-aggs unsupported")
+        global_outs.append(
+            _significant_terms_rows(rows, rows0, name, sbody)
+        )
     for name in [n for n in aggs if _split_node(aggs[n])[0] == "global"]:
         _, _, sub = _split_node(aggs.pop(name))
         global_outs.append(

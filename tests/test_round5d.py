@@ -403,3 +403,19 @@ def test_search_aggs_global_agg_through_facade(eng):
     assert ("langs", "de", "doc_count") not in out
     assert out[("all", "", "doc_count")] == 5.0  # global escapes query
     assert out[("all>n", "", "n")] == 5.0
+
+
+def test_significant_terms_field(sales):
+    # fg = price >= 100 -> docs 4,5,6 (statuses F,F,P); bg = all 7
+    out = _avals(dsl_search_aggs(sales, {
+        "query": {"range": {"price": {"gte": 100}}},
+        "aggs": {"sig": {"significant_terms": {
+            "field": "status", "size": 5, "min_doc_count": 1}}},
+    }))
+    # F: fg 2/3 vs bg 2/7 -> jlh (2/3 - 2/7) * ((2/3)/(2/7))
+    want_f = (2 / 3 - 2 / 7) * ((2 / 3) / (2 / 7))
+    assert abs(out[("sig", "F", "score")] - want_f) < 1e-9
+    assert out[("sig", "F", "doc_count")] == 2.0
+    assert out[("sig", "F", "bg_count")] == 2.0
+    # O never appears in fg -> no row (fg join is inner)
+    assert ("sig", "O", "score") not in out
