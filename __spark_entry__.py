@@ -1889,6 +1889,108 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+DSL_SPAN_QUERIES = [
+    (0, {"span_near": {"clauses": [{"span_term": {"text": "value"}},
+                                   {"span_term": {"text": "table"}}],
+                       "slop": 3, "in_order": True}}),
+    (1, {"span_or": {"clauses": [{"span_term": {"text": "value"}},
+                                 {"span_term": {"text": "customer"}}]}}),
+    (2, {"span_first": {"match": {"span_or": {"clauses": [
+        {"span_term": {"text": "the"}},
+        {"span_term": {"text": "value"}}]}}, "end": 4}}),
+    (3, {"span_not": {"include": {"span_term": {"text": "value"}},
+                      "exclude": {"span_term": {"text": "table"}},
+                      "post": 1}}),
+]
+
+# constituent terms per span query for the oracle's idf/dl legs
+# (span_not: INCLUDE side only — the exclude side gates membership)
+_DSL_SPAN_TERMS = {
+    0: ["value", "table"],
+    1: ["value", "customer"],
+    2: ["the", "value"],
+    3: ["value"],
+}
+
+
+def q_dsl_span(spark, sf_dir):
+    """Round-5e: top-level span queries (span_near / span_or /
+    span_first / span_not with span_term clauses) routed through the ES
+    DSL compiler onto the query/spans.py evaluators, BM25-scored as
+    idf_sum(constituents) * satu(n_matches) with dl from the
+    constituents' pruned stats scan (query/dsl.py::_eval_span_specs).
+    Reference host: the span query parsers behind
+    AnalysisComboPlugin.java:37-42."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_SPAN_QUERIES, _ws_config(), n_docs, avgdl,
+        k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_span_oracle_sql() -> str:
+    """Replay: per-kind span n_matches (the span_family oracle shapes)
+    -> BM25 with idf summed over each query's constituent terms."""
+    qt_values = ", ".join(
+        f"({q}, '{t}')"
+        for q, ts in sorted(_DSL_SPAN_TERMS.items()) for t in ts
+    )
+    # span_near(value, table) slop 3 ordered: width = slop + n - 1 = 4
+    return f"""
+WITH {_span_toks_cte()},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT t AS term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM toks GROUP BY 1),
+qterms(query_id, term) AS (VALUES {qt_values}),
+idf AS (
+  SELECT query_id,
+         sum(ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+  FROM qterms JOIN dfx USING (term) CROSS JOIN gs GROUP BY 1
+),
+m AS (
+  SELECT 0 AS query_id, doc_id, count(DISTINCT p0)::DOUBLE AS f
+  FROM (SELECT doc_id, p AS p0 FROM toks WHERE t = 'value') a
+  WHERE EXISTS (SELECT 1 FROM toks t1 WHERE t1.doc_id = a.doc_id
+                AND t1.t = 'table' AND t1.p > a.p0 AND t1.p <= a.p0 + 4)
+  GROUP BY doc_id
+  UNION ALL
+  SELECT 1, doc_id, count(DISTINCT p)::DOUBLE
+  FROM toks WHERE t IN ('value', 'customer') GROUP BY doc_id
+  UNION ALL
+  SELECT 2, doc_id, count(DISTINCT p)::DOUBLE
+  FROM toks WHERE t IN ('the', 'value') AND p <= 4 GROUP BY doc_id
+  UNION ALL
+  SELECT 3, doc_id, count(DISTINCT p)::DOUBLE
+  FROM toks a WHERE t = 'value' AND NOT EXISTS (
+    SELECT 1 FROM toks e WHERE e.doc_id = a.doc_id AND e.t = 'table'
+    AND e.p BETWEEN a.p - 0 AND a.p + 1)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         idf.idf_sum * m.f * ({K1} + 1.0)
+         / (m.f + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS score
+  FROM m JOIN idf USING (query_id) JOIN dl USING (doc_id) CROSS JOIN gs
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     """Replays the documented clause-evaluator semantics per query
     (shared by the simple_query_string and es_dsl gates): scoring = BM25
@@ -7344,6 +7446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_aggs2": q_es_aggs2,
         # keyword-field significant_terms through the aggs compiler
         "sig_terms_field": q_sig_terms_field,
+        # top-level span queries through the DSL compiler (round 5e)
+        "dsl_span": q_dsl_span,
         # scoring-bool minimum_should_match (text + pure-const paths)
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
@@ -7428,13 +7532,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         "match_bool_prefix": q_match_bool_prefix,
-        "decontaminate": q_decontaminate,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk:
-        # r4 surfaces unchanged in r5, displaced past the window by the
-        # round-5 gates (driver-green in r4, replica-covered each round)
+        # decontaminate/curate_corpus/pack_sequences/query_string/
+        # ivf_kmeans_topk: r4 surfaces unchanged in r5, displaced past
+        # the window by the round-5 gates (driver-green in r4,
+        # replica-covered each round)
+        "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "query_string": q_query_string,
@@ -9042,6 +9147,7 @@ GROUP BY 1
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
     sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
+    sqls["dsl_span"] = _dsl_span_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()

@@ -845,6 +845,7 @@ class ComboSearchEngine:
         k: int = 10,
         partitioned: bool | None = None,
         max_expansions: int = 50,
+        range_bits: int = 4,
     ) -> DataFrame:
         """ES Query DSL (JSON ``query`` node) entry point — the request
         body an application sends to ``_search``, compiled onto the
@@ -852,7 +853,9 @@ class ComboSearchEngine:
         query/dsl.py for the supported subset). ``doc_meta`` supplies
         the metadata table for ``bool.filter`` predicates. Phrase
         clauses route through the doc-range-partitioned evaluator past
-        ``PARTITIONED_THRESHOLD`` docs, same as :meth:`search`."""
+        ``PARTITIONED_THRESHOLD`` docs, same as :meth:`search`; top-level
+        span queries (span_term/or/near/first/not, round 5e) fan out per
+        (query, doc-range) under the same threshold."""
         from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
 
         queries = [(0, dsl)] if isinstance(dsl, dict) else dsl
@@ -865,6 +868,7 @@ class ComboSearchEngine:
             doc_meta=doc_meta, k=k, k1=idx.meta.k1, b=idx.meta.b,
             partitioned_phrases=partitioned,
             max_expansions=max_expansions,
+            span_range_bits=range_bits if partitioned else None,
         )
 
     def _aggs_membership(self, q: dict, doc_meta: DataFrame) -> DataFrame:

@@ -96,6 +96,45 @@ from elasticsearch_analysis_combo_spark.query.querystring import (
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# top-level span-query kinds routed onto the query/spans.py evaluators
+# (round 5e). Clauses inside them must be span_term (span_or additionally
+# nests as span_first's match / span_not's include/exclude); span_multi
+# stays on the engine.span_multi facade (its per-expansion idf does not
+# fit the route's fixed-constituent scoring).
+_SPAN_KINDS = frozenset(
+    ("span_term", "span_or", "span_near", "span_first", "span_not")
+)
+
+
+def _span_terms_of(node: dict) -> tuple[str, list[str]]:
+    """A ``span_term`` or ``span_or``-of-``span_term`` node ->
+    (field, term list). ES takes span_term values verbatim (term-level);
+    this route re-analyzes them with the index's config inside the span
+    evaluators — identity for the whitespace/keyword analyzer families,
+    a documented divergence for stemming ones."""
+    kind, body = next(iter(node.items()))
+    if kind == "span_term":
+        (f, v), = body.items()
+        _field(f)
+        if isinstance(v, dict):
+            v = v["value"]
+        return f, [str(v)]
+    if kind == "span_or":
+        fields, terms = set(), []
+        for sub in body["clauses"]:
+            skind = next(iter(sub))
+            if skind != "span_term":
+                raise ValueError(
+                    f"span_or clauses must be span_term, got {skind}"
+                )
+            f, ts = _span_terms_of(sub)
+            fields.add(f)
+            terms.extend(ts)
+        if len(fields) != 1:
+            raise ValueError("span_or clauses must share one field")
+        return fields.pop(), terms
+    raise ValueError(f"expected span_term/span_or, got {kind}")
+
 
 def _field(name: str) -> str:
     if not _IDENT_RE.match(name):
@@ -485,6 +524,172 @@ def rrf_hybrid(
     )
 
 
+def _eval_span_specs(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    specs: dict[int, dict],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    span_range_bits: int | None,
+) -> DataFrame:
+    """Route top-level DSL span queries onto the query/spans.py
+    evaluators and BM25-score the matches: ``score = idf_sum(analyzed
+    constituent terms) * satu(n_matches)`` with ``dl`` riding from the
+    constituents' pruned stats scan — the same fixed-constituent scoring
+    the match_phrase_prefix route uses (Lucene's SpanScorer accumulates
+    per-match sloppyFreq instead; n_matches is this engine's span-count
+    analogue, documented divergence). For ``span_not`` the idf/dl
+    constituents are the INCLUDE side only (the exclude side gates
+    membership, it does not add weight). Same-option specs batch into
+    one evaluator pass; ``span_range_bits`` fans each out per
+    (query, doc-range) at scale."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        analyze_span_terms,
+        span_first_match,
+        span_near_match,
+        span_near_match_partitioned,
+        span_not_match,
+        span_or_match,
+    )
+
+    near_by_opt: dict[tuple[int, bool], list[tuple[int, str]]] = {}
+    or_qs: list[tuple[int, str]] = []
+    first_by_end: dict[int, list[tuple[int, str]]] = {}
+    not_by_opt: dict[tuple[int, int], list[tuple[int, str, str]]] = {}
+    texts: dict[int, str] = {}  # idf/dl constituents per qid
+    for qid, node in sorted(specs.items()):
+        kind, body = next(iter(node.items()))
+        if kind == "span_near":
+            slop = int(body.get("slop", 0))
+            in_order = bool(body.get("in_order", True))
+            fields, terms = set(), []
+            for sub in body["clauses"]:
+                skind = next(iter(sub))
+                if skind != "span_term":
+                    raise ValueError(
+                        "span_near clauses must be span_term in the DSL "
+                        f"route (got {skind}; span_multi clauses stay on "
+                        "engine.span_multi)"
+                    )
+                f, ts = _span_terms_of(sub)
+                fields.add(f)
+                terms.extend(ts)
+            if len(fields) != 1:
+                raise ValueError("span_near clauses must share one field")
+            text = " ".join(terms)
+            near_by_opt.setdefault((slop, in_order), []).append((qid, text))
+        elif kind in ("span_term", "span_or"):
+            _, terms = _span_terms_of(node)
+            text = " ".join(terms)
+            or_qs.append((qid, text))
+        elif kind == "span_first":
+            end = int(body["end"])
+            _, terms = _span_terms_of(body["match"])
+            text = " ".join(terms)
+            first_by_end.setdefault(end, []).append((qid, text))
+        elif kind == "span_not":
+            pre = int(body.get("pre", body.get("dist", 0)))
+            post = int(body.get("post", body.get("dist", 0)))
+            fi, inc = _span_terms_of(body["include"])
+            fe, exc = _span_terms_of(body["exclude"])
+            if fi != fe:
+                raise ValueError("span_not include/exclude fields differ")
+            text = " ".join(inc)
+            not_by_opt.setdefault((pre, post), []).append(
+                (qid, text, " ".join(exc))
+            )
+        else:  # pragma: no cover — guarded by _SPAN_KINDS at dispatch
+            raise ValueError(f"unsupported span query: {kind}")
+        texts[qid] = text
+
+    parts: list[DataFrame] = []
+    for (slop, in_order), qs in sorted(near_by_opt.items()):
+        if span_range_bits is None:
+            parts.append(span_near_match(
+                spark, postings, sorted(qs), config,
+                slop=slop, in_order=in_order,
+            ))
+        else:
+            parts.append(span_near_match_partitioned(
+                spark, postings, sorted(qs), config,
+                slop=slop, in_order=in_order, range_bits=span_range_bits,
+            ))
+    if or_qs:
+        parts.append(span_or_match(
+            spark, postings, sorted(or_qs), config,
+            range_bits=span_range_bits,
+        ))
+    for end, qs in sorted(first_by_end.items()):
+        parts.append(span_first_match(
+            spark, postings, sorted(qs), config, end=end,
+            range_bits=span_range_bits,
+        ))
+    for (pre, post), qs in sorted(not_by_opt.items()):
+        parts.append(span_not_match(
+            spark, postings, sorted(qs), config, pre=pre, post=post,
+            range_bits=span_range_bits,
+        ))
+    hits = parts[0]
+    for part in parts[1:]:
+        hits = hits.unionByName(part)
+
+    # idf over the ANALYZED constituents (mirror the evaluators' own
+    # analysis); one tiny dictionary probe, O(query text) rows
+    terms_by_q = analyze_span_terms(sorted(texts.items()), config)
+    probe = sorted({t for ts in terms_by_q.values() for t in ts})
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in term_df.filter(F.col("term").isin(probe))
+        .select("term", "df").collect()
+    }
+
+    def _idf(dfv: int) -> float:
+        return math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+
+    idf_df = spark.createDataFrame(
+        [
+            (qid, sum((_idf(df_map[t]) for t in ts if t in df_map), 0.0))
+            for qid, ts in sorted(terms_by_q.items())
+        ],
+        "query_id int, idf_sum double",
+    )
+    # dl from the constituents' pruned stats scan: every span match
+    # holds >= 1 constituent term, so the filtered scan covers all hits
+    qt = spark.createDataFrame(
+        sorted(
+            (q, t) for q, ts in terms_by_q.items() for t in ts
+        ),
+        "query_id int, term string",
+    )
+    dl = (
+        term_stats.filter(F.col("term").isin(probe))
+        .select("term", "doc_id", "dl")
+        .join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id", "dl")
+        .distinct()
+    )
+    f_ = F.col("n_matches").cast("double")
+    scored = (
+        hits.join(F.broadcast(idf_df), "query_id")
+        .join(dl, ["query_id", "doc_id"])
+        .withColumn(
+            "score",
+            F.col("idf_sum") * f_ * (k1 + 1.0)
+            / (f_ + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return _rank_topk(scored, k)
+
+
 def dsl_topk(
     spark: SparkSession,
     term_stats: DataFrame,
@@ -501,6 +706,7 @@ def dsl_topk(
     partitioned_phrases: bool = False,
     range_bits: int = 4,
     max_expansions: int = 50,
+    span_range_bits: int | None = None,
 ) -> DataFrame:
     """Compile and evaluate ES Query DSL requests (qid, query-node).
 
@@ -529,6 +735,7 @@ def dsl_topk(
     none_qids: list[int] = []
     mpp_specs: dict[int, tuple[str, int, int]] = {}  # match_phrase_prefix
     mlt_specs: dict[int, tuple[int, dict]] = {}  # more_like_this
+    span_specs: dict[int, dict] = {}  # top-level span queries
     norm: list[tuple[int, dict]] = []
     next_synth = max((q for q, _ in queries), default=-1) + 1
     for qid, node in queries:
@@ -559,6 +766,11 @@ def dsl_topk(
             else:
                 text, mslop, mexp = v, 0, max_expansions
             mpp_specs[qid] = (text, mslop, mexp)
+            continue
+        if kind in _SPAN_KINDS:
+            # top-level route onto the query/spans.py evaluators
+            # (see _eval_span_specs for scoring semantics)
+            span_specs[qid] = node
             continue
         if kind == "more_like_this":
             # top-level route onto query/morelikethis.py: the seed doc's
@@ -776,6 +988,14 @@ def dsl_topk(
             .select("query_id", "doc_id", "score")
         )
         out.append(_rank_topk(scored, k))
+
+    if span_specs:
+        if postings is None:
+            raise ValueError("span queries require positional postings")
+        out.append(_eval_span_specs(
+            spark, postings, term_stats, term_df, span_specs, config,
+            n_docs, avgdl, k, k1, b, span_range_bits,
+        ))
 
     if mlt_specs:
         from elasticsearch_analysis_combo_spark.query.morelikethis import (

@@ -68,7 +68,10 @@ def main():
     wc = dsl_topk(
         spark, stats, term_df, None,
         [(0, {"wildcard": {"content": "qu*y"}}),
-         (1, {"regexp": {"content": {"value": "ha.h|mer.e"}}})],
+         # anchored over the vocab: merge_token / merge_stream /
+         # mergeToken... ("ha.h|mer.e" in the first pass matched NO
+         # standalone token — every vocab identifier is a compound)
+         (1, {"regexp": {"content": {"value": "mer.e_tok.*|mer.eStr.*"}}})],
         CFG, n_docs, avgdl, k=10, max_expansions=50,
     ).collect()
     out["wildcard_regexp_sec"] = round(time.time() - t0, 2)

@@ -1,0 +1,197 @@
+"""Round-5e: top-level span queries in the ES Query DSL — span_term /
+span_or / span_near / span_first / span_not JSON nodes routed onto the
+query/spans.py evaluators and BM25-scored as
+``idf_sum(analyzed constituents) * satu(n_matches)`` (the
+match_phrase_prefix route's fixed-constituent scoring; Lucene's
+SpanScorer accumulates per-match sloppyFreq instead — documented
+divergence in query/dsl.py::_eval_span_specs).
+
+Reference scope: the host behind AnalysisComboPlugin.java:37-42 parses
+span query nodes; this engine re-expresses them over the compressed
+positional postings.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
+from elasticsearch_analysis_combo_spark.analysis.udfs import build_term_stats
+from elasticsearch_analysis_combo_spark.operators.postings import (
+    build_segments,
+    merge_segments,
+)
+from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+CFG = ComboConfig(["whitespace"])
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "quick the fox brown quick"),
+        (2, "the fox"),
+        (3, "brown fox the quick the fox"),
+        (4, "lazy dog sleeps"),
+        (5, "fox fox the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    stats = build_term_stats(df, CFG).cache()
+    stats.count()
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = stats.select("doc_id", "dl").distinct().agg(
+        F.avg("dl")
+    ).collect()[0][0]
+    segs = build_segments(stats, avgdl=avgdl, salt_shards=2, block_size=16,
+                          with_positions=True)
+    post = merge_segments(segs, avgdl=avgdl, block_size=16,
+                          with_positions=True).cache()
+    dfs = {r["term"]: int(r["df"]) for r in term_df.collect()}
+    dls = {
+        r["doc_id"]: int(r["dl"])
+        for r in stats.select("doc_id", "dl").distinct().collect()
+    }
+    return stats, term_df, post, 6, avgdl, dfs, dls
+
+
+def _run(spark, fixture, queries, k=10, **kw):
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    out = dsl_topk(
+        spark, stats, term_df, post, queries, CFG, n_docs, avgdl,
+        k=k, **kw,
+    )
+    return {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in out.collect()
+    }
+
+
+def _expect_score(fixture, terms, doc_id, f):
+    _, _, _, n_docs, avgdl, dfs, dls = fixture
+    idf = sum(
+        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in dict.fromkeys(terms) if t in dfs
+    )
+    dl = dls[doc_id]
+    return idf * f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * dl / avgdl))
+
+
+ST = lambda t: {"span_term": {"content": t}}  # noqa: E731
+
+
+def test_span_near_ordered_route(spark, fixture):
+    # "the" then "fox" strictly in order within slop 1 (window = slop +
+    # n - 1 = 2 of the anchor): doc0 (the@1,fox@4 -> gap 2 > window? p
+    # is 1-based: fox at 4, anchor 1, width 1+2-1... chain needs
+    # fox.p <= the.p + 2) -> doc0 the@1 fox@4 NO; doc2 the@1 fox@2 YES;
+    # doc3 the@3 fox@... fox@2(before),fox@6: 6 > 3+2 NO; the@5 fox@6 YES;
+    # doc5 the@3, fox@1,2 (before only) NO; doc1 the@2 fox@3 YES
+    res = _run(spark, fixture, [(0, {"span_near": {
+        "clauses": [ST("the"), ST("fox")], "slop": 1, "in_order": True,
+    }})])
+    docs = {d for (_, d) in res}
+    assert docs == {1, 2, 3}
+    for d in docs:
+        assert res[(0, d)][1] == pytest.approx(
+            _expect_score(fixture, ["the", "fox"], d, 1.0)
+        )
+
+
+def test_span_or_and_term_routes(spark, fixture):
+    # span_or(brown, lazy): n_matches = distinct positions holding any
+    # clause term. doc0 brown@3 ->1; doc1 brown@4 ->1; doc3 brown@1 ->1;
+    # doc4 lazy@1 ->1
+    res = _run(spark, fixture, [
+        (0, {"span_or": {"clauses": [ST("brown"), ST("lazy")]}}),
+        (1, ST("quick")),  # bare span_term == one-clause span_or
+    ])
+    assert {d for (q, d) in res if q == 0} == {0, 1, 3, 4}
+    assert res[(0, 4)][1] == pytest.approx(
+        _expect_score(fixture, ["brown", "lazy"], 4, 1.0)
+    )
+    # doc1 has quick twice -> f=2
+    assert {d for (q, d) in res if q == 1} == {0, 1, 3}
+    assert res[(1, 1)][1] == pytest.approx(
+        _expect_score(fixture, ["quick"], 1, 2.0)
+    )
+
+
+def test_span_first_route(spark, fixture):
+    # span_first(match=span_or(fox), end=2): fox with position <= 2
+    # (1-based; span end of token at p is p): doc2 fox@2, doc3 fox@2,
+    # doc5 fox@1,2
+    res = _run(spark, fixture, [(0, {"span_first": {
+        "match": {"span_or": {"clauses": [ST("fox")]}}, "end": 2,
+    }})])
+    assert {d for (_, d) in res} == {2, 3, 5}
+    assert res[(0, 5)][1] == pytest.approx(
+        _expect_score(fixture, ["fox"], 5, 2.0)
+    )
+
+
+def test_span_not_route(spark, fixture):
+    # include fox, exclude brown with post=1 (Lucene: an include span
+    # at p dies iff an exclude span overlaps [p - pre, p + post]).
+    # doc0 fox@4 brown@3: [4,5] misses 3 -> kept f=1; doc1 fox@3
+    # brown@4: 4 in [3,4] -> fox dies -> doc drops; doc3 fox@2,6
+    # brown@1: both intervals miss 1 -> kept f=2
+    res = _run(spark, fixture, [(0, {"span_not": {
+        "include": ST("fox"),
+        "exclude": ST("brown"),
+        "post": 1,
+    }})])
+    assert {d for (_, d) in res} == {0, 2, 3, 5}
+    assert res[(0, 3)][1] == pytest.approx(
+        _expect_score(fixture, ["fox"], 3, 2.0)
+    )
+    # idf/dl ride the INCLUDE side only
+    assert res[(0, 5)][1] == pytest.approx(
+        _expect_score(fixture, ["fox"], 5, 2.0)
+    )
+
+
+def test_span_partitioned_identity(spark, fixture):
+    queries = [
+        (0, {"span_near": {"clauses": [ST("the"), ST("fox")],
+                           "slop": 1, "in_order": True}}),
+        (1, {"span_or": {"clauses": [ST("brown"), ST("lazy")]}}),
+        (2, {"span_first": {"match": ST("fox"), "end": 2}}),
+        (3, {"span_not": {"include": ST("fox"), "exclude": ST("brown"),
+                          "post": 1}}),
+    ]
+    single = _run(spark, fixture, queries)
+    parts = _run(spark, fixture, queries, span_range_bits=2)
+    assert single.keys() == parts.keys()
+    for key in single:
+        assert single[key][0] == parts[key][0]
+        assert single[key][1] == pytest.approx(parts[key][1])
+
+
+def test_span_mixed_with_match_batch(spark, fixture):
+    res = _run(spark, fixture, [
+        (0, ST("quick")),
+        (1, {"match": {"content": "quick"}}),
+    ])
+    # span_term and match agree on membership; scores differ only in
+    # that the span route's f is span count == tf here
+    assert {d for (q, d) in res if q == 0} == {d for (q, d) in res if q == 1}
+
+
+def test_span_errors(spark, fixture):
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    with pytest.raises(ValueError, match="span_term"):
+        _run(spark, fixture, [(0, {"span_near": {
+            "clauses": [ST("the"), {"span_multi": {
+                "match": {"prefix": {"content": "fo"}}}}],
+        }})])
+    with pytest.raises(ValueError, match="fields differ"):
+        _run(spark, fixture, [(0, {"span_not": {
+            "include": ST("fox"),
+            "exclude": {"span_term": {"other": "brown"}},
+        }})])
+    with pytest.raises(ValueError, match="positional postings"):
+        dsl_topk(spark, stats, term_df, None, [(0, ST("fox"))], CFG,
+                 n_docs, avgdl)
