@@ -1991,6 +1991,88 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+DSL_FSCORE_QUERIES = [
+    # field_value_factor log1p multiply over doc length
+    (0, {"function_score": {
+        "query": {"match": {"content": "value"}},
+        "field_value_factor": {"field": "n_chars", "factor": 0.001,
+                               "modifier": "log1p", "missing": 1.0},
+        "boost_mode": "multiply"}}),
+    # gauss length decay around 400 chars
+    (1, {"function_score": {
+        "query": {"match": {"content": "value table"}},
+        "gauss": {"n_chars": {"origin": 400.0, "scale": 200.0,
+                              "decay": 0.5}}}}),
+    # script_score: SQL-expression script over _score + metadata
+    (2, {"script_score": {
+        "query": {"match": {"content": "value"}},
+        "script": {"source": "_score * sqrt(n_chars)"}}}),
+]
+
+
+def q_dsl_function_score(spark, sf_dir):
+    """Round-5e: function_score + script_score through the ES DSL compiler — the inner
+    query scores UNRANKED through the shared clause evaluator, then
+    field_value_factor / gauss decay transforms apply pre-rank (a
+    decayed winner may sit outside the plain-BM25 top-k), one metadata
+    left join + codegen CASE projection
+    (query/dsl.py::_apply_score_functions). Reference host: the
+    function_score parser behind AnalysisComboPlugin.java:37-42."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_FSCORE_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_fscore_oracle_sql() -> str:
+    """Unranked clause-oracle base scores -> the same function
+    transforms in SQL (log1p factor multiply; gauss with the IDENTICAL
+    python-computed sigma^2 double literal) -> round-6 rank."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, node in DSL_FSCORE_QUERIES:
+        (_, body), = node.items()  # function_score | script_score
+        cq = compile_dsl(body["query"])
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    co = _clause_oracle_sql(specs, QS_MAX_EXP, ranked=False)
+    sigma2 = -(200.0 * 200.0) / (2.0 * math.log(0.5))
+    return f"""
+WITH co AS ({co}),
+meta AS (SELECT doc_id, n_chars::DOUBLE AS n_chars FROM documents),
+fscored AS (
+  SELECT co.query_id, co.doc_id,
+         CASE co.query_id
+           WHEN 0 THEN co.score
+                * coalesce(ln(1.0 + coalesce(n_chars, 1.0) * 0.001), 1.0)
+           WHEN 1 THEN co.score
+                * coalesce(exp(-((n_chars - 400.0) * (n_chars - 400.0))
+                               / (2.0 * {sigma2!r})), 1.0)
+           WHEN 2 THEN coalesce(co.score * sqrt(n_chars), co.score)
+         END AS score
+  FROM co LEFT JOIN meta USING (doc_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM fscored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _clause_oracle_sql(specs, max_exp, ranked=True) -> str:
     """Replays the documented clause-evaluator semantics per query
     (shared by the simple_query_string and es_dsl gates): scoring = BM25
@@ -7028,6 +7110,9 @@ ES_AGGS2_BODY = {
         "price_xstats": {"extended_stats": {"field": "o_totalprice"}},
         "w_price": {"weighted_avg": {"value": {"field": "o_totalprice"},
                                      "weight": {"field": "o_custkey"}}},
+        "price_ranks": {"percentile_ranks": {
+            "field": "o_totalprice", "values": [50000.0, 150000.0]}},
+        "price_box": {"boxplot": {"field": "o_totalprice"}},
         "status_prio": {"multi_terms": {
             "terms": [{"field": "o_orderstatus"},
                       {"field": "o_orderpriority"}],
@@ -7064,7 +7149,8 @@ ES_AGGS2_BODY = {
 
 def q_es_aggs2(spark, sf_dir):
     """Round-5d: the widened aggs-tree compiler — extended_stats /
-    weighted_avg metrics, multi_terms / date_range buckets, parent
+    weighted_avg / percentile_ranks / boxplot metrics, multi_terms /
+    date_range buckets, parent
     pipeline aggs (cumulative_sum, derivative, bucket_script,
     bucket_selector — all over the REDUCED bucket frame), sibling
     pipeline aggs (avg_bucket, stats_bucket via the sibling's long
@@ -7117,6 +7203,37 @@ wp_rows AS (
   SELECT 'w_price' AS agg, '' AS key, 'doc_count' AS metric, n AS value
   FROM wp
   UNION ALL SELECT 'w_price', '', 'w_price', w FROM wp
+),
+prk AS (
+  SELECT count(*)::DOUBLE AS doc_count,
+         sum(CASE WHEN o_totalprice <= 50000.0 THEN 1 ELSE 0 END)
+           * 100.0 / count(o_totalprice) AS r1,
+         sum(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END)
+           * 100.0 / count(o_totalprice) AS r2
+  FROM src
+),
+prk_rows AS (
+  SELECT 'price_ranks' AS agg, '' AS key, 'doc_count' AS metric,
+         doc_count AS value FROM prk
+  UNION ALL SELECT 'price_ranks', '', 'price_ranks.50000', r1 FROM prk
+  UNION ALL SELECT 'price_ranks', '', 'price_ranks.150000', r2 FROM prk
+),
+box AS (
+  SELECT count(*)::DOUBLE AS doc_count, min(o_totalprice) AS mn,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.5) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3,
+         max(o_totalprice) AS mx
+  FROM src
+),
+box_rows AS (
+  SELECT 'price_box' AS agg, '' AS key, 'doc_count' AS metric,
+         doc_count AS value FROM box
+  UNION ALL SELECT 'price_box', '', 'price_box.min', mn FROM box
+  UNION ALL SELECT 'price_box', '', 'price_box.q1', q1 FROM box
+  UNION ALL SELECT 'price_box', '', 'price_box.q2', q2 FROM box
+  UNION ALL SELECT 'price_box', '', 'price_box.q3', q3 FROM box
+  UNION ALL SELECT 'price_box', '', 'price_box.max', mx FROM box
 ),
 mt AS (
   SELECT o_orderstatus || '|' || o_orderpriority AS key,
@@ -7209,6 +7326,7 @@ gl_rows AS (
 ),
 allrows AS (
   SELECT * FROM xs_rows UNION ALL SELECT * FROM wp_rows
+  UNION ALL SELECT * FROM prk_rows UNION ALL SELECT * FROM box_rows
   UNION ALL SELECT * FROM mt_rows UNION ALL SELECT * FROM er_rows
   UNION ALL SELECT * FROM h_rows UNION ALL SELECT * FROM busy_rows
   UNION ALL SELECT * FROM ab_rows UNION ALL SELECT * FROM cs_rows
@@ -7448,6 +7566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms_field": q_sig_terms_field,
         # top-level span queries through the DSL compiler (round 5e)
         "dsl_span": q_dsl_span,
+        # function_score (fvf/gauss) through the DSL compiler (round 5e)
+        "dsl_function_score": q_dsl_function_score,
         # scoring-bool minimum_should_match (text + pure-const paths)
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
@@ -7531,14 +7651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 new/changed surfaces (driver must oracle these) ---
         "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
-        "match_bool_prefix": q_match_bool_prefix,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # decontaminate/curate_corpus/pack_sequences/query_string/
-        # ivf_kmeans_topk: r4 surfaces unchanged in r5, displaced past
-        # the window by the round-5 gates (driver-green in r4,
-        # replica-covered each round)
+        # match_bool_prefix/decontaminate/curate_corpus/pack_sequences/
+        # query_string/ivf_kmeans_topk: r4 surfaces unchanged in r5,
+        # displaced past the window by the round-5 gates (driver-green
+        # in r4, replica-covered each round)
+        "match_bool_prefix": q_match_bool_prefix,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
@@ -9148,6 +9268,7 @@ GROUP BY 1
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
     sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
     sqls["dsl_span"] = _dsl_span_oracle_sql()
+    sqls["dsl_function_score"] = _dsl_fscore_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()

@@ -958,7 +958,12 @@ class ComboSearchEngine:
         match set, and ``runtime_mappings`` (``{name: {"script": <SQL
         expr>}}``) are visible to the query, post_filter and aggs alike.
         Returns ``(hits, aggs)``; hits is None for an aggs-only body
-        (ES ``size: 0``). With a ``highlight`` section and the source
+        (ES ``size: 0``). ``from``/``size`` paginate the score-ranked
+        hits keeping GLOBAL rank numbers (page 2 of 10 = ranks 11..20),
+        and ``min_score`` cuts hits below the threshold (a rank prefix,
+        since ranks are score-ordered; combined with ``aggs`` it raises
+        — ES's MinimumScoreCollector would filter the agg stream too).
+        With a ``highlight`` section and the source
         ``docs`` frame, hits gain a ``highlight`` array column —
         <em>-tagged fragments of the query's match terms, hit-pruned
         (the corpus is never rescanned), start-offset ordered."""
@@ -970,6 +975,23 @@ class ComboSearchEngine:
 
         q = body.get("query")
         size = int(body.get("size", k))
+        frm = int(body.get("from", 0))
+        min_score = body.get("min_score")
+        if min_score is not None and body.get("aggs"):
+            # ES's MinimumScoreCollector filters the agg stream too;
+            # scoring the FULL match set to replicate that is the
+            # exhaustive-BM25 path — raise rather than silently diverge
+            raise ValueError(
+                "min_score with aggs is unsupported (ES applies "
+                "min_score to aggregations; this engine's aggs run "
+                "over the unscored match set)"
+            )
+        if body.get("sort") and (frm or min_score is not None):
+            raise ValueError(
+                "from/min_score with field sort is unsupported — page "
+                "with search_after instead"
+            )
+        fetch = frm + size  # rank window to retrieve before the trim
         meta_rt = doc_meta
         for rname, spec in (body.get("runtime_mappings") or {}).items():
             script = spec["script"] if isinstance(spec, dict) else spec
@@ -1044,15 +1066,24 @@ class ComboSearchEngine:
                 rescore_weight=float(
                     spec.get("rescore_query_weight", 2.0)
                 ),
-                slop=rslop, k=size, partitioned=partitioned,
+                slop=rslop, k=fetch, partitioned=partitioned,
                 rescore_query=phrase,
             )
         else:
             hits = (
-                self.search_dsl(hits_q, doc_meta=meta_rt, k=size,
+                self.search_dsl(hits_q, doc_meta=meta_rt, k=fetch,
                                 partitioned=partitioned)
                 if q is not None and size > 0 else None
             )
+        if hits is not None and min_score is not None:
+            # ranks are score-ordered, so min_score survivors are a
+            # rank PREFIX — no renumbering needed
+            hits = hits.filter(F.col("score") >= float(min_score))
+        if hits is not None and frm:
+            # ES from/size pagination: global rank numbers are kept
+            # (page 2 of size 10 = ranks 11..20, the search_after
+            # convention)
+            hits = hits.filter(F.col("rank") > frm)
         hl_spec = body.get("highlight")
         if hl_spec is not None and hits is not None and docs is not None:
             texts = self._match_texts(q)

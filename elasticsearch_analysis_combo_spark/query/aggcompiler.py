@@ -19,7 +19,9 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   JLH significance of the match set vs the pre-query universe)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
   rsd 0.005), stats, extended_stats (+ sum_of_squares, population
-  variance/std_deviation), weighted_avg, percentiles (exact
+  variance/std_deviation), weighted_avg, percentile_ranks (one
+  count-when per probe), boxplot (five-number summary, exact
+  quartiles), percentiles (exact
   interpolated, ``name.50`` rows; swap approx_percentile at 100 TB)
 - pipeline aggs: parent ``derivative`` / ``cumulative_sum`` (ordered
   histogram/date_histogram axis) / ``bucket_script`` /
@@ -62,7 +64,8 @@ BUCKET_KINDS = (
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
-    "percentiles", "extended_stats", "weighted_avg",
+    "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
+    "boxplot",
 )
 # pipeline aggs UNDER a bucket node (computed over that node's reduced
 # bucket frame, ordered by bucket key — histogram/date_histogram parents)
@@ -144,6 +147,42 @@ def _metric_plan(kind: str, body: dict, name: str, field_col):
                 (f"{name}.{p:g}",
                  F.element_at(F.col(f"{name}__pcts"), i + 1))
                 for i, p in enumerate(percents)
+            ],
+        )
+    if kind == "percentile_ranks":
+        # inverse percentiles: fraction (0-100) of values <= each probe;
+        # one count-when per probe rides the same pass (the
+        # facets.percentile_ranks_agg convention)
+        values = [float(v) for v in body["values"]]
+        return (
+            [
+                (
+                    F.sum(F.when(field_col <= F.lit(v), 1).otherwise(0))
+                    * 100.0 / F.count(field_col)
+                ).alias(f"{name}__pr{i}")
+                for i, v in enumerate(values)
+            ],
+            [
+                (f"{name}.{v:g}", F.col(f"{name}__pr{i}"))
+                for i, v in enumerate(values)
+            ],
+        )
+    if kind == "boxplot":
+        # five-number summary in the one pass (exact quartiles for
+        # oracle parity — facets.boxplot_agg convention)
+        arr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        return (
+            [
+                F.min(field_col).alias(f"{name}__min"),
+                F.max(field_col).alias(f"{name}__max"),
+                F.percentile(field_col, arr).alias(f"{name}__q"),
+            ],
+            [
+                (f"{name}.min", F.col(f"{name}__min")),
+                (f"{name}.q1", F.element_at(F.col(f"{name}__q"), 1)),
+                (f"{name}.q2", F.element_at(F.col(f"{name}__q"), 2)),
+                (f"{name}.q3", F.element_at(F.col(f"{name}__q"), 3)),
+                (f"{name}.max", F.col(f"{name}__max")),
             ],
         )
     raise ValueError(f"unsupported metric agg: {kind}")

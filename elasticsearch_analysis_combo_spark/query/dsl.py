@@ -524,6 +524,117 @@ def rrf_hybrid(
     )
 
 
+def _parse_function_score(body: dict) -> dict:
+    """ES ``function_score`` one-function shorthand -> normalized spec.
+    Supported: ``field_value_factor`` (factor / modifier none|log1p|sqrt
+    / missing, boost_mode multiply|sum) and ``gauss`` decay (origin /
+    scale / decay, always multiplied — ES decay-function rule). The
+    ``functions`` array, script_score, random_score, weights and
+    min_score/max_boost raise — never mis-execute (the standalone
+    facade engine.function_score covers the same math imperatively)."""
+    known = {"query", "field_value_factor", "gauss", "boost_mode"}
+    unknown = sorted(set(body) - known)
+    if unknown:
+        raise ValueError(f"unsupported function_score keys: {unknown}")
+    fvf, gauss = body.get("field_value_factor"), body.get("gauss")
+    if (fvf is None) == (gauss is None):
+        raise ValueError(
+            "function_score needs exactly one of field_value_factor|gauss"
+        )
+    if fvf is not None:
+        modifier = fvf.get("modifier", "none")  # ES default: none
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"modifier must be none|log1p|sqrt: {modifier}")
+        boost_mode = body.get("boost_mode", "multiply")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply|sum: {boost_mode}")
+        missing = fvf.get("missing")
+        return {
+            "function": "field_value_factor",
+            "field": _field(fvf["field"]),
+            "factor": float(fvf.get("factor", 1.0)),
+            "modifier": modifier,
+            "missing": None if missing is None else float(missing),
+            "boost_mode": boost_mode,
+        }
+    if body.get("boost_mode", "multiply") != "multiply":
+        raise ValueError("decay functions always multiply (ES rule)")
+    (f, params), = gauss.items()
+    decay = float(params.get("decay", 0.5))
+    scale = float(params["scale"])
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1): {decay}")
+    if scale <= 0.0:
+        raise ValueError(f"scale must be positive: {scale}")
+    return {
+        "function": "gauss",
+        "field": _field(f),
+        "origin": float(params["origin"]),
+        "scale": scale,
+        "decay": decay,
+    }
+
+
+def _apply_score_functions(
+    scored: DataFrame, doc_meta: DataFrame, specs: dict[int, dict]
+) -> DataFrame:
+    """Apply each function_score / script_score qid's transform over its
+    UNRANKED full hit set (the function applies before the top-k cut — a
+    decayed winner may sit outside the plain-BM25 top-k): one left join
+    onto the needed metadata columns, one codegen CASE projection. Docs
+    without a metadata row keep the base score unless ``missing`` says
+    otherwise (matching docs are never silently dropped; a script whose
+    expression nulls out falls back to the base score the same way)."""
+    import math
+
+    fields = sorted(
+        {s["field"] for s in specs.values() if s["function"] != "script"}
+    )
+    if any(s["function"] == "script" for s in specs.values()):
+        # a script may reference any metadata column — join them all
+        # (column pruning keeps the scan narrow when the plan resolves);
+        # names colliding with the scored frame's own columns drop
+        fields = [
+            c for c in doc_meta.columns
+            if c not in ("doc_id", "score", "query_id", "rank")
+        ]
+    joined = scored.join(
+        doc_meta.select("doc_id", *fields), "doc_id", "left"
+    )
+    expr = F.col("score")
+    for qid, s in sorted(specs.items()):
+        if s["function"] == "script":
+            combined = F.coalesce(F.expr(s["expr"]), F.col("score"))
+            expr = F.when(F.col("query_id") == qid, combined).otherwise(
+                expr
+            )
+            continue
+        fv = F.col(s["field"]).cast("double")
+        if s["function"] == "field_value_factor":
+            if s["missing"] is not None:
+                fv = F.coalesce(fv, F.lit(s["missing"]))
+            val = fv * s["factor"]
+            if s["modifier"] == "log1p":
+                val = F.log1p(val)
+            elif s["modifier"] == "sqrt":
+                val = F.sqrt(val)
+            if s["boost_mode"] == "multiply":
+                combined = F.col("score") * F.coalesce(val, F.lit(1.0))
+            else:
+                combined = F.col("score") + F.coalesce(val, F.lit(0.0))
+        else:  # gauss
+            sigma2 = -(s["scale"] ** 2) / (2.0 * math.log(s["decay"]))
+            combined = F.col("score") * F.coalesce(
+                F.exp(
+                    -((fv - s["origin"]) * (fv - s["origin"]))
+                    / (2.0 * sigma2)
+                ),
+                F.lit(1.0),
+            )
+        expr = F.when(F.col("query_id") == qid, combined).otherwise(expr)
+    return joined.select("query_id", "doc_id", expr.alias("score"))
+
+
 def _eval_span_specs(
     spark: SparkSession,
     postings: DataFrame,
@@ -736,6 +847,7 @@ def dsl_topk(
     mpp_specs: dict[int, tuple[str, int, int]] = {}  # match_phrase_prefix
     mlt_specs: dict[int, tuple[int, dict]] = {}  # more_like_this
     span_specs: dict[int, dict] = {}  # top-level span queries
+    fscore_specs: dict[int, dict] = {}  # function_score transforms
     norm: list[tuple[int, dict]] = []
     next_synth = max((q for q, _ in queries), default=-1) + 1
     for qid, node in queries:
@@ -750,6 +862,37 @@ def dsl_topk(
         if kind == "match_none":
             none_qids.append(qid)
             continue
+        if kind == "function_score":
+            # unwrap: the inner query scores through the clause
+            # evaluator UNRANKED and the function transform applies
+            # pre-rank (validated below — a route that ranks
+            # internally, or a constant-scoring inner, would cut
+            # top-k BEFORE the function, which reorders wrongly)
+            fscore_specs[qid] = _parse_function_score(body)
+            node = body.get("query", {"match_all": {}})
+            kind, body = next(iter(node.items()))
+        if kind == "script_score":
+            # ES script_score with a documented divergence: the script
+            # source is a SQL expression over `_score` and the metadata
+            # columns (the runtime_mappings convention), not Painless.
+            # A null-valued expression falls back to the base score —
+            # matches are never dropped by a missing field.
+            if qid in fscore_specs:
+                raise ValueError(
+                    "nested score-transform queries are unsupported "
+                    "(function_score wrapping script_score)"
+                )
+            src = body["script"]
+            if isinstance(src, dict):
+                src = src["source"]
+            if not isinstance(src, str) or not src.strip():
+                raise ValueError("script_score needs a script source")
+            fscore_specs[qid] = {
+                "function": "script",
+                "expr": re.sub(r"\b_score\b", "score", src),
+            }
+            node = body["query"]
+            kind, body = next(iter(node.items()))
         if kind == "match_phrase_prefix":
             # top-level route onto the phrase-prefix evaluator
             # (phrase.phrase_prefix_match): the last term expands as a
@@ -811,6 +954,17 @@ def dsl_topk(
         c.filter_sql or c.should_consts for c in compiled.values()
     ):
         raise ValueError("filter context requires doc_meta")
+    if fscore_specs:
+        if doc_meta is None:
+            raise ValueError("function_score requires doc_meta")
+        for fq in fscore_specs:
+            if fq not in compiled or not compiled[fq].parsed.clauses:
+                raise ValueError(
+                    "function_score requires a text-scoring inner query "
+                    "(its transform applies over the UNRANKED hit set; "
+                    "constant/filter-only and internally-ranked inners "
+                    "would top-k-cut before the function)"
+                )
     for sq in dismax_tb_subs:
         if not compiled[sq].parsed.clauses:
             raise ValueError(
@@ -1162,6 +1316,13 @@ def dsl_topk(
                 .select("query_id", "doc_id", "score")
             )
             scored_all = scored_all.unionByName(blended)
+        if fscore_specs:
+            # after every pre-rank composition (const offsets, should
+            # boosts, dis_max blends), exactly where ES applies the
+            # function to the final query score
+            scored_all = _apply_score_functions(
+                scored_all, doc_meta, fscore_specs
+            )
         out.append(_rank_topk(scored_all, k))
     if not out:
         return empty

@@ -419,3 +419,74 @@ def test_significant_terms_field(sales):
     assert out[("sig", "F", "bg_count")] == 2.0
     # O never appears in fg -> no row (fg join is inner)
     assert ("sig", "O", "score") not in out
+
+
+def test_percentile_ranks_metric(sales):
+    # prices 10,30,50,100,200,300 (null dropped): <=50 -> 3/6, <=250 -> 5/6
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "pr": {"percentile_ranks": {"field": "price",
+                                    "values": [50.0, 250.0]}},
+    }}))
+    assert out[("pr", "", "pr.50")] == pytest.approx(100.0 * 3 / 6)
+    assert out[("pr", "", "pr.250")] == pytest.approx(100.0 * 5 / 6)
+
+
+def test_boxplot_metric_grouped(sales):
+    # boxplot under terms(status): exact quartiles (percentile_cont)
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "t": {"terms": {"field": "status", "size": 5},
+              "aggs": {"bp": {"boxplot": {"field": "price"}}}},
+    }}))
+    # O: 10,30,50 -> q1=20, q2=30, q3=40; min 10 max 50
+    assert out[("t", "O", "bp.min")] == 10.0
+    assert out[("t", "O", "bp.q1")] == pytest.approx(20.0)
+    assert out[("t", "O", "bp.q2")] == pytest.approx(30.0)
+    assert out[("t", "O", "bp.q3")] == pytest.approx(40.0)
+    assert out[("t", "O", "bp.max")] == 50.0
+    # P: 300 (null dropped) -> all five collapse to 300
+    for m in ("min", "q1", "q2", "q3", "max"):
+        assert out[("t", "P", f"bp.{m}")] == 300.0
+
+
+def test_percentile_ranks_in_filters_conditional(sales):
+    # inside a filters bucket the field wraps in when(pred): the probe
+    # counts only the bucket's rows (O: 10,30,50 -> <=30 is 2/3)
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "f": {"filters": {"filters": {"open": "status = 'O'"}},
+              "aggs": {"pr": {"percentile_ranks": {
+                  "field": "price", "values": [30.0]}}}},
+    }}))
+    assert out[("f", "open", "pr.30")] == pytest.approx(100.0 * 2 / 3)
+
+
+def test_search_aggs_from_and_min_score(eng):
+    base = {"query": {"match": {"content": "spark index"}}, "size": 10}
+    hits, _ = eng.search_aggs(base, eng._doc_meta)
+    all_rows = sorted(
+        (r["rank"], r["doc_id"], r["score"]) for r in hits.collect()
+    )
+    # from=1, size=2 -> global ranks 2..3 of the same ranking
+    page, _ = eng.search_aggs(dict(base, **{"from": 1, "size": 2}),
+                              eng._doc_meta)
+    got = sorted((r["rank"], r["doc_id"], r["score"])
+                 for r in page.collect())
+    assert got == all_rows[1:3]
+    # min_score at the 2nd hit's score keeps exactly the rank prefix
+    cut = all_rows[1][2]
+    ms, _ = eng.search_aggs(dict(base, min_score=cut), eng._doc_meta)
+    got = sorted((r["rank"], r["doc_id"]) for r in ms.collect())
+    assert got == [(r, d) for r, d, s in all_rows if s >= cut]
+
+
+def test_search_aggs_min_score_guards(eng):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_score with aggs"):
+        eng.search_aggs({"query": {"match": {"content": "spark"}},
+                         "min_score": 1.0,
+                         "aggs": {"l": {"terms": {"field": "lang"}}}},
+                        eng._doc_meta)
+    with _pytest.raises(ValueError, match="search_after instead"):
+        eng.search_aggs({"query": {"match": {"content": "spark"}},
+                         "from": 5, "sort": [{"n_chars": "asc"}]},
+                        eng._doc_meta)

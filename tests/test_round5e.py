@@ -195,3 +195,159 @@ def test_span_errors(spark, fixture):
     with pytest.raises(ValueError, match="positional postings"):
         dsl_topk(spark, stats, term_df, None, [(0, ST("fox"))], CFG,
                  n_docs, avgdl)
+
+
+# ---------------- function_score through the DSL ----------------
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    rows = [(0, 10.0), (1, 200.0), (2, 0.5), (3, 50.0), (5, 400.0)]
+    # doc 4 has NO metadata row: base score must survive untouched
+    return spark.createDataFrame(rows, "doc_id long, pop double")
+
+
+def _run_meta(spark, fixture, meta, queries, k=10, **kw):
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    out = dsl_topk(
+        spark, stats, term_df, post, queries, CFG, n_docs, avgdl,
+        doc_meta=meta, k=k, **kw,
+    )
+    return {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in out.collect()
+    }
+
+
+def test_function_score_fvf_equals_facade(spark, fixture, meta):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        function_score_topk,
+    )
+
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    dsl = _run_meta(spark, fixture, meta, [(0, {"function_score": {
+        "query": {"match": {"content": "fox"}},
+        "field_value_factor": {"field": "pop", "factor": 0.1,
+                               "modifier": "log1p"},
+        "boost_mode": "multiply",
+    }})])
+    ref = function_score_topk(
+        spark, stats, term_df, [(0, "fox")], CFG, n_docs, avgdl,
+        doc_meta=meta, field="pop", function="field_value_factor",
+        factor=0.1, modifier="log1p", boost_mode="multiply", k=10,
+    )
+    ref_rows = {
+        (r["query_id"], r["doc_id"]): r["score"] for r in ref.collect()
+    }
+    assert dsl.keys() == ref_rows.keys()
+    for key in dsl:
+        assert dsl[key][1] == pytest.approx(ref_rows[key], rel=1e-9)
+
+
+def test_function_score_gauss_equals_facade(spark, fixture, meta):
+    from elasticsearch_analysis_combo_spark.query.functionscore import (
+        function_score_topk,
+    )
+
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    dsl = _run_meta(spark, fixture, meta, [(0, {"function_score": {
+        "query": {"match": {"content": "fox"}},
+        "gauss": {"pop": {"origin": 50.0, "scale": 100.0, "decay": 0.5}},
+    }})])
+    ref = function_score_topk(
+        spark, stats, term_df, [(0, "fox")], CFG, n_docs, avgdl,
+        doc_meta=meta, field="pop", function="gauss",
+        origin=50.0, scale=100.0, decay=0.5, k=10,
+    )
+    ref_rows = {
+        (r["query_id"], r["doc_id"]): r["score"] for r in ref.collect()
+    }
+    assert dsl.keys() == ref_rows.keys()
+    for key in dsl:
+        assert dsl[key][1] == pytest.approx(ref_rows[key], rel=1e-9)
+
+
+def test_function_score_missing_and_sum(spark, fixture, meta):
+    # boost_mode sum with missing=0: doc 4 (no meta row) gets +0
+    base = _run_meta(spark, fixture, meta,
+                     [(0, {"match": {"content": "fox"}})])
+    fs = _run_meta(spark, fixture, meta, [(0, {"function_score": {
+        "query": {"match": {"content": "fox"}},
+        "field_value_factor": {"field": "pop", "factor": 1.0,
+                               "modifier": "none", "missing": 0.0},
+        "boost_mode": "sum",
+    }})])
+    pops = {0: 10.0, 1: 200.0, 2: 0.5, 3: 50.0, 5: 400.0}
+    assert fs.keys() == base.keys()
+    for (q, d) in base:
+        assert fs[(q, d)][1] == pytest.approx(
+            base[(q, d)][1] + pops.get(d, 0.0), rel=1e-9
+        )
+
+
+def test_function_score_reorders_before_topk(spark, fixture, meta):
+    # k=2: the function can promote a doc outside the plain-BM25 top-2
+    fs = _run_meta(spark, fixture, meta, [(0, {"function_score": {
+        "query": {"match": {"content": "fox"}},
+        "field_value_factor": {"field": "pop", "factor": 1.0,
+                               "modifier": "none", "missing": 0.0},
+        "boost_mode": "sum",
+    }})], k=2)
+    # pop dominates: docs 1 (200) and 5 (400) win regardless of BM25
+    assert {d for (_, d) in fs} == {1, 5}
+
+
+def test_function_score_guards(spark, fixture, meta):
+    with pytest.raises(ValueError, match="unsupported function_score"):
+        _run_meta(spark, fixture, meta, [(0, {"function_score": {
+            "query": {"match": {"content": "fox"}},
+            "functions": [{"weight": 2.0}],
+        }})])
+    with pytest.raises(ValueError, match="text-scoring inner"):
+        _run_meta(spark, fixture, meta, [(0, {"function_score": {
+            "query": {"constant_score": {
+                "filter": {"term": {"pop": 1}}}},
+            "gauss": {"pop": {"origin": 0, "scale": 1}},
+        }})])
+    with pytest.raises(ValueError, match="decay"):
+        _run_meta(spark, fixture, meta, [(0, {"function_score": {
+            "query": {"match": {"content": "fox"}},
+            "gauss": {"pop": {"origin": 0, "scale": 1, "decay": 1.0}},
+        }})])
+    with pytest.raises(ValueError, match="requires doc_meta"):
+        _run(spark, fixture, [(0, {"function_score": {
+            "query": {"match": {"content": "fox"}},
+            "gauss": {"pop": {"origin": 0, "scale": 1}},
+        }})])
+
+
+def test_script_score_sql_expression(spark, fixture, meta):
+    base = _run_meta(spark, fixture, meta,
+                     [(0, {"match": {"content": "fox"}})])
+    ss = _run_meta(spark, fixture, meta, [(0, {"script_score": {
+        "query": {"match": {"content": "fox"}},
+        "script": {"source": "_score * sqrt(pop)"},
+    }})])
+    pops = {0: 10.0, 1: 200.0, 2: 0.5, 3: 50.0, 5: 400.0}
+    assert ss.keys() == base.keys()
+    for (q, d) in base:
+        if d in pops:
+            want = base[(q, d)][1] * math.sqrt(pops[d])
+        else:
+            want = base[(q, d)][1]  # null expr -> base score fallback
+        assert ss[(q, d)][1] == pytest.approx(want, rel=1e-9)
+
+
+def test_script_score_guards(spark, fixture, meta):
+    with pytest.raises(ValueError, match="script source"):
+        _run_meta(spark, fixture, meta, [(0, {"script_score": {
+            "query": {"match": {"content": "fox"}},
+            "script": {"source": ""},
+        }})])
+    with pytest.raises(ValueError, match="nested score-transform"):
+        _run_meta(spark, fixture, meta, [(0, {"function_score": {
+            "query": {"script_score": {
+                "query": {"match": {"content": "fox"}},
+                "script": {"source": "_score"}}},
+            "gauss": {"pop": {"origin": 0, "scale": 1}},
+        }})])

@@ -627,6 +627,45 @@ def main() -> None:
         "partial_count", forbid="InMemoryTableScan",
     )
 
+    # 33. DSL span route (round-5e): the idf dimension joins BROADCAST
+    # and the dl leg is a term-PRUNED stats scan (In(term,...) pushed
+    # into parquet) — never a full-corpus dl pass
+    sq = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), idx.postings(),
+        [(0, {"span_near": {"clauses": [
+            {"span_term": {"content": "spark"}},
+            {"span_term": {"content": "query"}}], "slop": 2}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, k=10,
+    )
+    p = plan_text(sq)
+    failures += not check(
+        "span route idf dimension broadcast", p, "BroadcastHashJoin",
+    )
+    failures += not check(
+        "span route dl scan term-pruned pushdown", p, "In(term",
+    )
+
+    # 34. DSL function_score (round-5e): the transform is ONE metadata
+    # join + codegen CASE projection over the unranked scored set —
+    # no Python on the hot path
+    fq = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"function_score": {
+            "query": {"match": {"content": "spark"}},
+            "field_value_factor": {"field": "n_chars", "factor": 0.001,
+                                   "modifier": "log1p"}}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, k=10,
+        doc_meta=corpus.selectExpr(
+            "row_number() over (order by path) - 1 as doc_id",
+            "length(content) as n_chars",
+        ),
+    )
+    p = plan_text(fq)
+    failures += not check(
+        "function_score transform is JVM-side CASE projection", p,
+        "CASE WHEN", forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
