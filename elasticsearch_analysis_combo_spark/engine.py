@@ -1069,6 +1069,21 @@ class ComboSearchEngine:
                 slop=rslop, k=fetch, partitioned=partitioned,
                 rescore_query=phrase,
             )
+        elif body.get("collapse") is not None and q is not None \
+                and size > 0:
+            # ES collapse section: one best hit per value of the
+            # collapse field, winner chosen over the FULL scored set.
+            # Supported subset: a bare match base query (collapse_topk
+            # scores text exhaustively — a filtered base would need the
+            # same pre-rank semi-join collapse_topk doesn't take).
+            (qk, qb), = hits_q.items()
+            if qk != "match":
+                raise ValueError("collapse needs a bare match query")
+            (_, mv), = qb.items()
+            text = mv["query"] if isinstance(mv, dict) else mv
+            hits = self.search_collapse(
+                text, meta_rt, body["collapse"]["field"], k=fetch,
+            )
         else:
             hits = (
                 self.search_dsl(hits_q, doc_meta=meta_rt, k=fetch,

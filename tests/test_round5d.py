@@ -490,3 +490,18 @@ def test_search_aggs_min_score_guards(eng):
         eng.search_aggs({"query": {"match": {"content": "spark"}},
                          "from": 5, "sort": [{"n_chars": "asc"}]},
                         eng._doc_meta)
+
+
+def test_search_aggs_collapse_section(eng):
+    body = {"query": {"match": {"content": "spark index"}},
+            "collapse": {"field": "lang"}, "size": 5}
+    hits, _ = eng.search_aggs(body, eng._doc_meta)
+    direct = eng.search_collapse("spark index", eng._doc_meta, "lang", k=5)
+    got = sorted((r["rank"], r["doc_id"], round(r["score"], 9))
+                 for r in hits.collect())
+    want = sorted((r["rank"], r["doc_id"], round(r["score"], 9))
+                  for r in direct.collect())
+    assert got == want and got
+    # one hit per lang value
+    langs = [r["collapse_value"] for r in hits.collect()]
+    assert len(langs) == len(set(langs))
