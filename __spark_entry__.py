@@ -2007,6 +2007,11 @@ DSL_FSCORE_QUERIES = [
     (2, {"script_score": {
         "query": {"match": {"content": "value"}},
         "script": {"source": "_score * sqrt(n_chars)"}}}),
+    # boosting: negative-filter matches demote by negative_boost
+    (3, {"boosting": {
+        "positive": {"match": {"content": "value"}},
+        "negative": {"term": {"lang": "de"}},
+        "negative_boost": 0.3}}),
 ]
 
 
@@ -2023,7 +2028,7 @@ def q_dsl_function_score(spark, sf_dir):
     stats = _term_stats(spark, sf_dir).cache()
     n_docs, avgdl = _corpus_stats(stats)
     term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
-    meta = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    meta = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
     out = dsl_topk(
         spark, stats, term_df, None, DSL_FSCORE_QUERIES, _ws_config(),
         n_docs, avgdl, doc_meta=meta, k=TOPK, k1=K1, b=B,
@@ -2041,14 +2046,17 @@ def _dsl_fscore_oracle_sql() -> str:
 
     specs = []
     for qid, node in DSL_FSCORE_QUERIES:
-        (_, body), = node.items()  # function_score | script_score
-        cq = compile_dsl(body["query"])
+        (kind, body), = node.items()
+        cq = compile_dsl(
+            body["positive" if kind == "boosting" else "query"]
+        )
         specs.append((qid, cq.parsed, cq.filter_sql))
     co = _clause_oracle_sql(specs, QS_MAX_EXP, ranked=False)
     sigma2 = -(200.0 * 200.0) / (2.0 * math.log(0.5))
     return f"""
 WITH co AS ({co}),
-meta AS (SELECT doc_id, n_chars::DOUBLE AS n_chars FROM documents),
+meta AS (SELECT doc_id, n_chars::DOUBLE AS n_chars, lang
+         FROM documents),
 fscored AS (
   SELECT co.query_id, co.doc_id,
          CASE co.query_id
@@ -2058,6 +2066,8 @@ fscored AS (
                 * coalesce(exp(-((n_chars - 400.0) * (n_chars - 400.0))
                                / (2.0 * {sigma2!r})), 1.0)
            WHEN 2 THEN coalesce(co.score * sqrt(n_chars), co.score)
+           WHEN 3 THEN co.score
+                * (CASE WHEN lang = 'de' THEN 0.3 ELSE 1.0 END)
          END AS score
   FROM co LEFT JOIN meta USING (doc_id)
 ),
@@ -7113,6 +7123,11 @@ ES_AGGS2_BODY = {
         "price_ranks": {"percentile_ranks": {
             "field": "o_totalprice", "values": [50000.0, 150000.0]}},
         "price_box": {"boxplot": {"field": "o_totalprice"}},
+        "rare_prio": {"rare_terms": {"field": "o_orderpriority",
+                                     "max_doc_count": 3000}},
+        "latest_price": {"top_metrics": {
+            "metrics": {"field": "o_totalprice"},
+            "sort": {"o_orderkey": "desc"}}},
         "status_prio": {"multi_terms": {
             "terms": [{"field": "o_orderstatus"},
                       {"field": "o_orderpriority"}],
@@ -7235,6 +7250,21 @@ box_rows AS (
   UNION ALL SELECT 'price_box', '', 'price_box.q3', q3 FROM box
   UNION ALL SELECT 'price_box', '', 'price_box.max', mx FROM box
 ),
+rare_rows AS (
+  SELECT 'rare_prio' AS agg, o_orderpriority AS key,
+         'doc_count' AS metric, count(*)::DOUBLE AS value
+  FROM src WHERE o_orderpriority IS NOT NULL
+  GROUP BY 2 HAVING count(*) <= 3000
+),
+tm_rows AS (
+  SELECT 'latest_price' AS agg, '' AS key, m AS metric, v AS value
+  FROM (
+    SELECT count(*)::DOUBLE AS n,
+           arg_max(o_totalprice, o_orderkey) AS tp
+    FROM src
+  ), LATERAL (VALUES ('doc_count', n),
+                     ('latest_price.o_totalprice', tp)) AS t(m, v)
+),
 mt AS (
   SELECT o_orderstatus || '|' || o_orderpriority AS key,
          count(*)::DOUBLE AS doc_count
@@ -7327,6 +7357,7 @@ gl_rows AS (
 allrows AS (
   SELECT * FROM xs_rows UNION ALL SELECT * FROM wp_rows
   UNION ALL SELECT * FROM prk_rows UNION ALL SELECT * FROM box_rows
+  UNION ALL SELECT * FROM rare_rows UNION ALL SELECT * FROM tm_rows
   UNION ALL SELECT * FROM mt_rows UNION ALL SELECT * FROM er_rows
   UNION ALL SELECT * FROM h_rows UNION ALL SELECT * FROM busy_rows
   UNION ALL SELECT * FROM ab_rows UNION ALL SELECT * FROM cs_rows

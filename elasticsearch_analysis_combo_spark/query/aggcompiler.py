@@ -16,12 +16,14 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   predicate buckets), ``missing``, ``global`` (top level of
   ``dsl_search_aggs`` — escapes the query's filter context),
   ``significant_terms`` (top level of ``dsl_search_aggs`` — keyword
-  JLH significance of the match set vs the pre-query universe)
+  JLH significance of the match set vs the pre-query universe),
+  ``rare_terms`` (doc_count <= max_doc_count tail over the reduced
+  bucket frame)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
   rsd 0.005), stats, extended_stats (+ sum_of_squares, population
   variance/std_deviation), weighted_avg, percentile_ranks (one
   count-when per probe), boxplot (five-number summary, exact
-  quartiles), percentiles (exact
+  quartiles), top_metrics (size-1 max_by/min_by), percentiles (exact
   interpolated, ``name.50`` rows; swap approx_percentile at 100 TB)
 - pipeline aggs: parent ``derivative`` / ``cumulative_sum`` (ordered
   histogram/date_histogram axis) / ``bucket_script`` /
@@ -60,12 +62,12 @@ from pyspark.sql import functions as F
 
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
-    "multi_terms", "date_range",
+    "multi_terms", "date_range", "rare_terms",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
-    "boxplot",
+    "boxplot", "top_metrics",
 )
 # pipeline aggs UNDER a bucket node (computed over that node's reduced
 # bucket frame, ordered by bucket key — histogram/date_histogram parents)
@@ -204,7 +206,7 @@ def _key_expr(kind: str, body: dict):
     key space (a null key drops the row downstream)."""
     field = body.get("field")
     missing = body.get("missing")
-    if kind == "terms":
+    if kind in ("terms", "rare_terms"):
         key = F.col(field).cast("string")
         if missing is not None:
             key = F.coalesce(key, F.lit(str(missing)))
@@ -331,6 +333,29 @@ def _metric_sub_plans(metric_sub: dict, wrap=None):
             )
             emits.append((mname, F.col(mname)))
             continue
+        if mkind == "top_metrics":
+            # ES top_metrics (size 1): the metric value from the row at
+            # the sort column's extreme — max_by/min_by rides the same
+            # one-pass aggregate (ties: undefined pick, as ES; use a
+            # unique sort column for deterministic replay)
+            ms = mbody["metrics"]
+            if isinstance(ms, list):
+                if len(ms) != 1:
+                    raise ValueError(
+                        "top_metrics supports exactly one metric here"
+                    )
+                ms = ms[0]
+            mfield = ms["field"]
+            ((sfield, sdir),) = mbody["sort"].items()
+            if isinstance(sdir, dict):
+                sdir = sdir.get("order", "asc")
+            mcol, scol = F.col(mfield), F.col(sfield)
+            if wrap is not None:
+                mcol, scol = wrap(mcol), wrap(scol)
+            fn = F.max_by if sdir == "desc" else F.min_by
+            agg_cols.append(fn(mcol, scol).alias(mname))
+            emits.append((f"{mname}.{mfield}", F.col(mname)))
+            continue
         fcol = F.col(mbody["field"])
         if wrap is not None:
             fcol = wrap(fcol)
@@ -441,6 +466,14 @@ def _compile_node(
     min_dc = int(body.get("min_doc_count", 1))
     if min_dc > 0:
         g = g.filter(F.col("doc_count") >= min_dc)
+
+    if kind == "rare_terms":
+        # ES rare_terms: the LONG tail — values appearing at most
+        # max_doc_count times; a filter over the reduced bucket frame
+        # (no size cut; ES's CuckooFilter approximation is exact here)
+        g = g.filter(
+            F.col("doc_count") <= int(body.get("max_doc_count", 1))
+        )
 
     if kind in ("terms", "multi_terms"):
         size = int(body.get("size", 10))

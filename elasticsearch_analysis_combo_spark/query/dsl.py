@@ -588,9 +588,14 @@ def _apply_score_functions(
     import math
 
     fields = sorted(
-        {s["field"] for s in specs.values() if s["function"] != "script"}
+        {
+            s["field"] for s in specs.values()
+            if s["function"] not in ("script", "boosting")
+        }
     )
-    if any(s["function"] == "script" for s in specs.values()):
+    if any(
+        s["function"] in ("script", "boosting") for s in specs.values()
+    ):
         # a script may reference any metadata column — join them all
         # (column pruning keeps the scan narrow when the plan resolves);
         # names colliding with the scored frame's own columns drop
@@ -605,6 +610,17 @@ def _apply_score_functions(
     for qid, s in sorted(specs.items()):
         if s["function"] == "script":
             combined = F.coalesce(F.expr(s["expr"]), F.col("score"))
+            expr = F.when(F.col("query_id") == qid, combined).otherwise(
+                expr
+            )
+            continue
+        if s["function"] == "boosting":
+            # negative-matching docs demote; docs without a metadata
+            # row (predicate null) keep the base score like ES's
+            # non-matching negative
+            combined = F.col("score") * F.when(
+                F.expr(s["pred"]), F.lit(s["nb"])
+            ).otherwise(F.lit(1.0))
             expr = F.when(F.col("query_id") == qid, combined).otherwise(
                 expr
             )
@@ -870,6 +886,28 @@ def dsl_topk(
             # top-k BEFORE the function, which reorders wrongly)
             fscore_specs[qid] = _parse_function_score(body)
             node = body.get("query", {"match_all": {}})
+            kind, body = next(iter(node.items()))
+        if kind == "boosting":
+            # ES boosting query: positive scores normally; docs ALSO
+            # matching the negative get score * negative_boost.
+            # Supported subset: the negative is a filter-context node
+            # (term/terms/range/exists/ids/bool — compiled to one
+            # metadata predicate); text negatives raise (their
+            # membership would need a stats probe the transform layer
+            # doesn't take — compound.boosting_topk covers that).
+            if qid in fscore_specs:
+                raise ValueError(
+                    "nested score-transform queries are unsupported"
+                )
+            nb = float(body.get("negative_boost", 0.5))
+            if not 0.0 <= nb <= 1.0:
+                raise ValueError(f"negative_boost must be in [0,1]: {nb}")
+            fscore_specs[qid] = {
+                "function": "boosting",
+                "pred": compile_filter(body["negative"]),
+                "nb": nb,
+            }
+            node = body["positive"]
             kind, body = next(iter(node.items()))
         if kind == "script_score":
             # ES script_score with a documented divergence: the script

@@ -505,3 +505,32 @@ def test_search_aggs_collapse_section(eng):
     # one hit per lang value
     langs = [r["collapse_value"] for r in hits.collect()]
     assert len(langs) == len(set(langs))
+
+
+def test_rare_terms_bucket(sales):
+    # each prio count: HI=3, LO=3, null dropped; doc_id as pseudo-keys:
+    # use status: O=3, F=2, P=2 -> max_doc_count=2 keeps F and P
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "rare": {"rare_terms": {"field": "status", "max_doc_count": 2},
+                 "aggs": {"s": {"sum": {"field": "price"}}}},
+    }}))
+    keys = {k[1] for k in out if k[0] == "rare"}
+    assert keys == {"F", "P"}
+    assert out[("rare", "F", "doc_count")] == 2.0
+    assert out[("rare", "F", "s")] == 300.0
+    assert ("rare", "O", "doc_count") not in out
+
+
+def test_top_metrics_metric(sales):
+    # per status, the price of the max-qty row (qty unique per status:
+    # O qtys 1,3,2 -> max 3 is doc2 price 30; F 1,4 -> doc5 price 200;
+    # P 5,null -> doc6 price 300)
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "t": {"terms": {"field": "status", "size": 5},
+              "aggs": {"tm": {"top_metrics": {
+                  "metrics": {"field": "price"},
+                  "sort": {"qty": "desc"}}}}},
+    }}))
+    assert out[("t", "O", "tm.price")] == 30.0
+    assert out[("t", "F", "tm.price")] == 200.0
+    assert out[("t", "P", "tm.price")] == 300.0

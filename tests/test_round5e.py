@@ -351,3 +351,35 @@ def test_script_score_guards(spark, fixture, meta):
                 "script": {"source": "_score"}}},
             "gauss": {"pop": {"origin": 0, "scale": 1}},
         }})])
+
+
+def test_boosting_route(spark, fixture, meta):
+    base = _run_meta(spark, fixture, meta,
+                     [(0, {"match": {"content": "fox"}})])
+    bq = _run_meta(spark, fixture, meta, [(0, {"boosting": {
+        "positive": {"match": {"content": "fox"}},
+        "negative": {"range": {"pop": {"gte": 100}}},
+        "negative_boost": 0.25,
+    }})])
+    pops = {0: 10.0, 1: 200.0, 2: 0.5, 3: 50.0, 5: 400.0}
+    assert bq.keys() == base.keys()
+    for (q, d) in base:
+        factor = 0.25 if pops.get(d, 0) >= 100 else 1.0
+        assert bq[(q, d)][1] == pytest.approx(
+            base[(q, d)][1] * factor, rel=1e-9
+        )
+
+
+def test_boosting_guards(spark, fixture, meta):
+    with pytest.raises(ValueError, match="negative_boost"):
+        _run_meta(spark, fixture, meta, [(0, {"boosting": {
+            "positive": {"match": {"content": "fox"}},
+            "negative": {"term": {"pop": 10}},
+            "negative_boost": 1.5,
+        }})])
+    # text negative -> compile_filter raises (unsupported filter leaf)
+    with pytest.raises(ValueError):
+        _run_meta(spark, fixture, meta, [(0, {"boosting": {
+            "positive": {"match": {"content": "fox"}},
+            "negative": {"match": {"content": "brown"}},
+        }})])
