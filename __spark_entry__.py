@@ -5008,9 +5008,11 @@ def q_intervals(spark, sf_dir):
     )
 
 
-def _intervals_oracle_sql() -> str:
-    """Replays the minimal-interval algebra per rule: candidates via
-    LATERAL min-occurrence chains (ordered) / per-start covering ends
+def _intervals_match_cte_sql(queries, max_exp) -> str:
+    """Parameterized minimal-interval replay (shared by the intervals
+    and dsl_intervals gates): per-qid (query_id, doc_id, n_matches)
+    UNION over a caller-provided ``toks`` CTE — candidates via LATERAL
+    min-occurrence chains (ordered) / per-start covering ends
     (unordered), minimality via a per-doc suffix-min window, max_gaps
     filters in the SAME order as the Spark kernels (match: minimal then
     width; all_of: chain gaps then minimal; any_of: union then
@@ -5114,15 +5116,18 @@ SELECT DISTINCT doc_id, p AS s, p AS e FROM toks WHERE t IN (
     SELECT t, count(DISTINCT doc_id) AS df FROM toks
     WHERE t LIKE '{p}%' GROUP BY 1
     QUALIFY row_number() OVER (ORDER BY df DESC, t)
-      <= {INTERVALS_MAX_EXP}))"""
+      <= {max_exp}))"""
         raise AssertionError(kind)
 
-    parts = [
+    return "\nUNION ALL\n".join(
         f"SELECT {qid} AS query_id, doc_id, count(*)::BIGINT AS n_matches"
         f" FROM ({rule_sql(rule)}) GROUP BY 1, 2"
-        for qid, rule in INTERVALS_QUERIES
-    ]
-    body = "\nUNION ALL\n".join(parts)
+        for qid, rule in queries
+    )
+
+
+def _intervals_oracle_sql() -> str:
+    body = _intervals_match_cte_sql(INTERVALS_QUERIES, INTERVALS_MAX_EXP)
     return f"""
 WITH toks AS (
   SELECT doc_id, u.t AS t, u.p AS p FROM (
@@ -5135,6 +5140,79 @@ WITH toks AS (
 SELECT query_id::BIGINT AS query_id, doc_id, n_matches FROM (
 {body}
 )
+"""
+
+
+DSL_INTERVALS_QUERIES = [(q, r) for q, r in INTERVALS_QUERIES[:4]]
+_DSL_IVL_TERMS = {
+    0: ["value", "table"],
+    1: ["data", "batch"],
+    2: ["value", "spark"],
+    3: ["value", "table", "spark", "join"],
+}
+
+
+def q_dsl_intervals(spark, sf_dir):
+    """Round-5e: the ES intervals QUERY NODE through the DSL compiler —
+    {"intervals": {field: rule}} routes onto intervals_match and scores
+    with the span route's fixed-constituent BM25 (idf_sum over the
+    rule's match-leaf terms * satu(n_matches); Lucene's
+    IntervalScoreFunction saturates per-interval width instead,
+    documented in query/dsl.py)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        [(q, {"intervals": {"text": r}}) for q, r in
+         DSL_INTERVALS_QUERIES],
+        _ws_config(), n_docs, avgdl, k=TOPK, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_intervals_oracle_sql() -> str:
+    """Minimal-interval n_matches replay (the shared parameterized
+    builder) -> the span-route BM25 scoring."""
+    qt_values = ", ".join(
+        f"({q}, '{t}')"
+        for q, ts in sorted(_DSL_IVL_TERMS.items()) for t in ts
+    )
+    m = _intervals_match_cte_sql(DSL_INTERVALS_QUERIES,
+                                 INTERVALS_MAX_EXP)
+    return f"""
+WITH {_span_toks_cte()},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT t AS term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM toks GROUP BY 1),
+qterms(query_id, term) AS (VALUES {qt_values}),
+idf AS (
+  SELECT query_id,
+         sum(ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))) AS idf_sum
+  FROM qterms JOIN dfx USING (term) CROSS JOIN gs GROUP BY 1
+),
+m AS (
+{m}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         idf.idf_sum * m.n_matches * ({K1} + 1.0)
+         / (m.n_matches + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl))
+           AS score
+  FROM m JOIN idf USING (query_id) JOIN dl USING (doc_id) CROSS JOIN gs
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -7599,6 +7677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_span": q_dsl_span,
         # function_score (fvf/gauss) through the DSL compiler (round 5e)
         "dsl_function_score": q_dsl_function_score,
+        # intervals query node through the DSL compiler (round 5e)
+        "dsl_intervals": q_dsl_intervals,
         # scoring-bool minimum_should_match (text + pure-const paths)
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
@@ -7680,15 +7760,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_family": q_span_family,
         "compound_queries": q_compound_queries,
         # --- round-4 new/changed surfaces (driver must oracle these) ---
-        "streaming_sessions": q_streaming_sessions,
         "ivf_knn_filtered": q_ivf_knn_filtered,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # match_bool_prefix/decontaminate/curate_corpus/pack_sequences/
-        # query_string/ivf_kmeans_topk: r4 surfaces unchanged in r5,
-        # displaced past the window by the round-5 gates (driver-green
-        # in r4, replica-covered each round)
+        # streaming_sessions/match_bool_prefix/decontaminate/
+        # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk:
+        # r4 surfaces unchanged in r5, displaced past the window by the
+        # round-5 gates (driver-green in r4, replica-covered each round)
+        "streaming_sessions": q_streaming_sessions,
         "match_bool_prefix": q_match_bool_prefix,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
@@ -9300,6 +9380,7 @@ GROUP BY 1
     sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
     sqls["dsl_span"] = _dsl_span_oracle_sql()
     sqls["dsl_function_score"] = _dsl_fscore_oracle_sql()
+    sqls["dsl_intervals"] = _dsl_intervals_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()

@@ -676,10 +676,7 @@ def _eval_span_specs(
     membership, it does not add weight). Same-option specs batch into
     one evaluator pass; ``span_range_bits`` fans each out per
     (query, doc-range) at scale."""
-    import math
-
     from elasticsearch_analysis_combo_spark.query.spans import (
-        analyze_span_terms,
         span_first_match,
         span_near_match,
         span_near_match_partitioned,
@@ -767,9 +764,37 @@ def _eval_span_specs(
     hits = parts[0]
     for part in parts[1:]:
         hits = hits.unionByName(part)
+    return _score_constituent_hits(
+        spark, hits, texts, config, term_stats, term_df,
+        n_docs, avgdl, k, k1, b,
+    )
 
-    # idf over the ANALYZED constituents (mirror the evaluators' own
-    # analysis); one tiny dictionary probe, O(query text) rows
+
+def _score_constituent_hits(
+    spark: SparkSession,
+    hits: DataFrame,
+    texts: dict[int, str],
+    config: ComboConfig,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared fixed-constituent BM25 scoring for positional-match hits
+    (the span and intervals DSL routes): ``score = idf_sum(analyzed
+    constituents) * satu(n_matches)`` with dl riding from the
+    constituents' pruned stats scan — every match holds >= 1 constituent
+    term, so the filtered scan covers all hits. One tiny dictionary
+    probe (O(query text) rows) for the idf dimension."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        analyze_span_terms,
+    )
+
     terms_by_q = analyze_span_terms(sorted(texts.items()), config)
     probe = sorted({t for ts in terms_by_q.values() for t in ts})
     df_map = {
@@ -788,8 +813,6 @@ def _eval_span_specs(
         ],
         "query_id int, idf_sum double",
     )
-    # dl from the constituents' pruned stats scan: every span match
-    # holds >= 1 constituent term, so the filtered scan covers all hits
     qt = spark.createDataFrame(
         sorted(
             (q, t) for q, ts in terms_by_q.items() for t in ts
@@ -815,6 +838,26 @@ def _eval_span_specs(
         .select("query_id", "doc_id", "score")
     )
     return _rank_topk(scored, k)
+
+
+def _intervals_match_texts(rule: dict, acc: list) -> list:
+    """Collect the match-leaf texts of an ES intervals rule tree (the
+    scoring constituents). prefix/wildcard leaves raise — their
+    expansion terms are resolved inside the evaluator, so the route's
+    fixed-constituent dl leg could not cover their hits
+    (engine.intervals serves them unscored)."""
+    kind, body = next(iter(rule.items()))
+    if kind == "match":
+        acc.append(body["query"])
+        return acc
+    if kind in ("any_of", "all_of"):
+        for kid in body["intervals"]:
+            _intervals_match_texts(kid, acc)
+        return acc
+    raise ValueError(
+        f"intervals DSL route supports match/any_of/all_of rules, got "
+        f"{kind} (prefix/wildcard sources stay on engine.intervals)"
+    )
 
 
 def dsl_topk(
@@ -863,6 +906,7 @@ def dsl_topk(
     mpp_specs: dict[int, tuple[str, int, int]] = {}  # match_phrase_prefix
     mlt_specs: dict[int, tuple[int, dict]] = {}  # more_like_this
     span_specs: dict[int, dict] = {}  # top-level span queries
+    ivl_specs: dict[int, tuple[str, dict]] = {}  # intervals (text, rule)
     fscore_specs: dict[int, dict] = {}  # function_score transforms
     norm: list[tuple[int, dict]] = []
     next_synth = max((q for q, _ in queries), default=-1) + 1
@@ -952,6 +996,17 @@ def dsl_topk(
             # top-level route onto the query/spans.py evaluators
             # (see _eval_span_specs for scoring semantics)
             span_specs[qid] = node
+            continue
+        if kind == "intervals":
+            # ES intervals query: {"intervals": {field: <rule tree>}} —
+            # the rule shape is the evaluator's own input; scoring is
+            # the span route's fixed-constituent BM25 over the rule's
+            # match-leaf terms (Lucene's IntervalScoreFunction
+            # saturates per-interval width instead — documented)
+            (f, rule), = body.items()
+            _field(f)
+            text = " ".join(_intervals_match_texts(rule, []))
+            ivl_specs[qid] = (text, rule)
             continue
         if kind == "more_like_this":
             # top-level route onto query/morelikethis.py: the seed doc's
@@ -1187,6 +1242,25 @@ def dsl_topk(
         out.append(_eval_span_specs(
             spark, postings, term_stats, term_df, span_specs, config,
             n_docs, avgdl, k, k1, b, span_range_bits,
+        ))
+
+    if ivl_specs:
+        if postings is None:
+            raise ValueError(
+                "intervals queries require positional postings"
+            )
+        from elasticsearch_analysis_combo_spark.query.intervals import (
+            intervals_match,
+        )
+
+        ihits = intervals_match(
+            spark, postings,
+            sorted((q, rule) for q, (_, rule) in ivl_specs.items()),
+            config, range_bits=span_range_bits,
+        )
+        out.append(_score_constituent_hits(
+            spark, ihits, {q: t for q, (t, _) in ivl_specs.items()},
+            config, term_stats, term_df, n_docs, avgdl, k, k1, b,
         ))
 
     if mlt_specs:

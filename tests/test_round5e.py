@@ -383,3 +383,42 @@ def test_boosting_guards(spark, fixture, meta):
             "positive": {"match": {"content": "fox"}},
             "negative": {"match": {"content": "brown"}},
         }})])
+
+
+# ---------------- intervals through the DSL ----------------
+
+
+def test_intervals_route_matches_evaluator(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.intervals import (
+        intervals_match,
+    )
+
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    rule = {"all_of": {"ordered": True, "max_gaps": 1, "intervals": [
+        {"match": {"query": "the"}}, {"match": {"query": "fox"}}]}}
+    res = _run(spark, fixture, [(0, {"intervals": {"content": rule}})])
+    direct = {
+        r["doc_id"]: r["n_matches"]
+        for r in intervals_match(spark, post, [(0, rule)], CFG).collect()
+    }
+    assert {d for (_, d) in res} == set(direct)
+    for d, f in direct.items():
+        assert res[(0, d)][1] == pytest.approx(
+            _expect_score(fixture, ["the", "fox"], d, float(f))
+        )
+
+
+def test_intervals_route_any_of_and_guard(spark, fixture):
+    res = _run(spark, fixture, [(0, {"intervals": {"content": {
+        "any_of": {"intervals": [{"match": {"query": "lazy"}},
+                                 {"match": {"query": "jumps"}}]}}}})])
+    assert {d for (_, d) in res} == {0, 4}
+    with pytest.raises(ValueError, match="prefix/wildcard"):
+        _run(spark, fixture, [(0, {"intervals": {"content": {
+            "prefix": {"prefix": "fo"}}}})])
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    with pytest.raises(ValueError, match="positional postings"):
+        dsl_topk(spark, stats, term_df, None,
+                 [(0, {"intervals": {"content": {
+                     "match": {"query": "fox"}}}})],
+                 CFG, n_docs, avgdl)
