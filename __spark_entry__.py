@@ -1901,15 +1901,31 @@ DSL_SPAN_QUERIES = [
     (3, {"span_not": {"include": {"span_term": {"text": "value"}},
                       "exclude": {"span_term": {"text": "table"}},
                       "post": 1}}),
+    # little inside / big enclosing: big = ordered 2-term near, slop 3
+    (4, {"span_within": {
+        "little": {"span_term": {"text": "customer"}},
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "the"}},
+            {"span_term": {"text": "value"}}],
+            "slop": 3, "in_order": True}}}}),
+    (5, {"span_containing": {
+        "little": {"span_term": {"text": "customer"}},
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "the"}},
+            {"span_term": {"text": "value"}}],
+            "slop": 3, "in_order": True}}}}),
 ]
 
 # constituent terms per span query for the oracle's idf/dl legs
-# (span_not: INCLUDE side only — the exclude side gates membership)
+# (span_not: INCLUDE side only — the exclude side gates membership;
+# span_within/containing: little + big)
 _DSL_SPAN_TERMS = {
     0: ["value", "table"],
     1: ["value", "customer"],
     2: ["the", "value"],
     3: ["value"],
+    4: ["customer", "the", "value"],
+    5: ["customer", "the", "value"],
 }
 
 
@@ -1941,9 +1957,20 @@ def _dsl_span_oracle_sql() -> str:
         f"({q}, '{t}')"
         for q, ts in sorted(_DSL_SPAN_TERMS.items()) for t in ts
     )
-    # span_near(value, table) slop 3 ordered: width = slop + n - 1 = 4
+    # span_near(value, table) slop 3 ordered: width = slop + n - 1 = 4;
+    # within/containing big = greedy minimal-end (the, value) chain with
+    # e - s <= slop + 1 = 4
     return f"""
 WITH {_span_toks_cte()},
+bv AS (
+  SELECT doc_id, s, e FROM (
+    SELECT a.doc_id, a.p AS s,
+           (SELECT min(b.p) FROM toks b
+            WHERE b.doc_id = a.doc_id AND b.t = 'value'
+              AND b.p > a.p) AS e
+    FROM toks a WHERE a.t = 'the'
+  ) WHERE e IS NOT NULL AND e - s <= 4
+),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
 gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfx AS (SELECT t AS term, count(DISTINCT doc_id)::DOUBLE AS df
@@ -1972,6 +1999,18 @@ m AS (
     SELECT 1 FROM toks e WHERE e.doc_id = a.doc_id AND e.t = 'table'
     AND e.p BETWEEN a.p - 0 AND a.p + 1)
   GROUP BY doc_id
+  UNION ALL
+  SELECT 4, l.doc_id, count(DISTINCT l.p)::DOUBLE
+  FROM toks l WHERE l.t = 'customer' AND EXISTS (
+    SELECT 1 FROM bv v WHERE v.doc_id = l.doc_id
+    AND v.s <= l.p AND l.p <= v.e)
+  GROUP BY l.doc_id
+  UNION ALL
+  SELECT 5, v.doc_id, count(*)::DOUBLE
+  FROM bv v WHERE EXISTS (
+    SELECT 1 FROM toks l WHERE l.doc_id = v.doc_id
+    AND l.t = 'customer' AND l.p BETWEEN v.s AND v.e)
+  GROUP BY v.doc_id
 ),
 scored AS (
   SELECT m.query_id, m.doc_id,

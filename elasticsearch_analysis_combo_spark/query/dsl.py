@@ -101,9 +101,10 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 # nests as span_first's match / span_not's include/exclude); span_multi
 # stays on the engine.span_multi facade (its per-expansion idf does not
 # fit the route's fixed-constituent scoring).
-_SPAN_KINDS = frozenset(
-    ("span_term", "span_or", "span_near", "span_first", "span_not")
-)
+_SPAN_KINDS = frozenset((
+    "span_term", "span_or", "span_near", "span_first", "span_not",
+    "span_within", "span_containing",
+))
 
 
 def _span_terms_of(node: dict) -> tuple[str, list[str]]:
@@ -134,6 +135,28 @@ def _span_terms_of(node: dict) -> tuple[str, list[str]]:
             raise ValueError("span_or clauses must share one field")
         return fields.pop(), terms
     raise ValueError(f"expected span_term/span_or, got {kind}")
+
+
+def _span_near_parts(body: dict) -> tuple[str, list[str], int, bool]:
+    """A ``span_near`` body of span_term clauses ->
+    (field, ordered term list, slop, in_order)."""
+    slop = int(body.get("slop", 0))
+    in_order = bool(body.get("in_order", True))
+    fields, terms = set(), []
+    for sub in body["clauses"]:
+        skind = next(iter(sub))
+        if skind != "span_term":
+            raise ValueError(
+                "span_near clauses must be span_term in the DSL route "
+                f"(got {skind}; span_multi clauses stay on "
+                "engine.span_multi)"
+            )
+        f, ts = _span_terms_of(sub)
+        fields.add(f)
+        terms.extend(ts)
+    if len(fields) != 1:
+        raise ValueError("span_near clauses must share one field")
+    return fields.pop(), terms, slop, in_order
 
 
 def _field(name: str) -> str:
@@ -688,26 +711,14 @@ def _eval_span_specs(
     or_qs: list[tuple[int, str]] = []
     first_by_end: dict[int, list[tuple[int, str]]] = {}
     not_by_opt: dict[tuple[int, int], list[tuple[int, str, str]]] = {}
+    within_by_slop: dict[
+        tuple[str, int], list[tuple[int, str, str]]
+    ] = {}  # (kind, big slop) -> (qid, little_text, big_text)
     texts: dict[int, str] = {}  # idf/dl constituents per qid
     for qid, node in sorted(specs.items()):
         kind, body = next(iter(node.items()))
         if kind == "span_near":
-            slop = int(body.get("slop", 0))
-            in_order = bool(body.get("in_order", True))
-            fields, terms = set(), []
-            for sub in body["clauses"]:
-                skind = next(iter(sub))
-                if skind != "span_term":
-                    raise ValueError(
-                        "span_near clauses must be span_term in the DSL "
-                        f"route (got {skind}; span_multi clauses stay on "
-                        "engine.span_multi)"
-                    )
-                f, ts = _span_terms_of(sub)
-                fields.add(f)
-                terms.extend(ts)
-            if len(fields) != 1:
-                raise ValueError("span_near clauses must share one field")
+            _, terms, slop, in_order = _span_near_parts(body)
             text = " ".join(terms)
             near_by_opt.setdefault((slop, in_order), []).append((qid, text))
         elif kind in ("span_term", "span_or"):
@@ -729,6 +740,29 @@ def _eval_span_specs(
             text = " ".join(inc)
             not_by_opt.setdefault((pre, post), []).append(
                 (qid, text, " ".join(exc))
+            )
+        elif kind in ("span_within", "span_containing"):
+            # little = span_term/span_or; big = ORDERED span_near of
+            # span_terms (the evaluators' clause shapes). A matching
+            # doc holds every big term AND >= 1 little term, so the
+            # all-constituents dl scan covers every hit.
+            lf, little = _span_terms_of(body["little"])
+            bkind, bbody = next(iter(body["big"].items()))
+            if bkind != "span_near":
+                raise ValueError(
+                    f"{kind} big clause must be span_near, got {bkind}"
+                )
+            bf, bterms, bslop, in_order = _span_near_parts(bbody)
+            if not in_order:
+                raise ValueError(
+                    f"{kind} big span_near must be ordered "
+                    "(in_order: true — the evaluator's big chain)"
+                )
+            if lf != bf:
+                raise ValueError(f"{kind} little/big fields differ")
+            text = " ".join(little + bterms)
+            within_by_slop.setdefault((kind, bslop), []).append(
+                (qid, " ".join(little), " ".join(bterms))
             )
         else:  # pragma: no cover — guarded by _SPAN_KINDS at dispatch
             raise ValueError(f"unsupported span query: {kind}")
@@ -761,6 +795,21 @@ def _eval_span_specs(
             spark, postings, sorted(qs), config, pre=pre, post=post,
             range_bits=span_range_bits,
         ))
+    if within_by_slop:
+        from elasticsearch_analysis_combo_spark.query.spans import (
+            span_containing_match,
+            span_within_match,
+        )
+
+        for (wkind, bslop), qs in sorted(within_by_slop.items()):
+            fn = (
+                span_within_match if wkind == "span_within"
+                else span_containing_match
+            )
+            parts.append(fn(
+                spark, postings, sorted(qs), config, slop=bslop,
+                range_bits=span_range_bits,
+            ))
     hits = parts[0]
     for part in parts[1:]:
         hits = hits.unionByName(part)

@@ -422,3 +422,42 @@ def test_intervals_route_any_of_and_guard(spark, fixture):
                  [(0, {"intervals": {"content": {
                      "match": {"query": "fox"}}}})],
                  CFG, n_docs, avgdl)
+
+
+def test_span_within_containing_routes(spark, fixture):
+    from elasticsearch_analysis_combo_spark.query.spans import (
+        span_containing_match,
+        span_within_match,
+    )
+
+    stats, term_df, post, n_docs, avgdl = fixture[:5]
+    big = {"span_near": {"clauses": [ST("the"), ST("fox")],
+                         "slop": 2, "in_order": True}}
+    res = _run(spark, fixture, [
+        (0, {"span_within": {"little": ST("quick"), "big": big}}),
+        (1, {"span_containing": {"little": ST("quick"), "big": big}}),
+    ])
+    for wkind, fn, qid in (("within", span_within_match, 0),
+                           ("containing", span_containing_match, 1)):
+        direct = {
+            r["doc_id"]: r["n_matches"]
+            for r in fn(spark, post, [(qid, "quick", "the fox")],
+                        CFG, slop=2).collect()
+        }
+        got = {d for (q, d) in res if q == qid}
+        assert got == set(direct), wkind
+        for d, f in direct.items():
+            assert res[(qid, d)][1] == pytest.approx(_expect_score(
+                fixture, ["quick", "the", "fox"], d, float(f)
+            )), wkind
+
+
+def test_span_within_guards(spark, fixture):
+    with pytest.raises(ValueError, match="must be span_near"):
+        _run(spark, fixture, [(0, {"span_within": {
+            "little": ST("quick"), "big": ST("the")}})])
+    with pytest.raises(ValueError, match="must be ordered"):
+        _run(spark, fixture, [(0, {"span_containing": {
+            "little": ST("quick"),
+            "big": {"span_near": {"clauses": [ST("the"), ST("fox")],
+                                  "in_order": False}}}})])
