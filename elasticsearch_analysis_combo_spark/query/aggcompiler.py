@@ -11,9 +11,12 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   _count/_key/any sibling metric), ``histogram`` (interval,
   min_doc_count, extended_bounds at leaf level), ``date_histogram``
   (calendar_interval hour/day/month/year), ``range`` (from/to, open
-  ends), ``date_range`` (timestamp bounds), ``multi_terms``
+  ends), ``date_range`` (timestamp bounds), ``date_histogram``
+  ``fixed_interval`` ("30m"/"12h"/"7d" epoch-floored buckets) next to
+  the calendar intervals, ``multi_terms``
   (composite field tuples, size/order as terms), ``filters`` (named
-  predicate buckets), ``missing``, ``global`` (top level of
+  predicate buckets + ``other_bucket``/``other_bucket_key`` for the
+  none-matching remainder), ``missing``, ``global`` (top level of
   ``dsl_search_aggs`` — escapes the query's filter context),
   ``significant_terms`` (top level of ``dsl_search_aggs`` — keyword
   JLH significance of the match set vs the pre-query universe),
@@ -81,6 +84,19 @@ SIBLING_PIPELINE_KINDS = (
 )
 
 _CAL = {"hour": "hour", "day": "day", "month": "month", "year": "year"}
+
+_FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> int:
+    """ES fixed_interval string ("30m", "12h", "7d") -> seconds.
+    Sub-second units raise (the engine buckets at second grain)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(spec))
+    if not m:
+        raise ValueError(f"unsupported fixed_interval: {spec!r}")
+    return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
 
 _SIMPLE_METRICS = {
     "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -228,6 +244,18 @@ def _key_expr(kind: str, body: dict):
             F.format_string("%.4f", b.cast("double")),
         )
     if kind == "date_histogram":
+        fixed = body.get("fixed_interval")
+        if fixed is not None:
+            # ES fixed_interval ("30m", "12h", "7d"): epoch-floored
+            # buckets, independent of calendar boundaries
+            secs = _fixed_interval_seconds(fixed)
+            return F.date_format(
+                F.timestamp_seconds(
+                    F.floor(F.unix_timestamp(F.col(field)) / secs)
+                    * F.lit(secs)
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            )
         cal = body.get("calendar_interval", body.get("interval", "day"))
         if cal not in _CAL:
             raise ValueError(f"unsupported calendar_interval: {cal}")
@@ -387,7 +415,16 @@ def _compile_node(
 
     if kind == "filters":
         outs = []
-        preds = body["filters"]
+        preds = dict(body["filters"])
+        if body.get("other_bucket") or body.get("other_bucket_key"):
+            # ES other_bucket: docs matching NONE of the named filters.
+            # A null predicate means "not matching" (ES semantics), so
+            # each negated conjunct coalesces to TRUE on null
+            okey = str(body.get("other_bucket_key", "_other_"))
+            preds[okey] = " AND ".join(
+                f"coalesce(NOT ({p}), TRUE)"
+                for p in body["filters"].values()
+            ) or "TRUE"
         # ONE conditional-aggregation pass computes every named bucket's
         # doc_count + metrics (plus nested buckets via recursion on the
         # filtered frame — each nested bucket is its own node anyway)

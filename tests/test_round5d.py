@@ -534,3 +534,37 @@ def test_top_metrics_metric(sales):
     assert out[("t", "O", "tm.price")] == 30.0
     assert out[("t", "F", "tm.price")] == 200.0
     assert out[("t", "P", "tm.price")] == 300.0
+
+
+def test_date_histogram_fixed_interval(sales):
+    # 12h epoch buckets: all ts are midnight, so each lands at its own
+    # day's 00:00 bucket; 30m over a synthetic minute spread
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "h12": {"date_histogram": {"field": "ts",
+                                   "fixed_interval": "12h"}},
+    }}))
+    assert out[("h12", "2024-01-01 00:00:00", "doc_count")] == 1.0
+    assert out[("h12", "2024-03-20 00:00:00", "doc_count")] == 1.0
+    assert sum(v for k, v in out.items()
+               if k[0] == "h12" and k[2] == "doc_count") == 7.0
+
+
+def test_filters_other_bucket_misplaced_raises(sales):
+    # other_bucket_key belongs INSIDE the filters body; a node-level
+    # placement is malformed and must raise, never silently mis-execute
+    with pytest.raises(ValueError, match="exactly one type"):
+        dsl_search_aggs(sales, {"aggs": {
+            "f": {"filters": {"filters": {"open": "status = 'O'"}},
+                  "other_bucket_key": "rest"},
+        }}).collect()
+
+
+def test_filters_other_bucket_inside_body(sales):
+    out = _avals(dsl_search_aggs(sales, {"aggs": {
+        "f": {"filters": {"filters": {"open": "status = 'O'",
+                                      "filled": "status = 'F'"},
+                          "other_bucket_key": "rest"}},
+    }}))
+    assert out[("f", "open", "doc_count")] == 3.0
+    assert out[("f", "filled", "doc_count")] == 2.0
+    assert out[("f", "rest", "doc_count")] == 2.0  # the two P docs
