@@ -7242,6 +7242,11 @@ ES_AGGS2_BODY = {
         "price_box": {"boxplot": {"field": "o_totalprice"}},
         "rare_prio": {"rare_terms": {"field": "o_orderpriority",
                                      "max_doc_count": 3000}},
+        "page2": {"composite": {"sources": [
+            {"st": {"terms": {"field": "o_orderstatus"}}},
+            {"pr": {"terms": {"field": "o_orderpriority"}}}],
+            "size": 3, "after": {"st": "F", "pr": "3-MEDIUM"}},
+            "aggs": {"s": {"sum": {"field": "o_totalprice"}}}},
         "latest_price": {"top_metrics": {
             "metrics": {"field": "o_totalprice"},
             "sort": {"o_orderkey": "desc"}}},
@@ -7373,6 +7378,21 @@ rare_rows AS (
   FROM src WHERE o_orderpriority IS NOT NULL
   GROUP BY 2 HAVING count(*) <= 3000
 ),
+comp AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+         count(*)::DOUBLE AS doc_count, sum(o_totalprice) AS s
+  FROM src
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+  HAVING (o_orderstatus > 'F')
+      OR (o_orderstatus = 'F' AND o_orderpriority > '3-MEDIUM')
+  ORDER BY 1, 2 LIMIT 3
+),
+comp_rows AS (
+  SELECT 'page2' AS agg, st || '|' || pr AS key, 'doc_count' AS metric,
+         doc_count AS value FROM comp
+  UNION ALL SELECT 'page2', st || '|' || pr, 's', s FROM comp
+),
 tm_rows AS (
   SELECT 'latest_price' AS agg, '' AS key, m AS metric, v AS value
   FROM (
@@ -7475,6 +7495,7 @@ allrows AS (
   SELECT * FROM xs_rows UNION ALL SELECT * FROM wp_rows
   UNION ALL SELECT * FROM prk_rows UNION ALL SELECT * FROM box_rows
   UNION ALL SELECT * FROM rare_rows UNION ALL SELECT * FROM tm_rows
+  UNION ALL SELECT * FROM comp_rows
   UNION ALL SELECT * FROM mt_rows UNION ALL SELECT * FROM er_rows
   UNION ALL SELECT * FROM h_rows UNION ALL SELECT * FROM busy_rows
   UNION ALL SELECT * FROM ab_rows UNION ALL SELECT * FROM cs_rows

@@ -10,13 +10,15 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
 - bucket aggs: ``terms`` (size, min_doc_count, ``order`` by
   _count/_key/any sibling metric), ``histogram`` (interval,
   min_doc_count, extended_bounds at leaf level), ``date_histogram``
-  (calendar_interval hour/day/month/year), ``range`` (from/to, open
-  ends), ``date_range`` (timestamp bounds), ``date_histogram``
-  ``fixed_interval`` ("30m"/"12h"/"7d" epoch-floored buckets) next to
-  the calendar intervals, ``multi_terms``
+  (calendar_interval hour/day/month/year OR ``fixed_interval``
+  "30m"/"12h"/"7d" epoch-floored buckets), ``range`` (from/to, open
+  ends), ``date_range`` (timestamp bounds), ``multi_terms``
   (composite field tuples, size/order as terms), ``filters`` (named
   predicate buckets + ``other_bucket``/``other_bucket_key`` for the
-  none-matching remainder), ``missing``, ``global`` (top level of
+  none-matching remainder), ``missing``, ``composite`` (the pagination
+  workhorse: asc tuple order over terms/histogram/date_histogram
+  sources, strictly-after ``after`` key, size cut — both on the
+  REDUCED bucket frame), ``global`` (top level of
   ``dsl_search_aggs`` — escapes the query's filter context),
   ``significant_terms`` (top level of ``dsl_search_aggs`` — keyword
   JLH significance of the match set vs the pre-query universe),
@@ -65,7 +67,7 @@ from pyspark.sql import functions as F
 
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
-    "multi_terms", "date_range", "rare_terms",
+    "multi_terms", "date_range", "rare_terms", "composite",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -476,6 +478,72 @@ def _compile_node(
                 )
             )
         return outs
+
+    if kind == "composite":
+        # ES composite agg: the pagination workhorse — buckets over a
+        # tuple of sources in ASC key order, strictly after the `after`
+        # key, size-limited. One partial-aggregated groupBy over the
+        # TYPED source keys; the after filter and ordered limit run on
+        # the REDUCED bucket frame (bucket-count-sized). Sub-buckets
+        # and desc source order raise (the standalone
+        # facets.composite_agg covers after-key replay paging too).
+        if parent_keys:
+            raise ValueError("composite must be a top-level agg (ES)")
+        if any(
+            _split_node(s)[0] not in METRIC_KINDS for s in sub.values()
+        ):
+            raise ValueError("composite sub-aggs must be metrics")
+        size = int(body.get("size", 10))
+        after = body.get("after")
+        names, keyed = [], rows
+        renders: list = []
+        for i, src in enumerate(body["sources"]):
+            (sname, snode), = src.items()
+            (skind, sbody), = snode.items()
+            if str(sbody.get("order", "asc")) != "asc":
+                raise ValueError("composite source order must be asc")
+            names.append(sname)
+            if skind == "terms":
+                t = F.col(sbody["field"]).cast("string")
+                renders.append(F.col(f"_cs{i}"))
+            elif skind == "histogram":
+                iv = float(sbody["interval"])
+                t = (F.floor(F.col(sbody["field"]) / iv)
+                     * F.lit(iv)).cast("double")
+                renders.append(
+                    F.format_string("%.4f", F.col(f"_cs{i}"))
+                )
+            elif skind == "date_histogram":
+                # the yyyy-MM-dd HH:mm:ss render sorts correctly
+                t = _key_expr("date_histogram", sbody)
+                renders.append(F.col(f"_cs{i}"))
+            else:
+                raise ValueError(
+                    f"unsupported composite source: {skind}"
+                )
+            keyed = keyed.withColumn(f"_cs{i}", t).filter(
+                F.col(f"_cs{i}").isNotNull()
+            )
+        agg_cols, emits = _metric_sub_plans(sub)
+        g = keyed.groupBy(
+            *[F.col(f"_cs{i}") for i in range(len(names))]
+        ).agg(F.count(F.lit(1)).alias("doc_count"), *agg_cols)
+        if after is not None:
+            # strictly-after in tuple lexicographic order
+            pred, eqs = F.lit(False), F.lit(True)
+            for i, n in enumerate(names):
+                c = F.col(f"_cs{i}")
+                pred = pred | (eqs & (c > F.lit(after[n])))
+                eqs = eqs & (c == F.lit(after[n]))
+            g = g.filter(pred)
+        g = g.orderBy(
+            *[F.asc(f"_cs{i}") for i in range(len(names))]
+        ).limit(size)
+        for i in range(len(names)):
+            g = g.withColumn(f"_ck{i}", renders[i])
+        return [_unpivot(
+            g, mypath, [f"_ck{i}" for i in range(len(names))], emits
+        )]
 
     # --- keyed bucket aggs (terms/histogram/date_histogram/range/missing)
     keycol = f"_k{len(parent_keys)}"

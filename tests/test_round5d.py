@@ -568,3 +568,49 @@ def test_filters_other_bucket_inside_body(sales):
     assert out[("f", "open", "doc_count")] == 3.0
     assert out[("f", "filled", "doc_count")] == 2.0
     assert out[("f", "rest", "doc_count")] == 2.0  # the two P docs
+
+
+def test_composite_bucket_paging(sales):
+    body = {"aggs": {"c": {
+        "composite": {"sources": [
+            {"st": {"terms": {"field": "status"}}},
+            {"pr": {"terms": {"field": "prio"}}}],
+            "size": 2},
+        "aggs": {"s": {"sum": {"field": "price"}}}}}}
+    out = _avals(dsl_search_aggs(sales, body))
+    # asc tuple order: (F,HI), (F,LO) are the first two composite keys
+    keys = sorted({k[1] for k in out if k[0] == "c"})
+    assert keys == ["F|HI", "F|LO"]
+    assert out[("c", "F|HI", "doc_count")] == 1.0
+    assert out[("c", "F|HI", "s")] == 100.0
+    # page 2 via after: strictly after (F, LO)
+    body["aggs"]["c"]["composite"]["after"] = {"st": "F", "pr": "LO"}
+    out2 = _avals(dsl_search_aggs(sales, body))
+    keys2 = sorted({k[1] for k in out2 if k[0] == "c"})
+    assert keys2 == ["O|HI", "O|LO"]
+    # null prio doc (7) never appears on any page
+    assert not any(k[1].endswith("|") for k in out2)
+
+
+def test_composite_histogram_source(sales):
+    out = _avals(dsl_search_aggs(sales, {"aggs": {"c": {
+        "composite": {"sources": [
+            {"band": {"histogram": {"field": "price",
+                                    "interval": 100.0}}}],
+            "size": 10}}}}))
+    assert out[("c", "0.0000", "doc_count")] == 3.0  # 10,30,50
+    assert out[("c", "100.0000", "doc_count")] == 1.0
+    assert out[("c", "300.0000", "doc_count")] == 1.0
+
+
+def test_composite_guards(sales):
+    with pytest.raises(ValueError, match="must be metrics"):
+        dsl_search_aggs(sales, {"aggs": {"c": {
+            "composite": {"sources": [
+                {"st": {"terms": {"field": "status"}}}]},
+            "aggs": {"t": {"terms": {"field": "prio"}}}}}}).collect()
+    with pytest.raises(ValueError, match="order must be asc"):
+        dsl_search_aggs(sales, {"aggs": {"c": {
+            "composite": {"sources": [
+                {"st": {"terms": {"field": "status",
+                                  "order": "desc"}}}]}}}}).collect()
