@@ -7506,6 +7506,201 @@ FROM allrows WHERE value IS NOT NULL
 """
 
 
+ES_AGGS3_BODY = {
+    "query": {"range": {"value": {"gte": 0.5}}},
+    "aggs": {
+        "props_len": {"string_stats": {"field": "props"}},
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "v": {"sum": {"field": "value"}},
+                "d2": {"serial_diff": {"buckets_path": "v", "lag": 2}},
+                "mv3": {"moving_fn": {
+                    "buckets_path": "v", "window": 3,
+                    "script": "MovingFunctions.unweightedAvg(values)"}},
+            },
+        },
+        "day_pcts": {"percentiles_bucket": {
+            "buckets_path": "daily>v", "percents": [50.0, 90.0]}},
+        "sampled": {
+            "random_sampler": {"probability": 0.25, "seed": 7,
+                               "key_field": "event_id"},
+            "aggs": {
+                "types": {"terms": {"field": "event_type", "size": 4}},
+                "sv": {"sum": {"field": "value"}},
+            },
+        },
+        "cells": {"geohash_grid": {"lat_field": "lat",
+                                   "lon_field": "lon", "precision": 3}},
+        "nets": {"ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.0.128", "key": "low"},
+            {"from": "10.0.0.128", "to": "10.0.1.0", "key": "mid"},
+            {"from": "10.0.1.0", "key": "high"}]}},
+        "auto_daily": {"auto_date_histogram": {
+            "field": "ts", "buckets": AUTO_DH_TARGET}},
+    },
+}
+
+
+def q_es_aggs3(spark, sf_dir):
+    """Round-5f: the third aggs-compiler widening — string_stats
+    (length half) metric, serial_diff / moving_fn parent pipelines
+    over the reduced bucket frame, percentiles_bucket sibling (exact,
+    as ES computes sibling percentiles), random_sampler bucket
+    (portable md5 Bernoulli sample, doc_count + sum rescaled by 1/p at
+    every depth), geohash_grid bucket (the shared Spark==DuckDB
+    bit-interleave SQL), ip_range bucket (uint32 dotted-quad compare),
+    and auto_date_histogram (scalar ladder pass picks the interval).
+    Null pipeline values (serial_diff's first ``lag`` buckets) drop
+    symmetrically in both engines; coords/IPs derive deterministically
+    from user_id as in the geo/curation gates."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "*",
+        f"{GEO_LAT_EXPR} as lat",
+        f"{GEO_LON_EXPR} as lon",
+        "concat('10.0.', cast(pmod(user_id, 2) as string), '.', "
+        "cast(pmod(user_id * 13, 256) as string)) as ip",
+    )
+    out = dsl_search_aggs(ev, ES_AGGS3_BODY)
+    return out.filter(F.col("value").isNotNull()).select(
+        "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+
+def _es_aggs3_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.geo import (
+        geohash_sql_expr,
+    )
+
+    lon_bits, lat_bits = 8, 7  # 5 * precision(3) = 15 bits
+    lon_i = (
+        f"(least(greatest(cast(floor(((lon) + 180.0) / 360.0 * "
+        f"{1 << lon_bits}) as bigint), 0), {(1 << lon_bits) - 1}))"
+    )
+    lat_i = (
+        f"(least(greatest(cast(floor(((lat) + 90.0) / 180.0 * "
+        f"{1 << lat_bits}) as bigint), 0), {(1 << lat_bits) - 1}))"
+    )
+    gh = geohash_sql_expr(3, lon_i=lon_i, lat_i=lat_i)
+    two58 = int(0.25 * (1 << 60))
+    return f"""
+WITH src AS (
+  SELECT e.*,
+         (user_id % 180)::DOUBLE - 90.0 AS lat,
+         ((user_id * 7) % 360)::DOUBLE - 180.0 AS lon,
+         167772160 + (user_id % 2) * 256 + (user_id * 13 % 256) AS ipnum
+  FROM events e WHERE value >= 0.5
+),
+ps AS (
+  SELECT count(props)::DOUBLE AS cnt, min(length(props))::DOUBLE AS mn,
+         max(length(props))::DOUBLE AS mx, avg(length(props)) AS av,
+         count(*)::DOUBLE AS dc
+  FROM src
+),
+ps_rows AS (
+  SELECT 'props_len' AS agg, '' AS key, 'doc_count' AS metric,
+         dc AS value FROM ps
+  UNION ALL SELECT 'props_len', '', 'props_len.count', cnt FROM ps
+  UNION ALL SELECT 'props_len', '', 'props_len.min_length', mn FROM ps
+  UNION ALL SELECT 'props_len', '', 'props_len.max_length', mx FROM ps
+  UNION ALL SELECT 'props_len', '', 'props_len.avg_length', av FROM ps
+),
+dh AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS key,
+         count(*)::DOUBLE AS doc_count, sum(value) AS v
+  FROM src GROUP BY 1
+),
+dhp AS (
+  SELECT *, v - lag(v, 2) OVER (ORDER BY key) AS d2,
+         avg(v) OVER (ORDER BY key
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3
+  FROM dh
+),
+dh_rows AS (
+  SELECT 'daily' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM dhp
+  UNION ALL SELECT 'daily', key, 'v', v FROM dhp
+  UNION ALL SELECT 'daily', key, 'd2', d2 FROM dhp
+  UNION ALL SELECT 'daily', key, 'mv3', mv3 FROM dhp
+),
+pct AS (SELECT quantile_cont(v, [0.5, 0.9]) AS q FROM dh),
+pct_rows AS (
+  SELECT 'day_pcts' AS agg, '' AS key, 'day_pcts.50' AS metric,
+         q[1] AS value FROM pct
+  UNION ALL SELECT 'day_pcts', '', 'day_pcts.90', q[2] FROM pct
+),
+samp AS (
+  SELECT * FROM src
+  WHERE ('0x' || substr(md5('7' || ':' ||
+           CAST(event_id AS VARCHAR)), 1, 15))::BIGINT < {two58}
+),
+s_tot AS (
+  SELECT count(*)::DOUBLE * 4.0 AS dc, sum(value) * 4.0 AS sv FROM samp
+),
+s_rows AS (
+  SELECT 'sampled' AS agg, '' AS key, 'doc_count' AS metric, dc AS value
+  FROM s_tot
+  UNION ALL SELECT 'sampled', '', 'sv', sv FROM s_tot
+),
+st AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS c
+  FROM samp GROUP BY 1
+),
+st_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY c DESC, key) AS rn FROM st
+  ) WHERE rn <= 4
+),
+st_rows AS (
+  SELECT 'sampled>types' AS agg, key, 'doc_count' AS metric,
+         c * 4.0 AS value FROM st_top
+),
+gh_rows AS (
+  SELECT 'cells' AS agg, {gh} AS key, 'doc_count' AS metric,
+         count(*)::DOUBLE AS value
+  FROM src GROUP BY 2
+),
+ip_rows AS (
+  SELECT 'nets' AS agg,
+         CASE WHEN ipnum < 167772288 THEN 'low'
+              WHEN ipnum < 167772416 THEN 'mid'
+              ELSE 'high' END AS key,
+         'doc_count' AS metric, count(*)::DOUBLE AS value
+  FROM src GROUP BY 2
+),
+pick AS (
+  SELECT CASE
+    WHEN count(DISTINCT date_trunc('hour', ts)) <= {AUTO_DH_TARGET}
+      THEN 'hour'
+    WHEN count(DISTINCT date_trunc('day', ts)) <= {AUTO_DH_TARGET}
+      THEN 'day'
+    WHEN count(DISTINCT date_trunc('month', ts)) <= {AUTO_DH_TARGET}
+      THEN 'month'
+    ELSE 'year' END AS iv
+  FROM src
+),
+ad_rows AS (
+  SELECT 'auto_daily' AS agg,
+         strftime(date_trunc(pick.iv, s.ts), '%Y-%m-%d %H:%M:%S') AS key,
+         'doc_count' AS metric, count(*)::DOUBLE AS value
+  FROM src s, pick GROUP BY 1, 2
+),
+allrows AS (
+  SELECT * FROM ps_rows UNION ALL SELECT * FROM dh_rows
+  UNION ALL SELECT * FROM pct_rows UNION ALL SELECT * FROM s_rows
+  UNION ALL SELECT * FROM st_rows UNION ALL SELECT * FROM gh_rows
+  UNION ALL SELECT * FROM ip_rows UNION ALL SELECT * FROM ad_rows
+)
+SELECT agg, key, metric, printf('%.6e', value) AS value
+FROM allrows WHERE value IS NOT NULL
+"""
+
+
 SIG_FIELD_BODY = {
     # F/O statuses correlate with order date in TPC-H-ish data, so the
     # pre-1997 match set makes completed orders significantly frequent
@@ -7731,6 +7926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggs compiler v2: extended_stats/weighted_avg/multi_terms/
         # date_range/pipeline/sibling/global
         "es_aggs2": q_es_aggs2,
+        # aggs compiler v3: string_stats/serial_diff/moving_fn/
+        # percentiles_bucket/random_sampler/geohash_grid/ip_range/
+        # auto_date_histogram (round 5f)
+        "es_aggs3": q_es_aggs3,
         # keyword-field significant_terms through the aggs compiler
         "sig_terms_field": q_sig_terms_field,
         # top-level span queries through the DSL compiler (round 5e)
@@ -7819,15 +8018,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remain as individual gates past the window)
         "span_family": q_span_family,
         "compound_queries": q_compound_queries,
-        # --- round-4 new/changed surfaces (driver must oracle these) ---
-        "ivf_knn_filtered": q_ivf_knn_filtered,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
         # streaming_sessions/match_bool_prefix/decontaminate/
-        # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk:
-        # r4 surfaces unchanged in r5, displaced past the window by the
-        # round-5 gates (driver-green in r4, replica-covered each round)
+        # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk/
+        # ivf_knn_filtered: r4 surfaces unchanged in r5, displaced past
+        # the window by the round-5 gates (driver-green in r4,
+        # replica-covered each round)
+        "ivf_knn_filtered": q_ivf_knn_filtered,
         "streaming_sessions": q_streaming_sessions,
         "match_bool_prefix": q_match_bool_prefix,
         "decontaminate": q_decontaminate,
@@ -9437,6 +9636,7 @@ GROUP BY 1
     sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
+    sqls["es_aggs3"] = _es_aggs3_oracle_sql()
     sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
     sqls["dsl_span"] = _dsl_span_oracle_sql()
     sqls["dsl_function_score"] = _dsl_fscore_oracle_sql()

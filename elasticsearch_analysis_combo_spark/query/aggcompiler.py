@@ -23,20 +23,31 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   ``significant_terms`` (top level of ``dsl_search_aggs`` — keyword
   JLH significance of the match set vs the pre-query universe),
   ``rare_terms`` (doc_count <= max_doc_count tail over the reduced
-  bucket frame)
+  bucket frame), ``ip_range`` (uint32 dotted-quad compare),
+  ``geohash_grid`` (base-32 cell via the shared Spark==DuckDB
+  bit-interleave SQL; ``lat_field``/``lon_field`` columns),
+  ``auto_date_histogram`` (smallest fitting calendar interval — one
+  scalar ladder pass), ``random_sampler`` (portable md5 Bernoulli
+  sample; doc_count + sum/value_count rescaled by 1/probability at
+  every depth, non-rescalable metrics raise)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
   rsd 0.005), stats, extended_stats (+ sum_of_squares, population
   variance/std_deviation), weighted_avg, percentile_ranks (one
   count-when per probe), boxplot (five-number summary, exact
   quartiles), top_metrics (size-1 max_by/min_by), percentiles (exact
-  interpolated, ``name.50`` rows; swap approx_percentile at 100 TB)
-- pipeline aggs: parent ``derivative`` / ``cumulative_sum`` (ordered
-  histogram/date_histogram axis) / ``bucket_script`` /
+  interpolated, ``name.50`` rows; swap approx_percentile at 100 TB),
+  string_stats (length half — count/min/max/avg_length; the entropy
+  half needs facets.string_stats_agg's char-explode pass)
+- pipeline aggs: parent ``derivative`` / ``cumulative_sum`` /
+  ``serial_diff`` (lag-N delta) / ``moving_fn`` (trailing window
+  incl. current bucket, MovingFunctions unweightedAvg/max/min/sum)
+  (ordered histogram/date_histogram axis) / ``bucket_script`` /
   ``bucket_selector`` (all over the node's REDUCED bucket frame —
   bucket-count-sized windows, never row data); sibling ``avg_bucket``
   / ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` /
-  ``stats_bucket`` (reduce a sibling's per-bucket metric via its long
-  frame, grouped by the enclosing-bucket key prefix)
+  ``stats_bucket`` / ``percentiles_bucket`` (exact, as ES computes
+  sibling percentiles) (reduce a sibling's per-bucket metric via its
+  long frame, grouped by the enclosing-bucket key prefix)
 - nesting: bucket > bucket > ... > metrics at any depth (keys
   accumulate into a composite groupBy key — the whole sub-tree level
   is ONE partial-aggregated shuffle, the repo's flatten-the-agg-tree
@@ -68,21 +79,33 @@ from pyspark.sql import functions as F
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "multi_terms", "date_range", "rare_terms", "composite",
+    "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
-    "boxplot", "top_metrics",
+    "boxplot", "top_metrics", "string_stats",
 )
 # pipeline aggs UNDER a bucket node (computed over that node's reduced
 # bucket frame, ordered by bucket key — histogram/date_histogram parents)
 PARENT_PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
+    "serial_diff", "moving_fn",
 )
 # pipeline aggs NEXT TO a bucket node (reduce a sibling's bucket metric
 # to one value per enclosing bucket)
 SIBLING_PIPELINE_KINDS = (
     "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
+    "percentiles_bucket",
+)
+# metric kinds whose values stay valid under random_sampler rescale:
+# sum/value_count scale by 1/p; ratio/extreme metrics are unbiased
+# as-is; everything else (stats' embedded counts, quantiles of a
+# sample, HLL cardinality) would silently report sample-scale numbers,
+# so those raise under a sampler.
+_SAMPLER_SAFE_METRICS = (
+    "avg", "sum", "min", "max", "value_count", "weighted_avg",
+    "top_metrics",
 )
 
 _CAL = {"hour": "hour", "day": "day", "month": "month", "year": "year"}
@@ -109,13 +132,23 @@ _SIMPLE_METRICS = {
 DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 
-def _metric_plan(kind: str, body: dict, name: str, field_col):
+def _metric_plan(kind: str, body: dict, name: str, field_col,
+                 scale: float = 1.0):
     """(agg_exprs, emits) for one metric node: the aggregate columns to
     ride the bucket's single groupBy pass, and the (label, column)
     pairs to unpivot from the aggregated frame. ``field_col`` lets the
     filters agg wrap the field in ``when(pred, ...)`` — every metric
-    kind stays a one-pass conditional aggregate."""
+    kind stays a one-pass conditional aggregate. ``scale`` != 1 is the
+    random_sampler's 1/probability rescale: it multiplies the
+    count-based metrics (sum, value_count) back to original-scale
+    units, exactly as ES reports sampled aggs."""
     if kind in _SIMPLE_METRICS:
+        if scale != 1.0 and kind in ("sum", "value_count"):
+            return (
+                [(_SIMPLE_METRICS[kind](field_col)
+                  * F.lit(scale)).alias(name)],
+                [(name, F.col(name))],
+            )
         return (
             [_SIMPLE_METRICS[kind](field_col).alias(name)],
             [(name, F.col(name))],
@@ -203,6 +236,31 @@ def _metric_plan(kind: str, body: dict, name: str, field_col):
                 (f"{name}.q2", F.element_at(F.col(f"{name}__q"), 2)),
                 (f"{name}.q3", F.element_at(F.col(f"{name}__q"), 3)),
                 (f"{name}.max", F.col(f"{name}__max")),
+            ],
+        )
+    if kind == "string_stats":
+        # ES string_stats, the length half: count + min/max/avg_length
+        # ride the one groupBy pass. The Shannon-entropy half needs a
+        # character explode (a second, amplifying pass) that cannot
+        # ride a bucket's single aggregate — facets.string_stats_agg
+        # computes it standalone; requesting it here raises.
+        if body.get("show_distribution"):
+            raise ValueError(
+                "string_stats show_distribution/entropy needs the "
+                "standalone facets.string_stats_agg (char-explode pass)"
+            )
+        length = F.length(field_col)
+        return (
+            [
+                F.count(field_col).alias(f"{name}__count"),
+                F.min(length).alias(f"{name}__min_length"),
+                F.max(length).alias(f"{name}__max_length"),
+                F.avg(length).alias(f"{name}__avg_length"),
+            ],
+            [
+                (f"{name}.{s}", F.col(f"{name}__{s}"))
+                for s in ("count", "min_length", "max_length",
+                          "avg_length")
             ],
         )
     raise ValueError(f"unsupported metric agg: {kind}")
@@ -314,21 +372,88 @@ def _key_expr(kind: str, body: dict):
         )
     if kind == "missing":
         return F.when(F.col(field).isNull(), F.lit("_missing"))
+    if kind == "ip_range":
+        # ES ip_range: [from, to) IPv4 buckets. Addresses compare as
+        # uint32 (dotted-quad split — pure codegen arithmetic); bounds
+        # parse driver-side via ipaddress into integer literals.
+        # Overlapping ranges resolve first-listed-wins (the compiler's
+        # range convention); empty buckets drop (groupBy only sees
+        # present keys) — facets.ip_range_agg keeps zeros standalone.
+        import ipaddress
+
+        parts = F.split(F.col(field), r"\.")
+        ip = (
+            parts.getItem(0).cast("long") * 16777216
+            + parts.getItem(1).cast("long") * 65536
+            + parts.getItem(2).cast("long") * 256
+            + parts.getItem(3).cast("long")
+        )
+        expr = F.lit(None).cast("string")
+        for r in reversed(body["ranges"]):
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (ip >= int(ipaddress.IPv4Address(lo)))
+            if hi is not None:
+                cond = cond & (ip < int(ipaddress.IPv4Address(hi)))
+            name = r.get(
+                "key", f"{lo if lo is not None else '*'}-"
+                       f"{hi if hi is not None else '*'}"
+            )
+            expr = F.when(cond, F.lit(name)).otherwise(expr)
+        return expr
+    if kind == "geohash_grid":
+        # ES geohash_grid: base-32 geohash cell at ``precision`` chars.
+        # ES addresses one geo_point field; a parquet table carries
+        # (lat, lon) doubles, so the node takes ``lat_field`` /
+        # ``lon_field`` (documented engine convention). The interleave
+        # is geo.geohash_sql_expr — the SAME SQL text the DuckDB
+        # oracles run — with the [-180,180)/[-90,90) quantization
+        # inlined as sub-expressions, all whole-stage codegen.
+        from .geo import geohash_sql_expr
+
+        precision = int(body.get("precision", 5))
+        if not 1 <= precision <= 12:
+            raise ValueError("precision must be in [1, 12]")
+        lat = body.get("lat_field", "lat")
+        lon = body.get("lon_field", "lon")
+        total = 5 * precision
+        lon_bits = (total + 1) // 2
+        lat_bits = total - lon_bits
+        lon_i = (
+            f"(least(greatest(cast(floor((({lon}) + 180.0) / 360.0 * "
+            f"{1 << lon_bits}) as bigint), 0), {(1 << lon_bits) - 1}))"
+        )
+        lat_i = (
+            f"(least(greatest(cast(floor((({lat}) + 90.0) / 180.0 * "
+            f"{1 << lat_bits}) as bigint), 0), {(1 << lat_bits) - 1}))"
+        )
+        text = geohash_sql_expr(precision, lon_i=lon_i, lat_i=lat_i)
+        return F.when(
+            F.col(lat).isNotNull() & F.col(lon).isNotNull(),
+            F.expr(text),
+        )
     raise ValueError(f"unsupported bucket agg: {kind}")
 
 
 def _unpivot(g: DataFrame, path: str, key_cols: list[str],
-             emits: list[tuple]) -> DataFrame:
+             emits: list[tuple], scale: float = 1.0) -> DataFrame:
     """(agg, key, metric, value) rows from one aggregated bucket frame;
-    ``emits`` = (label, column-over-the-aggregated-frame) pairs."""
+    ``emits`` = (label, column-over-the-aggregated-frame) pairs.
+    ``scale`` != 1 rescales doc_count by the random_sampler's
+    1/probability (ES reports sampled doc counts in original-scale
+    units at every depth under the sampler)."""
     key = (
         F.concat_ws("|", *[F.col(c) for c in key_cols])
         if key_cols else F.lit("")
     )
+    dc = F.col("doc_count").cast("double")
+    if scale != 1.0:
+        dc = dc * F.lit(scale)
     pairs = [
         F.struct(
             F.lit("doc_count").alias("metric"),
-            F.col("doc_count").cast("double").alias("value"),
+            dc.alias("value"),
         )
     ] + [
         F.struct(F.lit(label).alias("metric"),
@@ -342,15 +467,23 @@ def _unpivot(g: DataFrame, path: str, key_cols: list[str],
     ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
 
 
-def _metric_sub_plans(metric_sub: dict, wrap=None):
+def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
     """Aggregate columns + emit pairs for a bucket node's metric
     sub-aggs (one combined groupBy pass). ``wrap`` optionally maps the
-    field column (the filters agg's ``when(pred, ...)``)."""
+    field column (the filters agg's ``when(pred, ...)``); ``scale`` is
+    the enclosing random_sampler's 1/probability rescale (metrics whose
+    sampled values would be silently wrong raise)."""
     agg_cols, emits = [], []
     for mname, mnode in metric_sub.items():
         mkind, mbody, msub = _split_node(mnode)
         if msub:
             raise ValueError("metric aggs cannot have sub-aggs")
+        if scale != 1.0 and mkind not in _SAMPLER_SAFE_METRICS:
+            raise ValueError(
+                f"{mkind} under random_sampler would report "
+                "sample-scale values; supported sampled metrics: "
+                f"{_SAMPLER_SAFE_METRICS}"
+            )
         if mkind == "weighted_avg":
             # ES weighted_avg: sum(value*weight)/sum(weight) — both
             # sides wrapped so the filters agg's conditional holds
@@ -389,7 +522,7 @@ def _metric_sub_plans(metric_sub: dict, wrap=None):
         fcol = F.col(mbody["field"])
         if wrap is not None:
             fcol = wrap(fcol)
-        a, e = _metric_plan(mkind, mbody, mname, fcol)
+        a, e = _metric_plan(mkind, mbody, mname, fcol, scale=scale)
         agg_cols.extend(a)
         emits.extend(e)
     return agg_cols, emits
@@ -401,6 +534,7 @@ def _compile_node(
     node: dict,
     path: str,
     parent_keys: list[str],
+    scale: float = 1.0,
 ) -> list[DataFrame]:
     kind, body, sub = _split_node(node)
     mypath = f"{path}>{name}" if path else name
@@ -409,11 +543,85 @@ def _compile_node(
         # metric at top level / directly under a bucket is handled by
         # the PARENT's groupBy pass; standalone (no bucket above) =
         # global reduce
-        agg_cols, emits = _metric_sub_plans({name: node})
+        agg_cols, emits = _metric_sub_plans({name: node}, scale=scale)
         aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
         g = (rows.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
              if parent_keys else rows.agg(*aggs))
-        return [_unpivot(g, mypath, parent_keys, emits)]
+        return [_unpivot(g, mypath, parent_keys, emits, scale=scale)]
+
+    if kind == "random_sampler":
+        # ES random_sampler (8.2+): sub-aggregate a Bernoulli sample of
+        # the rows, reporting doc_count (and count-based metrics) in
+        # ORIGINAL-scale units via the 1/probability rescale. The
+        # sample is the engine-portable keyed md5 filter — a pure
+        # map-side predicate, so at 100 TB the shuffle carries only
+        # ``probability`` of the rows and any cluster picks the SAME
+        # rows (DuckDB-replayable). ES's doc-key is implicit; a parquet
+        # table names its key via ``key_field`` (engine convention).
+        from ..operators.sampling import hash_sample
+
+        p = float(body["probability"])
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"probability must be in (0, 1]: {p}")
+        seed = int(body.get("seed", 42))
+        key_field = body.get("key_field", "doc_id")
+        sampled = hash_sample(rows, p, key_col=key_field, seed=seed)
+        inv = scale / p
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {
+            n: s for n, s in sub.items() if n not in metric_sub
+        }
+        agg_cols, emits = _metric_sub_plans(metric_sub, scale=inv)
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (
+            sampled.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+            if parent_keys else sampled.agg(*aggs)
+        )
+        outs = [_unpivot(g, mypath, parent_keys, emits, scale=inv)]
+        outs.extend(
+            _compile_level(sampled, bucket_sub, mypath, parent_keys,
+                           scale=inv)
+        )
+        return outs
+
+    if kind == "auto_date_histogram":
+        # ES auto_date_histogram: pick the smallest calendar interval
+        # whose distinct bucket count fits ``buckets``, then bucket as
+        # a plain date_histogram. The choice is ONE scalar aggregate
+        # (four countDistinct partials -> 1 row — the audited
+        # facets.auto_date_histogram_agg pattern), deterministic and
+        # oracle-replayable; the chosen resolution shows in the key
+        # format (the long format carries no response-level interval
+        # field, unlike the standalone agg).
+        from .facets import AUTO_DH_LADDER
+
+        target = int(body.get("buckets", 50))
+        if target < 1:
+            raise ValueError("buckets must be >= 1")
+        ts = F.col(body["field"]).cast("timestamp")
+        counts = rows.agg(
+            *[
+                F.countDistinct(F.date_trunc(iv, ts)).alias(iv)
+                for iv in AUTO_DH_LADDER
+            ]
+        ).collect()[0]
+        interval = AUTO_DH_LADDER[-1]
+        for iv in AUTO_DH_LADDER:
+            if int(counts[iv]) <= target:
+                interval = iv
+                break
+        rewritten = {
+            "date_histogram": {
+                "field": body["field"], "calendar_interval": interval,
+            },
+        }
+        if sub:
+            rewritten["aggs"] = sub
+        return _compile_node(rows, name, rewritten, path, parent_keys,
+                             scale=scale)
 
     if kind == "filters":
         outs = []
@@ -447,7 +655,8 @@ def _compile_node(
                 f"_x_{bname}_{m}": s for m, s in metric_sub.items()
             }
             a, e = _metric_sub_plans(
-                prefixed, wrap=lambda c, cond=cond: F.when(cond, c)
+                prefixed, wrap=lambda c, cond=cond: F.when(cond, c),
+                scale=scale,
             )
             aggs.extend(a)
             bemits[bname] = [
@@ -463,7 +672,7 @@ def _compile_node(
             ).withColumn("_fk", F.lit(bname))
             outs.append(
                 _unpivot(sel, mypath, parent_keys + ["_fk"],
-                         bemits[bname])
+                         bemits[bname], scale=scale)
             )
         for bname, pred in preds.items():
             if not bucket_sub:
@@ -475,6 +684,7 @@ def _compile_node(
                 _compile_level(
                     filtered, bucket_sub, mypath,
                     parent_keys + [f"_fk_{mypath.count('>')}"],
+                    scale=scale,
                 )
             )
         return outs
@@ -524,7 +734,7 @@ def _compile_node(
             keyed = keyed.withColumn(f"_cs{i}", t).filter(
                 F.col(f"_cs{i}").isNotNull()
             )
-        agg_cols, emits = _metric_sub_plans(sub)
+        agg_cols, emits = _metric_sub_plans(sub, scale=scale)
         g = keyed.groupBy(
             *[F.col(f"_cs{i}") for i in range(len(names))]
         ).agg(F.count(F.lit(1)).alias("doc_count"), *agg_cols)
@@ -564,7 +774,7 @@ def _compile_node(
         if n not in metric_sub and n not in pipe_sub
     }
 
-    agg_cols, emits = _metric_sub_plans(metric_sub)
+    agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
     aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
     g = keyed.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
@@ -649,7 +859,7 @@ def _compile_node(
             g, pipe_sub, kind, body, keycol, parent_keys, metric_sub, emits
         )
 
-    outs = [_unpivot(g, mypath, key_cols, emits)]
+    outs = [_unpivot(g, mypath, key_cols, emits, scale=scale)]
 
     need_semi = kind in ("terms", "multi_terms") or has_selector
     child_rows = keyed
@@ -659,7 +869,8 @@ def _compile_node(
             F.broadcast(g.select(*key_cols).distinct()),
             key_cols, "left_semi",
         )
-    outs.extend(_compile_level(child_rows, bucket_sub, mypath, key_cols))
+    outs.extend(_compile_level(child_rows, bucket_sub, mypath, key_cols,
+                               scale=scale))
     return outs
 
 
@@ -713,7 +924,9 @@ def _apply_parent_pipeline(
     metric; bucket_selector filters the buckets (children then semi-join
     the survivors). Returns (g, emits, has_selector)."""
     has_selector = False
-    ordered_kinds = ("derivative", "cumulative_sum")
+    ordered_kinds = (
+        "derivative", "cumulative_sum", "serial_diff", "moving_fn",
+    )
     if any(_split_node(s)[0] in ordered_kinds for s in pipe_sub.values()):
         if kind == "histogram":
             ocol = F.col(keycol).cast("double")
@@ -721,8 +934,8 @@ def _apply_parent_pipeline(
             ocol = F.col(keycol)  # yyyy-MM-dd HH:mm:ss sorts lexically
         else:
             raise ValueError(
-                "derivative/cumulative_sum need a histogram or "
-                f"date_histogram parent, got {kind}"
+                "derivative/cumulative_sum/serial_diff/moving_fn need "
+                f"a histogram or date_histogram parent, got {kind}"
             )
         w = Window.partitionBy(*[F.col(c) for c in parent_keys]).orderBy(
             ocol
@@ -745,6 +958,49 @@ def _apply_parent_pipeline(
                     w.rowsBetween(Window.unboundedPreceding, 0)
                 ),
             )
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "serial_diff":
+            # ES serial_diff: metric minus the metric ``lag`` buckets
+            # earlier (lag=1 == derivative; larger lags deseasonalize);
+            # the first ``lag`` buckets emit null, as ES
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            lag = int(pbody.get("lag", 1))
+            if lag < 1:
+                raise ValueError(f"serial_diff lag must be >= 1: {lag}")
+            g = g.withColumn(f"_p_{pname}", src - F.lag(src, lag).over(w))
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "moving_fn":
+            # ES moving_fn at shift=0: the window offered to the
+            # function is [i - window + 1, i] — trailing, INCLUDING the
+            # current bucket (MovingFunctions' from = index - window +
+            # shift + 1). Supported scripts are the named
+            # MovingFunctions reductions; shift != 0 raises.
+            import re as _re
+
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            window = int(pbody["window"])
+            if window < 1:
+                raise ValueError(f"moving_fn window must be >= 1")
+            if int(pbody.get("shift", 0)) != 0:
+                raise ValueError("moving_fn shift != 0 unsupported")
+            script = pbody.get("script", "")
+            if isinstance(script, dict):
+                script = script.get("source", "")
+            m = _re.search(r"MovingFunctions\.(\w+)\s*\(", script)
+            fname = m.group(1) if m else str(script).strip()
+            fn = {
+                "unweightedAvg": F.avg, "max": F.max,
+                "min": F.min, "sum": F.sum,
+            }.get(fname)
+            if fn is None:
+                raise ValueError(
+                    f"unsupported moving_fn script: {script!r} "
+                    "(unweightedAvg/max/min/sum)"
+                )
+            mv = w.rowsBetween(-(window - 1), 0)
+            g = g.withColumn(f"_p_{pname}", fn(src).over(mv))
             emits.append((pname, F.col(f"_p_{pname}")))
         elif pkind == "bucket_script":
             g = g.withColumn(
@@ -791,6 +1047,28 @@ def _sibling_rows(
         pkey = F.lit("")
     mypath = f"{path}>{name}" if path else name
     grouped = src.groupBy(pkey.alias("_pk"))
+    if kind == "percentiles_bucket":
+        # ES percentiles_bucket: EXACT percentiles of the sibling's
+        # bucket metric (ES sorts the bucket values plainly here,
+        # unlike the t-digest percentiles metric) — one interpolated
+        # percentile over the bucket-count-sized long frame
+        percents = [float(p) for p in body.get("percents",
+                                               DEFAULT_PERCENTS)]
+        arr = F.array(*[F.lit(p / 100.0) for p in percents])
+        agg = grouped.agg(F.percentile(F.col("value"), arr).alias("_q"))
+        pairs = [
+            F.struct(
+                F.lit(f"{name}.{p:g}").alias("metric"),
+                F.element_at(F.col("_q"), i + 1)
+                .cast("double").alias("value"),
+            )
+            for i, p in enumerate(percents)
+        ]
+        return agg.select(
+            F.lit(mypath).alias("agg"),
+            F.col("_pk").alias("key"),
+            F.explode(F.array(*pairs)).alias("_mv"),
+        ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
     if kind == "stats_bucket":
         agg = grouped.agg(
             F.count("value").alias("count"),
@@ -876,7 +1154,8 @@ def _significant_terms_rows(
 
 
 def _compile_level(
-    rows: DataFrame, nodes: dict, path: str, parent_keys: list[str]
+    rows: DataFrame, nodes: dict, path: str, parent_keys: list[str],
+    scale: float = 1.0,
 ) -> list[DataFrame]:
     """Compile one level of the aggs tree: regular nodes first (each
     node's OWN bucket frame recorded by name), then sibling pipeline
@@ -889,7 +1168,8 @@ def _compile_level(
         if kind in SIBLING_PIPELINE_KINDS:
             siblings.append((name, kind, body))
             continue
-        child_outs = _compile_node(rows, name, node, path, parent_keys)
+        child_outs = _compile_node(rows, name, node, path, parent_keys,
+                                   scale=scale)
         if child_outs:
             frames[name] = child_outs[0]
         outs.extend(child_outs)

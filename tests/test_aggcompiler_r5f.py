@@ -1,0 +1,199 @@
+"""Round-5f aggs-compiler widening: string_stats metric, serial_diff /
+moving_fn parent pipelines, percentiles_bucket sibling, random_sampler /
+geohash_grid / ip_range / auto_date_histogram buckets — hand vectors per
+kind (reference semantics: ES aggregation docs; the compiler mirrors the
+standalone facets/geo kernels already gate-oracled)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+    dsl_aggs,
+)
+
+
+@pytest.fixture(scope="module")
+def shop(spark):
+    rows = [
+        # (doc_id, day, ip, tag, price, note)
+        (1, "2024-01-01 05:00:00", "10.0.0.10", "a", 10.0, "xx"),
+        (2, "2024-01-01 09:00:00", "10.0.0.200", "a", 20.0, "yyyy"),
+        (3, "2024-01-02 05:00:00", "10.0.1.5", "b", 30.0, "z"),
+        (4, "2024-01-02 18:00:00", "10.0.2.1", "b", 40.0, "wwwwww"),
+        (5, "2024-01-03 05:00:00", "10.0.0.1", "a", 50.0, "vvv"),
+        (6, "2024-01-04 05:00:00", "10.1.0.1", "c", 60.0, "u"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, day string, ip string, tag string, "
+        "price double, note string",
+    )
+    return df.withColumn("ts", F.to_timestamp("day"))
+
+
+def _rows(df):
+    return {
+        (r["agg"], r["key"], r["metric"]): r["value"] for r in df.collect()
+    }
+
+
+def test_string_stats_metric(shop):
+    out = _rows(dsl_aggs(shop, {
+        "notes": {"string_stats": {"field": "note"}},
+    }))
+    assert out[("notes", "", "doc_count")] == 6.0
+    assert out[("notes", "", "notes.count")] == 6.0
+    assert out[("notes", "", "notes.min_length")] == 1.0
+    assert out[("notes", "", "notes.max_length")] == 6.0
+    # lengths 2,4,1,6,3,1 -> avg 17/6
+    assert out[("notes", "", "notes.avg_length")] == pytest.approx(17 / 6)
+
+
+def test_string_stats_entropy_raises(shop):
+    with pytest.raises(ValueError, match="string_stats"):
+        dsl_aggs(shop, {
+            "notes": {"string_stats": {"field": "note",
+                                       "show_distribution": True}},
+        })
+
+
+def test_serial_diff_and_moving_fn(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "v": {"sum": {"field": "price"}},
+                "d2": {"serial_diff": {"buckets_path": "v", "lag": 2}},
+                "mv": {"moving_fn": {
+                    "buckets_path": "v", "window": 2,
+                    "script": "MovingFunctions.unweightedAvg(values)"}},
+            },
+        },
+    }))
+    # day sums: 30, 70, 50, 60
+    d = ["2024-01-0%d 00:00:00" % i for i in (1, 2, 3, 4)]
+    assert [out[("daily", k, "v")] for k in d] == [30.0, 70.0, 50.0, 60.0]
+    # serial_diff lag 2: null, null, 50-30, 60-70
+    assert out[("daily", d[0], "d2")] is None
+    assert out[("daily", d[1], "d2")] is None
+    assert out[("daily", d[2], "d2")] == 20.0
+    assert out[("daily", d[3], "d2")] == -10.0
+    # moving avg window 2 INCLUDING current (ES shift=0: [i-w+1, i])
+    assert out[("daily", d[0], "mv")] == 30.0
+    assert out[("daily", d[1], "mv")] == 50.0
+    assert out[("daily", d[2], "mv")] == 60.0
+    assert out[("daily", d[3], "mv")] == 55.0
+
+
+def test_moving_fn_unknown_script_raises(shop):
+    with pytest.raises(ValueError, match="moving_fn"):
+        dsl_aggs(shop, {
+            "daily": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {
+                    "v": {"sum": {"field": "price"}},
+                    "m": {"moving_fn": {"buckets_path": "v", "window": 2,
+                                        "script": "holt(values, 0.3)"}},
+                },
+            },
+        })
+
+
+def test_percentiles_bucket_sibling(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "price"}}},
+        },
+        "v_pcts": {"percentiles_bucket": {
+            "buckets_path": "daily>v", "percents": [50.0, 100.0]}},
+    }))
+    # bucket v values sorted: 30, 50, 60, 70 -> p50 = 55 (interp), p100 = 70
+    assert out[("v_pcts", "", "v_pcts.50")] == 55.0
+    assert out[("v_pcts", "", "v_pcts.100")] == 70.0
+
+
+def test_random_sampler_rescale_and_determinism(shop, spark):
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    p, seed = 0.5, 3
+    sampled = hash_sample(shop, p, key_col="doc_id", seed=seed)
+    n = sampled.count()
+    s = sampled.agg(F.sum("price")).collect()[0][0]
+    by_tag = {
+        r["tag"]: r["c"]
+        for r in sampled.groupBy("tag").agg(
+            F.count("*").alias("c")).collect()
+    }
+    assert 0 < n < 6  # the fixture straddles the threshold
+    out = _rows(dsl_aggs(shop, {
+        "samp": {
+            "random_sampler": {"probability": p, "seed": seed,
+                               "key_field": "doc_id"},
+            "aggs": {
+                "sv": {"sum": {"field": "price"}},
+                "tags": {"terms": {"field": "tag", "size": 10}},
+            },
+        },
+    }))
+    assert out[("samp", "", "doc_count")] == n * 2.0
+    assert out[("samp", "", "sv")] == pytest.approx(s * 2.0)
+    for tag, c in by_tag.items():
+        assert out[("samp>tags", tag, "doc_count")] == c * 2.0
+
+
+def test_random_sampler_unsafe_metric_raises(shop):
+    with pytest.raises(ValueError, match="random_sampler"):
+        dsl_aggs(shop, {
+            "samp": {
+                "random_sampler": {"probability": 0.5,
+                                   "key_field": "doc_id"},
+                "aggs": {"q": {"percentiles": {"field": "price"}}},
+            },
+        })
+
+
+def test_geohash_grid_bucket(spark):
+    # canonical vector: (57.64911, 10.40744) -> geohash u4pruydqqvj
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 57.64911, 10.40744),
+         (3, -33.86, 151.21)],
+        "doc_id long, lat double, lon double",
+    )
+    out = _rows(dsl_aggs(df, {
+        "cells": {"geohash_grid": {"lat_field": "lat", "lon_field": "lon",
+                                   "precision": 5}},
+    }))
+    assert out[("cells", "u4pru", "doc_count")] == 2.0
+    # Sydney lands in r3gx2 (precision-5 cell)
+    assert sum(v for (a, k, m), v in out.items()
+               if m == "doc_count") == 3.0
+
+
+def test_ip_range_bucket(shop):
+    out = _rows(dsl_aggs(shop, {
+        "nets": {"ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.0.128", "key": "low"},
+            {"from": "10.0.0.128", "to": "10.0.2.0", "key": "mid"},
+            {"from": "10.0.2.0", "key": "high"}]}},
+    }))
+    # low: 10.0.0.10, 10.0.0.1; mid: 10.0.0.200, 10.0.1.5;
+    # high: 10.0.2.1, 10.1.0.1
+    assert out[("nets", "low", "doc_count")] == 2.0
+    assert out[("nets", "mid", "doc_count")] == 2.0
+    assert out[("nets", "high", "doc_count")] == 2.0
+
+
+def test_auto_date_histogram_picks_interval(shop):
+    # 6 distinct hours > 4 target -> falls to day (4 distinct days <= 4)
+    out = _rows(dsl_aggs(shop, {
+        "auto": {"auto_date_histogram": {"field": "ts", "buckets": 4}},
+    }))
+    keys = sorted(k for (a, k, m) in out)
+    assert keys == ["2024-01-0%d 00:00:00" % i for i in (1, 2, 3, 4)]
+    assert out[("auto", "2024-01-02 00:00:00", "doc_count")] == 2.0
