@@ -6780,6 +6780,111 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {TOPK}
 """
 
 
+DSL_NESTED_BOOL_QUERIES = [
+    # q0: all-must/must_not text bool under must -> AND splice
+    (0, {"bool": {"must": [
+        {"match": {"content": "spark"}},
+        {"bool": {
+            "must": [{"match": {"content": "query"}}],
+            "must_not": [{"match": {"content": "slow"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+    ]}}),
+    # q1: const-only nested bool under must — membership (ES's >= 1
+    # should default) required, matching boosts add per doc
+    (1, {"bool": {"must": [
+        {"match": {"content": "spark"}},
+        {"bool": {"should": [
+            {"term": {"lang": {"value": "en", "boost": 1.0}}},
+            {"term": {"source": {"value": "src1", "boost": 0.5}}},
+        ]}},
+    ]}}),
+    # q2: const-only nested bool under must_not -> negated predicate
+    (2, {"bool": {
+        "must": [{"match": {"content": "query"}}],
+        "must_not": [{"bool": {"should": [
+            {"term": {"lang": "de"}},
+            {"range": {"n_chars": {"lt": 100}}},
+        ]}}],
+    }}),
+]
+
+
+def q_dsl_nested_bool(spark, sf_dir):
+    """Round-5f: nested scoring bools folded soundly (query/dsl.py) —
+    an all-must/must_not text bool under must splices up (AND
+    associativity), a const-only bool folds to one membership
+    predicate via compile_filter's ES bool defaults keeping
+    per-matching-should boosts, and a const bool under must_not
+    negates into the filter."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_NESTED_BOOL_QUERIES, _ws_config(), n_docs, avgdl,
+        doc_meta=meta, k=TOPK, k1=K1, b=B, max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_nested_bool_oracle_sql() -> str:
+    """The folds replay against INDEPENDENTLY-flattened equivalents:
+    q0/q2 compile hand-flattened bools (q2's negation through filter
+    context's own nested-bool path); q1 joins the text scores (qid 91)
+    with a membership-required const indicator."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    flat0 = {"bool": {
+        "must": [{"match": {"content": "spark"}},
+                 {"match": {"content": "query"}}],
+        "must_not": [{"match": {"content": "slow"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}
+    flat2 = {"bool": {
+        "must": [{"match": {"content": "query"}}],
+        "filter": [{"bool": {"must_not": [{"bool": {"should": [
+            {"term": {"lang": "de"}},
+            {"range": {"n_chars": {"lt": 100}}},
+        ]}}]}}],
+    }}
+    specs = []
+    for qid, node in ((0, flat0), (2, flat2)):
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    cq91 = compile_dsl({"match": {"content": "spark"}})
+    specs.append((91, cq91.parsed, cq91.filter_sql))
+    co = _clause_oracle_sql(specs, QS_MAX_EXP, ranked=False)
+    return f"""
+WITH co AS ({co}),
+ind1 AS (
+  SELECT doc_id,
+         (CASE WHEN lang = 'en' THEN 1.0 ELSE 0 END
+        + CASE WHEN source = 'src1' THEN 0.5 ELSE 0 END)::DOUBLE AS cb
+  FROM documents
+  WHERE lang = 'en' OR source = 'src1'
+),
+q1 AS (
+  SELECT co.doc_id, co.score + ind1.cb AS score
+  FROM co JOIN ind1 USING (doc_id) WHERE co.query_id = 91
+),
+lab AS (
+  SELECT query_id, doc_id, score FROM co WHERE query_id IN (0, 2)
+  UNION ALL SELECT 1, doc_id, score FROM q1
+)
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, doc_id)::BIGINT
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM lab
+QUALIFY rank <= {TOPK}
+"""
+
+
 DSL_DISMAX_TB = 0.3
 DSL_DISMAX_TB_QUERIES = [
     # tie-broken dis_max: max + tb * sum(others) over FULL sub hit sets
@@ -7942,6 +8047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_msm": q_dsl_msm,
         # dis_max tie_breaker>0 blend + const shoulds next to text
         "dsl_dismax_tb": q_dsl_dismax_tb,
+        # nested scoring bools folded soundly (splice / const predicate)
+        "dsl_nested_bool": q_dsl_nested_bool,
         # int8-quantized IVF candidate scoring + exact top rerank
         "ivf_quantized_topk": q_ivf_quantized_topk,
         # real BPE token accounting (embedded deterministic merge table)
@@ -7978,8 +8085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets": q_frequent_item_sets,
         # token-budget mixture sampling (per-source quotas, md5 order)
         "token_budget_mix": q_token_budget_mix,
-        # mustache-subset search templates through the DSL compiler
-        "search_template": q_search_template,
         # --- round-4j new/changed surfaces ---
         # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
         "analysis_filters2": q_analysis_filters2,
@@ -8023,10 +8128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- past the driver's 50-entry window -------------
         # streaming_sessions/match_bool_prefix/decontaminate/
         # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk/
-        # ivf_knn_filtered: r4 surfaces unchanged in r5, displaced past
-        # the window by the round-5 gates (driver-green in r4,
-        # replica-covered each round)
+        # ivf_knn_filtered/search_template: r4 surfaces unchanged in
+        # r5, displaced past the window by the round-5 gates
+        # (driver-green in r4, replica-covered each round)
         "ivf_knn_filtered": q_ivf_knn_filtered,
+        "search_template": q_search_template,
         "streaming_sessions": q_streaming_sessions,
         "match_bool_prefix": q_match_bool_prefix,
         "decontaminate": q_decontaminate,
@@ -9643,6 +9749,7 @@ GROUP BY 1
     sqls["dsl_intervals"] = _dsl_intervals_oracle_sql()
     sqls["dsl_msm"] = _dsl_msm_oracle_sql()
     sqls["dsl_dismax_tb"] = _dsl_dismax_tb_oracle_sql()
+    sqls["dsl_nested_bool"] = _dsl_nested_bool_oracle_sql()
     sqls["es_aggs"] = _es_aggs_oracle_sql()
     sqls["dsir_select"] = _dsir_oracle_sql()
     sqls["streaming_near_dup"] = _streaming_near_dup_oracle_sql()

@@ -67,8 +67,12 @@ can count differently (documented in query/phrase.py).
 Unsupported constructs: ``match`` with
 ``operator: and`` is only valid in must position (ES's optional-but-
 all-terms should-AND has no counterpart in the clause evaluator) and
-splits on whitespace before analysis; nested scoring ``bool``s are one
-level deep.
+splits on whitespace before analysis. Nested scoring ``bool``s fold
+when sound (round 5f): an all-must/must_not text bool under ``must``
+splices up (AND associativity), and a const-only bool at any depth
+folds to one membership predicate (compile_filter's ES defaults) with
+its per-matching-should boosts kept; a nested bool mixing text with
+shoulds, or sitting under ``should``, raises rather than mis-scoring.
 
 Reference scope note: the reference plugin delegates query parsing to
 its ES host (AnalysisComboPlugin.java:37-42); this module re-expresses
@@ -416,7 +420,51 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
         for part in parts:
             (lk, lb), = part.items()
             if lk == "bool":
-                raise ValueError("nested scoring bool unsupported")
+                # nested scoring bool (round 5f). Sound folds only:
+                # (a) an all-must/must_not TEXT bool under must splices
+                #     up (AND is associative; must_not-of-inner-match
+                #     is must_not-of-outer, boosts/filters carry);
+                # (b) a CONST-ONLY bool (term/terms/range/exists/ids/
+                #     filter at any depth) folds to ONE membership
+                #     predicate via compile_filter — which owns ES's
+                #     bool-membership defaults (should needs >= 1 only
+                #     when no must/filter sits beside it) — keeping the
+                #     per-matching-should boosts as should_consts
+                #     (sound under must: the fold's predicate already
+                #     guarantees inner membership for every hit).
+                # A nested bool mixing text clauses with shoulds, or
+                # sitting under should, has no per-doc-constant score
+                # and raises rather than mis-scoring.
+                inner = compile_dsl({lk: lb})
+                if inner.parsed.clauses:
+                    if (role == "must" and not inner.should_consts
+                            and inner.msm in (None, 0)
+                            and all(c.role in ("must", "must_not")
+                                    for c in inner.parsed.clauses)):
+                        clauses.extend(inner.parsed.clauses)
+                        if inner.filter_sql:
+                            const_filters.append(f"({inner.filter_sql})")
+                        const_offset += inner.const_offset
+                        continue
+                    raise ValueError(
+                        "nested scoring bool with text clauses is "
+                        "supported only as an all-must/must_not bool "
+                        "under must (AND splice)"
+                    )
+                pred = compile_filter({lk: lb})
+                if role == "must":
+                    const_filters.append(pred)
+                    const_offset += inner.const_offset
+                    should_consts.extend(inner.should_consts)
+                elif role == "must_not":
+                    const_filters.append(f"NOT ({pred})")
+                else:
+                    raise ValueError(
+                        "nested bool under should is unsupported (its "
+                        "per-doc score is not one constant; hoist it "
+                        "or move it to filter context)"
+                    )
+                continue
             if lk in CONST_KINDS:
                 clean, boost = _split_boost(lk, lb)
                 pred = compile_filter(clean)

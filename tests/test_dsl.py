@@ -108,8 +108,6 @@ def test_compile_dsl_roles():
         compile_dsl({"bool": {"should": [
             {"match": {"content": {"query": "x y", "operator": "and"}}}
         ]}})
-    with pytest.raises(ValueError):
-        compile_dsl({"bool": {"must": [{"bool": {}}]}})
     # integer msm compiles through; percentage forms raise
     assert compile_dsl({"bool": {
         "should": [{"match": {"content": "x"}}],
@@ -160,6 +158,55 @@ def _rows(df):
     return sorted(
         (r["doc_id"], r["rank"], round(r["score"], 9)) for r in df.collect()
     )
+
+
+def test_nested_scoring_bool_folds():
+    # (a) all-must/must_not text bool under must splices up (AND assoc)
+    cq = compile_dsl({"bool": {"must": [
+        {"match": {"content": "alpha"}},
+        {"bool": {
+            "must": [{"match": {"content": "beta"}}],
+            "must_not": [{"match": {"content": "gamma"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+    ]}})
+    assert [(c.role, c.text) for c in cq.parsed.clauses] == [
+        ("must", "alpha"), ("must", "beta"), ("must_not", "gamma"),
+    ]
+    assert cq.filter_sql == "(lang = 'en')"
+    # (b) const-only nested bool under must: membership predicate with
+    # ES's >= 1-should default + per-matching-should boosts kept
+    cq = compile_dsl({"bool": {"must": [
+        {"match": {"content": "alpha"}},
+        {"bool": {"should": [
+            {"term": {"lang": {"value": "en", "boost": 1.0}}},
+            {"term": {"source": {"value": "s1", "boost": 0.5}}},
+        ]}},
+    ]}})
+    assert cq.filter_sql == "((lang = 'en' OR source = 's1'))"
+    assert cq.should_consts == [("lang = 'en'", 1.0), ("source = 's1'", 0.5)]
+    # (c) const-only nested bool under must_not negates into the filter
+    cq = compile_dsl({"bool": {
+        "must": [{"match": {"content": "alpha"}}],
+        "must_not": [{"bool": {"should": [
+            {"term": {"lang": "de"}},
+            {"range": {"n_chars": {"lt": 100}}},
+        ]}}],
+    }})
+    assert cq.filter_sql == "NOT (((lang = 'de' OR (n_chars < 100))))"
+    # empty nested bool folds to TRUE membership (ES: matches all)
+    cq = compile_dsl({"bool": {"must": [{"bool": {}}]}})
+    assert cq.filter_sql == "TRUE"
+    # unsound folds raise rather than mis-score
+    with pytest.raises(ValueError, match="under should"):
+        compile_dsl({"bool": {
+            "must": [{"match": {"content": "alpha"}}],
+            "should": [{"bool": {"must": [{"term": {"lang": "en"}}]}}],
+        }})
+    with pytest.raises(ValueError, match="text clauses"):
+        compile_dsl({"bool": {"must": [
+            {"bool": {"should": [{"match": {"content": "beta"}}]}},
+        ]}})
 
 
 def test_dsl_matches_simple_query_string(spark, fixture):
