@@ -7623,6 +7623,20 @@ ES_AGGS3_BODY = {
                 "mv3": {"moving_fn": {
                     "buckets_path": "v", "window": 3,
                     "script": "MovingFunctions.unweightedAvg(values)"}},
+                # doc-count rate: integer-exact numerator, so the
+                # division is bit-deterministic cross-engine (the
+                # field-sum rate's hand vectors live in pytest — a
+                # parallel float sum can land on a %.6e boundary)
+                "rph": {"rate": {"unit": "hour"}},
+            },
+        },
+        "by_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "mad_v": {"median_absolute_deviation": {"field": "value"}},
+                "best": {"top_hits": {"size": 2,
+                                      "sort": [{"value": "desc"}],
+                                      "_source": ["event_id"]}},
             },
         },
         "day_pcts": {"percentiles_bucket": {
@@ -7732,6 +7746,38 @@ dh_rows AS (
   UNION ALL SELECT 'daily', key, 'v', v FROM dhp
   UNION ALL SELECT 'daily', key, 'd2', d2 FROM dhp
   UNION ALL SELECT 'daily', key, 'mv3', mv3 FROM dhp
+  UNION ALL SELECT 'daily', key, 'rph', doc_count / 24.0 FROM dhp
+),
+bt AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS doc_count,
+         quantile_cont(value, 0.5) AS med
+  FROM src GROUP BY 1
+),
+bt_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY doc_count DESC, key) AS rn
+    FROM bt
+  ) WHERE rn <= 3
+),
+btm AS (
+  SELECT s.event_type AS key,
+         quantile_cont(abs(s.value - b.med), 0.5) AS mad
+  FROM src s JOIN bt_top b ON s.event_type = b.key GROUP BY 1
+),
+bth AS (
+  SELECT * FROM (
+    SELECT s.event_type AS key, s.event_id,
+           row_number() OVER (PARTITION BY s.event_type
+                              ORDER BY s.value DESC, s.event_id) AS rk
+    FROM src s JOIN bt_top b ON s.event_type = b.key
+  ) WHERE rk <= 2
+),
+bt_rows AS (
+  SELECT 'by_type' AS agg, key, 'doc_count' AS metric,
+         doc_count AS value FROM bt_top
+  UNION ALL SELECT 'by_type', key, 'mad_v', mad FROM btm
+  UNION ALL SELECT 'by_type', key,
+            'best.' || rk || '.event_id', event_id::DOUBLE FROM bth
 ),
 pct AS (SELECT quantile_cont(v, [0.5, 0.9]) AS q FROM dh),
 pct_rows AS (
@@ -7800,6 +7846,7 @@ allrows AS (
   UNION ALL SELECT * FROM pct_rows UNION ALL SELECT * FROM s_rows
   UNION ALL SELECT * FROM st_rows UNION ALL SELECT * FROM gh_rows
   UNION ALL SELECT * FROM ip_rows UNION ALL SELECT * FROM ad_rows
+  UNION ALL SELECT * FROM bt_rows
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value
 FROM allrows WHERE value IS NOT NULL

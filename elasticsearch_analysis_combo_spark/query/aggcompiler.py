@@ -37,7 +37,15 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   quartiles), top_metrics (size-1 max_by/min_by), percentiles (exact
   interpolated, ``name.50`` rows; swap approx_percentile at 100 TB),
   string_stats (length half — count/min/max/avg_length; the entropy
-  half needs facets.string_stats_agg's char-explode pass)
+  half needs facets.string_stats_agg's char-explode pass);
+  under keyed buckets also rate (date_histogram children: sum or
+  doc_count per ``unit`` of the bucket span; varying calendar lengths
+  raise), median_absolute_deviation (bucket median rides the main
+  pass, |x-median| median is a second bucket-keyed pass), and
+  top_hits (per-bucket top ``size`` rows by ``sort`` via
+  WindowGroupLimit, emitted as ``name.rank.field`` rows per numeric
+  ``_source`` field; _source fields append as ascending tiebreaks so
+  the cut is total where ES leaves shard order)
 - pipeline aggs: parent ``derivative`` / ``cumulative_sum`` /
   ``serial_diff`` (lag-N delta) / ``moving_fn`` (trailing window
   incl. current bucket, MovingFunctions unweightedAvg/max/min/sum)
@@ -769,12 +777,46 @@ def _compile_node(
         n: s for n, s in sub.items()
         if _split_node(s)[0] in PARENT_PIPELINE_KINDS
     }
+    tophits_sub = {
+        n: s for n, s in sub.items() if _split_node(s)[0] == "top_hits"
+    }
+    rate_sub = {
+        n: s for n, s in sub.items() if _split_node(s)[0] == "rate"
+    }
+    mad_sub = {
+        n: s for n, s in sub.items()
+        if _split_node(s)[0] == "median_absolute_deviation"
+    }
     bucket_sub = {
         n: s for n, s in sub.items()
         if n not in metric_sub and n not in pipe_sub
+        and n not in tophits_sub and n not in rate_sub
+        and n not in mad_sub
     }
 
     agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
+    for rname, rnode in rate_sub.items():
+        # ES rate (date_histogram children only): sum(field) — or
+        # doc_count when no field — divided by the bucket span measured
+        # in ``unit`` intervals. Rides the ONE groupBy pass; calendar
+        # parents with varying bucket length (month/year) raise.
+        rbody = _split_node(rnode)[1]
+        a, e = _rate_plan(rname, rbody, kind, body, scale)
+        agg_cols.extend(a)
+        emits.extend(e)
+    for mname, mnode in mad_sub.items():
+        # first pass of median_absolute_deviation: the per-bucket
+        # median rides the main groupBy; the |x - median| median runs
+        # as a second bucket-keyed pass below
+        if scale != 1.0:
+            raise ValueError(
+                "median_absolute_deviation under random_sampler would "
+                "report a sample-scale quantile"
+            )
+        mfield = _split_node(mnode)[1]["field"]
+        agg_cols.append(
+            F.percentile(F.col(mfield), F.lit(0.5)).alias(f"_med_{mname}")
+        )
     aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
     g = keyed.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
@@ -863,15 +905,147 @@ def _compile_node(
 
     need_semi = kind in ("terms", "multi_terms") or has_selector
     child_rows = keyed
-    if need_semi and bucket_sub:
-        # children aggregate only the parent's SURVIVING buckets
-        child_rows = keyed.join(
-            F.broadcast(g.select(*key_cols).distinct()),
-            key_cols, "left_semi",
+    if (need_semi or min_dc > 1) and (bucket_sub or tophits_sub
+                                      or mad_sub):
+        # children/top_hits/MAD see only the parent's SURVIVING buckets
+        # (size cut, selector, min_doc_count). terms survivors are
+        # <= size rows -> broadcast; other kinds' bucket frames stay a
+        # plain (AQE-decided) semi join.
+        keys = g.select(*key_cols).distinct()
+        if kind in ("terms", "multi_terms"):
+            keys = F.broadcast(keys)
+        child_rows = keyed.join(keys, key_cols, "left_semi")
+
+    for mname, mnode in mad_sub.items():
+        # ES median_absolute_deviation: median(|x - median(x)|). Second
+        # bucket-keyed pass over the rows joined with the first pass's
+        # per-bucket median (bucket-count-sized dim side); exact
+        # interpolated percentile both times — swap approx_percentile
+        # at 100 TB, same call shape (the facets kernel's convention).
+        mfield = _split_node(mnode)[1]["field"]
+        med = g.select(*key_cols, F.col(f"_med_{mname}"))
+        if kind in ("terms", "multi_terms"):
+            med = F.broadcast(med)
+        mg = (
+            child_rows.join(med, key_cols)
+            .groupBy(*[F.col(c) for c in key_cols])
+            .agg(
+                F.percentile(
+                    F.abs(F.col(mfield) - F.col(f"_med_{mname}")),
+                    F.lit(0.5),
+                ).alias("_mad")
+            )
         )
+        key = (
+            F.concat_ws("|", *[F.col(c) for c in key_cols])
+            if key_cols else F.lit("")
+        )
+        outs.append(mg.select(
+            F.lit(mypath).alias("agg"), key.alias("key"),
+            F.lit(mname).alias("metric"),
+            F.col("_mad").cast("double").alias("value"),
+        ))
+
+    for tname, tnode in tophits_sub.items():
+        outs.append(
+            _top_hits_rows(child_rows, tname, _split_node(tnode)[1],
+                           mypath, key_cols)
+        )
+
     outs.extend(_compile_level(child_rows, bucket_sub, mypath, key_cols,
                                scale=scale))
     return outs
+
+
+_RATE_UNITS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    "week": 604800,
+}
+
+
+def _rate_plan(name: str, body: dict, pkind: str, pbody: dict,
+               scale: float):
+    """ES ``rate`` metric: one (agg_col, emit) pair riding the parent
+    date_histogram's groupBy pass — sum(field) (or the doc count)
+    divided by the bucket span in ``unit`` intervals. Calendar parents
+    whose bucket length varies (month/year) raise; week/quarter units
+    likewise need the varying-length calendar ES delegates to."""
+    if pkind != "date_histogram":
+        raise ValueError("rate needs a date_histogram parent")
+    fixed = pbody.get("fixed_interval")
+    if fixed is not None:
+        span = _fixed_interval_seconds(fixed)
+    else:
+        cal = pbody.get("calendar_interval", pbody.get("interval", "day"))
+        if cal not in ("hour", "day"):
+            raise ValueError(
+                f"rate under calendar_interval {cal!r} has a varying "
+                "bucket length; use a fixed_interval parent"
+            )
+        span = 3600 if cal == "hour" else 86400
+    unit = body.get("unit", "day")
+    if unit not in _RATE_UNITS:
+        raise ValueError(f"unsupported rate unit: {unit!r}")
+    divisor = span / _RATE_UNITS[unit]
+    field = body.get("field")
+    src = F.sum(F.col(field)) if field else F.count(F.lit(1))
+    col = (src * F.lit(scale) / F.lit(divisor)).alias(name)
+    return [col], [(name, F.col(name))]
+
+
+def _top_hits_rows(child_rows: DataFrame, name: str, body: dict,
+                   path: str, key_cols: list[str]) -> DataFrame:
+    """ES ``top_hits`` under a bucket: the bucket's top ``size`` rows
+    by ``sort``, emitted as ``{name}.{rank}.{field}`` rows per
+    ``_source`` field (the long format carries doubles, so _source
+    fields must be numeric). ES breaks sort ties by shard order
+    (nondeterministic); for cross-engine replay the _source fields
+    append as ascending tiebreaks, making the cut total. The
+    row_number filter is WindowGroupLimit — each map task forwards at
+    most ``size`` rows per bucket, so the shuffle carries hits, not
+    buckets."""
+    size = int(body.get("size", 3))
+    sorts = body.get("sort", [])
+    if isinstance(sorts, dict):
+        sorts = [sorts]
+    order = []
+    for s in sorts:
+        (f_, d), = s.items()
+        if isinstance(d, dict):
+            d = d.get("order", "asc")
+        order.append(F.col(f_).desc() if d == "desc" else F.col(f_).asc())
+    fields = body.get("_source", [])
+    if not fields:
+        raise ValueError(
+            "top_hits needs a _source list naming numeric fields "
+            "(the long output format carries doubles)"
+        )
+    order += [F.col(f_).asc() for f_ in fields]
+    if not order:
+        raise ValueError("top_hits needs a sort")
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    hits = (
+        child_rows.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= size)
+    )
+    key = (
+        F.concat_ws("|", *[F.col(c) for c in key_cols])
+        if key_cols else F.lit("")
+    )
+    pairs = [
+        F.struct(
+            F.concat(
+                F.lit(f"{name}."), F.col("_rk").cast("string"),
+                F.lit(f".{f_}"),
+            ).alias("metric"),
+            F.col(f_).cast("double").alias("value"),
+        )
+        for f_ in fields
+    ]
+    return hits.select(
+        F.lit(path).alias("agg"), key.alias("key"),
+        F.explode(F.array(*pairs)).alias("_mv"),
+    ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
 
 
 def _resolve_bucket_metric(path: str, metric_sub: dict):

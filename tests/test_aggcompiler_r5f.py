@@ -197,3 +197,70 @@ def test_auto_date_histogram_picks_interval(shop):
     keys = sorted(k for (a, k, m) in out)
     assert keys == ["2024-01-0%d 00:00:00" % i for i in (1, 2, 3, 4)]
     assert out[("auto", "2024-01-02 00:00:00", "doc_count")] == 2.0
+
+
+def test_top_hits_under_terms(shop):
+    out = dsl_aggs(shop, {
+        "tags": {
+            "terms": {"field": "tag", "size": 2},
+            "aggs": {"best": {"top_hits": {
+                "size": 2, "sort": [{"price": "desc"}],
+                "_source": ["doc_id"]}}},
+        },
+    })
+    rows = {(r["agg"], r["key"], r["metric"]): r["value"]
+            for r in out.collect()}
+    # top-2 tags by count: a (3 docs), b (2 docs)
+    assert rows[("tags", "a", "best.1.doc_id")] == 5.0  # price 50
+    assert rows[("tags", "a", "best.2.doc_id")] == 2.0  # price 20
+    assert rows[("tags", "b", "best.1.doc_id")] == 4.0  # price 40
+    assert rows[("tags", "b", "best.2.doc_id")] == 3.0
+    # tag c fell to the size cut -> no hits emitted for it
+    assert not any(k == "c" for (a, k, m) in rows if a == "tags"
+                   and m.startswith("best."))
+
+
+def test_rate_metric(shop):
+    out = dsl_aggs(shop, {
+        "h12": {
+            "date_histogram": {"field": "ts", "fixed_interval": "12h"},
+            "aggs": {
+                "per_hour": {"rate": {"field": "price", "unit": "hour"}},
+                "docs_per_day": {"rate": {"unit": "day"}},
+            },
+        },
+    })
+    rows = {(r["key"], r["metric"]): r["value"] for r in out.collect()}
+    # bucket 2024-01-01 00:00:00 holds docs 1,2 (prices 10+20), span
+    # 12h: per_hour = 30/12; docs_per_day = 2 / 0.5
+    assert rows[("2024-01-01 00:00:00", "per_hour")] == pytest.approx(2.5)
+    assert rows[("2024-01-01 00:00:00", "docs_per_day")] == 4.0
+    # doc 4 at 18:00 is its own bucket
+    assert rows[("2024-01-02 12:00:00", "per_hour")] == pytest.approx(
+        40.0 / 12)
+
+
+def test_rate_varying_calendar_raises(shop):
+    with pytest.raises(ValueError, match="varying"):
+        dsl_aggs(shop, {
+            "m": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "month"},
+                  "aggs": {"r": {"rate": {"unit": "day"}}}},
+        })
+
+
+def test_median_absolute_deviation(shop):
+    out = dsl_aggs(shop, {
+        "tags": {
+            "terms": {"field": "tag", "size": 10},
+            "aggs": {"mad": {"median_absolute_deviation": {
+                "field": "price"}}},
+        },
+    })
+    rows = {(r["key"], r["metric"]): r["value"] for r in out.collect()}
+    # tag a prices 10,20,50: median 20, |x-20| = 10,0,30 -> MAD 10
+    assert rows[("a", "mad")] == 10.0
+    # tag b prices 30,40: median 35, deviations 5,5 -> MAD 5
+    assert rows[("b", "mad")] == 5.0
+    # tag c single price -> MAD 0
+    assert rows[("c", "mad")] == 0.0
