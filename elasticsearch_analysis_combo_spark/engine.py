@@ -1797,6 +1797,72 @@ class MultiFieldSearchEngine:
             k1=self.k1, b=self.b, field_meta=meta,
         )
 
+    @staticmethod
+    def _parse_fieldspecs(specs):
+        """ES ``fields`` list with ``field^boost`` syntax ->
+        (field list | None, {field: boost} | None)."""
+        if not specs:
+            return None, None
+        fields, boosts = [], {}
+        for s in specs:
+            if "^" in s:
+                f, b = str(s).split("^", 1)
+                fields.append(f)
+                boosts[f] = float(b)
+            else:
+                fields.append(str(s))
+        return fields, (boosts or None)
+
+    def search_dsl(
+        self,
+        dsl: dict,
+        k: int = 10,
+        partitioned: bool | None = None,
+    ) -> DataFrame:
+        """ES ``_search`` ``query`` route for the FIELDED engine — the
+        JSON bodies applications send for multi-field search:
+        ``multi_match`` (``type`` best_fields / most_fields /
+        cross_fields, ``fields`` with ES's ``field^boost`` syntax,
+        ``tie_breaker``) and ``combined_fields`` (per-field weights
+        from the same syntax) dispatch onto the facade evaluators.
+        The single-field ComboSearchEngine.search_dsl handles
+        everything else; ``phrase``/``bool_prefix`` multi_match types
+        raise (per-field phrase positions live on the single-field
+        facade)."""
+        if not isinstance(dsl, dict) or len(dsl) != 1:
+            raise ValueError(
+                f"query node must have exactly one key: {dsl!r}"
+            )
+        kind, body = next(iter(dsl.items()))
+        if kind == "multi_match":
+            mtype = body.get("type", "best_fields")
+            if mtype not in ("best_fields", "most_fields",
+                             "cross_fields"):
+                raise ValueError(
+                    f"unsupported multi_match type: {mtype!r} "
+                    "(best_fields/most_fields/cross_fields)"
+                )
+            fields, boosts = self._parse_fieldspecs(body.get("fields"))
+            return self.multi_match(
+                body["query"], kind=mtype, boosts=boosts,
+                tie_breaker=float(body.get("tie_breaker", 0.0)),
+                k=k, fields=fields, partitioned=partitioned,
+            )
+        if kind == "combined_fields":
+            if str(body.get("operator", "or")).lower() != "or":
+                raise ValueError(
+                    "combined_fields operator=and unsupported"
+                )
+            fields, weights = self._parse_fieldspecs(body.get("fields"))
+            return self.combined_fields(
+                body["query"], weights=weights, k=k, fields=fields,
+            )
+        raise ValueError(
+            f"unsupported fielded query kind: {kind!r} (multi_match / "
+            "combined_fields; single-field bodies go to "
+            "ComboSearchEngine.search_dsl)"
+        )
+
     def combined_fields(
         self,
         query: str | list[tuple[int, str]],

@@ -232,3 +232,39 @@ def test_cross_fields_blended_stats(spark):
     assert set(got) == set(exp)
     for key in exp:
         assert got[key] == pytest.approx(exp[key], rel=1e-9), key
+
+
+def test_search_dsl_fielded_routes(spark, tmp_path):
+    """The fielded search_dsl route: ES multi_match / combined_fields
+    JSON bodies (field^boost syntax, tie_breaker, type dispatch) land
+    on the same evaluators as the direct facade calls."""
+    corpus = _fielded_corpus(spark, n=30, seed=7)
+    eng = MultiFieldSearchEngine(
+        spark, CFG, str(tmp_path / "mfd"), salt_shards=2
+    )
+    eng.index(corpus, field_cols={"title": "title", "body": "body"})
+    via_dsl = eng.search_dsl({"multi_match": {
+        "query": "spark query",
+        "fields": ["title^2.0", "body"],
+        "type": "best_fields", "tie_breaker": 0.3,
+    }}, k=8)
+    direct = eng.multi_match(
+        "spark query", boosts={"title": 2.0}, tie_breaker=0.3, k=8,
+        fields=["title", "body"],
+    )
+    key = lambda df: [(r["doc_id"], round(r["score"], 6))
+                      for r in df.orderBy("rank").collect()]
+    assert key(via_dsl) == key(direct)
+    cf_dsl = eng.search_dsl({"combined_fields": {
+        "query": "spark query", "fields": ["title^2.0", "body"],
+    }}, k=8)
+    cf = eng.combined_fields(
+        "spark query", weights={"title": 2.0}, k=8,
+        fields=["title", "body"],
+    )
+    assert key(cf_dsl) == key(cf)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multi_match type"):
+        eng.search_dsl({"multi_match": {"query": "x", "type": "phrase"}})
+    with _pt.raises(ValueError, match="fielded query kind"):
+        eng.search_dsl({"match": {"body": "x"}})
