@@ -7657,6 +7657,12 @@ ES_AGGS3_BODY = {
             {"from": "10.0.1.0", "key": "high"}]}},
         "auto_daily": {"auto_date_histogram": {
             "field": "ts", "buckets": AUTO_DH_TARGET}},
+        "adj": {"adjacency_matrix": {"filters": {
+            "hot": "value >= 300.0",
+            "clicks": "event_type = 'click'",
+        }}, "aggs": {"av": {"avg": {"field": "value"}}}},
+        "tiles": {"geotile_grid": {"lat_field": "lat",
+                                   "lon_field": "lon", "precision": 4}},
     },
 }
 
@@ -7824,6 +7830,48 @@ ip_rows AS (
          'doc_count' AS metric, count(*)::DOUBLE AS value
   FROM src GROUP BY 2
 ),
+adjc AS (
+  SELECT
+    sum(CASE WHEN value >= 300.0 THEN 1 ELSE 0 END)::DOUBLE AS c_hot,
+    avg(CASE WHEN value >= 300.0 THEN value END) AS v_hot,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
+      AS c_clk,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS v_clk,
+    sum(CASE WHEN value >= 300.0 AND event_type = 'click'
+             THEN 1 ELSE 0 END)::DOUBLE AS c_both,
+    avg(CASE WHEN value >= 300.0 AND event_type = 'click'
+             THEN value END) AS v_both
+  FROM src
+),
+adj_rows AS (
+  SELECT 'adj' AS agg, 'hot' AS key, 'doc_count' AS metric,
+         c_hot AS value FROM adjc WHERE c_hot > 0
+  UNION ALL SELECT 'adj', 'hot', 'av', v_hot FROM adjc WHERE c_hot > 0
+  UNION ALL SELECT 'adj', 'clicks', 'doc_count', c_clk FROM adjc
+    WHERE c_clk > 0
+  UNION ALL SELECT 'adj', 'clicks', 'av', v_clk FROM adjc
+    WHERE c_clk > 0
+  UNION ALL SELECT 'adj', 'clicks&hot', 'doc_count', c_both FROM adjc
+    WHERE c_both > 0
+  UNION ALL SELECT 'adj', 'clicks&hot', 'av', v_both FROM adjc
+    WHERE c_both > 0
+),
+gt AS (
+  SELECT least(greatest(
+           floor((lon + 180.0) / 360.0 * 16)::BIGINT, 0), 15) AS tx,
+         least(greatest(
+           floor((1.0 - ln(tan(radians(
+             greatest(-85.0511287798, least(85.0511287798, lat))))
+             + 1.0 / cos(radians(
+             greatest(-85.0511287798, least(85.0511287798, lat)))))
+             / pi()) / 2.0 * 16)::BIGINT, 0), 15) AS ty
+  FROM src
+),
+gt_rows AS (
+  SELECT 'tiles' AS agg, '4/' || tx || '/' || ty AS key,
+         'doc_count' AS metric, count(*)::DOUBLE AS value
+  FROM gt GROUP BY 2
+),
 pick AS (
   SELECT CASE
     WHEN count(DISTINCT date_trunc('hour', ts)) <= {AUTO_DH_TARGET}
@@ -7846,7 +7894,8 @@ allrows AS (
   UNION ALL SELECT * FROM pct_rows UNION ALL SELECT * FROM s_rows
   UNION ALL SELECT * FROM st_rows UNION ALL SELECT * FROM gh_rows
   UNION ALL SELECT * FROM ip_rows UNION ALL SELECT * FROM ad_rows
-  UNION ALL SELECT * FROM bt_rows
+  UNION ALL SELECT * FROM bt_rows UNION ALL SELECT * FROM adj_rows
+  UNION ALL SELECT * FROM gt_rows
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value
 FROM allrows WHERE value IS NOT NULL

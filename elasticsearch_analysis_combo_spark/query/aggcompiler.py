@@ -88,6 +88,7 @@ BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "multi_terms", "date_range", "rare_terms", "composite",
     "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
+    "adjacency_matrix", "geotile_grid",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -441,6 +442,34 @@ def _key_expr(kind: str, body: dict):
             F.col(lat).isNotNull() & F.col(lon).isNotNull(),
             F.expr(text),
         )
+    if kind == "geotile_grid":
+        # ES geotile_grid: web-mercator slippy tiles at zoom
+        # ``precision``, keyed "z/x/y" — the geo.geotile_grid_agg tile
+        # math (lat clamped to +/-85.0511, edge x/y clamped), pure
+        # codegen arithmetic
+        import math as _math
+
+        precision = int(body.get("precision", 7))
+        if not 0 <= precision <= 29:
+            raise ValueError("precision must be in [0, 29]")
+        latf = body.get("lat_field", "lat")
+        lonf = body.get("lon_field", "lon")
+        n = float(1 << precision)
+        lat_c = F.greatest(
+            F.lit(-85.0511287798),
+            F.least(F.lit(85.0511287798), F.col(latf)),
+        )
+        x = F.floor((F.col(lonf) + 180.0) / 360.0 * n).cast("long")
+        lat_rad = F.radians(lat_c)
+        mercator = F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad))
+        y = F.floor((1.0 - mercator / _math.pi) / 2.0 * n).cast("long")
+        x = F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1))
+        y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1))
+        return F.when(
+            F.col(latf).isNotNull() & F.col(lonf).isNotNull(),
+            F.concat_ws("/", F.lit(str(precision)),
+                        x.cast("string"), y.cast("string")),
+        )
     raise ValueError(f"unsupported bucket agg: {kind}")
 
 
@@ -694,6 +723,63 @@ def _compile_node(
                     parent_keys + [f"_fk_{mypath.count('>')}"],
                     scale=scale,
                 )
+            )
+        return outs
+
+    if kind == "adjacency_matrix":
+        # ES adjacency_matrix: one bucket per named filter plus one per
+        # intersecting pair (key "a&b", names sorted, ES's ``&``
+        # separator knob) — ONE conditional-aggregation pass computes
+        # every single and pair count (and any metric sub-aggs,
+        # conditionally), exactly the filters-agg shape; only non-empty
+        # buckets emit, as ES. Bucket sub-aggs would need 2^n filtered
+        # recursions and raise (the standalone facets.adjacency_matrix
+        # path covers per-cell drill-down).
+        sep = str(body.get("separator", "&"))
+        preds = dict(body["filters"])
+        names = sorted(preds)
+        cells = [(a, preds[a]) for a in names] + [
+            (f"{a}{sep}{b}", f"({preds[a]}) AND ({preds[b]})")
+            for i, a in enumerate(names) for b in names[i + 1:]
+        ]
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        if len(metric_sub) != len(sub):
+            raise ValueError(
+                "adjacency_matrix sub-aggs must be metrics"
+            )
+        aggs, bemits = [], {}
+        for bname, pred in cells:
+            cond = F.expr(pred)
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c_{bname}")
+            )
+            prefixed = {
+                f"_x_{bname}_{m}": s for m, s in metric_sub.items()
+            }
+            a, e = _metric_sub_plans(
+                prefixed, wrap=lambda c, cond=cond: F.when(cond, c),
+                scale=scale,
+            )
+            aggs.extend(a)
+            bemits[bname] = [
+                (label.replace(f"_x_{bname}_", "", 1), col)
+                for label, col in e
+            ]
+        row = (rows.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+               if parent_keys else rows.agg(*aggs))
+        outs = []
+        for bname, _ in cells:
+            sel = row.withColumn(
+                "doc_count", F.coalesce(F.col(f"_c_{bname}"), F.lit(0))
+            ).filter(F.col("doc_count") > 0).withColumn(
+                "_ak", F.lit(bname)
+            )
+            outs.append(
+                _unpivot(sel, mypath, parent_keys + ["_ak"],
+                         bemits[bname], scale=scale)
             )
         return outs
 

@@ -264,3 +264,43 @@ def test_median_absolute_deviation(shop):
     assert rows[("b", "mad")] == 5.0
     # tag c single price -> MAD 0
     assert rows[("c", "mad")] == 0.0
+
+
+def test_adjacency_matrix_bucket(shop):
+    out = _rows(dsl_aggs(shop, {
+        "adj": {"adjacency_matrix": {"filters": {
+            "cheap": "price < 35",
+            "early": "ts < timestamp('2024-01-02 12:00:00')",
+        }}, "aggs": {"s": {"sum": {"field": "price"}}}},
+    }))
+    # cheap: docs 1,2,3 (10,20,30); early: 1,2,3; cheap&early: 1,2,3
+    assert out[("adj", "cheap", "doc_count")] == 3.0
+    assert out[("adj", "early", "doc_count")] == 3.0
+    assert out[("adj", "cheap&early", "doc_count")] == 3.0
+    assert out[("adj", "cheap", "s")] == 60.0
+    # empty intersections don't emit
+    out2 = {k for k in _rows(dsl_aggs(shop, {
+        "adj": {"adjacency_matrix": {"filters": {
+            "lo": "price < 15", "hi": "price > 55"}}}},
+    ))}
+    assert ("adj", "lo&hi", "doc_count") not in out2
+    with pytest.raises(ValueError, match="metrics"):
+        dsl_aggs(shop, {"adj": {
+            "adjacency_matrix": {"filters": {"a": "price < 35"}},
+            "aggs": {"t": {"terms": {"field": "tag"}}}}})
+
+
+def test_geotile_grid_bucket(spark):
+    # zoom 2: Copenhagen-ish (57.65, 10.41) -> tile 2/2/1;
+    # Sydney (-33.86, 151.21) -> x=floor(331.21/360*4)=3,
+    # y: mercator(-33.86) ~ -0.625 -> (1+0.199)/2*4 ~ 2.39 -> 2
+    df = spark.createDataFrame(
+        [(1, 57.65, 10.41), (2, 57.65, 10.41), (3, -33.86, 151.21)],
+        "doc_id long, lat double, lon double",
+    )
+    out = _rows(dsl_aggs(df, {
+        "tiles": {"geotile_grid": {"lat_field": "lat",
+                                   "lon_field": "lon", "precision": 2}},
+    }))
+    assert out[("tiles", "2/2/1", "doc_count")] == 2.0
+    assert out[("tiles", "2/3/2", "doc_count")] == 1.0
