@@ -7628,8 +7628,23 @@ ES_AGGS3_BODY = {
                 # field-sum rate's hand vectors live in pytest — a
                 # parallel float sum can land on a %.6e boundary)
                 "rph": {"rate": {"unit": "hour"}},
+                "pct": {"normalize": {"buckets_path": "v",
+                                      "method": "percent_of_sum"}},
+                "mp": {"moving_percentiles": {
+                    "buckets_path": "v", "window": 3,
+                    "percents": [50.0]}},
+                "u_day": {"cardinality": {"field": "user_id"}},
+                "u_total": {"cumulative_cardinality": {
+                    "buckets_path": "u_day"}},
             },
         },
+        "xs": {"extended_stats_bucket": {"buckets_path": "daily>v"}},
+        "tt": {"t_test": {
+            "a": {"field": "value",
+                  "filter": {"term": {"event_type": "click"}}},
+            "b": {"field": "value",
+                  "filter": {"term": {"event_type": "view"}}},
+        }},
         "by_type": {
             "terms": {"field": "event_type", "size": 3},
             "aggs": {
@@ -7737,14 +7752,31 @@ ps_rows AS (
 ),
 dh AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS key,
-         count(*)::DOUBLE AS doc_count, sum(value) AS v
+         count(*)::DOUBLE AS doc_count, sum(value) AS v,
+         count(DISTINCT user_id)::DOUBLE AS u_day
   FROM src GROUP BY 1
 ),
 dhp AS (
   SELECT *, v - lag(v, 2) OVER (ORDER BY key) AS d2,
          avg(v) OVER (ORDER BY key
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3,
+         round(v / sum(v) OVER (), 6) AS pct,
+         round(quantile_cont(v, 0.5) OVER (ORDER BY key
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mp50
   FROM dh
+),
+fseen AS (
+  SELECT user_id,
+         min(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'))
+           AS key
+  FROM src GROUP BY 1
+),
+news AS (SELECT key, count(*)::DOUBLE AS n FROM fseen GROUP BY 1),
+ccum AS (
+  SELECT dh.key,
+         sum(coalesce(news.n, 0)) OVER (ORDER BY dh.key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM dh LEFT JOIN news USING (key)
 ),
 dh_rows AS (
   SELECT 'daily' AS agg, key, 'doc_count' AS metric, doc_count AS value
@@ -7753,6 +7785,43 @@ dh_rows AS (
   UNION ALL SELECT 'daily', key, 'd2', d2 FROM dhp
   UNION ALL SELECT 'daily', key, 'mv3', mv3 FROM dhp
   UNION ALL SELECT 'daily', key, 'rph', doc_count / 24.0 FROM dhp
+  UNION ALL SELECT 'daily', key, 'pct', pct FROM dhp
+  UNION ALL SELECT 'daily', key, 'mp.50', mp50 FROM dhp
+  UNION ALL SELECT 'daily', key, 'u_day', u_day FROM dhp
+  UNION ALL SELECT 'daily', key, 'u_total', cc FROM ccum
+),
+xsb AS (
+  SELECT count(v)::DOUBLE AS cnt, min(v) AS mn, max(v) AS mx,
+         avg(v) AS av, sum(v) AS sm, sum(v * v) AS ss,
+         var_pop(v) AS vr, stddev_pop(v) AS sd
+  FROM dh
+),
+xs_rows AS (
+  SELECT 'xs' AS agg, '' AS key, 'xs.count' AS metric, cnt AS value
+  FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.min', mn FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.max', mx FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.avg', av FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.sum', sm FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.sum_of_squares', ss FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.variance', vr FROM xsb
+  UNION ALL SELECT 'xs', '', 'xs.std_deviation', sd FROM xsb
+),
+ttb AS (
+  SELECT count(CASE WHEN event_type = 'click' THEN value END) AS na,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+         var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+         count(CASE WHEN event_type = 'view' THEN value END) AS nb,
+         avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+         var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb,
+         count(*)::DOUBLE AS dc
+  FROM src
+),
+tt_rows AS (
+  SELECT 'tt' AS agg, '' AS key, 'doc_count' AS metric, dc AS value
+  FROM ttb
+  UNION ALL
+  SELECT 'tt', '', 'tt', (ma - mb) / sqrt(va / na + vb / nb) FROM ttb
 ),
 bt AS (
   SELECT event_type AS key, count(*)::DOUBLE AS doc_count,
@@ -7895,7 +7964,8 @@ allrows AS (
   UNION ALL SELECT * FROM st_rows UNION ALL SELECT * FROM gh_rows
   UNION ALL SELECT * FROM ip_rows UNION ALL SELECT * FROM ad_rows
   UNION ALL SELECT * FROM bt_rows UNION ALL SELECT * FROM adj_rows
-  UNION ALL SELECT * FROM gt_rows
+  UNION ALL SELECT * FROM gt_rows UNION ALL SELECT * FROM xs_rows
+  UNION ALL SELECT * FROM tt_rows
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value
 FROM allrows WHERE value IS NOT NULL

@@ -48,14 +48,20 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   the cut is total where ES leaves shard order)
 - pipeline aggs: parent ``derivative`` / ``cumulative_sum`` /
   ``serial_diff`` (lag-N delta) / ``moving_fn`` (trailing window
-  incl. current bucket, MovingFunctions unweightedAvg/max/min/sum)
-  (ordered histogram/date_histogram axis) / ``bucket_script`` /
-  ``bucket_selector`` (all over the node's REDUCED bucket frame —
-  bucket-count-sized windows, never row data); sibling ``avg_bucket``
-  / ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` /
-  ``stats_bucket`` / ``percentiles_bucket`` (exact, as ES computes
-  sibling percentiles) (reduce a sibling's per-bucket metric via its
-  long frame, grouped by the enclosing-bucket key prefix)
+  incl. current bucket, MovingFunctions unweightedAvg/max/min/sum) /
+  ``moving_percentiles`` (trailing exact quantile_cont) /
+  ``normalize`` (rescale_0_1 / percent_of_sum / z_score / softmax) /
+  ``bucket_sort`` (rank-truncate; children semi-join survivors) /
+  ``cumulative_cardinality`` (first-seen reduction over the surviving
+  bucket spine — exact where ES chains HLL sketches)
+  (ordered histogram/date_histogram axis where order matters) /
+  ``bucket_script`` / ``bucket_selector`` (all over the node's
+  REDUCED bucket frame — bucket-count-sized windows, never row data);
+  sibling ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` /
+  ``sum_bucket`` / ``stats_bucket`` / ``extended_stats_bucket`` /
+  ``percentiles_bucket`` (exact, as ES computes sibling percentiles)
+  (reduce a sibling's per-bucket metric via its long frame, grouped
+  by the enclosing-bucket key prefix)
 - nesting: bucket > bucket > ... > metrics at any depth (keys
   accumulate into a composite groupBy key — the whole sub-tree level
   is ONE partial-aggregated shuffle, the repo's flatten-the-agg-tree
@@ -93,19 +99,28 @@ BUCKET_KINDS = (
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
-    "boxplot", "top_metrics", "string_stats",
+    "boxplot", "top_metrics", "string_stats", "t_test",
 )
+
+
+def _compile_filter_node(node: dict) -> str:
+    """DSL filter node -> SQL predicate (lazy import: dsl.py imports
+    nothing from this module, but keep the edge one-way at runtime)."""
+    from .dsl import compile_filter
+
+    return compile_filter(node)
 # pipeline aggs UNDER a bucket node (computed over that node's reduced
 # bucket frame, ordered by bucket key — histogram/date_histogram parents)
 PARENT_PIPELINE_KINDS = (
     "derivative", "cumulative_sum", "bucket_script", "bucket_selector",
-    "serial_diff", "moving_fn",
+    "serial_diff", "moving_fn", "normalize", "moving_percentiles",
+    "bucket_sort",
 )
 # pipeline aggs NEXT TO a bucket node (reduce a sibling's bucket metric
 # to one value per enclosing bucket)
 SIBLING_PIPELINE_KINDS = (
     "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
-    "percentiles_bucket",
+    "percentiles_bucket", "extended_stats_bucket",
 )
 # metric kinds whose values stay valid under random_sampler rescale:
 # sum/value_count scale by 1/p; ratio/extreme metrics are unbiased
@@ -533,6 +548,50 @@ def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
             )
             emits.append((mname, F.col(mname)))
             continue
+        if mkind == "t_test":
+            # ES t_test (heteroscedastic/Welch): two filtered
+            # populations' count/mean/sample-variance ride the ONE
+            # pass as conditional aggregates; the t statistic is
+            # column algebra over the aggregated frame. Filters are
+            # DSL filter nodes (compile_filter) or raw SQL predicates.
+            if str(mbody.get("type", "heteroscedastic")) != \
+                    "heteroscedastic":
+                raise ValueError(
+                    "t_test supports type=heteroscedastic (Welch); "
+                    "paired/homoscedastic need facets.t_test_agg"
+                )
+
+            def side(spec):
+                col = F.col(spec["field"])
+                filt = spec.get("filter")
+                if filt is not None:
+                    pred = (
+                        F.expr(filt) if isinstance(filt, str)
+                        else F.expr(_compile_filter_node(filt))
+                    )
+                    col = F.when(pred, col)
+                if wrap is not None:
+                    col = wrap(col)
+                return col
+
+            ca, cb = side(mbody["a"]), side(mbody["b"])
+            agg_cols.extend([
+                F.count(ca).alias(f"{mname}__na"),
+                F.avg(ca).alias(f"{mname}__ma"),
+                F.var_samp(ca).alias(f"{mname}__va"),
+                F.count(cb).alias(f"{mname}__nb"),
+                F.avg(cb).alias(f"{mname}__mb"),
+                F.var_samp(cb).alias(f"{mname}__vb"),
+            ])
+            se = F.sqrt(
+                F.col(f"{mname}__va") / F.col(f"{mname}__na")
+                + F.col(f"{mname}__vb") / F.col(f"{mname}__nb")
+            )
+            emits.append((
+                mname,
+                (F.col(f"{mname}__ma") - F.col(f"{mname}__mb")) / se,
+            ))
+            continue
         if mkind == "top_metrics":
             # ES top_metrics (size 1): the metric value from the row at
             # the sort column's extreme — max_by/min_by rides the same
@@ -873,11 +932,15 @@ def _compile_node(
         n: s for n, s in sub.items()
         if _split_node(s)[0] == "median_absolute_deviation"
     }
+    cc_sub = {
+        n: s for n, s in sub.items()
+        if _split_node(s)[0] == "cumulative_cardinality"
+    }
     bucket_sub = {
         n: s for n, s in sub.items()
         if n not in metric_sub and n not in pipe_sub
         and n not in tophits_sub and n not in rate_sub
-        and n not in mad_sub
+        and n not in mad_sub and n not in cc_sub
     }
 
     agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
@@ -992,7 +1055,7 @@ def _compile_node(
     need_semi = kind in ("terms", "multi_terms") or has_selector
     child_rows = keyed
     if (need_semi or min_dc > 1) and (bucket_sub or tophits_sub
-                                      or mad_sub):
+                                      or mad_sub or cc_sub):
         # children/top_hits/MAD see only the parent's SURVIVING buckets
         # (size cut, selector, min_doc_count). terms survivors are
         # <= size rows -> broadcast; other kinds' bucket frames stay a
@@ -1037,6 +1100,58 @@ def _compile_node(
             _top_hits_rows(child_rows, tname, _split_node(tnode)[1],
                            mypath, key_cols)
         )
+
+    for cname, cnode in cc_sub.items():
+        # ES cumulative_cardinality ("total distinct users to date"):
+        # buckets_path names a sibling cardinality sub-agg; its FIELD
+        # reduces to a first-seen bucket per value (one groupBy on the
+        # value — the facets first-seen reduction, EXACT where ES
+        # chains HLL sketches), new arrivals aggregate per bucket, and
+        # a cumulative window over the surviving bucket spine finishes
+        # it — the window sees bucket counts, never values.
+        if kind not in ("histogram", "date_histogram"):
+            raise ValueError(
+                "cumulative_cardinality needs a histogram or "
+                f"date_histogram parent, got {kind}"
+            )
+        bp = _split_node(cnode)[1]["buckets_path"]
+        target = metric_sub.get(bp)
+        if target is None or _split_node(target)[0] != "cardinality":
+            raise ValueError(
+                "cumulative_cardinality buckets_path must name a "
+                "sibling cardinality sub-agg"
+            )
+        fld = _split_node(target)[1]["field"]
+        first_seen = child_rows.groupBy(
+            *[F.col(c) for c in parent_keys], F.col(fld).alias("_ccv")
+        ).agg(F.min(keycol).alias(keycol))
+        news = first_seen.groupBy(
+            *[F.col(c) for c in key_cols]
+        ).agg(F.count("*").alias("_new"))
+        spine = g.select(*key_cols)
+        occ = (
+            F.col(keycol).cast("double") if kind == "histogram"
+            else F.col(keycol)
+        )
+        wcc = (
+            Window.partitionBy(*[F.col(c) for c in parent_keys])
+            .orderBy(occ)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            spine.join(news, key_cols, "left")
+            .withColumn("_new", F.coalesce(F.col("_new"), F.lit(0)))
+            .withColumn("_cc", F.sum("_new").over(wcc))
+        )
+        key = (
+            F.concat_ws("|", *[F.col(c) for c in key_cols])
+            if key_cols else F.lit("")
+        )
+        outs.append(cum.select(
+            F.lit(mypath).alias("agg"), key.alias("key"),
+            F.lit(cname).alias("metric"),
+            F.col("_cc").cast("double").alias("value"),
+        ))
 
     outs.extend(_compile_level(child_rows, bucket_sub, mypath, key_cols,
                                scale=scale))
@@ -1186,6 +1301,7 @@ def _apply_parent_pipeline(
     has_selector = False
     ordered_kinds = (
         "derivative", "cumulative_sum", "serial_diff", "moving_fn",
+        "moving_percentiles",
     )
     if any(_split_node(s)[0] in ordered_kinds for s in pipe_sub.values()):
         if kind == "histogram":
@@ -1262,6 +1378,85 @@ def _apply_parent_pipeline(
             mv = w.rowsBetween(-(window - 1), 0)
             g = g.withColumn(f"_p_{pname}", fn(src).over(mv))
             emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "normalize":
+            # ES normalize: rescale a sibling metric across the bucket
+            # set — an UNORDERED window over the reduced frame; a zero
+            # denominator yields null, as ES. Values round to 6dp for
+            # cross-engine replay (the facets.normalize_agg convention).
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            method = pbody.get("method", "rescale_0_1")
+            wu = Window.partitionBy(*[F.col(c) for c in parent_keys])
+            if method == "rescale_0_1":
+                rng = F.max(src).over(wu) - F.min(src).over(wu)
+                val = F.when(rng != 0, (src - F.min(src).over(wu)) / rng)
+            elif method == "percent_of_sum":
+                val = src / F.sum(src).over(wu)
+            elif method == "z_score":
+                sd = F.stddev_pop(src).over(wu)
+                val = F.when(sd != 0, (src - F.avg(src).over(wu)) / sd)
+            elif method == "softmax":
+                val = F.exp(src) / F.sum(F.exp(src)).over(wu)
+            else:
+                raise ValueError(f"unknown normalize method {method!r}")
+            g = g.withColumn(f"_p_{pname}", F.round(val, 6))
+            emits.append((pname, F.col(f"_p_{pname}")))
+        elif pkind == "moving_percentiles":
+            # ES moving_percentiles: exact continuous percentiles over
+            # a trailing window of buckets (current inclusive, leading
+            # windows shrink) — quantile_cont interpolation over a
+            # sorted collect_list of <= window bucket values
+            src = F.col(_resolve_bucket_metric(pbody["buckets_path"],
+                                               metric_sub))
+            window = int(pbody["window"])
+            if window < 1:
+                raise ValueError("moving_percentiles window must be >= 1")
+            percents = [float(p) for p in pbody.get("percents",
+                                                    (50.0, 90.0))]
+            mv = w.rowsBetween(-(window - 1), 0)
+            arr = F.array_sort(F.collect_list(src).over(mv))
+            g = g.withColumn(f"_pa_{pname}", arr)
+            n = F.size(F.col(f"_pa_{pname}"))
+            for i, p in enumerate(percents):
+                rank = F.lit(p / 100.0) * (n - 1).cast("double")
+                lo = F.floor(rank).cast("int")
+                frac = rank - lo
+                val = (
+                    F.element_at(F.col(f"_pa_{pname}"), lo + 1)
+                    * (1.0 - frac)
+                    + F.element_at(
+                        F.col(f"_pa_{pname}"),
+                        F.least(lo + 2, n),
+                    ) * frac
+                )
+                g = g.withColumn(f"_p_{pname}_{i}", F.round(val, 6))
+                emits.append(
+                    (f"{pname}.{p:g}", F.col(f"_p_{pname}_{i}"))
+                )
+        elif pkind == "bucket_sort":
+            # ES bucket_sort: order buckets by metric paths and keep
+            # [from, from+size) — a rank filter over the reduced frame
+            # (WindowGroupLimit); children then see only survivors
+            order = []
+            for s in pbody.get("sort", []):
+                (bp, d), = s.items()
+                if isinstance(d, dict):
+                    d = d.get("order", "asc")
+                col = F.col(_resolve_bucket_metric(bp, metric_sub))
+                order.append(col.desc() if d == "desc" else col.asc())
+            order.append(F.asc(keycol))  # total order for replay
+            size = int(pbody.get("size", 10))
+            from_ = int(pbody.get("from", 0))
+            ws = Window.partitionBy(
+                *[F.col(c) for c in parent_keys]
+            ).orderBy(*order)
+            g = (
+                g.withColumn("_bs_rk", F.row_number().over(ws))
+                .filter((F.col("_bs_rk") > from_)
+                        & (F.col("_bs_rk") <= from_ + size))
+                .drop("_bs_rk")
+            )
+            has_selector = True
         elif pkind == "bucket_script":
             g = g.withColumn(
                 f"_p_{pname}", _script_expr(pbody, metric_sub)
@@ -1329,20 +1524,32 @@ def _sibling_rows(
             F.col("_pk").alias("key"),
             F.explode(F.array(*pairs)).alias("_mv"),
         ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
-    if kind == "stats_bucket":
-        agg = grouped.agg(
+    if kind in ("stats_bucket", "extended_stats_bucket"):
+        stats_cols = [
             F.count("value").alias("count"),
             F.min("value").alias("min"),
             F.max("value").alias("max"),
             F.avg("value").alias("avg"),
             F.sum("value").alias("sum"),
-        )
+        ]
+        labels = ["count", "min", "max", "avg", "sum"]
+        if kind == "extended_stats_bucket":
+            # + sum_of_squares and POPULATION variance/std over the
+            # sibling's bucket values, as the extended_stats metric
+            stats_cols += [
+                F.sum(F.col("value") * F.col("value"))
+                .alias("sum_of_squares"),
+                F.var_pop("value").alias("variance"),
+                F.stddev_pop("value").alias("std_deviation"),
+            ]
+            labels += ["sum_of_squares", "variance", "std_deviation"]
+        agg = grouped.agg(*stats_cols)
         pairs = [
             F.struct(
                 F.lit(f"{name}.{s}").alias("metric"),
                 F.col(s).cast("double").alias("value"),
             )
-            for s in ("count", "min", "max", "avg", "sum")
+            for s in labels
         ]
         return agg.select(
             F.lit(mypath).alias("agg"),

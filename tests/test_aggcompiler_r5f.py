@@ -304,3 +304,95 @@ def test_geotile_grid_bucket(spark):
     }))
     assert out[("tiles", "2/2/1", "doc_count")] == 2.0
     assert out[("tiles", "2/3/2", "doc_count")] == 1.0
+
+
+def test_t_test_metric(shop):
+    out = _rows(dsl_aggs(shop, {
+        "tt": {"t_test": {
+            "a": {"field": "price", "filter": {"term": {"tag": "a"}}},
+            "b": {"field": "price", "filter": {"term": {"tag": "b"}}},
+        }},
+    }))
+    # a: 10,20,50 (mean 80/3, var_samp 433.333); b: 30,40 (35, 50)
+    ma, va, na = 80 / 3, 1300 / 3, 3
+    mb, vb, nb = 35.0, 50.0, 2
+    want = (ma - mb) / ((va / na + vb / nb) ** 0.5)
+    assert out[("tt", "", "tt")] == pytest.approx(want)
+
+
+def test_extended_stats_bucket_sibling(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "price"}}},
+        },
+        "xs": {"extended_stats_bucket": {"buckets_path": "daily>v"}},
+    }))
+    # v values: 30, 70, 50, 60 -> avg 52.5, var_pop 218.75
+    assert out[("xs", "", "xs.count")] == 4.0
+    assert out[("xs", "", "xs.avg")] == 52.5
+    assert out[("xs", "", "xs.variance")] == pytest.approx(218.75)
+    assert out[("xs", "", "xs.sum_of_squares")] == pytest.approx(
+        30**2 + 70**2 + 50**2 + 60**2)
+
+
+def test_normalize_and_moving_percentiles(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "v": {"sum": {"field": "price"}},
+                "pct": {"normalize": {"buckets_path": "v",
+                                      "method": "percent_of_sum"}},
+                "r01": {"normalize": {"buckets_path": "v",
+                                      "method": "rescale_0_1"}},
+                "mp": {"moving_percentiles": {
+                    "buckets_path": "v", "window": 3,
+                    "percents": [50.0]}},
+            },
+        },
+    }))
+    d = ["2024-01-0%d 00:00:00" % i for i in (1, 2, 3, 4)]
+    # v: 30, 70, 50, 60; sum 210
+    assert out[("daily", d[0], "pct")] == pytest.approx(30 / 210, abs=1e-6)
+    assert out[("daily", d[1], "r01")] == 1.0
+    assert out[("daily", d[0], "r01")] == 0.0
+    # trailing window-3 medians: [30]->30, [30,70]->50, [30,70,50]->50,
+    # [70,50,60]->60
+    assert out[("daily", d[0], "mp.50")] == 30.0
+    assert out[("daily", d[1], "mp.50")] == 50.0
+    assert out[("daily", d[2], "mp.50")] == 50.0
+    assert out[("daily", d[3], "mp.50")] == 60.0
+
+
+def test_bucket_sort_truncates_buckets(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "v": {"sum": {"field": "price"}},
+                "keep": {"bucket_sort": {"sort": [{"v": "desc"}],
+                                         "size": 2}},
+            },
+        },
+    }))
+    keys = {k for (a, k, m) in out}
+    # top-2 by v: day2 (70), day4 (60)
+    assert keys == {"2024-01-02 00:00:00", "2024-01-04 00:00:00"}
+
+
+def test_cumulative_cardinality(shop):
+    out = _rows(dsl_aggs(shop, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "tags_day": {"cardinality": {"field": "tag"}},
+                "tags_total": {"cumulative_cardinality": {
+                    "buckets_path": "tags_day"}},
+            },
+        },
+    }))
+    d = ["2024-01-0%d 00:00:00" % i for i in (1, 2, 3, 4)]
+    # tags per day: {a}, {b}, {a}, {c} -> cumulative 1, 2, 2, 3
+    assert [out[("daily", k, "tags_total")] for k in d] == \
+        [1.0, 2.0, 2.0, 3.0]
