@@ -99,7 +99,7 @@ BUCKET_KINDS = (
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
-    "boxplot", "top_metrics", "string_stats", "t_test",
+    "boxplot", "top_metrics", "string_stats", "t_test", "matrix_stats",
 )
 
 
@@ -591,6 +591,41 @@ def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
                 mname,
                 (F.col(f"{mname}__ma") - F.col(f"{mname}__mb")) / se,
             ))
+            continue
+        if mkind == "matrix_stats":
+            # ES matrix_stats: per ordered field pair (i <= j),
+            # population covariance + Pearson correlation, field means
+            # on the diagonal entries — all Spark built-in aggregates
+            # riding the ONE pass (the facets.matrix_stats_agg shape);
+            # emits ``name.fa:fb.covariance`` / ``.correlation`` plus
+            # per-field ``name.f.mean`` rows
+            if wrap is not None:
+                raise ValueError(
+                    "matrix_stats under a conditional bucket "
+                    "(filters/adjacency_matrix) is unsupported"
+                )
+            mfields = list(mbody["fields"])
+            for c in mfields:
+                agg_cols.append(F.avg(F.col(c)).alias(f"{mname}__m_{c}"))
+                emits.append(
+                    (f"{mname}.{c}.mean", F.col(f"{mname}__m_{c}"))
+                )
+            for i, ca in enumerate(mfields):
+                for cb in mfields[i:]:
+                    agg_cols.append(
+                        F.covar_pop(ca, cb).alias(f"{mname}__cv_{ca}_{cb}")
+                    )
+                    agg_cols.append(
+                        F.corr(ca, cb).alias(f"{mname}__cr_{ca}_{cb}")
+                    )
+                    emits.append((
+                        f"{mname}.{ca}:{cb}.covariance",
+                        F.col(f"{mname}__cv_{ca}_{cb}"),
+                    ))
+                    emits.append((
+                        f"{mname}.{ca}:{cb}.correlation",
+                        F.col(f"{mname}__cr_{ca}_{cb}"),
+                    ))
             continue
         if mkind == "top_metrics":
             # ES top_metrics (size 1): the metric value from the row at

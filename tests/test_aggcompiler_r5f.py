@@ -396,3 +396,22 @@ def test_cumulative_cardinality(shop):
     # tags per day: {a}, {b}, {a}, {c} -> cumulative 1, 2, 2, 3
     assert [out[("daily", k, "tags_total")] for k in d] == \
         [1.0, 2.0, 2.0, 3.0]
+
+
+def test_matrix_stats_metric(shop):
+    out = _rows(dsl_aggs(shop, {
+        "mx": {"matrix_stats": {"fields": ["price", "doc_id"]}},
+    }))
+    import statistics
+    prices = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    ids = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    mp, mi = sum(prices) / 6, sum(ids) / 6
+    cov = sum((p - mp) * (i - mi) for p, i in zip(prices, ids)) / 6
+    assert out[("mx", "", "mx.price.mean")] == pytest.approx(mp)
+    assert out[("mx", "", "mx.price:doc_id.covariance")] == \
+        pytest.approx(cov)
+    # price is a perfect linear function of doc_id -> correlation 1
+    assert out[("mx", "", "mx.price:doc_id.correlation")] == \
+        pytest.approx(1.0)
+    assert out[("mx", "", "mx.price:price.covariance")] == \
+        pytest.approx(statistics.pvariance(prices))
