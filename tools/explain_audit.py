@@ -666,6 +666,39 @@ def main() -> None:
         "CASE WHEN", forbid="BatchEvalPython",
     )
 
+    # 35. aggcompiler round-5f: top_hits must be a WindowGroupLimit
+    # (each map task forwards at most `size` rows per bucket — the
+    # shuffle carries hits, never the bucket's row set), and the whole
+    # tree stays JVM-side
+    p = plan_text(dsl_search_aggs(rows, {
+        "aggs": {"t": {"terms": {"field": "status", "size": 3},
+                       "aggs": {"best": {"top_hits": {
+                           "size": 2, "sort": [{"price": "desc"}],
+                           "_source": ["doc_id"]}}}}},
+    }))
+    failures += not check(
+        "top_hits per-bucket cut is WindowGroupLimit", p,
+        "WindowGroupLimit", forbid="BatchEvalPython",
+    )
+
+    # 36. aggcompiler round-5f: random_sampler membership is a pure
+    # map-side predicate — the md5 filter must sit in a Filter BEFORE
+    # any Exchange (scan-side), so the shuffle carries only the sample
+    p = plan_text(dsl_search_aggs(rows, {
+        "aggs": {"s": {"random_sampler": {"probability": 0.25,
+                                          "key_field": "doc_id"},
+                       "aggs": {"t": {"terms": {"field": "status",
+                                                "size": 5}}}}},
+    }))
+    failures += not check(
+        "random_sampler md5 membership is a scan-side filter", p,
+        "conv(substr(md5", forbid="BatchEvalPython",
+    )
+    failures += not check(
+        "random_sampler tree is one partial-aggregated pass", p,
+        "partial_count",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
