@@ -1734,6 +1734,215 @@ def _dsl_oracle_sql() -> str:
     return _clause_oracle_sql(specs, QS_MAX_EXP)
 
 
+# deterministic per-doc metadata extensions for the feature / metadata-
+# filter DSL gates: a geo point, a tags array, nested comment structs,
+# and a nullable popularity feature — every column a literal expression
+# over the documents table, replayable in both engines.
+_META_POPULARITY = "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END"
+_META_LAT = "CAST(doc_id % 120 AS DOUBLE) / 2.0 - 30.0"
+_META_LON = "CAST((doc_id * 7) % 280 AS DOUBLE) / 2.0 - 70.0"
+_META_CLASS = "CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END"
+
+
+def _feature_meta(spark, sf_dir):
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source", "n_chars",
+        f"{_META_POPULARITY} AS popularity",
+        f"{_META_LAT} AS loc_lat",
+        f"{_META_LON} AS loc_lon",
+        f"array(lang, source, {_META_CLASS}) AS tags",
+        "array(named_struct('author', lang, 'stars', n_chars), "
+        "named_struct('author', source, 'stars', doc_id % 10)) AS comments",
+    )
+
+
+DSL_FEATURE_QUERIES = [
+    (0, {"rank_feature": {"field": "popularity",
+                          "saturation": {"pivot": 300.0}, "boost": 2.0}}),
+    (1, {"rank_feature": {"field": "popularity",
+                          "log": {"scaling_factor": 2.0}}}),
+    (2, {"rank_feature": {"field": "popularity",
+                          "sigmoid": {"pivot": 250.0, "exponent": 1.5},
+                          "boost": 0.7}}),
+    (3, {"distance_feature": {"field": "popularity", "origin": 300.0,
+                              "pivot": 50.0, "boost": 1.2}}),
+    # feature should-clause NEXT TO membership context: score = 1.0
+    # base + saturation (docs carrying the feature) + 0.5 (src3 docs),
+    # membership = the filter context (lang = en)
+    (4, {"bool": {
+        "filter": [{"term": {"lang": "en"}}],
+        "should": [
+            {"rank_feature": {"field": "popularity",
+                              "saturation": {"pivot": 300.0},
+                              "boost": 2.0}},
+            {"term": {"source": {"value": "src3", "boost": 0.5}}},
+        ]}}),
+]
+
+
+def q_dsl_features(spark, sf_dir):
+    """ES rank_feature (saturation / log / sigmoid) and distance_feature
+    queries through the DSL compiler (query/dsl.py round 5g): the score
+    is a per-doc SQL expression over a metadata feature column,
+    evaluated in ONE metadata scan (lone queries) or as a pre-rank
+    indicator join next to other clauses; membership = docs carrying
+    the feature, exactly ES. Formulas match the standalone evaluators
+    (query/functionscore.py)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _feature_meta(spark, sf_dir)
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_FEATURE_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_features_oracle_sql() -> str:
+    """Constructive replay: each feature formula re-evaluated as the
+    SAME double arithmetic over the documents scan (saturation/log/
+    sigmoid are strictly monotonic in the feature, so engine ulp
+    differences in ln/pow cannot reorder distinct feature values)."""
+    sat = "(2.0 * (pop / (pop + 300.0)))"
+    return f"""
+WITH meta AS (
+  SELECT doc_id, lang, source,
+         CAST({_META_POPULARITY} AS DOUBLE) AS pop
+  FROM documents
+),
+scored AS (
+  SELECT 0 AS query_id, doc_id, {sat} AS score
+  FROM meta WHERE pop IS NOT NULL
+  UNION ALL
+  SELECT 1, doc_id, (1.0 * ln(2.0 + pop))
+  FROM meta WHERE pop IS NOT NULL
+  UNION ALL
+  SELECT 2, doc_id,
+         (0.7 * (pow(pop, 1.5) / (pow(pop, 1.5) + pow(250.0, 1.5))))
+  FROM meta WHERE pop IS NOT NULL
+  UNION ALL
+  SELECT 3, doc_id, (1.2 * (50.0 / (50.0 + abs(pop - 300.0))))
+  FROM meta WHERE pop IS NOT NULL
+  UNION ALL
+  SELECT 4, doc_id,
+         1.0 + (CASE WHEN pop IS NOT NULL THEN {sat} ELSE 0.0 END)
+             + (CASE WHEN source = 'src3' THEN 0.5 ELSE 0.0 END)
+  FROM meta WHERE lang = 'en'
+)
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, doc_id)::BIGINT
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+DSL_META_FILTER_QUERIES = [
+    (0, {"constant_score": {"filter": {"geo_distance": {
+        "distance": "2000km", "loc": {"lat": 5.0, "lon": -40.0}}},
+        "boost": 1.5}}),
+    (1, {"constant_score": {"filter": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 20.0, "lon": -60.0},
+        "bottom_right": {"lat": -10.0, "lon": 10.0}}}}, "boost": 1.0}}),
+    (2, {"constant_score": {"filter": {"geo_polygon": {"loc": {"points": [
+        {"lat": -20.0, "lon": -50.0}, {"lat": 25.0, "lon": -10.0},
+        {"lat": -5.0, "lon": 55.0}, {"lat": -28.0, "lon": 5.0},
+    ]}}}, "boost": 2.0}}),
+    (3, {"constant_score": {"filter": {"terms_set": {"tags": {
+        "terms": ["en", "src3", "long"], "minimum_should_match": 2}}},
+        "boost": 1.25}}),
+    (4, {"constant_score": {"filter": {"nested": {
+        "path": "comments",
+        "query": {"bool": {"must": [
+            {"term": {"comments.author": "en"}},
+            {"range": {"comments.stars": {"gte": 100}}}]}}}},
+        "boost": 0.75}}),
+]
+
+
+def q_dsl_meta_filters(spark, sf_dir):
+    """Round-5g filter-context leaves through the DSL compiler:
+    geo_distance (sargable box conjunct + exact haversine),
+    geo_bounding_box (pure range predicate), geo_polygon (guarded
+    ray-cast parity), terms_set (array-intersect count vs required),
+    and nested (HOF exists() over array<struct> — map-only, the
+    query/relations.py design). All compile to ONE pushed-down
+    metadata-scan predicate; membership ranks by doc_id at the
+    constant_score boost."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _feature_meta(spark, sf_dir)
+    out = dsl_topk(
+        spark, stats, term_df, None, DSL_META_FILTER_QUERIES,
+        _ws_config(), n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _dsl_meta_filters_oracle_sql() -> str:
+    """q0-q2 embed the COMPILED geo predicates verbatim (asin/sqrt/pow/
+    sin/cos/radians/CASE are portable Spark/DuckDB SQL, so the exact
+    expression replays); q3/q4 replay terms_set / nested membership
+    constructively (the tags/comments arrays are built from disjoint
+    scalar domains, so the set-membership algebra flattens)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_filter
+
+    preds = {
+        qid: compile_filter(node["constant_score"]["filter"])
+        for qid, node in DSL_META_FILTER_QUERIES[:3]
+    }
+    boosts = {
+        qid: node["constant_score"]["boost"]
+        for qid, node in DSL_META_FILTER_QUERIES
+    }
+    # terms_set: tags = [lang, source, class] over disjoint domains ->
+    # distinct-matched-term count = sum of per-component indicators
+    preds[3] = (
+        "((CASE WHEN lang IN ('en', 'src3', 'long') THEN 1 ELSE 0 END"
+        " + CASE WHEN source IN ('en', 'src3', 'long') THEN 1 ELSE 0 END"
+        f" + CASE WHEN {_META_CLASS} IN ('en', 'src3', 'long')"
+        " THEN 1 ELSE 0 END) >= 2)"
+    )
+    # nested exists(): comment1 = (lang, n_chars), comment2 =
+    # (source, doc_id % 10)
+    preds[4] = (
+        "((lang = 'en' AND n_chars >= 100)"
+        " OR (source = 'en' AND (doc_id % 10) >= 100))"
+    )
+    legs = []
+    for qid in sorted(preds):
+        legs.append(f"""
+SELECT {qid}::BIGINT AS query_id,
+       row_number() OVER (ORDER BY doc_id)::BIGINT AS rank,
+       doc_id, {boosts[qid]!r}::DOUBLE AS score
+FROM meta WHERE {preds[qid]}
+QUALIFY rank <= {TOPK}""")
+        legs.append("UNION ALL")
+    body = "\n".join(legs[:-1])
+    return f"""
+WITH meta AS (
+  SELECT doc_id, lang, source, n_chars,
+         {_META_LAT} AS loc_lat,
+         {_META_LON} AS loc_lon
+  FROM documents
+)
+{body}
+"""
+
+
 DSL_MULTITERM_QUERIES = [
     # mid-pattern wildcard (not expressible as a prefix)
     (0, {"wildcard": {"content": "qu*y"}}),
@@ -8190,6 +8399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # rank_feature/distance_feature queries through the DSL compiler
+        "dsl_features": q_dsl_features,
+        # geo/terms_set/nested filter-context leaves in the DSL compiler
+        "dsl_meta_filters": q_dsl_meta_filters,
         # wildcard/regexp scoring clauses (capped dictionary expansion)
         "dsl_multiterm": q_dsl_multiterm,
         # match_phrase_prefix + more_like_this routed through the DSL
@@ -8237,8 +8450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_filters3": q_analysis_filters3,
         # DSL wrapper/match_none/dis_max/constant-scoring leaves
         "dsl_extras2": q_dsl_extras2,
-        # significant_terms chi_square/mutual_information/gnd heuristics
-        "sig_heuristics": q_sig_heuristics,
         # sampler + random_sampler aggregations
         "sampler_aggs": q_sampler_aggs,
         # sharded terms agg w/ error bounds + ip_range + cap_per_key
@@ -8280,7 +8491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_extras": q_dsl_extras,
         "combined_fields": q_combined_fields,
         "significant_text": q_significant_text,
-        "quality_classifier": q_quality_classifier,
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
@@ -8292,6 +8502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
+        # sig_heuristics/quality_classifier: stable since r4 and their
+        # families keep in-window representatives (sig_terms_field +
+        # sig_text_options; lm_perplexity + curation_aggs) — displaced
+        # by the round-5g DSL gates, replica-covered each round
+        "sig_heuristics": q_sig_heuristics,
+        "quality_classifier": q_quality_classifier,
         # streaming_sessions/match_bool_prefix/decontaminate/
         # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk/
         # ivf_knn_filtered/search_template: r4 surfaces unchanged in
@@ -9905,6 +10121,8 @@ GROUP BY 1
     sqls["multi_match_most"] = _multi_match_oracle_sql("most_fields")
     sqls["query_string"] = _qs_oracle_sql()
     sqls["es_dsl"] = _dsl_oracle_sql()
+    sqls["dsl_features"] = _dsl_features_oracle_sql()
+    sqls["dsl_meta_filters"] = _dsl_meta_filters_oracle_sql()
     sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()

@@ -83,6 +83,7 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -204,6 +205,99 @@ def _like_escape(s: str, wildcard: bool) -> str:
 
 _RANGE_OPS = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
 
+_EARTH_RADIUS_KM = 6371.0088  # matches query/geo.py
+
+
+def _geo_cols(body: dict) -> tuple[dict, str, str]:
+    """Pop the optional ``lat_field``/``lon_field`` column overrides off
+    a geo leaf body (the aggs compiler's convention); default to
+    ``{field}_lat``/``{field}_lon`` derived from the one remaining
+    geo-field key. Returns (clean body, lat_col, lon_col)."""
+    body = dict(body)
+    lat = body.pop("lat_field", None)
+    lon = body.pop("lon_field", None)
+    if lat is None or lon is None:
+        fields = [k for k in body if k not in ("distance", "points")]
+        if len(fields) != 1:
+            raise ValueError(f"geo leaf needs exactly one field: {body!r}")
+        f = _field(fields[0])
+        lat = lat or f"{f}_lat"
+        lon = lon or f"{f}_lon"
+    return body, _field(lat), _field(lon)
+
+
+def _parse_distance_km(v) -> float:
+    """ES distance value -> km: a bare number is km; strings accept
+    ``km``/``m``/``mi`` suffixes."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v).strip().lower()
+    for suffix, factor in (("km", 1.0), ("mi", 1.609344), ("m", 0.001)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * factor
+    return float(s)
+
+
+def _haversine_sql(lat_col: str, lon_col: str,
+                   olat: float, olon: float) -> str:
+    """Great-circle km as a portable SQL expression (same formula as
+    query/geo.py::haversine_km; sin/cos/asin/radians/sqrt/pow exist in
+    both Spark SQL and DuckDB)."""
+    return (
+        f"(2.0 * {_EARTH_RADIUS_KM!r} * asin(sqrt("
+        f"pow(sin(radians({lat_col} - ({olat!r})) / 2.0), 2) + "
+        f"cos(radians({olat!r})) * cos(radians({lat_col})) * "
+        f"pow(sin(radians({lon_col} - ({olon!r})) / 2.0), 2))))"
+    )
+
+
+def _nested_pred(node: dict, path: str, var: str) -> str:
+    """Inner predicate of a ``nested`` filter: term/terms/range/exists/
+    bool over the element struct ``var``. ES's fully-qualified field
+    names (``path.sub``) strip to the struct member."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"nested inner node needs one key: {node!r}")
+    kind, body = next(iter(node.items()))
+
+    def elem(f: str) -> str:
+        if f.startswith(path + "."):
+            f = f[len(path) + 1:]
+        return f"{var}.{_field(f)}"
+
+    if kind == "term":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return f"{elem(f)} = {_sql_lit(v)}"
+    if kind == "terms":
+        (f, vs), = body.items()
+        if not vs:
+            return "FALSE"
+        return f"{elem(f)} IN ({', '.join(_sql_lit(v) for v in vs)})"
+    if kind == "range":
+        (f, ops), = body.items()
+        conds = [
+            f"{elem(f)} {_RANGE_OPS[op]} {_sql_lit(v)}"
+            for op, v in sorted(ops.items())
+        ]
+        if not conds:
+            raise ValueError("empty nested range body")
+        return "(" + " AND ".join(conds) + ")"
+    if kind == "exists":
+        return f"{elem(body['field'])} IS NOT NULL"
+    if kind == "bool":
+        groups = [
+            _nested_pred(p, path, var)
+            for p in list(body.get("must", [])) + list(body.get("filter", []))
+        ]
+        shoulds = [_nested_pred(p, path, var) for p in body.get("should", [])]
+        if shoulds:
+            groups.append("(" + " OR ".join(shoulds) + ")")
+        for p in body.get("must_not", []):
+            groups.append(f"NOT ({_nested_pred(p, path, var)})")
+        return "(" + " AND ".join(groups) + ")" if groups else "TRUE"
+    raise ValueError(f"unsupported nested inner query: {kind}")
+
 
 def compile_filter(node: dict) -> str:
     """Filter-context DSL node -> SQL predicate string (see module
@@ -257,6 +351,104 @@ def compile_filter(node: dict) -> str:
             f"{_field(f)} LIKE {_sql_lit(_like_escape(v, True))}"
             " ESCAPE '!'"
         )
+    if kind == "geo_bounding_box":
+        # rows inside [bottom, top] x [left, right] (inclusive; a
+        # dateline-crossing box raises — split + union, as query/geo.py
+        # advises). Pure range conjuncts: parquet row-group prunable.
+        body, lat, lon = _geo_cols(body)
+        (_, box), = body.items()
+        top, left = float(box["top_left"]["lat"]), float(box["top_left"]["lon"])
+        bottom = float(box["bottom_right"]["lat"])
+        right = float(box["bottom_right"]["lon"])
+        if bottom > top:
+            raise ValueError(f"bottom {bottom} > top {top}")
+        if left > right:
+            raise ValueError(
+                f"left {left} > right {right} (dateline: split + union)"
+            )
+        return (
+            f"({lat} >= {bottom!r} AND {lat} <= {top!r}"
+            f" AND {lon} >= {left!r} AND {lon} <= {right!r})"
+        )
+    if kind == "geo_distance":
+        # two-stage like query/geo.py::geo_distance: a sargable
+        # bounding-box conjunct prunes at scan speed, the exact
+        # haversine keeps the circle. Column convention: {field}_lat/
+        # {field}_lon, or explicit lat_field/lon_field keys.
+        body, lat, lon = _geo_cols(body)
+        dist_km = _parse_distance_km(body.pop("distance"))
+        if dist_km <= 0:
+            raise ValueError(f"distance must be positive: {dist_km}")
+        (_, origin), = body.items()
+        olat, olon = float(origin["lat"]), float(origin["lon"])
+        conds = []
+        dlat = math.degrees(dist_km / _EARTH_RADIUS_KM)
+        conds.append(f"{lat} >= {olat - dlat!r} AND {lat} <= {olat + dlat!r}")
+        ang = dist_km / _EARTH_RADIUS_KM
+        coslat = math.cos(math.radians(olat))
+        sin_ratio = (
+            math.sin(min(ang, math.pi / 2)) / coslat if coslat > 0 else 2.0
+        )
+        if sin_ratio < 1.0 and olat - dlat > -90.0 and olat + dlat < 90.0:
+            dlon = math.degrees(math.asin(sin_ratio))
+            lo, hi = olon - dlon, olon + dlon
+            if lo >= -180.0 and hi <= 180.0:
+                conds.append(f"{lon} >= {lo!r} AND {lon} <= {hi!r}")
+            # else: antimeridian wrap — skip the lon conjunct (the
+            # exact haversine below still keeps the circle)
+        conds.append(f"{_haversine_sql(lat, lon, olat, olon)} <= {dist_km!r}")
+        return "(" + " AND ".join(conds) + ")"
+    if kind == "geo_polygon":
+        # ray-cast parity (odd westward-ray crossing count), the same
+        # guarded-division CASE shape as query/geo.py::geo_polygon —
+        # the division only evaluates under the lat-straddle branch, so
+        # ANSI mode never sees the zero denominator of a flat edge.
+        body, lat, lon = _geo_cols(body)
+        (_, spec), = body.items()
+        pts = [(float(p["lat"]), float(p["lon"])) for p in spec["points"]]
+        if len(pts) < 3:
+            raise ValueError("geo_polygon needs >= 3 points")
+        lats, lons = [p[0] for p in pts], [p[1] for p in pts]
+        box = (
+            f"{lat} >= {min(lats)!r} AND {lat} <= {max(lats)!r}"
+            f" AND {lon} >= {min(lons)!r} AND {lon} <= {max(lons)!r}"
+        )
+        edges = []
+        n = len(pts)
+        for i in range(n):
+            yi, xi = pts[i]
+            yj, xj = pts[(i + 1) % n]
+            edges.append(
+                f"CASE WHEN ({yi!r} > {lat}) <> ({yj!r} > {lat}) THEN "
+                f"(CASE WHEN {lon} < ({xj!r} - {xi!r}) * ({lat} - {yi!r})"
+                f" / ({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END) "
+                f"ELSE 0 END"
+            )
+        crossings = "(" + " + ".join(edges) + ")"
+        return f"({box} AND {crossings} % 2 = 1)"
+    if kind == "terms_set":
+        # ES terms_set over an array column: matching-term count (set
+        # semantics — array_intersect dedups, as ES counts distinct
+        # matched terms) >= the per-doc or literal required count.
+        (f, spec), = body.items()
+        terms = spec["terms"]
+        if not terms:
+            return "FALSE"
+        arr = "array(" + ", ".join(_sql_lit(t) for t in terms) + ")"
+        cnt = f"size(array_intersect({_field(f)}, {arr}))"
+        msm_field = spec.get("minimum_should_match_field")
+        if msm_field is not None:
+            required = _field(msm_field)
+        else:
+            required = str(int(spec["minimum_should_match"]))
+        return f"({cnt} >= {required})"
+    if kind == "nested":
+        # ES nested query in filter context: map-only array<struct>
+        # algebra (the query/relations.py design) — one HOF exists()
+        # over the nested path, zero shuffle, no explode.
+        path = _field(body["path"])
+        pred = _nested_pred(body["query"], path, "_x")
+        return f"exists({path}, _x -> {pred})"
     if kind == "bool":
         groups = []
         for part in body.get("must", []) + body.get("filter", []):
@@ -353,6 +545,63 @@ def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
 # forms live under bool.filter.
 CONST_KINDS = frozenset(("term", "terms", "range", "exists", "ids"))
 
+# scoring-context leaves whose score is a PER-DOC SQL expression over a
+# metadata feature column (not a constant): rank_feature's saturation/
+# log/sigmoid and distance_feature's pivot decay. Membership = the
+# feature column is non-null, exactly ES's "docs missing the field don't
+# match this clause".
+FEATURE_KINDS = frozenset(("rank_feature", "distance_feature"))
+
+
+def _feature_leaf(kind: str, body: dict) -> tuple[str, str]:
+    """rank_feature / distance_feature leaf -> (membership predicate,
+    per-doc score SQL expression). Formulas match the standalone
+    evaluators (query/functionscore.py::rank_feature_topk /
+    distance_feature_topk); ``saturation`` requires an explicit
+    ``pivot`` (ES's default derives it from index statistics —
+    documented divergence). ln/pow/abs are portable Spark/DuckDB SQL."""
+    body = dict(body)
+    f = _field(body.pop("field"))
+    boost = float(body.pop("boost", 1.0))
+    col = f"CAST({f} AS DOUBLE)"
+    pred = f"{f} IS NOT NULL"
+    if kind == "distance_feature":
+        origin = float(body.pop("origin"))
+        pivot = float(body.pop("pivot"))
+        if pivot <= 0.0:
+            raise ValueError(f"pivot must be positive: {pivot}")
+        if body:
+            raise ValueError(f"unsupported distance_feature keys: {body}")
+        return pred, (
+            f"({boost!r} * ({pivot!r} / ({pivot!r}"
+            f" + abs({col} - {origin!r}))))"
+        )
+    fns = [k for k in ("saturation", "log", "sigmoid") if k in body]
+    if len(fns) != 1 or set(body) - set(fns):
+        raise ValueError(
+            "rank_feature needs exactly one of saturation|log|sigmoid "
+            f"(explicit pivot — no index-statistics default): {body!r}"
+        )
+    fn, spec = fns[0], body[fns[0]]
+    if fn == "saturation":
+        pivot = float(spec["pivot"])
+        if pivot <= 0.0:
+            raise ValueError(f"pivot must be positive: {pivot}")
+        val = f"({col} / ({col} + {pivot!r}))"
+    elif fn == "log":
+        sf = float(spec["scaling_factor"])
+        val = f"ln({sf!r} + {col})"
+    else:
+        pivot = float(spec["pivot"])
+        exp = float(spec["exponent"])
+        if pivot <= 0.0 or exp <= 0.0:
+            raise ValueError("sigmoid pivot and exponent must be positive")
+        val = (
+            f"(pow({col}, {exp!r}) / (pow({col}, {exp!r})"
+            f" + {pivot ** exp!r}))"
+        )
+    return pred, f"({boost!r} * {val})"
+
 
 @dataclass
 class CompiledQuery:
@@ -361,7 +610,15 @@ class CompiledQuery:
     parsed: ParsedQuery
     filter_sql: str | None = None
     const_offset: float = 0.0  # uniform score add from must-role consts
-    should_consts: list[tuple[str, float]] = field(default_factory=list)
+    # (membership predicate, score SQL expr) per should clause — the
+    # expr is a constant literal for term/terms/range/exists/ids boosts
+    # and a per-doc feature formula for rank_feature/distance_feature
+    should_consts: list[tuple[str, str]] = field(default_factory=list)
+    # unconditional per-doc score expressions (must-role feature
+    # clauses: their membership predicate is already ANDed into
+    # filter_sql, so the expression applies to every member and never
+    # counts toward minimum_should_match)
+    score_exprs: list[str] = field(default_factory=list)
     msm: int | None = None  # scoring-bool minimum_should_match
     has_must_text: bool = False  # >=1 must-role text clause survived
 
@@ -396,6 +653,11 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
         return CompiledQuery(
             ParsedQuery(), compile_filter(clean), const_offset=boost
         )
+    if kind in FEATURE_KINDS:
+        # a lone feature query: membership = docs carrying the feature
+        # (ES), score = the feature formula over one metadata scan
+        pred, expr = _feature_leaf(kind, body)
+        return CompiledQuery(ParsedQuery(), pred, score_exprs=[expr])
     if kind != "bool":
         return CompiledQuery(
             ParsedQuery(clauses=_leaf_clauses(kind, body, "should"))
@@ -410,7 +672,8 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
     clauses: list[Clause] = []
     const_filters: list[str] = []
     const_offset = 0.0
-    should_consts: list[tuple[str, float]] = []
+    should_consts: list[tuple[str, str]] = []
+    score_exprs: list[str] = []
     for role, key in (
         ("must", "must"), ("should", "should"), ("must_not", "must_not"),
     ):
@@ -438,6 +701,7 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
                 inner = compile_dsl({lk: lb})
                 if inner.parsed.clauses:
                     if (role == "must" and not inner.should_consts
+                            and not inner.score_exprs
                             and inner.msm in (None, 0)
                             and all(c.role in ("must", "must_not")
                                     for c in inner.parsed.clauses)):
@@ -465,6 +729,19 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
                         "or move it to filter context)"
                     )
                 continue
+            if lk in FEATURE_KINDS:
+                pred, expr = _feature_leaf(lk, lb)
+                if role == "must":
+                    # membership requires the feature (ES); the score
+                    # expression then applies to every member, so it
+                    # never feeds minimum_should_match counting
+                    const_filters.append(pred)
+                    score_exprs.append(expr)
+                elif role == "must_not":
+                    const_filters.append(f"NOT ({pred})")
+                else:
+                    should_consts.append((pred, expr))
+                continue
             if lk in CONST_KINDS:
                 clean, boost = _split_boost(lk, lb)
                 pred = compile_filter(clean)
@@ -474,16 +751,16 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
                 elif role == "must_not":
                     const_filters.append(f"NOT ({pred})")
                 else:
-                    should_consts.append((pred, boost))
+                    should_consts.append((pred, repr(boost)))
                 continue
             clauses.extend(_leaf_clauses(lk, lb, role))
-    if should_consts and clauses:
-        if msm is not None:
-            raise ValueError(
-                "minimum_should_match combined with constant should "
-                "clauses next to text clauses is unsupported (the const "
-                "indicator can't feed the evaluator's should counting)"
-            )
+    if should_consts and clauses and msm is not None:
+        raise ValueError(
+            "minimum_should_match combined with constant should "
+            "clauses next to text clauses is unsupported (the const "
+            "indicator can't feed the evaluator's should counting)"
+        )
+    if (should_consts or score_exprs) and clauses:
         if not any(c.role == "must" for c in clauses) and any(
             c.role == "must_not" for c in clauses
         ):
@@ -500,7 +777,7 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
     return CompiledQuery(
         ParsedQuery(clauses=clauses), filter_sql,
         const_offset=const_offset, should_consts=should_consts,
-        msm=msm,
+        score_exprs=score_exprs, msm=msm,
         has_must_text=any(c.role == "must" for c in clauses),
     )
 
@@ -1141,7 +1418,8 @@ def dsl_topk(
     queries = norm
     compiled = {qid: compile_dsl(node) for qid, node in queries}
     if doc_meta is None and any(
-        c.filter_sql or c.should_consts for c in compiled.values()
+        c.filter_sql or c.should_consts or c.score_exprs
+        for c in compiled.values()
     ):
         raise ValueError("filter context requires doc_meta")
     if fscore_specs:
@@ -1179,17 +1457,31 @@ def dsl_topk(
             )
         if pq.clauses:
             scored_parsed[qid] = pq
-        elif cq.should_consts:
-            # pure-constant scoring: sum(boost per matching should) in
-            # ONE metadata scan; membership = filter AND (>=1 should
-            # when no must/filter narrows the universe — ES's default
+        elif cq.should_consts or cq.score_exprs:
+            # pure-constant/feature scoring: sum(expr per matching
+            # should) + unconditional must-role feature exprs, in ONE
+            # metadata scan; membership = filter AND (>=1 should when
+            # no must/filter narrows the universe — ES's default
             # minimum_should_match for a should-only bool)
             base = doc_meta.filter(F.expr(fsql)) if fsql else doc_meta
-            score = F.lit(const_boosts.get(qid, cq.const_offset or 1.0))
+            # feature queries score their formula alone (no implicit
+            # 1.0 membership constant — ES's rank_feature score IS the
+            # saturation value); membership-only queries keep 1.0
+            default = (
+                cq.const_offset if cq.score_exprs
+                else (cq.const_offset or 1.0)
+            )
+            score = F.lit(const_boosts.get(qid, default))
             matched = F.lit(0)
+            for expr in cq.score_exprs:
+                score = score + F.coalesce(
+                    F.expr(expr).cast("double"), F.lit(0.0)
+                )
             for pred, boost in cq.should_consts:
                 hit = F.expr(pred)
-                score = score + F.when(hit, F.lit(boost)).otherwise(0.0)
+                score = score + F.when(
+                    hit, F.coalesce(F.expr(boost).cast("double"), F.lit(0.0))
+                ).otherwise(0.0)
                 matched = matched + F.when(hit, 1).otherwise(0)
             scored = base.select(
                 "doc_id", score.alias("score"), matched.alias("_m")
@@ -1447,17 +1739,27 @@ def dsl_topk(
         # gated by the query's filter context when present.
         boost_qids = [
             qid for qid, cq in compiled.items()
-            if cq.should_consts and qid in scored_parsed
+            if (cq.should_consts or cq.score_exprs) and qid in scored_parsed
         ]
         if boost_qids:
             ind_parts = []
             for qid in boost_qids:
                 cq = compiled[qid]
                 score = F.lit(0.0)
-                matched = F.lit(False)
+                # must-role feature exprs apply to every member (their
+                # predicate already lives in the filter context), so
+                # they make every filter-passing doc an indicator row
+                matched = F.lit(bool(cq.score_exprs))
+                for expr in cq.score_exprs:
+                    score = score + F.coalesce(
+                        F.expr(expr).cast("double"), F.lit(0.0)
+                    )
                 for pred, boost in cq.should_consts:
                     hit = F.expr(pred)
-                    score = score + F.when(hit, F.lit(boost)).otherwise(0.0)
+                    score = score + F.when(
+                        hit,
+                        F.coalesce(F.expr(boost).cast("double"), F.lit(0.0)),
+                    ).otherwise(0.0)
                     matched = matched | hit
                 base = doc_meta
                 if cq.filter_sql is not None:

@@ -184,7 +184,7 @@ def test_nested_scoring_bool_folds():
         ]}},
     ]}})
     assert cq.filter_sql == "((lang = 'en' OR source = 's1'))"
-    assert cq.should_consts == [("lang = 'en'", 1.0), ("source = 's1'", 0.5)]
+    assert cq.should_consts == [("lang = 'en'", "1.0"), ("source = 's1'", "0.5")]
     # (c) const-only nested bool under must_not negates into the filter
     cq = compile_dsl({"bool": {
         "must": [{"match": {"content": "alpha"}}],
@@ -381,7 +381,7 @@ def test_compile_const_leaves_in_scoring_bool():
         "must": [{"match": {"content": "alpha"}}],
         "should": [{"term": {"lang": "en"}}],
     }})
-    assert mixed.should_consts == [("lang = 'en'", 1.0)]
+    assert mixed.should_consts == [("lang = 'en'", "1.0")]
     assert mixed.has_must_text
     with pytest.raises(ValueError):  # msm + const-should-next-to-text
         compile_dsl({"bool": {

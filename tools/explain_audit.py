@@ -699,6 +699,71 @@ def main() -> None:
         "partial_count",
     )
 
+    # 37. round-5g geo_distance DSL leaf: the sargable bounding-box
+    # conjunct must reach the parquet scan (PushedFilters on the STORED
+    # lat/lon doubles) and the exact haversine stays a JVM codegen
+    # Filter — never a Python eval node
+    geo_dir = tempfile.mkdtemp()
+    spark.range(500).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 120 AS DOUBLE) / 2.0 - 30.0 AS loc_lat",
+        "CAST((id * 7) % 280 AS DOUBLE) / 2.0 - 70.0 AS loc_lon",
+        "CAST(id % 50 AS DOUBLE) AS popularity",
+    ).write.mode("overwrite").parquet(geo_dir)
+    geo_meta = spark.read.parquet(geo_dir)
+    g = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"constant_score": {"filter": {"geo_distance": {
+            "distance": "1500km", "loc": {"lat": 5.0, "lon": -40.0}}},
+            "boost": 1.0}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, doc_meta=geo_meta,
+    )
+    p = plan_text(g)
+    failures += not check(
+        "geo_distance box conjunct reaches the parquet scan", p,
+        "GreaterThanOrEqual(loc_lat,", forbid="BatchEvalPython",
+    )
+    failures += not check(
+        "geo_distance exact haversine is JVM codegen", p, "ASIN(",
+    )
+    failures += not check(
+        "geo membership top-k is TakeOrdered", p, "TakeOrderedAndProject",
+    )
+
+    # 38. nested DSL leaf: HOF exists() over the array<struct> — the
+    # membership is one map-only predicate (no explode, no join)
+    nmeta = spark.createDataFrame(
+        [(1, [("kim", 5)])],
+        "doc_id long, comments array<struct<author:string, stars:int>>",
+    )
+    n = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"constant_score": {"filter": {"nested": {
+            "path": "comments",
+            "query": {"term": {"comments.author": "kim"}}}},
+            "boost": 1.0}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, doc_meta=nmeta,
+    )
+    p = plan_text(n)
+    failures += not check(
+        "nested DSL leaf is a map-only exists()", p, "lambdafunction",
+        forbid="Generate",  # no explode
+    )
+
+    # 39. rank_feature: per-doc score expression in ONE metadata scan,
+    # top-k cut is a TakeOrderedAndProject (never a global sort)
+    r = dsl_topk(
+        spark, idx.term_stats(), idx.term_df(), None,
+        [(0, {"rank_feature": {"field": "popularity",
+                               "saturation": {"pivot": 10.0}}})],
+        cfg, idx.meta.n_docs, idx.meta.avgdl, doc_meta=geo_meta,
+    )
+    p = plan_text(r)
+    failures += not check(
+        "rank_feature scores in one scan + TakeOrdered", p,
+        "TakeOrderedAndProject", forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
