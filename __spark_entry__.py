@@ -1943,6 +1943,52 @@ WITH meta AS (
 """
 
 
+DSL_QS_ROUTE_QUERIES = [
+    (0, {"query_string": {"query": "+value fast -slow"}}),
+    (1, {"query_string": {"query": '"value table" spark',
+                          "default_operator": "or"}}),
+    (2, {"match_bool_prefix": {"text": {"query": "customer the",
+                                        "max_expansions": 50}}}),
+]
+
+
+def q_dsl_qs_routes(spark, sf_dir):
+    """Round-5g top-level DSL routes: query_string (onto the
+    simple_query_string parser's +/-/phrase/*/~N grammar; Lucene-only
+    syntax raises) and match_bool_prefix (full terms as term shoulds +
+    the last token as a capped distributed prefix expansion, via
+    boolean.match_bool_prefix_topk)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    out = dsl_topk(
+        spark, stats, term_df, _phrase_postings(spark, sf_dir),
+        DSL_QS_ROUTE_QUERIES, _ws_config(), n_docs, avgdl, k=TOPK,
+        k1=K1, b=B, max_expansions=QS_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _dsl_qs_routes_oracle_sql() -> str:
+    """q0/q1 replay through the shared clause oracle (the query_string
+    route IS the simple_query_string parse); q2 through the shared
+    match_bool_prefix replay."""
+    from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
+
+    specs = []
+    for qid, node in DSL_QS_ROUTE_QUERIES[:2]:
+        cq = compile_dsl(node)
+        specs.append((qid, cq.parsed, cq.filter_sql))
+    co = _clause_oracle_sql(specs, QS_MAX_EXP)
+    mbp = _mbp_oracle_sql([(2, "customer the")], 50)
+    return (
+        "SELECT * FROM (" + co + ")\nUNION ALL\n"
+        "SELECT * FROM (" + mbp + ")"
+    )
+
+
 DSL_MULTITERM_QUERIES = [
     # mid-pattern wildcard (not expressible as a prefix)
     (0, {"wildcard": {"content": "qu*y"}}),
@@ -4958,6 +5004,58 @@ def _geo_events(spark, sf_dir):
     return with_runtime_field(
         with_runtime_field(ev, "lat", GEO_LAT_EXPR), "lon", GEO_LON_EXPR
     )
+
+
+def _mbp_oracle_sql(queries, max_exp) -> str:
+    """match_bool_prefix replay: full terms join the dictionary, the
+    last token expands as a capped alphabetical LIKE subquery, all
+    BM25-summed per (query, doc). Shared by the match_bool_prefix tail
+    gate and the dsl_qs_routes window gate."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import (
+        analyze_text,
+    )
+
+    parts = []
+    for qid, text in queries:
+        # split the prefix BEFORE dedup (matches match_bool_prefix_topk:
+        # a repeated last token stays the prefix)
+        toks = [t.term for t in analyze_text(text, _ws_config())]
+        pfx = toks[-1]
+        full = list(dict.fromkeys(toks[:-1]))
+        if full:
+            terms_in = ", ".join(f"'{t}'" for t in full)
+            parts.append(
+                f"SELECT {qid} AS query_id, term, df FROM dfx "
+                f"WHERE term IN ({terms_in})"
+            )
+        parts.append(
+            f"SELECT {qid} AS query_id, term, df FROM ("
+            f"SELECT term, df, row_number() OVER (ORDER BY term) AS rk "
+            f"FROM dfx WHERE term LIKE '{pfx}%') WHERE rk <= {max_exp}"
+        )
+    return f"""
+WITH {_BM25_CTE},
+expraw AS ({" UNION ALL ".join(parts)}),
+exp AS (SELECT DISTINCT query_id, term, df FROM expraw),
+scored AS (
+  SELECT e.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - e.df + 0.5) / (e.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
+  FROM exp e JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def q_match_bool_prefix(spark, sf_dir):
@@ -8403,6 +8501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_features": q_dsl_features,
         # geo/terms_set/nested filter-context leaves in the DSL compiler
         "dsl_meta_filters": q_dsl_meta_filters,
+        # query_string + match_bool_prefix top-level DSL routes
+        "dsl_qs_routes": q_dsl_qs_routes,
         # wildcard/regexp scoring clauses (capped dictionary expansion)
         "dsl_multiterm": q_dsl_multiterm,
         # match_phrase_prefix + more_like_this routed through the DSL
@@ -8456,8 +8556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_aggs": q_curation_aggs,
         # ES 8.14 retriever tree (rrf of filtered standard + knn legs)
         "retriever_tree": q_retriever_tree,
-        # ES-default fuzzy transpositions (OSA; DL oracle at k=1)
-        "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
         # frequent_item_sets (Apriori level-2, support-pruned)
         "frequent_item_sets": q_frequent_item_sets,
         # token-budget mixture sampling (per-source quotas, md5 order)
@@ -8502,12 +8600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # sig_heuristics/quality_classifier: stable since r4 and their
-        # families keep in-window representatives (sig_terms_field +
-        # sig_text_options; lm_perplexity + curation_aggs) — displaced
-        # by the round-5g DSL gates, replica-covered each round
+        # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
+        # r4 and their families keep in-window representatives
+        # (sig_terms_field + sig_text_options; lm_perplexity +
+        # curation_aggs; the ~N fuzzy clauses inside the window's
+        # query_string gates) — displaced by the round-5g DSL gates,
+        # replica-covered each round
         "sig_heuristics": q_sig_heuristics,
         "quality_classifier": q_quality_classifier,
+        "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
         # streaming_sessions/match_bool_prefix/decontaminate/
         # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk/
         # ivf_knn_filtered/search_template: r4 surfaces unchanged in
@@ -9422,51 +9523,7 @@ FROM (SELECT event_type,
              json_extract_string(props, '$.k')::INT AS k FROM events)
 GROUP BY 1
 """
-    from elasticsearch_analysis_combo_spark.analysis.combo import (
-        analyze_text as _mbp_at,
-    )
-
-    _mbp_parts = []
-    for _qid, _text in MBP_QUERIES:
-        # split the prefix BEFORE dedup (matches match_bool_prefix_topk:
-        # a repeated last token stays the prefix)
-        _toks = [t.term for t in _mbp_at(_text, _ws_config())]
-        _pfx = _toks[-1]
-        _full = list(dict.fromkeys(_toks[:-1]))
-        if _full:
-            _in = ", ".join(f"'{t}'" for t in _full)
-            _mbp_parts.append(
-                f"SELECT {_qid} AS query_id, term, df FROM dfx "
-                f"WHERE term IN ({_in})"
-            )
-        _mbp_parts.append(
-            f"SELECT {_qid} AS query_id, term, df FROM ("
-            f"SELECT term, df, row_number() OVER (ORDER BY term) AS rk "
-            f"FROM dfx WHERE term LIKE '{_pfx}%') WHERE rk <= {MBP_MAX_EXP}"
-        )
-    sqls["match_bool_prefix"] = f"""
-WITH {_BM25_CTE},
-expraw AS ({" UNION ALL ".join(_mbp_parts)}),
-exp AS (SELECT DISTINCT query_id, term, df FROM expraw),
-scored AS (
-  SELECT e.query_id, tf.doc_id,
-         sum( ln(1.0 + (gs.n - e.df + 0.5) / (e.df + 0.5))
-              * tf.tf * ({K1} + 1.0)
-              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) ) AS score
-  FROM exp e JOIN tf USING (term)
-  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
-  GROUP BY 1, 2
-),
-ranked AS (
-  SELECT query_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
-         doc_id, round(score, 6) AS score
-  FROM scored
-)
-SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
-FROM ranked WHERE rank <= {TOPK}
-"""
+    sqls["match_bool_prefix"] = _mbp_oracle_sql(MBP_QUERIES, MBP_MAX_EXP)
     _hav = (
         f"2.0 * 6371.0088 * asin(sqrt("
         f"pow(sin(radians(lat - ({GEO_ORIGIN[0]})) / 2.0), 2)"
@@ -10123,6 +10180,7 @@ GROUP BY 1
     sqls["es_dsl"] = _dsl_oracle_sql()
     sqls["dsl_features"] = _dsl_features_oracle_sql()
     sqls["dsl_meta_filters"] = _dsl_meta_filters_oracle_sql()
+    sqls["dsl_qs_routes"] = _dsl_qs_routes_oracle_sql()
     sqls["dsl_multiterm"] = _dsl_multiterm_oracle_sql()
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()

@@ -524,14 +524,27 @@ def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
         if isinstance(v, dict):
             v = v.get("value", v.get("wildcard"))
         return [Clause(kind, role, v)]
-    if kind == "simple_query_string":
+    if kind in ("simple_query_string", "query_string"):
+        # query_string routes onto the same parser: the +/- prefix,
+        # quoted-phrase, trailing-*, and ~N grammar subset. Lucene-only
+        # syntax (field:term, AND/OR/NOT, grouping) raises here rather
+        # than being silently read as literal terms.
         if role != "should":
             raise ValueError(
-                "simple_query_string nests only in should/top position "
+                f"{kind} nests only in should/top position "
                 "(its own +/- prefixes set clause roles)"
             )
+        q = body["query"]
+        if kind == "query_string":
+            marks = [m for m in (":", "(", ")", " AND ", " OR ", " NOT ")
+                     if m in q]
+            if marks:
+                raise ValueError(
+                    "query_string Lucene syntax beyond the "
+                    f"simple_query_string subset is unsupported: {marks}"
+                )
         return parse_simple_query_string(
-            body["query"], body.get("default_operator", "or")
+            q, body.get("default_operator", "or")
         ).clauses
     if kind == "match_all":
         return []
@@ -1278,6 +1291,7 @@ def dsl_topk(
     dismax_tb: dict[int, float] = {}  # parent qid -> tie_breaker
     none_qids: list[int] = []
     mpp_specs: dict[int, tuple[str, int, int]] = {}  # match_phrase_prefix
+    mbp_specs: dict[int, tuple[str, int]] = {}  # match_bool_prefix
     mlt_specs: dict[int, tuple[int, dict]] = {}  # more_like_this
     span_specs: dict[int, dict] = {}  # top-level span queries
     ivl_specs: dict[int, tuple[str, dict]] = {}  # intervals (text, rule)
@@ -1365,6 +1379,19 @@ def dsl_topk(
             else:
                 text, mslop, mexp = v, 0, max_expansions
             mpp_specs[qid] = (text, mslop, mexp)
+            continue
+        if kind == "match_bool_prefix":
+            # top-level route onto boolean.match_bool_prefix_topk:
+            # every analyzed term but the LAST scores as a term should,
+            # the last as a capped distributed prefix expansion
+            (f, v), = body.items()
+            _field(f)
+            if isinstance(v, dict):
+                text = v["query"]
+                mexp = int(v.get("max_expansions", max_expansions))
+            else:
+                text, mexp = v, max_expansions
+            mbp_specs[qid] = (text, mexp)
             continue
         if kind in _SPAN_KINDS:
             # top-level route onto the query/spans.py evaluators
@@ -1651,6 +1678,20 @@ def dsl_topk(
             spark, ihits, {q: t for q, (t, _) in ivl_specs.items()},
             config, term_stats, term_df, n_docs, avgdl, k, k1, b,
         ))
+
+    if mbp_specs:
+        from elasticsearch_analysis_combo_spark.query.boolean import (
+            match_bool_prefix_topk,
+        )
+
+        mbp_by_exp: dict[int, list[tuple[int, str]]] = {}
+        for qid, (text, mexp) in mbp_specs.items():
+            mbp_by_exp.setdefault(mexp, []).append((qid, text))
+        for mexp, pairs in sorted(mbp_by_exp.items()):
+            out.append(match_bool_prefix_topk(
+                spark, term_stats, term_df, sorted(pairs), config,
+                n_docs, avgdl, k=k, k1=k1, b=b, max_expansions=mexp,
+            ))
 
     if mlt_specs:
         from elasticsearch_analysis_combo_spark.query.morelikethis import (

@@ -603,3 +603,28 @@ def test_should_const_next_to_text(spark, fixture):
         ], "filter": [{"term": {"lang": "de"}}]}
     }).collect()}
     assert got_f == {4}  # doc 1 is en -> filtered out
+
+
+def test_query_string_and_match_bool_prefix_routes(spark, fixture):
+    # query_string routes onto the simple_query_string parser: identical
+    # results on the shared grammar
+    a = _run(spark, fixture, {"query_string": {"query": "+alpha beta"}})
+    b = _run(spark, fixture,
+             {"simple_query_string": {"query": "+alpha beta"}})
+    assert _rows(a) == _rows(b) and _rows(a)
+    # Lucene-only syntax raises instead of being read as literal terms
+    for bad in ("content:alpha", "alpha AND beta", "(alpha beta)"):
+        with pytest.raises(ValueError):
+            compile_dsl({"query_string": {"query": bad}})
+    # match_bool_prefix route == the standalone evaluator
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        match_bool_prefix_topk,
+    )
+
+    stats, term_df, post, n_docs, avgdl, _ = fixture
+    want = match_bool_prefix_topk(
+        spark, stats, term_df, [(0, "alpha gam")], CFG, n_docs, avgdl,
+        k=10,
+    )
+    got = _run(spark, fixture, {"match_bool_prefix": {"content": "alpha gam"}})
+    assert _rows(got) == _rows(want) and _rows(got)
