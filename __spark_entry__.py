@@ -8279,6 +8279,154 @@ FROM allrows WHERE value IS NOT NULL
 """
 
 
+ES_AGGS_GEO_BODY = {
+    "query": {"range": {"value": {"gte": 0.25}}},
+    "aggs": {
+        "rings": {
+            "geo_distance": {
+                "origin": {"lat": 10.0, "lon": 20.0},
+                "ranges": [{"to": 2500.0},
+                           {"from": 2500.0, "to": 7000.0},
+                           {"from": 7000.0}],
+                "lat_field": "lat", "lon_field": "lon",
+            },
+            "aggs": {
+                "cent": {"geo_centroid": {"lat_field": "lat",
+                                          "lon_field": "lon"}},
+                "v": {"avg": {"field": "value"}},
+            },
+        },
+        "types": {
+            "terms": {"field": "event_type", "size": 4},
+            "aggs": {"b": {"geo_bounds": {"lat_field": "lat",
+                                          "lon_field": "lon"}}},
+        },
+        "divsamp": {
+            "diversified_sampler": {"field": "event_type",
+                                    "max_docs_per_value": 20,
+                                    "shard_size": 50,
+                                    "key_field": "event_id"},
+            "aggs": {"t": {"terms": {"field": "event_type",
+                                     "size": 10}}},
+        },
+    },
+}
+
+
+def q_es_aggs_geo(spark, sf_dir):
+    """Round-5g aggs-compiler kinds: geo_distance rings around an
+    origin (haversine rides the bucket-key projection — the same
+    double-trig SQL the oracle replays), geo_centroid (avg lat/lon +
+    point count) and geo_bounds (top_left/bottom_right envelope)
+    metrics riding keyed buckets' single groupBy pass, and
+    diversified_sampler (per-value cap then shard_size cut in portable
+    md5 order — both WindowGroupLimit; sample-scale counts, exactly
+    replayed by the oracle)."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "*",
+        f"{GEO_LAT_EXPR} as lat",
+        f"{GEO_LON_EXPR} as lon",
+    )
+    out = dsl_search_aggs(ev, ES_AGGS_GEO_BODY)
+    return out.filter(F.col("value").isNotNull()).select(
+        "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+
+def _es_aggs_geo_oracle_sql() -> str:
+    hav = (
+        "2.0 * 6371.0088 * asin(sqrt("
+        "pow(sin(radians(lat - (10.0)) / 2.0), 2)"
+        " + cos(radians(10.0)) * cos(radians(lat))"
+        " * pow(sin(radians(lon - (20.0)) / 2.0), 2)))"
+    )
+    return f"""
+WITH src AS (
+  SELECT e.*,
+         (user_id % 180)::DOUBLE - 90.0 AS lat,
+         ((user_id * 7) % 360)::DOUBLE - 180.0 AS lon
+  FROM events e WHERE value >= 0.25
+),
+d AS (SELECT *, {hav} AS dk FROM src),
+ringed AS (
+  SELECT *, CASE WHEN dk < 2500.0 THEN '*-2500.0'
+                 WHEN dk >= 2500.0 AND dk < 7000.0 THEN '2500.0-7000.0'
+                 ELSE '7000.0-*' END AS key
+  FROM d
+),
+rb AS (
+  SELECT key, count(*)::DOUBLE AS doc_count, avg(lat) AS clat,
+         avg(lon) AS clon, count(lat)::DOUBLE AS cn, avg(value) AS v
+  FROM ringed GROUP BY 1
+),
+r_rows AS (
+  SELECT 'rings' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM rb
+  UNION ALL SELECT 'rings', key, 'cent.lat', clat FROM rb
+  UNION ALL SELECT 'rings', key, 'cent.lon', clon FROM rb
+  UNION ALL SELECT 'rings', key, 'cent.count', cn FROM rb
+  UNION ALL SELECT 'rings', key, 'v', v FROM rb
+),
+tb AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS doc_count,
+         max(lat) AS t, min(lat) AS b, min(lon) AS l, max(lon) AS r
+  FROM src GROUP BY 1
+),
+tb_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY doc_count DESC, key) AS rn
+    FROM tb
+  ) WHERE rn <= 4
+),
+t_rows AS (
+  SELECT 'types' AS agg, key, 'doc_count' AS metric, doc_count AS value
+  FROM tb_top
+  UNION ALL SELECT 'types', key, 'b.top_left.lat', t FROM tb_top
+  UNION ALL SELECT 'types', key, 'b.top_left.lon', l FROM tb_top
+  UNION ALL SELECT 'types', key, 'b.bottom_right.lat', b FROM tb_top
+  UNION ALL SELECT 'types', key, 'b.bottom_right.lon', r FROM tb_top
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY smp_ord, event_id) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY smp_ord, event_id) AS dv
+      FROM (
+        SELECT *, ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  )::BIGINT AS smp_ord
+        FROM src
+      )
+    ) WHERE dv <= 20
+  ) WHERE rk <= 50
+),
+ds AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS c FROM samp GROUP BY 1
+),
+ds_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY c DESC, key) AS rn FROM ds
+  ) WHERE rn <= 10
+),
+ds_rows AS (
+  SELECT 'divsamp' AS agg, '' AS key, 'doc_count' AS metric,
+         count(*)::DOUBLE AS value
+  FROM samp
+  UNION ALL
+  SELECT 'divsamp>t', key, 'doc_count', c FROM ds_top
+)
+SELECT agg, key, metric, printf('%.6e', value) AS value
+FROM (SELECT * FROM r_rows UNION ALL SELECT * FROM t_rows
+      UNION ALL SELECT * FROM ds_rows)
+WHERE value IS NOT NULL
+"""
+
+
 SIG_FIELD_BODY = {
     # F/O statuses correlate with order date in TPC-H-ish data, so the
     # pre-1997 match set makes completed orders significantly frequent
@@ -8514,6 +8662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percentiles_bucket/random_sampler/geohash_grid/ip_range/
         # auto_date_histogram (round 5f)
         "es_aggs3": q_es_aggs3,
+        # aggs compiler geo kinds: geo_distance rings + centroid/bounds
+        "es_aggs_geo": q_es_aggs_geo,
         # keyword-field significant_terms through the aggs compiler
         "sig_terms_field": q_sig_terms_field,
         # top-level span queries through the DSL compiler (round 5e)
@@ -8554,8 +8704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_aggs": q_sampler_aggs,
         # sharded terms agg w/ error bounds + ip_range + cap_per_key
         "curation_aggs": q_curation_aggs,
-        # ES 8.14 retriever tree (rrf of filtered standard + knn legs)
-        "retriever_tree": q_retriever_tree,
         # frequent_item_sets (Apriori level-2, support-pruned)
         "frequent_item_sets": q_frequent_item_sets,
         # token-budget mixture sampling (per-source quotas, md5 order)
@@ -8609,6 +8757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_heuristics": q_sig_heuristics,
         "quality_classifier": q_quality_classifier,
         "bm25_fuzzy_osa": q_bm25_fuzzy_osa,
+        # retriever_tree: r4k-stable; knn_rrf_hybrid keeps the knn/rrf
+        # family in-window
+        "retriever_tree": q_retriever_tree,
         # streaming_sessions/match_bool_prefix/decontaminate/
         # curate_corpus/pack_sequences/query_string/ivf_kmeans_topk/
         # ivf_knn_filtered/search_template: r4 surfaces unchanged in
@@ -10185,6 +10336,7 @@ GROUP BY 1
     sqls["dsl_extras3"] = _dsl_extras3_oracle_sql()
     sqls["es_aggs2"] = _es_aggs2_oracle_sql()
     sqls["es_aggs3"] = _es_aggs3_oracle_sql()
+    sqls["es_aggs_geo"] = _es_aggs_geo_oracle_sql()
     sqls["sig_terms_field"] = _sig_terms_field_oracle_sql()
     sqls["dsl_span"] = _dsl_span_oracle_sql()
     sqls["dsl_function_score"] = _dsl_fscore_oracle_sql()

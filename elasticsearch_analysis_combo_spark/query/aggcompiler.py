@@ -29,7 +29,13 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   ``auto_date_histogram`` (smallest fitting calendar interval — one
   scalar ladder pass), ``random_sampler`` (portable md5 Bernoulli
   sample; doc_count + sum/value_count rescaled by 1/probability at
-  every depth, non-rescalable metrics raise)
+  every depth, non-rescalable metrics raise), ``geo_distance``
+  ([from, to) haversine rings around an origin — the distance rides
+  the bucket-key projection; ``unit`` km/m), ``sampler`` /
+  ``diversified_sampler`` (first shard_size rows per bucket in
+  portable md5 order of ``key_field`` — the deterministic stand-in
+  for ES's score order on a scoreless frame; diversified caps each
+  ``field`` value at max_docs_per_value first; sample-scale counts)
 - metric aggs: avg/sum/min/max/value_count/cardinality (HLL++,
   rsd 0.005), stats, extended_stats (+ sum_of_squares, population
   variance/std_deviation), weighted_avg, percentile_ranks (one
@@ -37,7 +43,10 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   quartiles), top_metrics (size-1 max_by/min_by), percentiles (exact
   interpolated, ``name.50`` rows; swap approx_percentile at 100 TB),
   string_stats (length half — count/min/max/avg_length; the entropy
-  half needs facets.string_stats_agg's char-explode pass);
+  half needs facets.string_stats_agg's char-explode pass),
+  geo_centroid (avg lat/lon + point count) and geo_bounds
+  (top_left/bottom_right envelope) over ``lat_field``/``lon_field``
+  column pairs;
   under keyed buckets also rate (date_histogram children: sum or
   doc_count per ``unit`` of the bucket span; varying calendar lengths
   raise), median_absolute_deviation (bucket median rides the main
@@ -94,12 +103,14 @@ BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "multi_terms", "date_range", "rare_terms", "composite",
     "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
-    "adjacency_matrix", "geotile_grid",
+    "adjacency_matrix", "geotile_grid", "geo_distance", "sampler",
+    "diversified_sampler",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
     "boxplot", "top_metrics", "string_stats", "t_test", "matrix_stats",
+    "geo_centroid", "geo_bounds",
 )
 
 
@@ -426,6 +437,42 @@ def _key_expr(kind: str, body: dict):
             )
             expr = F.when(cond, F.lit(name)).otherwise(expr)
         return expr
+    if kind == "geo_distance":
+        # ES geo_distance agg: [from, to) rings around an origin. The
+        # haversine rides the bucket-key projection (geo.haversine_km —
+        # the same double trig the gate oracles replay); overlapping
+        # ranges resolve first-listed-wins, the compiler's range
+        # convention. ``unit`` km (default) or m.
+        from .geo import haversine_km
+
+        latf = body.get("lat_field", "lat")
+        lonf = body.get("lon_field", "lon")
+        origin = body["origin"]
+        olat, olon = float(origin["lat"]), float(origin["lon"])
+        unit = body.get("unit", "km")
+        if unit not in ("km", "m"):
+            raise ValueError(f"unsupported geo_distance unit: {unit}")
+        dist = haversine_km(
+            F.lit(olat), F.lit(olon), F.col(latf), F.col(lonf)
+        )
+        if unit == "m":
+            dist = dist * 1000.0
+        expr = F.lit(None).cast("string")
+        for r in reversed(body["ranges"]):
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (dist >= float(lo))
+            if hi is not None:
+                cond = cond & (dist < float(hi))
+            name = r.get(
+                "key", f"{lo if lo is not None else '*'}-"
+                       f"{hi if hi is not None else '*'}"
+            )
+            expr = F.when(cond, F.lit(name)).otherwise(expr)
+        return F.when(
+            F.col(latf).isNotNull() & F.col(lonf).isNotNull(), expr
+        )
     if kind == "geohash_grid":
         # ES geohash_grid: base-32 geohash cell at ``precision`` chars.
         # ES addresses one geo_point field; a parquet table carries
@@ -650,6 +697,41 @@ def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
             agg_cols.append(fn(mcol, scol).alias(mname))
             emits.append((f"{mname}.{mfield}", F.col(mname)))
             continue
+        if mkind in ("geo_centroid", "geo_bounds"):
+            # ES geo metrics. A geo_point field maps to (lat_field,
+            # lon_field) double columns (the geohash_grid convention);
+            # both ride the one groupBy pass as plain aggregates.
+            latc = F.col(mbody.get("lat_field", "lat"))
+            lonc = F.col(mbody.get("lon_field", "lon"))
+            if wrap is not None:
+                latc, lonc = wrap(latc), wrap(lonc)
+            if mkind == "geo_centroid":
+                agg_cols.extend([
+                    F.avg(latc).alias(f"{mname}__lat"),
+                    F.avg(lonc).alias(f"{mname}__lon"),
+                    F.count(latc).alias(f"{mname}__count"),
+                ])
+                emits.extend([
+                    (f"{mname}.lat", F.col(f"{mname}__lat")),
+                    (f"{mname}.lon", F.col(f"{mname}__lon")),
+                    (f"{mname}.count",
+                     F.col(f"{mname}__count").cast("double")),
+                ])
+            else:
+                # top_left = (max lat, min lon); bottom_right inverse
+                agg_cols.extend([
+                    F.max(latc).alias(f"{mname}__t"),
+                    F.min(latc).alias(f"{mname}__b"),
+                    F.min(lonc).alias(f"{mname}__l"),
+                    F.max(lonc).alias(f"{mname}__r"),
+                ])
+                emits.extend([
+                    (f"{mname}.top_left.lat", F.col(f"{mname}__t")),
+                    (f"{mname}.top_left.lon", F.col(f"{mname}__l")),
+                    (f"{mname}.bottom_right.lat", F.col(f"{mname}__b")),
+                    (f"{mname}.bottom_right.lon", F.col(f"{mname}__r")),
+                ])
+            continue
         fcol = F.col(mbody["field"])
         if wrap is not None:
             fcol = wrap(fcol)
@@ -715,6 +797,68 @@ def _compile_node(
         outs.extend(
             _compile_level(sampled, bucket_sub, mypath, parent_keys,
                            scale=inv)
+        )
+        return outs
+
+    if kind in ("sampler", "diversified_sampler"):
+        # ES sampler / diversified_sampler over a flat frame: keep the
+        # first ``shard_size`` rows per enclosing bucket in PORTABLE
+        # md5 order of ``key_field`` (a metadata frame carries no
+        # scores; ES's "best hits" order is a score rank — this
+        # deterministic stand-in picks the SAME sample under any
+        # partitioning and replays in DuckDB). diversified_sampler
+        # additionally caps each ``field`` value at
+        # ``max_docs_per_value`` BEFORE the cut (kills one-dominant-
+        # value skew, exactly ES's intent). Both cuts are row_number
+        # windows -> WindowGroupLimit: each map task forwards at most
+        # the cap per key, so shuffles carry samples, never row sets.
+        # Sub-aggs report SAMPLE-scale counts (ES sampler semantics —
+        # no rescale; random_sampler is the rescaling variant).
+        shard_size = int(body.get("shard_size", 100))
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        key_field = body.get("key_field", "doc_id")
+        ord_col = F.conv(
+            F.substring(F.md5(F.col(key_field).cast("string")), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        work = rows.withColumn("_smp_ord", ord_col)
+        pcols = [F.col(c) for c in parent_keys]
+        if kind == "diversified_sampler":
+            div = body["field"]
+            cap = int(body.get("max_docs_per_value", 1))
+            if cap < 1:
+                raise ValueError("max_docs_per_value must be >= 1")
+            w_div = Window.partitionBy(*pcols, F.col(div)).orderBy(
+                "_smp_ord", key_field
+            )
+            work = (
+                work.withColumn("_smp_dv", F.row_number().over(w_div))
+                .filter(F.col("_smp_dv") <= cap).drop("_smp_dv")
+            )
+        w_top = Window.partitionBy(
+            *(pcols if pcols else [F.lit(1)])
+        ).orderBy("_smp_ord", key_field)
+        sampled = (
+            work.withColumn("_smp_rk", F.row_number().over(w_top))
+            .filter(F.col("_smp_rk") <= shard_size)
+            .drop("_smp_rk", "_smp_ord")
+        )
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+        agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (
+            sampled.groupBy(*pcols).agg(*aggs)
+            if parent_keys else sampled.agg(*aggs)
+        )
+        outs = [_unpivot(g, mypath, parent_keys, emits, scale=scale)]
+        outs.extend(
+            _compile_level(sampled, bucket_sub, mypath, parent_keys,
+                           scale=scale)
         )
         return outs
 

@@ -13,12 +13,30 @@ Two halves, matching ES's own split:
 * **Filter context** (``bool.filter``) compiles to ONE SQL predicate
   string over the document-metadata table: ``term`` / ``terms`` /
   ``range`` (gt/gte/lt/lte) / ``exists`` / ``ids`` / ``prefix`` /
-  ``wildcard`` / ``match_all`` / nested ``bool``. Being a plain
-  predicate, Catalyst pushes it into the parquet metadata scan
+  ``wildcard`` / ``match_all`` / nested ``bool``, plus (round 5g)
+  ``geo_bounding_box`` (pure range conjuncts), ``geo_distance``
+  (sargable box conjunct + exact haversine keep), ``geo_polygon``
+  (guarded ray-cast parity), ``terms_set`` (array_intersect count vs
+  a literal or per-doc required count), and ``nested`` (HOF
+  ``exists()`` over the array<struct> path — map-only, no explode).
+  Geo fields map to ``{field}_lat``/``{field}_lon`` columns or
+  explicit ``lat_field``/``lon_field`` keys. Being a plain predicate,
+  Catalyst pushes it into the parquet metadata scan
   (row-group pruning — the 100 TB shape for tenant/date/status filters);
   the surviving (doc_id) set then semi-joins the scored set BEFORE the
   top-k cut, so filtering never drops hits the way a post-rank filter
   would.
+
+Round-5g scoring additions: ``rank_feature`` (saturation / log /
+sigmoid — explicit ``pivot``; ES's index-statistics default pivot is a
+documented divergence) and ``distance_feature`` compile to per-doc SQL
+score expressions: standalone they score in ONE metadata scan; under
+``should`` they ride the (pred, expr) indicator join next to text
+clauses; under ``must`` the membership predicate joins the filter
+context and the expression applies to every member without feeding
+``minimum_should_match`` counting. ``query_string`` routes onto the
+simple_query_string parser (Lucene-only syntax raises) and
+``match_bool_prefix`` onto boolean.match_bool_prefix_topk.
 
 On top: ``constant_score`` (filter membership at a fixed boost) and
 ``pinned`` (pinned ids above re-ranked organics) normalize inside
@@ -286,13 +304,21 @@ def _nested_pred(node: dict, path: str, var: str) -> str:
     if kind == "exists":
         return f"{elem(body['field'])} IS NOT NULL"
     if kind == "bool":
+        # same ES membership defaults as compile_filter: shoulds are
+        # required only when nothing else narrows (or msm >= 1)
         groups = [
             _nested_pred(p, path, var)
             for p in list(body.get("must", [])) + list(body.get("filter", []))
         ]
         shoulds = [_nested_pred(p, path, var) for p in body.get("should", [])]
         if shoulds:
-            groups.append("(" + " OR ".join(shoulds) + ")")
+            msm = body.get("minimum_should_match")
+            if msm is not None and int(msm) > 1:
+                raise ValueError(
+                    "minimum_should_match > 1 unsupported in nested bool"
+                )
+            if not groups or (msm is not None and int(msm) >= 1):
+                groups.append("(" + " OR ".join(shoulds) + ")")
         for p in body.get("must_not", []):
             groups.append(f"NOT ({_nested_pred(p, path, var)})")
         return "(" + " AND ".join(groups) + ")" if groups else "TRUE"
@@ -431,6 +457,15 @@ def compile_filter(node: dict) -> str:
         # semantics — array_intersect dedups, as ES counts distinct
         # matched terms) >= the per-doc or literal required count.
         (f, spec), = body.items()
+        unknown = set(spec) - {
+            "terms", "minimum_should_match", "minimum_should_match_field",
+            "boost",
+        }
+        if unknown:
+            raise ValueError(
+                f"unsupported terms_set options: {sorted(unknown)} "
+                "(minimum_should_match_script is not supported)"
+            )
         terms = spec["terms"]
         if not terms:
             return "FALSE"

@@ -415,3 +415,91 @@ def test_matrix_stats_metric(shop):
         pytest.approx(1.0)
     assert out[("mx", "", "mx.price:price.covariance")] == \
         pytest.approx(statistics.pvariance(prices))
+
+
+def test_geo_distance_bucket_and_geo_metrics(spark):
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_aggs,
+    )
+
+    rows = [
+        (1, 0.0, 0.0, "a"),    # 0 km from origin
+        (2, 0.0, 1.0, "a"),    # ~111.2 km
+        (3, 0.0, 3.0, "b"),    # ~333.6 km
+        (4, 45.0, 90.0, "b"),  # far
+        (5, None, None, "a"),  # null point -> no ring bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lat double, lon double, g string"
+    )
+    out = {
+        (r["agg"], r["key"], r["metric"]): r["value"]
+        for r in dsl_aggs(df, {
+            "rings": {"geo_distance": {
+                "origin": {"lat": 0.0, "lon": 0.0},
+                "ranges": [{"to": 200.0}, {"from": 200.0}]},
+                "aggs": {"c": {"geo_centroid": {}}}},
+            "by_g": {"terms": {"field": "g", "size": 5},
+                     "aggs": {"b": {"geo_bounds": {}}}},
+        }).collect()
+    }
+    assert out[("rings", "*-200.0", "doc_count")] == 2.0
+    assert out[("rings", "200.0-*", "doc_count")] == 2.0
+    assert out[("rings", "*-200.0", "c.lat")] == 0.0
+    assert out[("rings", "*-200.0", "c.lon")] == 0.5
+    assert out[("rings", "*-200.0", "c.count")] == 2.0
+    # null point never enters a ring
+    assert sum(v for (a, k, m), v in out.items()
+               if a == "rings" and m == "doc_count") == 4.0
+    # bounds: top_left = (max lat, min lon), bottom_right inverse
+    assert out[("by_g", "b", "b.top_left.lat")] == 45.0
+    assert out[("by_g", "b", "b.top_left.lon")] == 3.0
+    assert out[("by_g", "b", "b.bottom_right.lat")] == 0.0
+    assert out[("by_g", "b", "b.bottom_right.lon")] == 90.0
+    assert out[("by_g", "a", "b.top_left.lat")] == 0.0
+    assert out[("by_g", "a", "b.bottom_right.lon")] == 1.0
+    # meters unit scales the ring edges
+    m = {
+        (r["agg"], r["key"], r["metric"]): r["value"]
+        for r in dsl_aggs(df, {
+            "rm": {"geo_distance": {
+                "origin": {"lat": 0.0, "lon": 0.0}, "unit": "m",
+                "ranges": [{"to": 200000.0}, {"from": 200000.0}]}},
+        }).collect()
+    }
+    assert m[("rm", "*-200000.0", "doc_count")] == 2.0
+
+
+def test_sampler_and_diversified_sampler_buckets(spark):
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_aggs,
+    )
+
+    rows = [(i, "a" if i < 8 else "b", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    spec = {"s": {"diversified_sampler": {
+        "field": "g", "max_docs_per_value": 1, "shard_size": 2,
+        "key_field": "id"},
+        "aggs": {"t": {"terms": {"field": "g", "size": 10}}}}}
+    out = {
+        (r["agg"], r["key"], r["metric"]): r["value"]
+        for r in dsl_aggs(df, spec).collect()
+    }
+    # cap 1 per g value then cut 2 -> exactly one a + one b survive
+    assert out[("s", "", "doc_count")] == 2.0
+    assert out[("s>t", "a", "doc_count")] == 1.0
+    assert out[("s>t", "b", "doc_count")] == 1.0
+    # plain sampler: first shard_size rows in md5 order, SAMPLE-scale
+    spec2 = {"s2": {"sampler": {"shard_size": 3, "key_field": "id"},
+                    "aggs": {"m": {"avg": {"field": "v"}}}}}
+    out2 = {
+        (r["agg"], r["key"], r["metric"]): r["value"]
+        for r in dsl_aggs(df, spec2).collect()
+    }
+    assert out2[("s2", "", "doc_count")] == 3.0
+    # partitioning invariance: the md5 order picks the SAME sample
+    out2b = {
+        (r["agg"], r["key"], r["metric"]): r["value"]
+        for r in dsl_aggs(df.repartition(7), spec2).collect()
+    }
+    assert out2 == out2b

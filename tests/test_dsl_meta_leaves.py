@@ -81,6 +81,23 @@ def test_terms_set_and_nested_compile():
     with pytest.raises(ValueError):  # text query inside nested filter
         compile_filter({"nested": {"path": "cs",
                                    "query": {"match": {"t": "x"}}}})
+    # ES bool membership defaults inside nested: shoulds optional next
+    # to a must unless msm >= 1 forces them
+    assert compile_filter({"nested": {"path": "cs", "query": {"bool": {
+        "must": [{"term": {"cs.a": 1}}],
+        "should": [{"term": {"cs.b": 2}}]}}}}) == (
+        "exists(cs, _x -> (_x.a = 1))"
+    )
+    assert compile_filter({"nested": {"path": "cs", "query": {"bool": {
+        "must": [{"term": {"cs.a": 1}}],
+        "should": [{"term": {"cs.b": 2}}],
+        "minimum_should_match": 1}}}}) == (
+        "exists(cs, _x -> (_x.a = 1 AND (_x.b = 2)))"
+    )
+    with pytest.raises(ValueError):  # script msm unsupported -> raise
+        compile_filter({"terms_set": {"t": {
+            "terms": ["a"],
+            "minimum_should_match_script": {"source": "x"}}}})
 
 
 def test_feature_leaf_compile_and_errors():
