@@ -701,6 +701,12 @@ def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
             # ES geo metrics. A geo_point field maps to (lat_field,
             # lon_field) double columns (the geohash_grid convention);
             # both ride the one groupBy pass as plain aggregates.
+            if "field" in mbody:
+                raise ValueError(
+                    f"{mkind} takes lat_field/lon_field column names "
+                    "(a geo_point field maps to two double columns "
+                    "on a parquet table), not ES's single `field`"
+                )
             latc = F.col(mbody.get("lat_field", "lat"))
             lonc = F.col(mbody.get("lon_field", "lon"))
             if wrap is not None:

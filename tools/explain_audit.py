@@ -750,6 +750,21 @@ def main() -> None:
         forbid="Generate",  # no explode
     )
 
+    # 38b. diversified_sampler bucket: both cuts (per-value cap +
+    # shard_size) must be WindowGroupLimit — each map task forwards at
+    # most the cap per key, so the shuffle carries samples, never the
+    # frame — and the whole tree stays JVM-side
+    p = plan_text(dsl_search_aggs(rows, {
+        "aggs": {"s": {"diversified_sampler": {
+            "field": "status", "max_docs_per_value": 2,
+            "shard_size": 5, "key_field": "doc_id"},
+            "aggs": {"t": {"terms": {"field": "status", "size": 5}}}}},
+    }))
+    failures += not check(
+        "diversified_sampler cuts are WindowGroupLimit", p,
+        "WindowGroupLimit", forbid="BatchEvalPython",
+    )
+
     # 39. rank_feature: per-doc score expression in ONE metadata scan,
     # top-k cut is a TakeOrderedAndProject (never a global sort)
     r = dsl_topk(
