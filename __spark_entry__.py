@@ -7033,15 +7033,36 @@ DSL_MSM_QUERIES = [
         {"term": {"source": {"value": "src1", "boost": 0.5}}},
         {"range": {"n_chars": {"gte": 400, "boost": 0.25}}},
     ], "minimum_should_match": 2}}),
+    # round-5h: Lucene msm spec grammar — "67%" of 3 shoulds resolves
+    # to 2 at compile time (trunc-toward-zero, Queries semantics)
+    (3, {"bool": {"should": [
+        {"match": {"content": "spark"}},
+        {"match": {"content": "query"}},
+        {"match": {"content": "window"}},
+    ], "minimum_should_match": "67%"}}),
+    # round-5h: filter-context bool msm -1 of 3 (negative form -> 2)
+    # compiles to a NULL-safe indicator-sum predicate pushed into the
+    # metadata scan; the text must rides on top
+    (4, {"bool": {
+        "must": [{"match": {"content": "value"}}],
+        "filter": [{"bool": {"should": [
+            {"term": {"lang": "en"}},
+            {"term": {"source": "src1"}},
+            {"range": {"n_chars": {"gte": 400}}},
+        ], "minimum_should_match": -1}}],
+    }}),
 ]
 
 
 def q_dsl_msm(spark, sf_dir):
-    """Round-5: integer minimum_should_match inside a SCORING bool —
-    docs must match >= msm DISTINCT should clauses (multi-term match =
-    one clause), counted by the evaluator's bounded indicator probe;
-    also the explicit-msm override on the pure-constant should path
-    (query/dsl.py round-5 block)."""
+    """Round-5: minimum_should_match inside a SCORING bool — docs must
+    match >= msm DISTINCT should clauses (multi-term match = one
+    clause), counted by the evaluator's bounded indicator probe; also
+    the explicit-msm override on the pure-constant should path
+    (query/dsl.py round-5 block). Round-5h: the full Lucene spec
+    grammar — q3's "67%" resolves to 2 at compile time, q4's
+    filter-context bool with msm -1 (of 3) compiles to a NULL-safe
+    indicator-sum SQL predicate (dsl._resolve_msm / _msm_group)."""
     from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
 
     stats = _term_stats(spark, sf_dir)
@@ -7057,13 +7078,18 @@ def q_dsl_msm(spark, sf_dir):
 
 
 def _dsl_msm_oracle_sql() -> str:
-    """q0/q1 replay through the clause oracle with its msm CASE-sum
-    filter; q2 constructively over the documents metadata (sum of
-    matched boosts, membership >= 2 matched shoulds)."""
+    """q0/q1/q3/q4 replay through the clause oracle with its msm
+    CASE-sum filter (q3's "67%" and q4's -1 resolve through the same
+    compile-time grammar the engine uses; q4's indicator-sum filter
+    predicate is portable SQL so DuckDB evaluates it verbatim); q2
+    constructively over the documents metadata (sum of matched boosts,
+    membership >= 2 matched shoulds)."""
     from elasticsearch_analysis_combo_spark.query.dsl import compile_dsl
 
     specs = []
-    for qid, node in DSL_MSM_QUERIES[:2]:
+    for qid, node in DSL_MSM_QUERIES:
+        if qid == 2:
+            continue
         cq = compile_dsl(node)
         specs.append((qid, cq.parsed, cq.filter_sql, cq.msm))
     co = _clause_oracle_sql(specs, QS_MAX_EXP)
@@ -7985,6 +8011,12 @@ ES_AGGS3_BODY = {
         }}, "aggs": {"av": {"avg": {"field": "value"}}}},
         "tiles": {"geotile_grid": {"lat_field": "lat",
                                    "lon_field": "lon", "precision": 4}},
+        # round-5h compiler kinds
+        "prefixes": {"ip_prefix": {"field": "ip", "prefix_length": 25,
+                                   "append_prefix_length": True}},
+        "cats": {"categorize_text": {"field": "msg", "max_tokens": 10,
+                                     "size": 5}},
+        "cp": {"change_point": {"buckets_path": "daily>v"}},
     },
 }
 
@@ -8000,7 +8032,11 @@ def q_es_aggs3(spark, sf_dir):
     and auto_date_histogram (scalar ladder pass picks the interval).
     Null pipeline values (serial_diff's first ``lag`` buckets) drop
     symmetrically in both engines; coords/IPs derive deterministically
-    from user_id as in the geo/curation gates."""
+    from user_id as in the geo/curation gates. Round-5h members:
+    ip_prefix (/25 network buckets — masked-quad arithmetic),
+    categorize_text (digit-free token signature over a synthetic log
+    line, terms-style size cut), and the change_point sibling (CUSUM
+    argmax over the daily sum series, cusum_score + shift)."""
     from elasticsearch_analysis_combo_spark.query.aggcompiler import (
         dsl_search_aggs,
     )
@@ -8011,6 +8047,8 @@ def q_es_aggs3(spark, sf_dir):
         f"{GEO_LON_EXPR} as lon",
         "concat('10.0.', cast(pmod(user_id, 2) as string), '.', "
         "cast(pmod(user_id * 13, 256) as string)) as ip",
+        "concat('user ', cast(user_id as string), ' did ', event_type, "
+        "' on host ', cast(pmod(user_id, 7) as string)) as msg",
     )
     out = dsl_search_aggs(ev, ES_AGGS3_BODY)
     return out.filter(F.col("value").isNotNull()).select(
@@ -8265,6 +8303,49 @@ ad_rows AS (
          'doc_count' AS metric, count(*)::DOUBLE AS value
   FROM src s, pick GROUP BY 1, 2
 ),
+pfx_rows AS (
+  SELECT 'prefixes' AS agg,
+         '10.0.' || (user_id % 2)::VARCHAR || '.'
+           || (((user_id * 13) % 256) & 128)::VARCHAR || '/25' AS key,
+         'doc_count' AS metric, count(*)::DOUBLE AS value
+  FROM src GROUP BY 2
+),
+cat AS (
+  SELECT 'user did ' || event_type || ' on host' AS key,
+         count(*)::DOUBLE AS c
+  FROM src GROUP BY 1
+),
+cat_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY c DESC, key) AS rn FROM cat
+  ) WHERE rn <= 5
+),
+cat_rows AS (
+  SELECT 'cats' AS agg, key, 'doc_count' AS metric, c AS value
+  FROM cat_top
+),
+cps AS (
+  SELECT key, v,
+         row_number() OVER (ORDER BY key) AS i,
+         count(*) OVER () AS n,
+         avg(v) OVER () AS m,
+         sum(v) OVER (ORDER BY key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(v) OVER () AS tot
+  FROM dh
+),
+cp_best AS (
+  SELECT key, abs(c - i * m) AS s,
+         (tot - c) / (n - i) - c / i AS shift
+  FROM cps WHERE i < n
+  ORDER BY abs(c - i * m) DESC, i ASC LIMIT 1
+),
+cp_rows AS (
+  SELECT 'cp' AS agg, key, 'cp.cusum_score' AS metric, s AS value
+  FROM cp_best
+  UNION ALL SELECT 'cp', key, 'cp.shift', shift FROM cp_best
+),
 allrows AS (
   SELECT * FROM ps_rows UNION ALL SELECT * FROM dh_rows
   UNION ALL SELECT * FROM pct_rows UNION ALL SELECT * FROM s_rows
@@ -8272,7 +8353,8 @@ allrows AS (
   UNION ALL SELECT * FROM ip_rows UNION ALL SELECT * FROM ad_rows
   UNION ALL SELECT * FROM bt_rows UNION ALL SELECT * FROM adj_rows
   UNION ALL SELECT * FROM gt_rows UNION ALL SELECT * FROM xs_rows
-  UNION ALL SELECT * FROM tt_rows
+  UNION ALL SELECT * FROM tt_rows UNION ALL SELECT * FROM pfx_rows
+  UNION ALL SELECT * FROM cat_rows UNION ALL SELECT * FROM cp_rows
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value
 FROM allrows WHERE value IS NOT NULL

@@ -104,7 +104,7 @@ BUCKET_KINDS = (
     "multi_terms", "date_range", "rare_terms", "composite",
     "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
     "adjacency_matrix", "geotile_grid", "geo_distance", "sampler",
-    "diversified_sampler",
+    "diversified_sampler", "ip_prefix", "categorize_text",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -131,7 +131,7 @@ PARENT_PIPELINE_KINDS = (
 # to one value per enclosing bucket)
 SIBLING_PIPELINE_KINDS = (
     "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
-    "percentiles_bucket", "extended_stats_bucket",
+    "percentiles_bucket", "extended_stats_bucket", "change_point",
 )
 # metric kinds whose values stay valid under random_sampler rescale:
 # sum/value_count scale by 1/p; ratio/extreme metrics are unbiased
@@ -437,6 +437,54 @@ def _key_expr(kind: str, body: dict):
             )
             expr = F.when(cond, F.lit(name)).otherwise(expr)
         return expr
+    if kind == "ip_prefix":
+        # ES 8.2 ip_prefix: bucket = the network address of the IP
+        # masked to ``prefix_length`` bits (IPv4; is_ipv6 raises). The
+        # dotted-quad -> uint32 -> mask -> dotted-quad round trip is
+        # pure codegen integer arithmetic, one map-side projection;
+        # ``append_prefix_length`` suffixes "/k" like ES's keyed form.
+        plen = int(body["prefix_length"])
+        if not 0 <= plen <= 32:
+            raise ValueError(f"prefix_length must be in [0, 32]: {plen}")
+        if body.get("is_ipv6"):
+            raise ValueError("ip_prefix supports IPv4 only")
+        parts = F.split(F.col(field), r"\.")
+        ip = (
+            parts.getItem(0).cast("long") * 16777216
+            + parts.getItem(1).cast("long") * 65536
+            + parts.getItem(2).cast("long") * 256
+            + parts.getItem(3).cast("long")
+        )
+        mask = ((0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF) if plen else 0
+        net = ip.bitwiseAND(F.lit(mask))
+        quad = F.concat_ws(
+            ".",
+            F.floor(net / F.lit(16777216)).cast("long").cast("string"),
+            F.pmod(F.floor(net / F.lit(65536)).cast("long"), F.lit(256))
+            .cast("string"),
+            F.pmod(F.floor(net / F.lit(256)).cast("long"), F.lit(256))
+            .cast("string"),
+            F.pmod(net, F.lit(256)).cast("string"),
+        )
+        if body.get("append_prefix_length"):
+            quad = F.concat(quad, F.lit(f"/{plen}"))
+        return F.when(F.col(field).isNotNull(), quad)
+    if kind == "categorize_text":
+        # ES ML categorize_text, deterministic analogue (the
+        # facets.categorize_text_agg signature): the category key is
+        # the first ``max_tokens`` lowercased tokens containing NO
+        # digit, space-joined — timestamps/ids/counters drop out.
+        # Array-side split+filter+slice, map-only.
+        max_tokens = int(body.get("max_tokens", 10))
+        toks = F.split(F.lower(F.col(field)), r"\s+")
+        sig = F.array_join(
+            F.slice(
+                F.filter(toks, lambda x: ~x.rlike("[0-9]")),
+                1, max_tokens,
+            ),
+            " ",
+        )
+        return F.when(F.col(field).isNotNull(), sig)
     if kind == "geo_distance":
         # ES geo_distance agg: [from, to) rings around an origin. The
         # haversine rides the bucket-key projection (geo.haversine_km —
@@ -1166,7 +1214,7 @@ def _compile_node(
             F.col("doc_count") <= int(body.get("max_doc_count", 1))
         )
 
-    if kind in ("terms", "multi_terms"):
+    if kind in ("terms", "multi_terms", "categorize_text"):
         size = int(body.get("size", 10))
         order = body.get("order", {"_count": "desc"})
         ((oname, odir),) = order.items()
@@ -1660,6 +1708,7 @@ def _sibling_rows(
     body: dict,
     path: str,
     parent_keys: list[str],
+    node_kinds: dict[str, str] | None = None,
 ) -> DataFrame:
     """Sibling pipeline agg (avg/min/max/sum/stats_bucket): reduce a
     sibling bucket agg's per-bucket metric to ONE value per enclosing
@@ -1686,6 +1735,52 @@ def _sibling_rows(
     else:
         pkey = F.lit("")
     mypath = f"{path}>{name}" if path else name
+    if kind == "change_point":
+        # ES change_point (8.x, sibling form): locate the single most
+        # likely level shift in the sibling's bucket-metric series —
+        # the facets.change_point_agg CUSUM over the REDUCED long
+        # frame (bucket-count-sized, never rows). Needs an ordered
+        # axis: a histogram sibling orders numerically on its rendered
+        # key, a date_histogram lexically (yyyy-MM-dd HH:mm:ss sorts).
+        # The located bucket's key becomes the output key component
+        # (parent|located); metrics = cusum_score (max |S_k|) + shift
+        # (mean(after) - mean(before)), the thresholdable analogue of
+        # ES's change-type p_value.
+        from .facets import change_point_agg
+
+        ck = F.element_at(F.split(F.col("key"), "\\|"), -1)
+        sib_kind = (node_kinds or {}).get(sib)
+        if sib_kind == "histogram":
+            order_expr = ck.cast("double")
+        elif sib_kind == "date_histogram":
+            order_expr = ck
+        else:
+            raise ValueError(
+                "change_point needs a histogram or date_histogram "
+                f"sibling, got {sib_kind}"
+            )
+        series = src.select(
+            pkey.alias("_pk"), ck.alias("_ck"),
+            order_expr.alias("_ord"), F.col("value"),
+        )
+        cp = change_point_agg(
+            series, "_ck", "value", group_col="_pk", order_col="_ord"
+        )
+        out_key = (
+            F.concat_ws("|", F.col("_pk"), F.col("change_point"))
+            if parent_keys else F.col("change_point")
+        )
+        pairs = [
+            F.struct(
+                F.lit(f"{name}.{m}").alias("metric"),
+                F.col(m).cast("double").alias("value"),
+            )
+            for m in ("cusum_score", "shift")
+        ]
+        return cp.select(
+            F.lit(mypath).alias("agg"), out_key.alias("key"),
+            F.explode(F.array(*pairs)).alias("_mv"),
+        ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
     grouped = src.groupBy(pkey.alias("_pk"))
     if kind == "percentiles_bucket":
         # ES percentiles_bucket: EXACT percentiles of the sibling's
@@ -1825,10 +1920,13 @@ def _compile_level(
         if child_outs:
             frames[name] = child_outs[0]
         outs.extend(child_outs)
-    for name, kind, body in siblings:
-        outs.append(
-            _sibling_rows(frames, name, kind, body, path, parent_keys)
-        )
+    if siblings:
+        node_kinds = {n: _split_node(nd)[0] for n, nd in nodes.items()}
+        for name, kind, body in siblings:
+            outs.append(
+                _sibling_rows(frames, name, kind, body, path,
+                              parent_keys, node_kinds=node_kinds)
+            )
     return outs
 
 

@@ -65,12 +65,17 @@ left-joins onto the text membership, with should-only text the
 const-matching docs union in as members (ES's >=1-should rule; the
 must_not + should-only-const combination raises, documented).
 
-Round-5 additions: integer ``minimum_should_match`` in a scoring
-``bool`` — docs must match >= msm DISTINCT should clauses (a
-multi-term ``match`` counts as one clause, as in ES), counted by the
-evaluator's bounded indicator probe; percentage forms raise, and
-msm combined with const-should-next-to-text raises (the const
-indicator can't feed the evaluator's counting).
+Round-5 additions: ``minimum_should_match`` in a scoring ``bool`` —
+docs must match >= msm DISTINCT should clauses (a multi-term ``match``
+counts as one clause, as in ES), counted by the evaluator's bounded
+indicator probe. The full Lucene spec grammar resolves at compile time
+against the should-entry count (int, negative int, ``"P%"`` /
+``"-P%"`` with Lucene's truncate-toward-zero arithmetic — see
+:func:`_resolve_msm`); only the conditional ``"k<P%"`` form raises.
+Filter-context and nested bools take the same grammar, with ``msm > 1``
+compiling to a NULL-safe indicator-sum predicate (pure SQL, still
+pushdown-eligible). msm combined with const-should-next-to-text raises
+(the const indicator can't feed the evaluator's counting).
 
 Documented subset divergences — everything UNSUPPORTED raises rather
 than silently mis-executing. ``match_phrase`` with ``slop > 0`` filters
@@ -221,6 +226,59 @@ def _like_escape(s: str, wildcard: bool) -> str:
     return "".join(out)
 
 
+def _resolve_msm(msm, n_optional: int) -> int:
+    """Lucene minimum-should-match spec -> required clause count over
+    ``n_optional`` should clauses (Queries.calculateMinShouldMatch):
+    int, negative int (``n + k``), and percentage forms ``"P%"`` /
+    ``"-P%"`` (``n*P/100`` truncated toward zero, negative results
+    shifted by ``n`` — Lucene's exact integer arithmetic, quirks
+    included). The conditional ``"k<P%"`` form raises. Results clamp at
+    0 (<= 0 means the shoulds stay fully optional); values above
+    ``n_optional`` are the caller's no-match case, as in BooleanQuery.
+    """
+    if isinstance(msm, bool):
+        raise ValueError(f"invalid minimum_should_match: {msm!r}")
+    if isinstance(msm, int):
+        calc = msm
+    elif isinstance(msm, str):
+        s = msm.strip()
+        if "<" in s:
+            raise ValueError(
+                f"conditional minimum_should_match {msm!r} unsupported "
+                "(int, negative int, 'P%', '-P%')"
+            )
+        try:
+            if s.endswith("%"):
+                prod = n_optional * int(s[:-1])
+                # Java int division truncates toward zero
+                calc = prod // 100 if prod >= 0 else -((-prod) // 100)
+            else:
+                calc = int(s)
+        except ValueError:
+            raise ValueError(
+                f"invalid minimum_should_match spec: {msm!r}"
+            ) from None
+    else:
+        raise ValueError(f"invalid minimum_should_match: {msm!r}")
+    return max(n_optional + calc if calc < 0 else calc, 0)
+
+
+def _msm_group(shoulds: list[str], k: int) -> str | None:
+    """Predicate requiring >= ``k`` of the ``shoulds`` to hold, or None
+    when k <= 0 (fully optional). NULL-safe: a NULL sub-predicate
+    counts 0, matching OR's treatment of unknown."""
+    if k <= 0:
+        return None
+    if k > len(shoulds):
+        return "FALSE"
+    if k == 1:
+        return "(" + " OR ".join(shoulds) + ")"
+    ind = " + ".join(
+        f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in shoulds
+    )
+    return f"(({ind}) >= {k})"
+
+
 _RANGE_OPS = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
 
 _EARTH_RADIUS_KM = 6371.0088  # matches query/geo.py
@@ -313,12 +371,13 @@ def _nested_pred(node: dict, path: str, var: str) -> str:
         shoulds = [_nested_pred(p, path, var) for p in body.get("should", [])]
         if shoulds:
             msm = body.get("minimum_should_match")
-            if msm is not None and int(msm) > 1:
-                raise ValueError(
-                    "minimum_should_match > 1 unsupported in nested bool"
-                )
-            if not groups or (msm is not None and int(msm) >= 1):
-                groups.append("(" + " OR ".join(shoulds) + ")")
+            k = (
+                (0 if groups else 1) if msm is None
+                else _resolve_msm(msm, len(shoulds))
+            )
+            grp = _msm_group(shoulds, k)
+            if grp is not None:
+                groups.append(grp)
         for p in body.get("must_not", []):
             groups.append(f"NOT ({_nested_pred(p, path, var)})")
         return "(" + " AND ".join(groups) + ")" if groups else "TRUE"
@@ -491,15 +550,13 @@ def compile_filter(node: dict) -> str:
         shoulds = [compile_filter(p) for p in body.get("should", [])]
         if shoulds:
             msm = body.get("minimum_should_match")
-            required = (
-                not groups if msm is None else int(msm) >= 1
+            k = (
+                (0 if groups else 1) if msm is None
+                else _resolve_msm(msm, len(shoulds))
             )
-            if msm is not None and int(msm) > 1:
-                raise ValueError(
-                    "minimum_should_match > 1 unsupported in filter bool"
-                )
-            if required:
-                groups.append("(" + " OR ".join(shoulds) + ")")
+            grp = _msm_group(shoulds, k)
+            if grp is not None:
+                groups.append(grp)
         for part in body.get("must_not", []):
             groups.append(f"NOT ({compile_filter(part)})")
         if not groups:
@@ -712,11 +769,13 @@ def compile_dsl(dsl: dict) -> CompiledQuery:
         )
     msm = body.get("minimum_should_match")
     if msm is not None:
-        if not isinstance(msm, int) or msm < 0:
-            raise ValueError(
-                "minimum_should_match must be a non-negative int "
-                f"(percentages unsupported): {msm!r}"
-            )
+        # resolve percentage/negative forms against the DSL-level
+        # should-entry count (ES's optional-clause count: a multi-term
+        # match is ONE clause), producing the plain int the evaluator
+        # already handles
+        raw_shoulds = body.get("should", [])
+        n_opt = 1 if isinstance(raw_shoulds, dict) else len(raw_shoulds)
+        msm = _resolve_msm(msm, n_opt)
     clauses: list[Clause] = []
     const_filters: list[str] = []
     const_offset = 0.0

@@ -186,6 +186,7 @@ def change_point_agg(
     key_col: str,
     value_col: str,
     group_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """ES ``change_point`` aggregation, deterministic analogue: locate
     the single most likely level shift in a (key-ordered) metric series
@@ -197,7 +198,10 @@ def change_point_agg(
     callers can threshold. Pure window arithmetic: two passes over each
     group's series, no driver collection — at scale the series per
     group is the bucket list of an upstream date_histogram (small), not
-    raw rows."""
+    raw rows. ``order_col`` (default ``key_col``) sets the series
+    order when the reported key needs a different sort type (the aggs
+    compiler orders a histogram parent's string keys numerically)."""
+    ocol = order_col or key_col
     gcols = [group_col] if group_col else []
     part = Window.partitionBy(*gcols) if gcols else Window.partitionBy(
         F.lit(1)
@@ -205,14 +209,14 @@ def change_point_agg(
     w_all = part.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_cum = part.orderBy(key_col).rowsBetween(
+    w_cum = part.orderBy(ocol).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     x = F.col(value_col).cast("double")
     cum = (
         df.withColumn("_mean", F.avg(x).over(w_all))
         .withColumn("_n", F.count("*").over(w_all))
-        .withColumn("_i", F.row_number().over(part.orderBy(key_col)))
+        .withColumn("_i", F.row_number().over(part.orderBy(ocol)))
         .withColumn("_s", F.sum(x - F.col("_mean")).over(w_cum))
         .withColumn("_cum", F.sum(x).over(w_cum))
     )

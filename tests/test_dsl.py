@@ -73,9 +73,43 @@ def test_compile_filter_bool_and_errors():
         "minimum_should_match": 1,
     }})
     assert forced == "(a = 1 AND (b = 2))"
+    # msm above the should count matches nothing (BooleanQuery rule)
+    assert compile_filter({"bool": {"should": [{"term": {"a": 1}}],
+                                    "minimum_should_match": 2}}) == "(FALSE)"
+    # msm > 1 compiles to a NULL-safe indicator sum
+    two_of_three = compile_filter({"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 2}},
+                   {"term": {"c": 3}}],
+        "minimum_should_match": 2,
+    }})
+    assert two_of_three == (
+        "((((CASE WHEN a = 1 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN b = 2 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN c = 3 THEN 1 ELSE 0 END)) >= 2))"
+    )
+    # Lucene spec grammar: percentages (trunc toward zero) + negatives
+    pct = compile_filter({"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 2}},
+                   {"term": {"c": 3}}],
+        "minimum_should_match": "67%",   # 3*67/100 = 2
+    }})
+    assert pct == two_of_three
+    neg = compile_filter({"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 2}},
+                   {"term": {"c": 3}}],
+        "minimum_should_match": -1,      # 3 - 1 = 2
+    }})
+    assert neg == two_of_three
+    # "-25%" of 3: trunc(3*-25/100) = 0, not < 0 -> required 0 ->
+    # shoulds optional -> bool with only shoulds collapses to TRUE
+    assert compile_filter({"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 2}},
+                   {"term": {"c": 3}}],
+        "minimum_should_match": "-25%",
+    }}) == "TRUE"
     with pytest.raises(ValueError):
         compile_filter({"bool": {"should": [{"term": {"a": 1}}],
-                                 "minimum_should_match": 2}})
+                                 "minimum_should_match": "3<90%"}})
     with pytest.raises(ValueError):
         compile_filter({"term": {"bad-field!": 1}})
     with pytest.raises(ValueError):
@@ -108,13 +142,26 @@ def test_compile_dsl_roles():
         compile_dsl({"bool": {"should": [
             {"match": {"content": {"query": "x y", "operator": "and"}}}
         ]}})
-    # integer msm compiles through; percentage forms raise
+    # msm spec grammar resolves to a plain int at compile time
     assert compile_dsl({"bool": {
         "should": [{"match": {"content": "x"}}],
         "minimum_should_match": 1,
     }}).msm == 1
+    assert compile_dsl({"bool": {
+        "should": [{"match": {"content": "x"}}, {"match": {"content": "y"}},
+                   {"match": {"content": "z"}}],
+        "minimum_should_match": "75%",   # 3*75/100 = 2
+    }}).msm == 2
+    assert compile_dsl({"bool": {
+        "should": [{"match": {"content": "x"}}, {"match": {"content": "y"}},
+                   {"match": {"content": "z"}}],
+        "minimum_should_match": -1,      # 3 - 1 = 2
+    }}).msm == 2
     with pytest.raises(ValueError):
-        compile_dsl({"bool": {"minimum_should_match": "75%"}})
+        compile_dsl({"bool": {
+            "should": [{"match": {"content": "x"}}],
+            "minimum_should_match": "2<80%",
+        }})
 
 
 # --------------------------------------------------------------- evaluation
