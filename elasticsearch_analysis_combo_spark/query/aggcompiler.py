@@ -1141,6 +1141,72 @@ def _compile_node(
             g, mypath, [f"_ck{i}" for i in range(len(names))], emits
         )]
 
+    if kind == "frequent_item_sets":
+        # ES frequent_item_sets (8.4 ML): market-basket mining over an
+        # array field — delegates to the exact Apriori level-2 kernel
+        # (facets.frequent_item_sets_agg: singleton prune, pairs from
+        # surviving singletons only, per-doc cap knob bounding the pair
+        # blowup). One field (ES's multi-field union raises); top-level
+        # only. ES's ``minimum_support`` doc RATIO resolves via one
+        # scalar count; ``min_support_docs`` passes the absolute count
+        # directly (engine convention). Long rows: key = the itemset
+        # sorted-joined "a|b", metrics doc_count + set_size.
+        import math
+
+        from .facets import frequent_item_sets_agg
+
+        if parent_keys:
+            raise ValueError(
+                "frequent_item_sets must be a top-level agg"
+            )
+        if sub:
+            raise ValueError("frequent_item_sets sub-aggs unsupported")
+        if scale != 1.0:
+            raise ValueError(
+                "frequent_item_sets under random_sampler would report "
+                "sample-scale supports"
+            )
+        flds = body.get("fields", [])
+        if len(flds) != 1:
+            raise ValueError(
+                "frequent_item_sets needs exactly one entry in fields"
+            )
+        fld = (
+            flds[0]["field"] if isinstance(flds[0], dict) else str(flds[0])
+        )
+        mss = int(body.get("minimum_set_size", 1))
+        if mss not in (1, 2):
+            raise ValueError(
+                "minimum_set_size must be 1 or 2 (level-2 Apriori)"
+            )
+        if "min_support_docs" in body:
+            msd = int(body["min_support_docs"])
+        else:
+            ratio = float(body.get("minimum_support", 0.1))
+            msd = max(int(math.ceil(ratio * rows.count())), 1)
+        out = frequent_item_sets_agg(
+            rows, fld, min_support_docs=msd,
+            size=int(body.get("size", 10)), max_set_size=2,
+            id_col=body.get("key_field", "doc_id"),
+            max_items_per_doc=body.get("max_items_per_doc"),
+        )
+        if mss == 2:
+            out = out.filter(F.col("set_size") >= 2)
+        return [out.select(
+            F.lit(mypath).alias("agg"),
+            F.array_join("items", "|").alias("key"),
+            F.explode(F.array(
+                F.struct(
+                    F.lit("doc_count").alias("metric"),
+                    F.col("doc_count").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("set_size").alias("metric"),
+                    F.col("set_size").cast("double").alias("value"),
+                ),
+            )).alias("_mv"),
+        ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))]
+
     # --- keyed bucket aggs (terms/histogram/date_histogram/range/missing)
     keycol = f"_k{len(parent_keys)}"
     keyed = rows.withColumn(keycol, _key_expr(kind, body)).filter(

@@ -114,6 +114,44 @@ def test_change_point_histogram_numeric_order(spark):
     assert out[("cp", key, "cp.shift")] == pytest.approx(8.0)
 
 
+def test_frequent_item_sets_route(spark):
+    rows = [
+        (1, ["a", "b", "c"]), (2, ["a", "b"]), (3, ["a", "b"]),
+        (4, ["a", "c"]), (5, ["b"]), (6, ["d"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    out = _rows(dsl_aggs(df, {
+        "sets": {"frequent_item_sets": {
+            "fields": [{"field": "tags"}], "min_support_docs": 3,
+            "size": 10}},
+    }))
+    # singletons: a=4, b=4 survive (c=2, d=1 pruned); pair a|b = 3
+    assert out[("sets", "a", "doc_count")] == 4.0
+    assert out[("sets", "b", "doc_count")] == 4.0
+    assert out[("sets", "a|b", "doc_count")] == 3.0
+    assert out[("sets", "a|b", "set_size")] == 2.0
+    assert ("sets", "c", "doc_count") not in out
+    # minimum_support ratio form: 0.5 of 6 docs -> 3 docs, same result
+    ratio = _rows(dsl_aggs(df, {
+        "sets": {"frequent_item_sets": {
+            "fields": [{"field": "tags"}], "minimum_support": 0.5}},
+    }))
+    assert {k for k in ratio if k[2] == "doc_count"} == {
+        ("sets", "a", "doc_count"), ("sets", "b", "doc_count"),
+        ("sets", "a|b", "doc_count"),
+    }
+    # minimum_set_size=2 keeps pairs only
+    pairs_only = _rows(dsl_aggs(df, {
+        "sets": {"frequent_item_sets": {
+            "fields": [{"field": "tags"}], "min_support_docs": 3,
+            "minimum_set_size": 2}},
+    }))
+    assert {k[1] for k in pairs_only} == {"a|b"}
+    with pytest.raises(ValueError, match="one entry"):
+        dsl_aggs(df, {"s": {"frequent_item_sets": {
+            "fields": [{"field": "tags"}, {"field": "x"}]}}})
+
+
 def test_change_point_requires_ordered_sibling(logs):
     with pytest.raises(ValueError, match="change_point"):
         dsl_aggs(logs, {
