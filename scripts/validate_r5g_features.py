@@ -155,10 +155,12 @@ def main():
         F.avg("dl")
     ).collect()[0][0]
     term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    # docIDs from ingest are 64-bit hash-derived — multiply AFTER a
+    # pmod or ANSI mode overflows (CLAUDE.md gotcha)
     meta = docs.selectExpr(
         "doc_id",
-        "CASE WHEN doc_id % 11 = 0 THEN NULL"
-        " ELSE pmod(doc_id * 2654435761, 1000) END AS pop",
+        "CASE WHEN pmod(doc_id, 11) = 0 THEN NULL"
+        " ELSE pmod(pmod(doc_id, 1000003) * 2654435761, 1000) END AS pop",
     ).cache()
     meta.count()
     report["index_build_secs"] = round(time.time() - t0, 2)
