@@ -932,6 +932,258 @@ def q_multi_match_dismax(spark, sf_dir):
     return _rerank_rounded(out)
 
 
+MM_PHRASES = [(0, "value table"), (1, "the value"), (2, "zzz qqq")]
+
+
+def q_multi_match_phrase(spark, sf_dir):
+    """ES multi_match type=phrase (round 5i): match_phrase per field over
+    per-field positional postings — phrase frequency as BM25 tf against
+    that field's df/n/avgdl — dis-max blended with tie_breaker. Exact at
+    any tie_breaker: each field scores its FULL phrase match set
+    (phrase_topk k=None), so losing-field contributions survive the
+    blend. Query 2 matches nothing (empty-set edge)."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        field_corpus_stats,
+        multi_match_phrase_topk,
+    )
+
+    stats = _field_stats(spark, sf_dir)
+    postings, meta = {}, {}
+    for f, s in stats.items():
+        n, avgdl = field_corpus_stats(s)
+        meta[f] = (n, avgdl)
+        segs = build_segments(s, avgdl=avgdl, k1=K1, b=B, block_size=128,
+                              salt_shards=4, with_positions=True)
+        postings[f] = merge_segments(segs, avgdl=avgdl, k1=K1, b=B,
+                                     block_size=128, with_positions=True)
+    out = multi_match_phrase_topk(
+        spark, postings, meta, MM_PHRASES, _ws_config(),
+        boosts=MM_BOOSTS, tie_breaker=MM_TIE_BREAKER, k=TOPK,
+        slop=0, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _multi_match_phrase_oracle_sql() -> str:
+    """Fielded match_phrase replay: tokens get a field by ordinal (first
+    8 -> title) and a FIELD-LOCAL 1-based position (body re-indexes from
+    1, exactly what per-field tokenization produces); slop-0 anchors are
+    adjacency join-chains constrained to one field; per-field score =
+    boost * idf_sum(slots, field stats) * satu(anchor count); fields
+    blend max + tb*(sum-max)."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    match_parts, slot_rows = [], []
+    for qid, text in MM_PHRASES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        joins = []
+        for i, term in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN ftoks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.field = t0.field AND t{i}.p = t0.p + {i} "
+                f"AND t{i}.t = '{term}'"
+            )
+        match_parts.append(f"""
+SELECT {qid} AS query_id, t0.field, t0.doc_id, count(*)::DOUBLE AS cnt
+FROM ftoks t0 {' '.join(joins)}
+WHERE t0.t = '{terms[0]}'
+GROUP BY 1, 2, 3""")
+        for si, term in enumerate(terms):
+            slot_rows.append(f"({qid}, {si}, '{term}')")
+    matches = "\nUNION ALL\n".join(match_parts)
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM base
+),
+ftoks AS (
+  SELECT doc_id, t,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS field,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN i ELSE i - {MM_TITLE_TOKENS} END AS p
+  FROM toks WHERE t <> ''
+),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM ftoks GROUP BY 1, 2),
+gs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+dfx AS (
+  SELECT field, t, count(DISTINCT doc_id)::DOUBLE AS df FROM ftoks GROUP BY 1, 2
+),
+slots(query_id, slot, term) AS (VALUES {', '.join(slot_rows)}),
+idf AS (
+  SELECT s.query_id, g.field,
+         sum(ln(1.0 + (g.n - coalesce(d.df, 0) + 0.5)
+                      / (coalesce(d.df, 0) + 0.5))) AS idf_sum
+  FROM slots s
+  CROSS JOIN gs g
+  LEFT JOIN dfx d ON d.field = g.field AND d.t = s.term
+  GROUP BY 1, 2
+),
+m AS ({matches}),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         (CASE m.field WHEN 'title' THEN {MM_BOOSTS['title']}
+               ELSE {MM_BOOSTS['body']} END)
+           * idf.idf_sum
+           * m.cnt * ({K1} + 1.0)
+           / (m.cnt + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS fscore
+  FROM m
+  JOIN idf ON idf.query_id = m.query_id AND idf.field = m.field
+  JOIN dl ON dl.field = m.field AND dl.doc_id = m.doc_id
+  JOIN gs ON gs.field = m.field
+),
+comb AS (
+  SELECT query_id, doc_id,
+         max(fscore) + {MM_TIE_BREAKER} * (sum(fscore) - max(fscore)) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+MM_BP_QUERIES = [(0, "the val"), (1, "spark quer"), (2, "zzz")]
+
+
+def q_multi_match_bool_prefix(spark, sf_dir):
+    """ES multi_match type=bool_prefix (round 5i, multi-field
+    search-as-you-type): one match_bool_prefix per field — full terms
+    as term clauses + the last token expanded over THAT FIELD's own
+    dictionary (capped, alphabetical) — BM25-summed against per-field
+    statistics, then dis-max blended with tie_breaker over the FULL
+    per-field sets. Query 2 is a lone prefix with no expansion in
+    either field (empty-set edge)."""
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        field_corpus_stats,
+        multi_match_bool_prefix_topk,
+    )
+
+    stats = _field_stats(spark, sf_dir)
+    tdfs = {
+        f: s.groupBy("term").agg(F.count("*").alias("df"))
+        for f, s in stats.items()
+    }
+    meta = {f: field_corpus_stats(s) for f, s in stats.items()}
+    out = multi_match_bool_prefix_topk(
+        spark, stats, tdfs, meta, MM_BP_QUERIES, _ws_config(),
+        boosts=MM_BOOSTS, tie_breaker=MM_TIE_BREAKER, k=TOPK,
+        k1=K1, b=B, max_expansions=MBP_MAX_EXP,
+    )
+    return _rerank_rounded(out)
+
+
+def _multi_match_bool_prefix_oracle_sql() -> str:
+    """Fielded match_bool_prefix replay: per field, full terms join
+    that field's dictionary and the last token expands as a capped
+    alphabetical LIKE subquery over the SAME field's dictionary;
+    per-field BM25 sums against per-field stats, boosted, blended
+    max + tb*(sum-max)."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    parts = []
+    for qid, text in MM_BP_QUERIES:
+        toks = [t.term for t in analyze_text(text, _ws_config())]
+        pfx = toks[-1]
+        full = list(dict.fromkeys(toks[:-1]))
+        for f in ("title", "body"):
+            if full:
+                terms_in = ", ".join(f"'{t}'" for t in full)
+                parts.append(
+                    f"SELECT {qid} AS query_id, '{f}' AS field, term, df "
+                    f"FROM dfx WHERE field = '{f}' AND term IN ({terms_in})"
+                )
+            parts.append(
+                f"SELECT {qid} AS query_id, '{f}' AS field, term, df FROM ("
+                f"SELECT term, df, row_number() OVER (ORDER BY term) AS rk "
+                f"FROM dfx WHERE field = '{f}' AND term LIKE '{pfx}%') "
+                f"WHERE rk <= {MBP_MAX_EXP}"
+            )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM base
+),
+ftoks AS (
+  SELECT doc_id, t,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS field
+  FROM toks WHERE t <> ''
+),
+tf AS (
+  SELECT field, doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM ftoks GROUP BY 1, 2, 3
+),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM ftoks GROUP BY 1, 2),
+gs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+dfx AS (
+  SELECT field, t AS term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM ftoks GROUP BY 1, 2
+),
+expraw AS ({" UNION ALL ".join(parts)}),
+exp AS (SELECT DISTINCT query_id, field, term, df FROM expraw),
+scored AS (
+  SELECT e.query_id, e.field, tf.doc_id,
+         (CASE e.field WHEN 'title' THEN {MM_BOOSTS['title']}
+               ELSE {MM_BOOSTS['body']} END)
+         * sum( ln(1.0 + (gs.n - e.df + 0.5) / (e.df + 0.5))
+                * tf.tf * ({K1} + 1.0)
+                / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) )
+           AS fscore
+  FROM exp e
+  JOIN tf ON tf.field = e.field AND tf.term = e.term
+  JOIN dl ON dl.field = e.field AND dl.doc_id = tf.doc_id
+  JOIN gs ON gs.field = e.field
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT query_id, doc_id,
+         max(fscore) + {MM_TIE_BREAKER} * (sum(fscore) - max(fscore)) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_mm_route_family(spark, sf_dir):
+    """Round-5i fielded multi_match routes, kind-tagged: type=phrase
+    (per-field match_phrase over positional postings) + type=bool_prefix
+    (per-field search-as-you-type), both dis-max blended with
+    tie_breaker over FULL per-field match sets. Members also sit as
+    individual tail gates."""
+    a = q_multi_match_phrase(spark, sf_dir).withColumn(
+        "kind", F.lit("phrase")
+    )
+    b = q_multi_match_bool_prefix(spark, sf_dir).withColumn(
+        "kind", F.lit("bool_prefix")
+    )
+    return a.unionByName(b)
+
+
+def _mm_route_family_oracle_sql() -> str:
+    return (
+        "SELECT 'phrase' AS kind, * FROM ("
+        + _multi_match_phrase_oracle_sql()
+        + ") UNION ALL SELECT 'bool_prefix' AS kind, * FROM ("
+        + _multi_match_bool_prefix_oracle_sql() + ")"
+    )
+
+
 def q_multi_match_most(spark, sf_dir):
     """most_fields: boosted per-field BM25 scores summed across fields."""
     from elasticsearch_analysis_combo_spark.query.multifield import multi_match_topk
@@ -2306,6 +2558,21 @@ DSL_FSCORE_QUERIES = [
         "positive": {"match": {"content": "value"}},
         "negative": {"term": {"lang": "de"}},
         "negative_boost": 0.3}}),
+    # round 5i: the functions ARRAY — filter-gated weight, plain fvf,
+    # filter-gated gauss; score_mode sum, max_boost cap, multiply in
+    (4, {"function_score": {
+        "query": {"match": {"content": "value"}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "weight": 2.0},
+            {"field_value_factor": {"field": "n_chars", "factor": 0.001,
+                                    "modifier": "sqrt"}, "weight": 0.5},
+            {"gauss": {"n_chars": {"origin": 300.0, "scale": 150.0,
+                                   "decay": 0.5}},
+             "filter": {"range": {"n_chars": {"gte": 100}}}},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+        "max_boost": 3.0}}),
 ]
 
 
@@ -2315,8 +2582,12 @@ def q_dsl_function_score(spark, sf_dir):
     field_value_factor / gauss decay transforms apply pre-rank (a
     decayed winner may sit outside the plain-BM25 top-k), one metadata
     left join + codegen CASE projection
-    (query/dsl.py::_apply_score_functions). Reference host: the
-    function_score parser behind AnalysisComboPlugin.java:37-42."""
+    (query/dsl.py::_apply_score_functions). Round 5i adds the
+    ``functions`` ARRAY (query 4): filter-gated weight + fvf + gauss
+    entries, score_mode sum, max_boost cap, boost_mode multiply — a
+    non-matching function is EXCLUDED from the combination, ES rule.
+    Reference host: the function_score parser behind
+    AnalysisComboPlugin.java:37-42."""
     from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
 
     stats = _term_stats(spark, sf_dir).cache()
@@ -2347,6 +2618,7 @@ def _dsl_fscore_oracle_sql() -> str:
         specs.append((qid, cq.parsed, cq.filter_sql))
     co = _clause_oracle_sql(specs, QS_MAX_EXP, ranked=False)
     sigma2 = -(200.0 * 200.0) / (2.0 * math.log(0.5))
+    sigma2b = -(150.0 * 150.0) / (2.0 * math.log(0.5))
     return f"""
 WITH co AS ({co}),
 meta AS (SELECT doc_id, n_chars::DOUBLE AS n_chars, lang
@@ -2362,6 +2634,14 @@ fscored AS (
            WHEN 2 THEN coalesce(co.score * sqrt(n_chars), co.score)
            WHEN 3 THEN co.score
                 * (CASE WHEN lang = 'de' THEN 0.3 ELSE 1.0 END)
+           WHEN 4 THEN co.score * least(
+                  (CASE WHEN lang = 'en' THEN 2.0 ELSE 0.0 END)
+                  + coalesce(sqrt(n_chars * 0.001), 1.0) * 0.5
+                  + (CASE WHEN n_chars >= 100 THEN
+                       coalesce(exp(-((n_chars - 300.0) * (n_chars - 300.0))
+                                    / (2.0 * {sigma2b!r})), 1.0)
+                     ELSE 0.0 END),
+                  3.0)
          END AS score
   FROM co LEFT JOIN meta USING (doc_id)
 ),
@@ -8727,6 +9007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # fielded multi_match type=phrase + type=bool_prefix routes
+        # (per-field evaluators, dis-max blend; members = tail gates)
+        "mm_route_family": q_mm_route_family,
         # rank_feature/distance_feature queries through the DSL compiler
         "dsl_features": q_dsl_features,
         # geo/terms_set/nested filter-context leaves in the DSL compiler
@@ -8818,7 +9101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
         "dsl_extras": q_dsl_extras,
         "combined_fields": q_combined_fields,
-        "significant_text": q_significant_text,
+        # significant_text moved past the window in round 5i (its code
+        # path stays window-covered via sig_text_options); replica +
+        # pytest still value-check it as a tail gate
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
         # --- round-4e new/changed surfaces ---
@@ -8957,6 +9242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best": q_multi_match_best,
         "multi_match_dismax": q_multi_match_dismax,
         "multi_match_most": q_multi_match_most,
+        # mm_route_family members (window slot is the merged gate)
+        "multi_match_phrase": q_multi_match_phrase,
+        "multi_match_bool_prefix": q_multi_match_bool_prefix,
+        # demoted from the window in round 5i (sig_text_options covers
+        # the code path in-window)
+        "significant_text": q_significant_text,
         "search_after": q_search_after,
         "tokenize_explode": q_tokenize_explode,
         "phrase_match_partitioned": q_phrase_partitioned,
@@ -10404,6 +10695,9 @@ GROUP BY 1
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
+    sqls["mm_route_family"] = _mm_route_family_oracle_sql()
+    sqls["multi_match_phrase"] = _multi_match_phrase_oracle_sql()
+    sqls["multi_match_bool_prefix"] = _multi_match_bool_prefix_oracle_sql()
     sqls["multi_match_best"] = _multi_match_oracle_sql("best_fields", 0.0)
     sqls["multi_match_dismax"] = _multi_match_oracle_sql(
         "best_fields", MM_TIE_BREAKER

@@ -1797,6 +1797,76 @@ class MultiFieldSearchEngine:
             k1=self.k1, b=self.b, field_meta=meta,
         )
 
+    def multi_match_phrase(
+        self,
+        query: str | list[tuple[int, str]],
+        slop: int = 0,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """ES ``multi_match`` ``type: phrase``: a ``match_phrase`` per
+        field over that field's positional sub-index, dis-max blended
+        (see query/multifield.py::multi_match_phrase_topk — exact for
+        any tie_breaker because each field scores its full, small,
+        phrase match set)."""
+        from elasticsearch_analysis_combo_spark.query.multifield import (
+            multi_match_phrase_topk,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        use = fields or self.fields
+        if not use:
+            raise ValueError("no fields indexed: call index() first")
+        engines = {f: self._engine(f) for f in use}
+        cfgs = {f: e._query_config() for f, e in engines.items()}
+        postings = {f: e.idx.postings() for f, e in engines.items()}
+        meta = {
+            f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+            for f, e in engines.items()
+        }
+        return multi_match_phrase_topk(
+            self.spark, postings, meta, queries, cfgs,
+            boosts=boosts, tie_breaker=tie_breaker, k=k, slop=slop,
+            k1=self.k1, b=self.b,
+        )
+
+    def multi_match_bool_prefix(
+        self,
+        query: str | list[tuple[int, str]],
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        fields: list[str] | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES ``multi_match`` ``type: bool_prefix`` (multi-field
+        search-as-you-type): a ``match_bool_prefix`` per field over
+        that field's sub-index, dis-max blended (see
+        query/multifield.py::multi_match_bool_prefix_topk)."""
+        from elasticsearch_analysis_combo_spark.query.multifield import (
+            multi_match_bool_prefix_topk,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        use = fields or self.fields
+        if not use:
+            raise ValueError("no fields indexed: call index() first")
+        engines = {f: self._engine(f) for f in use}
+        cfgs = {f: e._query_config() for f, e in engines.items()}
+        stats = {f: e.idx.term_stats() for f, e in engines.items()}
+        tdfs = {f: e.idx.term_df() for f, e in engines.items()}
+        meta = {
+            f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+            for f, e in engines.items()
+        }
+        return multi_match_bool_prefix_topk(
+            self.spark, stats, tdfs, meta, queries, cfgs,
+            boosts=boosts, tie_breaker=tie_breaker, k=k,
+            k1=self.k1, b=self.b, max_expansions=max_expansions,
+        )
+
     @staticmethod
     def _parse_fieldspecs(specs):
         """ES ``fields`` list with ``field^boost`` syntax ->
@@ -1826,9 +1896,11 @@ class MultiFieldSearchEngine:
         ``tie_breaker``) and ``combined_fields`` (per-field weights
         from the same syntax) dispatch onto the facade evaluators.
         The single-field ComboSearchEngine.search_dsl handles
-        everything else; ``phrase``/``bool_prefix`` multi_match types
-        raise (per-field phrase positions live on the single-field
-        facade)."""
+        everything else; ``type: phrase`` routes to
+        :meth:`multi_match_phrase` (per-field match_phrase over the
+        positional sub-indexes, dis-max blended) and ``bool_prefix``
+        to :meth:`multi_match_bool_prefix` (per-field
+        search-as-you-type, dis-max blended)."""
         if not isinstance(dsl, dict) or len(dsl) != 1:
             raise ValueError(
                 f"query node must have exactly one key: {dsl!r}"
@@ -1836,11 +1908,28 @@ class MultiFieldSearchEngine:
         kind, body = next(iter(dsl.items()))
         if kind == "multi_match":
             mtype = body.get("type", "best_fields")
+            if mtype == "phrase":
+                fields, boosts = self._parse_fieldspecs(body.get("fields"))
+                return self.multi_match_phrase(
+                    body["query"], slop=int(body.get("slop", 0)),
+                    boosts=boosts,
+                    tie_breaker=float(body.get("tie_breaker", 0.0)),
+                    k=k, fields=fields,
+                )
+            if mtype == "bool_prefix":
+                fields, boosts = self._parse_fieldspecs(body.get("fields"))
+                return self.multi_match_bool_prefix(
+                    body["query"], boosts=boosts,
+                    tie_breaker=float(body.get("tie_breaker", 0.0)),
+                    k=k, fields=fields,
+                    max_expansions=int(body.get("max_expansions", 50)),
+                )
             if mtype not in ("best_fields", "most_fields",
                              "cross_fields"):
                 raise ValueError(
                     f"unsupported multi_match type: {mtype!r} "
-                    "(best_fields/most_fields/cross_fields)"
+                    "(best_fields/most_fields/cross_fields/phrase/"
+                    "bool_prefix)"
                 )
             fields, boosts = self._parse_fieldspecs(body.get("fields"))
             return self.multi_match(

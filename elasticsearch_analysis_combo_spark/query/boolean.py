@@ -247,7 +247,11 @@ def bm25_prefix_topk(
 def _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b):
     """Score docs as the BM25 sum over an expansion table
     (query_id, term, df). Expansion size is vocabulary-bounded; the join
-    strategy is left to AQE (broadcast when small)."""
+    strategy is left to AQE (broadcast when small). ``k=None`` skips the
+    rank cut and returns the FULL scored set (query_id, doc_id, score) —
+    the fielded dis-max blend's building block (a per-field cut before
+    the blend would lose losing-field contributions at tie_breaker >
+    0)."""
     scored = (
         term_stats.join(expansions, "term")
         .withColumn(
@@ -259,6 +263,8 @@ def _expansion_topk(term_stats, expansions, n_docs, avgdl, k, k1, b):
         .groupBy("query_id", "doc_id")
         .agg(F.sum("tscore").alias("score"))
     )
+    if k is None:
+        return scored
     return _rank_topk(scored, k)
 
 
@@ -489,7 +495,7 @@ def match_bool_prefix_topk(
     config: ComboConfig,
     n_docs: int,
     avgdl: float,
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
     max_expansions: int = 50,
@@ -526,6 +532,10 @@ def match_bool_prefix_topk(
                 full.append(term)
         rows.append((qid, full, prefix))
     if not rows:
+        if k is None:
+            return spark.createDataFrame(
+                [], "query_id int, doc_id long, score double"
+            )
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )

@@ -980,13 +980,108 @@ def rrf_hybrid(
 
 
 def _parse_function_score(body: dict) -> dict:
-    """ES ``function_score`` one-function shorthand -> normalized spec.
-    Supported: ``field_value_factor`` (factor / modifier none|log1p|sqrt
-    / missing, boost_mode multiply|sum) and ``gauss`` decay (origin /
-    scale / decay, always multiplied — ES decay-function rule). The
-    ``functions`` array, script_score, random_score, weights and
-    min_score/max_boost raise — never mis-execute (the standalone
-    facade engine.function_score covers the same math imperatively)."""
+    """ES ``function_score`` -> normalized spec. Supported: the
+    one-function shorthands ``field_value_factor`` (factor / modifier
+    none|log1p|sqrt / missing, boost_mode multiply|sum) and ``gauss``
+    decay (origin / scale / decay, always multiplied — ES
+    decay-function rule); and (round 5i) the ``functions`` ARRAY — each
+    entry one of field_value_factor / gauss / weight-only, optionally
+    gated by a per-function ``filter`` (compiled to a metadata SQL
+    predicate; a non-matching function is EXCLUDED from the
+    combination, ES rule) and scaled by its ``weight``; entries combine
+    per ``score_mode`` multiply|sum|max|min (``avg``/``first`` raise —
+    avg is a weight-weighted mean in ES whose exact weighting this
+    compiler does not replicate), capped at ``max_boost``, then meet
+    the query score per ``boost_mode`` multiply|sum|replace. When NO
+    function matches, the function score is the identity 1 (boost_mode
+    multiply/replace) / 0 (sum) — the score passes through unchanged
+    for multiply|sum, matching ES. script_score, random_score and
+    min_score raise — never mis-execute (the standalone facade
+    engine.function_score covers the same math imperatively)."""
+    if "functions" in body:
+        known = {"query", "functions", "score_mode", "boost_mode",
+                 "max_boost"}
+        unknown = sorted(set(body) - known)
+        if unknown:
+            raise ValueError(
+                f"unsupported function_score keys: {unknown}"
+            )
+        score_mode = body.get("score_mode", "multiply")
+        if score_mode not in ("multiply", "sum", "max", "min"):
+            raise ValueError(
+                f"score_mode must be multiply|sum|max|min: {score_mode}"
+            )
+        boost_mode = body.get("boost_mode", "multiply")
+        if boost_mode not in ("multiply", "sum", "replace"):
+            raise ValueError(
+                f"boost_mode must be multiply|sum|replace: {boost_mode}"
+            )
+        entries = []
+        for fn in body["functions"]:
+            known_fn = {"filter", "weight", "field_value_factor", "gauss"}
+            unknown = sorted(set(fn) - known_fn)
+            if unknown:
+                raise ValueError(
+                    f"unsupported functions[] keys: {unknown}"
+                )
+            weight = float(fn.get("weight", 1.0))
+            pred = (
+                compile_filter(fn["filter"]) if "filter" in fn else None
+            )
+            fvf, gauss = fn.get("field_value_factor"), fn.get("gauss")
+            if fvf is not None and gauss is not None:
+                raise ValueError(
+                    "a functions[] entry takes at most one function"
+                )
+            if fvf is not None:
+                modifier = fvf.get("modifier", "none")
+                if modifier not in ("none", "log1p", "sqrt"):
+                    raise ValueError(
+                        f"modifier must be none|log1p|sqrt: {modifier}"
+                    )
+                missing = fvf.get("missing")
+                entries.append({
+                    "kind": "field_value_factor",
+                    "field": _field(fvf["field"]),
+                    "factor": float(fvf.get("factor", 1.0)),
+                    "modifier": modifier,
+                    "missing": (
+                        None if missing is None else float(missing)
+                    ),
+                    "weight": weight,
+                    "pred": pred,
+                })
+            elif gauss is not None:
+                (f, params), = gauss.items()
+                decay = float(params.get("decay", 0.5))
+                scale = float(params["scale"])
+                if not 0.0 < decay < 1.0:
+                    raise ValueError(f"decay must be in (0, 1): {decay}")
+                if scale <= 0.0:
+                    raise ValueError(f"scale must be positive: {scale}")
+                entries.append({
+                    "kind": "gauss",
+                    "field": _field(f),
+                    "origin": float(params["origin"]),
+                    "scale": scale,
+                    "decay": decay,
+                    "weight": weight,
+                    "pred": pred,
+                })
+            else:
+                # weight-only function: value IS the weight (ES rule)
+                entries.append({"kind": "weight", "weight": weight,
+                                "pred": pred})
+        if not entries:
+            raise ValueError("functions array must not be empty")
+        mb = body.get("max_boost")
+        return {
+            "function": "functions",
+            "entries": entries,
+            "score_mode": score_mode,
+            "boost_mode": boost_mode,
+            "max_boost": None if mb is None else float(mb),
+        }
     known = {"query", "field_value_factor", "gauss", "boost_mode"}
     unknown = sorted(set(body) - known)
     if unknown:
@@ -1030,6 +1125,80 @@ def _parse_function_score(body: dict) -> dict:
     }
 
 
+def _function_value_expr(e: dict):
+    """One ``functions[]`` entry -> its weighted value Column (the
+    per-function filter gate is applied by the caller). A null field
+    value resolves to the identity 1 before weighting (matching the
+    shorthand paths' never-drop-a-match rule; fvf's ``missing``
+    substitutes first when given)."""
+    import math
+
+    if e["kind"] == "weight":
+        return F.lit(e["weight"])
+    fv = F.col(e["field"]).cast("double")
+    if e["kind"] == "field_value_factor":
+        if e["missing"] is not None:
+            fv = F.coalesce(fv, F.lit(e["missing"]))
+        val = fv * e["factor"]
+        if e["modifier"] == "log1p":
+            val = F.log1p(val)
+        elif e["modifier"] == "sqrt":
+            val = F.sqrt(val)
+        return F.coalesce(val, F.lit(1.0)) * F.lit(e["weight"])
+    # gauss
+    sigma2 = -(e["scale"] ** 2) / (2.0 * math.log(e["decay"]))
+    return F.coalesce(
+        F.exp(-((fv - e["origin"]) * (fv - e["origin"])) / (2.0 * sigma2)),
+        F.lit(1.0),
+    ) * F.lit(e["weight"])
+
+
+def _functions_array_expr(s: dict):
+    """``functions`` array spec -> combined score Column. Per-function
+    filters gate membership (a non-matching function is EXCLUDED, not
+    neutral-counted); matched values combine per score_mode, cap at
+    max_boost, then meet the query score per boost_mode. When no
+    function matches, the score passes through unchanged (ES's
+    no-matching-filters behavior), which the final ``when(any_matched)``
+    guard implements uniformly for every mode."""
+    from functools import reduce as _reduce
+
+    gates = []
+    for e in s["entries"]:
+        matched = F.expr(e["pred"]) if e.get("pred") else F.lit(True)
+        gates.append((matched, _function_value_expr(e)))
+    mode = s["score_mode"]
+    if mode == "multiply":
+        fs = _reduce(
+            lambda a, mv: a * F.when(mv[0], mv[1]).otherwise(F.lit(1.0)),
+            gates, F.lit(1.0),
+        )
+    elif mode == "sum":
+        fs = _reduce(
+            lambda a, mv: a + F.when(mv[0], mv[1]).otherwise(F.lit(0.0)),
+            gates, F.lit(0.0),
+        )
+    else:
+        # greatest/least skip nulls (unmatched entries), null only when
+        # nothing matched — unreachable past the any_matched guard
+        vals = [F.when(m, v) for m, v in gates]
+        picked = (
+            vals[0] if len(vals) == 1
+            else (F.greatest(*vals) if mode == "max" else F.least(*vals))
+        )
+        fs = F.coalesce(picked, F.lit(1.0))
+    if s["max_boost"] is not None:
+        fs = F.least(fs, F.lit(s["max_boost"]))
+    any_m = _reduce(lambda a, mv: a | mv[0], gates[1:], gates[0][0])
+    if s["boost_mode"] == "multiply":
+        combined = F.col("score") * fs
+    elif s["boost_mode"] == "sum":
+        combined = F.col("score") + fs
+    else:  # replace
+        combined = fs
+    return F.when(any_m, combined).otherwise(F.col("score"))
+
+
 def _apply_score_functions(
     scored: DataFrame, doc_meta: DataFrame, specs: dict[int, dict]
 ) -> DataFrame:
@@ -1042,18 +1211,25 @@ def _apply_score_functions(
     expression nulls out falls back to the base score the same way)."""
     import math
 
-    fields = sorted(
-        {
-            s["field"] for s in specs.values()
-            if s["function"] not in ("script", "boosting")
-        }
-    )
-    if any(
-        s["function"] in ("script", "boosting") for s in specs.values()
-    ):
-        # a script may reference any metadata column — join them all
-        # (column pruning keeps the scan narrow when the plan resolves);
-        # names colliding with the scored frame's own columns drop
+    field_set: set[str] = set()
+    join_all = False
+    for s in specs.values():
+        if s["function"] in ("script", "boosting"):
+            join_all = True
+        elif s["function"] == "functions":
+            for e in s["entries"]:
+                if e.get("pred"):
+                    join_all = True
+                if e.get("field"):
+                    field_set.add(e["field"])
+        else:
+            field_set.add(s["field"])
+    fields = sorted(field_set)
+    if join_all:
+        # a script / filter predicate may reference any metadata column —
+        # join them all (column pruning keeps the scan narrow when the
+        # plan resolves); names colliding with the scored frame's own
+        # columns drop
         fields = [
             c for c in doc_meta.columns
             if c not in ("doc_id", "score", "query_id", "rank")
@@ -1076,6 +1252,12 @@ def _apply_score_functions(
             combined = F.col("score") * F.when(
                 F.expr(s["pred"]), F.lit(s["nb"])
             ).otherwise(F.lit(1.0))
+            expr = F.when(F.col("query_id") == qid, combined).otherwise(
+                expr
+            )
+            continue
+        if s["function"] == "functions":
+            combined = _functions_array_expr(s)
             expr = F.when(F.col("query_id") == qid, combined).otherwise(
                 expr
             )

@@ -297,6 +297,121 @@ def multi_match_cross_fields_topk(
     )
 
 
+def multi_match_phrase_topk(
+    spark: SparkSession,
+    field_postings: dict[str, DataFrame],
+    field_meta: dict[str, tuple[int, float]],
+    queries: list[tuple[int, str]],
+    config: ComboConfig | dict[str, ComboConfig],
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    slop: int = 0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` ``type: phrase`` (also the ``phrase`` half of
+    ``type: phrase_prefix`` at ``slop`` 0): one ``match_phrase`` per
+    field — Lucene PhraseQuery BM25, the PHRASE frequency as tf against
+    that field's own df/doc-count/avgdl — then the boosted field scores
+    combine best_fields-style (DisjunctionMaxQuery: ``max + tie_breaker
+    * (sum - max)``).
+
+    Exact for ANY tie_breaker: each field is scored over its FULL
+    phrase match set (``phrase_topk(k=None)``) — a per-field top-k cut
+    before the blend would lose a losing field's contribution. That is
+    affordable where it wasn't for term queries because a phrase match
+    set is only the docs containing the phrase in that field (the
+    positional evaluator intersects the slot postings before any row
+    leaves the kernel), so the union the blend aggregates stays
+    candidate-sized at any corpus size.
+
+    ``field_postings``: field -> positional postings frame (the same
+    frame ``phrase_match`` takes); ``field_meta``: field ->
+    (n_docs_with_field, avgdl) recorded at index build. Query analysis
+    uses each field's own config when ``config`` is a dict (ES analyzes
+    the query per field)."""
+    from elasticsearch_analysis_combo_spark.query.phrase import phrase_topk
+
+    boosts = boosts or {}
+    parts = []
+    for field, plists in field_postings.items():
+        n, avgdl = field_meta[field]
+        if n == 0:
+            continue
+        boost = float(boosts.get(field, 1.0))
+        parts.append(
+            phrase_topk(
+                spark, plists, queries, _field_config(config, field),
+                n_docs=n, avgdl=avgdl, k1=k1, b=b, k=None, slop=slop,
+            )
+            .withColumn("score", F.col("score") * F.lit(boost))
+            .withColumn("field", F.lit(field))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    union = reduce(lambda a, b2: a.unionByName(b2), parts)
+    return _combine_and_rank(union, "best_fields", tie_breaker, k)
+
+
+def multi_match_bool_prefix_topk(
+    spark: SparkSession,
+    field_stats: dict[str, DataFrame],
+    field_term_df: dict[str, DataFrame],
+    field_meta: dict[str, tuple[int, float]],
+    queries: list[tuple[int, str]],
+    config: ComboConfig | dict[str, ComboConfig],
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``multi_match`` ``type: bool_prefix`` (multi-field
+    search-as-you-type): one ``match_bool_prefix`` per field — every
+    analyzed term but the last as a term clause, the last as a capped
+    distributed prefix expansion, BM25-summed against that field's own
+    statistics — then the boosted field scores combine
+    best_fields-style (``max + tie_breaker * (sum - max)``).
+
+    Exact for any tie_breaker via FULL per-field evaluation
+    (``match_bool_prefix_topk(k=None)``) — the same exhaustive-combine
+    trade the engine already makes for term multi_match with
+    tie_breaker > 0 (see ``multi_match_topk``): the blend needs losing
+    fields' scores, so no per-field cut may run first. The expansion
+    stays scan-bounded per field (startswith pushdown +
+    WindowGroupLimit cap)."""
+    from elasticsearch_analysis_combo_spark.query.boolean import (
+        match_bool_prefix_topk,
+    )
+
+    boosts = boosts or {}
+    parts = []
+    for field, stats in field_stats.items():
+        n, avgdl = field_meta[field]
+        if n == 0:
+            continue
+        boost = float(boosts.get(field, 1.0))
+        parts.append(
+            match_bool_prefix_topk(
+                spark, stats, field_term_df[field], queries,
+                _field_config(config, field), n, avgdl, k=None,
+                k1=k1, b=b, max_expansions=max_expansions,
+            )
+            .withColumn("score", F.col("score") * F.lit(boost))
+            .withColumn("field", F.lit(field))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    union = reduce(lambda a, b2: a.unionByName(b2), parts)
+    return _combine_and_rank(union, "best_fields", tie_breaker, k)
+
+
 def combined_fields_topk(
     spark: SparkSession,
     field_stats: dict[str, DataFrame],

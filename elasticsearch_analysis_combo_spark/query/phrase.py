@@ -744,7 +744,7 @@ def phrase_topk(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
-    k: int = 10,
+    k: int | None = 10,
     slop: int = 0,
 ) -> DataFrame:
     """Ranked phrase query (ES ``match_phrase``): BM25 scoring with the
@@ -752,7 +752,14 @@ def phrase_topk(
     [sum over slots of idf(term)] * satu(freq), satu(f) =
     f*(k1+1)/(f + k1*(1-b+b*dl/avgdl)), idf the Lucene BM25 idf. freq is
     this engine's n_matches (distinct matching anchors; = exact phrase
-    occurrences at slop 0). Returns (query_id, rank, doc_id, score)."""
+    occurrences at slop 0). Returns (query_id, rank, doc_id, score).
+
+    ``k=None`` skips the rank cut and returns the FULL scored match set
+    (query_id, doc_id, score) — the building block multi_match
+    type=phrase needs: a per-field top-k cut before the dis-max blend
+    would lose losing-field contributions when tie_breaker > 0, and the
+    phrase match set (docs containing the phrase) is small by
+    construction, so shipping it whole is the cheap exact path."""
     from pyspark.sql import Window
 
     qrows = analyze_phrases(queries, config)
@@ -764,6 +771,10 @@ def phrase_topk(
         ]
     )
     if not qrows:
+        if k is None:
+            return spark.createDataFrame(
+                [], "query_id int, doc_id long, score double"
+            )
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
@@ -815,6 +826,8 @@ def phrase_topk(
         )
 
     scored = joined.groupBy("query_id").applyInPandas(run_query, schema)
+    if k is None:
+        return scored
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -264,7 +264,8 @@ def test_search_dsl_fielded_routes(spark, tmp_path):
     )
     assert key(cf_dsl) == key(cf)
     import pytest as _pt
+    # phrase/bool_prefix route since round 5i; unknown types still raise
     with _pt.raises(ValueError, match="multi_match type"):
-        eng.search_dsl({"multi_match": {"query": "x", "type": "phrase"}})
+        eng.search_dsl({"multi_match": {"query": "x", "type": "fuzziest"}})
     with _pt.raises(ValueError, match="fielded query kind"):
         eng.search_dsl({"match": {"body": "x"}})
