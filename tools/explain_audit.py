@@ -779,6 +779,47 @@ def main() -> None:
         "TakeOrderedAndProject", forbid="BatchEvalPython",
     )
 
+    # 40. fielded multi_match bool_prefix (round-5i): each field's
+    # prefix expansion pushes startswith into that field's DICTIONARY
+    # scan and the max_expansions cap stays an in-plan window — the
+    # blend adds no Python and no extra corpus pass
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        multi_match_bool_prefix_topk,
+        multi_match_phrase_topk,
+    )
+
+    bp = multi_match_bool_prefix_topk(
+        spark, {"content": idx.term_stats()}, {"content": idx.term_df()},
+        {"content": (idx.meta.n_docs, idx.meta.avgdl)},
+        [(0, "spark qu")], cfg, k=10,
+    )
+    p = plan_text(bp)
+    failures += not check(
+        "mm bool_prefix expansion startswith pushdown", p,
+        "StringStartsWith(term",
+    )
+    failures += not check(
+        "mm bool_prefix expansion cap is an in-plan window", p,
+        "WindowGroupLimit", forbid="BatchEvalPython",
+    )
+
+    # 41. fielded multi_match phrase (round-5i): each field's positional
+    # posting scan is term-PRUNED (In(term,...) pushed into parquet);
+    # the kernel is the Arrow phrase evaluator, never row-Python
+    pp = multi_match_phrase_topk(
+        spark, {"content": idx.postings()},
+        {"content": (idx.meta.n_docs, idx.meta.avgdl)},
+        [(0, "spark query")], cfg, k=10,
+    )
+    p = plan_text(pp)
+    failures += not check(
+        "mm phrase posting scan term-pruned pushdown", p, "In(term",
+    )
+    failures += not check(
+        "mm phrase kernel is Arrow grouped-map (no row-Python)", p,
+        "FlatMapGroupsInPandas", forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
