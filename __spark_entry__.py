@@ -8798,18 +8798,30 @@ SIG_FIELD_BODY = {
 }
 
 
+SIG_TEXT_BODY = {
+    "query": {"term": {"lang": "en"}},
+    "aggs": {"sig_text": {"significant_text": {
+        "field": "text", "size": 5, "min_doc_count": 3,
+        "exclude": ["the", "a"]}}},
+}
+
+
 def q_sig_terms_field(spark, sf_dir):
     """Round-5d: keyword-field significant_terms through the aggs
     compiler — JLH score of per-value doc counts in the query's match
     set vs the PRE-query universe (the compiler's `global`-style scope
-    split); totals ride as broadcast 1-row cross joins."""
+    split); totals ride as broadcast 1-row cross joins. Round 5i adds
+    significant_text through the same compiler scope split (whitespace
+    tokens deduped per doc, raw text re-analyzed on the fly — second
+    dsl_search_aggs call over documents, unioned in)."""
     from elasticsearch_analysis_combo_spark.query.aggcompiler import (
         dsl_search_aggs,
     )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = dsl_search_aggs(orders, SIG_FIELD_BODY)
-    return out.select(
+    out2 = dsl_search_aggs(_docs(spark, sf_dir), SIG_TEXT_BODY)
+    return out.unionByName(out2).select(
         "agg", "key", "metric",
         F.format_string("%.6e", F.col("value")).alias("value"),
     )
@@ -8850,8 +8862,47 @@ allrows AS (
          fg_count AS value FROM top
   UNION ALL SELECT 'sig_status', k, 'bg_count', bg_count FROM top
   UNION ALL SELECT 'sig_status', k, 'score', score FROM top
+),
+dtoks AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(string_split(text, ' '))) AS k
+  FROM documents
+),
+dtoks2 AS (
+  SELECT doc_id, lang, k FROM dtoks
+  WHERE k <> '' AND k NOT IN ('the', 'a')
+),
+tfgc AS (
+  SELECT k, count(*)::DOUBLE AS fg_count FROM dtoks2
+  WHERE lang = 'en' GROUP BY 1
+),
+tbgc AS (SELECT k, count(*)::DOUBLE AS bg_count FROM dtoks2 GROUP BY 1),
+ttots AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents WHERE lang = 'en') AS fgn,
+         (SELECT count(*)::DOUBLE FROM documents) AS bgn
+),
+tj AS (
+  SELECT k, fg_count, bg_count,
+         (fg_count / fgn - bg_count / bgn)
+         * ((fg_count / fgn) / (bg_count / bgn)) AS score
+  FROM tfgc JOIN tbgc USING (k) CROSS JOIN ttots
+  WHERE fg_count >= 3
+),
+ttop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY round(score, 9) DESC, k) AS rn
+    FROM tj
+  ) WHERE rn <= 5
+),
+tallrows AS (
+  SELECT 'sig_text' AS agg, k AS key, 'doc_count' AS metric,
+         fg_count AS value FROM ttop
+  UNION ALL SELECT 'sig_text', k, 'bg_count', bg_count FROM ttop
+  UNION ALL SELECT 'sig_text', k, 'score', score FROM ttop
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value FROM allrows
+UNION ALL
+SELECT agg, key, metric, printf('%.6e', value) AS value FROM tallrows
 """
 
 

@@ -1805,12 +1805,17 @@ class MultiFieldSearchEngine:
         tie_breaker: float = 0.0,
         k: int = 10,
         fields: list[str] | None = None,
+        partitioned: bool | None = None,
+        range_bits: int = 4,
     ) -> DataFrame:
         """ES ``multi_match`` ``type: phrase``: a ``match_phrase`` per
         field over that field's positional sub-index, dis-max blended
         (see query/multifield.py::multi_match_phrase_topk — exact for
         any tie_breaker because each field scores its full, small,
-        phrase match set)."""
+        phrase match set). Per-FIELD partitioned routing, same rule as
+        :meth:`multi_match`: a field fans out across doc ranges only
+        once ITS index crosses the single-field threshold; explicit
+        ``partitioned`` overrides all fields."""
         from elasticsearch_analysis_combo_spark.query.multifield import (
             multi_match_phrase_topk,
         )
@@ -1826,10 +1831,19 @@ class MultiFieldSearchEngine:
             f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
             for f, e in engines.items()
         }
+        part: bool | dict[str, bool]
+        if partitioned is not None:
+            part = partitioned
+        else:
+            part = {
+                f: e.idx.meta.n_docs
+                >= ComboSearchEngine.PARTITIONED_THRESHOLD
+                for f, e in engines.items()
+            }
         return multi_match_phrase_topk(
             self.spark, postings, meta, queries, cfgs,
             boosts=boosts, tie_breaker=tie_breaker, k=k, slop=slop,
-            k1=self.k1, b=self.b,
+            k1=self.k1, b=self.b, partitioned=part, range_bits=range_bits,
         )
 
     def multi_match_bool_prefix(
@@ -1914,7 +1928,7 @@ class MultiFieldSearchEngine:
                     body["query"], slop=int(body.get("slop", 0)),
                     boosts=boosts,
                     tie_breaker=float(body.get("tie_breaker", 0.0)),
-                    k=k, fields=fields,
+                    k=k, fields=fields, partitioned=partitioned,
                 )
             if mtype == "bool_prefix":
                 fields, boosts = self._parse_fieldspecs(body.get("fields"))

@@ -1966,6 +1966,77 @@ def _significant_terms_rows(
     ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
 
 
+def _significant_text_rows(
+    fg: DataFrame, bg: DataFrame, name: str, body: dict
+) -> DataFrame:
+    """ES ``significant_text`` (round 5i in the compiler): significant
+    terms straight over the RAW text of the match set — ES's
+    re-analyze-on-the-fly agg, no index touched. Whitespace tokens
+    counted ONCE per doc (per-doc dedup, ES rule), JLH
+    ``(fg% - bg%) * (fg% / bg%)`` against the pre-query universe as
+    background; ``exclude`` drops the query's own terms. Same shape as
+    :func:`_significant_terms_rows` with a tokenizing projection in
+    front: two partial-aggregated passes over exploded distinct tokens
+    (the text never shuffles beyond its own doc's token set), totals as
+    broadcast 1-row cross joins, ordered-limit size cut. The
+    ``filter_duplicate_text`` / ``background_filter`` knobs live on the
+    standalone ``facets.significant_text_agg`` — here they raise."""
+    unsupported = sorted(
+        set(body) & {"filter_duplicate_text", "background_filter"}
+    )
+    if unsupported:
+        raise ValueError(
+            f"significant_text options {unsupported} are standalone-only "
+            "(facets.significant_text_agg)"
+        )
+    field = body["field"]
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    exclude = [str(x) for x in (body.get("exclude") or [])]
+
+    def tok(df: DataFrame) -> DataFrame:
+        t = df.select(
+            F.explode(
+                F.array_distinct(F.split(F.col(field).cast("string"), " "))
+            ).alias("_k")
+        ).filter(F.col("_k") != "")
+        if exclude:
+            t = t.filter(~F.col("_k").isin(exclude))
+        return t
+
+    fgc = tok(fg).groupBy("_k").agg(F.count(F.lit(1)).alias("fg_count"))
+    bgc = tok(bg).groupBy("_k").agg(F.count(F.lit(1)).alias("bg_count"))
+    fgt = fg.agg(F.count(F.lit(1)).alias("_fgn"))
+    bgt = bg.agg(F.count(F.lit(1)).alias("_bgn"))
+    j = (
+        fgc.join(bgc, "_k")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .filter(F.col("fg_count") >= min_dc)
+        .withColumn("_fgp", F.col("fg_count") / F.col("_fgn"))
+        .withColumn("_bgp", F.col("bg_count") / F.col("_bgn"))
+        .withColumn(
+            "score",
+            (F.col("_fgp") - F.col("_bgp"))
+            * (F.col("_fgp") / F.col("_bgp")),
+        )
+    )
+    top = j.orderBy(F.desc(F.round("score", 9)), F.asc("_k")).limit(size)
+    pairs = [
+        F.struct(F.lit(m).alias("metric"), c.cast("double").alias("value"))
+        for m, c in (
+            ("doc_count", F.col("fg_count")),
+            ("bg_count", F.col("bg_count")),
+            ("score", F.col("score")),
+        )
+    ]
+    return top.select(
+        F.lit(name).alias("agg"),
+        F.col("_k").alias("key"),
+        F.explode(F.array(*pairs)).alias("_mv"),
+    ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+
+
 def _compile_level(
     rows: DataFrame, nodes: dict, path: str, parent_keys: list[str],
     scale: float = 1.0,
@@ -2101,6 +2172,15 @@ def dsl_search_aggs(
             raise ValueError("significant_terms sub-aggs unsupported")
         global_outs.append(
             _significant_terms_rows(rows, rows0, name, sbody)
+        )
+    for name in [
+        n for n in aggs if _split_node(aggs[n])[0] == "significant_text"
+    ]:
+        _, sbody, ssub = _split_node(aggs.pop(name))
+        if ssub:
+            raise ValueError("significant_text sub-aggs unsupported")
+        global_outs.append(
+            _significant_text_rows(rows, rows0, name, sbody)
         )
     for name in [n for n in aggs if _split_node(aggs[n])[0] == "global"]:
         _, _, sub = _split_node(aggs.pop(name))

@@ -297,6 +297,71 @@ def multi_match_cross_fields_topk(
     )
 
 
+def _phrase_scores_partitioned(
+    spark: SparkSession,
+    plists: DataFrame,
+    queries: list[tuple[int, str]],
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    slop: int,
+    range_bits: int,
+) -> DataFrame:
+    """Doc-range-partitioned per-field phrase scoring: the positional
+    kernel fans out per (query, doc-range)
+    (``phrase_match_partitioned``, row-identical to the single-task
+    evaluator) carrying ``dl`` out, and the Lucene PhraseQuery score
+    ``idf_sum * satu(n_matches)`` applies as one codegen projection —
+    the idf constants come from a slot-count-sized dictionary probe
+    (|query terms| rows, never corpus-sized). This is the scale path a
+    stop-word phrase needs on a big field: the match set itself is
+    still small, but the POSTING rows the kernel intersects are not,
+    and one task per query would hold a whole field's posting lists."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        analyze_phrases,
+        phrase_match_partitioned,
+    )
+
+    qrows = analyze_phrases(queries, config)
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"
+        )
+    m = phrase_match_partitioned(
+        spark, plists, queries, config, slop=slop,
+        range_bits=range_bits, with_dl=True,
+    )
+    all_terms = sorted({t for _, _, t in qrows})
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in plists.filter(F.col("term").isin(all_terms))
+        .select("term", "df").distinct().collect()
+    }
+    idf: dict[int, float] = {}
+    for qid, _slot, term in qrows:
+        d = dfs.get(term, 0.0)
+        idf[qid] = idf.get(qid, 0.0) + math.log(
+            1.0 + (n_docs - d + 0.5) / (d + 0.5)
+        )
+    idf_df = spark.createDataFrame(
+        sorted(idf.items()), "query_id int, _idf double"
+    )
+    f = F.col("n_matches").cast("double")
+    return (
+        m.join(F.broadcast(idf_df), "query_id")
+        .withColumn(
+            "score",
+            F.col("_idf") * f * (k1 + 1.0)
+            / (f + k1 * (1.0 - b + b * F.col("dl") / float(avgdl))),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def multi_match_phrase_topk(
     spark: SparkSession,
     field_postings: dict[str, DataFrame],
@@ -309,6 +374,8 @@ def multi_match_phrase_topk(
     slop: int = 0,
     k1: float = 1.2,
     b: float = 0.75,
+    partitioned: bool | dict[str, bool] = False,
+    range_bits: int = 4,
 ) -> DataFrame:
     """ES ``multi_match`` ``type: phrase`` (also the ``phrase`` half of
     ``type: phrase_prefix`` at ``slop`` 0): one ``match_phrase`` per
@@ -330,7 +397,14 @@ def multi_match_phrase_topk(
     frame ``phrase_match`` takes); ``field_meta``: field ->
     (n_docs_with_field, avgdl) recorded at index build. Query analysis
     uses each field's own config when ``config`` is a dict (ES analyzes
-    the query per field)."""
+    the query per field).
+
+    ``partitioned`` (bool, or per-field dict — a small title field next
+    to a huge body field keeps its cheap one-task pass) routes that
+    field through the doc-range-partitioned positional kernel
+    (:func:`_phrase_scores_partitioned`, row-identical scores) so a
+    stop-word phrase never concentrates a big field's posting lists in
+    one task."""
     from elasticsearch_analysis_combo_spark.query.phrase import phrase_topk
 
     boosts = boosts or {}
@@ -340,11 +414,23 @@ def multi_match_phrase_topk(
         if n == 0:
             continue
         boost = float(boosts.get(field, 1.0))
-        parts.append(
-            phrase_topk(
+        part = (
+            partitioned if isinstance(partitioned, bool)
+            else bool(partitioned.get(field, False))
+        )
+        if part:
+            scored = _phrase_scores_partitioned(
+                spark, plists, queries, _field_config(config, field),
+                n_docs=n, avgdl=avgdl, k1=k1, b=b, slop=slop,
+                range_bits=range_bits,
+            )
+        else:
+            scored = phrase_topk(
                 spark, plists, queries, _field_config(config, field),
                 n_docs=n, avgdl=avgdl, k1=k1, b=b, k=None, slop=slop,
             )
+        parts.append(
+            scored
             .withColumn("score", F.col("score") * F.lit(boost))
             .withColumn("field", F.lit(field))
         )

@@ -298,10 +298,12 @@ def test_function_score_reorders_before_topk(spark, fixture, meta):
 
 
 def test_function_score_guards(spark, fixture, meta):
+    # the functions ARRAY routes since round 5i (tests/test_round5i.py);
+    # unknown keys still raise
     with pytest.raises(ValueError, match="unsupported function_score"):
         _run_meta(spark, fixture, meta, [(0, {"function_score": {
             "query": {"match": {"content": "fox"}},
-            "functions": [{"weight": 2.0}],
+            "random_score": {"seed": 7},
         }})])
     with pytest.raises(ValueError, match="text-scoring inner"):
         _run_meta(spark, fixture, meta, [(0, {"function_score": {

@@ -167,6 +167,31 @@ def test_multi_match_phrase_engine_route(spark, fielded, tmp_path):
     assert got[(0, 2)][0] == 1
 
 
+@pytest.mark.parametrize("tb", [0.0, 0.5])
+def test_multi_match_phrase_partitioned_identity(spark, fielded, tb):
+    """The doc-range-partitioned per-field scoring path
+    (_phrase_scores_partitioned: fan-out kernel + external idf*satu
+    projection) is row-identical to the single-task phrase_topk path —
+    incl. a mixed per-field dict (big body partitioned, small title
+    not)."""
+    queries = [(0, "quick fox"), (1, "zzz qqq")]
+    postings = {f: fielded[f][1] for f in fielded}
+    meta = {f: (fielded[f][2], fielded[f][3]) for f in fielded}
+    boosts = {"title": 2.0, "body": 1.0}
+    kw = dict(boosts=boosts, tie_breaker=tb, k=10, k1=K1, b=B)
+    single = multi_match_phrase_topk(
+        spark, postings, meta, queries, CFG, partitioned=False, **kw)
+    part = multi_match_phrase_topk(
+        spark, postings, meta, queries, CFG, partitioned=True,
+        range_bits=2, **kw)
+    mixed = multi_match_phrase_topk(
+        spark, postings, meta, queries, CFG,
+        partitioned={"body": True}, range_bits=2, **kw)
+    s = _blend_rows(single)
+    assert s == _blend_rows(part)
+    assert s == _blend_rows(mixed)
+
+
 def test_multi_match_phrase_slop_passthrough(spark, fielded):
     """slop routes through to the per-field evaluators: 'fox quick'
     reversed matches nothing at slop 0/1 but does at slop 2 (Lucene
@@ -369,6 +394,49 @@ def test_functions_array_gauss_entry(spark, fs_fixture):
     for d, s in base.items():
         g = math.exp(-((n_chars[d] - 50.0) ** 2) / (2.0 * sigma2))
         assert got[d] == pytest.approx(s * 2.0 * g, rel=1e-9)
+
+
+# ------------------------------------------- aggs compiler significant_text
+
+def test_aggs_compiler_significant_text(spark):
+    """significant_text through dsl_search_aggs: whitespace tokens
+    deduped per doc, JLH fg (query match set) vs bg (pre-query
+    universe), min_doc_count prune, standalone-only options raise."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, "crash disk error", "en"),
+         (1, "crash kernel panic", "en"),
+         (2, "crash disk full", "en"),
+         (3, "sunny day outside", "fr"),
+         (4, "warm sunny day", "fr"),
+         (5, "crash day", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    body = {"query": {"term": {"lang": "en"}},
+            "aggs": {"st": {"significant_text": {
+                "field": "text", "size": 3, "min_doc_count": 2}}}}
+    out = dsl_search_aggs(rows, body)
+    got = {(r["agg"], r["key"], r["metric"]): r["value"]
+           for r in out.collect()}
+    # crash: fg 3/3 vs bg 4/6 -> (1 - 2/3) * (1 / (2/3)) = 0.5
+    assert got[("st", "crash", "doc_count")] == 3.0
+    assert got[("st", "crash", "bg_count")] == 4.0
+    assert got[("st", "crash", "score")] == pytest.approx(0.5)
+    # disk: fg 2/3 vs bg 2/6 -> (1/3) * 2 = 2/3
+    assert got[("st", "disk", "doc_count")] == 2.0
+    assert got[("st", "disk", "score")] == pytest.approx(2.0 / 3.0)
+    # min_doc_count=2 prunes every fg-count-1 token
+    assert {k for (_, k, _) in got} == {"crash", "disk"}
+    with pytest.raises(ValueError, match="standalone-only"):
+        dsl_search_aggs(rows, {"aggs": {"st": {"significant_text": {
+            "field": "text", "filter_duplicate_text": True}}}})
+    with pytest.raises(ValueError, match="sub-aggs"):
+        dsl_search_aggs(rows, {"aggs": {"st": {
+            "significant_text": {"field": "text"},
+            "aggs": {"m": {"avg": {"field": "doc_id"}}}}}})
 
 
 def test_functions_array_parse_errors():
