@@ -1160,11 +1160,153 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+MM_PP_QUERIES = [(0, "value ta"), (1, "the val"), (2, "zzz qq")]
+
+
+def q_multi_match_phrase_prefix(spark, sf_dir):
+    """ES multi_match type=phrase_prefix (round 5i — completes the ES
+    type matrix): per field, the phrase's last term expands over THAT
+    field's dictionary (capped alphabetical), a doc matches when any
+    expansion completes the phrase; score = idf_sum(fixed constituents,
+    per-field stats) * satu(distinct anchors) with dl from the first
+    constituent's pruned stats scan; boosted field scores dis-max blend.
+    Query 2 matches nothing (fixed term absent)."""
+    from elasticsearch_analysis_combo_spark.operators.postings import (
+        build_segments,
+        merge_segments,
+    )
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        field_corpus_stats,
+        multi_match_phrase_prefix_topk,
+    )
+
+    stats = _field_stats(spark, sf_dir)
+    tdfs = {
+        f: s.groupBy("term").agg(F.count("*").alias("df"))
+        for f, s in stats.items()
+    }
+    postings, meta = {}, {}
+    for f, s in stats.items():
+        n, avgdl = field_corpus_stats(s)
+        meta[f] = (n, avgdl)
+        segs = build_segments(s, avgdl=avgdl, k1=K1, b=B, block_size=128,
+                              salt_shards=4, with_positions=True)
+        postings[f] = merge_segments(segs, avgdl=avgdl, k1=K1, b=B,
+                                     block_size=128, with_positions=True)
+    out = multi_match_phrase_prefix_topk(
+        spark, postings, tdfs, stats, meta, MM_PP_QUERIES, _ws_config(),
+        boosts=MM_BOOSTS, tie_breaker=MM_TIE_BREAKER, k=TOPK,
+        slop=0, max_expansions=MBP_MAX_EXP, k1=K1, b=B,
+    )
+    return _rerank_rounded(out)
+
+
+def _multi_match_phrase_prefix_oracle_sql() -> str:
+    """Fielded match_phrase_prefix replay: per field, the last token
+    expands as a capped alphabetical LIKE over that field's dictionary;
+    anchors are fixed-slot adjacency chains completed by ANY expansion
+    term at the last slot (DISTINCT anchors); idf over the FIXED
+    constituents only, satu over the anchor count with field-local dl;
+    boosted blend max + tb*(sum-max)."""
+    from elasticsearch_analysis_combo_spark.analysis.combo import analyze_text
+
+    exp_parts, match_parts, slot_rows = [], [], []
+    for qid, text in MM_PP_QUERIES:
+        terms = [t.term for t in analyze_text(text, _ws_config())]
+        fixed, pfx = terms[:-1], terms[-1]
+        last_slot = len(terms) - 1
+        for f in ("title", "body"):
+            exp_parts.append(
+                f"SELECT {qid} AS query_id, '{f}' AS field, term FROM ("
+                f"SELECT t AS term, row_number() OVER (ORDER BY t) AS rk "
+                f"FROM dfx WHERE field = '{f}' AND t LIKE '{pfx}%') "
+                f"WHERE rk <= {MBP_MAX_EXP}"
+            )
+        joins = []
+        for i, term in enumerate(fixed[1:], start=1):
+            joins.append(
+                f"JOIN ftoks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.field = t0.field AND t{i}.p = t0.p + {i} "
+                f"AND t{i}.t = '{term}'"
+            )
+        match_parts.append(f"""
+SELECT {qid} AS query_id, field, doc_id, count(*)::DOUBLE AS cnt FROM (
+  SELECT DISTINCT t0.field, t0.doc_id, t0.p
+  FROM ftoks t0 {' '.join(joins)}
+  WHERE t0.t = '{fixed[0]}'
+    AND EXISTS (SELECT 1 FROM ftoks tl
+                WHERE tl.doc_id = t0.doc_id AND tl.field = t0.field
+                  AND tl.p = t0.p + {last_slot}
+                  AND tl.t IN (SELECT term FROM exp
+                               WHERE query_id = {qid}
+                                 AND exp.field = t0.field))
+) GROUP BY 1, 2, 3""")
+        for si, term in enumerate(fixed):
+            slot_rows.append(f"({qid}, {si}, '{term}')")
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM base
+),
+ftoks AS (
+  SELECT doc_id, t,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS field,
+         CASE WHEN i <= {MM_TITLE_TOKENS} THEN i ELSE i - {MM_TITLE_TOKENS} END AS p
+  FROM toks WHERE t <> ''
+),
+dl AS (SELECT field, doc_id, count(*)::DOUBLE AS dl FROM ftoks GROUP BY 1, 2),
+gs AS (SELECT field, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+dfx AS (
+  SELECT field, t, count(DISTINCT doc_id)::DOUBLE AS df FROM ftoks GROUP BY 1, 2
+),
+exp AS ({" UNION ALL ".join(exp_parts)}),
+slots(query_id, slot, term) AS (VALUES {', '.join(slot_rows)}),
+idf AS (
+  SELECT s.query_id, g.field,
+         sum(ln(1.0 + (g.n - coalesce(d.df, 0) + 0.5)
+                      / (coalesce(d.df, 0) + 0.5))) AS idf_sum
+  FROM slots s
+  CROSS JOIN gs g
+  LEFT JOIN dfx d ON d.field = g.field AND d.t = s.term
+  GROUP BY 1, 2
+),
+m AS ({" UNION ALL ".join(match_parts)}),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         (CASE m.field WHEN 'title' THEN {MM_BOOSTS['title']}
+               ELSE {MM_BOOSTS['body']} END)
+           * idf.idf_sum
+           * m.cnt * ({K1} + 1.0)
+           / (m.cnt + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) AS fscore
+  FROM m
+  JOIN idf ON idf.query_id = m.query_id AND idf.field = m.field
+  JOIN dl ON dl.field = m.field AND dl.doc_id = m.doc_id
+  JOIN gs ON gs.field = m.field
+),
+comb AS (
+  SELECT query_id, doc_id,
+         max(fscore) + {MM_TIE_BREAKER} * (sum(fscore) - max(fscore)) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_mm_route_family(spark, sf_dir):
     """Round-5i fielded multi_match routes, kind-tagged: type=phrase
     (per-field match_phrase over positional postings) + type=bool_prefix
-    (per-field search-as-you-type), both dis-max blended with
-    tie_breaker over FULL per-field match sets. Members also sit as
+    (per-field search-as-you-type) + type=phrase_prefix (per-field
+    last-term dictionary expansion completing the phrase), all dis-max
+    blended with tie_breaker over FULL per-field match sets — the ES
+    multi_match type matrix is now complete. Members also sit as
     individual tail gates."""
     a = q_multi_match_phrase(spark, sf_dir).withColumn(
         "kind", F.lit("phrase")
@@ -1172,7 +1314,10 @@ def q_mm_route_family(spark, sf_dir):
     b = q_multi_match_bool_prefix(spark, sf_dir).withColumn(
         "kind", F.lit("bool_prefix")
     )
-    return a.unionByName(b)
+    c = q_multi_match_phrase_prefix(spark, sf_dir).withColumn(
+        "kind", F.lit("phrase_prefix")
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def _mm_route_family_oracle_sql() -> str:
@@ -1180,7 +1325,9 @@ def _mm_route_family_oracle_sql() -> str:
         "SELECT 'phrase' AS kind, * FROM ("
         + _multi_match_phrase_oracle_sql()
         + ") UNION ALL SELECT 'bool_prefix' AS kind, * FROM ("
-        + _multi_match_bool_prefix_oracle_sql() + ")"
+        + _multi_match_bool_prefix_oracle_sql()
+        + ") UNION ALL SELECT 'phrase_prefix' AS kind, * FROM ("
+        + _multi_match_phrase_prefix_oracle_sql() + ")"
     )
 
 
@@ -9296,6 +9443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mm_route_family members (window slot is the merged gate)
         "multi_match_phrase": q_multi_match_phrase,
         "multi_match_bool_prefix": q_multi_match_bool_prefix,
+        "multi_match_phrase_prefix": q_multi_match_phrase_prefix,
         # demoted from the window in round 5i (sig_text_options covers
         # the code path in-window)
         "significant_text": q_significant_text,
@@ -10749,6 +10897,9 @@ GROUP BY 1
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()
     sqls["multi_match_phrase"] = _multi_match_phrase_oracle_sql()
     sqls["multi_match_bool_prefix"] = _multi_match_bool_prefix_oracle_sql()
+    sqls["multi_match_phrase_prefix"] = (
+        _multi_match_phrase_prefix_oracle_sql()
+    )
     sqls["multi_match_best"] = _multi_match_oracle_sql("best_fields", 0.0)
     sqls["multi_match_dismax"] = _multi_match_oracle_sql(
         "best_fields", MM_TIE_BREAKER

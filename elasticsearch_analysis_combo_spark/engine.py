@@ -1846,6 +1846,44 @@ class MultiFieldSearchEngine:
             k1=self.k1, b=self.b, partitioned=part, range_bits=range_bits,
         )
 
+    def multi_match_phrase_prefix(
+        self,
+        query: str | list[tuple[int, str]],
+        slop: int = 0,
+        boosts: dict[str, float] | None = None,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        fields: list[str] | None = None,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES ``multi_match`` ``type: phrase_prefix``: a
+        ``match_phrase_prefix`` per field (last term expands over that
+        field's own dictionary), dis-max blended (see
+        query/multifield.py::multi_match_phrase_prefix_topk)."""
+        from elasticsearch_analysis_combo_spark.query.multifield import (
+            multi_match_phrase_prefix_topk,
+        )
+
+        queries = [(0, query)] if isinstance(query, str) else query
+        use = fields or self.fields
+        if not use:
+            raise ValueError("no fields indexed: call index() first")
+        engines = {f: self._engine(f) for f in use}
+        cfgs = {f: e._query_config() for f, e in engines.items()}
+        return multi_match_phrase_prefix_topk(
+            self.spark,
+            {f: e.idx.postings() for f, e in engines.items()},
+            {f: e.idx.term_df() for f, e in engines.items()},
+            {f: e.idx.term_stats() for f, e in engines.items()},
+            {
+                f: (e.idx.meta.n_docs, e.idx.meta.avgdl)
+                for f, e in engines.items()
+            },
+            queries, cfgs, boosts=boosts, tie_breaker=tie_breaker,
+            k=k, slop=slop, max_expansions=max_expansions,
+            k1=self.k1, b=self.b,
+        )
+
     def multi_match_bool_prefix(
         self,
         query: str | list[tuple[int, str]],
@@ -1938,12 +1976,21 @@ class MultiFieldSearchEngine:
                     k=k, fields=fields,
                     max_expansions=int(body.get("max_expansions", 50)),
                 )
+            if mtype == "phrase_prefix":
+                fields, boosts = self._parse_fieldspecs(body.get("fields"))
+                return self.multi_match_phrase_prefix(
+                    body["query"], slop=int(body.get("slop", 0)),
+                    boosts=boosts,
+                    tie_breaker=float(body.get("tie_breaker", 0.0)),
+                    k=k, fields=fields,
+                    max_expansions=int(body.get("max_expansions", 50)),
+                )
             if mtype not in ("best_fields", "most_fields",
                              "cross_fields"):
                 raise ValueError(
                     f"unsupported multi_match type: {mtype!r} "
                     "(best_fields/most_fields/cross_fields/phrase/"
-                    "bool_prefix)"
+                    "phrase_prefix/bool_prefix)"
                 )
             fields, boosts = self._parse_fieldspecs(body.get("fields"))
             return self.multi_match(

@@ -442,6 +442,117 @@ def multi_match_phrase_topk(
     return _combine_and_rank(union, "best_fields", tie_breaker, k)
 
 
+def multi_match_phrase_prefix_topk(
+    spark: SparkSession,
+    field_postings: dict[str, DataFrame],
+    field_term_df: dict[str, DataFrame],
+    field_stats: dict[str, DataFrame],
+    field_meta: dict[str, tuple[int, float]],
+    queries: list[tuple[int, str]],
+    config: ComboConfig | dict[str, ComboConfig],
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    slop: int = 0,
+    max_expansions: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``multi_match`` ``type: phrase_prefix`` — completes the ES
+    type matrix (best/most/cross_fields, phrase, bool_prefix,
+    phrase_prefix): one ``match_phrase_prefix`` per field (the phrase's
+    LAST term expands over THAT field's dictionary, capped alphabetical
+    — ES's deterministic cap; a doc matches when any expansion
+    completes the phrase), scored like the single-field DSL route —
+    ``idf_sum(fixed constituents, field stats) * satu(n_matches)`` with
+    ``dl`` riding from the first constituent's pruned stats scan — then
+    boosted field scores blend best_fields-style over the FULL
+    per-field match sets (phrase-prefix match sets are candidate-sized,
+    same argument as :func:`multi_match_phrase_topk`)."""
+    import math
+
+    from elasticsearch_analysis_combo_spark.analysis.combo import (
+        analyze_text,
+    )
+    from elasticsearch_analysis_combo_spark.query.phrase import (
+        phrase_prefix_match,
+    )
+
+    boosts = boosts or {}
+    parts = []
+    for field, plists in field_postings.items():
+        n, avgdl = field_meta[field]
+        if n == 0:
+            continue
+        cfg = _field_config(config, field)
+        fixed_by_q: dict[int, list[str]] = {}
+        first_by_q: dict[int, str] = {}
+        for qid, text in queries:
+            toks = [t.term for t in analyze_text(text, cfg)]
+            if len(toks) < 2:
+                raise ValueError(
+                    "multi_match phrase_prefix needs >= 2 analyzed "
+                    "terms per query (a single term is a prefix query)"
+                )
+            fixed_by_q[qid] = toks[:-1]
+            first_by_q[qid] = toks[0]
+        # idf over the fixed constituents: one tiny dictionary probe
+        # against THIS field's df (O(query text) rows)
+        probe = sorted({t for ts in fixed_by_q.values() for t in ts})
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in field_term_df[field]
+            .filter(F.col("term").isin(probe))
+            .select("term", "df").collect()
+        }
+
+        def _idf(dfv: int) -> float:
+            return math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+
+        idf_df = spark.createDataFrame(
+            [
+                (qid, sum((_idf(df_map[t]) for t in ts if t in df_map),
+                          0.0))
+                for qid, ts in sorted(fixed_by_q.items())
+            ],
+            "query_id int, _idf double",
+        )
+        hits = phrase_prefix_match(
+            spark, plists, field_term_df[field], queries, cfg,
+            slop=slop, max_expansions=max_expansions,
+        )
+        first_rows = spark.createDataFrame(
+            sorted((q, t) for q, t in first_by_q.items()),
+            "query_id int, term string",
+        )
+        dl = (
+            field_stats[field]
+            .filter(F.col("term").isin(sorted(set(first_by_q.values()))))
+            .select("term", "doc_id", "dl")
+            .join(F.broadcast(first_rows), "term")
+            .select("query_id", "doc_id", "dl")
+        )
+        f_ = F.col("n_matches").cast("double")
+        boost = float(boosts.get(field, 1.0))
+        parts.append(
+            hits.join(F.broadcast(idf_df), "query_id")
+            .join(dl, ["query_id", "doc_id"])
+            .withColumn(
+                "score",
+                F.lit(boost) * F.col("_idf") * f_ * (k1 + 1.0)
+                / (f_ + k1 * (1.0 - b + b * F.col("dl") / float(avgdl))),
+            )
+            .select("query_id", "doc_id", "score")
+            .withColumn("field", F.lit(field))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    union = reduce(lambda a, b2: a.unionByName(b2), parts)
+    return _combine_and_rank(union, "best_fields", tie_breaker, k)
+
+
 def multi_match_bool_prefix_topk(
     spark: SparkSession,
     field_stats: dict[str, DataFrame],

@@ -251,6 +251,93 @@ def test_multi_match_bool_prefix_blend(spark, fielded):
         assert score == pytest.approx(want[key], rel=1e-9)
 
 
+def test_multi_match_phrase_prefix_blend(spark, fielded):
+    """Per-field match_phrase_prefix scoring (idf over FIXED
+    constituents x satu(anchors), field-local dl) dis-max blended;
+    'quick fo' completes via fox in title (doc 0, 2) and body
+    (docs 1, 2, 3)."""
+    from elasticsearch_analysis_combo_spark.query.multifield import (
+        multi_match_phrase_prefix_topk,
+    )
+    import math
+
+    queries = [(0, "quick fo")]
+    tb = 0.4
+    boosts = {"title": 2.0, "body": 1.0}
+    stats = {f: fielded[f][0] for f in fielded}
+    tdfs = {
+        f: s.groupBy("term").agg(F.count("*").alias("df"))
+        for f, s in stats.items()
+    }
+    meta = {f: (fielded[f][2], fielded[f][3]) for f in fielded}
+    postings = {f: fielded[f][1] for f in fielded}
+    out = multi_match_phrase_prefix_topk(
+        spark, postings, tdfs, stats, meta, queries, CFG,
+        boosts=boosts, tie_breaker=tb, k=10, k1=K1, b=B,
+    )
+    got = _blend_rows(out)
+    # hand expectation: per field, anchors where 'quick' is followed by
+    # a 'fo%' token; idf over ['quick'] only; dl of the doc in-field
+    import collections
+    exp = collections.defaultdict(list)
+    texts = {
+        "title": {0: "quick fox runs", 1: "morning news report",
+                  2: "quick fox alert", 3: "daily digest",
+                  4: "slow turtle"},
+        "body": {0: "the lazy dog sleeps all day",
+                 1: "a quick fox jumped the fence",
+                 2: "watch the quick fox by the barn",
+                 3: "quick fox here and quick fox there",
+                 4: "nothing to see in this text"},
+    }
+    for f, boost in boosts.items():
+        n, avgdl = meta[f]
+        docs = texts[f]
+        df_quick = sum("quick" in t.split() for t in docs.values())
+        idf = math.log(1.0 + (n - df_quick + 0.5) / (df_quick + 0.5))
+        for d_, t in docs.items():
+            toks = t.split()
+            anchors = sum(
+                1 for i, w in enumerate(toks[:-1])
+                if w == "quick" and toks[i + 1].startswith("fo")
+            )
+            if anchors:
+                dl = len(toks)
+                s = idf * anchors * (K1 + 1.0) / (
+                    anchors + K1 * (1.0 - B + B * dl / avgdl))
+                exp[(0, d_)].append(boost * s)
+    want = {key: max(v) + tb * (sum(v) - max(v)) for key, v in exp.items()}
+    assert set(got) == set(want)
+    for key, (_, score) in got.items():
+        assert score == pytest.approx(want[key], rel=1e-9)
+
+
+def test_multi_match_phrase_prefix_engine_route(spark, tmp_path):
+    from elasticsearch_analysis_combo_spark.engine import (
+        MultiFieldSearchEngine,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "quick fox runs", "the lazy dog"),
+         (1, "morning report", "a quick fox jumped")],
+        "doc_id long, title string, body string",
+    )
+    eng = MultiFieldSearchEngine(spark, CFG, str(tmp_path / "mfpp"))
+    eng.index(docs, field_cols={"title": "title", "body": "body"})
+    out = eng.search_dsl(
+        {"multi_match": {"query": "quick fo", "type": "phrase_prefix",
+                         "fields": ["title^2", "body"]}},
+        k=5,
+    )
+    direct = eng.multi_match_phrase_prefix(
+        "quick fo", boosts={"title": 2.0, "body": 1.0}, k=5,
+    )
+    assert _blend_rows(out) == _blend_rows(direct)
+    assert {d for (_, d) in _blend_rows(out)} == {0, 1}
+    with pytest.raises(ValueError, match=">= 2 analyzed"):
+        eng.multi_match_phrase_prefix("quick")
+
+
 def test_multi_match_bool_prefix_engine_route(spark, tmp_path):
     from elasticsearch_analysis_combo_spark.engine import (
         MultiFieldSearchEngine,
