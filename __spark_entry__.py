@@ -9195,6 +9195,274 @@ QUALIFY rank <= {k}
 """
 
 
+R5J_CORR_EXPS = [1.0, 3.0, 2.0, 5.0]
+R5J_KS_FRACS = [1.0, 2.0, 3.0, 4.0]
+GEO_LINE_SIZE = 150
+
+
+def q_r5j_family(spark, sf_dir):
+    """Round-5j surfaces, kind-tagged in one window slot: (1)
+    ``bucket_correlation`` + ``bucket_count_ks_test`` ML sibling
+    pipelines (Pearson r vs indicator expectations; exact K-S distances
+    vs expected fractions — both over the REDUCED bucket series, never
+    raw rows); (2) the ``script`` filter-context leaf (SQL-boolean
+    painless analogue) composed under bool.filter; (3) the ``parent``
+    aggregation (children bucketed, parent docs counted once per bucket
+    — DISTINCT pair reduction BEFORE the join); (4) the ``geo_line``
+    aggregation (per-track WKT LINESTRING, WindowGroupLimit size cut at
+    the sort extreme); (5) ``terms`` lookup (term list fetched from a
+    lookup doc — ES's pre-query GET, one id-pruned single-row scan).
+    Unified long schema (kind, agg, key, metric, value-string)."""
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        resolve_terms_lookup,
+    )
+    from elasticsearch_analysis_combo_spark.query.geo import geo_line_agg
+    from elasticsearch_analysis_combo_spark.query.relations import (
+        parent_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # (1) ML sibling pipelines over a deterministic 4-bucket histogram
+    ml = dsl_search_aggs(
+        ev.selectExpr("*", "cast(user_id % 4 as double) as ub"),
+        {"aggs": {
+            "h": {"histogram": {"field": "ub", "interval": 1.0},
+                  "aggs": {"sv": {"sum": {"field": "value"}}}},
+            "corr": {"bucket_correlation": {
+                "buckets_path": "h>_count",
+                "function": {"count_correlation": {
+                    "indicator": {"expectations": R5J_CORR_EXPS}}},
+            }},
+            "ks": {"bucket_count_ks_test": {
+                "buckets_path": "h>sv",
+                "alternative": ["less", "greater", "two_sided"],
+                "fractions": R5J_KS_FRACS,
+            }},
+        }},
+    ).select(
+        F.lit("ml_sibling").alias("kind"), "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+    # (2) script filter leaf under bool.filter next to a term leaf
+    sq = dsl_search_aggs(
+        ev,
+        {"query": {"bool": {"filter": [
+            {"script": {"script": {"source": "value * 2.0 >= 1.0"}}},
+            {"term": {"event_type": "click"}},
+        ]}},
+         "aggs": {"n": {"value_count": {"field": "user_id"}},
+                  "sv": {"sum": {"field": "value"}}}},
+    ).select(
+        F.lit("script_query").alias("kind"), "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+    # (3) parent agg: lineitem children bucketed by returnflag,
+    # orders parents counted once per bucket + totalprice sum
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = parent_agg(
+        lineitem, orders, "l_orderkey", "o_orderkey", "l_returnflag",
+        metric_exprs={"tp": "sum(o_totalprice)"},
+    )
+    pa = pa.select(
+        F.lit("parent_agg").alias("kind"),
+        F.lit("by_flag").alias("agg"),
+        F.col("l_returnflag").alias("key"),
+        F.explode(F.array(
+            F.struct(F.lit("doc_count").alias("metric"),
+                     F.col("doc_count").cast("double").alias("v")),
+            F.struct(F.lit("tp").alias("metric"),
+                     F.col("tp").cast("double").alias("v")),
+        )).alias("_mv"),
+    ).select(
+        "kind", "agg", "key", F.col("_mv.metric").alias("metric"),
+        F.format_string("%.6e", F.col("_mv.v")).alias("value"),
+    )
+
+    # (4) geo_line per event_type: ts-ordered track, size cut at the
+    # sort start (truncation exercised at every sf)
+    gl_src = ev.selectExpr(
+        "event_type", "ts",
+        f"{GEO_LAT_EXPR} as lat", f"{GEO_LON_EXPR} as lon",
+    )
+    gl = geo_line_agg(
+        gl_src, "lat", "lon", "ts", group_col="event_type",
+        size=GEO_LINE_SIZE,
+    ).select(
+        F.lit("geo_line").alias("kind"),
+        F.lit("track").alias("agg"),
+        F.col("event_type").alias("key"),
+        F.explode(F.array(
+            F.struct(F.lit("line").alias("metric"),
+                     F.col("line").alias("v")),
+            F.struct(F.lit("point_count").alias("metric"),
+                     F.col("point_count").cast("string").alias("v")),
+            F.struct(F.lit("complete").alias("metric"),
+                     F.col("complete").cast("string").alias("v")),
+        )).alias("_mv"),
+    ).select(
+        "kind", "agg", "key", F.col("_mv.metric").alias("metric"),
+        F.col("_mv.v").alias("value"),
+    )
+
+    # (5) terms lookup: the watchlist doc holds the two smallest
+    # event_types; the query resolves it, then buckets the matches
+    watch = ev.groupBy().agg(
+        F.slice(F.sort_array(F.collect_set("event_type")), 1, 2)
+        .alias("etypes")
+    ).withColumn("doc_id", F.lit(1))
+    node = resolve_terms_lookup(
+        {"bool": {"filter": [{"terms": {"event_type": {
+            "index": "watch", "id": 1, "path": "etypes"}}}]}},
+        {"watch": watch},
+    )
+    tl = dsl_search_aggs(
+        ev,
+        {"query": node,
+         "aggs": {"by": {"terms": {"field": "event_type",
+                                   "size": 10}}}},
+    ).select(
+        F.lit("terms_lookup").alias("kind"), "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+    return (
+        ml.unionByName(sq).unionByName(pa).unionByName(gl)
+        .unionByName(tl)
+    )
+
+
+def _r5j_family_oracle_sql() -> str:
+    exps = ", ".join(
+        f"({i + 1}, {e}::DOUBLE)" for i, e in enumerate(R5J_CORR_EXPS)
+    )
+    fracs = ", ".join(
+        f"({i + 1}, {x}::DOUBLE)" for i, x in enumerate(R5J_KS_FRACS)
+    )
+    return f"""
+WITH h0 AS (
+  SELECT (user_id % 4)::DOUBLE AS b, count(*)::DOUBLE AS dc,
+         sum(value) AS sv
+  FROM events GROUP BY 1
+),
+h AS (SELECT *, row_number() OVER (ORDER BY b) AS i FROM h0),
+h_rows AS (
+  SELECT 'h' AS agg, printf('%.4f', b) AS key, 'doc_count' AS metric,
+         dc AS value FROM h
+  UNION ALL SELECT 'h', printf('%.4f', b), 'sv', sv FROM h
+),
+exps(i, e) AS (VALUES {exps}),
+fr(i, f) AS (VALUES {fracs}),
+corr_row AS (
+  SELECT 'corr' AS agg, '' AS key, 'corr.correlation' AS metric,
+         corr(h.dc, exps.e) AS value
+  FROM h JOIN exps USING (i)
+),
+ks_cum AS (
+  SELECT h.i,
+         sum(h.sv) OVER (ORDER BY h.i) / sum(h.sv) OVER () AS ecdf,
+         sum(fr.f) OVER (ORDER BY h.i) / sum(fr.f) OVER () AS fcdf
+  FROM h JOIN fr USING (i)
+),
+ks_rows AS (
+  SELECT 'ks' AS agg, '' AS key, 'ks.' || alt AS metric,
+         CASE alt WHEN 'less' THEN max(fcdf - ecdf)
+                  WHEN 'greater' THEN max(ecdf - fcdf)
+                  ELSE max(abs(ecdf - fcdf)) END AS value
+  FROM ks_cum, (VALUES ('less'), ('greater'), ('two_sided')) a(alt)
+  GROUP BY alt
+),
+ml_rows AS (
+  SELECT * FROM h_rows UNION ALL SELECT * FROM corr_row
+  UNION ALL SELECT * FROM ks_rows
+),
+sq_src AS (
+  SELECT * FROM events
+  WHERE (value * 2.0 >= 1.0) AND event_type = 'click'
+),
+sq_rows AS (
+  SELECT 'n' AS agg, '' AS key, 'n' AS metric,
+         count(user_id)::DOUBLE AS value FROM sq_src
+  UNION ALL SELECT 'n', '', 'doc_count', count(*)::DOUBLE FROM sq_src
+  UNION ALL SELECT 'sv', '', 'sv', sum(value) FROM sq_src
+  UNION ALL SELECT 'sv', '', 'doc_count', count(*)::DOUBLE FROM sq_src
+),
+pa_pairs AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+pa AS (
+  SELECT l_returnflag AS key, count(*)::DOUBLE AS dc,
+         sum(o_totalprice) AS tp
+  FROM orders JOIN pa_pairs ON o_orderkey = l_orderkey GROUP BY 1
+),
+pa_rows AS (
+  SELECT 'by_flag' AS agg, key, 'doc_count' AS metric, dc AS value
+  FROM pa
+  UNION ALL SELECT 'by_flag', key, 'tp', tp FROM pa
+),
+gl_pts AS (
+  SELECT event_type, ts,
+         (user_id % 180)::DOUBLE - 90.0 AS lat,
+         ((user_id * 7) % 360)::DOUBLE - 180.0 AS lon
+  FROM events
+),
+gl_rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts, lon, lat) AS r
+  FROM gl_pts
+),
+gl_tot AS (
+  SELECT event_type, count(*) AS tot FROM gl_pts GROUP BY 1
+),
+gl AS (
+  SELECT k.event_type,
+         'LINESTRING (' || string_agg(
+             printf('%.6f %.6f', k.lon, k.lat), ', ' ORDER BY k.r)
+           || ')' AS line,
+         count(*) AS pc, any_value(t.tot) AS tot
+  FROM gl_rk k JOIN gl_tot t USING (event_type)
+  WHERE k.r <= {GEO_LINE_SIZE}
+  GROUP BY 1
+),
+gl_rows AS (
+  SELECT 'track' AS agg, event_type AS key, 'line' AS metric,
+         line AS value FROM gl
+  UNION ALL SELECT 'track', event_type, 'point_count',
+         pc::VARCHAR FROM gl
+  UNION ALL SELECT 'track', event_type, 'complete',
+         (tot <= {GEO_LINE_SIZE})::VARCHAR FROM gl
+),
+watch AS (
+  SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+  ORDER BY event_type LIMIT 2
+),
+tl AS (
+  SELECT event_type AS key, count(*)::DOUBLE AS dc FROM events
+  WHERE event_type IN (SELECT event_type FROM watch) GROUP BY 1
+),
+tl_rows AS (
+  SELECT 'by' AS agg, key, 'doc_count' AS metric, dc AS value FROM tl
+)
+SELECT 'ml_sibling' AS kind, agg, key, metric,
+       printf('%.6e', value) AS value FROM ml_rows
+UNION ALL
+SELECT 'script_query', agg, key, metric, printf('%.6e', value)
+FROM sq_rows
+UNION ALL
+SELECT 'parent_agg', agg, key, metric, printf('%.6e', value)
+FROM pa_rows
+UNION ALL
+SELECT 'geo_line', agg, key, metric, value FROM gl_rows
+UNION ALL
+SELECT 'terms_lookup', agg, key, metric, printf('%.6e', value)
+FROM tl_rows
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness gate oracles the FIRST 50
     entries of this dict (insertion order). Policy: (1) every surface
@@ -9205,6 +9473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # r5j: bucket_correlation/ks_test siblings + script filter leaf
+        # + parent agg + geo_line agg + terms lookup (kind-tagged)
+        "r5j_family": q_r5j_family,
         # fielded multi_match type=phrase + type=bool_prefix routes
         # (per-field evaluators, dis-max blend; members = tail gates)
         "mm_route_family": q_mm_route_family,
@@ -9272,8 +9543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget mixture sampling (per-source quotas, md5 order)
         "token_budget_mix": q_token_budget_mix,
         # --- round-4j new/changed surfaces ---
-        # word_delimiter/elision/apostrophe/decimal_digit/fingerprint
-        "analysis_filters2": q_analysis_filters2,
         # ExactSubstr repeated-passage dedup + span removal
         "duplicate_spans": q_duplicate_spans,
         # --- round-4i new/changed surfaces ---
@@ -9313,6 +9582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
+        # analysis_filters2: r4j-stable (analysis untouched in r5);
+        # analysis_filters3 keeps the analysis family in-window —
+        # displaced by the r5j_family slot, replica-covered each round
+        "analysis_filters2": q_analysis_filters2,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -10894,6 +11167,7 @@ GROUP BY 1
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
+    sqls["r5j_family"] = _r5j_family_oracle_sql()
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()
     sqls["multi_match_phrase"] = _multi_match_phrase_oracle_sql()
     sqls["multi_match_bool_prefix"] = _multi_match_bool_prefix_oracle_sql()

@@ -68,7 +68,10 @@ Supported (v1, the Kibana-dashboard core; round-5d widened):
   REDUCED bucket frame — bucket-count-sized windows, never row data);
   sibling ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` /
   ``sum_bucket`` / ``stats_bucket`` / ``extended_stats_bucket`` /
-  ``percentiles_bucket`` (exact, as ES computes sibling percentiles)
+  ``percentiles_bucket`` (exact, as ES computes sibling percentiles) /
+  ``bucket_correlation`` (Pearson r vs indicator expectations) /
+  ``bucket_count_ks_test`` (exact K-S distances vs expected fractions,
+  per alternative)
   (reduce a sibling's per-bucket metric via its long frame, grouped
   by the enclosing-bucket key prefix)
 - nesting: bucket > bucket > ... > metrics at any depth (keys
@@ -132,6 +135,7 @@ PARENT_PIPELINE_KINDS = (
 SIBLING_PIPELINE_KINDS = (
     "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "stats_bucket",
     "percentiles_bucket", "extended_stats_bucket", "change_point",
+    "bucket_correlation", "bucket_count_ks_test",
 )
 # metric kinds whose values stay valid under random_sampler rescale:
 # sum/value_count scale by 1/p; ratio/extreme metrics are unbiased
@@ -1845,6 +1849,117 @@ def _sibling_rows(
         ]
         return cp.select(
             F.lit(mypath).alias("agg"), out_key.alias("key"),
+            F.explode(F.array(*pairs)).alias("_mv"),
+        ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
+    if kind in ("bucket_correlation", "bucket_count_ks_test"):
+        # ES 8.x ML sibling pipelines, deterministic analogues over the
+        # sibling's REDUCED bucket series (bucket-count-sized, never
+        # raw rows). Both need an ordered axis — same sibling rule as
+        # change_point: histogram orders numerically on its rendered
+        # key, date_histogram lexically.
+        ck = F.element_at(F.split(F.col("key"), "\\|"), -1)
+        sib_kind = (node_kinds or {}).get(sib)
+        if sib_kind == "histogram":
+            order_expr = ck.cast("double")
+        elif sib_kind == "date_histogram":
+            order_expr = ck
+        else:
+            raise ValueError(
+                f"{kind} needs a histogram or date_histogram sibling, "
+                f"got {sib_kind}"
+            )
+        w_ord = Window.partitionBy("_pk").orderBy("_ord")
+        series = src.select(
+            pkey.alias("_pk"), order_expr.alias("_ord"), F.col("value")
+        ).withColumn("_i", F.row_number().over(w_ord))
+        spark = src.sparkSession
+        if kind == "bucket_correlation":
+            # ES bucket_correlation (function: count_correlation):
+            # correlate the sibling's bucket-metric series with the
+            # caller's indicator expectations, paired in bucket-key
+            # order (histogram bucket order IS key order). The
+            # deterministic analogue reports plain Pearson r over the
+            # paired series — the thresholdable core of ES's
+            # count-correlation formula.
+            exps = (
+                body.get("function", {})
+                .get("count_correlation", {})
+                .get("indicator", {})
+                .get("expectations")
+            )
+            if not exps:
+                raise ValueError(
+                    "bucket_correlation requires function."
+                    "count_correlation.indicator.expectations"
+                )
+            ind = spark.createDataFrame(
+                [(i + 1, float(e)) for i, e in enumerate(exps)],
+                "_i int, _e double",
+            )
+            corr = (
+                series.join(F.broadcast(ind), "_i")
+                .groupBy("_pk")
+                .agg(F.corr("value", "_e").alias("_v"))
+            )
+            return corr.select(
+                F.lit(mypath).alias("agg"),
+                F.col("_pk").alias("key"),
+                F.lit(f"{name}.correlation").alias("metric"),
+                F.col("_v").cast("double").alias("value"),
+            )
+        # bucket_count_ks_test: Kolmogorov-Smirnov distances between
+        # the empirical CDF of the sibling's bucket values and the
+        # expected CDF (caller ``fractions``, default uniform). ES
+        # reports sampled p-values; the deterministic analogue reports
+        # the EXACT D statistic per alternative so callers can
+        # threshold: greater = max(ecdf - expected), less =
+        # max(expected - ecdf), two_sided = max of both.
+        alts = body.get("alternative", ["two_sided"])
+        bad = [a for a in alts if a not in ("less", "greater",
+                                            "two_sided")]
+        if bad:
+            raise ValueError(f"unknown ks_test alternative(s): {bad}")
+        fracs = body.get("fractions")
+        w_cum = w_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+        w_all = Window.partitionBy("_pk").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        series = series.withColumn(
+            "_ecdf",
+            F.sum("value").over(w_cum) / F.sum("value").over(w_all),
+        )
+        if fracs is not None:
+            fr = spark.createDataFrame(
+                [(i + 1, float(x)) for i, x in enumerate(fracs)],
+                "_i int, _f double",
+            )
+            series = series.join(F.broadcast(fr), "_i").withColumn(
+                "_fcdf",
+                F.sum("_f").over(w_cum) / F.sum("_f").over(w_all),
+            )
+        else:
+            series = series.withColumn(
+                "_fcdf",
+                F.col("_i").cast("double")
+                / F.count(F.lit(1)).over(w_all),
+            )
+        agg = series.groupBy("_pk").agg(
+            F.max(F.col("_ecdf") - F.col("_fcdf")).alias("greater"),
+            F.max(F.col("_fcdf") - F.col("_ecdf")).alias("less"),
+            F.max(F.abs(F.col("_ecdf") - F.col("_fcdf")))
+            .alias("two_sided"),
+        )
+        pairs = [
+            F.struct(
+                F.lit(f"{name}.{a}").alias("metric"),
+                F.col(a).cast("double").alias("value"),
+            )
+            for a in alts
+        ]
+        return agg.select(
+            F.lit(mypath).alias("agg"),
+            F.col("_pk").alias("key"),
             F.explode(F.array(*pairs)).alias("_mv"),
         ).select("agg", "key", F.col("_mv.metric"), F.col("_mv.value"))
     grouped = src.groupBy(pkey.alias("_pk"))

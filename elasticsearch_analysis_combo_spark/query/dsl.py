@@ -543,6 +543,18 @@ def compile_filter(node: dict) -> str:
         path = _field(body["path"])
         pred = _nested_pred(body["query"], path, "_x")
         return f"exists({path}, _x -> {pred})"
+    if kind == "script":
+        # ES script query (filter context): the painless analogue here
+        # is a SQL boolean expression over the metadata columns — the
+        # same dialect ``runtime_mappings`` scripts already accept
+        # (Spark/DuckDB-portable subset is the caller's contract, as
+        # there). Parenthesized so it composes under bool AND/NOT.
+        src = body["script"]
+        if isinstance(src, dict):
+            src = src.get("source", "")
+        if not isinstance(src, str) or not src.strip():
+            raise ValueError("script query needs a non-empty source")
+        return f"({src})"
     if kind == "bool":
         groups = []
         for part in body.get("must", []) + body.get("filter", []):
@@ -648,7 +660,9 @@ def _leaf_clauses(kind: str, body: dict, role: str) -> list[Clause]:
 # prefix/wildcard are NOT here — on the text field they stay BM25-scored
 # expansion clauses (the pre-existing behavior); their filter-context
 # forms live under bool.filter.
-CONST_KINDS = frozenset(("term", "terms", "range", "exists", "ids"))
+CONST_KINDS = frozenset(
+    ("term", "terms", "range", "exists", "ids", "script")
+)
 
 # scoring-context leaves whose score is a PER-DOC SQL expression over a
 # metadata feature column (not a constant): rank_feature's saturation/
@@ -2352,3 +2366,61 @@ def retriever_search(
         raise ValueError(f"unsupported retriever: {kind}")
 
     return _eval(retriever, k)
+
+
+def resolve_terms_lookup(
+    node,
+    lookups: dict[str, DataFrame],
+    id_col: str = "doc_id",
+):
+    """ES terms lookup: ``{"terms": {field: {"index": name, "id": i,
+    "path": col}}}`` fetches the term list from another document
+    instead of inlining it. ``lookups`` maps index name -> DataFrame;
+    the referenced row's ``path`` column (array or scalar) becomes the
+    literal ``terms`` list — exactly ES's pre-query GET on the lookup
+    doc (one id-pruned single-row scan per lookup, never a corpus
+    join; ES likewise resolves the list up front and caps it at
+    ``max_terms_count``). Returns a deep-rewritten copy of the DSL
+    tree ready for :func:`compile_dsl` / ``compile_filter``; plain
+    ``terms`` nodes pass through untouched."""
+    if isinstance(node, list):
+        return [resolve_terms_lookup(x, lookups, id_col) for x in node]
+    if not isinstance(node, dict):
+        return node
+    if len(node) == 1 and "terms" in node and isinstance(
+        node["terms"], dict
+    ):
+        body = node["terms"]
+        specs = {
+            f: v for f, v in body.items()
+            if isinstance(v, dict) and {"index", "id", "path"} <= set(v)
+        }
+        if specs:
+            out = dict(body)
+            for f, spec in specs.items():
+                idx = spec["index"]
+                if idx not in lookups:
+                    raise ValueError(f"unknown lookup index: {idx!r}")
+                rows = (
+                    lookups[idx]
+                    .filter(F.col(id_col) == F.lit(spec["id"]))
+                    .select(spec["path"])
+                    .limit(2)
+                    .collect()
+                )
+                if not rows:
+                    raise ValueError(
+                        f"lookup doc not found: {idx}/{spec['id']}"
+                    )
+                val = rows[0][0]
+                terms = (
+                    [] if val is None
+                    else list(val) if isinstance(val, (list, tuple))
+                    else [val]
+                )
+                out[f] = terms
+            return {"terms": out}
+    return {
+        k: resolve_terms_lookup(v, lookups, id_col)
+        for k, v in node.items()
+    }

@@ -347,3 +347,74 @@ def geo_bounds_agg(
     if group_col:
         return df.groupBy(group_col).agg(*aggs)
     return df.agg(*aggs)
+
+
+def geo_line_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    group_col: str | None = None,
+    size: int = 10000,
+    sort_order: str = "asc",
+) -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the points joined into a
+    WKT ``LINESTRING (lon lat, ...)`` ordered by ``sort_col`` (a track
+    from timestamped positions), keeping the ``size`` points at the
+    sort extreme exactly as ES does (asc keeps the smallest sort
+    values; ES caps size at 10k for the same per-bucket-boundedness
+    reason this cap exists). Sort ties break on (lon, lat) so the line
+    is total-ordered in both engines. Plan shape: the size cut is a
+    rank filter (WindowGroupLimit — partial limiting BEFORE the
+    shuffle, so a million-point track ships only ``size`` rows), the
+    assembly one ordered array_sort over the capped group, and the
+    ``complete`` flag joins a bucket-sized count frame back. Output:
+    (group?, line, point_count, complete)."""
+    from pyspark.sql import Window
+
+    if sort_order not in ("asc", "desc"):
+        raise ValueError(f"sort_order must be asc|desc: {sort_order!r}")
+    gcols = [group_col] if group_col else []
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy(
+        F.lit(1)
+    )
+    ordc = [
+        F.col(sort_col).asc() if sort_order == "asc"
+        else F.col(sort_col).desc(),
+        F.col(lon_col).asc(), F.col(lat_col).asc(),
+    ]
+    kept = df.withColumn(
+        "_rk", F.row_number().over(part.orderBy(*ordc))
+    ).filter(F.col("_rk") <= size)
+    pt = F.struct(
+        F.col("_rk").alias("rk"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.col(lat_col).cast("double").alias("lat"),
+    )
+    lines = (kept.groupBy(*gcols) if gcols else kept.groupBy()).agg(
+        F.collect_list(pt).alias("_pts")
+    )
+    line = F.concat(
+        F.lit("LINESTRING ("),
+        F.array_join(
+            F.transform(
+                F.array_sort("_pts"),
+                lambda p: F.format_string("%.6f %.6f", p.lon, p.lat),
+            ),
+            ", ",
+        ),
+        F.lit(")"),
+    )
+    totals = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    joined = (
+        lines.join(totals, gcols) if gcols
+        else lines.crossJoin(totals)
+    )
+    return joined.select(
+        *gcols,
+        line.alias("line"),
+        F.size("_pts").alias("point_count"),
+        (F.col("_tot") <= size).alias("complete"),
+    )

@@ -174,6 +174,34 @@ def children_agg(
     return joined.groupBy(group_col).agg(*aggs)
 
 
+def parent_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    child_key: str,
+    parent_key: str,
+    group_col: str,
+    metric_exprs: dict[str, str] | None = None,
+) -> DataFrame:
+    """ES ``parent`` aggregation (the mirror of :func:`children_agg`):
+    bucket CHILDREN by ``group_col``, then aggregate each bucket's
+    PARENT docs — doc_count = parents with >= 1 child in the bucket,
+    plus optional SQL aggregates over parent columns. The child side
+    reduces to DISTINCT (bucket, parent-key) pairs BEFORE the join (a
+    parent counts once per bucket however many of its children land
+    there), so the join probe is bucket x parent-key sized, never
+    child-row sized; parents aggregate with map-side partials."""
+    pairs = children.select(
+        F.col(group_col), F.col(child_key).alias("_ck")
+    ).distinct()
+    joined = parents.join(
+        pairs, parents[parent_key] == pairs["_ck"]
+    ).drop("_ck")
+    aggs = [F.count("*").alias("doc_count")]
+    for name, expr in (metric_exprs or {}).items():
+        aggs.append(F.expr(expr).alias(name))
+    return joined.groupBy(group_col).agg(*aggs)
+
+
 def reverse_nested_agg(
     df: DataFrame,
     path: str,

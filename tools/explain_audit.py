@@ -820,6 +820,24 @@ def main() -> None:
         "FlatMapGroupsInPandas", forbid="BatchEvalPython",
     )
 
+    # 42. geo_line (round-5j): the size cut at the sort extreme must be
+    # a WindowGroupLimit — each map task forwards at most `size` points
+    # per track BEFORE the shuffle, so a million-point track ships only
+    # `size` rows; assembly stays JVM-side (array_sort + transform)
+    from elasticsearch_analysis_combo_spark.query.geo import geo_line_agg
+
+    gl_rows = spark.createDataFrame(
+        [("t", i, float(i % 90), float(i % 180)) for i in range(20)],
+        "track string, ts int, lat double, lon double",
+    )
+    p = plan_text(geo_line_agg(
+        gl_rows, "lat", "lon", "ts", group_col="track", size=5,
+    ))
+    failures += not check(
+        "geo_line size cut is WindowGroupLimit", p,
+        "WindowGroupLimit", forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
