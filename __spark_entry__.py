@@ -9195,6 +9195,233 @@ QUALIFY rank <= {k}
 """
 
 
+R5K_TS_QUERIES = [
+    # standalone terms_set in scoring position: membership = msm
+    # predicate, score = boost x distinct-matched-term count
+    (0, {"terms_set": {"tags": {
+        "terms": ["en", "long"], "minimum_should_match": 1,
+        "boost": 1.5,
+    }}}),
+    # msm 2: both terms must match (score constant 2 x boost over the
+    # survivors — exercises the predicate/expr split)
+    (1, {"terms_set": {"tags": {
+        "terms": ["en", "short"], "minimum_should_match": 2,
+        "boost": 2.0,
+    }}}),
+]
+R5K_MIX_BUDGET, R5K_MIX_TAU, R5K_MIX_EPOCHS = 100_000.0, 2.0, 0.8
+
+
+def q_r5k_family(spark, sf_dir):
+    """Round-5k surfaces, kind-tagged: (1) aggs-compiler ``filter`` /
+    ``nested`` / ``reverse_nested`` buckets — the Kibana workhorse
+    trio the compiler lacked: filter narrows the frame with ONE pushed
+    predicate; nested explodes the array<struct> path so sub-agg field
+    refs become struct access (doc_count = nested docs, ES); reverse_
+    nested jumps back to parent docs (each parent once, keyed by
+    ``id_field``); (2) ``terms_set`` as a scoring feature leaf (score =
+    boost x distinct-matched-term count over one metadata scan); (3)
+    ``temperature_allocation`` — UniMax-style temperature-scaled
+    mixture budgets with epoch-cap water-filling over the reduced
+    strata frame. Unified long schema (kind, agg, key, metric,
+    value-string)."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        temperature_allocation,
+    )
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+    from elasticsearch_analysis_combo_spark.query.dsl import dsl_topk
+
+    # (1) filter/nested/reverse_nested over orders + their lineitems
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = lineitem.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.collect_list(
+            F.struct("l_returnflag", "l_quantity")
+        ).alias("items")
+    )
+    frame = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).join(
+        items, F.col("o_orderkey") == F.col("_ok"), "left"
+    ).drop("_ok")
+    ag = dsl_search_aggs(frame, {"aggs": {
+        "f": {"filter": {"term": {"o_orderstatus": "F"}},
+              "aggs": {"sv": {"sum": {"field": "o_totalprice"}}}},
+        "n": {"nested": {"path": "items"}, "aggs": {
+            "avgq": {"avg": {"field": "items.l_quantity"}},
+            "byflag": {"terms": {"field": "items.l_returnflag",
+                                 "size": 5},
+                       "aggs": {"rn": {
+                           "reverse_nested": {
+                               "id_field": "o_orderkey"},
+                           "aggs": {"tp": {"sum": {
+                               "field": "o_totalprice"}}},
+                       }}},
+        }},
+    }}).select(
+        F.lit("aggs_nested").alias("kind"), "agg", "key", "metric",
+        F.format_string("%.6e", F.col("value")).alias("value"),
+    )
+
+    # (2) terms_set ranking over the feature metadata scan
+    stats = _term_stats(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    meta = _feature_meta(spark, sf_dir)
+    ts = _rerank_rounded(dsl_topk(
+        spark, stats, term_df, None, R5K_TS_QUERIES, _ws_config(),
+        n_docs, avgdl, doc_meta=meta, k=TOPK,
+    )).select(
+        F.lit("terms_set_rank").alias("kind"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("agg"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat(F.lit("rank_"), F.col("rank")).alias("metric"),
+        F.format_string("%.6e", F.col("score")).alias("value"),
+    )
+
+    # (3) temperature-scaled mixture budgets by language
+    alloc = temperature_allocation(
+        _docs(spark, sf_dir).selectExpr(
+            "lang", "cast(n_chars as double) as tok"
+        ),
+        "lang", "tok", R5K_MIX_BUDGET,
+        temperature=R5K_MIX_TAU, max_epochs=R5K_MIX_EPOCHS,
+    ).select(
+        F.lit("temperature").alias("kind"),
+        F.lit("mix").alias("agg"),
+        F.col("lang").alias("key"),
+        F.explode(F.array(
+            F.struct(F.lit("n_tokens").alias("metric"),
+                     F.col("n_tokens").alias("v")),
+            F.struct(F.lit("weight").alias("metric"),
+                     F.col("weight").alias("v")),
+            F.struct(F.lit("budget").alias("metric"),
+                     F.col("budget").alias("v")),
+        )).alias("_mv"),
+    ).select(
+        "kind", "agg", "key", F.col("_mv.metric").alias("metric"),
+        F.format_string("%.6e", F.col("_mv.v")).alias("value"),
+    )
+
+    return ag.unionByName(ts).unionByName(alloc)
+
+
+def _r5k_family_oracle_sql() -> str:
+    b, tau, ep = R5K_MIX_BUDGET, R5K_MIX_TAU, R5K_MIX_EPOCHS
+    return f"""
+WITH f_src AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+f_rows AS (
+  SELECT 'f' AS agg, '' AS key, 'doc_count' AS metric,
+         count(*)::DOUBLE AS value FROM f_src
+  UNION ALL SELECT 'f', '', 'sv', sum(o_totalprice) FROM f_src
+),
+n_rows AS (
+  SELECT 'n' AS agg, '' AS key, 'doc_count' AS metric,
+         count(*)::DOUBLE AS value FROM lineitem
+  UNION ALL SELECT 'n', '', 'avgq', avg(l_quantity) FROM lineitem
+),
+byflag AS (
+  SELECT l_returnflag AS key, count(*)::DOUBLE AS dc FROM lineitem
+  GROUP BY 1
+),
+byflag_rows AS (
+  SELECT 'n>byflag' AS agg, key, 'doc_count' AS metric, dc AS value
+  FROM byflag
+),
+rn_pairs AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+rn AS (
+  SELECT l_returnflag AS key, count(*)::DOUBLE AS dc,
+         sum(o_totalprice) AS tp
+  FROM rn_pairs JOIN orders ON o_orderkey = l_orderkey GROUP BY 1
+),
+rn_rows AS (
+  SELECT 'n>byflag>rn' AS agg, key, 'doc_count' AS metric, dc AS value
+  FROM rn
+  UNION ALL SELECT 'n>byflag>rn', key, 'tp', tp FROM rn
+),
+ag_rows AS (
+  SELECT * FROM f_rows UNION ALL SELECT * FROM n_rows
+  UNION ALL SELECT * FROM byflag_rows UNION ALL SELECT * FROM rn_rows
+),
+meta AS (
+  SELECT doc_id,
+         [lang, source,
+          CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END] AS tags
+  FROM documents
+),
+ts_scored AS (
+  SELECT 0 AS query_id, doc_id,
+         1.5 * len(list_intersect(tags, ['en', 'long'])) AS score
+  FROM meta WHERE len(list_intersect(tags, ['en', 'long'])) >= 1
+  UNION ALL
+  SELECT 1, doc_id,
+         2.0 * len(list_intersect(tags, ['en', 'short']))
+  FROM meta WHERE len(list_intersect(tags, ['en', 'short'])) >= 2
+),
+ts_ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM ts_scored
+),
+ts_rows AS (
+  SELECT 'q' || query_id AS agg, doc_id::VARCHAR AS key,
+         'rank_' || rank AS metric, score AS value
+  FROM ts_ranked WHERE rank <= {TOPK}
+),
+mix_src AS (
+  SELECT lang, sum(n_chars)::DOUBLE AS n FROM documents
+  GROUP BY 1 HAVING sum(n_chars) > 0
+),
+mix_w AS (
+  SELECT lang, n, pow(n, {1.0 / tau!r}) AS wgt, n * {ep!r} AS cap
+  FROM mix_src
+),
+mix_r AS (
+  SELECT *, row_number() OVER (ORDER BY cap / wgt, lang) AS i
+  FROM mix_w
+),
+mix_c AS (
+  SELECT *,
+         coalesce(sum(cap) OVER (ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumcap,
+         sum(wgt) OVER (ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS wfrom
+  FROM mix_r
+),
+mix_t AS (
+  SELECT max(CASE WHEN ({b!r} - cumcap) / wfrom <= cap / wgt
+             THEN ({b!r} - cumcap) / wfrom END) AS t
+  FROM mix_c
+),
+mix AS (
+  SELECT lang, n, wgt,
+         greatest(CASE WHEN mix_t.t IS NULL THEN cap
+                  ELSE least(cap, wgt * mix_t.t) END, 0.0) AS budget
+  FROM mix_c CROSS JOIN mix_t
+),
+mix_rows AS (
+  SELECT 'mix' AS agg, lang AS key, 'n_tokens' AS metric, n AS value
+  FROM mix
+  UNION ALL SELECT 'mix', lang, 'weight', wgt FROM mix
+  UNION ALL SELECT 'mix', lang, 'budget', budget FROM mix
+)
+SELECT 'aggs_nested' AS kind, agg, key, metric,
+       printf('%.6e', value) AS value FROM ag_rows
+UNION ALL
+SELECT 'terms_set_rank', agg, key, metric, printf('%.6e', value)
+FROM ts_rows
+UNION ALL
+SELECT 'temperature', agg, key, metric, printf('%.6e', value)
+FROM mix_rows
+"""
+
+
 R5J_CORR_EXPS = [1.0, 3.0, 2.0, 5.0]
 R5J_KS_FRACS = [1.0, 2.0, 3.0, 4.0]
 GEO_LINE_SIZE = 150
@@ -9473,6 +9700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # r5k: filter/nested/reverse_nested compiler buckets +
+        # terms_set scoring leaf + temperature mixture allocation
+        "r5k_family": q_r5k_family,
         # r5j: bucket_correlation/ks_test siblings + script filter leaf
         # + parent agg + geo_line agg + terms lookup (kind-tagged)
         "r5j_family": q_r5j_family,
@@ -9542,9 +9772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets": q_frequent_item_sets,
         # token-budget mixture sampling (per-source quotas, md5 order)
         "token_budget_mix": q_token_budget_mix,
-        # --- round-4j new/changed surfaces ---
-        # ExactSubstr repeated-passage dedup + span removal
-        "duplicate_spans": q_duplicate_spans,
         # --- round-4i new/changed surfaces ---
         "lm_perplexity": q_lm_perplexity,
         "pipeline_aggs2": q_pipeline_aggs2,
@@ -9582,10 +9809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
-        # analysis_filters2: r4j-stable (analysis untouched in r5);
-        # analysis_filters3 keeps the analysis family in-window —
-        # displaced by the r5j_family slot, replica-covered each round
+        # analysis_filters2/duplicate_spans: r4j-stable (code untouched
+        # in r5); analysis_filters3 keeps analysis in-window and
+        # semantic_dedup keeps dedup in-window — displaced by the
+        # r5j/r5k family slots, replica-covered each round
         "analysis_filters2": q_analysis_filters2,
+        "duplicate_spans": q_duplicate_spans,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -11167,6 +11396,7 @@ GROUP BY 1
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
+    sqls["r5k_family"] = _r5k_family_oracle_sql()
     sqls["r5j_family"] = _r5j_family_oracle_sql()
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()
     sqls["multi_match_phrase"] = _multi_match_phrase_oracle_sql()

@@ -243,3 +243,110 @@ def sample_to_token_budget(
         .filter(F.col("_run") - F.col(token_col) < F.col("_budget"))
         .drop("_h", "_bk", "_base", "_run", "_budget")
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    total_budget: float,
+    temperature: float = 1.0,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation with an epoch cap — the
+    UniMax-style (Chung et al. 2023) recipe that turns raw per-source
+    token counts into per-source token budgets: weight each source
+    ``w_s = n_s^(1/temperature)`` (temperature 1 = proportional,
+    higher = flatter toward uniform), allocate ``total_budget`` in
+    proportion, but cap every source at ``max_epochs x n_s`` tokens (a
+    low-resource source cannot be asked for more repetition than the
+    cap) and water-fill the freed budget into the uncapped sources.
+
+    The water-filling threshold has the standard closed form: sort
+    sources by ``cap_s / w_s`` ascending (the order caps bind); with
+    the first ``i-1`` sources capped the candidate threshold is
+    ``t_i = (B - sum_{j<i} cap_j) / sum_{j>=i} w_j``, and the solution
+    is the FIRST ``i`` where ``t_i <= cap_i / w_i`` (if none, every
+    source caps). budget_s = min(cap_s, w_s * t). All of it runs as
+    windows over the REDUCED strata frame (one row per source — the
+    heavy pass is the single partial-aggregated groupBy computing
+    ``n_s``), fully deterministic and SQL-replayable.
+
+    Returns (strata_col, n_tokens, weight, budget) — budget in tokens,
+    double-typed (floor it for :func:`sample_to_token_budget`)."""
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be positive: {temperature}")
+    if max_epochs <= 0.0:
+        raise ValueError(f"max_epochs must be positive: {max_epochs}")
+    if total_budget < 0.0:
+        raise ValueError(f"total_budget must be >= 0: {total_budget}")
+    inv_t = 1.0 / float(temperature)
+    src = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    src = src.select(
+        strata_col, "n_tokens",
+        F.expr(f"pow(n_tokens, {inv_t!r})").alias("weight"),
+        (F.col("n_tokens") * F.lit(float(max_epochs))).alias("_cap"),
+    )
+    # strata-frame windows: one row per source, never row-scale data
+    w_ord = Window.orderBy(
+        (F.col("_cap") / F.col("weight")).asc(), F.col(strata_col).asc()
+    )
+    ranked = src.withColumn(
+        "_cum_cap_prev",
+        F.coalesce(
+            F.sum("_cap").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ),
+    ).withColumn(
+        "_w_from",
+        F.sum("weight").over(
+            w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).withColumn(
+        "_t_cand",
+        (F.lit(float(total_budget)) - F.col("_cum_cap_prev"))
+        / F.col("_w_from"),
+    )
+    # the solving threshold: the FIRST valid candidate in cap/weight
+    # order. Once a candidate validates (t_i <= cap_i/w_i) every later
+    # candidate is also valid and NO LARGER (freed budget only shrinks
+    # t), so first-valid == max(valid) — a plain max aggregate, no
+    # ordered scan needed. If none qualifies every source caps.
+    t_valid = F.when(
+        F.col("_t_cand") <= F.col("_cap") / F.col("weight"),
+        F.col("_t_cand"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    solved = ranked.withColumn("_t", F.max(t_valid).over(w_all))
+    budget = F.when(
+        F.col("_t").isNull(), F.col("_cap")
+    ).otherwise(F.least(F.col("_cap"), F.col("weight") * F.col("_t")))
+    return solved.select(
+        strata_col, "n_tokens", "weight",
+        F.greatest(budget, F.lit(0.0)).alias("budget"),
+    )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    total_budget: float,
+    temperature: float = 1.0,
+    max_epochs: float = 1.0,
+) -> dict[str, int]:
+    """Collect :func:`temperature_allocation` into the ``budgets`` dict
+    :func:`sample_to_token_budget` consumes (floored to ints). The
+    collect is one row PER SOURCE — a mixture has tens of sources, not
+    row-scale data."""
+    rows = temperature_allocation(
+        df, strata_col, token_col, total_budget,
+        temperature=temperature, max_epochs=max_epochs,
+    ).collect()
+    return {r[strata_col]: int(r["budget"]) for r in rows}

@@ -108,6 +108,7 @@ BUCKET_KINDS = (
     "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
     "adjacency_matrix", "geotile_grid", "geo_distance", "sampler",
     "diversified_sampler", "ip_prefix", "categorize_text",
+    "filter", "nested", "reverse_nested",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
@@ -955,6 +956,95 @@ def _compile_node(
             rewritten["aggs"] = sub
         return _compile_node(rows, name, rewritten, path, parent_keys,
                              scale=scale)
+
+    if kind == "filter":
+        # ES single-filter bucket (the Kibana workhorse): narrow the
+        # frame, count it, recurse. The body is a DSL filter node
+        # (compiled by query.dsl.compile_filter) or a raw SQL predicate
+        # string — either way ONE predicate that fuses into the scan
+        # (no extra pass; Catalyst pushes it through the sub-tree).
+        pred = body if isinstance(body, str) else _compile_filter_node(
+            body
+        )
+        work = rows.filter(F.expr(pred))
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+        agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (work.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+             if parent_keys else work.agg(*aggs))
+        outs = [_unpivot(g, mypath, parent_keys, emits, scale=scale)]
+        outs.extend(
+            _compile_level(work, bucket_sub, mypath, parent_keys,
+                           scale=scale)
+        )
+        return outs
+
+    if kind == "nested":
+        # ES nested bucket over an array<struct> column: the exploded
+        # sub-docs become the rows (doc_count = nested docs, exactly
+        # ES), and replacing the array column with the struct makes
+        # sub-agg field refs resolve as ES paths ("items.price" =
+        # struct access, pure codegen). Map-side explode — no shuffle
+        # of its own; sub-agg groupBys aggregate the exploded rows with
+        # map-side partials, so at 100 TB the shuffle carries reduced
+        # buckets, never the sub-doc fan-out.
+        npath = body["path"]
+        if npath not in rows.columns:
+            raise ValueError(f"nested path is not a column: {npath!r}")
+        work = rows.withColumn(npath, F.explode(F.col(npath)))
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+        agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (work.groupBy(*[F.col(c) for c in parent_keys]).agg(*aggs)
+             if parent_keys else work.agg(*aggs))
+        outs = [_unpivot(g, mypath, parent_keys, emits, scale=scale)]
+        outs.extend(
+            _compile_level(work, bucket_sub, mypath, parent_keys,
+                           scale=scale)
+        )
+        return outs
+
+    if kind == "reverse_nested":
+        # ES reverse_nested (inside a nested context): jump back to
+        # PARENT docs — doc_count = parents with >= 1 sub-doc surviving
+        # the enclosing buckets, each parent once however many sub-docs
+        # it contributed. ES keys parents by internal doc id; a parquet
+        # frame names its key via ``id_field`` (engine convention, as
+        # random_sampler's key_field). Sub-agg fields must be
+        # PARENT-level columns (constant per doc — the kept duplicate
+        # row is arbitrary but those columns are identical). Multi-level
+        # re-nesting (ES ``path``) is unsupported and raises.
+        if body.get("path") is not None:
+            raise ValueError(
+                "reverse_nested path (partial un-nest) is unsupported; "
+                "only the full jump back to parent docs"
+            )
+        id_field = body.get("id_field", "doc_id")
+        parents = rows.dropDuplicates([*parent_keys, id_field])
+        metric_sub = {
+            n: s for n, s in sub.items()
+            if _split_node(s)[0] in METRIC_KINDS
+        }
+        bucket_sub = {n: s for n, s in sub.items() if n not in metric_sub}
+        agg_cols, emits = _metric_sub_plans(metric_sub, scale=scale)
+        aggs = [F.count(F.lit(1)).alias("doc_count")] + agg_cols
+        g = (parents.groupBy(*[F.col(c) for c in parent_keys])
+             .agg(*aggs)
+             if parent_keys else parents.agg(*aggs))
+        outs = [_unpivot(g, mypath, parent_keys, emits, scale=scale)]
+        outs.extend(
+            _compile_level(parents, bucket_sub, mypath, parent_keys,
+                           scale=scale)
+        )
+        return outs
 
     if kind == "filters":
         outs = []

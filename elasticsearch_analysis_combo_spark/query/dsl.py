@@ -669,16 +669,33 @@ CONST_KINDS = frozenset(
 # log/sigmoid and distance_feature's pivot decay. Membership = the
 # feature column is non-null, exactly ES's "docs missing the field don't
 # match this clause".
-FEATURE_KINDS = frozenset(("rank_feature", "distance_feature"))
+FEATURE_KINDS = frozenset(
+    ("rank_feature", "distance_feature", "terms_set")
+)
 
 
 def _feature_leaf(kind: str, body: dict) -> tuple[str, str]:
-    """rank_feature / distance_feature leaf -> (membership predicate,
-    per-doc score SQL expression). Formulas match the standalone
-    evaluators (query/functionscore.py::rank_feature_topk /
+    """rank_feature / distance_feature / terms_set leaf -> (membership
+    predicate, per-doc score SQL expression). Formulas match the
+    standalone evaluators (query/functionscore.py::rank_feature_topk /
     distance_feature_topk); ``saturation`` requires an explicit
     ``pivot`` (ES's default derives it from index statistics —
-    documented divergence). ln/pow/abs are portable Spark/DuckDB SQL."""
+    documented divergence). terms_set in scoring context: membership =
+    the filter leaf's msm predicate, score = boost x distinct-matched-
+    term count (ES sums the matched TermQuery idfs; metadata columns
+    carry no term stats, so each matched term scores 1.0 — the
+    documented constant-leaf convention). ln/pow/abs are portable
+    Spark/DuckDB SQL."""
+    if kind == "terms_set":
+        pred = compile_filter({"terms_set": body})
+        (f, spec), = body.items()
+        boost = float(spec.get("boost", 1.0))
+        terms = spec["terms"]
+        if not terms:
+            return "FALSE", "0.0"
+        arr = "array(" + ", ".join(_sql_lit(t) for t in terms) + ")"
+        cnt = f"size(array_intersect({_field(f)}, {arr}))"
+        return pred, f"({boost!r} * CAST({cnt} AS DOUBLE))"
     body = dict(body)
     f = _field(body.pop("field"))
     boost = float(body.pop("boost", 1.0))
