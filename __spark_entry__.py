@@ -9422,6 +9422,59 @@ FROM mix_rows
 """
 
 
+def q_terms_enum(spark, sf_dir):
+    """ES 8 ``_terms_enum`` dictionary walks (round 5l): ascending
+    prefix walk with an ordered-limit cut (TakeOrderedAndProject — no
+    full sort), ``search_after`` paging, case-insensitive prefix fold
+    (returned terms keep their indexed form), and the bare full-walk
+    cut. One dictionary-sized scan per walk; the case-sensitive prefix
+    and search_after bounds are sargable."""
+    from elasticsearch_analysis_combo_spark.query.suggest import terms_enum
+
+    term_df = _term_stats(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    walks = [
+        ("prefix_s", terms_enum(term_df, "s", size=10)),
+        ("page2", terms_enum(term_df, "s", size=2, search_after="small")),
+        ("ci", terms_enum(term_df, "S", size=10, case_insensitive=True)),
+        ("cut", terms_enum(term_df, "", size=5)),
+    ]
+    out = None
+    for kind, df in walks:
+        part = df.select(
+            F.lit(kind).alias("kind"), "term",
+            F.col("doc_count").cast("long").alias("doc_count"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_TERMS_ENUM_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w_prefix AS (
+  SELECT term, df FROM d WHERE term LIKE 's%' ORDER BY term LIMIT 10
+),
+w_page AS (
+  SELECT term, df FROM d WHERE term LIKE 's%' AND term > 'small'
+  ORDER BY term LIMIT 2
+),
+w_ci AS (
+  SELECT term, df FROM d WHERE lower(term) LIKE 's%'
+  ORDER BY term LIMIT 10
+),
+w_cut AS (SELECT term, df FROM d ORDER BY term LIMIT 5)
+SELECT 'prefix_s' AS kind, term, df AS doc_count FROM w_prefix
+UNION ALL SELECT 'page2', term, df FROM w_page
+UNION ALL SELECT 'ci', term, df FROM w_ci
+UNION ALL SELECT 'cut', term, df FROM w_cut
+"""
+
+
 R5J_CORR_EXPS = [1.0, 3.0, 2.0, 5.0]
 R5J_KS_FRACS = [1.0, 2.0, 3.0, 4.0]
 GEO_LINE_SIZE = 150
@@ -9700,6 +9753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
+        # case-insensitive fold / full-walk cut)
+        "terms_enum": q_terms_enum,
         # r5k: filter/nested/reverse_nested compiler buckets +
         # terms_set scoring leaf + temperature mixture allocation
         "r5k_family": q_r5k_family,
@@ -9793,7 +9849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query": q_nested_query,
         "intervals": q_intervals,
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
-        "dsl_extras": q_dsl_extras,
         "combined_fields": q_combined_fields,
         # significant_text moved past the window in round 5i (its code
         # path stays window-covered via sig_text_options); replica +
@@ -9812,9 +9867,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analysis_filters2/duplicate_spans: r4j-stable (code untouched
         # in r5); analysis_filters3 keeps analysis in-window and
         # semantic_dedup keeps dedup in-window — displaced by the
-        # r5j/r5k family slots, replica-covered each round
+        # r5j/r5k family slots, replica-covered each round.
+        # dsl_extras: r4f-stable wrapper/match_none/dis_max leaves —
+        # the window keeps eight dsl_* gates incl. dsl_extras2/3;
+        # displaced by the r5l terms_enum slot
         "analysis_filters2": q_analysis_filters2,
         "duplicate_spans": q_duplicate_spans,
+        "dsl_extras": q_dsl_extras,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -11396,6 +11455,7 @@ GROUP BY 1
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
+    sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["r5k_family"] = _r5k_family_oracle_sql()
     sqls["r5j_family"] = _r5j_family_oracle_sql()
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()

@@ -328,6 +328,26 @@ class ComboSearchEngine:
             prefix_length=prefix_length, min_doc_freq=min_doc_freq, k=k,
         )
 
+    def terms_enum(
+        self,
+        string: str = "",
+        size: int = 10,
+        case_insensitive: bool = False,
+        search_after: str | None = None,
+    ) -> DataFrame:
+        """ES 8 ``_terms_enum``: up to ``size`` dictionary terms
+        starting with ``string``, ascending, resumable via
+        ``search_after`` (leading-edge autocomplete over the index
+        vocabulary)."""
+        from elasticsearch_analysis_combo_spark.query.suggest import (
+            terms_enum,
+        )
+
+        return terms_enum(
+            self.idx.term_df(), string=string, size=size,
+            case_insensitive=case_insensitive, search_after=search_after,
+        )
+
     def suggest_phrase(self, text: str, max_edits: int = 1) -> DataFrame:
         """Greedy phrase repair: unknown tokens replaced by their best
         vocabulary correction."""

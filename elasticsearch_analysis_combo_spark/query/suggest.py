@@ -187,3 +187,49 @@ def completion_suggest(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "suggestion", "df")
     )
+
+
+def terms_enum(
+    term_df: DataFrame,
+    string: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+    search_after: str | None = None,
+) -> DataFrame:
+    """ES 8 ``_terms_enum``: walk the index dictionary and return up to
+    ``size`` terms starting with ``string``, ascending — the
+    leading-edge autocomplete API (host surface behind the reference's
+    fielded mapping, README.md:17-36: the combo-analyzed vocabulary IS
+    the dictionary the walk reads). ``search_after`` resumes the walk
+    strictly after a previous page's last term; ``case_insensitive``
+    folds only the PREFIX comparison (returned terms keep their
+    indexed form, exactly ES).
+
+    Returns (term, doc_count) — ES's response carries just the term
+    list, but the df column is free here (the dictionary row already
+    holds it) and callers drop it if they want wire parity. ES's
+    ``complete`` flag (did the walk exhaust the dictionary?) is the
+    one omission: it needs a count past the cut; page until a short
+    page instead.
+
+    Scale: ONE dictionary scan (one row per vocabulary term — tiny
+    next to postings even at 10^9 terms). The case-sensitive prefix
+    and the search_after bound are sargable (StringStartsWith /
+    GreaterThan push into the parquet dictionary scan); the ordered
+    ``limit`` is a TakeOrderedAndProject — each task forwards at most
+    ``size`` rows, no full sort."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    d = term_df
+    if string:
+        if case_insensitive:
+            d = d.filter(F.lower(F.col("term")).startswith(string.lower()))
+        else:
+            d = d.filter(F.col("term").startswith(string))
+    if search_after is not None:
+        d = d.filter(F.col("term") > F.lit(search_after))
+    return (
+        d.select("term", F.col("df").cast("long").alias("doc_count"))
+        .orderBy("term")
+        .limit(size)
+    )

@@ -838,6 +838,22 @@ def main() -> None:
         "WindowGroupLimit", forbid="BatchEvalPython",
     )
 
+    # 43. terms_enum (round-5l): the prefix must reach the parquet
+    # dictionary scan (StringStartsWith pushdown) and the ordered size
+    # cut must be a TakeOrderedAndProject (each task forwards at most
+    # `size` terms — no full dictionary sort)
+    from elasticsearch_analysis_combo_spark.query.suggest import terms_enum
+
+    p = plan_text(terms_enum(idx.term_df(), "sp", size=5))
+    failures += not check(
+        "terms_enum prefix pushdown into the dictionary scan", p,
+        "StringStartsWith",
+    )
+    failures += not check(
+        "terms_enum size cut is TakeOrderedAndProject", p,
+        "TakeOrderedAndProject", forbid="BatchEvalPython",
+    )
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
