@@ -9245,10 +9245,17 @@ def q_r5k_family(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     ).join(
         items, F.col("o_orderkey") == F.col("_ok"), "left"
-    ).drop("_ok")
+    ).drop("_ok").withColumn(
+        # synthetic nullable column: the test tables carry no NULLs, so
+        # derive one deterministically (status 'F' -> NULL) to exercise
+        # the missing bucket against known numbers
+        "status_nn", F.expr("nullif(o_orderstatus, 'F')")
+    )
     ag = dsl_search_aggs(frame, {"aggs": {
         "f": {"filter": {"term": {"o_orderstatus": "F"}},
               "aggs": {"sv": {"sum": {"field": "o_totalprice"}}}},
+        "m": {"missing": {"field": "status_nn"},
+              "aggs": {"sv2": {"sum": {"field": "o_totalprice"}}}},
         "n": {"nested": {"path": "items"}, "aggs": {
             "avgq": {"avg": {"field": "items.l_quantity"}},
             "byflag": {"terms": {"field": "items.l_returnflag",
@@ -9317,6 +9324,11 @@ f_rows AS (
          count(*)::DOUBLE AS value FROM f_src
   UNION ALL SELECT 'f', '', 'sv', sum(o_totalprice) FROM f_src
 ),
+m_rows AS (
+  SELECT 'm' AS agg, '_missing' AS key, 'doc_count' AS metric,
+         count(*)::DOUBLE AS value FROM f_src
+  UNION ALL SELECT 'm', '_missing', 'sv2', sum(o_totalprice) FROM f_src
+),
 n_rows AS (
   SELECT 'n' AS agg, '' AS key, 'doc_count' AS metric,
          count(*)::DOUBLE AS value FROM lineitem
@@ -9342,7 +9354,8 @@ rn_rows AS (
   UNION ALL SELECT 'n>byflag>rn', key, 'tp', tp FROM rn
 ),
 ag_rows AS (
-  SELECT * FROM f_rows UNION ALL SELECT * FROM n_rows
+  SELECT * FROM f_rows UNION ALL SELECT * FROM m_rows
+  UNION ALL SELECT * FROM n_rows
   UNION ALL SELECT * FROM byflag_rows UNION ALL SELECT * FROM rn_rows
 ),
 meta AS (
@@ -9756,7 +9769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
-        # r5k: filter/nested/reverse_nested compiler buckets +
+        # r5k: filter/nested/reverse_nested compiler buckets (+
+        # missing-bucket pin) +
         # terms_set scoring leaf + temperature mixture allocation
         "r5k_family": q_r5k_family,
         # r5j: bucket_correlation/ks_test siblings + script filter leaf

@@ -230,3 +230,27 @@ def test_temperature_validation(spark):
         temperature_allocation(df, "src", "tok", 10.0, temperature=0.0)
     with pytest.raises(ValueError, match="max_epochs"):
         temperature_allocation(df, "src", "tok", 10.0, max_epochs=-1.0)
+
+
+def test_missing_bucket_subaggs(spark):
+    # missing is the pre-existing keyed bucket (key "_missing"); pin
+    # that metric AND sub-bucket recursion work under it
+    from elasticsearch_analysis_combo_spark.query.aggcompiler import (
+        dsl_search_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, "a", 20.0), (3, None, 30.0), (4, "b", 5.0)],
+        "doc_id long, tag string, val double",
+    )
+    out = dsl_search_aggs(df, {"aggs": {
+        "m": {"missing": {"field": "tag"},
+              "aggs": {"sv": {"sum": {"field": "val"}},
+                       "byv": {"histogram": {"field": "val",
+                                             "interval": 25.0}}}},
+    }})
+    got = _long(out.collect())
+    assert got[("m", "_missing", "doc_count")] == 2.0
+    assert got[("m", "_missing", "sv")] == 40.0
+    assert got[("m>byv", "_missing|0.0000", "doc_count")] == 1.0
+    assert got[("m>byv", "_missing|25.0000", "doc_count")] == 1.0
