@@ -7307,6 +7307,7 @@ def q_rank_eval(spark, sf_dir):
         F.round("mrr", 6).alias("mrr"),
         F.round("dcg", 6).alias("dcg"),
         F.round("ndcg", 6).alias("ndcg"),
+        F.round("err", 6).alias("err"),
     )
 
 
@@ -9769,6 +9770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
+        # r5l: _rank_eval gains ES expected_reciprocal_rank (err)
+        "rank_eval": q_rank_eval,
         # r5k: filter/nested/reverse_nested compiler buckets (+
         # missing-bucket pin) +
         # terms_set scoring leaf + temperature mixture allocation
@@ -9822,8 +9825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_order_subagg": q_terms_order_subagg,
         # histogram extended_bounds + min_doc_count=0 empty buckets
         "hist_extended_bounds": q_hist_extended_bounds,
-        # ES _search aggs-tree compiler (nested buckets + metrics)
-        "es_aggs": q_es_aggs,
         # DSIR importance resampling vs the lang='en' target slice
         "dsir_select": q_dsir_select,
         # streaming MinHash-LSH near-dup (stateful bucket owners)
@@ -9888,6 +9889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_filters2": q_analysis_filters2,
         "duplicate_spans": q_duplicate_spans,
         "dsl_extras": q_dsl_extras,
+        # es_aggs: the v1 compiler gate — its machinery is in-window
+        # four times over (es_aggs2/3/geo + r5k_family); displaced by
+        # the r5l rank_eval err slot
+        "es_aggs": q_es_aggs,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -9923,7 +9928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_family": q_percentile_family,
         "geohash_grid_agg": q_geohash_grid,
         "multi_index_search": q_multi_index_search,
-        "rank_eval": q_rank_eval,
         "passages_changepoint": q_passages_changepoint,
         "percolate": q_percolate,
         "multi_match_cross": q_multi_match_cross,
@@ -11886,6 +11890,32 @@ totals AS (
   SELECT query_id,
          sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS total_rel
   FROM ratings GROUP BY 1
+),
+qmax AS (SELECT query_id, max(rating) AS maxr FROM ratings GROUP BY 1),
+err_base AS (
+  SELECT j.query_id, j.rnk,
+         CASE WHEN m.maxr > 0
+              THEN (pow(2.0, j.rating) - 1.0) / pow(2.0, m.maxr)
+              ELSE 0.0 END AS R
+  FROM joined j JOIN qmax m ON j.query_id = m.query_id
+),
+err_pref AS (
+  SELECT query_id, rnk, R,
+         coalesce(sum(CASE WHEN R >= 1.0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY query_id ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS zprev,
+         coalesce(sum(CASE WHEN R < 1.0 THEN ln(1.0 - R) END) OVER (
+           PARTITION BY query_id ORDER BY rnk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS lprev
+  FROM err_base
+),
+err_q AS (
+  SELECT query_id,
+         sum(CASE WHEN zprev > 0 THEN 0.0
+             ELSE R / rnk * exp(lprev) END) AS err
+  FROM err_pref GROUP BY 1
 )
 SELECT t.query_id::BIGINT AS query_id,
        round(coalesce(p.rel_ret, 0.0)
@@ -11898,10 +11928,12 @@ SELECT t.query_id::BIGINT AS query_id,
        round(coalesce(p.dcg, 0.0), 6) AS dcg,
        round(CASE WHEN coalesce(i.idcg, 0.0) > 0
                   THEN coalesce(p.dcg, 0.0) / i.idcg
-                  ELSE 0.0 END, 6) AS ndcg
+                  ELSE 0.0 END, 6) AS ndcg,
+       round(coalesce(e.err, 0.0), 6) AS err
 FROM totals t
 LEFT JOIN per_q p ON t.query_id = p.query_id
 LEFT JOIN ideal i ON t.query_id = i.query_id
+LEFT JOIN err_q e ON t.query_id = e.query_id
 """
 
     # sharded terms agg (ES error-bound accounting) + ip_range +

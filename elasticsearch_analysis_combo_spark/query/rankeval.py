@@ -29,11 +29,22 @@ def rank_eval(
     ratings: DataFrame,
     k: int = 10,
     relevant_rating_threshold: int = 1,
+    maximum_relevance: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id) hits x (query_id, doc_id, rating)
     ratings -> one row per query with precision_at_k / recall_at_k /
-    mrr / dcg / ndcg. Queries present in ``ratings`` but retrieving
-    nothing still report (all-zero metrics)."""
+    mrr / dcg / ndcg / err. Queries present in ``ratings`` but
+    retrieving nothing still report (all-zero metrics).
+
+    ``err`` is ES's expected_reciprocal_rank (Chapelle et al. 2009):
+    with per-doc stop probability ``R_i = (2^rel_i - 1) /
+    2^max_rel``, ``ERR = sum_i R_i / i * prod_{j<i} (1 - R_j)``. ES
+    makes ``maximum_relevance`` a required constant; pass it for exact
+    parity, or leave ``None`` to derive each query's own max rating
+    (documented divergence — convenient when grades are per-query).
+    The rank-prefix product is a window ``exp(sum(log1p(-R)))`` with
+    an any-zero guard (a max-grade doc zeroes everything after it), so
+    the whole metric stays column arithmetic — no UDFs."""
     th = relevant_rating_threshold
     top = hits.filter(F.col("rank") <= k).select(
         "query_id", "rank", "doc_id"
@@ -43,6 +54,46 @@ def rank_eval(
     )
     j = top.join(rated, ["query_id", "doc_id"], "left").withColumn(
         "rating", F.coalesce("rating", F.lit(0.0))
+    )
+    # ERR stop probabilities: R = (2^rating - 1) / 2^max_rel, with
+    # max_rel a constant (ES) or the query's own max rating
+    if maximum_relevance is not None:
+        j = j.withColumn("_maxr", F.lit(float(maximum_relevance)))
+    else:
+        qmax = rated.groupBy("query_id").agg(
+            F.max("rating").alias("_maxr")
+        )
+        j = j.join(F.broadcast(qmax), "query_id", "left").withColumn(
+            "_maxr", F.coalesce("_maxr", F.lit(0.0))
+        )
+    Rstop = F.when(
+        F.col("_maxr") > 0,
+        (F.pow(2.0, F.col("rating")) - 1.0) / F.pow(2.0, F.col("_maxr")),
+    ).otherwise(F.lit(0.0))
+    w_prev = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = j.withColumn("_R", Rstop).withColumn(
+        "_prefix_zeros",
+        F.coalesce(
+            F.sum(F.when(F.col("_R") >= 1.0, 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "_prefix_log",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_R") < 1.0, F.log1p(-F.col("_R")))
+            ).over(w_prev),
+            F.lit(0.0),
+        ),
+    ).withColumn(
+        "_err_c",
+        F.when(F.col("_prefix_zeros") > 0, F.lit(0.0)).otherwise(
+            F.col("_R") / F.col("rank") * F.exp(F.col("_prefix_log"))
+        ),
     )
     rel = F.when(F.col("rating") >= th, 1.0).otherwise(0.0)
     per_q = j.groupBy("query_id").agg(
@@ -55,6 +106,7 @@ def rank_eval(
             (F.pow(2.0, F.col("rating")) - 1.0)
             / F.log2(F.col("rank") + 1.0)
         ).alias("dcg"),
+        F.sum("_err_c").alias("err"),
     )
     # ideal DCG from the query's OWN ratings, best-first
     w = Window.partitionBy("query_id").orderBy(
@@ -97,5 +149,6 @@ def rank_eval(
                 F.coalesce("idcg", F.lit(0.0)) > 0,
                 F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
             ).otherwise(F.lit(0.0)).alias("ndcg"),
+            F.coalesce("err", F.lit(0.0)).alias("err"),
         )
     )

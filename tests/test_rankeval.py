@@ -66,3 +66,55 @@ def test_k_cut_and_threshold(spark, frames):
         ).collect()
     }
     assert out[0]["recall_at_k"] == pytest.approx(1.0)
+
+
+def test_err_hand_vector(spark):
+    from elasticsearch_analysis_combo_spark.query.rankeval import rank_eval
+
+    hits = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "query_id int, rank int, doc_id long",
+    )
+    ratings = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1), (0, 3, 0)],
+        "query_id int, doc_id long, rating int",
+    )
+    out = rank_eval(hits, ratings, k=3, maximum_relevance=2).collect()[0]
+    # R = (2^rel - 1) / 2^2 -> [3/4, 1/4, 0]
+    # ERR = 3/4 + (1/2)(1/4)(1 - 3/4) + 0
+    assert out["err"] == pytest.approx(3 / 4 + 0.25 * 0.25 / 2)
+    # per-query max derivation (maximum_relevance=None) gives the same
+    # here (max rating is 2)
+    out2 = rank_eval(hits, ratings, k=3).collect()[0]
+    assert out2["err"] == pytest.approx(out["err"])
+
+
+def test_err_max_grade_truncates(spark):
+    from elasticsearch_analysis_combo_spark.query.rankeval import rank_eval
+
+    # a max-grade doc at rank 1 (R=1) zeroes every later contribution
+    hits = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id int, rank int, doc_id long"
+    )
+    ratings = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1)], "query_id int, doc_id long, rating int"
+    )
+    out = rank_eval(hits, ratings, k=2, maximum_relevance=0).collect()[0]
+    # max_rel=0 -> _maxr == 0 -> all R forced to 0 (guard, no div by 1?)
+    assert out["err"] == 0.0
+    out1 = rank_eval(hits, ratings, k=2, maximum_relevance=1).collect()[0]
+    # R = [1/2, 1/2]: ERR = 1/2 + (1/2)(1/2)(1/2) = 0.625
+    assert out1["err"] == pytest.approx(0.625)
+    # R1 == 1 case: rating 1 with max_rel... use ratings (2,1) grades
+    # zero-guard path: a rating ABOVE the declared max (ES rejects
+    # this input; we zero every rank after the R>=1 row) — rank-1
+    # R = (2^2-1)/2^1 = 1.5, so rank 2 contributes exactly 0
+    out2 = rank_eval(
+        hits,
+        spark.createDataFrame(
+            [(0, 1, 2), (0, 2, 1)], "query_id int, doc_id long, rating int"
+        ),
+        k=2,
+        maximum_relevance=1,
+    ).collect()[0]
+    assert out2["err"] == pytest.approx(1.5)  # rank-1 term only
