@@ -7316,6 +7316,43 @@ FIS_DOC_CAP = 4
 MIX_BUDGETS = {"en": 5000, "de": 1200, "zh": 999999}
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic training order (round 5l): seeded shuffle +
+    shard assignment for data-parallel readers, reshuffled per epoch —
+    a map-only projection of the portable md5 hash, so the SAME order
+    materializes on any cluster size and replays in any engine (the
+    100 TB property DataFrame.orderBy(rand()) lacks). Two epochs at 8
+    shards over the documents table."""
+    from elasticsearch_analysis_combo_spark.operators.sampling import (
+        training_order,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    out = None
+    for ep in (0, 1):
+        part = training_order(d, seed=7, epoch=ep, n_shards=8).select(
+            F.lit(ep).cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+            "doc_id", "sort_key",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_TRAINING_ORDER_ORACLE_SQL = """
+WITH eps(epoch) AS (VALUES (0), (1)),
+h AS (
+  SELECT eps.epoch, d.doc_id,
+         ('0x' || substr(md5('7:' || eps.epoch || ':' || d.doc_id),
+                         1, 15))::BIGINT AS sort_key
+  FROM documents d CROSS JOIN eps
+)
+SELECT epoch::BIGINT AS epoch, (sort_key % 8)::BIGINT AS shard,
+       doc_id, sort_key
+FROM h
+"""
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Token-budget mixture sampling: per-lang token quotas taken in
     the deterministic portable-md5 order (the crossing doc included —
@@ -9772,6 +9809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": q_terms_enum,
         # r5l: _rank_eval gains ES expected_reciprocal_rank (err)
         "rank_eval": q_rank_eval,
+        # r5l: deterministic per-epoch training shuffle + sharding
+        "training_order": q_training_order,
         # r5k: filter/nested/reverse_nested compiler buckets (+
         # missing-bucket pin) +
         # terms_set scoring leaf + temperature mixture allocation
@@ -9835,8 +9874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_filters3": q_analysis_filters3,
         # DSL wrapper/match_none/dis_max/constant-scoring leaves
         "dsl_extras2": q_dsl_extras2,
-        # sampler + random_sampler aggregations
-        "sampler_aggs": q_sampler_aggs,
         # sharded terms agg w/ error bounds + ip_range + cap_per_key
         "curation_aggs": q_curation_aggs,
         # frequent_item_sets (Apriori level-2, support-pruned)
@@ -9893,6 +9930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four times over (es_aggs2/3/geo + r5k_family); displaced by
         # the r5l rank_eval err slot
         "es_aggs": q_es_aggs,
+        # sampler_aggs: r4k-stable standalone sampler/random_sampler
+        # (compiler-level sampling stays in-window via es_aggs3);
+        # displaced by the r5l training_order slot
+        "sampler_aggs": q_sampler_aggs,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -11474,6 +11515,7 @@ GROUP BY 1
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
+    sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
     sqls["r5k_family"] = _r5k_family_oracle_sql()
     sqls["r5j_family"] = _r5j_family_oracle_sql()
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()

@@ -350,3 +350,54 @@ def temperature_budgets(
         temperature=temperature, max_epochs=max_epochs,
     ).collect()
     return {r[strata_col]: int(r["budget"]) for r in rows}
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Deterministic training-data ordering: assign every row a
+    ``shard`` (which data-parallel reader consumes it) and a
+    ``sort_key`` (its position within the shard), both pure functions
+    of ``(seed, epoch, key)`` via the portable 60-bit md5 hash. This is
+    the shuffled-and-sharded read order a 1000-reader training job
+    needs, with the properties ``DataFrame.orderBy(rand())`` lacks:
+
+    * REPRODUCIBLE — the same (seed, epoch, corpus) yields the same
+      order on any cluster size, any partitioning, any engine (the
+      hash replays in DuckDB; a resumed run re-derives its order);
+    * RESHUFFLED PER EPOCH — ``epoch`` feeds the hash, so each epoch
+      is an independent uniform permutation with no state carried;
+    * SHUFFLE-FREE HERE — this is a map-only projection. Materializing
+      the order is the WRITER's one unavoidable exchange:
+      ``.repartition(n_shards, "shard").sortWithinPartitions("sort_key")
+      .write.partitionBy("shard")`` — a per-shard sort of corpus/1024,
+      never a global sort (no rebalance to one ordered axis).
+
+    Shard assignment uses the hash's LOW bits (pmod) and the sort key
+    the full hash, so within-shard order is uniform and independent of
+    the shard split. Collisions (same key twice) tie-break by the key
+    itself downstream — pass a unique key.
+
+    Returns the input columns + (shard int, sort_key long)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0: {epoch}")
+    hashed = df.withColumn(
+        "_to_h",
+        F.expr(
+            f"conv(substr(md5(concat('{int(seed)}', ':', '{int(epoch)}', "
+            f"':', cast({key_col} as string))), 1, 15), 16, 10)"
+        ).cast("long"),
+    )
+    return hashed.select(
+        "*",
+        F.pmod(F.col("_to_h"), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard"),
+        F.col("_to_h").alias("sort_key"),
+    ).drop("_to_h")
