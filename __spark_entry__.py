@@ -1351,6 +1351,76 @@ PERCOLATE_REGISTRY = [
 ]
 
 
+PERCOLATE_DSL_REGISTRY = [
+    (0, {"match": {"text": "spark scan"}}),
+    (1, {"match": {"text": {"query": "value table", "operator": "and"}}}),
+    (2, {"match": {"text": {"query": "spark table scan merge",
+                            "minimum_should_match": 2}}}),
+    (3, {"match_phrase": {"text": "value table"}}),
+    (4, {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"range": {"n_chars": {"gte": 300}}}],
+        "must_not": [{"match": {"text": "slow"}}],
+    }}),
+    (5, {"bool": {
+        "should": [{"match": {"text": "spark"}},
+                   {"match": {"text": "vector"}},
+                   {"term": {"lang": "en"}}],
+        "minimum_should_match": 2,
+    }}),
+]
+
+
+def q_percolate_dsl(spark, sf_dir):
+    """ES percolator with REAL query DSL bodies (round 5l): match
+    (or / and / minimum_should_match), match_phrase (token-sequence
+    adjacency), bool with metadata range/term leaves + must_not +
+    should-msm — each registered body compiles to ONE boolean column
+    over the analyzed token array, so the whole percolation is a
+    map-only projection (no joins, no index)."""
+    from elasticsearch_analysis_combo_spark.query.percolate import (
+        percolate_dsl,
+    )
+
+    out = percolate_dsl(
+        spark, _docs(spark, sf_dir), PERCOLATE_DSL_REGISTRY,
+        _ws_config(), content_col="text",
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id"
+    )
+
+
+_PERCOLATE_DSL_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT 0::BIGINT AS query_id, doc_id FROM t
+WHERE len(list_intersect(list_distinct(toks), ['scan', 'spark'])) >= 1
+UNION ALL
+SELECT 1, doc_id FROM t
+WHERE list_contains(toks, 'value') AND list_contains(toks, 'table')
+UNION ALL
+SELECT 2, doc_id FROM t
+WHERE len(list_intersect(list_distinct(toks),
+          ['merge', 'scan', 'spark', 'table'])) >= 2
+UNION ALL
+SELECT 3, doc_id FROM t
+WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
+      i -> toks[i] = 'value' AND toks[i + 1] = 'table')) > 0
+UNION ALL
+SELECT 4, doc_id FROM t
+WHERE list_contains(toks, 'data') AND n_chars >= 300
+  AND NOT list_contains(toks, 'slow')
+UNION ALL
+SELECT 5, doc_id FROM t
+WHERE (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END
+     + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) >= 2
+"""
+
+
 def q_percolate(spark, sf_dir):
     """ES percolator: documents matched against REGISTERED term queries
     (minimum_should_match + must_not) in one analysis pass — the reverse
@@ -9811,6 +9881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         # r5l: deterministic per-epoch training shuffle + sharding
         "training_order": q_training_order,
+        # r5l: percolator with real DSL bodies (map-only projection)
+        "percolate_dsl": q_percolate_dsl,
         # r5k: filter/nested/reverse_nested compiler buckets (+
         # missing-bucket pin) +
         # terms_set scoring leaf + temperature mixture allocation
@@ -9882,7 +9954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         # --- round-4i new/changed surfaces ---
         "lm_perplexity": q_lm_perplexity,
-        "pipeline_aggs2": q_pipeline_aggs2,
         # geo_family merges geo_distance + NEW geo_polygon/geo_bounds
         # (geo_distance stays as a tail member gate)
         "geo_family": q_geo_family,
@@ -9934,6 +10005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (compiler-level sampling stays in-window via es_aggs3);
         # displaced by the r5l training_order slot
         "sampler_aggs": q_sampler_aggs,
+        # pipeline_aggs2: r4i-stable; pipeline/sibling agg machinery is
+        # in-window via es_aggs2/3 + the r5j/r5k families; displaced by
+        # the r5l percolate_dsl slot
+        "pipeline_aggs2": q_pipeline_aggs2,
         # sig_heuristics/quality_classifier/bm25_fuzzy_osa: stable since
         # r4 and their families keep in-window representatives
         # (sig_terms_field + sig_text_options; lm_perplexity +
@@ -11516,6 +11591,7 @@ GROUP BY 1
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
+    sqls["percolate_dsl"] = _PERCOLATE_DSL_ORACLE_SQL
     sqls["r5k_family"] = _r5k_family_oracle_sql()
     sqls["r5j_family"] = _r5j_family_oracle_sql()
     sqls["mm_route_family"] = _mm_route_family_oracle_sql()

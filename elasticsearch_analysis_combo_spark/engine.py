@@ -1530,6 +1530,28 @@ class ComboSearchEngine:
             lang_col=lang_col,
         )
 
+    def percolate_dsl(
+        self,
+        docs: DataFrame,
+        registered: list[tuple[int, dict]],
+        doc_id_col: str = "doc_id",
+        content_col: str = "content",
+        lang_col: str | None = None,
+    ) -> DataFrame:
+        """ES percolator with REAL query DSL bodies: (query_id, body)
+        pairs where body is match / match_phrase (slop 0) / bool /
+        any metadata filter leaf — compiled to one boolean column per
+        query over the analyzed token array (map-only, no index)."""
+        from elasticsearch_analysis_combo_spark.query.percolate import (
+            percolate_dsl,
+        )
+
+        return percolate_dsl(
+            self.spark, docs, registered, self.config,
+            doc_id_col=doc_id_col, content_col=content_col,
+            lang_col=lang_col,
+        )
+
     # -- maintenance (delete / upsert / compact) -----------------------------
     def delete(self, doc_ids) -> None:
         """Tombstone documents (takes effect at the next :meth:`compact`,
