@@ -8552,6 +8552,16 @@ ES_AGGS3_BODY = {
         "cats": {"categorize_text": {"field": "msg", "max_tokens": 10,
                                      "size": 5}},
         "cp": {"change_point": {"buckets_path": "daily>v"}},
+        # round-5m compiler kinds: scripted_metric (SQL map expression,
+        # named reduce — integer-valued map so the parallel sum is
+        # bit-exact cross-engine) and variable_width_histogram
+        # (deterministic gap-split rewrite to range + injected
+        # min/max/centroid; integer sum sub-agg for the same reason)
+        "smv": {"scripted_metric": {
+            "map_script": "cast(pmod(user_id, 100) as double)",
+            "reduce_script": "sum"}},
+        "vw": {"variable_width_histogram": {"field": "vx", "buckets": 3},
+               "aggs": {"su": {"sum": {"field": "user_id"}}}},
     },
 }
 
@@ -8571,7 +8581,11 @@ def q_es_aggs3(spark, sf_dir):
     ip_prefix (/25 network buckets — masked-quad arithmetic),
     categorize_text (digit-free token signature over a synthetic log
     line, terms-style size cut), and the change_point sibling (CUSUM
-    argmax over the daily sum series, cusum_score + shift)."""
+    argmax over the daily sum series, cusum_score + shift). Round-5m
+    members: scripted_metric (SQL map expression riding the one
+    groupBy pass, named reduce) and variable_width_histogram
+    (deterministic gap-split boundaries -> range rewrite with injected
+    min/max/centroid)."""
     from elasticsearch_analysis_combo_spark.query.aggcompiler import (
         dsl_search_aggs,
     )
@@ -8584,6 +8598,9 @@ def q_es_aggs3(spark, sf_dir):
         "cast(pmod(user_id * 13, 256) as string)) as ip",
         "concat('user ', cast(user_id as string), ' did ', event_type, "
         "' on host ', cast(pmod(user_id, 7) as string)) as msg",
+        # gappy numeric axis (quadratic residues mod 11) for the
+        # variable_width_histogram's deterministic gap-split
+        "cast(pmod(user_id * user_id, 11) as double) as vx",
     )
     out = dsl_search_aggs(ev, ES_AGGS3_BODY)
     return out.filter(F.col("value").isNotNull()).select(
@@ -8881,6 +8898,42 @@ cp_rows AS (
   FROM cp_best
   UNION ALL SELECT 'cp', key, 'cp.shift', shift FROM cp_best
 ),
+sm_rows AS (
+  SELECT 'smv' AS agg, '' AS key, 'smv' AS metric,
+         sum((user_id % 100))::DOUBLE AS value
+  FROM src
+  UNION ALL
+  SELECT 'smv', '', 'doc_count', count(*)::DOUBLE FROM src
+),
+vwsrc AS (
+  SELECT src.*, ((user_id * user_id) % 11)::DOUBLE AS vx FROM src
+),
+vwd AS (SELECT DISTINCT vx FROM vwsrc),
+vwg AS (
+  SELECT vx, vx - lag(vx) OVER (ORDER BY vx) AS gap FROM vwd
+),
+vwb AS (
+  SELECT vx FROM vwg WHERE gap IS NOT NULL
+  ORDER BY gap DESC, vx ASC LIMIT 2
+),
+vwa AS (
+  SELECT s.*,
+         (SELECT count(*) FROM vwb WHERE vwb.vx <= s.vx) AS vwk
+  FROM vwsrc s
+),
+vw_g AS (
+  SELECT vwk::VARCHAR AS key, count(*)::DOUBLE AS dc,
+         min(vx) AS mn, max(vx) AS mx, avg(vx) AS ce,
+         sum(user_id)::DOUBLE AS su
+  FROM vwa GROUP BY 1
+),
+vw_rows AS (
+  SELECT 'vw' AS agg, key, 'doc_count' AS metric, dc AS value FROM vw_g
+  UNION ALL SELECT 'vw', key, 'min', mn FROM vw_g
+  UNION ALL SELECT 'vw', key, 'max', mx FROM vw_g
+  UNION ALL SELECT 'vw', key, 'centroid', ce FROM vw_g
+  UNION ALL SELECT 'vw', key, 'su', su FROM vw_g
+),
 allrows AS (
   SELECT * FROM ps_rows UNION ALL SELECT * FROM dh_rows
   UNION ALL SELECT * FROM pct_rows UNION ALL SELECT * FROM s_rows
@@ -8890,6 +8943,7 @@ allrows AS (
   UNION ALL SELECT * FROM gt_rows UNION ALL SELECT * FROM xs_rows
   UNION ALL SELECT * FROM tt_rows UNION ALL SELECT * FROM pfx_rows
   UNION ALL SELECT * FROM cat_rows UNION ALL SELECT * FROM cp_rows
+  UNION ALL SELECT * FROM sm_rows UNION ALL SELECT * FROM vw_rows
 )
 SELECT agg, key, metric, printf('%.6e', value) AS value
 FROM allrows WHERE value IS NOT NULL
@@ -9596,6 +9650,282 @@ UNION ALL SELECT 'cut', term, df FROM w_cut
 """
 
 
+# round-5m fixtures: the remaining _search body sections
+SB_SUGGEST = {
+    "fix": {"text": "valu", "term": {"max_edits": 2, "size": 3}},
+    "fix2": {"text": "custoner", "term": {"max_edits": 2, "size": 3}},
+    "tail": {"prefix": "va", "completion": {"size": 5}},
+    "did": {"text": "valu customer", "phrase": {"max_edits": 2}},
+}
+SB_SLICE_MAX = 4
+SB_TTH_CAP = 7
+
+
+def q_search_body(spark, sf_dir):
+    """Round-5m ES ``_search`` body sections, kind-tagged in one window
+    slot: (1) the ``suggest`` section (named term / phrase / completion
+    entries batched per option-set against ONE vocabulary scan —
+    query/suggest.py::suggest_body); (2) ``slice`` — the sliced-scroll
+    1/m deterministic portable-md5 cut of a match set for parallel
+    export (every match lands in exactly one slice); (3)
+    ``track_total_hits`` exact and N-capped (relation ``gte``) counts
+    broadcast onto the hits; (4) ``_source``/``fields`` projection with
+    a trailing-``*`` pattern resolved against the metadata schema.
+    Unified long schema (kind, name, key, v-string)."""
+    from elasticsearch_analysis_combo_spark.query.body import (
+        attach_total_hits,
+        project_fields,
+        slice_predicate,
+    )
+    from elasticsearch_analysis_combo_spark.query.facets import _match_set
+    from elasticsearch_analysis_combo_spark.query.suggest import (
+        suggest_body,
+    )
+
+    stats = _term_stats(spark, sf_dir)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    s_rows = suggest_body(spark, term_df, SB_SUGGEST).select(
+        F.concat(F.lit("suggest_"), F.col("kind")).alias("kind"),
+        F.col("name"),
+        F.col("suggestion").alias("key"),
+        F.concat_ws(
+            ":",
+            F.col("rank").cast("string"),
+            F.coalesce(F.col("distance"), F.lit(-1)).cast("string"),
+            F.coalesce(F.col("df"), F.lit(-1)).cast("string"),
+            F.coalesce(F.col("n_corrections"), F.lit(-1)).cast("string"),
+        ).alias("v"),
+    )
+
+    matches = _match_set(spark, stats, BM25_QUERIES, _ws_config()).cache()
+    sl = None
+    for i in range(SB_SLICE_MAX):
+        part = matches.filter(
+            F.expr(slice_predicate({"id": i, "max": SB_SLICE_MAX}))
+        ).select(
+            F.lit("slice").alias("kind"),
+            F.col("query_id").cast("string").alias("name"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.lit(str(i)).alias("v"),
+        )
+        sl = part if sl is None else sl.unionByName(part)
+
+    members = matches.filter(F.col("query_id") == 0).select("doc_id")
+    hits = members.orderBy("doc_id").limit(3)
+    tot_e = attach_total_hits(hits, members, True).select(
+        F.lit("total_exact").alias("kind"),
+        F.col("total_relation").alias("name"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("total_hits").cast("string").alias("v"),
+    )
+    tot_c = attach_total_hits(hits, members, SB_TTH_CAP).select(
+        F.lit("total_capped").alias("kind"),
+        F.col("total_relation").alias("name"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("total_hits").cast("string").alias("v"),
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    fl = project_fields(hits, meta, ["lang"], ["n_*"]).select(
+        F.lit("fields").alias("kind"),
+        F.col("lang").alias("name"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_chars").cast("string").alias("v"),
+    )
+    out = s_rows
+    for part in (sl, tot_e, tot_c, fl):
+        out = out.unionByName(part)
+    return out
+
+
+def _search_body_oracle_sql() -> str:
+    term_vals = ", ".join(
+        f"('{n}', '{e['text']}')"
+        for n, e in SB_SUGGEST.items() if "term" in e
+    )
+    (cname, centry), = [
+        (n, e) for n, e in SB_SUGGEST.items() if "completion" in e
+    ]
+    (pname, pentry), = [
+        (n, e) for n, e in SB_SUGGEST.items() if "phrase" in e
+    ]
+    t_me = SB_SUGGEST["fix"]["term"]["max_edits"]
+    t_k = SB_SUGGEST["fix"]["term"]["size"]
+    c_k = centry["completion"]["size"]
+    p_me = pentry["phrase"]["max_edits"]
+    return f"""
+WITH {_facet_match_cte()},
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY 1),
+tq(name, input) AS (VALUES {term_vals}),
+tcand AS (
+  SELECT tq.name, dfx.term AS suggestion,
+         levenshtein(dfx.term, tq.input)::BIGINT AS distance, dfx.df
+  FROM tq JOIN dfx
+    ON starts_with(dfx.term, substr(tq.input, 1, 1))
+   AND length(dfx.term) BETWEEN length(tq.input) - {t_me}
+                            AND length(tq.input) + {t_me}
+  WHERE levenshtein(dfx.term, tq.input) BETWEEN 1 AND {t_me}
+),
+tranked AS (
+  SELECT name, row_number() OVER (PARTITION BY name
+         ORDER BY distance, df DESC, suggestion) AS rank,
+         suggestion, distance, df
+  FROM tcand
+),
+comp AS (
+  SELECT row_number() OVER (ORDER BY df DESC, term) AS rank,
+         term AS suggestion, df
+  FROM dfx WHERE starts_with(term, '{centry["prefix"]}')
+),
+ph(input) AS (VALUES ('{pentry["text"]}')),
+pt AS (
+  SELECT g.i AS pos, q.l[g.i] AS tok
+  FROM (SELECT string_split(input, ' ') AS l FROM ph) q,
+       unnest(generate_series(1, len(q.l))) AS g(i)
+),
+punk AS (
+  SELECT pt.* FROM pt WHERE tok NOT IN (SELECT term FROM dfx)
+),
+pcand AS (
+  SELECT u.pos, dfx.term, levenshtein(dfx.term, u.tok) AS d, dfx.df
+  FROM punk u JOIN dfx
+    ON starts_with(dfx.term, substr(u.tok, 1, 1))
+   AND length(dfx.term) BETWEEN length(u.tok) - {p_me}
+                            AND length(u.tok) + {p_me}
+  WHERE levenshtein(dfx.term, u.tok) BETWEEN 1 AND {p_me}
+),
+pbest AS (
+  SELECT pos, term FROM (
+    SELECT pos, term, row_number() OVER (PARTITION BY pos
+           ORDER BY d, df DESC, term) AS rn
+    FROM pcand
+  ) WHERE rn = 1
+),
+pfixed AS (
+  SELECT string_agg(coalesce(b.term, pt.tok), ' ' ORDER BY pt.pos) AS s,
+         sum(CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END) AS fixes
+  FROM pt LEFT JOIN pbest b USING (pos)
+),
+cnt AS (SELECT count(*)::BIGINT AS c FROM matches WHERE query_id = 0),
+h3 AS (
+  SELECT doc_id FROM matches WHERE query_id = 0 ORDER BY doc_id LIMIT 3
+)
+SELECT 'suggest_term' AS kind, name, suggestion AS key,
+       rank::VARCHAR || ':' || distance::VARCHAR || ':'
+         || df::VARCHAR || ':-1' AS v
+FROM tranked WHERE rank <= {t_k}
+UNION ALL
+SELECT 'suggest_completion', '{cname}', suggestion,
+       rank::VARCHAR || ':-1:' || df::VARCHAR || ':-1'
+FROM comp WHERE rank <= {c_k}
+UNION ALL
+SELECT 'suggest_phrase', '{pname}', s, '1:-1:-1:' || fixes::VARCHAR
+FROM pfixed
+UNION ALL
+SELECT 'slice', query_id::VARCHAR, doc_id::VARCHAR,
+       ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         % {SB_SLICE_MAX}))::VARCHAR
+FROM matches
+UNION ALL
+SELECT 'total_exact', 'eq', h3.doc_id::VARCHAR, cnt.c::VARCHAR
+FROM h3, cnt
+UNION ALL
+SELECT 'total_capped',
+       CASE WHEN cnt.c > {SB_TTH_CAP} THEN 'gte' ELSE 'eq' END,
+       h3.doc_id::VARCHAR,
+       least(cnt.c, {SB_TTH_CAP})::VARCHAR
+FROM h3, cnt
+UNION ALL
+SELECT 'fields', d.lang, h3.doc_id::VARCHAR, d.n_chars::VARCHAR
+FROM h3 JOIN documents d USING (doc_id)
+"""
+
+
+# round-5m: deterministic synthetic URLs over documents (no url column
+# in the test tables; derived from doc_id so the oracle replays exactly)
+URL_EXPR = (
+    "CASE pmod(doc_id, 5) "
+    "WHEN 0 THEN concat('https://ok', cast(doc_id as string), "
+    "'.example.org/a/b') "
+    "WHEN 1 THEN 'http://spam.example.com/casino/play' "
+    "WHEN 2 THEN concat('https://ads.blocked.net/x/', "
+    "cast(doc_id as string)) "
+    "WHEN 3 THEN 'https://deep.host/a/b/c/d/e/f' "
+    "ELSE 'plain-text no scheme' END"
+)
+URL_BLOCKED_DOMAINS = ["example.com", "blocked.net"]
+URL_MAX_DEPTH = 5
+
+
+def q_url_filter(spark, sf_dir):
+    """Round-5m C4/RefinedWeb URL curation stage: per-doc URL signals
+    (domain, dot-suffix domain blocklist, badword substrings, path
+    depth) + keep verdict — MAP-ONLY column algebra over one scan (at
+    100 TB the URL column is read before any text ever is)."""
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        url_filter,
+    )
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{URL_EXPR} as url"
+    )
+    out = url_filter(
+        d, blocked_domains=URL_BLOCKED_DOMAINS,
+        max_path_depth=URL_MAX_DEPTH,
+    )
+    return out.select(
+        "doc_id", "domain",
+        F.col("blocked_domain").cast("long").alias("blocked_domain"),
+        F.col("blocked_keyword").cast("long").alias("blocked_keyword"),
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def _url_filter_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        URL_BLOCK_KEYWORDS,
+    )
+
+    dom_pred = " OR ".join(
+        f"(domain = '{d}' OR ends_with(domain, '.{d}'))"
+        for d in URL_BLOCKED_DOMAINS
+    )
+    kw_pred = " OR ".join(
+        f"contains(url, '{k}')" for k in URL_BLOCK_KEYWORDS
+    )
+    case = URL_EXPR.replace("pmod(doc_id, 5)", "(doc_id % 5)")
+    return f"""
+WITH u AS (
+  SELECT doc_id, lower({case}) AS url FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+    regexp_extract(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                   '^([^/?#:]+)', 1) AS domain,
+    regexp_extract(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''),
+                   '^[^/?#]*(/[^?#]*)', 1) AS path,
+    regexp_matches(url, '^[a-z][a-z0-9+.-]*://') AS has_scheme
+  FROM u
+),
+s AS (
+  SELECT doc_id, domain,
+    ({dom_pred}) AS bd,
+    ({kw_pred}) AS bk,
+    len(list_filter(string_split(path, '/'), x -> x <> '')) AS depth,
+    has_scheme
+  FROM p
+)
+SELECT doc_id, domain,
+  bd::BIGINT AS blocked_domain,
+  bk::BIGINT AS blocked_keyword,
+  depth::BIGINT AS path_depth,
+  (domain <> '' AND NOT bd AND NOT bk AND depth <= {URL_MAX_DEPTH}
+   AND has_scheme)::BIGINT AS keep
+FROM s
+"""
+
+
 R5J_CORR_EXPS = [1.0, 3.0, 2.0, 5.0]
 R5J_KS_FRACS = [1.0, 2.0, 3.0, 4.0]
 GEO_LINE_SIZE = 150
@@ -9874,6 +10204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past 50 (still checked by tools/check_entry.py and pytest)."""
     return {
         # --- round-5 new/changed surfaces ---
+        # r5m: remaining _search body sections — suggest section,
+        # sliced scroll export, track_total_hits, _source/fields
+        "search_body": q_search_body,
+        # r5m: C4/RefinedWeb URL curation stage (map-only verdicts)
+        "url_filter": q_url_filter,
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
@@ -9978,15 +10313,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest still value-check it as a tail gate
         # merged slot for the r4a core aggs (members now tail gates)
         "agg_core_family": q_agg_core_family,
-        # --- round-4e new/changed surfaces ---
-        "semantic_dedup": q_semantic_dedup,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
         "span_family": q_span_family,
-        "compound_queries": q_compound_queries,
         # --- engine core (one representative stays in-window) ---
         "bm25_topk_wand_partitioned": q_bm25_topk_wand_partitioned,
         # ------------- past the driver's 50-entry window -------------
+        # compound_queries: r4e-stable boosting/constant_score/
+        # terms_set/random_score family — displaced by the r5m
+        # search_body slot; members stay individual tail gates and the
+        # family itself remains replica-covered.
+        "compound_queries": q_compound_queries,
+        # semantic_dedup: r4e-stable SemDeDup IVF-cell pairs —
+        # displaced by the r5m url_filter slot, replica-covered.
+        "semantic_dedup": q_semantic_dedup,
         # analysis_filters2/duplicate_spans: r4j-stable (code untouched
         # in r5); analysis_filters3 keeps analysis in-window and
         # semantic_dedup keeps dedup in-window — displaced by the
@@ -11589,6 +11929,8 @@ GROUP BY 1
     sqls["bm25_wildcard"] = _wildcard_oracle_sql()
     sqls["bm25_fuzzy"] = _fuzzy_oracle_sql()
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
+    sqls["search_body"] = _search_body_oracle_sql()
+    sqls["url_filter"] = _url_filter_oracle_sql()
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
     sqls["percolate_dsl"] = _PERCOLATE_DSL_ORACLE_SQL

@@ -328,6 +328,20 @@ class ComboSearchEngine:
             prefix_length=prefix_length, min_doc_freq=min_doc_freq, k=k,
         )
 
+    def suggest_body(self, suggest: dict, default_k: int = 5) -> DataFrame:
+        """ES ``_search`` body ``suggest`` section: named term / phrase /
+        completion entries evaluated against this index's vocabulary,
+        batched per (kind, option-set) — one long
+        (name, kind, rank, suggestion, distance, df, n_corrections)
+        frame (query/suggest.py::suggest_body)."""
+        from elasticsearch_analysis_combo_spark.query.suggest import (
+            suggest_body,
+        )
+
+        return suggest_body(
+            self.spark, self.idx.term_df(), suggest, default_k=default_k
+        )
+
     def terms_enum(
         self,
         string: str = "",
@@ -986,7 +1000,18 @@ class ComboSearchEngine:
         With a ``highlight`` section and the source
         ``docs`` frame, hits gain a ``highlight`` array column —
         <em>-tagged fragments of the query's match terms, hit-pruned
-        (the corpus is never rescanned), start-offset ordered."""
+        (the corpus is never rescanned), start-offset ordered.
+
+        Round-5m sections: ``explain: true`` joins the per-term Lucene
+        BM25 decomposition (hit-pruned) as an ``explanation`` array
+        column; ``track_total_hits`` (true | int N) broadcasts the
+        exact (or N-capped, relation ``gte``) match-set count onto the
+        hits; ``_source``/``fields`` lists project the requested
+        metadata + runtime columns (trailing-``*`` patterns resolve
+        against the schema); ``slice: {id, max}`` — on the sort +
+        search_after path only, the scroll-context analogue — cuts a
+        deterministic portable-md5 1/max partition of the match set
+        for parallel export (query/body.py)."""
         from elasticsearch_analysis_combo_spark.query.aggcompiler import (
             dsl_search_aggs,
         )
@@ -1026,6 +1051,13 @@ class ComboSearchEngine:
             hits_q = {"bool": {"must": [q],
                                "filter": [body["post_filter"]]}}
         sort_spec = body.get("sort")
+        if body.get("slice") is not None and not sort_spec:
+            # ES requires a scroll/PIT cursor context for slicing; the
+            # sort + search_after path is that context here
+            raise ValueError(
+                "slice requires a sort (the scroll-context analogue); "
+                "add a sort + search_after walk"
+            )
         if sort_spec and q is not None and size > 0:
             # ES field sort + search_after: hits are pages of the FULL
             # match set ordered by the sort keys (not the BM25 top-k) —
@@ -1052,6 +1084,16 @@ class ComboSearchEngine:
             members = self._aggs_membership(hits_q, meta_rt)
             base = meta_rt.join(members, "doc_id", "left_semi") \
                 .withColumn("query_id", F.lit(0))
+            if body.get("slice") is not None:
+                # ES sliced scroll: slice i of m is a deterministic
+                # 1/m cut of the match set (portable md5 of doc_id) so
+                # m export workers page disjoint sets in parallel —
+                # map-only, stable under repartition (query/body.py)
+                from elasticsearch_analysis_combo_spark.query.body import (
+                    slice_predicate,
+                )
+
+                base = base.filter(F.expr(slice_predicate(body["slice"])))
             cursors = (
                 {0: tuple(body["search_after"])}
                 if body.get("search_after") else None
@@ -1147,6 +1189,62 @@ class ComboSearchEngine:
                     )
                 )
                 hits = hits.join(hl, ["query_id", "doc_id"], "left")
+        if body.get("explain") and hits is not None:
+            # ES explain=true: each hit gains an ``explanation`` array —
+            # the per-term Lucene BM25 decomposition (term, tf, idf,
+            # contribution), term-ordered. Supported for a bare match
+            # base (bm25_explain's shape); the stats scan is pruned to
+            # the hit docs FIRST so the decomposition never touches the
+            # non-hit corpus.
+            (qk, qb), = hits_q.items()
+            if qk != "match":
+                raise ValueError("explain needs a bare match query")
+            (_, mv), = qb.items()
+            etext = mv["query"] if isinstance(mv, dict) else mv
+            from elasticsearch_analysis_combo_spark.query.bm25 import (
+                bm25_explain,
+            )
+
+            idx = self.idx
+            pruned = idx.term_stats().join(
+                F.broadcast(hits.select("doc_id").distinct()), "doc_id",
+                "left_semi",
+            )
+            expl = bm25_explain(
+                self.spark, pruned, idx.term_df(), [(0, etext)],
+                self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+                k1=idx.meta.k1, b=idx.meta.b,
+            )
+            earr = expl.groupBy("query_id", "doc_id").agg(
+                F.sort_array(F.collect_list(F.struct(
+                    "term", "tf", "idf", "contribution"
+                ))).alias("explanation")
+            )
+            hits = hits.join(earr, ["query_id", "doc_id"], "left")
+        tth = body.get("track_total_hits")
+        if tth and hits is not None and q is not None:
+            # ES track_total_hits: exact count of the (post_filter-cut)
+            # match set, id-only, broadcast onto the hits rows
+            from elasticsearch_analysis_combo_spark.query.body import (
+                attach_total_hits,
+            )
+
+            hits = attach_total_hits(
+                hits, self._aggs_membership(hits_q, meta_rt), tth
+            )
+        if hits is not None and (
+            body.get("_source") not in (None, False, True)
+            or body.get("fields")
+        ):
+            # ES _source filtering / fields: join the requested
+            # metadata + runtime columns onto the top-k rows
+            from elasticsearch_analysis_combo_spark.query.body import (
+                project_fields,
+            )
+
+            hits = project_fields(
+                hits, meta_rt, body.get("_source"), body.get("fields")
+            )
         match_ids = (
             self._aggs_membership(q, meta_rt) if q is not None else None
         )

@@ -248,3 +248,98 @@ def chunk_passages(
             F.col("c.text").alias("text"),
         )
     )
+
+
+#: default URL badwords — the C4 / RefinedWeb style keyword blocklist
+#: (kept short and generic here; production swaps the full list in)
+URL_BLOCK_KEYWORDS = ["casino", "porn", "viagra", "xxx"]
+
+
+def url_filter(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: list[str] | None = None,
+    blocked_keywords: list[str] | None = None,
+    max_path_depth: int = 12,
+    require_scheme: bool = True,
+) -> DataFrame:
+    """C4 / RefinedWeb-style URL curation stage: per-document URL
+    signals + a ``keep`` verdict, all MAP-ONLY column algebra over one
+    scan (the stage a web-scale pipeline runs before ever reading the
+    text — at 100 TB the URL column is orders of magnitude narrower
+    than the content, so this filter is scan-speed and shuffles
+    nothing).
+
+    Signals (RefinedWeb §3.1's URL filtering, Penedo et al. 2023;
+    C4's badword blocklist, Raffel et al. 2020):
+
+    - ``domain``: the lowercased registered host (scheme and port
+      stripped; empty when the value has no parseable host).
+    - ``blocked_domain``: exact match or dot-suffix match against
+      ``blocked_domains`` (``ads.example.com`` matches a blocked
+      ``example.com`` — subdomains inherit the block, the blocklist
+      convention).
+    - ``blocked_keyword``: any of ``blocked_keywords`` occurs ANYWHERE
+      in the lowercased URL (the C4 badword rule).
+    - ``path_depth``: number of non-empty ``/`` segments after the
+      host — crawler-trap URLs nest absurdly deep.
+    - ``keep``: scheme parses (when ``require_scheme``), domain
+      non-empty, not blocked either way, depth <= ``max_path_depth``.
+
+    Every predicate is a deterministic Spark-SQL expression restricted
+    to the Java-regex ∩ RE2 ∩ DuckDB dialect so an engine oracle
+    replays the verdicts byte-identically (same contract as
+    ``scrub_pii``)."""
+    blocked_domains = [d.lower() for d in (blocked_domains or [])]
+    blocked_keywords = [
+        k.lower() for k in (
+            URL_BLOCK_KEYWORDS if blocked_keywords is None
+            else blocked_keywords
+        )
+    ]
+    u = F.lower(F.col(url_col))
+    has_scheme = u.rlike("^[a-z][a-z0-9+.-]*://")
+    # strip the scheme FIRST (an optional non-capturing scheme group
+    # would backtrack — "https://h" can re-parse as authority "https:"
+    # + path "//h" — and RE2 has no possessive quantifiers to forbid
+    # it; anchored strip + unanchored extract is dialect-portable)
+    rest = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    # host = before the first / ? # or :port
+    host = F.regexp_extract(rest, r"^([^/?#:]+)", 1)
+    # path = first /-to-end after the authority, query/fragment cut
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)", 1)
+    # non-empty segment count: length difference trick is fragile with
+    # multi-char segments; filter the split array instead
+    depth = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    )
+    if blocked_domains:
+        bd = None
+        for d in blocked_domains:
+            c = (host == F.lit(d)) | host.endswith("." + d)
+            bd = c if bd is None else (bd | c)
+    else:
+        bd = F.lit(False)
+    if blocked_keywords:
+        bk = None
+        for kw in blocked_keywords:
+            c = u.contains(kw)
+            bk = c if bk is None else (bk | c)
+    else:
+        bk = F.lit(False)
+    keep = (
+        (host != F.lit(""))
+        & ~bd & ~bk
+        & (depth <= F.lit(max_path_depth))
+    )
+    if require_scheme:
+        keep = keep & has_scheme
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("domain"),
+        bd.alias("blocked_domain"),
+        bk.alias("blocked_keyword"),
+        depth.cast("int").alias("path_depth"),
+        keep.alias("keep"),
+    )

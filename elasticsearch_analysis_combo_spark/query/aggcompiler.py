@@ -108,13 +108,13 @@ BUCKET_KINDS = (
     "ip_range", "geohash_grid", "auto_date_histogram", "random_sampler",
     "adjacency_matrix", "geotile_grid", "geo_distance", "sampler",
     "diversified_sampler", "ip_prefix", "categorize_text",
-    "filter", "nested", "reverse_nested",
+    "filter", "nested", "reverse_nested", "variable_width_histogram",
 )
 METRIC_KINDS = (
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "percentiles", "extended_stats", "weighted_avg", "percentile_ranks",
     "boxplot", "top_metrics", "string_stats", "t_test", "matrix_stats",
-    "geo_centroid", "geo_bounds",
+    "geo_centroid", "geo_bounds", "scripted_metric",
 )
 
 
@@ -791,6 +791,33 @@ def _metric_sub_plans(metric_sub: dict, wrap=None, scale: float = 1.0):
                     (f"{mname}.bottom_right.lon", F.col(f"{mname}__r")),
                 ])
             continue
+        if mkind == "scripted_metric":
+            # ES scripted_metric, the JSON-friendly subset: the
+            # ``map_script`` is a SQL expression over the row (the
+            # Painless map-state analogue, same dialect contract as
+            # runtime_mappings) and ``reduce_script`` names one of
+            # sum / avg / min / max / value_count. ``init`` and
+            # ``combine`` are implicit: Spark's partial (map-side)
+            # aggregation IS the per-shard combine, which is exactly
+            # the scripted_metric execution contract — so this rides
+            # the bucket's ONE groupBy pass with zero Python.
+            # Arbitrary Python-callable states -> the standalone
+            # facets.scripted_metric_agg (mapInPandas partial states).
+            red = str(mbody.get("reduce_script", "sum"))
+            fns = {"sum": F.sum, "avg": F.avg, "min": F.min,
+                   "max": F.max, "value_count": F.count}
+            if red not in fns:
+                raise ValueError(
+                    f"scripted_metric reduce_script must be one of "
+                    f"{sorted(fns)}: {red!r} (python-state scripts -> "
+                    "facets.scripted_metric_agg)"
+                )
+            mcol = F.expr(mbody["map_script"])
+            if wrap is not None:
+                mcol = wrap(mcol)
+            agg_cols.append(fns[red](mcol).alias(mname))
+            emits.append((mname, F.col(mname)))
+            continue
         fcol = F.col(mbody["field"])
         if wrap is not None:
             fcol = wrap(fcol)
@@ -954,6 +981,62 @@ def _compile_node(
         }
         if sub:
             rewritten["aggs"] = sub
+        return _compile_node(rows, name, rewritten, path, parent_keys,
+                             scale=scale)
+
+    if kind == "variable_width_histogram":
+        # ES variable_width_histogram: dynamic-width 1D clustering.
+        # ES's version is approximate and shard-order-dependent (its
+        # docs say so); this is the DETERMINISTIC analogue the
+        # standalone facets.variable_width_histogram_agg defines:
+        # boundaries = the ``buckets - 1`` largest gaps of the DISTINCT
+        # value axis (ties -> lower value; bounded by value
+        # cardinality, not row count — pre-quantize continuous data),
+        # collected as tiny literals (the auto_date_histogram
+        # convention), after which the node REWRITES to a ``range``
+        # bucket with injected min/max/centroid metric sub-aggs — so
+        # assignment is a pure key expression and everything rides ONE
+        # groupBy pass. Under a parent bucket the boundaries are
+        # GLOBAL (one axis scan), not per-parent-bucket.
+        target = int(body.get("buckets", 10))
+        if target < 1:
+            raise ValueError(f"buckets must be >= 1: {target}")
+        fld = body["field"]
+        v = rows.select(F.col(fld).alias("_v")).distinct()
+        gaps = (
+            v.withColumn(
+                "_gap",
+                F.col("_v") - F.lag("_v").over(Window.orderBy("_v")),
+            ).filter(F.col("_gap").isNotNull())
+        )
+        bnd = sorted(
+            r["_v"]
+            for r in gaps.orderBy(F.desc("_gap"), F.asc("_v"))
+            .limit(target - 1).collect()
+        ) if target > 1 else []
+        ranges = []
+        for i, (lo, hi) in enumerate(zip([None] + bnd, bnd + [None])):
+            r = {"key": str(i)}
+            if lo is not None:
+                r["from"] = float(lo)
+            if hi is not None:
+                r["to"] = float(hi)
+            ranges.append(r)
+        inject = {
+            "min": {"min": {"field": fld}},
+            "max": {"max": {"field": fld}},
+            "centroid": {"avg": {"field": fld}},
+        }
+        clash = sorted(set(inject) & set(sub))
+        if clash:
+            raise ValueError(
+                f"variable_width_histogram reserves sub-agg names "
+                f"{sorted(inject)}; rename {clash}"
+            )
+        rewritten = {
+            "range": {"field": fld, "ranges": ranges},
+            "aggs": {**inject, **sub},
+        }
         return _compile_node(rows, name, rewritten, path, parent_keys,
                              scale=scale)
 

@@ -233,3 +233,132 @@ def terms_enum(
         .orderBy("term")
         .limit(size)
     )
+
+
+def suggest_body(
+    spark: SparkSession,
+    term_df: DataFrame,
+    suggest: dict,
+    default_k: int = 5,
+) -> DataFrame:
+    """ES ``_search`` request-body ``suggest`` section: named entries of
+    ``term`` / ``phrase`` / ``completion`` suggesters evaluated against
+    one index vocabulary, returned as ONE long frame
+    ``(name, kind, rank, suggestion, distance, df, n_corrections)``
+    (nulls where a column doesn't apply to the kind: completion carries
+    no distance, phrase carries rank 1 and no df). Host surface behind
+    the reference's fielded mapping (README.md:17-36 — the
+    combo-analyzed vocabulary IS what the suggesters consult).
+
+    Entry shapes (the ES wire format)::
+
+        {"fix":  {"text": "sprak",  "term":       {"field": "text", ...}},
+         "tail": {"prefix": "cust", "completion": {"field": "text", "size": 3}},
+         "did":  {"text": "sprak merge", "phrase": {"field": "text"}}}
+
+    Options honored per kind: term — ``max_edits`` (ES
+    ``max_edits``/``fuzziness``), ``prefix_length``, ``min_doc_freq``
+    (absolute count), ``size``, ``suggest_mode`` ("always" includes
+    exact vocabulary hits; "missing"/"popular" skip them, the
+    term_suggest default); completion — ``size``, ``min_doc_freq``;
+    phrase — ``max_edits``, ``prefix_length``, ``min_doc_freq``.
+    ``field`` is accepted and ignored (this index has one analyzed
+    field; use MultiFieldSearchEngine for fielded indexes).
+
+    Scale: entries are BATCHED per (kind, option-set) — every term
+    entry sharing options rides ONE dictionary pass (term_suggest
+    broadcasts the whole input batch), likewise completions (each
+    branch's ``startswith`` pushes into the dictionary scan). The
+    dictionary is one row per vocabulary term — tiny next to posting
+    data — so a suggest section costs O(option-sets) scans, never
+    O(names)."""
+    if not suggest:
+        return spark.createDataFrame(
+            [], "name string, kind string, rank int, suggestion string, "
+                "distance int, df long, n_corrections int",
+        )
+    names = list(suggest)
+    qid_of = {n: i for i, n in enumerate(names)}
+    # bucket entries by (kind, frozen options) so each bucket is one
+    # batched evaluator call
+    buckets: dict[tuple, list[tuple[int, str]]] = {}
+    for n, entry in suggest.items():
+        kinds = [k for k in ("term", "phrase", "completion") if k in entry]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"suggest entry {n!r} needs exactly one of "
+                f"term/phrase/completion: {sorted(entry)}"
+            )
+        kind = kinds[0]
+        opts = entry[kind] or {}
+        text_key = "prefix" if kind == "completion" else "text"
+        if text_key not in entry:
+            raise ValueError(f"suggest entry {n!r} is missing {text_key!r}")
+        if kind == "term":
+            sig = (
+                "term", int(opts.get("max_edits", 2)),
+                int(opts.get("prefix_length", 1)),
+                int(opts.get("min_doc_freq", 1)),
+                int(opts.get("size", default_k)),
+                str(opts.get("suggest_mode", "missing")),
+            )
+        elif kind == "phrase":
+            sig = (
+                "phrase", int(opts.get("max_edits", 1)),
+                int(opts.get("prefix_length", 1)),
+                int(opts.get("min_doc_freq", 1)),
+            )
+        else:
+            sig = (
+                "completion", int(opts.get("size", default_k)),
+                int(opts.get("min_doc_freq", 1)),
+            )
+        buckets.setdefault(sig, []).append((qid_of[n], entry[text_key]))
+
+    name_map = spark.createDataFrame(
+        [(q, n) for n, q in qid_of.items()], "query_id int, name string"
+    )
+    parts = []
+    for sig, inputs in buckets.items():
+        kind = sig[0]
+        if kind == "term":
+            _, me, pl, mdf, k, mode = sig
+            out = term_suggest(
+                spark, term_df, inputs, max_edits=me, prefix_length=pl,
+                min_doc_freq=mdf, k=k, include_exact=(mode == "always"),
+            ).select(
+                "query_id", F.col("rank").cast("int").alias("rank"),
+                "suggestion", F.col("distance").cast("int").alias("distance"),
+                F.col("df").cast("long").alias("df"),
+                F.lit(None).cast("int").alias("n_corrections"),
+            )
+        elif kind == "phrase":
+            _, me, pl, mdf = sig
+            out = phrase_suggest(
+                spark, term_df, inputs, max_edits=me, prefix_length=pl,
+                min_doc_freq=mdf,
+            ).select(
+                "query_id", F.lit(1).alias("rank"), "suggestion",
+                F.lit(None).cast("int").alias("distance"),
+                F.lit(None).cast("long").alias("df"),
+                F.col("n_corrections").cast("int").alias("n_corrections"),
+            )
+        else:
+            _, k, mdf = sig
+            out = completion_suggest(
+                spark, term_df, inputs, k=k, min_doc_freq=mdf,
+            ).select(
+                "query_id", F.col("rank").cast("int").alias("rank"),
+                "suggestion", F.lit(None).cast("int").alias("distance"),
+                F.col("df").cast("long").alias("df"),
+                F.lit(None).cast("int").alias("n_corrections"),
+            )
+        parts.append(out.withColumn("kind", F.lit(kind)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.join(F.broadcast(name_map), "query_id")
+        .select("name", "kind", "rank", "suggestion", "distance", "df",
+                "n_corrections")
+    )

@@ -854,6 +854,61 @@ def main() -> None:
         "TakeOrderedAndProject", forbid="BatchEvalPython",
     )
 
+    # 44. url_filter (round-5m): the URL curation verdict is MAP-ONLY —
+    # one scan, zero Exchange, zero Python (at 100 TB this runs at
+    # scan speed before any text is read)
+    from elasticsearch_analysis_combo_spark.operators.pipeline import (
+        url_filter,
+    )
+
+    docs_url = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id", "concat('https://h', source, '/p') as url")
+    p = plan_text(url_filter(docs_url, blocked_domains=["x.com"]))
+    ok = "Exchange" not in p and "BatchEvalPython" not in p
+    print(f"{'OK ' if ok else 'FAIL'} url_filter is map-only "
+          f"(no Exchange, no Python)")
+    failures += not ok
+
+    # 45. slice predicate (round-5m sliced scroll): the 1/m cut is a
+    # plain Filter over the scan — slicing must ADD no Exchange
+    from elasticsearch_analysis_combo_spark.query.body import (
+        slice_predicate,
+    )
+
+    base_scan = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    p0 = plan_text(base_scan)
+    p1 = plan_text(
+        base_scan.filter(F.expr(slice_predicate({"id": 1, "max": 8})))
+    )
+    ok = (p1.count("Exchange") == p0.count("Exchange")
+          and "BatchEvalPython" not in p1)
+    print(f"{'OK ' if ok else 'FAIL'} slice adds no Exchange "
+          f"(map-only 1/m cut)")
+    failures += not ok
+
+    # 46. project_fields (round-5m _source/fields): the metadata join
+    # onto the k hits must broadcast, and the metadata scan must read
+    # ONLY the requested columns (ReadSchema pruning)
+    from elasticsearch_analysis_combo_spark.query.body import (
+        project_fields,
+    )
+
+    meta_all = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    tiny_hits = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 2, 0.5)], "doc_id long, rank int, score double"
+    )
+    p = plan_text(project_fields(tiny_hits, meta_all, ["lang"]))
+    ok = ("BroadcastHashJoin" in p
+          and "text" not in p.split("ReadSchema")[-1])
+    print(f"{'OK ' if ok else 'FAIL'} project_fields broadcasts + prunes "
+          f"the metadata scan to the requested columns")
+    failures += not ok
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
