@@ -9841,6 +9841,160 @@ FROM h3 JOIN documents d USING (doc_id)
 """
 
 
+# round-5m hybrid body fixtures
+HB_TEXT = "spark query"
+HB_SRC_VEC = 0
+HB_SIM_FLOOR = 0.3
+
+
+def q_hybrid_body(spark, sf_dir):
+    """Round-5m ES pre-8.14 hybrid ``_search`` body, kind-tagged: (1)
+    ``sum`` — query + knn with NO rank section = ES's additive
+    combination (union of the size-window BM25 leg and the k-window
+    kNN leg, score = sum of rounded leg scores on overlap); (2)
+    ``rrf`` — the same body under ``rank: {"rrf"}`` (reciprocal rank
+    fusion, identical to the 8.14 retriever tree); (3) ``sim`` — the
+    knn section's ES 8.8 ``similarity`` floor (below-threshold vectors
+    are not matches; monotone, so one post-predicate)."""
+    from elasticsearch_analysis_combo_spark.query.dsl import (
+        hybrid_search,
+        knn_search,
+    )
+
+    stats = _term_stats(spark, sf_dir).cache()
+    n_docs, avgdl = _corpus_stats(stats)
+    term_df = stats.groupBy("term").agg(F.count("*").alias("df"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == HB_SRC_VEC)
+        .select("embedding").collect()[0][0]
+    ]
+    base = {
+        "query": {"match": {"text": HB_TEXT}},
+        "knn": {"field": "embedding", "query_vector": qv, "k": TOPK},
+    }
+
+    def run(body):
+        return hybrid_search(
+            spark, stats, term_df, _phrase_postings(spark, sf_dir),
+            body, _ws_config(), n_docs, avgdl, emb, k=TOPK, k1=K1, b=B,
+        )
+
+    s = run(base).select(
+        F.lit("sum").alias("kind"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+    )
+    r = run({**base, "rank": {"rrf": {
+        "rank_constant": RRF_K, "rank_window_size": TOPK}}}).select(
+        F.lit("rrf").alias("kind"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    kn = knn_search(emb, {**base["knn"], "similarity": HB_SIM_FLOOR})
+    wsim = W.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id")
+    )
+    sim = (
+        kn.withColumn("rk", F.row_number().over(wsim))
+        .select(
+            F.lit("sim").alias("kind"),
+            F.col("rk").cast("long").alias("rank"),
+            F.col("vec_id").alias("doc_id"),
+            F.round("cosine", 6).alias("score"),
+        )
+    )
+    return s.unionByName(r).unionByName(sim)
+
+
+def _hybrid_body_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        analyze_queries,
+    )
+
+    terms = ", ".join(
+        f"(0, '{t}')" for _, t in analyze_queries(
+            [(0, HB_TEXT)], _ws_config()
+        )
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) )
+           AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1
+),
+bm AS (
+  SELECT rank, doc_id, round(score, 6) AS s FROM (
+    SELECT row_number() OVER (
+             ORDER BY round(score, 6) DESC, doc_id) AS rank,
+           doc_id, score
+    FROM scored) WHERE rank <= {TOPK}
+),
+kscored AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(s.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM embeddings s CROSS JOIN embeddings e
+  WHERE s.vec_id = {HB_SRC_VEC}
+),
+kn AS (
+  SELECT rank, vec_id AS doc_id, cosine AS s FROM (
+    SELECT row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank,
+           vec_id, cosine
+    FROM kscored) WHERE rank <= {TOPK}
+),
+summed AS (
+  SELECT doc_id, sum(s) AS score FROM (
+    SELECT doc_id, s FROM bm UNION ALL SELECT doc_id, s FROM kn
+  ) GROUP BY 1
+),
+sum_rows AS (
+  SELECT 'sum' AS kind, rank, doc_id, round(score, 6) AS score FROM (
+    SELECT row_number() OVER (
+             ORDER BY round(score, 6) DESC, doc_id) AS rank,
+           doc_id, score
+    FROM summed) WHERE rank <= {TOPK}
+),
+fused AS (
+  SELECT doc_id, sum(1.0 / ({RRF_K} + rank)) AS rrf FROM (
+    SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM kn
+  ) GROUP BY 1
+),
+rrf_rows AS (
+  SELECT 'rrf' AS kind, rank, doc_id, round(rrf, 6) AS score FROM (
+    SELECT row_number() OVER (
+             ORDER BY round(rrf, 9) DESC, doc_id) AS rank,
+           doc_id, rrf
+    FROM fused) WHERE rank <= {TOPK}
+),
+sim_rows AS (
+  SELECT 'sim' AS kind,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+         doc_id, s AS score
+  FROM kn WHERE s >= {HB_SIM_FLOOR}
+)
+SELECT kind, rank::BIGINT AS rank, doc_id, score FROM sum_rows
+UNION ALL SELECT kind, rank::BIGINT, doc_id, score FROM rrf_rows
+UNION ALL SELECT kind, rank::BIGINT, doc_id, score FROM sim_rows
+"""
+
+
 # round-5m: deterministic synthetic URLs over documents (no url column
 # in the test tables; derived from doc_id so the oracle replays exactly)
 URL_EXPR = (
@@ -10209,6 +10363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_body": q_search_body,
         # r5m: C4/RefinedWeb URL curation stage (map-only verdicts)
         "url_filter": q_url_filter,
+        # r5m: pre-8.14 hybrid body (query+knn sum / rank.rrf /
+        # knn similarity floor)
+        "hybrid_body": q_hybrid_body,
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
@@ -10311,8 +10468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # significant_text moved past the window in round 5i (its code
         # path stays window-covered via sig_text_options); replica +
         # pytest still value-check it as a tail gate
-        # merged slot for the r4a core aggs (members now tail gates)
-        "agg_core_family": q_agg_core_family,
         # merged families (window-slot consolidation; members also
         # remain as individual gates past the window)
         "span_family": q_span_family,
@@ -10327,6 +10482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup: r4e-stable SemDeDup IVF-cell pairs —
         # displaced by the r5m url_filter slot, replica-covered.
         "semantic_dedup": q_semantic_dedup,
+        # agg_core_family: r4a-stable core-agg merge (members are tail
+        # gates; es_aggs2/3/geo + agg_family2/3 keep aggs breadth
+        # in-window) — displaced by the r5m hybrid_body slot.
+        "agg_core_family": q_agg_core_family,
         # analysis_filters2/duplicate_spans: r4j-stable (code untouched
         # in r5); analysis_filters3 keeps analysis in-window and
         # semantic_dedup keeps dedup in-window — displaced by the
@@ -11931,6 +12090,7 @@ GROUP BY 1
     sqls["bm25_fuzzy_osa"] = _fuzzy_osa_oracle_sql()
     sqls["search_body"] = _search_body_oracle_sql()
     sqls["url_filter"] = _url_filter_oracle_sql()
+    sqls["hybrid_body"] = _hybrid_body_oracle_sql()
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
     sqls["percolate_dsl"] = _PERCOLATE_DSL_ORACLE_SQL

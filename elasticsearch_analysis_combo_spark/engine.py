@@ -255,6 +255,30 @@ class ComboSearchEngine:
             b=idx.meta.b, knn_mode=knn_mode,
         )
 
+    def hybrid(
+        self,
+        body: dict,
+        emb: DataFrame,
+        doc_meta: DataFrame | None = None,
+        k: int = 10,
+        knn_mode: str = "exact",
+    ) -> DataFrame:
+        """ES pre-8.14 hybrid ``_search`` body — top-level ``query`` +
+        ``knn`` sections (list = multi-kNN), ``rank: {"rrf"}`` fusion
+        or ES's additive sum-on-overlap default — see
+        query/dsl.py::hybrid_search."""
+        from elasticsearch_analysis_combo_spark.query.dsl import (
+            hybrid_search,
+        )
+
+        idx = self.idx
+        return hybrid_search(
+            self.spark, idx.term_stats(), idx.term_df(), idx.postings(),
+            body, self._query_config(), idx.meta.n_docs, idx.meta.avgdl,
+            emb, doc_meta=doc_meta, k=k, k1=idx.meta.k1, b=idx.meta.b,
+            knn_mode=knn_mode,
+        )
+
     def search_query_string(
         self,
         query: str,
@@ -980,6 +1004,7 @@ class ComboSearchEngine:
         k: int = 10,
         partitioned: bool | None = None,
         docs: DataFrame | None = None,
+        emb: DataFrame | None = None,
     ) -> tuple[DataFrame | None, DataFrame]:
         """ES ``_search`` with BOTH halves of the request body: hits are
         the DSL top-``size`` ranking (:meth:`search_dsl`), aggregations
@@ -1043,6 +1068,33 @@ class ComboSearchEngine:
             if isinstance(script, dict):
                 script = script.get("source", "")
             meta_rt = meta_rt.withColumn(rname, F.expr(script))
+        if body.get("knn") is not None:
+            # ES hybrid body (query + knn [+ rank.rrf]): route through
+            # the hybrid evaluator; the sections that would need the
+            # knn candidates inside their own collectors raise rather
+            # than silently diverge
+            for sec in ("aggs", "sort", "rescore", "collapse",
+                        "highlight", "track_total_hits", "min_score",
+                        "slice", "post_filter", "suggest"):
+                if body.get(sec):
+                    raise ValueError(
+                        f"{sec} with a knn section is unsupported"
+                    )
+            if emb is None:
+                raise ValueError("a knn section requires emb=")
+            khits = self.hybrid(body, emb, doc_meta=meta_rt, k=fetch)
+            if frm:
+                khits = khits.filter(F.col("rank") > frm)
+            if (body.get("_source") not in (None, False, True)
+                    or body.get("fields")):
+                from elasticsearch_analysis_combo_spark.query.body \
+                    import project_fields
+
+                khits = project_fields(
+                    khits, meta_rt, body.get("_source"),
+                    body.get("fields"),
+                )
+            return khits, dsl_search_aggs(meta_rt, {"aggs": {}})
         hits_q = q
         if body.get("post_filter") is not None and q is not None:
             # ES post_filter: cuts the HITS only, aggs see the raw match

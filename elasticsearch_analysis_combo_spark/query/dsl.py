@@ -956,17 +956,27 @@ def knn_search(
         emb = emb.filter(F.expr(fsql))
     queries = [(0, qv)]
     if mode == "exact":
-        return brute_force_cosine_topk(
+        out = brute_force_cosine_topk(
             emb, queries, k=k, id_col=id_col, vec_col=vec_col
         )
-    if mode == "ivf":
+    elif mode == "ivf":
         opts = dict(ivf_opts)
         if "num_candidates" in knn and "n_probe" not in opts:
             opts["n_probe"] = max(1, int(knn["num_candidates"]) // 100)
-        return ivf_cosine_topk(
+        out = ivf_cosine_topk(
             emb, queries, k=k, id_col=id_col, vec_col=vec_col, **opts
         )
-    raise ValueError(f"unsupported knn mode: {mode}")
+    else:
+        raise ValueError(f"unsupported knn mode: {mode}")
+    sim = knn.get("similarity")
+    if sim is not None:
+        # ES 8.8 ``similarity``: vectors below the raw-metric floor are
+        # not matches. Cosine ranking is monotone in the threshold, so
+        # filtering the top-k AFTER the cut equals filtering before it
+        # (the passing set's top-k IS the global top-k intersected with
+        # the passing set) — one post-predicate, no second scan.
+        out = out.filter(F.col("cosine") >= float(sim))
+    return out
 
 
 def rrf_hybrid(
@@ -1007,6 +1017,127 @@ def rrf_hybrid(
             "query_id", "rank", F.col("_id").alias(id_col),
             "rrf_score", "n_rankers",
         )
+    )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    term_stats: DataFrame,
+    term_df: DataFrame,
+    postings: DataFrame | None,
+    body: dict,
+    config: ComboConfig,
+    n_docs: int,
+    avgdl: float,
+    emb: DataFrame,
+    doc_meta: DataFrame | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    knn_mode: str = "exact",
+) -> DataFrame:
+    """ES pre-8.14 hybrid ``_search`` body: top-level ``query`` +
+    ``knn`` sections (``knn`` may be a list — ES 8.7 multi-kNN),
+    optionally fused by ``rank: {"rrf": {...}}``.
+
+    - With ``rank.rrf``: every leg ranks independently at the
+      ``rank_window_size`` and fuses by reciprocal rank
+      (:func:`rrf_hybrid`) — identical semantics to the 8.14 retriever
+      tree, returned as (query_id, rank, doc_id, score=rrf_score).
+    - Without ``rank``: ES's ADDITIVE combination — the union of the
+      per-leg top windows scored by the sum of each leg's
+      boost-weighted score where the doc appears (a doc outside a
+      leg's window contributes nothing from it, exactly the collector
+      ES runs: size-window BM25 + k-window kNN, summed on overlap).
+      Leg scores round to 6 before the sum (the repo's cross-engine
+      determinism policy); ``boost`` on the query node's top level is
+      not parsed (wrap in ``function_score`` for query-side weighting)
+      but each knn section's ``boost`` multiplies its cosine.
+
+    Scale: each leg is its own already-bounded evaluator (pushed-down
+    BM25 top-k / pre-filtered ANN); the fusion touches only
+    window-sized rows — one union + one partial-aggregated groupBy."""
+    q = body.get("query")
+    kn = body.get("knn")
+    if kn is None:
+        raise ValueError("hybrid_search needs a knn section")
+    knns = kn if isinstance(kn, list) else [kn]
+    rank = body.get("rank")
+    window = k
+    if rank is not None:
+        (rk, rb), = rank.items()
+        if rk != "rrf":
+            raise ValueError(f"unsupported rank method: {rk}")
+        window = int(rb.get("rank_window_size", max(k, 10)))
+
+    legs = []  # (ranked frame with rank + score, boost)
+    if q is not None:
+        out = dsl_topk(
+            spark, term_stats, term_df, postings, [(0, q)], config,
+            n_docs, avgdl, doc_meta=doc_meta, k=window, k1=k1, b=b,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", 6)), F.asc("doc_id")
+        )
+        legs.append((
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= window)
+            .select("query_id", "rank", "doc_id",
+                    F.round("score", 6).alias("score")),
+            1.0,
+        ))
+    for spec in knns:
+        # under rrf every leg ranks at the shared window; in sum mode
+        # each knn section keeps its OWN k (ES collects knn.k
+        # candidates per section next to the size-window query leg)
+        leg_k = window if rank is not None else int(spec.get("k", window))
+        res = knn_search(
+            emb, dict(spec, k=leg_k), vec_col=vec_col,
+            id_col=vec_id_col, mode=knn_mode,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("cosine", 6)), F.asc(vec_id_col)
+        )
+        legs.append((
+            res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= leg_k)
+            .select("query_id", "rank",
+                    F.col(vec_id_col).alias("doc_id"),
+                    F.round("cosine", 6).alias("score")),
+            float(spec.get("boost", 1.0)),
+        ))
+    if not legs:
+        raise ValueError("hybrid_search needs query and/or knn")
+
+    if rank is not None:
+        fused = rrf_hybrid(
+            [r for r, _ in legs], k=k,
+            rank_constant=int(rb.get("rank_constant", 60)),
+        )
+        return fused.select(
+            "query_id", "rank", "doc_id",
+            F.col("rrf_score").alias("score"),
+        )
+    parts = [
+        r.select("query_id", "doc_id",
+                 (F.col("score") * F.lit(boost)).alias("_s"))
+        for r, boost in legs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    summed = u.groupBy("query_id", "doc_id").agg(
+        F.sum("_s").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

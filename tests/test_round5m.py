@@ -286,3 +286,87 @@ def test_variable_width_histogram_compiler(spark):
             "vw": {"variable_width_histogram": {"field": "x"},
                    "aggs": {"min": {"sum": {"field": "w"}}}},
         }}).collect()
+
+
+# --- hybrid body: query + knn (+ rank.rrf), knn similarity ------------------
+
+@pytest.fixture(scope="module")
+def emb5(spark):
+    def onehot(i):
+        v = [0.0, 0.0, 0.0]
+        v[i] = 1.0
+        return v
+
+    rows = [(1, onehot(0)), (2, onehot(1)), (3, onehot(0)),
+            (4, onehot(2)), (5, onehot(0))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_hybrid_sum_combination(eng, emb5):
+    body = {"query": {"match": {"content": "spark"}},
+            "knn": {"field": "embedding",
+                    "query_vector": [1.0, 0.0, 0.0], "k": 3}}
+    out = {r["doc_id"]: r for r in
+           eng.hybrid(body, emb5, doc_meta=eng._doc_meta, k=10).collect()}
+    bm = {r["doc_id"]: round(r["score"], 6)
+          for r in eng.search("spark", k=10).collect()}
+    # knn leg: docs 1, 3, 5 at cosine 1.0; bm leg: docs 1, 2, 4
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["score"] == pytest.approx(bm[1] + 1.0)
+    assert out[3]["score"] == pytest.approx(1.0)
+    assert out[2]["score"] == pytest.approx(bm[2])
+    ranks = [out[d]["rank"] for d in sorted(out)]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_hybrid_rrf_combination(eng, emb5):
+    body = {"query": {"match": {"content": "spark"}},
+            "knn": {"field": "embedding",
+                    "query_vector": [1.0, 0.0, 0.0], "k": 3},
+            "rank": {"rrf": {"rank_constant": 60,
+                             "rank_window_size": 5}}}
+    out = {r["doc_id"]: r for r in
+           eng.hybrid(body, emb5, doc_meta=eng._doc_meta, k=10).collect()}
+    # doc 4 (one-hot e2) only matches the bm leg; doc 1 is in both
+    assert out[1]["rank"] == 1
+    bm_ranks = {r["doc_id"]: r["rank"]
+                for r in eng.search("spark", k=10).collect()}
+    expect = 1.0 / (60 + bm_ranks[1]) + 1.0 / (60 + 1)
+    assert out[1]["score"] == pytest.approx(expect)
+
+
+def test_knn_similarity_floor(eng, emb5):
+    from elasticsearch_analysis_combo_spark.query.dsl import knn_search
+
+    res = knn_search(emb5, {"field": "embedding",
+                            "query_vector": [1.0, 0.0, 0.0], "k": 5,
+                            "similarity": 0.5})
+    assert sorted(r["vec_id"] for r in res.collect()) == [1, 3, 5]
+    res2 = knn_search(emb5, {"field": "embedding",
+                             "query_vector": [1.0, 0.0, 0.0], "k": 5,
+                             "similarity": 1.1})
+    assert res2.count() == 0
+
+
+def test_search_aggs_knn_route(eng, emb5):
+    body = {"knn": {"field": "embedding",
+                    "query_vector": [0.0, 1.0, 0.0], "k": 2},
+            "_source": ["lang"]}
+    hits, aggs = eng.search_aggs(body, eng._doc_meta, emb=emb5)
+    rows = sorted(hits.collect(), key=lambda r: r["rank"])
+    # doc 2 (e1, cosine 1.0) leads; zero-cosine docs fill the window
+    assert rows[0]["doc_id"] == 2 and len(rows) == 2
+    assert rows[0]["lang"] == "en"
+    assert aggs.count() == 0
+    with pytest.raises(ValueError, match="aggs with a knn section"):
+        eng.search_aggs(
+            {"knn": {"field": "embedding", "query_vector": [1.0, 0, 0],
+                     "k": 2},
+             "aggs": {"l": {"terms": {"field": "lang", "size": 3}}}},
+            eng._doc_meta, emb=emb5)
+    with pytest.raises(ValueError, match="requires emb"):
+        eng.search_aggs(
+            {"knn": {"field": "embedding", "query_vector": [1.0, 0, 0],
+                     "k": 2}}, eng._doc_meta)
