@@ -9841,6 +9841,43 @@ FROM h3 JOIN documents d USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """Round-5m CCNet head/middle/tail bucketing (Wenzek et al. 2020):
+    per-stratum (lang) EXACT interpolated quantile thresholds — one
+    tiny groupBy broadcast back, map-only CASE assignment. The gate
+    scores by n_chars (deterministic stand-in; pytest composes the
+    real ngram_lm_perplexity chain)."""
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        perplexity_buckets,
+    )
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "cast(n_chars as double) as ppl"
+    )
+    out = perplexity_buckets(d, ppl_col="ppl")
+    return out.select(
+        "doc_id", "stratum", F.round("score", 6).alias("score"), "bucket"
+    )
+
+
+_CCNET_BUCKETS_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang AS stratum, n_chars::DOUBLE AS score FROM documents
+),
+th AS (
+  SELECT stratum,
+         quantile_cont(score, 1.0/3.0) AS t1,
+         quantile_cont(score, 2.0/3.0) AS t2
+  FROM d GROUP BY 1
+)
+SELECT d.doc_id, d.stratum, round(d.score, 6) AS score,
+       CASE WHEN d.score <= th.t1 THEN 'head'
+            WHEN d.score <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN th USING (stratum)
+"""
+
+
 # round-5m hybrid body fixtures
 HB_TEXT = "spark query"
 HB_SRC_VEC = 0
@@ -10366,6 +10403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5m: pre-8.14 hybrid body (query+knn sum / rank.rrf /
         # knn similarity floor)
         "hybrid_body": q_hybrid_body,
+        # r5m: CCNet head/middle/tail perplexity tiers (per-stratum
+        # exact-quantile thresholds, map-only assignment)
+        "ccnet_buckets": q_ccnet_buckets,
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
@@ -10461,7 +10501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl": q_es_dsl,
         "agg_family2": q_agg_family2,
         "parent_child": q_parent_child,
-        "nested_query": q_nested_query,
         "intervals": q_intervals,
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
         "combined_fields": q_combined_fields,
@@ -10486,6 +10525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates; es_aggs2/3/geo + agg_family2/3 keep aggs breadth
         # in-window) — displaced by the r5m hybrid_body slot.
         "agg_core_family": q_agg_core_family,
+        # nested_query: r4j-stable map-only nested algebra — relations
+        # breadth stays in-window via r5k_family (nested buckets) and
+        # r5j_family (parent agg); displaced by the r5m ccnet_buckets
+        # slot.
+        "nested_query": q_nested_query,
         # analysis_filters2/duplicate_spans: r4j-stable (code untouched
         # in r5); analysis_filters3 keeps analysis in-window and
         # semantic_dedup keeps dedup in-window — displaced by the
@@ -12091,6 +12135,7 @@ GROUP BY 1
     sqls["search_body"] = _search_body_oracle_sql()
     sqls["url_filter"] = _url_filter_oracle_sql()
     sqls["hybrid_body"] = _hybrid_body_oracle_sql()
+    sqls["ccnet_buckets"] = _CCNET_BUCKETS_ORACLE_SQL
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
     sqls["percolate_dsl"] = _PERCOLATE_DSL_ORACLE_SQL

@@ -650,3 +650,55 @@ def ngram_lm_perplexity(
             F.round(F.exp(-lp6), 2).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    strata_col: str = "lang",
+    ppl_col: str = "perplexity",
+    id_col: str = "doc_id",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4): split
+    each stratum (CCNet: language) into quality tiers by per-stratum
+    perplexity quantiles — ``head`` = lowest-perplexity third (reads
+    most like the LM's training register), ``tail`` = highest. The tier
+    column is what downstream mixture sampling consumes (CCNet trains
+    on head+middle; keep/drop/temperature decisions stay in
+    operators/sampling.py).
+
+    Input is any (id, stratum, score) frame — compose with
+    :func:`ngram_lm_perplexity` for the real CCNet chain, or any other
+    per-doc quality score.
+
+    Scale: one partial-aggregated groupBy computes the per-stratum
+    EXACT interpolated quantile thresholds (strata-count rows — tiny),
+    broadcast back; the tier assignment is a map-only CASE over the
+    scan. Exact percentile keeps the oracle parity the repo's
+    percentile aggs rely on (Spark ``percentile`` == DuckDB
+    ``quantile_cont``); at 100 TB swap ``approx_percentile`` in if the
+    per-stratum sort-based exact aggregate ever dominates (it shuffles
+    only (stratum, score) pairs, not rows).
+
+    Returns (id, stratum, score, bucket) with bucket in
+    head | middle | tail; threshold ties go to the LOWER tier
+    (``<=``), so the buckets partition every stratum exactly."""
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    if not (0.0 < c1 < c2 < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < c1 < c2 < 1: {cuts}")
+    th = scored.groupBy(strata_col).agg(
+        F.percentile(F.col(ppl_col), F.array(F.lit(c1), F.lit(c2)))
+        .alias("_th")
+    )
+    j = scored.join(F.broadcast(th), strata_col)
+    bucket = (
+        F.when(F.col(ppl_col) <= F.element_at("_th", 1), F.lit("head"))
+        .when(F.col(ppl_col) <= F.element_at("_th", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(ppl_col).alias("score"),
+        bucket.alias("bucket"),
+    )

@@ -370,3 +370,36 @@ def test_search_aggs_knn_route(eng, emb5):
         eng.search_aggs(
             {"knn": {"field": "embedding", "query_vector": [1.0, 0, 0],
                      "k": 2}}, eng._doc_meta)
+
+
+# --- CCNet perplexity bucketing ---------------------------------------------
+
+def test_perplexity_buckets(spark):
+    from elasticsearch_analysis_combo_spark.operators.text_quality import (
+        ngram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    rows = [(i, "en", float(i)) for i in range(1, 10)] + \
+           [(100 + i, "de", float(10 * i)) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(
+        df, ppl_col="ppl").collect()}
+    # en 1..9: thresholds at exact 1/3, 2/3 quantiles -> 3/3/3 split
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # de 10,20,30: interpolated thresholds ~16.7/23.3
+    assert out[101] == "head" and out[102] == "middle"
+    assert out[103] == "tail"
+    with pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(df, ppl_col="ppl", cuts=(0.7, 0.3))
+    # composes with the real CCNet scorer
+    docs = spark.createDataFrame(
+        [(1, "en", "a b a b a b"), (2, "en", "a b c d e f"),
+         (3, "en", "z z q q x x"), (4, "en", "a b a b c c")],
+        "doc_id long, lang string, text string")
+    ppl = ngram_lm_perplexity(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    tiers = perplexity_buckets(ppl)
+    got = {r["doc_id"]: r["bucket"] for r in tiers.collect()}
+    assert len(got) == 4 and set(got.values()) <= {"head", "middle", "tail"}
