@@ -1044,6 +1044,15 @@ class ComboSearchEngine:
         from pyspark.sql import functions as F
 
         q = body.get("query")
+        if body.get("suggest") is not None:
+            # a suggest section rides next to query/aggs in ES's one
+            # response envelope; this facade returns (hits, aggs) —
+            # route the section explicitly rather than dropping it
+            raise ValueError(
+                "body 'suggest' section: call engine.suggest_body("
+                "body['suggest']) alongside search_aggs (this method "
+                "returns (hits, aggs) only)"
+            )
         size = int(body.get("size", k))
         frm = int(body.get("from", 0))
         min_score = body.get("min_score")

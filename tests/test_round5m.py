@@ -403,3 +403,11 @@ def test_perplexity_buckets(spark):
     tiers = perplexity_buckets(ppl)
     got = {r["doc_id"]: r["bucket"] for r in tiers.collect()}
     assert len(got) == 4 and set(got.values()) <= {"head", "middle", "tail"}
+
+
+def test_search_aggs_suggest_section_raises(eng):
+    with pytest.raises(ValueError, match="suggest_body"):
+        eng.search_aggs(
+            {"query": {"match": {"content": "spark"}},
+             "suggest": {"s": {"text": "sprak", "term": {}}}},
+            eng._doc_meta)
