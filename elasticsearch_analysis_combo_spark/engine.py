@@ -1322,12 +1322,14 @@ class ComboSearchEngine:
         doc_meta: DataFrame,
         k: int = 10,
         docs: DataFrame | None = None,
+        emb: DataFrame | None = None,
     ) -> list[tuple[DataFrame | None, DataFrame]]:
         """ES ``_msearch``: evaluate several ``_search`` bodies against
         this index; returns one ``(hits, aggs)`` pair per body, in
         order (each via :meth:`search_aggs` — lazy DataFrames, so
-        consumers can union/collect as they wish)."""
-        return [self.search_aggs(b, doc_meta, k=k, docs=docs)
+        consumers can union/collect as they wish). ``emb`` feeds any
+        body carrying a ``knn`` section (the hybrid route)."""
+        return [self.search_aggs(b, doc_meta, k=k, docs=docs, emb=emb)
                 for b in bodies]
 
     def validate_query(self, dsl: dict) -> tuple[bool, str | None]:

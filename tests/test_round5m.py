@@ -411,3 +411,15 @@ def test_search_aggs_suggest_section_raises(eng):
             {"query": {"match": {"content": "spark"}},
              "suggest": {"s": {"text": "sprak", "term": {}}}},
             eng._doc_meta)
+
+
+def test_msearch_mixed_text_and_knn_bodies(eng, emb5):
+    outs = eng.msearch(
+        [{"query": {"match": {"content": "spark"}}, "size": 2},
+         {"knn": {"field": "embedding", "query_vector": [1.0, 0.0, 0.0],
+                  "k": 2}}],
+        eng._doc_meta, emb=emb5)
+    assert len(outs) == 2
+    assert outs[0][0].count() == 2
+    knn_hits = sorted(outs[1][0].collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in knn_hits] == [1, 3]
