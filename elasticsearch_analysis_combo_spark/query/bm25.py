@@ -296,6 +296,7 @@ def multi_index_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    indices_boost: dict[str, float] | None = None,
 ) -> DataFrame:
     """ES multi-index search (``GET idx_a,idx_b/_search``): evaluate the
     query against EVERY index with that index's OWN statistics and merge
@@ -311,14 +312,22 @@ def multi_index_topk(
     agg. Returns (query_id, rank, index, doc_id, score); ties rank by
     (rounded score desc, index, doc_id) so the merge is deterministic
     cross-engine."""
+    unknown = sorted(set(indices_boost or {}) - set(indices))
+    if unknown:
+        raise ValueError(f"indices_boost names unknown indices: {unknown}")
     legs = []
     for name, (stats, tdf, n_docs, avgdl) in sorted(indices.items()):
-        legs.append(
-            bm25_scored(
-                spark, stats, tdf, queries, config, n_docs, avgdl,
-                k1=k1, b=b,
-            ).withColumn("index", F.lit(name))
-        )
+        leg = bm25_scored(
+            spark, stats, tdf, queries, config, n_docs, avgdl,
+            k1=k1, b=b,
+        ).withColumn("index", F.lit(name))
+        boost = float((indices_boost or {}).get(name, 1.0))
+        if boost != 1.0:
+            # ES indices_boost: multiply every hit score from this
+            # index before the merged ranking (request-body
+            # ``indices_boost: [{name: factor}]``)
+            leg = leg.withColumn("score", F.col("score") * F.lit(boost))
+        legs.append(leg)
     merged = legs[0]
     for leg in legs[1:]:
         merged = merged.unionByName(leg)

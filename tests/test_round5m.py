@@ -423,3 +423,41 @@ def test_msearch_mixed_text_and_knn_bodies(eng, emb5):
     assert outs[0][0].count() == 2
     knn_hits = sorted(outs[1][0].collect(), key=lambda r: r["rank"])
     assert [r["doc_id"] for r in knn_hits] == [1, 3]
+
+
+def test_indices_boost_multiplies_before_merge(spark):
+    from elasticsearch_analysis_combo_spark.analysis.udfs import (
+        build_term_stats,
+    )
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        multi_index_topk,
+    )
+
+    def mk(rows):
+        d = spark.createDataFrame(rows, "doc_id long, content string")
+        stats = build_term_stats(d, ComboConfig(["whitespace"]))
+        tdf = stats.groupBy("term").agg(F.count("*").alias("df"))
+        n = d.count()
+        avgdl = stats.groupBy("doc_id").agg(
+            F.first("dl").alias("dl")).agg(F.avg("dl")).collect()[0][0]
+        return stats, tdf, n, float(avgdl)
+
+    idx = {"a": mk([(1, "spark index"), (2, "other words")]),
+           "b": mk([(10, "spark spark"), (11, "spark here")])}
+    plain = multi_index_topk(spark, idx, [(0, "spark")],
+                             ComboConfig(["whitespace"]), k=10)
+    boosted = multi_index_topk(spark, idx, [(0, "spark")],
+                               ComboConfig(["whitespace"]), k=10,
+                               indices_boost={"a": 10.0})
+    p = {(r["index"], r["doc_id"]): r["score"] for r in plain.collect()}
+    b = {(r["index"], r["doc_id"]): r["score"] for r in boosted.collect()}
+    for key in p:
+        want = p[key] * 10.0 if key[0] == "a" else p[key]
+        assert b[key] == pytest.approx(want)
+    # boosted index-a hit now leads the merged ranking
+    top = sorted(boosted.collect(), key=lambda r: r["rank"])[0]
+    assert top["index"] == "a"
+    with pytest.raises(ValueError, match="unknown indices"):
+        multi_index_topk(spark, idx, [(0, "spark")],
+                         ComboConfig(["whitespace"]),
+                         indices_boost={"zz": 2.0})
