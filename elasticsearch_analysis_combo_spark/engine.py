@@ -1723,6 +1723,68 @@ class ComboSearchEngine:
 
         delete_docs(self.spark, self.index_dir, doc_ids)
 
+    def update_by_query(
+        self,
+        docs: DataFrame,
+        script: str,
+        query: str | None = None,
+        conjunctive: bool = True,
+        filter_sql: str | None = None,
+        content_col: str = "content",
+    ) -> int:
+        """ES ``_update_by_query``: apply ``script`` — a SQL expression
+        over the doc row producing the NEW content (the repo's painless
+        analogue, same dialect as runtime_mappings) — to every doc
+        matching the analyzed ``query`` (ALL terms when
+        ``conjunctive``) and/or a ``filter_sql`` predicate over the
+        ``docs`` frame's columns, then stage the rewritten docs as
+        upserts (delete + add at the next compact — exactly ES's
+        reindex-on-update lifecycle). ``docs`` is the source-of-truth
+        document frame (doc_id + content + whatever the script
+        references). Returns the number of docs staged.
+
+        Scale: the match set is resolved as a DISTRIBUTED semi-join
+        (term stats for the text query, a pushed-down predicate for the
+        filter); only the matched slice re-analyzes, and nothing routes
+        through the driver but the returned count."""
+        from pyspark.sql import functions as F
+
+        from elasticsearch_analysis_combo_spark.plans.maintenance import (
+            upsert_docs,
+        )
+        from elasticsearch_analysis_combo_spark.query.bm25 import (
+            analyze_queries,
+        )
+
+        sel = docs
+        if filter_sql is not None:
+            sel = sel.filter(F.expr(filter_sql))
+        if query is not None:
+            qterms = analyze_queries([(0, query)], self._query_config())
+            terms = sorted({t for _, t in qterms})
+            if not terms:
+                return 0
+            stats = self.idx.term_stats().filter(
+                F.col("term").isin(terms)
+            )
+            matched = stats.groupBy("doc_id").agg(
+                F.countDistinct("term").alias("_n")
+            )
+            if conjunctive:
+                matched = matched.filter(F.col("_n") == len(terms))
+            sel = sel.join(
+                matched.select("doc_id"), "doc_id", "left_semi"
+            )
+        updated = sel.withColumn(content_col, F.expr(script)) \
+            .localCheckpoint(eager=True)
+        n = updated.count()
+        if n:
+            upsert_docs(
+                self.spark, self.index_dir, updated,
+                content_col=content_col,
+            )
+        return n
+
     def delete_by_query(self, query: str, conjunctive: bool = True) -> int:
         """ES ``_delete_by_query``: tombstone every doc matching the
         analyzed query (ALL matched terms when ``conjunctive``, ES's

@@ -461,3 +461,30 @@ def test_indices_boost_multiplies_before_merge(spark):
         multi_index_topk(spark, idx, [(0, "spark")],
                          ComboConfig(["whitespace"]),
                          indices_boost={"zz": 2.0})
+
+
+def test_update_by_query_rewrites_matching_docs(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(1, "alpha spark rows"), (2, "alpha other rows"),
+         (3, "gamma spark only")],
+        "doc_id long, content string")
+    eng2 = ComboSearchEngine(
+        spark, ComboConfig(["whitespace"]),
+        str(tmp_path / "ubq_idx"), salt_shards=2)
+    eng2.index(corpus)
+    # rewrite every doc matching BOTH alpha AND spark
+    n = eng2.update_by_query(
+        corpus, "replace(content, 'spark', 'flink')",
+        query="alpha spark")
+    assert n == 1
+    eng2.compact()
+    assert eng2.count("flink") == 1
+    assert eng2.count("spark") == 1      # doc 3 untouched
+    # filter_sql path + no-match query returns 0
+    assert eng2.update_by_query(
+        corpus, "content", query="zzznothing") == 0
+    n2 = eng2.update_by_query(
+        corpus, "concat(content, ' extra')", filter_sql="doc_id = 2")
+    assert n2 == 1
+    eng2.compact()
+    assert eng2.count("extra") == 1
