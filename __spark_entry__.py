@@ -9841,6 +9841,87 @@ FROM h3 JOIN documents d USING (doc_id)
 """
 
 
+def q_multi_index_dfs(spark, sf_dir):
+    """Round-5m ES ``dfs_query_then_fetch``: documents split into two
+    indices (doc_id parity), each scored with the GLOBAL term
+    statistics a DFS pre-phase collects (df summed, total doc count,
+    weighted avgdl) — the merged ranking is provably score-identical
+    to ONE index holding every doc, which is exactly what the oracle
+    computes (plain corpus-wide BM25, no split at all)."""
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        multi_index_topk,
+    )
+
+    def half(pred):
+        d = _docs(spark, sf_dir).filter(F.expr(pred)) \
+            .select("doc_id", F.col("text").alias("content"))
+        from elasticsearch_analysis_combo_spark.analysis.udfs import (
+            build_term_stats,
+        )
+
+        stats = build_term_stats(d, _ws_config()).cache()
+        tdf = stats.groupBy("term").agg(F.count("*").alias("df"))
+        n = d.count()
+        avgdl = stats.groupBy("doc_id").agg(
+            F.first("dl").alias("dl")
+        ).agg(F.avg("dl")).collect()[0][0]
+        return stats, tdf, n, float(avgdl)
+
+    idx = {"even": half("pmod(doc_id, 2) = 0"),
+           "odd": half("pmod(doc_id, 2) = 1")}
+    out = multi_index_topk(
+        spark, idx, BM25_QUERIES, _ws_config(), k=TOPK, k1=K1, b=B,
+        dfs=True,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "index", "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _multi_index_dfs_oracle_sql() -> str:
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        analyze_queries,
+    )
+
+    values = _terms_values_sql(analyze_queries(BM25_QUERIES, _ws_config()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+gs AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (gs.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / gs.avgdl)) )
+           AS score
+  FROM q JOIN tf USING (term) JOIN dfx USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gs
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS index,
+         doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(score, 6) DESC,
+                    CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END,
+                    doc_id) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       index, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """Round-5m CCNet head/middle/tail bucketing (Wenzek et al. 2020):
     per-stratum (lang) EXACT interpolated quantile thresholds — one
@@ -10406,6 +10487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5m: CCNet head/middle/tail perplexity tiers (per-stratum
         # exact-quantile thresholds, map-only assignment)
         "ccnet_buckets": q_ccnet_buckets,
+        # r5m: dfs_query_then_fetch (global DFS stats == merged index)
+        "multi_index_dfs": q_multi_index_dfs,
         # r5l: ES 8 _terms_enum dictionary walks (prefix / paging /
         # case-insensitive fold / full-walk cut)
         "terms_enum": q_terms_enum,
@@ -10500,7 +10583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_family": q_phrase_family,
         "es_dsl": q_es_dsl,
         "agg_family2": q_agg_family2,
-        "parent_child": q_parent_child,
         "intervals": q_intervals,
         "knn_rrf_hybrid": q_knn_rrf_hybrid,
         "combined_fields": q_combined_fields,
@@ -10530,6 +10612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5j_family (parent agg); displaced by the r5m ccnet_buckets
         # slot.
         "nested_query": q_nested_query,
+        # parent_child: r4h-stable has_child/has_parent pair reduction
+        # — relations breadth in-window via r5j_family's parent agg;
+        # displaced by the r5m multi_index_dfs slot.
+        "parent_child": q_parent_child,
         # analysis_filters2/duplicate_spans: r4j-stable (code untouched
         # in r5); analysis_filters3 keeps analysis in-window and
         # semantic_dedup keeps dedup in-window — displaced by the
@@ -12136,6 +12222,7 @@ GROUP BY 1
     sqls["url_filter"] = _url_filter_oracle_sql()
     sqls["hybrid_body"] = _hybrid_body_oracle_sql()
     sqls["ccnet_buckets"] = _CCNET_BUCKETS_ORACLE_SQL
+    sqls["multi_index_dfs"] = _multi_index_dfs_oracle_sql()
     sqls["terms_enum"] = _TERMS_ENUM_ORACLE_SQL
     sqls["training_order"] = _TRAINING_ORDER_ORACLE_SQL
     sqls["percolate_dsl"] = _PERCOLATE_DSL_ORACLE_SQL

@@ -297,6 +297,7 @@ def multi_index_topk(
     k1: float = 1.2,
     b: float = 0.75,
     indices_boost: dict[str, float] | None = None,
+    dfs: bool = False,
 ) -> DataFrame:
     """ES multi-index search (``GET idx_a,idx_b/_search``): evaluate the
     query against EVERY index with that index's OWN statistics and merge
@@ -315,10 +316,34 @@ def multi_index_topk(
     unknown = sorted(set(indices_boost or {}) - set(indices))
     if unknown:
         raise ValueError(f"indices_boost names unknown indices: {unknown}")
+    gdf = gn = gavg = None
+    if dfs:
+        # ES dfs_query_then_fetch: a pre-query DFS phase collects the
+        # GLOBAL term statistics (df summed over indices, total doc
+        # count, doc-count-weighted avgdl) and every shard scores with
+        # them — so scores are comparable across indices and IDENTICAL
+        # to a single merged index holding all the docs (the invariant
+        # tests pin). The blend is one union + groupBy over the
+        # DICTIONARY frames (vocabulary-sized, tiny next to postings).
+        parts = [
+            tdf.select("term", F.col("df").cast("long").alias("df"))
+            for _, (_, tdf, _, _) in sorted(indices.items())
+        ]
+        u = parts[0]
+        for pz in parts[1:]:
+            u = u.unionByName(pz)
+        gdf = u.groupBy("term").agg(F.sum("df").alias("df"))
+        gn = sum(n for _, (_, _, n, _) in indices.items())
+        gavg = (
+            sum(n * a for _, (_, _, n, a) in indices.items())
+            / max(gn, 1)
+        )
     legs = []
     for name, (stats, tdf, n_docs, avgdl) in sorted(indices.items()):
         leg = bm25_scored(
-            spark, stats, tdf, queries, config, n_docs, avgdl,
+            spark, stats,
+            gdf if dfs else tdf, queries, config,
+            gn if dfs else n_docs, gavg if dfs else avgdl,
             k1=k1, b=b,
         ).withColumn("index", F.lit(name))
         boost = float((indices_boost or {}).get(name, 1.0))

@@ -488,3 +488,45 @@ def test_update_by_query_rewrites_matching_docs(spark, tmp_path):
     assert n2 == 1
     eng2.compact()
     assert eng2.count("extra") == 1
+
+
+def test_dfs_query_then_fetch_equals_merged_index(spark):
+    from elasticsearch_analysis_combo_spark.analysis.udfs import (
+        build_term_stats,
+    )
+    from elasticsearch_analysis_combo_spark.query.bm25 import (
+        bm25_exhaustive_topk,
+        multi_index_topk,
+    )
+
+    cfg = ComboConfig(["whitespace"])
+    a_rows = [(1, "spark index rows"), (2, "other plain words")]
+    b_rows = [(10, "spark spark index"), (11, "spark appears here"),
+              (12, "unrelated content entirely")]
+
+    def mk(rows):
+        d = spark.createDataFrame(rows, "doc_id long, content string")
+        stats = build_term_stats(d, cfg)
+        tdf = stats.groupBy("term").agg(F.count("*").alias("df"))
+        n = d.count()
+        avgdl = stats.groupBy("doc_id").agg(
+            F.first("dl").alias("dl")).agg(F.avg("dl")).collect()[0][0]
+        return stats, tdf, n, float(avgdl)
+
+    idx = {"a": mk(a_rows), "b": mk(b_rows)}
+    merged_stats, merged_tdf, mn, mavg = mk(a_rows + b_rows)
+
+    dfs = multi_index_topk(spark, idx, [(0, "spark index")], cfg,
+                           k=10, dfs=True)
+    single = bm25_exhaustive_topk(
+        spark, merged_stats, merged_tdf, [(0, "spark index")], cfg,
+        mn, mavg, k=10)
+    got = {r["doc_id"]: round(r["score"], 9) for r in dfs.collect()}
+    want = {r["doc_id"]: round(r["score"], 9) for r in single.collect()}
+    # DFS global stats make the sharded search score-identical to ONE
+    # merged index — ES's dfs_query_then_fetch contract
+    assert got == want
+    # and per-index (query_then_fetch) scores DIFFER from the merged
+    qtf = multi_index_topk(spark, idx, [(0, "spark index")], cfg, k=10)
+    got_qtf = {r["doc_id"]: round(r["score"], 9) for r in qtf.collect()}
+    assert got_qtf != want
