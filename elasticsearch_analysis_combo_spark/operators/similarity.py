@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 SIM_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType()),
@@ -199,7 +201,7 @@ def lsh_cosine_topk(
         for qid, s in zip(qids, qsig)
         for bi in range(bands)
     ]
-    qbuckets = spark.createDataFrame(
+    qbuckets = tiny_df(spark,
         qbucket_rows, "query_id long, band int, bucket long"
     )
 
@@ -391,7 +393,7 @@ def ivf_cosine_topk(
         for c in np.argsort(-qsims[qi], kind="stable")[:n_probe]
     ]
     spark = emb.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    probes = tiny_df(spark, probe_rows, "query_id long, cell int")
     cand = (
         cells.join(F.broadcast(probes), "cell")
         .select("query_id", "vec_id")

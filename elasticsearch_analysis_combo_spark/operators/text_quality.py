@@ -588,13 +588,31 @@ def ngram_lm_perplexity(
         ).select(id_col, "bg.w1", "bg.w2")
 
     train_df = df if train is None else train
-    train_big = bigrams(train_df)
-    c2 = train_big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    doc_tf = bigrams(df).groupBy(id_col, "w1", "w2").agg(
+        F.count("*").alias("tf")
+    )
+    if train is None:
+        # self-trained model: derive c2 from the per-doc pre-aggregated
+        # frame instead of re-tokenizing + re-exploding the corpus —
+        # sum(tf) over docs IS the corpus bigram count, and the doc_tf
+        # exchange is shared with the scoring branch (ReusedExchange), so
+        # one full scan + explode + map-side agg flow disappears
+        c2 = doc_tf.groupBy("w1", "w2").agg(
+            F.sum("tf").cast("long").alias("c2")
+        )
+    else:
+        c2 = bigrams(train_df).groupBy("w1", "w2").agg(
+            F.count("*").alias("c2")
+        )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vdf = (
         train_df.select(
+            # per-doc array_distinct first: shrinks the exploded row count
+            # feeding the global distinct without changing its result
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                )
             ).alias("t")
         )
         .agg(F.countDistinct("t").alias("v"))
@@ -610,9 +628,6 @@ def ngram_lm_perplexity(
                 "logp"
             ),
         )
-    )
-    doc_tf = bigrams(df).groupBy(id_col, "w1", "w2").agg(
-        F.count("*").alias("tf")
     )
     # unseen (doc, bigram) pairs only arise with an external `train`;
     # they take the unseen-bigram floor ln(k / (k·V)) = -ln(V) when w1

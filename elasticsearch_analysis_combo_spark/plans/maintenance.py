@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.operators.codec import (
     bm25_impact,
     decode_block,
@@ -84,7 +86,7 @@ def delete_docs(
     upserts of the same doc by staging sequence — deleting after
     re-upserting really deletes."""
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
+        doc_ids = tiny_df(spark,
             [(int(d),) for d in doc_ids], _TOMBSTONE_SCHEMA
         )
     seq = _alloc_seq(index_dir)

@@ -102,6 +102,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 BUCKET_KINDS = (
     "terms", "histogram", "date_histogram", "range", "filters", "missing",
     "multi_terms", "date_range", "rare_terms", "composite",
@@ -2065,7 +2067,7 @@ def _sibling_rows(
                     "bucket_correlation requires function."
                     "count_correlation.indicator.expectations"
                 )
-            ind = spark.createDataFrame(
+            ind = tiny_df(spark,
                 [(i + 1, float(e)) for i, e in enumerate(exps)],
                 "_i int, _e double",
             )
@@ -2103,7 +2105,7 @@ def _sibling_rows(
             F.sum("value").over(w_cum) / F.sum("value").over(w_all),
         )
         if fracs is not None:
-            fr = spark.createDataFrame(
+            fr = tiny_df(spark,
                 [(i + 1, float(x)) for i, x in enumerate(fracs)],
                 "_i int, _f double",
             )
@@ -2361,7 +2363,7 @@ def dsl_aggs(rows: DataFrame, aggs: dict) -> DataFrame:
     each node one partial-aggregated pass)."""
     outs = _compile_level(rows, aggs, "", [])
     if not outs:  # hits-only body: empty aggregations, ES-style
-        return rows.sparkSession.createDataFrame(
+        return tiny_df(rows.sparkSession,
             [], "agg string, key string, metric string, value double"
         )
     res = outs[0]

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
@@ -65,7 +67,7 @@ def bm25_scored(
     literal term isin pushes into the stats/dictionary scans (a broadcast
     join alone doesn't prune parquet row groups)."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     all_terms = sorted({t for _, t in qrows})
     term_stats = term_stats.filter(F.col("term").isin(all_terms))
     tdf = term_df.filter(F.col("term").isin(all_terms)).select("term", "df")
@@ -122,7 +124,7 @@ def bm25_search_after(
         k1=k1, b=b,
     )
     if cursors:
-        cur = spark.createDataFrame(
+        cur = tiny_df(spark,
             [(qid, float(s), int(d)) for qid, (s, d) in cursors.items()],
             "query_id int, c_score double, c_doc long",
         )
@@ -218,7 +220,7 @@ def bm25_explain(
     window sum so decomposition and total come from one pass."""
     from pyspark.sql import Window as W
 
-    qterms = spark.createDataFrame(
+    qterms = tiny_df(spark,
         analyze_queries(queries, config), "query_id int, term string"
     )
     tdf = term_df.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -262,10 +264,17 @@ def bm25_exhaustive_topk(
     -> per-query window top-k. The only shuffle is the groupBy on
     (query_id, doc_id); filters on term reach the parquet scan.
     """
-    qterms = spark.createDataFrame(
-        analyze_queries(queries, config), "query_id int, term string"
+    qrows = analyze_queries(queries, config)
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
+    # literal isin on the join key: a semantic no-op next to the inner
+    # broadcast join, but it reaches the parquet scan as a pushed filter
+    # (row-group pruning) — the broadcast join alone does not
+    all_terms = sorted({t for _, t in qrows})
+    term_stats = term_stats.filter(F.col("term").isin(all_terms))
+    tdf = (
+        term_df.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
     )
-    tdf = term_df.join(F.broadcast(qterms.select("term").distinct()), "term")
     scored = (
         term_stats.join(F.broadcast(qterms), "term")
         .join(F.broadcast(tdf.select("term", "df")), "term")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
 
@@ -67,11 +69,11 @@ def bm25_conjunctive_topk(
     """AND-semantics top-k: docs containing ALL the query's analyzed terms,
     ranked by the usual BM25 sum."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     n_terms = {qid: 0 for qid, _ in queries}
     for qid, _ in qrows:
         n_terms[qid] += 1
-    qcounts = spark.createDataFrame(
+    qcounts = tiny_df(spark,
         [(qid, n) for qid, n in n_terms.items()], "query_id int, n_terms int"
     )
     scored = (
@@ -159,15 +161,15 @@ def bm25_boolean_topk(
         else:
             msm[qid] = 1 if n_must[qid] == 0 else 0
 
-    empty = spark.createDataFrame(
+    empty = tiny_df(spark,
         [], "query_id int, rank int, doc_id long, score double"
     )
     if not score_rows:
         return empty
-    score_terms = spark.createDataFrame(
+    score_terms = tiny_df(spark,
         score_rows, "query_id int, term string, role string"
     )
-    qcounts = spark.createDataFrame(
+    qcounts = tiny_df(spark,
         [(qid, n, msm[qid]) for qid, n in n_must.items()],
         "query_id int, n_must int, msm int",
     )
@@ -201,7 +203,7 @@ def bm25_boolean_topk(
         )
     )
     if not_rows:
-        not_terms = spark.createDataFrame(not_rows, "query_id int, term string")
+        not_terms = tiny_df(spark, not_rows, "query_id int, term string")
         excl = (
             term_stats.join(F.broadcast(not_terms), "term")
             .select("query_id", "doc_id")
@@ -231,7 +233,7 @@ def bm25_prefix_topk(
     vocabulary can expand past broadcast limits, so the join strategy is
     left to AQE (which broadcasts it when the runtime size allows)."""
     if not prefixes:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     expansions = None
@@ -290,7 +292,7 @@ def bm25_wildcard_topk(
     import re as _re
 
     if not patterns:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
 
@@ -331,7 +333,7 @@ def bm25_regexp_topk(
     by the BM25 sum over the expansion. Same dictionary-scan shape as
     wildcard: vocabulary-, not posting-, sized."""
     if not patterns:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     expansions = None
@@ -375,7 +377,7 @@ def bm25_fuzzy_topk(
     Default stays ``False`` (plain Levenshtein) so pre-existing index
     oracles are unchanged; pass ``True`` for ES-default semantics."""
     if not queries:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     expansions = None
@@ -533,10 +535,10 @@ def match_bool_prefix_topk(
         rows.append((qid, full, prefix))
     if not rows:
         if k is None:
-            return spark.createDataFrame(
+            return tiny_df(spark,
                 [], "query_id int, doc_id long, score double"
             )
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     # exact clauses: (query_id, term, df) straight from the dictionary
@@ -545,7 +547,7 @@ def match_bool_prefix_topk(
     )
     parts = []
     if exact_pairs:
-        qt = spark.createDataFrame(exact_pairs, "query_id int, term string")
+        qt = tiny_df(spark, exact_pairs, "query_id int, term string")
         parts.append(term_df.join(F.broadcast(qt), "term").select(
             "query_id", "term", "df"
         ))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.bm25 import (
     analyze_queries,
@@ -49,7 +51,7 @@ def boosting_topk(
     )
     neg_rows = analyze_queries([(q[0], q[2]) for q in queries], config)
     if neg_rows:
-        neg_terms = spark.createDataFrame(neg_rows, "query_id int, term string")
+        neg_terms = tiny_df(spark, neg_rows, "query_id int, term string")
         neg = (
             term_stats.filter(
                 F.col("term").isin(sorted({t for _, t in neg_rows}))
@@ -81,7 +83,7 @@ def constant_score_topk(
     df lookup). Deterministic rank order inside the tie is doc_id
     ascending (the ES _doc tiebreak)."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     matched = (
         term_stats.filter(F.col("term").isin(sorted({t for _, t in qrows})))
         .join(F.broadcast(qterms), "term")
@@ -118,11 +120,11 @@ def terms_set_topk(
     the metadata for the required-count expression — the metadata join
     is candidate-restricted, never corpus-wide."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     n_terms: dict[int, int] = {qid: 0 for qid, _ in queries}
     for qid, _ in qrows:
         n_terms[qid] += 1
-    qcounts = spark.createDataFrame(
+    qcounts = tiny_df(spark,
         [(qid, n) for qid, n in n_terms.items()], "query_id int, n_terms int"
     )
     all_terms = sorted({t for _, t in qrows})
@@ -177,7 +179,7 @@ def random_score_topk(
     recipe (CLAUDE.md), so any SQL engine replays the exact ordering.
     Stays in whole-stage codegen (conv/md5 are JVM built-ins)."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     matched = (
         term_stats.filter(F.col("term").isin(sorted({t for _, t in qrows})))
         .join(F.broadcast(qterms), "term")

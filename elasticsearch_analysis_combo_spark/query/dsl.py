@@ -113,6 +113,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.boolean import _rank_topk
 from elasticsearch_analysis_combo_spark.query.querystring import (
@@ -1631,14 +1633,14 @@ def _score_constituent_hits(
     def _idf(dfv: int) -> float:
         return math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
 
-    idf_df = spark.createDataFrame(
+    idf_df = tiny_df(spark,
         [
             (qid, sum((_idf(df_map[t]) for t in ts if t in df_map), 0.0))
             for qid, ts in sorted(terms_by_q.items())
         ],
         "query_id int, idf_sum double",
     )
-    qt = spark.createDataFrame(
+    qt = tiny_df(spark,
         sorted(
             (q, t) for q, ts in terms_by_q.items() for t in ts
         ),
@@ -1906,7 +1908,7 @@ def dsl_topk(
                 "so its blend contribution would be inexact)"
             )
 
-    empty = spark.createDataFrame(
+    empty = tiny_df(spark,
         [], "query_id int, rank int, doc_id long, score double"
     )
     out = []
@@ -2041,7 +2043,7 @@ def dsl_topk(
         def _idf(dfv: int) -> float:
             return math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
 
-        idf_df = spark.createDataFrame(
+        idf_df = tiny_df(spark,
             [
                 (qid, sum((_idf(df_map[t]) for t in ts if t in df_map),
                           0.0))
@@ -2065,7 +2067,7 @@ def dsl_topk(
         # dl rides from the FIRST fixed constituent's stats row — every
         # matching doc contains that term, and the isin filter keeps the
         # stats scan pruned (no full-corpus distinct for dl)
-        first_rows = spark.createDataFrame(
+        first_rows = tiny_df(spark,
             sorted((q, t) for q, t in first_by_q.items()),
             "query_id int, term string",
         )
@@ -2346,7 +2348,7 @@ def dsl_topk(
             for qid, ids in pinned_specs.items()
             for i, did in enumerate(ids)
         ]
-        pins = spark.createDataFrame(
+        pins = tiny_df(spark,
             pin_rows, "query_id int, rank int, doc_id long"
         )
         n_pins = {qid: len(ids) for qid, ids in pinned_specs.items()}

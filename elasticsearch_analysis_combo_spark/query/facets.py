@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
 
@@ -33,7 +35,7 @@ def _match_set(
     The literal isin pushes into the stats scan (a broadcast join alone
     doesn't prune parquet row groups)."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     return (
         term_stats.filter(F.col("term").isin(sorted({t for _, t in qrows})))
         .join(F.broadcast(qterms), "term")
@@ -301,7 +303,7 @@ def significant_terms(
         bg = term_df.select("term", F.col("df").alias("bg_df"))
     else:
         bg = term_stats.groupBy("term").agg(F.count("*").alias("bg_df"))
-    qt = spark.createDataFrame(
+    qt = tiny_df(spark,
         sorted(qterms), "query_id int, term string"
     ).withColumn("_isq", F.lit(1))
     scored = (
@@ -454,7 +456,7 @@ def significant_text_agg(
         ).collect()[0]
         n_fg, n_bg = int(g["n_fg"]), int(g["n_bg"])
     if n_fg == 0:
-        return docs.sparkSession.createDataFrame(
+        return tiny_df(docs.sparkSession,
             [], "rank long, term string, fg_df long, bg_df long, score double"
         )
     fg = (
@@ -513,7 +515,7 @@ def search_facet_range(
     list is stable. One match-set join, one partial-aggregated groupBy;
     the bucket table is a literal broadcast dimension."""
     matches = _match_set(spark, term_stats, queries, config)
-    bounds = spark.createDataFrame(
+    bounds = tiny_df(spark,
         [
             (i, float(lo) if lo is not None else None,
              float(hi) if hi is not None else None)
@@ -693,8 +695,8 @@ def _filter_memberships(
     qrows = analyze_queries(
         [(i, named_filters[n]) for i, n in idx.items()], config
     )
-    qterms = spark.createDataFrame(qrows, "fid int, term string")
-    name_dim = spark.createDataFrame(
+    qterms = tiny_df(spark, qrows, "fid int, term string")
+    name_dim = tiny_df(spark,
         [(i, n) for i, n in idx.items()], "fid int, name string"
     )
     return (
@@ -718,7 +720,7 @@ def filters_agg(
     list stable)."""
     members = _filter_memberships(spark, term_stats, named_filters, config)
     counted = members.groupBy("name").agg(F.count("*").alias("doc_count"))
-    names = spark.createDataFrame(
+    names = tiny_df(spark,
         [(n,) for n in sorted(named_filters)], "name string"
     )
     # broadcast the counted side (left side of a left join can't build)
@@ -1972,7 +1974,7 @@ def date_range_agg(
     the search_facet_range contract on a time axis. The bucket table is
     a broadcast literal dimension; one partial-aggregated groupBy."""
     spark = rows.sparkSession
-    bounds = spark.createDataFrame(
+    bounds = tiny_df(spark,
         [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
         "bucket int, lo string, hi string",
     ).select(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
 from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries
@@ -85,7 +87,7 @@ def highlight_offsets(
     re-analyzed with ``config``; each emitted token whose term matches one
     of the hit query's analyzed terms yields one offset row."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     hit_pairs = hits.select(
         F.col("query_id").cast("int").alias("_hq"),
         F.col("doc_id").alias("_hd"),

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.query.bm25 import idf_expr
 from elasticsearch_analysis_combo_spark.query.boolean import _expansion_topk
 
@@ -43,10 +45,10 @@ def more_like_this(
     """(query_id, rank, doc_id, score) — query_id is the seed's index in
     ``seed_doc_ids``; the seed doc never appears in its own results."""
     if not seed_doc_ids:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
-    seeds = spark.createDataFrame(
+    seeds = tiny_df(spark,
         [(i, int(d)) for i, d in enumerate(seed_doc_ids)],
         "query_id int, seed_doc_id long",
     )

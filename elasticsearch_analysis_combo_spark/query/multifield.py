@@ -31,6 +31,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.query.bm25 import analyze_queries, idf_expr
 
@@ -172,7 +174,7 @@ def multi_match_topk(
     boosts = boosts or {}
     parts = []
     for field, stats in field_stats.items():
-        qterms = spark.createDataFrame(
+        qterms = tiny_df(spark,
             analyze_queries(queries, _field_config(config, field)),
             "query_id int, term string",
         )
@@ -189,7 +191,7 @@ def multi_match_topk(
             .withColumn("field", F.lit(field))
         )
     if not parts:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     union = parts[0]
@@ -237,10 +239,10 @@ def multi_match_cross_fields_topk(
     boosts = boosts or {}
     qrows = analyze_queries(queries, config)
     if not qrows:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     all_terms = sorted({t for _, t in qrows})
     sat_parts, df_parts, n_blend = [], [], 0
     for field, stats in field_stats.items():
@@ -266,7 +268,7 @@ def multi_match_cross_fields_topk(
         )
         df_parts.append(pruned.groupBy("term").agg(F.count("*").alias("df")))
     if not sat_parts:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     blended_df = (
@@ -328,7 +330,7 @@ def _phrase_scores_partitioned(
 
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, doc_id long, score double"
         )
     m = phrase_match_partitioned(
@@ -347,7 +349,7 @@ def _phrase_scores_partitioned(
         idf[qid] = idf.get(qid, 0.0) + math.log(
             1.0 + (n_docs - d + 0.5) / (d + 0.5)
         )
-    idf_df = spark.createDataFrame(
+    idf_df = tiny_df(spark,
         sorted(idf.items()), "query_id int, _idf double"
     )
     f = F.col("n_matches").cast("double")
@@ -435,7 +437,7 @@ def multi_match_phrase_topk(
             .withColumn("field", F.lit(field))
         )
     if not parts:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     union = reduce(lambda a, b2: a.unionByName(b2), parts)
@@ -509,7 +511,7 @@ def multi_match_phrase_prefix_topk(
         def _idf(dfv: int) -> float:
             return math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
 
-        idf_df = spark.createDataFrame(
+        idf_df = tiny_df(spark,
             [
                 (qid, sum((_idf(df_map[t]) for t in ts if t in df_map),
                           0.0))
@@ -521,7 +523,7 @@ def multi_match_phrase_prefix_topk(
             spark, plists, field_term_df[field], queries, cfg,
             slop=slop, max_expansions=max_expansions,
         )
-        first_rows = spark.createDataFrame(
+        first_rows = tiny_df(spark,
             sorted((q, t) for q, t in first_by_q.items()),
             "query_id int, term string",
         )
@@ -546,7 +548,7 @@ def multi_match_phrase_prefix_topk(
             .withColumn("field", F.lit(field))
         )
     if not parts:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     union = reduce(lambda a, b2: a.unionByName(b2), parts)
@@ -602,7 +604,7 @@ def multi_match_bool_prefix_topk(
             .withColumn("field", F.lit(field))
         )
     if not parts:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
     union = reduce(lambda a, b2: a.unionByName(b2), parts)
@@ -649,12 +651,12 @@ def combined_fields_topk(
     the weights given."""
     weights = weights or {}
     qrows = analyze_queries(queries, config)
-    empty = spark.createDataFrame(
+    empty = tiny_df(spark,
         [], "query_id int, rank int, doc_id long, score double"
     )
     if not qrows or not field_stats:
         return empty
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     all_terms = sorted({t for _, t in qrows})
     tf_parts, dl_parts = [], []
     for field, stats in field_stats.items():

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
@@ -67,7 +69,7 @@ def percolate(
             for t in sorted({t.term for t in analyze_text(not_text, config)})
         ]
     if not pos_rows:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "doc_id long, query_id int, n_matched long"
         )
     doc_terms = (
@@ -77,8 +79,8 @@ def percolate(
         )
         .select("doc_id", "term")
     )
-    pos = spark.createDataFrame(pos_rows, "query_id int, term string")
-    need = spark.createDataFrame(counts, "query_id int, n_need int")
+    pos = tiny_df(spark, pos_rows, "query_id int, term string")
+    need = tiny_df(spark, counts, "query_id int, n_need int")
     matched = (
         doc_terms.join(F.broadcast(pos), "term")
         .groupBy("doc_id", "query_id")
@@ -88,7 +90,7 @@ def percolate(
         .select("doc_id", "query_id", F.col("n_matched").cast("long"))
     )
     if not_rows:
-        neg = spark.createDataFrame(not_rows, "query_id int, term string")
+        neg = tiny_df(spark, not_rows, "query_id int, term string")
         excl = (
             doc_terms.join(F.broadcast(neg), "term")
             .select("doc_id", "query_id")
@@ -254,7 +256,7 @@ def percolate_dsl(
     from elasticsearch_analysis_combo_spark.analysis.udfs import analyze
 
     if not registered:
-        return spark.createDataFrame([], "doc_id long, query_id int")
+        return tiny_df(spark, [], "doc_id long, query_id int")
     toks = "_perc_toks"
     exprs = [
         (int(qid), _perc_compile(body, config, content_col, toks))

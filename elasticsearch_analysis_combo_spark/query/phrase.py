@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
@@ -318,8 +320,8 @@ def phrase_match(
     )
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame([], schema)
-    qterms = spark.createDataFrame(
+        return tiny_df(spark, [], schema)
+    qterms = tiny_df(spark,
         sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
     )
     all_terms = sorted({t for _, _, t in qrows})
@@ -370,8 +372,8 @@ def phrase_match_docs(
     phrase never decodes beyond the candidates."""
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
-    qterms = spark.createDataFrame(
+        return tiny_df(spark, [], PHRASE_SCHEMA)
+    qterms = tiny_df(spark,
         sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
     )
     slots_by_q: dict[int, list[tuple[int, str]]] = {}
@@ -456,8 +458,8 @@ def range_partitioned_positional_eval(
     )
     shift = 64 - range_bits
     if not qterm_rows:
-        return spark.createDataFrame([], schema)
-    qterms = spark.createDataFrame(
+        return tiny_df(spark, [], schema)
+    qterms = tiny_df(spark,
         sorted(set(qterm_rows)), "query_id int, term string"
     )
     all_terms = sorted({t for _, t in qterm_rows})
@@ -546,7 +548,7 @@ def phrase_match_partitioned(
     stop-word phrases whose posting lists would concentrate in one task."""
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [],
             PHRASE_DL_W_SCHEMA if with_weights
             else PHRASE_DL_SCHEMA if with_dl else PHRASE_SCHEMA,
@@ -625,7 +627,7 @@ def phrase_match_shingles(
     the shingle index was built over."""
     slots_by_q = shingle_phrase_slots(queries, config, size, sep)
     if not slots_by_q:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return tiny_df(spark, [], PHRASE_SCHEMA)
     if partitioned:
         return range_partitioned_positional_eval(
             spark, shingle_postings,
@@ -653,8 +655,8 @@ def _slots_eval(
         }
     )
     if not qterm_rows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
-    qterms = spark.createDataFrame(qterm_rows, "query_id int, term string")
+        return tiny_df(spark, [], PHRASE_SCHEMA)
+    qterms = tiny_df(spark, qterm_rows, "query_id int, term string")
     all_terms = sorted({t for _, t in qterm_rows})
     plists = postings.filter(F.col("term").isin(all_terms))
     joined = plists.join(F.broadcast(qterms), "term")
@@ -698,7 +700,7 @@ def phrase_prefix_match(
 
     qrows = analyze_phrases(queries, config)
     if not qrows:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return tiny_df(spark, [], PHRASE_SCHEMA)
     terms_by_q: dict[int, list[str]] = {}
     for qid, slot, term in sorted(qrows):
         terms_by_q.setdefault(qid, []).append(term)
@@ -731,7 +733,7 @@ def phrase_prefix_match(
         slots.append((len(terms) - 1, tuple(exp)))
         slots_by_q[qid] = slots
     if not slots_by_q:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return tiny_df(spark, [], PHRASE_SCHEMA)
     return _slots_eval(spark, postings, slots_by_q, slop)
 
 
@@ -772,13 +774,13 @@ def phrase_topk(
     )
     if not qrows:
         if k is None:
-            return spark.createDataFrame(
+            return tiny_df(spark,
                 [], "query_id int, doc_id long, score double"
             )
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, doc_id long, score double"
         )
-    qterms = spark.createDataFrame(
+    qterms = tiny_df(spark,
         sorted({(qid, t) for qid, _, t in qrows}), "query_id int, term string"
     )
     all_terms = sorted({t for _, _, t in qrows})

@@ -62,6 +62,8 @@ from operator import or_
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
@@ -298,7 +300,7 @@ def evaluate_parsed(
     DISTINCT should clauses (a multi-term ``match`` counts as ONE
     clause, as in ES); qids absent from the map keep the default
     membership rule."""
-    empty = spark.createDataFrame(
+    empty = tiny_df(spark,
         [],
         "query_id int, rank int, doc_id long, score double"
         if rank else "query_id int, doc_id long, score double",
@@ -438,7 +440,7 @@ def evaluate_parsed(
             if cl.kind == "term":
                 term_rows += [(qid, cid, t) for t in _clause_terms(cl, config)]
         if term_rows:
-            ct = spark.createDataFrame(
+            ct = tiny_df(spark,
                 term_rows, "qid int, cid int, term string"
             )
             parts.append(
@@ -450,7 +452,7 @@ def evaluate_parsed(
             if cl.kind in EXPANSION_KINDS
         ]
         if exp_ids and exp_df is not None:
-            sel = spark.createDataFrame(exp_ids, "qid int, cid int")
+            sel = tiny_df(spark, exp_ids, "qid int, cid int")
             sub = exp_df.join(F.broadcast(sel), ["qid", "cid"]).select(
                 "qid", "cid", "term"
             )
@@ -463,7 +465,7 @@ def evaluate_parsed(
             (qid, cid) for qid, cid, cl in specs if cl.kind == "phrase"
         ]
         if ph_ids and phrase_hits is not None:
-            sel = spark.createDataFrame(ph_ids, "qid int, cid int")
+            sel = tiny_df(spark, ph_ids, "qid int, cid int")
             parts.append(
                 phrase_hits.join(F.broadcast(sel), ["qid", "cid"])
                 .select("qid", "cid", "doc_id")
@@ -504,7 +506,7 @@ def evaluate_parsed(
     ]
     if lit_rows:
         qterms_parts.append(
-            spark.createDataFrame(
+            tiny_df(spark,
                 lit_rows, "query_id int, term string, df long"
             )
         )
@@ -549,7 +551,7 @@ def evaluate_parsed(
             )
             for qid, cid, cl in pos_phrases
         })
-        sel = spark.createDataFrame(
+        sel = tiny_df(spark,
             sel_rows, "qid int, cid int, idf_sum double"
         )
         # Lucene sloppyFreq: each match weighted 1/(matchLength+1)

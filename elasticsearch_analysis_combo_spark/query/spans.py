@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import (
     ComboConfig,
     analyze_text,
@@ -261,8 +263,8 @@ def span_near_match(
     terms_by_q = analyze_span_terms(queries, config)
     terms_by_q = {q: ts for q, ts in terms_by_q.items() if ts}
     if not terms_by_q:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
-    qterms = spark.createDataFrame(
+        return tiny_df(spark, [], PHRASE_SCHEMA)
+    qterms = tiny_df(spark,
         sorted({(qid, t) for qid, ts in terms_by_q.items() for t in ts}),
         "query_id int, term string",
     )
@@ -303,7 +305,7 @@ def _span_eval(
     exact)."""
     qid_terms = {q: ts for q, ts in qid_terms.items() if ts}
     if not qid_terms:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return tiny_df(spark, [], PHRASE_SCHEMA)
     pairs = sorted({(qid, t) for qid, ts in qid_terms.items() for t in ts})
     if range_bits is not None:
         return range_partitioned_positional_eval(
@@ -311,7 +313,7 @@ def _span_eval(
             lambda qid, decoded: matcher(qid, decoded),
             range_bits=range_bits,
         )
-    qterms = spark.createDataFrame(pairs, "query_id int, term string")
+    qterms = tiny_df(spark, pairs, "query_id int, term string")
     all_terms = sorted({t for ts in qid_terms.values() for t in ts})
     plists = postings.filter(F.col("term").isin(all_terms))
     joined = plists.join(F.broadcast(qterms), "term")
@@ -422,7 +424,7 @@ def span_near_match_partitioned(
     terms_by_q = analyze_span_terms(queries, config)
     terms_by_q = {q: ts for q, ts in terms_by_q.items() if ts}
     if not terms_by_q:
-        return spark.createDataFrame([], PHRASE_SCHEMA)
+        return tiny_df(spark, [], PHRASE_SCHEMA)
     return range_partitioned_positional_eval(
         spark, postings,
         [(qid, t) for qid, ts in terms_by_q.items() for t in ts],

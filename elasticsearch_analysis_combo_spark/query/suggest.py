@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 
 def term_suggest(
     spark: SparkSession,
@@ -38,11 +40,11 @@ def term_suggest(
     pass ``include_exact=True`` for ``always``-like behavior).
     """
     if not inputs:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, suggestion string, "
                 "distance int, df long"
         )
-    inputs_df = spark.createDataFrame(inputs, "query_id int, input string")
+    inputs_df = tiny_df(spark, inputs, "query_id int, input string")
     # ONE dictionary pass for all inputs: broadcast the tiny input table
     # against the vocabulary; the prefix + length-band predicates bound
     # Levenshtein from below and prune before the edit distance runs
@@ -101,7 +103,7 @@ def phrase_suggest(
                 raise ValueError(f"more than {1 << 16} tokens in query {qid}")
             toks.append((qid, i, t))
     if not toks:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, suggestion string, n_corrections int"
         )
     # vocabulary membership: one isin filter over the dictionary
@@ -136,7 +138,7 @@ def phrase_suggest(
                 parts.append(best[key])
                 fixes += 1
         out.append((qid, " ".join(parts), fixes))
-    return spark.createDataFrame(
+    return tiny_df(spark,
         out, "query_id int, suggestion string, n_corrections int"
     )
 
@@ -161,7 +163,7 @@ def completion_suggest(
     serves this from an in-memory FST; at 10^9 vocabulary terms the
     pruned columnar scan is the Spark-shaped equivalent."""
     if not inputs:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "query_id int, rank int, suggestion string, df long"
         )
     parts = []
@@ -273,7 +275,7 @@ def suggest_body(
     data — so a suggest section costs O(option-sets) scans, never
     O(names)."""
     if not suggest:
-        return spark.createDataFrame(
+        return tiny_df(spark,
             [], "name string, kind string, rank int, suggestion string, "
                 "distance int, df long, n_corrections int",
         )
@@ -315,7 +317,7 @@ def suggest_body(
             )
         buckets.setdefault(sig, []).append((qid_of[n], entry[text_key]))
 
-    name_map = spark.createDataFrame(
+    name_map = tiny_df(spark,
         [(q, n) for n, q in qid_of.items()], "query_id int, name string"
     )
     parts = []

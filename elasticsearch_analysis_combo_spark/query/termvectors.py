@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.operators.codec import (
     decode_positions_flat,
 )
@@ -39,7 +41,7 @@ def termvectors(
 ) -> DataFrame:
     """One row per (doc, term, occurrence): (doc_id, term, tf, pos)."""
     if not doc_ids:
-        return spark.createDataFrame([], TERMVECTORS_SCHEMA)
+        return tiny_df(spark, [], TERMVECTORS_SCHEMA)
     sel = term_stats.filter(
         F.col("doc_id").isin([int(d) for d in doc_ids])
     ).select("doc_id", "term", "tf", "pos_data")

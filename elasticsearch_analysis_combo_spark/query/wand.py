@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from elasticsearch_analysis_combo_spark.tinydf import tiny_df
+
 from elasticsearch_analysis_combo_spark.analysis.combo import ComboConfig
 from elasticsearch_analysis_combo_spark.operators.codec import (
     bm25_impact,
@@ -307,6 +309,16 @@ def wand_topk_single(
     return [(-d, s) for s, d in out]
 
 
+def _blocks_sans_positions():
+    """``blocks`` with the (unused-by-WAND) per-block position stream
+    dropped — scoring needs only headers + the doc/tf/dl stream."""
+    return F.expr(
+        "transform(blocks, b -> named_struct("
+        "'first_doc', b.first_doc, 'last_doc', b.last_doc, 'n', b.n, "
+        "'max_impact', b.max_impact, 'data', b.data))"
+    )
+
+
 def config_from_meta(meta_config: dict) -> ComboConfig:
     subs = [
         config_from_meta(s) if isinstance(s, dict) else s
@@ -356,10 +368,15 @@ def wand_topk_from_postings(
     freshly-built pipeline output): one task per query (dense-dispatched
     below ``dense_max_postings`` postings — see wand_topk_single)."""
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
 
     all_terms = sorted({t for _, t in qrows})
     plists = postings.filter(F.col("term").isin(all_terms))
+    # WAND never touches positions: strip pos_data from the block structs
+    # BEFORE the shuffle/Arrow boundary (guide §2.3 — an opaque pandas UDF
+    # defeats nested-column pruning, so the projection must be explicit;
+    # roughly halves the bytes shipped per posting block)
+    plists = plists.withColumn("blocks", _blocks_sans_positions())
     joined = plists.join(F.broadcast(qterms), "term")
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -423,9 +440,13 @@ def wand_topk_partitioned(
     n_ranges = 1 << range_bits
     shift = 64 - range_bits
     qrows = analyze_queries(queries, config)
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
     all_terms = sorted({t for _, t in qrows})
     plists = postings.filter(F.col("term").isin(all_terms))
+    # strip positions before the block explode + range fan-out (see
+    # wand_topk_from_postings) — boundary blocks replicate to two ranges,
+    # so the saving compounds
+    plists = plists.withColumn("blocks", _blocks_sans_positions())
 
     def rid(col: str):
         # signed doc -> unsigned order via sign-bit flip, top bits = range

@@ -8,8 +8,47 @@ cluster the same settings apply minus master/driver-memory, submitted via
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+
+def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
+    """Spin up both Python worker pools in the background.
+
+    The first Python stage of a session pays worker-pool creation (~2 s
+    wall on local[32]: daemon launch + N forks + handshakes), and PySpark
+    keeps TWO separate pools — plain-pickle RDD workers and Arrow SQL-UDF
+    workers — so the cost is paid twice, each time inside whatever query
+    happens to run first. Both pools are reused afterwards (worker.reuse
+    default, idle pool unbounded), so creating them at session startup in
+    a daemon thread moves that latency off the first real queries and
+    overlaps it with the caller's own driver-side setup work."""
+
+    def run() -> None:
+        try:
+            sc = spark.sparkContext
+            sc.setJobDescription("session pre-warm: python worker pools")
+            # plain-pickle pool (parallelize/createDataFrame-from-list path)
+            sc.parallelize(range(cores), cores).count()
+            # Arrow SQL pool (pandas_udf / mapInPandas / mapInArrow path)
+            def _identity(batches):
+                for b in batches:
+                    yield b
+
+            spark.range(0, cores, 1, cores).mapInPandas(
+                _identity, schema="id long"
+            ).write.format("noop").mode("overwrite").save()
+            sc.setJobDescription(None)
+        except Exception:  # noqa: BLE001 - warmup must never break a session
+            pass
+
+    threading.Thread(target=run, name="combo-spark-prewarm", daemon=True).start()
+
+
+def _package_root() -> str:
+    """Directory containing the package (for worker-daemon importability)."""
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def get_spark(
@@ -20,6 +59,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # make the package importable in the worker daemon regardless of the
+    # caller's cwd: the JVM (and the python daemon it spawns) inherit this
+    # env. Must be set before the gateway launches.
+    root = _package_root()
+    pp = os.environ.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -37,8 +83,20 @@ def get_spark(
         # split across all concurrent tasks — undersizing it makes wide
         # (local[32]) runs spill in sort stages and anti-scale
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # preloading worker daemon: numpy/pandas/pyarrow + the engine's hot
+        # modules import ONCE in the daemon, before any worker forks —
+        # forked workers inherit them copy-on-write instead of each paying
+        # the ~0.7 s import at first UDF deserialization (guide §4.5; on
+        # local[32] that cold start lands inside the first timed stage)
+        .config("spark.python.daemon.module",
+                "elasticsearch_analysis_combo_spark.daemon")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # once per session instance (getOrCreate may return an existing one)
+    if not getattr(spark, "_combo_prewarmed", False):
+        spark._combo_prewarmed = True
+        _prewarm_worker_pools(spark, cores)
+    return spark
