@@ -220,10 +220,15 @@ def bm25_explain(
     window sum so decomposition and total come from one pass."""
     from pyspark.sql import Window as W
 
-    qterms = tiny_df(spark,
-        analyze_queries(queries, config), "query_id int, term string"
+    qrows = analyze_queries(queries, config)
+    qterms = tiny_df(spark, qrows, "query_id int, term string")
+    # literal isin pushdown on both scans (see bm25_exhaustive_topk)
+    all_terms = sorted({t for _, t in qrows})
+    term_stats = term_stats.filter(F.col("term").isin(all_terms))
+    tdf = (
+        term_df.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
     )
-    tdf = term_df.join(F.broadcast(qterms.select("term").distinct()), "term")
     rows = (
         term_stats.join(F.broadcast(qterms), "term")
         .join(F.broadcast(tdf.select("term", "df")), "term")

@@ -138,6 +138,14 @@ def project_fields(
         return hits
     seen = set()
     cols = [c for c in cols if not (c in seen or seen.add(c))]
+    # sort/slice-path hits already carry the metadata columns (base =
+    # meta + rank): joining them back in would make every reference
+    # ambiguous (AMBIGUOUS_REFERENCE on Spark 4). Keep only the columns
+    # the hits frame is missing; if none are missing the hits already
+    # ARE the projection.
+    cols = [c for c in cols if c not in hits.columns]
+    if not cols:
+        return hits
     # broadcast the HITS side (k rows) and stream the metadata scan —
     # the join shape that never shuffles a 100 TB metadata table for a
     # top-k page. Inner join: every hit id exists in the doc table the

@@ -73,6 +73,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1/§9): skips both sort passes on the
+        # band self-join / model joins. The AQE threshold bounds the
+        # runtime SMJ->SHJ rewrite by per-partition build size — a
+        # per-partition cap, so it holds at any corpus size (partitions
+        # themselves are bounded by AQE's advisory size); env-overridable
+        # for clusters with tighter executor memory.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large `content` strings: cap Arrow batch rows so a batch stays
