@@ -75,15 +75,22 @@ def main() -> None:
                 fh.write(buf.getvalue())
 
     def run(name: str, mk, action=None, plan_df=None) -> None:
-        """mk() -> DataFrame; action(df) consumes it (default collect)."""
+        """mk() -> DataFrame; action(df) consumes it (default collect).
+
+        A FRESH DataFrame is built per repeat: re-collecting the same
+        object reuses its already-materialized AQE query stages (shuffle
+        outputs stay registered), which under-times everything after
+        rep 1 — bench.py's own loops rebuild per iteration for the same
+        reason."""
         if only and name not in only:
             return
         df = mk()
         dump_plan(name, plan_df if plan_df is not None else df)
-        for _ in range(args.repeats):
+        for i in range(args.repeats):
+            fresh = df if i == 0 else mk()
             sc.setJobDescription(name)
             t0 = time.time()
-            (action or (lambda d: d.collect()))(df if df is not None else mk())
+            (action or (lambda d: d.collect()))(fresh)
             timings.setdefault(name, []).append(time.time() - t0)
         sc.setJobDescription(None)
 

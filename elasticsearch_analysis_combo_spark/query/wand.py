@@ -311,11 +311,19 @@ def wand_topk_single(
 
 def _blocks_sans_positions():
     """``blocks`` with the (unused-by-WAND) per-block position stream
-    dropped — scoring needs only headers + the doc/tf/dl stream."""
-    return F.expr(
-        "transform(blocks, b -> named_struct("
-        "'first_doc', b.first_doc, 'last_doc', b.last_doc, 'n', b.n, "
-        "'max_impact', b.max_impact, 'data', b.data))"
+    dropped — scoring needs only headers + the doc/tf/dl stream.
+
+    Built with arrays_zip over per-field array extractions rather than a
+    transform lambda: GetArrayStructFields is visible to nested schema
+    pruning, so ``pos_data`` disappears from the parquet ReadSchema too —
+    positions are never read off disk, not just dropped pre-shuffle
+    (verified in plans/r06/wand_topk_after.txt)."""
+    return F.arrays_zip(
+        F.col("blocks.first_doc").alias("first_doc"),
+        F.col("blocks.last_doc").alias("last_doc"),
+        F.col("blocks.n").alias("n"),
+        F.col("blocks.max_impact").alias("max_impact"),
+        F.col("blocks.data").alias("data"),
     )
 
 

@@ -909,6 +909,35 @@ def main() -> None:
           f"the metadata scan to the requested columns")
     failures += not ok
 
+    # 47. (r6 opt) WAND sheds positions BEFORE the scan: arrays_zip field
+    # extraction keeps nested schema pruning, so pos_data must be absent
+    # from the posting scan's ReadSchema and from the whole plan
+    from elasticsearch_analysis_combo_spark.query.wand import (
+        wand_topk_from_postings,
+    )
+
+    p = plan_text(wand_topk_from_postings(
+        spark, idx.postings(), [(0, "spark query")], cfg,
+        n_docs=idx.meta.n_docs, avgdl=idx.meta.avgdl, k=10,
+    ))
+    ok = "pos_data" not in p and "PushedFilters: [In(term" in p
+    print(f"{'OK ' if ok else 'FAIL'} WAND never reads pos_data "
+          f"(nested-pruned scan) + term pushdown")
+    failures += not ok
+
+    # 48. (r6 opt) tiny query dims are LocalTableScan, not Python-RDD
+    # scans: the exhaustive plan must carry no RDD scan / Python eval
+    p = plan_text(bm25_exhaustive_topk(
+        spark, idx.term_stats(), idx.term_df(), [(0, "spark query")], cfg,
+        idx.meta.n_docs, idx.meta.avgdl, k=10,
+    ))
+    ok = ("LocalTableScan" in p and "Scan ExistingRDD" not in p
+          and "BatchEvalPython" not in p
+          and "PushedFilters: [In(term" in p)
+    print(f"{'OK ' if ok else 'FAIL'} query dims are LocalTableScan + "
+          f"exhaustive isin pushdown (no Python-RDD scan)")
+    failures += not ok
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
