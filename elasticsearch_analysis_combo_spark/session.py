@@ -27,6 +27,8 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
 
     def run() -> None:
         try:
+            from pyspark.sql import functions as F
+
             sc = spark.sparkContext
             sc.setJobDescription("session pre-warm: python worker pools")
             # plain-pickle pool (parallelize/createDataFrame-from-list path)
@@ -39,6 +41,16 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
             spark.range(0, cores, 1, cores).mapInPandas(
                 _identity, schema="id long"
             ).write.format("noop").mode("overwrite").save()
+            # shuffle + grouped-pandas machinery (exchange writers/readers,
+            # FlatMapGroupsInPandas codegen+JIT) — the other first-use
+            # costs the first real query would otherwise absorb
+            def _gidentity(_key, pdf):
+                return pdf
+
+            (spark.range(0, cores * 64, 1, cores)
+             .withColumn("k", F.pmod(F.col("id"), F.lit(cores)))
+             .groupBy("k").applyInPandas(_gidentity, schema="id long, k bigint")
+             .write.format("noop").mode("overwrite").save())
             sc.setJobDescription(None)
         except Exception:  # noqa: BLE001 - warmup must never break a session
             pass
