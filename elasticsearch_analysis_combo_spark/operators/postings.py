@@ -444,19 +444,47 @@ def build_postings(
             rid = (
                 F.shiftright(u32 * F.col("_shards").cast("long"), 32) + 1
             ).cast("int")
+            salted = (
+                term_stats.join(F.broadcast(hotb), "term", "left")
+                .withColumn(
+                    "salt",
+                    F.when(F.col("_shards").isNotNull(), rid)
+                    .otherwise(F.lit(0)).cast("int"),
+                )
+                .drop("_shards")
+            )
         else:
-            hotb = hot_terms.select("term").withColumn(
-                "_shards", F.lit(1)  # marker only; fixed rid is used
-            )
-        salted = (
-            term_stats.join(F.broadcast(hotb), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(F.col("_shards").isNotNull(), rid)
-                .otherwise(F.lit(0)).cast("int"),
-            )
-            .drop("_shards")
-        )
+            # fixed-shard hot list: the hot vocabulary is small by
+            # contract (skew-heavy stop terms — a few hundred rows even
+            # at full scale, see salt_term_stats). Collecting it once and
+            # branding hot rows with an InSet literal replaces a
+            # broadcast-join in EVERY branch that reads the salted frame
+            # (cold, hot, totals — three joins, three broadcast builds)
+            # with a plain scan predicate; the collect costs the same one
+            # evaluation the broadcast build did. A degenerate caller
+            # with a huge frame keeps the join path (size guard).
+            probe = hot_terms.select("term").limit(100_001).collect()
+            if len(probe) <= 100_000:
+                hot_list = [r["term"] for r in probe]
+                salted = term_stats.withColumn(
+                    "salt",
+                    F.when(F.col("term").isin(hot_list), rid)
+                    .otherwise(F.lit(0)).cast("int")
+                    if hot_list else F.lit(0).cast("int"),
+                )
+            else:
+                hotb = hot_terms.select("term").withColumn(
+                    "_shards", F.lit(1)
+                )
+                salted = (
+                    term_stats.join(F.broadcast(hotb), "term", "left")
+                    .withColumn(
+                        "salt",
+                        F.when(F.col("_shards").isNotNull(), rid)
+                        .otherwise(F.lit(0)).cast("int"),
+                    )
+                    .drop("_shards")
+                )
     cold = salted.filter(F.col("salt") == 0)
     hot = salted.filter(F.col("salt") > 0)
 
