@@ -25,15 +25,17 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
     a daemon thread moves that latency off the first real queries and
     overlaps it with the caller's own driver-side setup work."""
 
-    def run() -> None:
+    def run_sql_side() -> None:
+        # ordered by what a fresh engine needs first: the Arrow SQL pool
+        # (first mapInPandas stage), then the parquet write path
+        # (committer, codec, WriteFiles — the first timed action of an
+        # index build is a parquet write), then exchange + grouped-pandas
         try:
             from pyspark.sql import functions as F
 
             sc = spark.sparkContext
-            sc.setJobDescription("session pre-warm: python worker pools")
-            # plain-pickle pool (parallelize/createDataFrame-from-list path)
-            sc.parallelize(range(cores), cores).count()
-            # Arrow SQL pool (pandas_udf / mapInPandas / mapInArrow path)
+            sc.setJobDescription("session pre-warm: arrow pool + write path")
+
             def _identity(batches):
                 for b in batches:
                     yield b
@@ -41,9 +43,18 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
             spark.range(0, cores, 1, cores).mapInPandas(
                 _identity, schema="id long"
             ).write.format("noop").mode("overwrite").save()
-            # shuffle + grouped-pandas machinery (exchange writers/readers,
-            # FlatMapGroupsInPandas codegen+JIT) — the other first-use
-            # costs the first real query would otherwise absorb
+
+            import shutil
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="combo_prewarm_")
+            try:
+                spark.range(0, 64, 1, 4).write.mode("overwrite").parquet(
+                    f"{d}/w"
+                )
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
             def _gidentity(_key, pdf):
                 return pdf
 
@@ -55,7 +66,23 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
         except Exception:  # noqa: BLE001 - warmup must never break a session
             pass
 
-    threading.Thread(target=run, name="combo-spark-prewarm", daemon=True).start()
+    def run_rdd_side() -> None:
+        # plain-pickle pool (parallelize/createDataFrame-from-list path);
+        # independent factory from the SQL pool, so warm it concurrently
+        try:
+            sc = spark.sparkContext
+            sc.setJobDescription("session pre-warm: plain worker pool")
+            sc.parallelize(range(cores), cores).count()
+            sc.setJobDescription(None)
+        except Exception:  # noqa: BLE001
+            pass
+
+    threading.Thread(
+        target=run_sql_side, name="combo-spark-prewarm-sql", daemon=True
+    ).start()
+    threading.Thread(
+        target=run_rdd_side, name="combo-spark-prewarm-rdd", daemon=True
+    ).start()
 
 
 def _package_root() -> str:
