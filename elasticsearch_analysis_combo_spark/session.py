@@ -62,6 +62,21 @@ def _prewarm_worker_pools(spark: SparkSession, cores: int) -> None:
              .withColumn("k", F.pmod(F.col("id"), F.lit(cores)))
              .groupBy("k").applyInPandas(_gidentity, schema="id long, k bigint")
              .write.format("noop").mode("overwrite").save())
+            # explode + hash-aggregate + window machinery: the shared
+            # execution classes (generators, UnsafeFixedWidthAggregationMap,
+            # WindowExec buffers) JIT-warm here instead of inside the
+            # first real explode-heavy aggregation
+            from pyspark.sql import Window as _W
+
+            (spark.range(0, cores * 2000, 1, cores)
+             .select(F.explode(F.array("id", "id")).alias("x"))
+             .groupBy(F.pmod("x", F.lit(997)).alias("g"))
+             .agg(F.count("*").alias("c"), F.min("x"), F.max("x"))
+             .withColumn(
+                 "r",
+                 F.row_number().over(_W.partitionBy("g").orderBy("c")),
+             )
+             .write.format("noop").mode("overwrite").save())
             sc.setJobDescription(None)
         except Exception:  # noqa: BLE001 - warmup must never break a session
             pass
